@@ -1,0 +1,356 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.engine.{Cols, Tables}
+import graft.engine.Cols.{cents, e4, e6}
+
+/** Relational query inventory over the TPC-H-ish star schema
+  * (SURVEY.md §2.2-§2.8: projections/filters, joins J1-J4, aggregations
+  * A4-A6, windows W1-W3, sorts/limits O1-O3, set operations).
+  *
+  * Every query has a DuckDB oracle (ANSI SQL) producing identical columns;
+  * all money/ratio outputs are scaled integers (see [[graft.engine.Cols]]).
+  * Reference basis: the consumption layer of the design
+  * (diagram_1.txt:94-108, diagram3:116-143) implies the full relational
+  * surface; joins/windows are `implied` operators per SURVEY.md §2.3-§2.5.
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  val defs: Map[String, Q] = Map(
+    // A4/A1: grouped aggregation with map-side partial agg; filter pushed to scan.
+    "q01_pricing_summary" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(to_date(col("l_shipdate")) <= lit("2000-12-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          sum(cents(col("l_extendedprice"))).as("sum_base_c"),
+          sum(e4(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_c4"),
+          sum(e6(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))).as("sum_charge_c6"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // P1/P3/P6/P9: projection + predicate pushdown (PushedFilters in plan).
+    "q02_filter_project" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_returnflag") === "R" && col("l_quantity") < 5 &&
+          to_date(col("l_shipdate")).between(lit("1996-01-01"), lit("1999-12-31")))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("long").as("qty"),
+          cents(col("l_extendedprice")).as("price_c"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // J1: 3-way join + agg + top-k (TPC-H Q3 shape). customer is the small
+    // side → broadcast; orders⨝lineitem shuffles on orderkey.
+    "q03_shipping_priority" -> ((s, d) => {
+      val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, d, "orders").filter(to_date(col("o_orderdate")) < lit("1998-06-01"))
+      val l = t(s, d, "lineitem").filter(to_date(col("l_shipdate")) > lit("1998-06-01"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("odate"), col("o_orderpriority"))
+        .agg(sum(e4(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_c4"))
+        .orderBy(col("revenue_c4").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // J2: broadcast dimension joins (region 5 rows, nation 25 rows).
+    "q04_region_rollcall" -> ((s, d) => {
+      val r = broadcast(t(s, d, "region"))
+      val n = broadcast(t(s, d, "nation"))
+      t(s, d, "customer")
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_cust"), sum(cents(col("c_acctbal"))).as("bal_c"))
+        .orderBy("r_name")
+    }),
+
+    // J1 x5: the TPC-H Q5 shape — local supplier volume within one region.
+    "q05_local_volume" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      val o = t(s, d, "orders").filter(
+        to_date(col("o_orderdate")) >= lit("1996-01-01") &&
+        to_date(col("o_orderdate")) < lit("1998-01-01"))
+      val l = t(s, d, "lineitem")
+      val su = t(s, d, "supplier")
+      val n = broadcast(t(s, d, "nation"))
+      val r = broadcast(t(s, d, "region").filter(col("r_name") === "ASIA"))
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(n, col("s_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(sum(e4(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_c4"))
+        .orderBy(col("revenue_c4").desc, col("n_name"))
+    }),
+
+    // A4 scalar aggregate over a pushed-down range predicate (TPC-H Q6 shape).
+    "q06_forecast_revenue" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(to_date(col("l_shipdate")) >= lit("1996-01-01") &&
+          to_date(col("l_shipdate")) < lit("1997-01-01") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(sum(e6(col("l_extendedprice") * col("l_discount"))).as("revenue_c6"))
+    }),
+
+    // J3: left-semi join (EXISTS).
+    "q07_active_customers" -> ((s, d) => {
+      val o = t(s, d, "orders").filter(to_date(col("o_orderdate")) >= lit("1999-01-01"))
+      t(s, d, "customer")
+        .join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_cust"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // J3: left-anti join (NOT EXISTS).
+    "q08_dormant_customers" -> ((s, d) => {
+      val o = t(s, d, "orders").filter(to_date(col("o_orderdate")) >= lit("2000-01-01"))
+      t(s, d, "customer")
+        .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_cust"))
+        .orderBy("n_name")
+    }),
+
+    // J4: theta join — equi key plus a range predicate.
+    "q09_richer_suppliers" -> ((s, d) => {
+      val su = t(s, d, "supplier")
+      val c = t(s, d, "customer")
+      su.join(c, col("s_nationkey") === col("c_nationkey") && col("s_acctbal") > col("c_acctbal"))
+        .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(cents(col("s_acctbal") - col("c_acctbal"))).as("gap_c"))
+        .orderBy("n_name")
+    }),
+
+    // O2/O3: global top-k (TakeOrderedAndProject — no full sort at scale).
+    "q10_top_customers" -> ((s, d) => {
+      t(s, d, "orders")
+        .groupBy("o_custkey")
+        .agg(sum(cents(col("o_totalprice"))).as("total_c"), count(lit(1)).as("n_orders"))
+        .orderBy(col("total_c").desc, col("o_custkey"))
+        .limit(15)
+    }),
+
+    // W1: ranking window functions with deterministic tiebreak.
+    "q11_segment_rank" -> ((s, d) => {
+      val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t(s, d, "customer")
+        .select(col("c_mktsegment"), col("c_custkey"), cents(col("c_acctbal")).as("bal_c"),
+          row_number().over(w).as("rn"), ntile(4).over(w).as("quartile"))
+        .filter(col("rn") <= 5)
+        .orderBy("c_mktsegment", "rn")
+    }),
+
+    // W3: framed window aggregates (running total + moving 3-row sum), exact
+    // via integer cents.
+    "q12_running_totals" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, d, "orders")
+        .filter(col("o_custkey") < 50)
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(cents(col("o_totalprice"))).over(w.rowsBetween(Window.unboundedPreceding, 0)).as("run_c"),
+          sum(cents(col("o_totalprice"))).over(w.rowsBetween(-2, 0)).as("mov3_c"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // A6: rollup with grouping-null coalescing.
+    "q14_rollup_returns" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity")).cast("long").as("sum_qty"), count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("sum_qty"), col("n"))
+        .orderBy("flag", "status")
+    }),
+
+    // A6: cube.
+    "q15_cube_orders" -> ((s, d) => {
+      t(s, d, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("total_c"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("total_c"))
+        .orderBy("status", "priority")
+    }),
+
+    // Set operations: intersect / except / union-all over nation keysets.
+    "q16_nation_setops" -> ((s, d) => {
+      val custN = t(s, d, "customer").select(col("c_nationkey").as("nk")).distinct()
+      val suppN = t(s, d, "supplier").select(col("s_nationkey").as("nk")).distinct()
+      val both = custN.intersect(suppN).withColumn("tag", lit("both"))
+      val custOnly = custN.except(suppN).withColumn("tag", lit("cust_only"))
+      val suppOnly = suppN.except(custN).withColumn("tag", lit("supp_only"))
+      both.unionAll(custOnly).unionAll(suppOnly)
+        .select(col("tag"), col("nk"))
+        .orderBy("tag", "nk")
+    }),
+
+    // A5: exact distinct aggregation.
+    "q17_segment_reach" -> ((s, d) => {
+      t(s, d, "customer")
+        .groupBy("c_mktsegment")
+        .agg(countDistinct(col("c_nationkey")).as("n_nations"), count(lit(1)).as("n_cust"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // A4 + HAVING + join-back (TPC-H Q18 shape): large-quantity orders.
+    "q18_big_orders" -> ((s, d) => {
+      val big = t(s, d, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sum(col("l_quantity")).cast("long").as("sum_qty"))
+        .filter(col("sum_qty") > 200)
+      val o = t(s, d, "orders")
+      val c = t(s, d, "customer")
+      big.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("odate"),
+          cents(col("o_totalprice")).as("total_c"), col("sum_qty"))
+        .orderBy(col("total_c").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+
+    // Conditional aggregation (TPC-H Q14 shape): promo revenue share.
+    "q19_case_agg" -> ((s, d) => {
+      val l = t(s, d, "lineitem")
+      val p = t(s, d, "part")
+      l.join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+          sum(when(col("p_size") < 25, e4(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .otherwise(lit(0L))).as("small_rev_c4"),
+          sum(e4(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("all_rev_c4"),
+          count(lit(1)).as("n"))
+        .orderBy("p_brand")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+         CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_c,
+         CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS BIGINT) AS sum_disc_c4,
+         CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*(1+l_tax)*1000000) AS BIGINT)) AS BIGINT) AS sum_charge_c6,
+         COUNT(*) AS count_order
+         FROM lineitem WHERE CAST(l_shipdate AS DATE) <= DATE '2000-12-01'
+         GROUP BY 1,2 ORDER BY 1,2""",
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty,
+         CAST(ROUND(l_extendedprice*100) AS BIGINT) AS price_c
+         FROM lineitem
+         WHERE l_returnflag = 'R' AND l_quantity < 5
+           AND CAST(l_shipdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1999-12-31'
+         ORDER BY l_orderkey, l_linenumber""",
+    "q03_shipping_priority" ->
+      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS odate, o_orderpriority,
+         CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS BIGINT) AS revenue_c4
+         FROM customer, orders, lineitem
+         WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+           AND CAST(o_orderdate AS DATE) < DATE '1998-06-01' AND CAST(l_shipdate AS DATE) > DATE '1998-06-01'
+         GROUP BY 1,2,3 ORDER BY revenue_c4 DESC, l_orderkey LIMIT 10""",
+    "q04_region_rollcall" ->
+      """SELECT r_name, COUNT(*) AS n_cust,
+         CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS BIGINT) AS bal_c
+         FROM customer, nation, region
+         WHERE c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         GROUP BY 1 ORDER BY 1""",
+    "q05_local_volume" ->
+      """SELECT n_name,
+         CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS BIGINT) AS revenue_c4
+         FROM customer, orders, lineitem, supplier, nation, region
+         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+           AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+           AND r_name = 'ASIA'
+           AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01' AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+         GROUP BY 1 ORDER BY revenue_c4 DESC, n_name""",
+    "q06_forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(ROUND(l_extendedprice*l_discount*1000000) AS BIGINT)) AS BIGINT) AS revenue_c6
+         FROM lineitem
+         WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01' AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+           AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+    "q07_active_customers" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_cust FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                       AND CAST(o_orderdate AS DATE) >= DATE '1999-01-01')
+         GROUP BY 1 ORDER BY 1""",
+    "q08_dormant_customers" ->
+      """SELECT n_name, COUNT(*) AS n_cust FROM customer JOIN nation ON c_nationkey = n_nationkey
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                           AND CAST(o_orderdate AS DATE) >= DATE '2000-01-01')
+         GROUP BY 1 ORDER BY 1""",
+    "q09_richer_suppliers" ->
+      """SELECT n_name, COUNT(*) AS n_pairs,
+         CAST(SUM(CAST(ROUND((s_acctbal - c_acctbal)*100) AS BIGINT)) AS BIGINT) AS gap_c
+         FROM supplier JOIN customer ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
+         JOIN nation ON s_nationkey = n_nationkey
+         GROUP BY 1 ORDER BY 1""",
+    "q10_top_customers" ->
+      """SELECT o_custkey, CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_c,
+         COUNT(*) AS n_orders
+         FROM orders GROUP BY 1 ORDER BY total_c DESC, o_custkey LIMIT 15""",
+    "q11_segment_rank" ->
+      """SELECT c_mktsegment, c_custkey, CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal_c, rn, quartile
+         FROM (SELECT c_mktsegment, c_custkey, c_acctbal,
+                 ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn,
+                 NTILE(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS quartile
+               FROM customer) x
+         WHERE rn <= 5 ORDER BY c_mktsegment, rn""",
+    "q12_running_totals" ->
+      """SELECT o_custkey, o_orderkey,
+         CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) OVER
+           (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_c,
+         CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) OVER
+           (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov3_c
+         FROM orders WHERE o_custkey < 50 ORDER BY o_custkey, o_orderkey""",
+    "q14_rollup_returns" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS flag, COALESCE(l_linestatus, 'ALL') AS status,
+         CAST(SUM(l_quantity) AS BIGINT) AS sum_qty, COUNT(*) AS n
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) ORDER BY 1, 2""",
+    "q15_cube_orders" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status, COALESCE(o_orderpriority, 'ALL') AS priority,
+         COUNT(*) AS n, CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_c
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority) ORDER BY 1, 2""",
+    "q16_nation_setops" ->
+      """WITH cn AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
+            sn AS (SELECT DISTINCT s_nationkey AS nk FROM supplier)
+         SELECT 'both' AS tag, nk FROM (SELECT nk FROM cn INTERSECT SELECT nk FROM sn)
+         UNION ALL
+         SELECT 'cust_only' AS tag, nk FROM (SELECT nk FROM cn EXCEPT SELECT nk FROM sn)
+         UNION ALL
+         SELECT 'supp_only' AS tag, nk FROM (SELECT nk FROM sn EXCEPT SELECT nk FROM cn)
+         ORDER BY tag, nk""",
+    "q17_segment_reach" ->
+      """SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nations, COUNT(*) AS n_cust
+         FROM customer GROUP BY 1 ORDER BY 1""",
+    "q18_big_orders" ->
+      """SELECT c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS odate,
+         CAST(ROUND(o_totalprice*100) AS BIGINT) AS total_c, sum_qty
+         FROM (SELECT l_orderkey, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+               FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 200) big
+         JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey
+         ORDER BY total_c DESC, o_orderkey LIMIT 20""",
+    "q19_case_agg" ->
+      """SELECT p_brand,
+         CAST(SUM(CASE WHEN p_size < 25 THEN CAST(ROUND(l_extendedprice*(1-l_discount)*10000) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS small_rev_c4,
+         CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS BIGINT) AS all_rev_c4,
+         COUNT(*) AS n
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY 1 ORDER BY 1""")
+}
