@@ -1,0 +1,150 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+
+/** Near-duplicate detection over `documents` (SURVEY.md §2.10 X2; north-star
+  * LLM-pipeline dedup surface).
+  *
+  * Three independent algorithms, all shuffle-bounded (no cartesian product
+  * anywhere — the scale path at 100 TB is banded equi-joins):
+  *
+  *  - MinHash + LSH (q32): token 3-shingles → 64 minhash signatures →
+  *    16 bands × 4 rows → band-hash equi-self-join for candidates →
+  *    exact Jaccard verification ≥ 0.8. With b=16, r=4 the probability of
+  *    missing a pair at J=0.8 is (1-0.8^4)^16 ≈ 3e-4, and every emitted
+  *    pair is exact-verified, so output ≈ the exact ≥0.8 pair set.
+  *  - SimHash (q34): 64-bit per-token-hash bit votes → 4×16-bit chunk
+  *    bucketing (pigeonhole: hamming ≤ 3 ⇒ some chunk equal) → verified
+  *    by bit_count(xor) ≤ 3.
+  *  - Exact n-gram Jaccard probe search (q33): a small probe set against
+  *    the full corpus — broadcast join, SQL-oracle-checkable.
+  */
+object DedupOps {
+  type Q = (SparkSession, String) => DataFrame
+  private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
+
+  private val NumHashes = 64
+  private val Bands = 16
+  private val RowsPerBand = NumHashes / Bands
+
+  /** doc_id + distinct token-3-shingle set (the unit of Jaccard). */
+  private def shingled(df: DataFrame): DataFrame =
+    df.withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("sh", array_distinct(expr(
+        "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")))
+      .select("doc_id", "sh")
+
+  /** Exact Jaccard between two distinct-shingle arrays, as (inter, uni). */
+  private def interUni(a: Column, b: Column): (Column, Column) =
+    (size(array_intersect(a, b)).cast("long"), size(array_union(a, b)).cast("long"))
+
+  val defs: Map[String, Q] = Map(
+    // X2: MinHash-LSH near-dup pairs, exact-verified. Rows-only check
+    // (probabilistic candidate generation is not ANSI-SQL-expressible);
+    // recall vs brute force is asserted in DedupSpec.
+    "q32_minhash_neardup" -> ((s, d) => {
+      val base = shingled(docs(s, d))
+      // 64 minhashes: h_j = min over shingles of xxhash64(j, shingle)
+      val sigCols = (0 until NumHashes).map { j =>
+        array_min(transform(col("sh"), x => xxhash64(lit(j), x))).as(s"h$j")
+      }
+      val sig = base.select(col("doc_id") +: col("sh") +: sigCols: _*)
+      // 16 band keys, each hashing 4 consecutive signature rows
+      val bandCols = (0 until Bands).map { b =>
+        val rows = (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}"))
+        struct(lit(b).as("band"), xxhash64(lit(b) +: rows: _*).as("bh"))
+      }
+      val exploded = sig
+        .select(col("doc_id"), col("sh"), explode(array(bandCols: _*)).as("bk"))
+        .select(col("doc_id"), col("sh"), col("bk.band"), col("bk.bh"))
+      val a = exploded.select(col("band"), col("bh"), col("doc_id").as("a_id"), col("sh").as("sha"))
+      val b = exploded.select(col("band"), col("bh"), col("doc_id").as("b_id"), col("sh").as("shb"))
+      val cands = a.join(b, Seq("band", "bh")).filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id", "sha", "shb").distinct()
+      val (inter, uni) = interUni(col("sha"), col("shb"))
+      cands
+        .withColumn("inter", inter).withColumn("uni", uni)
+        .filter(col("inter") * lit(1.0) / col("uni") >= 0.8)
+        .select(col("a_id"), col("b_id"),
+          round(col("inter") * lit(1000000.0) / col("uni")).cast("long").as("jac_e6"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // X2: exact n-gram-Jaccard similarity search — probes doc_id<20
+    // against the whole corpus via broadcast, oracle-checked.
+    "q33_jaccard_search" -> ((s, d) => {
+      val all = shingled(docs(s, d))
+      val probes = all.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("a_id"), col("sh").as("sha"))
+      val corpus = all.select(col("doc_id").as("b_id"), col("sh").as("shb"))
+      val (inter, uni) = interUni(col("sha"), col("shb"))
+      broadcast(probes).join(corpus, col("a_id") =!= col("b_id"))
+        .withColumn("inter", inter).withColumn("uni", uni)
+        .filter(col("inter") * lit(1.0) / col("uni") >= 0.5)
+        .select(col("a_id"), col("b_id"), col("inter"), col("uni"),
+          round(col("inter") * lit(1000000.0) / col("uni")).cast("long").as("jac_e6"))
+        .orderBy("a_id", "b_id")
+    }),
+
+    // X2: SimHash near-dup pairs (hamming ≤ 3), chunk-bucketed candidates.
+    // Rows-only check; cross-validated against MinHash in DedupSpec.
+    "q34_simhash_neardup" -> ((s, d) => {
+      val base = docs(s, d)
+        .withColumn("toks", array_distinct(split(col("text"), " ")))
+        .filter(size(col("toks")) >= 1)
+      // 64-bit simhash: bit k set iff sum over tokens of sign(bit k of
+      // xxhash64(token)) is positive. votes: array of 64 counters.
+      val votes = aggregate(
+        col("toks"),
+        expr("array_repeat(0L, 64)"),
+        (acc, t) => {
+          val h = xxhash64(t)
+          zip_with(acc, sequence(lit(0), lit(63)),
+            (a, k) => a + when(shiftright(h, k.cast("int")).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+        })
+      val sim = base.withColumn(
+        "simhash",
+        aggregate(
+          zip_with(votes, sequence(lit(0L), lit(63L)),
+            (v, k) => when(v > 0, shiftleft(lit(1L), k.cast("int"))).otherwise(0L)),
+          lit(0L), (acc, x) => acc.bitwiseOR(x)))
+        .select("doc_id", "simhash")
+      // 4 chunks of 16 bits; hamming<=3 pairs must share a chunk
+      val chunks = sim.select(col("doc_id"), col("simhash"),
+        explode(expr("transform(sequence(0, 3), c -> " +
+          "struct(c AS chunk, (simhash >> (c * 16)) & 65535 AS ck))")).as("x"))
+        .select(col("doc_id"), col("simhash"), col("x.chunk"), col("x.ck"))
+      val a = chunks.select(col("chunk"), col("ck"),
+        col("doc_id").as("a_id"), col("simhash").as("ha"))
+      val b = chunks.select(col("chunk"), col("ck"),
+        col("doc_id").as("b_id"), col("simhash").as("hb"))
+      a.join(b, Seq("chunk", "ck")).filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id", "ha", "hb").distinct()
+        .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+        .filter(col("hamming") <= 3)
+        .select(col("a_id"), col("b_id"), col("hamming").cast("int").as("hamming"))
+        .orderBy("a_id", "b_id")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q33_jaccard_search" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(list_distinct(sh)) AS g FROM (
+             SELECT doc_id, string_split(text, ' ') AS t,
+               [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(string_split(text,' ')) - 1)] AS sh
+             FROM documents) x WHERE len(t) >= 3),
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1),
+         inter AS (
+           SELECT p.doc_id AS a_id, o.doc_id AS b_id, COUNT(*) AS i
+           FROM tok p JOIN tok o ON p.g = o.g AND p.doc_id < 20 AND o.doc_id <> p.doc_id
+           GROUP BY 1, 2)
+         SELECT a_id, b_id, CAST(i AS BIGINT) AS inter,
+           CAST(sa.n + sb.n - i AS BIGINT) AS uni,
+           CAST(ROUND(CAST(i AS DOUBLE) * 1000000 / (sa.n + sb.n - i)) AS BIGINT) AS jac_e6
+         FROM inter JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+         WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+         ORDER BY a_id, b_id""")
+}

@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.engine.{Cols, Tables}
+import graft.engine.Cols.cents
+
+/** Event-stream / JSON query inventory (SURVEY.md §2.8 F5/F7, §2.3 J4/J5,
+  * §2.9 T6). The reference's whole domain is JSON event records
+  * (psuedo_code.txt:273-296); the driver `events` table carries a JSON
+  * `props` string plus a nanosecond timestamp, exercising:
+  *   - F5 JSON scalar access (`get_json_object`)
+  *   - F7 time bucketing (`window()` — epoch-aligned tumbling windows)
+  *   - J4 range self-join (pairs of events within a time window)
+  *   - J5 as-of join (nearest earlier event per key) via window functions
+  * Timestamps are exposed to oracles as epoch microseconds (`ts_us`) so no
+  * timezone/precision ambiguity can reach the hash comparison.
+  */
+object EventOps {
+  type Q = (SparkSession, String) => DataFrame
+  private def ev(s: SparkSession, d: String) = Tables.load(s, d, "events")
+
+  val defs: Map[String, Q] = Map(
+    // F5: JSON field extraction from the props payload column.
+    "q21_json_extract" -> ((s, d) => {
+      ev(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type")
+    }),
+
+    // F7/T6: epoch-aligned tumbling window aggregation (batch window()).
+    "q22_hourly_traffic" -> ((s, d) => {
+      ev(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_c"))
+        .select(unix_micros(col("w.start").cast("timestamp")).as("hour_us"),
+          col("event_type"), col("n"), col("value_c"))
+        .orderBy("hour_us", "event_type")
+    }),
+
+    // J4: range self-join — ordered event pairs of the same user within
+    // 5 minutes. Equi key (user_id) + range predicate → shuffled join on
+    // user_id with the range as a post-filter; no cartesian product.
+    "q23_event_pairs" -> ((s, d) => {
+      val e = ev(s, d).select(col("user_id"), col("event_type"), col("ts_us"))
+      val a = e.toDF("user_id", "t1", "us1")
+      val b = e.toDF("user_id", "t2", "us2")
+      a.join(b, Seq("user_id"))
+        .filter(col("us2") > col("us1") && col("us2") - col("us1") <= lit(300000000L))
+        .groupBy("t1", "t2")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("t1", "t2")
+    }),
+
+    // J5: as-of join — for each view event, the most recent strictly-earlier
+    // purchase of the same user, as a single pass over a sorted window
+    // (no join at all: one shuffle on user_id, then last(ignoreNulls)).
+    "q24_asof_purchase" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ev(s, d)
+        .withColumn("prev_purchase_us",
+          last(when(col("event_type") === "purchase", col("ts_us")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("prev_purchase_us"))
+        .orderBy("event_id")
+    }),
+
+    // W2: lag/lead analytics over the per-user event timeline.
+    "q25_session_gaps" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      ev(s, d)
+        .select(col("event_id"), col("user_id"),
+          lag(col("event_id"), 1).over(w).as("prev_event_id"),
+          lead(col("event_id"), 1).over(w).as("next_event_id"),
+          (col("ts_us") - lag(col("ts_us"), 1).over(w)).as("gap_us"))
+        .orderBy("event_id")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q21_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT)) AS BIGINT) AS sum_k,
+         MAX(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT)) AS max_k
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q22_hourly_traffic" ->
+      """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS hour_us, event_type,
+         COUNT(*) AS n, CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_c
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q23_event_pairs" ->
+      """SELECT a.event_type AS t1, b.event_type AS t2, COUNT(*) AS n_pairs
+         FROM events a JOIN events b ON a.user_id = b.user_id
+           AND epoch_us(b.ts) > epoch_us(a.ts)
+           AND epoch_us(b.ts) - epoch_us(a.ts) <= 300000000
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q24_asof_purchase" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us, prev_purchase_us
+         FROM (SELECT event_id, user_id, ts, event_type,
+                 LAST_VALUE(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_purchase_us
+               FROM events) x
+         WHERE event_type = 'view' ORDER BY event_id""",
+    "q25_session_gaps" ->
+      """SELECT event_id, user_id,
+         LAG(event_id, 1) OVER w AS prev_event_id,
+         LEAD(event_id, 1) OVER w AS next_event_id,
+         epoch_us(ts) - LAG(epoch_us(ts), 1) OVER w AS gap_us
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+         ORDER BY event_id""")
+}
