@@ -16,7 +16,11 @@ import org.apache.spark.sql.functions._
 object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = name match {
     case "events" =>
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Session builders (Verify/Bench/specs) must set
+      // spark.sql.legacy.parquet.nanosAsLong=true; setting it here as a
+      // conf mutation inside a loader would race a parallel query runner.
+      require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+        "session must set spark.sql.legacy.parquet.nanosAsLong=true to read events.parquet")
       val raw = spark.read.parquet(s"$sfDir/events.parquet")
       raw
         .withColumn("ts_us", expr("ts div 1000"))

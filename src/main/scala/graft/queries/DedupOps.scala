@@ -96,26 +96,25 @@ object DedupOps {
         .withColumn("toks", array_distinct(split(col("text"), " ")))
         .filter(size(col("toks")) >= 1)
       // 64-bit simhash: bit k set iff sum over tokens of sign(bit k of
-      // xxhash64(token)) is positive. votes: array of 64 counters.
-      val votes = aggregate(
-        col("toks"),
-        expr("array_repeat(0L, 64)"),
-        (acc, t) => {
-          val h = xxhash64(t)
-          zip_with(acc, sequence(lit(0), lit(63)),
-            (a, k) => a + when(shiftright(h, k.cast("int")).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-        })
+      // xxhash64(token)) is positive. The Scala DSL's shiftleft/shiftright
+      // take a literal Int shift, so the per-bit math (shift amount = the
+      // lambda variable k) is written as SQL, where shiftleft/shiftright
+      // accept column operands.
       val sim = base.withColumn(
         "simhash",
-        aggregate(
-          zip_with(votes, sequence(lit(0L), lit(63L)),
-            (v, k) => when(v > 0, shiftleft(lit(1L), k.cast("int"))).otherwise(0L)),
-          lit(0L), (acc, x) => acc.bitwiseOR(x)))
+        expr("""aggregate(
+                  zip_with(
+                    aggregate(toks, array_repeat(0L, 64),
+                      (acc, t) -> zip_with(acc, sequence(0, 63),
+                        (a, k) -> a + if((shiftright(xxhash64(t), k) & 1L) = 1L, 1L, -1L))),
+                    sequence(0, 63),
+                    (v, k) -> if(v > 0L, shiftleft(1L, k), 0L)),
+                  0L, (acc, x) -> acc | x)"""))
         .select("doc_id", "simhash")
       // 4 chunks of 16 bits; hamming<=3 pairs must share a chunk
       val chunks = sim.select(col("doc_id"), col("simhash"),
         explode(expr("transform(sequence(0, 3), c -> " +
-          "struct(c AS chunk, (simhash >> (c * 16)) & 65535 AS ck))")).as("x"))
+          "struct(c AS chunk, shiftright(simhash, c * 16) & 65535L AS ck))")).as("x"))
         .select(col("doc_id"), col("simhash"), col("x.chunk"), col("x.ck"))
       val a = chunks.select(col("chunk"), col("ck"),
         col("doc_id").as("a_id"), col("simhash").as("ha"))

@@ -83,8 +83,8 @@ object EventOps {
   val oracles: Map[String, String] = Map(
     "q21_json_extract" ->
       """SELECT event_type, COUNT(*) AS n,
-         CAST(SUM(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT)) AS BIGINT) AS sum_k,
-         MAX(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT)) AS max_k
+         CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+         MAX(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
          FROM events GROUP BY 1 ORDER BY 1""",
     "q22_hourly_traffic" ->
       """SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS hour_us, event_type,
