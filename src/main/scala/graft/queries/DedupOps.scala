@@ -51,21 +51,30 @@ object DedupOps {
       val sigCols = (0 until NumHashes).map { j =>
         array_min(transform(col("sh"), x => xxhash64(lit(j), x))).as(s"h$j")
       }
-      val sig = base.select(col("doc_id") +: col("sh") +: sigCols: _*)
+      // The band explode and the self-join carry ONLY (band, bh, doc_id) —
+      // never the shingle arrays. Carrying `sh` through the 16-way explode
+      // would shuffle ≈16× the tokenized corpus and make the candidate
+      // distinct compare whole arrays; at 100 TB that is the bottleneck.
+      // Shingle sets are joined back BY ID only for the (small) verified
+      // candidate set; the corpus is re-shingled rather than re-shuffled.
+      val sig = base.select(col("doc_id") +: sigCols: _*)
       // 16 band keys, each hashing 4 consecutive signature rows
       val bandCols = (0 until Bands).map { b =>
         val rows = (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}"))
         struct(lit(b).as("band"), xxhash64(lit(b) +: rows: _*).as("bh"))
       }
       val exploded = sig
-        .select(col("doc_id"), col("sh"), explode(array(bandCols: _*)).as("bk"))
-        .select(col("doc_id"), col("sh"), col("bk.band"), col("bk.bh"))
-      val a = exploded.select(col("band"), col("bh"), col("doc_id").as("a_id"), col("sh").as("sha"))
-      val b = exploded.select(col("band"), col("bh"), col("doc_id").as("b_id"), col("sh").as("shb"))
+        .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band"), col("bk.bh"))
+      val a = exploded.select(col("band"), col("bh"), col("doc_id").as("a_id"))
+      val b = exploded.select(col("band"), col("bh"), col("doc_id").as("b_id"))
       val cands = a.join(b, Seq("band", "bh")).filter(col("a_id") < col("b_id"))
-        .select("a_id", "b_id", "sha", "shb").distinct()
+        .select("a_id", "b_id").distinct()
+      val withSh = cands
+        .join(base.select(col("doc_id").as("a_id"), col("sh").as("sha")), Seq("a_id"))
+        .join(base.select(col("doc_id").as("b_id"), col("sh").as("shb")), Seq("b_id"))
       val (inter, uni) = interUni(col("sha"), col("shb"))
-      cands
+      withSh
         .withColumn("inter", inter).withColumn("uni", uni)
         .filter(col("inter") * lit(1.0) / col("uni") >= 0.8)
         .select(col("a_id"), col("b_id"),

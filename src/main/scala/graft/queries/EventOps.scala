@@ -42,14 +42,22 @@ object EventOps {
     }),
 
     // J4: range self-join — ordered event pairs of the same user within
-    // 5 minutes. Equi key (user_id) + range predicate → shuffled join on
-    // user_id with the range as a post-filter; no cartesian product.
+    // 5 minutes. Joining on user_id alone would be O(n²) per user (a power
+    // user with 10⁶ events at 100 TB puts 10¹² pairs on one key), so the
+    // equi key is (user_id, 5-minute time bucket): the left side also emits
+    // the adjacent bucket, because a match at distance ≤ bucket width can
+    // only live in the same or the next bucket. Every candidate pair
+    // appears exactly once (the right-side bucket is a function of us2).
     "q23_event_pairs" -> ((s, d) => {
+      val bucketUs = 300000000L // 5 min in µs — equal to the join range
       val e = ev(s, d).select(col("user_id"), col("event_type"), col("ts_us"))
-      val a = e.toDF("user_id", "t1", "us1")
-      val b = e.toDF("user_id", "t2", "us2")
-      a.join(b, Seq("user_id"))
-        .filter(col("us2") > col("us1") && col("us2") - col("us1") <= lit(300000000L))
+        .withColumn("bk0", expr(s"ts_us div $bucketUs"))
+      val a = e.select(col("user_id"), col("event_type").as("t1"), col("ts_us").as("us1"),
+        explode(array(col("bk0"), col("bk0") + 1)).as("bk"))
+      val b = e.select(col("user_id"), col("event_type").as("t2"), col("ts_us").as("us2"),
+        col("bk0").as("bk"))
+      a.join(b, Seq("user_id", "bk"))
+        .filter(col("us2") > col("us1") && col("us2") - col("us1") <= lit(bucketUs))
         .groupBy("t1", "t2")
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy("t1", "t2")

@@ -20,11 +20,20 @@ object Relational {
   type Q = (SparkSession, String) => DataFrame
   private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
 
+  /** Foldable timestamp literal. Date predicates compare the raw parquet
+    * timestamp column against a constant bound (e.g. `to_date(ts) <= D`
+    * becomes `ts < D+1day`): wrapping the COLUMN in to_date() defeats
+    * Parquet row-group min/max pushdown, which at 100 TB turns every date
+    * filter into a full scan. Session TZ is pinned UTC so the rewrite is
+    * exactly equivalent.
+    */
+  private def ts(v: String) = lit(v).cast("timestamp")
+
   val defs: Map[String, Q] = Map(
     // A4/A1: grouped aggregation with map-side partial agg; filter pushed to scan.
     "q01_pricing_summary" -> ((s, d) => {
       t(s, d, "lineitem")
-        .filter(to_date(col("l_shipdate")) <= lit("2000-12-01"))
+        .filter(col("l_shipdate") < ts("2000-12-02 00:00:00"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           sum(col("l_quantity")).cast("long").as("sum_qty"),
@@ -39,7 +48,8 @@ object Relational {
     "q02_filter_project" -> ((s, d) => {
       t(s, d, "lineitem")
         .filter(col("l_returnflag") === "R" && col("l_quantity") < 5 &&
-          to_date(col("l_shipdate")).between(lit("1996-01-01"), lit("1999-12-31")))
+          col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+          col("l_shipdate") < ts("2000-01-01 00:00:00"))
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_quantity").cast("long").as("qty"),
           cents(col("l_extendedprice")).as("price_c"))
@@ -50,8 +60,8 @@ object Relational {
     // side → broadcast; orders⨝lineitem shuffles on orderkey.
     "q03_shipping_priority" -> ((s, d) => {
       val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
-      val o = t(s, d, "orders").filter(to_date(col("o_orderdate")) < lit("1998-06-01"))
-      val l = t(s, d, "lineitem").filter(to_date(col("l_shipdate")) > lit("1998-06-01"))
+      val o = t(s, d, "orders").filter(col("o_orderdate") < ts("1998-06-01 00:00:00"))
+      val l = t(s, d, "lineitem").filter(col("l_shipdate") >= ts("1998-06-02 00:00:00"))
       l.join(o, l("l_orderkey") === o("o_orderkey"))
         .join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("odate"), col("o_orderpriority"))
@@ -76,8 +86,8 @@ object Relational {
     "q05_local_volume" -> ((s, d) => {
       val c = t(s, d, "customer")
       val o = t(s, d, "orders").filter(
-        to_date(col("o_orderdate")) >= lit("1996-01-01") &&
-        to_date(col("o_orderdate")) < lit("1998-01-01"))
+        col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+        col("o_orderdate") < ts("1998-01-01 00:00:00"))
       val l = t(s, d, "lineitem")
       val su = t(s, d, "supplier")
       val n = broadcast(t(s, d, "nation"))
@@ -95,15 +105,15 @@ object Relational {
     // A4 scalar aggregate over a pushed-down range predicate (TPC-H Q6 shape).
     "q06_forecast_revenue" -> ((s, d) => {
       t(s, d, "lineitem")
-        .filter(to_date(col("l_shipdate")) >= lit("1996-01-01") &&
-          to_date(col("l_shipdate")) < lit("1997-01-01") &&
+        .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+          col("l_shipdate") < ts("1997-01-01 00:00:00") &&
           col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
         .agg(sum(e6(col("l_extendedprice") * col("l_discount"))).as("revenue_c6"))
     }),
 
     // J3: left-semi join (EXISTS).
     "q07_active_customers" -> ((s, d) => {
-      val o = t(s, d, "orders").filter(to_date(col("o_orderdate")) >= lit("1999-01-01"))
+      val o = t(s, d, "orders").filter(col("o_orderdate") >= ts("1999-01-01 00:00:00"))
       t(s, d, "customer")
         .join(o, col("c_custkey") === col("o_custkey"), "left_semi")
         .groupBy("c_mktsegment")
@@ -113,7 +123,7 @@ object Relational {
 
     // J3: left-anti join (NOT EXISTS).
     "q08_dormant_customers" -> ((s, d) => {
-      val o = t(s, d, "orders").filter(to_date(col("o_orderdate")) >= lit("2000-01-01"))
+      val o = t(s, d, "orders").filter(col("o_orderdate") >= ts("2000-01-01 00:00:00"))
       t(s, d, "customer")
         .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
         .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
