@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.engine.Tables
+
+/** Vector-similarity search over `embeddings` (SURVEY.md §2.10 X3;
+  * north-star LLM-pipeline similarity surface). 64-dim float vectors,
+  * 10 cluster labels (TESTDATA.md).
+  *
+  * Three operators, no UDFs — the dot product is the higher-order
+  * `aggregate(zip_with(...))` form so everything stays in codegen:
+  *
+  *  - q35: exact brute-force cosine top-k for a probe set. Probes are
+  *    broadcast, so the corpus is scanned once with no shuffle before the
+  *    per-probe top-k; this is the correctness baseline and oracle-checked.
+  *  - q36: approximate NN via random-hyperplane LSH (4 tables × 8-bit
+  *    Rademacher sign codes). The 100 TB path: candidates come from an
+  *    equi-join on (table, code) — the corpus is never crossed with the
+  *    probes — and only the candidate set is exactly re-ranked. Rows-only
+  *    (probabilistic); recall vs q35 is asserted in VectorSpec.
+  *  - q37: per-label centroid (elementwise mean via posexplode — a single
+  *    shuffle keyed (label, pos), so no vector ever aggregates on one
+  *    node) + pairwise centroid cosine. Oracle-checked.
+  *
+  * Cosines are emitted as `round(cos * 1e6)` integers for the same
+  * order-independence reason as the money columns (graft.engine.Cols).
+  */
+object VectorOps {
+  type Q = (SparkSession, String) => DataFrame
+  private def embs(s: SparkSession, d: String) = Tables.load(s, d, "embeddings")
+
+  /** Double-precision dot product of two float arrays. */
+  private def dotd(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** round(cosine(a, b) * 1e6) as long. */
+  private def cosE6(a: Column, b: Column): Column =
+    round(dotd(a, b) / (sqrt(dotd(a, a)) * sqrt(dotd(b, b))) * lit(1000000.0))
+      .cast("long")
+
+  private val NumProbes = 10
+  private val TopK = 5
+  private val Tables_ = 4 // LSH tables
+  private val Bits = 8    // code bits per table
+
+  val defs: Map[String, Q] = Map(
+    // X3 baseline: exact cosine top-k per probe, probes broadcast.
+    "q35_cosine_topk" -> ((s, d) => {
+      val e = embs(s, d)
+      val probes = e.filter(col("vec_id") < NumProbes)
+        .select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+      val corpus = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
+      val w = Window.partitionBy("a_id").orderBy(col("cos_e6").desc, col("b_id"))
+      broadcast(probes).join(corpus, col("a_id") =!= col("b_id"))
+        .withColumn("cos_e6", cosE6(col("ea"), col("eb")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= TopK)
+        .select(col("a_id"), col("b_id"), col("rnk"), col("cos_e6"))
+        .orderBy("a_id", "rnk")
+    }),
+
+    // X3 scale path: random-hyperplane LSH buckets → candidate equi-join →
+    // exact re-rank of candidates only. Hyperplanes are deterministic
+    // Rademacher (±1) vectors derived from xxhash64(table, bit, dim), so
+    // the query needs no stored model and replays identically anywhere.
+    "q36_ann_lsh" -> ((s, d) => {
+      val e = embs(s, d)
+      val coded = e.withColumn("codes", expr(
+        s"""transform(sequence(0, ${Tables_ - 1}), t ->
+              aggregate(sequence(0, ${Bits - 1}), 0L, (code, j) ->
+                code | shiftleft(
+                  if(aggregate(
+                       zip_with(embedding, sequence(0, size(embedding) - 1),
+                         (x, i) -> if((xxhash64(t, j, i) & 1L) = 0L,
+                                      cast(x as double), -cast(x as double))),
+                       cast(0.0 as double), (acc, v) -> acc + v) > 0.0D,
+                     1L, 0L), j)))"""))
+      val buckets = coded.select(col("vec_id"), posexplode(col("codes")).as(Seq("t", "code")))
+      val probes = buckets.filter(col("vec_id") < NumProbes)
+        .select(col("vec_id").as("a_id"), col("t"), col("code"))
+      val cands = broadcast(probes)
+        .join(buckets.select(col("vec_id").as("b_id"), col("t"), col("code")), Seq("t", "code"))
+        .filter(col("a_id") =!= col("b_id"))
+        .select("a_id", "b_id").distinct()
+      val withVec = cands
+        .join(e.select(col("vec_id").as("a_id"), col("embedding").as("ea")), Seq("a_id"))
+        .join(e.select(col("vec_id").as("b_id"), col("embedding").as("eb")), Seq("b_id"))
+      val w = Window.partitionBy("a_id").orderBy(col("cos_e6").desc, col("b_id"))
+      withVec
+        .withColumn("cos_e6", cosE6(col("ea"), col("eb")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= TopK)
+        .select(col("a_id"), col("b_id"), col("rnk"), col("cos_e6"))
+        .orderBy("a_id", "rnk")
+    }),
+
+    // X3/A4: elementwise per-label centroids + pairwise centroid cosine.
+    "q37_label_centroids" -> ((s, d) => {
+      val cent = embs(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("label", "pos")
+        .agg(avg(col("x").cast("double")).as("m"))
+        .groupBy("label")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("label"), expr("transform(pm, p -> p.m)").as("e"))
+      val a = cent.select(col("label").as("la"), col("e").as("ea"))
+      val b = cent.select(col("label").as("lb"), col("e").as("eb"))
+      broadcast(a).join(b, col("la") < col("lb"))
+        .select(col("la"), col("lb"), cosE6(col("ea"), col("eb")).as("cos_e6"))
+        .orderBy("la", "lb")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q35_cosine_topk" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                     FROM embeddings),
+          n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v),
+          pairs AS (
+            SELECT p.vec_id AS a_id, c.vec_id AS b_id,
+                   CAST(ROUND(list_sum(list_transform(range(1, len(p.e) + 1), i -> p.e[i] * c.e[i]))
+                        / (p.nrm * c.nrm) * 1000000) AS BIGINT) AS cos_e6
+            FROM n p JOIN n c ON p.vec_id < $NumProbes AND c.vec_id <> p.vec_id),
+          ranked AS (
+            SELECT a_id, b_id, cos_e6,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cos_e6 DESC, b_id) AS INT) AS rnk
+            FROM pairs)
+          SELECT a_id, b_id, rnk, cos_e6 FROM ranked WHERE rnk <= $TopK ORDER BY a_id, rnk""",
+    "q37_label_centroids" ->
+      """WITH ex AS (SELECT label, i AS pos, CAST(embedding[i] AS DOUBLE) AS x
+                     FROM embeddings, range(1, 65) t(i)),
+          cent AS (SELECT label, pos, AVG(x) AS m FROM ex GROUP BY 1, 2),
+          vec AS (SELECT label, list(m ORDER BY pos) AS e FROM cent GROUP BY 1)
+          SELECT a.label AS la, b.label AS lb,
+                 CAST(ROUND(list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i]))
+                      / (sqrt(list_sum(list_transform(a.e, x -> x*x)))
+                         * sqrt(list_sum(list_transform(b.e, x -> x*x)))) * 1000000) AS BIGINT) AS cos_e6
+          FROM vec a JOIN vec b ON a.label < b.label
+          ORDER BY la, lb""")
+}
