@@ -19,7 +19,7 @@ object Tables {
       // Session builders (Verify/Bench/specs) must set
       // spark.sql.legacy.parquet.nanosAsLong=true; setting it here as a
       // conf mutation inside a loader would race a parallel query runner.
-      require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false").equalsIgnoreCase("true"),
         "session must set spark.sql.legacy.parquet.nanosAsLong=true to read events.parquet")
       val raw = spark.read.parquet(s"$sfDir/events.parquet")
       raw

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.engine.Tables
 
 /** Near-duplicate detection over `documents` (SURVEY.md §2.10 X2; north-star
@@ -46,7 +47,11 @@ object DedupOps {
     // (probabilistic candidate generation is not ANSI-SQL-expressible);
     // recall vs brute force is asserted in DedupSpec.
     "q32_minhash_neardup" -> ((s, d) => {
-      val base = shingled(docs(s, d))
+      // The shingled corpus is used three times (signatures + the two
+      // verification join-backs); persist so tokenize+shingle runs once.
+      // MEMORY_AND_DISK spills under pressure, so this holds at scale —
+      // the cached form is (doc_id, distinct shingles), not raw text.
+      val base = shingled(docs(s, d)).persist()
       // 64 minhashes: h_j = min over shingles of xxhash64(j, shingle)
       val sigCols = (0 until NumHashes).map { j =>
         array_min(transform(col("sh"), x => xxhash64(lit(j), x))).as(s"h$j")
@@ -100,8 +105,21 @@ object DedupOps {
 
     // X2: SimHash near-dup pairs (hamming ≤ 3), chunk-bucketed candidates.
     // Rows-only check; cross-validated against MinHash in DedupSpec.
+    //
+    // Skew guard: exact-duplicate texts all collapse to one simhash, so a
+    // boilerplate-heavy corpus makes one (chunk, ck) bucket quadratic. An
+    // exact-dedup pre-pass (min doc_id per distinct text — the q26 kernel)
+    // bounds every bucket by the number of DISTINCT texts in it; pairs are
+    // then near-dup pairs among distinct-text representatives, which is
+    // the useful answer for a dedup pipeline anyway (exact dups are
+    // already handled by X1). DedupSpec asserts this completes with
+    // bounded output on a 50×-replicated boilerplate fixture.
     "q34_simhash_neardup" -> ((s, d) => {
+      val repW = Window.partitionBy("th").orderBy("doc_id")
       val base = docs(s, d)
+        .withColumn("th", xxhash64(col("text")))
+        .withColumn("rn", row_number().over(repW))
+        .filter(col("rn") === 1)
         .withColumn("toks", array_distinct(split(col("text"), " ")))
         .filter(size(col("toks")) >= 1)
       // 64-bit simhash: bit k set iff sum over tokens of sign(bit k of

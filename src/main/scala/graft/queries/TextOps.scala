@@ -95,17 +95,26 @@ object TextOps {
         explode(expr(
           "transform(sequence(0, greatest(length(text)-3, 0)), i -> substring(text, i+1, 3))")).as("g"))
         .filter(length(col("g")) === 3)
+      // Top-50 by (cnt desc, g asc) per group WITHOUT a full-corpus window
+      // sort: collect (−cnt, g) structs per group, array_sort (struct order
+      // = field order, so ascending −cnt ≡ descending cnt), slice 50,
+      // posexplode back to ranks. The grouped counts are already compacted
+      // by partial aggregation, so the second shuffle moves one small array
+      // per group instead of sorting every trigram row in a window.
+      def top50(counted: DataFrame, key: String, rankName: String): DataFrame =
+        counted
+          .groupBy(key)
+          .agg(slice(array_sort(collect_list(struct((-col("cnt")).as("nc"), col("g")))),
+            1, 50).as("top"))
+          .select(col(key), posexplode(col("top")).as(Seq("p", "x")))
+          .select(col(key), col("x.g").as("g"), (col("p") + 1).as(rankName))
       // top-50 trigrams per language = the language profile
-      val profRank = Window.partitionBy("lang").orderBy(col("cnt").desc, col("g"))
-      val profiles = tri.groupBy("lang", "g").agg(count(lit(1)).as("cnt"))
-        .withColumn("prank", row_number().over(profRank))
-        .filter(col("prank") <= 50)
+      val profiles = top50(tri.groupBy("lang", "g").agg(count(lit(1)).as("cnt")),
+        "lang", "prank")
         .select(col("lang").as("p_lang"), col("g"), col("prank"))
       // score = sum of profile-rank matches; best (lowest distance) wins
-      val docRank = Window.partitionBy("doc_id").orderBy(col("cnt").desc, col("g"))
-      val docTop = tri.groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
-        .withColumn("drank", row_number().over(docRank))
-        .filter(col("drank") <= 50)
+      val docTop = top50(tri.groupBy("doc_id", "g").agg(count(lit(1)).as("cnt")),
+        "doc_id", "drank")
       val scored = docTop.join(broadcast(profiles), Seq("g"))
         .groupBy("doc_id", "p_lang")
         .agg(sum(abs(col("drank") - col("prank"))).as("dist"), count(lit(1)).as("hits"))

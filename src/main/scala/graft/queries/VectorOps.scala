@@ -15,11 +15,13 @@ import graft.engine.Tables
   *  - q35: exact brute-force cosine top-k for a probe set. Probes are
   *    broadcast, so the corpus is scanned once with no shuffle before the
   *    per-probe top-k; this is the correctness baseline and oracle-checked.
-  *  - q36: approximate NN via random-hyperplane LSH (4 tables × 8-bit
-  *    Rademacher sign codes). The 100 TB path: candidates come from an
-  *    equi-join on (table, code) — the corpus is never crossed with the
-  *    probes — and only the candidate set is exactly re-ranked. Rows-only
-  *    (probabilistic); recall vs q35 is asserted in VectorSpec.
+  *  - q36: approximate NN via random-hyperplane LSH (8 tables ×
+  *    corpus-adaptive-width Rademacher sign codes, multi-probe over
+  *    hamming-1 neighbors). The
+  *    100 TB path: candidates come from an equi-join on (table, code) —
+  *    the corpus is never crossed with the probes — and only the candidate
+  *    set is exactly re-ranked. Rows-only (probabilistic); recall vs q35
+  *    is asserted in VectorSpec.
   *  - q37: per-label centroid (elementwise mean via posexplode — a single
   *    shuffle keyed (label, pos), so no vector ever aggregates on one
   *    node) + pairwise centroid cosine. Oracle-checked.
@@ -43,8 +45,22 @@ object VectorOps {
 
   private val NumProbes = 10
   private val TopK = 5
-  private val Tables_ = 4 // LSH tables
-  private val Bits = 8    // code bits per table
+  private val Tables_ = 8       // LSH tables
+  private val BucketTarget = 64 // aimed-for vectors per bucket
+  private val MinBits = 4
+  private val MaxBits = 24
+
+  /** Code width scales with corpus size so each bucket holds
+    * ≈[[BucketTarget]] vectors: bits = clamp(ceil(log2(n/target)), 4, 24).
+    * 500 vectors → 4 bits; 1e9 vectors → 24 bits. A fixed width is wrong
+    * at one end or the other: 8 bits = 256 buckets is a 256× linear scan
+    * at 100 TB, while 16 bits on a 500-vector test corpus leaves every
+    * bucket near-empty and recall collapses. The count() is parquet
+    * metadata only (an index build knows its corpus size).
+    */
+  private def codeBits(n: Long): Int =
+    math.max(MinBits, math.min(MaxBits,
+      math.ceil(math.log(math.max(1.0, n.toDouble / BucketTarget)) / math.log(2.0)).toInt))
 
   val defs: Map[String, Q] = Map(
     // X3 baseline: exact cosine top-k per probe, probes broadcast.
@@ -66,11 +82,20 @@ object VectorOps {
     // exact re-rank of candidates only. Hyperplanes are deterministic
     // Rademacher (±1) vectors derived from xxhash64(table, bit, dim), so
     // the query needs no stored model and replays identically anywhere.
+    // Code width is corpus-adaptive (see [[codeBits]]) so the candidate
+    // set stays ≈ tables × BucketTarget per probe at any scale; recall
+    // lost to bucket boundaries is bought back with multi-probe — each
+    // probe also visits every hamming-1 neighbor of its code (bits+1
+    // buckets per table, ~200 lookups per probe vector at 24 bits).
+    // Probes are coded from a pre-filtered 10-row frame, so the expensive
+    // corpus coding pass runs exactly once (on the right side of the join).
+    // VectorSpec asserts recall vs the exact q35 baseline.
     "q36_ann_lsh" -> ((s, d) => {
       val e = embs(s, d)
-      val coded = e.withColumn("codes", expr(
+      val bits = codeBits(e.count())
+      def coded(df: DataFrame): DataFrame = df.withColumn("codes", expr(
         s"""transform(sequence(0, ${Tables_ - 1}), t ->
-              aggregate(sequence(0, ${Bits - 1}), 0L, (code, j) ->
+              aggregate(sequence(0, ${bits - 1}), 0L, (code, j) ->
                 code | shiftleft(
                   if(aggregate(
                        zip_with(embedding, sequence(0, size(embedding) - 1),
@@ -78,9 +103,14 @@ object VectorOps {
                                       cast(x as double), -cast(x as double))),
                        cast(0.0 as double), (acc, v) -> acc + v) > 0.0D,
                      1L, 0L), j)))"""))
-      val buckets = coded.select(col("vec_id"), posexplode(col("codes")).as(Seq("t", "code")))
-      val probes = buckets.filter(col("vec_id") < NumProbes)
-        .select(col("vec_id").as("a_id"), col("t"), col("code"))
+      val buckets = coded(e)
+        .select(col("vec_id"), posexplode(col("codes")).as(Seq("t", "code")))
+      val probes = coded(e.filter(col("vec_id") < NumProbes))
+        .select(col("vec_id").as("a_id"), posexplode(col("codes")).as(Seq("t", "code")))
+        // multi-probe expansion: the exact code + all bits hamming-1 flips
+        .select(col("a_id"), col("t"), explode(expr(
+          s"array_union(array(code), transform(sequence(0, ${bits - 1}), " +
+            "j -> code ^ shiftleft(1L, j)))")).as("code"))
       val cands = broadcast(probes)
         .join(buckets.select(col("vec_id").as("b_id"), col("t"), col("code")), Seq("t", "code"))
         .filter(col("a_id") =!= col("b_id"))
