@@ -1,0 +1,62 @@
+package graft.pipeline
+
+import java.io.File
+import java.net.URI
+import org.apache.spark.sql.SparkSession
+import scala.collection.mutable
+
+/** Builds (once per JVM per scale factor) a complete mini-lake under
+  * `target/ingest/<sf>/` by running the full §3.1 pipeline over the
+  * generated fixtures, so the q38-q41 CORRECTNESS entries have a real
+  * ingest run to interrogate. batchSize=3 forces multiple scheduler
+  * ticks (T1) and a multi-append curated lake (exercising the read-side
+  * mergeSchema union across drifted and undrifted batches).
+  */
+object IngestDemo {
+  val BatchSize = 3
+  private val built = mutable.Map.empty[String, LakeLayout]
+  private val catalogued = mutable.Set.empty[String]
+
+  private def deleteRec(f: File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(deleteRec)
+    f.delete(): Unit
+  }
+
+  /** Run (or reuse) the demo pipeline for this scale factor. */
+  def ensure(spark: SparkSession, sfDir: String): LakeLayout = synchronized {
+    built.getOrElseUpdate(sfDir, {
+      val sfName = new File(sfDir).getName
+      val root = new File(s"target/ingest/$sfName").getAbsoluteFile
+      deleteRec(root) // stale output from a previous JVM would double-append
+      val layout = LakeLayout(root.getPath)
+      Fixtures.generate(spark, sfDir, layout)
+      val bp = new BatchProcessor(spark, layout, Contracts.events, batchSize = BatchSize)
+      bp.runUntilDrained()
+      layout
+    })
+  }
+
+  /** S9: register the curated lake in the session catalog via
+    * `saveAsTable` (psuedo_code.txt:328-347) — partitioned managed table,
+    * so `spark.table(...)` consumers get catalog-driven partition
+    * pruning (P9). Returns the table name.
+    */
+  def ensureCatalog(spark: SparkSession, sfDir: String): String = synchronized {
+    val layout = ensure(spark, sfDir)
+    val tbl = "curated_events_" + new File(sfDir).getName.replace('.', '_').replace('-', '_')
+    if (!catalogued.contains(tbl)) {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      // in-memory catalog forgets tables across JVMs but the warehouse
+      // directory survives — clear it so CREATE doesn't trip on leftovers
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val whPath = if (wh.contains(":")) new URI(wh).getPath else wh
+      deleteRec(new File(whPath, tbl.toLowerCase))
+      graft.ingest.CuratedWriter.read(spark, layout.curatedDir)
+        .write.mode("overwrite")
+        .partitionBy(graft.ingest.CuratedWriter.PartitionCols: _*)
+        .saveAsTable(tbl)
+      catalogued += tbl
+    }
+    tbl
+  }
+}

@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Cols.cents
+import graft.ingest.{CuratedWriter, DlqWriter}
+import graft.ledger.Ledger
+import graft.pipeline.IngestDemo
+
+/** CORRECTNESS surface for the ingest pipeline (SURVEY.md §3.1 — the
+  * reference's core loop). Each query first ensures the demo pipeline has
+  * run for this scale factor (memoized per JVM), then interrogates its
+  * outputs. The oracles work because the fixtures are a deterministic
+  * JSON export of the driver's `events` table plus hand-written files
+  * with fixed counts: DuckDB queries `events.parquet`/literals, Spark
+  * queries what the pipeline actually produced (see
+  * [[graft.pipeline.Fixtures]]).
+  */
+object IngestQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val defs: Map[String, Q] = Map(
+    // S1/S7/P6 + the ledger's file dispositions: segregation counts.
+    // 8 raw files → 5 clean (SUCCEEDED) + 3 quarantined; curated gets
+    // every events row + the 4 drift rows; DLQ gets 12 rows.
+    "q38_ingest_segregation" -> ((s, d) => {
+      val lay = IngestDemo.ensure(s, d)
+      val led = new Ledger(s, lay.ledgerDir).snapshot()
+      led.agg(
+        sum(when(col("processing_status") === Ledger.Succeeded, 1L).otherwise(0L))
+          .as("clean_files"),
+        sum(when(col("processing_status") === Ledger.Quarantined, 1L).otherwise(0L))
+          .as("quarantined_files"))
+        .crossJoin(CuratedWriter.read(s, lay.curatedDir).agg(count(lit(1)).as("curated_rows")))
+        .crossJoin(DlqWriter.read(s, lay.dlqDir).agg(count(lit(1)).as("dlq_rows")))
+    }),
+
+    // S6/S10/P9/F1: partition-pruned aggregate over the curated lake —
+    // the filter hits only year=2024/month=1/day∈[10,12] directories
+    // (PartitionFilters in the plan), and values must match DuckDB
+    // aggregating the original events rows.
+    "q39_ingest_pruned" -> ((s, d) => {
+      val lay = IngestDemo.ensure(s, d)
+      CuratedWriter.read(s, lay.curatedDir)
+        .filter(col("year") === 2024 && col("month") === 1 && col("day").between(10, 12))
+        .groupBy("mode")
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_value_c"))
+        .orderBy("mode")
+    }),
+
+    // S4/S5/A3/F3/T3: ledger state-machine audit — every file reached a
+    // terminal state in exactly one PROCESSING pass (retry_count 1), and
+    // terminal rows carry a processed_at stamp (current_timestamp).
+    "q40_ledger_audit" -> ((s, d) => {
+      val lay = IngestDemo.ensure(s, d)
+      new Ledger(s, lay.ledgerDir).snapshot()
+        .groupBy("processing_status")
+        .agg(
+          count(lit(1)).as("n_files"),
+          sum(col("retry_count")).cast("long").as("n_retries"),
+          count(col("processed_at")).as("n_stamped"),
+          count(col("error_message")).as("n_errors"))
+        .orderBy("processing_status")
+    }),
+
+    // S9/P9/S10: the catalog consumption path — saveAsTable'd curated
+    // lake read back via spark.table with partition-pruning filters.
+    "q41_catalog_pruned" -> ((s, d) => {
+      val tbl = IngestDemo.ensureCatalog(s, d)
+      s.table(tbl)
+        .filter(col("mode") === "purchase" &&
+          col("year") === 2024 && col("month") === 1 && col("day").between(5, 8))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_value_c"))
+        .orderBy("day")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q38_ingest_segregation" ->
+      """SELECT CAST(5 AS BIGINT) AS clean_files, CAST(3 AS BIGINT) AS quarantined_files,
+         (SELECT COUNT(*) FROM events) + 4 AS curated_rows, CAST(12 AS BIGINT) AS dlq_rows""",
+    "q39_ingest_pruned" ->
+      """SELECT event_type AS mode, COUNT(*) AS n,
+         CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
+         FROM events
+         WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-13'
+         GROUP BY 1 ORDER BY 1""",
+    "q40_ledger_audit" ->
+      """SELECT 'QUARANTINED' AS processing_status, CAST(3 AS BIGINT) AS n_files,
+              CAST(3 AS BIGINT) AS n_retries, CAST(3 AS BIGINT) AS n_stamped,
+              CAST(3 AS BIGINT) AS n_errors
+         UNION ALL
+         SELECT 'SUCCEEDED', CAST(5 AS BIGINT), CAST(5 AS BIGINT), CAST(5 AS BIGINT),
+              CAST(0 AS BIGINT)
+         ORDER BY processing_status""",
+    "q41_catalog_pruned" ->
+      """SELECT CAST(day(ts) AS INT) AS day, COUNT(*) AS n,
+         CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
+         FROM events
+         WHERE event_type = 'purchase'
+           AND ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-09'
+         GROUP BY 1 ORDER BY 1""")
+}
