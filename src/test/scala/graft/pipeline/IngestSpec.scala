@@ -1,0 +1,144 @@
+package graft.pipeline
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.ingest._
+import graft.ledger.Ledger
+
+/** End-to-end §3.1 pipeline semantics on a hand-built mini landing zone:
+  * corrupt split + DLQ, all-or-nothing file quarantine, schema drift
+  * (additive and incompatible), partition layout, ledger state machine,
+  * archival, idempotent re-run, and crash-retry exhaustion. */
+class IngestSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def writeLines(path: String, lines: Seq[String]): Unit = {
+    val p = Paths.get(path)
+    Files.createDirectories(p.getParent)
+    Files.write(p, lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8)): Unit
+  }
+
+  private def rec(id: String, ts: String = "2024-03-07 11:22:33.000000",
+                  mode: String = "training"): String =
+    s"""{"id":"$id","event_timestamp":"$ts","MODE":"$mode",""" +
+      s""""metadata":{"app_version":"2.4.1","user_agent":"svc/1.0","user_id":7},""" +
+      s""""payload":{"transaction_id":"t-$id","value":9.5,"props":"{\\"k\\":1}"}}"""
+
+  private def freshLake(): LakeLayout = {
+    val dir = Files.createTempDirectory("graft-ingest").toString
+    LakeLayout(dir)
+  }
+
+  private lazy val lake: LakeLayout = {
+    val lay = freshLake()
+    writeLines(s"${lay.rawDir}/good.jsonl", Seq(rec("g-1"), rec("g-2"), rec("g-3", mode = "eval")))
+    writeLines(s"${lay.rawDir}/drift.jsonl", Seq(
+      s"""{"id":"d-1","event_timestamp":"2024-03-08 01:02:03.000000","MODE":"training",""" +
+        s""""metadata":{"app_version":"3.0.0","user_agent":"svc/2.0","user_id":9},""" +
+        s""""payload":{"transaction_id":"t-d1","value":1.25,"props":"{}","extra_nested":"xn"},""" +
+        s""""extra_field":"drifted"}"""))
+    writeLines(s"${lay.rawDir}/mixed.jsonl", Seq(
+      rec("m-1"), """{"id": "m-2", "event_""", """not json"""))
+    writeLines(s"${lay.rawDir}/nulldate.jsonl", Seq(rec("n-1", ts = "not-a-date")))
+    writeLines(s"${lay.rawDir}/badmeta.jsonl", Seq(
+      s"""{"id":"b-1","event_timestamp":"2024-03-07 00:00:00.000000","MODE":"training",""" +
+        s""""metadata":"not-a-struct","payload":{"transaction_id":"t-b1","value":1.0,"props":"{}"}}"""))
+    new BatchProcessor(spark, lay, Contracts.events, batchSize = 2).runUntilDrained()
+    lay
+  }
+
+  test("corrupt/unpartitionable records land in the DLQ with reasons; clean-file rows are curated") {
+    val dlq = DlqWriter.read(spark, lake.dlqDir)
+    val byReason = dlq.groupBy("reason").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // mixed: 2 corrupt + 1 stranded good; badmeta: 1 corrupt (incompatible
+    // drift vs the struct contract); nulldate: 1 unpartitionable
+    assert(byReason == Map(
+      "corrupt_json" -> 3L, "quarantined_file" -> 1L, "null_partition_key" -> 1L))
+    val curated = CuratedWriter.read(spark, lake.curatedDir)
+    assert(curated.count() == 4) // 3 good + 1 drift; nothing from quarantined files
+    assert(curated.select("record_id").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("d-1", "g-1", "g-2", "g-3"))
+  }
+
+  test("additive drift evolves the curated schema; older rows read as null") {
+    val curated = CuratedWriter.read(spark, lake.curatedDir)
+    assert(curated.columns.contains("extra_field"))
+    assert(curated.filter(col("extra_field") === "drifted").count() == 1)
+    assert(curated.filter(col("extra_field").isNull).count() == 3)
+    // selectively-flattened nested drift survives inside payload
+    assert(curated.select(col("payload.extra_nested")).collect()
+      .flatMap(r => Option(r.getString(0))).toSeq == Seq("xn"))
+  }
+
+  test("partition layout is year/month/day/mode derived from the event time") {
+    val d = new File(s"${lake.curatedDir}/year=2024/month=3/day=7/mode=training")
+    assert(d.isDirectory, s"missing partition dir $d")
+    val modes = CuratedWriter.read(spark, lake.curatedDir)
+      .filter(col("day") === 7).select("mode").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(modes == Seq("eval", "training"))
+  }
+
+  test("ledger reaches terminal states with audit stamps; clean files are archived") {
+    val led = new Ledger(spark, lake.ledgerDir).snapshot().collect()
+      .map(r => new File(r.getAs[String]("s3_key")).getName ->
+        (r.getAs[String]("processing_status"), r.getAs[Int]("retry_count"),
+          r.getAs[java.sql.Timestamp]("processed_at"))).toMap
+    assert(led("good.jsonl")._1 == Ledger.Succeeded)
+    assert(led("drift.jsonl")._1 == Ledger.Succeeded)
+    assert(Seq("mixed.jsonl", "nulldate.jsonl", "badmeta.jsonl")
+      .forall(f => led(f)._1 == Ledger.Quarantined))
+    assert(led.values.forall { case (_, retries, stamp) => retries == 1 && stamp != null })
+    // S8: clean files moved raw -> raw-processed; quarantined files remain
+    assert(!new File(s"${lake.rawDir}/good.jsonl").exists())
+    assert(new File(s"${lake.processedDir}/good.jsonl").exists())
+    assert(new File(s"${lake.rawDir}/mixed.jsonl").exists())
+  }
+
+  test("re-running the drained pipeline does no work and changes nothing (idempotence)") {
+    val before = CuratedWriter.read(spark, lake.curatedDir).count()
+    val ticks = new BatchProcessor(spark, lake, Contracts.events, batchSize = 2)
+      .runUntilDrained()
+    assert(ticks == 0)
+    assert(CuratedWriter.read(spark, lake.curatedDir).count() == before)
+  }
+
+  test("a persistently failing batch is retried to exhaustion then quarantined (T3)") {
+    val lay = freshLake()
+    writeLines(s"${lay.rawDir}/ok.jsonl", Seq(rec("x-1")))
+    val bp = new BatchProcessor(spark, lay, Contracts.events, batchSize = 2, maxRetries = 3)
+    assert(bp.runUntilDrained() == 1)
+    val led = new Ledger(spark, lay.ledgerDir)
+    led.register(Seq(("/nonexistent/gone.jsonl", 0L)))
+    assert(bp.runUntilDrained() == 3) // three failing attempts, then exhausted
+    val row = led.snapshot().filter(col("s3_key") === "/nonexistent/gone.jsonl")
+      .collect().head
+    assert(row.getAs[String]("processing_status") == Ledger.Quarantined)
+    assert(row.getAs[Int]("retry_count") == 3)
+    assert(row.getAs[String]("error_message") != null)
+  }
+
+  test("schema merge: contract wins conflicts, inferred-only fields are kept") {
+    val contract = StructType(Seq(
+      StructField("a", StringType),
+      StructField("m", StructType(Seq(StructField("x", LongType))))))
+    val inferred = StructType(Seq(
+      StructField("a", LongType),          // conflict -> contract
+      StructField("m", StructType(Seq(
+        StructField("x", StringType),      // nested conflict -> contract
+        StructField("y", DoubleType)))),   // nested addition -> kept
+      StructField("b", BooleanType)))      // addition -> kept
+    val merged = RawJsonReader.mergePreferContract(contract, inferred)
+      .asInstanceOf[StructType]
+    assert(merged("a").dataType == StringType)
+    assert(merged("b").dataType == BooleanType)
+    val m = merged("m").dataType.asInstanceOf[StructType]
+    assert(m("x").dataType == LongType && m("y").dataType == DoubleType)
+  }
+}

@@ -1,0 +1,111 @@
+package graft.queries
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** The verification the probabilistic dedup operators promise:
+  *  - q32 (MinHash-LSH) recall vs the brute-force exact-Jaccard pair set,
+  *    and exact precision (every emitted pair is Jaccard-verified);
+  *  - q34 (SimHash) equals the brute-force hamming<=3 pair set over
+  *    distinct-text representatives — the 4x16-bit chunk bucketing is
+  *    exhaustive by pigeonhole, so this is set equality, not recall;
+  *  - both complete with bounded output on a boilerplate-heavy corpus
+  *    (the hot-bucket skew guard).
+  */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Same shingling definition the operators use (token 3-grams, distinct). */
+  private def shingled(docs: DataFrame): DataFrame =
+    docs.withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("sh", array_distinct(expr(
+        "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")))
+      .select("doc_id", "sh")
+
+  private def pairSet(df: DataFrame): Set[(Long, Long)] =
+    df.select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  /** Brute-force exact-Jaccard >= minJ pairs (cartesian; test-scale only). */
+  private def bruteJaccard(docs: DataFrame, minJ: Double): Set[(Long, Long)] = {
+    val s = shingled(docs)
+    val a = s.select(col("doc_id").as("a_id"), col("sh").as("sha"))
+    val b = s.select(col("doc_id").as("b_id"), col("sh").as("shb"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("j",
+        size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_union(col("sha"), col("shb"))))
+      .filter(col("j") >= minJ)
+      .select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("q32 MinHash-LSH: precision 1.0 and recall >= 0.95 vs brute force at sf0.001") {
+    val docs = graft.engine.Tables.load(spark, sf, "documents")
+    val truth = bruteJaccard(docs, 0.8)
+    val got = pairSet(DedupOps.defs("q32_minhash_neardup")(spark, sf))
+    assert(truth.nonEmpty, "test corpus must contain near-duplicate pairs")
+    // every emitted pair is exact-verified in the query, so none may be false
+    assert((got -- truth).isEmpty, s"false positives: ${(got -- truth).take(5)}")
+    val recall = (got & truth).size.toDouble / truth.size
+    // b=16 bands of r=4: P(miss | J=0.8) = (1-0.8^4)^16 ~ 3e-4
+    assert(recall >= 0.95, s"recall $recall over ${truth.size} true pairs")
+  }
+
+  test("q34 SimHash: equals brute-force hamming<=3 over distinct-text representatives") {
+    import spark.implicits._
+    val docs = graft.engine.Tables.load(spark, sf, "documents")
+    // representatives: min doc_id per distinct text (the operator's pre-pass)
+    val reps = docs.groupBy("text").agg(min("doc_id").as("doc_id"))
+    val sim = reps
+      .withColumn("toks", array_distinct(split(col("text"), " ")))
+      .filter(size(col("toks")) >= 1)
+      .withColumn("simhash", expr(
+        """aggregate(
+             zip_with(
+               aggregate(toks, array_repeat(0L, 64),
+                 (acc, t) -> zip_with(acc, sequence(0, 63),
+                   (a, k) -> a + if((shiftright(xxhash64(t), k) & 1L) = 1L, 1L, -1L))),
+               sequence(0, 63),
+               (v, k) -> if(v > 0L, shiftleft(1L, k), 0L)),
+             0L, (acc, x) -> acc | x)"""))
+      .select("doc_id", "simhash")
+    val a = sim.select(col("doc_id").as("a_id"), col("simhash").as("ha"))
+    val b = sim.select(col("doc_id").as("b_id"), col("simhash").as("hb"))
+    val truth = a.join(b, col("a_id") < col("b_id"))
+      .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= 3)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = pairSet(DedupOps.defs("q34_simhash_neardup")(spark, sf))
+    assert(got == truth, s"got ${got.size} pairs, truth ${truth.size}")
+  }
+
+  test("boilerplate-heavy corpus: bounded candidates, planted near-dup found") {
+    import spark.implicits._
+    val toks = (0 until 50).map(i => s"tok$i").mkString(" ")
+    val tweaked = ((0 until 49).map(i => s"tok$i") :+ "changed").mkString(" ")
+    val rows =
+      (0 until 60).map(i => (i.toLong, toks)) ++                  // 60 exact copies
+      (60 until 120).map(i => (i.toLong, s"other $toks")) ++      // 60 copies of a shifted text
+      Seq((200L, tweaked)) ++                                     // near-dup of doc 0
+      (300 until 340).map(i => (i.toLong, (0 until 50).map(j => s"u${i}t$j").mkString(" ")))
+    val dir = Files.createTempDirectory("graft-dedup").toString
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val q34 = DedupOps.defs("q34_simhash_neardup")(spark, dir).collect()
+    // exact-dup pre-pass: no pair may join two copies of the same text,
+    // and candidate volume stays far below the 60*59/2-per-clone blowup
+    val q34Pairs = q34.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!q34Pairs.contains((0L, 1L)) && !q34Pairs.contains((60L, 61L)))
+    assert(q34.length < 200, s"expected bounded output, got ${q34.length}")
+
+    val q32 = pairSet(DedupOps.defs("q32_minhash_neardup")(spark, dir))
+    assert(q32.contains((0L, 200L)), s"planted near-dup missing from $q32")
+  }
+}
