@@ -217,6 +217,23 @@ object Relational {
         .orderBy("c_mktsegment")
     }),
 
+    // A5: approximate distinct (HyperLogLog++) on the fact table — the
+    // 100 TB path for reach counting, where exact countDistinct shuffles
+    // every distinct key. The approx estimate is engine-specific, so the
+    // oracle checks the EXACT count plus a self-check flag that the HLL
+    // estimate landed within 5% of it (rsd is configured at 1%).
+    "q44_approx_reach" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_orderkey")).as("n_exact"),
+          approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("n_approx"))
+        .select(col("l_returnflag"), col("n_exact"),
+          when(abs(col("n_approx") - col("n_exact")) <= col("n_exact") * 0.05, 1)
+            .otherwise(0).cast("int").as("approx_ok"))
+        .orderBy("l_returnflag")
+    }),
+
     // A4 + HAVING + join-back (TPC-H Q18 shape): large-quantity orders.
     "q18_big_orders" -> ((s, d) => {
       val big = t(s, d, "lineitem")
@@ -348,6 +365,10 @@ object Relational {
     "q17_segment_reach" ->
       """SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nations, COUNT(*) AS n_cust
          FROM customer GROUP BY 1 ORDER BY 1""",
+    "q44_approx_reach" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_exact,
+         CAST(1 AS INT) AS approx_ok
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
     "q18_big_orders" ->
       """SELECT c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS odate,
          CAST(ROUND(o_totalprice*100) AS BIGINT) AS total_c, sum_qty
