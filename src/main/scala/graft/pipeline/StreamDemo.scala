@@ -1,0 +1,57 @@
+package graft.pipeline
+
+import java.io.File
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{StructField, StructType, TimestampNTZType}
+import scala.collection.mutable
+import graft.streaming.{EventStreams, StreamingIngest}
+
+/** Streaming twin of [[IngestDemo]]: the same fixture landing zone
+  * drained by the Structured-Streaming runner (checkpointed file source,
+  * `Trigger.AvailableNow`) instead of the ledger loop, so q45/q46 can
+  * verify that the streaming path produces byte-identical pipeline
+  * results and that streaming windowed aggregation matches the batch
+  * oracle. */
+object StreamDemo {
+  private val built = mutable.Map.empty[String, LakeLayout]
+  private val hourly = mutable.Map.empty[String, String]
+
+  private def deleteRec(f: File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(deleteRec)
+    f.delete(): Unit
+  }
+
+  def ensure(spark: SparkSession, sfDir: String): LakeLayout = synchronized {
+    built.getOrElseUpdate(sfDir, {
+      val root = new File(s"target/stream/${new File(sfDir).getName}").getAbsoluteFile
+      deleteRec(root)
+      val layout = LakeLayout(root.getPath)
+      Fixtures.generate(spark, sfDir, layout)
+      StreamingIngest.runAvailableNow(spark, layout, Contracts.events)
+      layout
+    })
+  }
+
+  /** Run the watermarked hourly-window aggregation as a STREAM over the
+    * streamed curated lake (memory sink, complete mode — every window in
+    * the result is the final count). Returns the materialized table. */
+  def ensureHourly(spark: SparkSession, sfDir: String): DataFrame = synchronized {
+    val layout = ensure(spark, sfDir)
+    val tbl = hourly.getOrElseUpdate(sfDir, {
+      val name = "stream_hourly_" + new File(sfDir).getName.replace('.', '_').replace('-', '_')
+      val src = spark.readStream
+        .schema(StructType(Seq(StructField("event_time_utc", TimestampNTZType))))
+        .option("recursiveFileLookup", "true")
+        .parquet(layout.curatedDir)
+      EventStreams.hourlyCounts(src, "event_time_utc")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+      name
+    })
+    spark.table(tbl).orderBy(col("h_start_us"))
+  }
+}

@@ -77,6 +77,22 @@ object EventOps {
         .orderBy("event_id")
     }),
 
+    // T6/F7: gap-based sessionization with the built-in session_window
+    // operator (dynamic-gap session windows; one shuffle on user_id).
+    // A session extends while consecutive events are < 30 min apart;
+    // start/end are exposed as epoch-microsecond min/max so the oracle
+    // comparison is pure integer arithmetic. The streaming twin
+    // (flatMapGroupsWithState closed sessions) is cross-checked against
+    // this in StreamingSpec.
+    "q47_user_sessions" -> ((s, d) => {
+      ev(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"))
+        .select("user_id", "n_events", "start_us", "end_us")
+        .orderBy("user_id", "start_us")
+    }),
+
     // W2: lag/lead analytics over the per-user event timeline.
     "q25_session_gaps" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
@@ -112,6 +128,17 @@ object EventOps {
                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_purchase_us
                FROM events) x
          WHERE event_type = 'view' ORDER BY event_id""",
+    "q47_user_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+         g AS (SELECT user_id, us,
+                 CASE WHEN us - LAG(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS brk
+               FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+         s AS (SELECT user_id, us,
+                 SUM(brk) OVER (PARTITION BY user_id ORDER BY us
+                                ROWS UNBOUNDED PRECEDING) AS sid
+               FROM g)
+         SELECT user_id, COUNT(*) AS n_events, MIN(us) AS start_us, MAX(us) AS end_us
+         FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""",
     "q25_session_gaps" ->
       """SELECT event_id, user_id,
          LAG(event_id, 1) OVER w AS prev_event_id,

@@ -63,6 +63,22 @@ object IngestQueries {
         .orderBy("processing_status")
     }),
 
+    // T1 via Structured Streaming: the checkpointed AvailableNow runner
+    // must produce the exact same curated/DLQ record counts as the
+    // ledger-driven batch runner over the same landing zone.
+    "q45_stream_ingest" -> ((s, d) => {
+      val lay = graft.pipeline.StreamDemo.ensure(s, d)
+      CuratedWriter.read(s, lay.curatedDir).agg(count(lit(1)).as("curated_rows"))
+        .crossJoin(DlqWriter.read(s, lay.dlqDir).agg(count(lit(1)).as("dlq_rows")))
+    }),
+
+    // T6 as a real stream: watermarked tumbling-window counts computed by
+    // a streaming query over the streamed curated lake; DuckDB recomputes
+    // the same hourly histogram from the original events (+ the 4 drift
+    // rows the fixtures add at 2024-01-25 10:00).
+    "q46_stream_hourly" -> ((s, d) =>
+      graft.pipeline.StreamDemo.ensureHourly(s, d)),
+
     // S9/P9/S10: the catalog consumption path — saveAsTable'd curated
     // lake read back via spark.table with partition-pruning filters.
     "q41_catalog_pruned" -> ((s, d) => {
@@ -93,6 +109,15 @@ object IngestQueries {
          SELECT 'SUCCEEDED', CAST(5 AS BIGINT), CAST(5 AS BIGINT), CAST(5 AS BIGINT),
               CAST(0 AS BIGINT)
          ORDER BY processing_status""",
+    "q45_stream_ingest" ->
+      """SELECT (SELECT COUNT(*) FROM events) + 4 AS curated_rows,
+         CAST(12 AS BIGINT) AS dlq_rows""",
+    "q46_stream_hourly" ->
+      """WITH ev AS (
+           SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS h FROM events
+           UNION ALL
+           SELECT epoch_us(TIMESTAMP '2024-01-25 10:00:00') AS h FROM range(4))
+         SELECT h AS h_start_us, COUNT(*) AS n FROM ev GROUP BY 1 ORDER BY 1""",
     "q41_catalog_pruned" ->
       """SELECT CAST(day(ts) AS INT) AS day, COUNT(*) AS n,
          CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c

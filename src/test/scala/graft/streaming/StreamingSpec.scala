@@ -1,0 +1,111 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.ingest.CuratedWriter
+import graft.pipeline.{Contracts, LakeLayout}
+
+/** Streaming semantics the modules promise: checkpointed exactly-once
+  * ingest (a second AvailableNow drain processes nothing), and the
+  * flatMapGroupsWithState sessionizer agreeing with the built-in
+  * session_window on what the closed sessions are. */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def rec(id: String, ts: String): String =
+    s"""{"id":"$id","event_timestamp":"$ts","MODE":"training",""" +
+      s""""metadata":{"app_version":"1.0.0","user_agent":"ua","user_id":1},""" +
+      s""""payload":{"transaction_id":"t-$id","value":2.0,"props":"{}"}}"""
+
+  test("AvailableNow drain is exactly-once across re-runs; late files are picked up") {
+    val lay = LakeLayout(Files.createTempDirectory("graft-stream").toString)
+    def writeFile(name: String, lines: Seq[String]): Unit = {
+      val p = Paths.get(s"${lay.rawDir}/$name")
+      Files.createDirectories(p.getParent)
+      Files.write(p, lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8)): Unit
+    }
+    writeFile("a.jsonl", Seq(rec("a-1", "2024-03-07 10:00:00.000000"),
+      rec("a-2", "2024-03-07 10:05:00.000000")))
+    writeFile("bad.jsonl", Seq(rec("b-1", "2024-03-07 11:00:00.000000"), """{"broken"""))
+
+    StreamingIngest.runAvailableNow(spark, lay, Contracts.events)
+    assert(CuratedWriter.read(spark, lay.curatedDir).count() == 2)
+    assert(spark.read.json(s"${lay.dlqDir}/*").count() == 2) // corrupt + stranded good
+
+    // second drain: checkpoint remembers both files — nothing re-ingested
+    StreamingIngest.runAvailableNow(spark, lay, Contracts.events)
+    assert(CuratedWriter.read(spark, lay.curatedDir).count() == 2)
+
+    // a newly landed file IS picked up, exactly once
+    writeFile("c.jsonl", Seq(rec("c-1", "2024-03-07 12:00:00.000000")))
+    StreamingIngest.runAvailableNow(spark, lay, Contracts.events)
+    val curated = CuratedWriter.read(spark, lay.curatedDir)
+    assert(curated.count() == 3)
+    assert(curated.filter(col("record_id") === "c-1").count() == 1)
+  }
+
+  test("flatMapGroupsWithState closed sessions == session_window sessions minus each user's last") {
+    import spark.implicits._
+    val ev = graft.engine.Tables.load(spark, sf, "events")
+
+    // truth from the batch session_window operator (oracle-checked as q47)
+    val all = ev.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"))
+      .select("user_id", "n_events", "start_us", "end_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val lastStart = all.groupBy(_._1).map { case (u, rows) => u -> rows.map(_._3).max }
+    val truth = all.filterNot { case (u, _, s, _) => lastStart(u) == s }.toSet
+
+    // streamed through the custom-state operator
+    val input = MemoryStream[EventStreams.SessionEvent](spark)
+    input.addData(ev.select(col("user_id"), col("ts_us"))
+      .as[EventStreams.SessionEvent].collect().toSeq)
+    val name = "closed_sessions_spec"
+    EventStreams.closedSessions(input.toDS(), 30)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start().awaitTermination()
+    val got = spark.table(name)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == truth,
+      s"closed-session mismatch: extra=${(got -- truth).take(3)} missing=${(truth -- got).take(3)}")
+  }
+
+  test("watermarked hourly windows emit finalized counts in append mode") {
+    import spark.implicits._
+    val ev = graft.engine.Tables.load(spark, sf, "events")
+    val truth = ev.groupBy(window(col("ts").cast("timestamp"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("window.start")).as("h"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val rows = ev.select(col("ts").as("event_time_utc")).coalesce(1)
+
+    val dir = Files.createTempDirectory("graft-wm").toString
+    rows.write.parquet(s"$dir/data")
+    val src = spark.readStream.schema(rows.schema).parquet(s"$dir/data")
+    val name = "wm_hourly_spec"
+    EventStreams.hourlyCounts(src, "event_time_utc")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start().awaitTermination()
+    val got = spark.table(name).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // append mode only emits windows the final watermark (max event - 2h)
+    // has passed; every emitted window must carry its exact final count
+    assert(got.nonEmpty)
+    assert(got.forall { case (h, n) => truth.get(h).contains(n) },
+      s"non-final window emitted: ${got.filterNot { case (h, n) => truth.get(h).contains(n) }.take(3)}")
+    val flushedThrough = truth.keys.max - 2 * 3600000000L
+    assert(got.keys.toSeq.sorted == truth.keys.filter(_ < flushedThrough - 3600000000L).toSeq.sorted ||
+      got.size >= truth.count(_._1 < flushedThrough - 3600000000L),
+      "watermark did not flush completed windows")
+  }
+}
