@@ -33,15 +33,25 @@ object VectorOps {
   type Q = (SparkSession, String) => DataFrame
   private def embs(s: SparkSession, d: String) = Tables.load(s, d, "embeddings")
 
-  /** Double-precision dot product of two float arrays. */
+  /** Double-precision dot product of two DOUBLE arrays (portable
+    * higher-order-function form; used for the q37 centroid vectors). */
   private def dotd(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
-  /** round(cosine(a, b) * 1e6) as long. */
+  /** round(cosine(a, b) * 1e6) as long, over double arrays. */
   private def cosE6(a: Column, b: Column): Column =
     round(dotd(a, b) / (sqrt(dotd(a, a)) * sqrt(dotd(b, b))) * lit(1000000.0))
       .cast("long")
+
+  /** Same cosine over FLOAT arrays via the codegen
+    * [[graft.functions.FloatVectorDot]] expression — identical double
+    * accumulation order as [[dotd]], so results are bit-equal; the float
+    * loop lives inside whole-stage codegen instead of the interpreted
+    * higher-order-function path (SURVEY.md §7.4). */
+  private def cosE6F(a: String, b: String): Column =
+    round(expr(s"vec_dot($a, $b) / (sqrt(vec_dot($a, $a)) * sqrt(vec_dot($b, $b)))")
+      * lit(1000000.0)).cast("long")
 
   private val NumProbes = 10
   private val TopK = 5
@@ -62,16 +72,26 @@ object VectorOps {
     math.max(MinBits, math.min(MaxBits,
       math.ceil(math.log(math.max(1.0, n.toDouble / BucketTarget)) / math.log(2.0)).toInt))
 
+  /** Deterministic Rademacher hyperplane (table t, bit j): ±1 per
+    * dimension from a murmur-style fmix32 — stable across JVMs/runs. */
+  private def hyperplane(t: Int, j: Int, dim: Int): Seq[Float] =
+    (0 until dim).map { i =>
+      var h = t * 0x9E3779B1 + j * 0x85EBCA77 + i * 0xC2B2AE3D
+      h ^= h >>> 16; h *= 0x85EBCA6B; h ^= h >>> 13; h *= 0xC2B2AE35; h ^= h >>> 16
+      if ((h & 1) == 0) 1.0f else -1.0f
+    }
+
   val defs: Map[String, Q] = Map(
     // X3 baseline: exact cosine top-k per probe, probes broadcast.
     "q35_cosine_topk" -> ((s, d) => {
+      graft.functions.VectorExpressions.register(s)
       val e = embs(s, d)
       val probes = e.filter(col("vec_id") < NumProbes)
         .select(col("vec_id").as("a_id"), col("embedding").as("ea"))
       val corpus = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
       val w = Window.partitionBy("a_id").orderBy(col("cos_e6").desc, col("b_id"))
       broadcast(probes).join(corpus, col("a_id") =!= col("b_id"))
-        .withColumn("cos_e6", cosE6(col("ea"), col("eb")))
+        .withColumn("cos_e6", cosE6F("ea", "eb"))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= TopK)
         .select(col("a_id"), col("b_id"), col("rnk"), col("cos_e6"))
@@ -80,8 +100,11 @@ object VectorOps {
 
     // X3 scale path: random-hyperplane LSH buckets → candidate equi-join →
     // exact re-rank of candidates only. Hyperplanes are deterministic
-    // Rademacher (±1) vectors derived from xxhash64(table, bit, dim), so
-    // the query needs no stored model and replays identically anywhere.
+    // Rademacher (±1) vectors — computed ONCE on the driver from a
+    // murmur-fmix32 of (table, bit, dim) and shipped as array<float>
+    // literals — so the query needs no stored model, replays identically
+    // anywhere, and the per-vector coding is `bits × tables` codegen'd
+    // vec_dot loops instead of millions of interpreted lambda/hash calls.
     // Code width is corpus-adaptive (see [[codeBits]]) so the candidate
     // set stays ≈ tables × BucketTarget per probe at any scale; recall
     // lost to bucket boundaries is bought back with multi-probe — each
@@ -91,18 +114,17 @@ object VectorOps {
     // corpus coding pass runs exactly once (on the right side of the join).
     // VectorSpec asserts recall vs the exact q35 baseline.
     "q36_ann_lsh" -> ((s, d) => {
+      graft.functions.VectorExpressions.register(s)
       val e = embs(s, d)
       val bits = codeBits(e.count())
-      def coded(df: DataFrame): DataFrame = df.withColumn("codes", expr(
-        s"""transform(sequence(0, ${Tables_ - 1}), t ->
-              aggregate(sequence(0, ${bits - 1}), 0L, (code, j) ->
-                code | shiftleft(
-                  if(aggregate(
-                       zip_with(embedding, sequence(0, size(embedding) - 1),
-                         (x, i) -> if((xxhash64(t, j, i) & 1L) = 0L,
-                                      cast(x as double), -cast(x as double))),
-                       cast(0.0 as double), (acc, v) -> acc + v) > 0.0D,
-                     1L, 0L), j)))"""))
+      val dim = e.select(size(col("embedding"))).first().getInt(0)
+      def coded(df: DataFrame): DataFrame = df.withColumn("codes",
+        array((0 until Tables_).map { t =>
+          (0 until bits).map { j =>
+            when(call_function("vec_dot", col("embedding"),
+              typedLit(hyperplane(t, j, dim))) > 0.0, lit(1L << j)).otherwise(lit(0L))
+          }.reduce(_ + _)
+        }: _*))
       val buckets = coded(e)
         .select(col("vec_id"), posexplode(col("codes")).as(Seq("t", "code")))
       val probes = coded(e.filter(col("vec_id") < NumProbes))
@@ -120,7 +142,7 @@ object VectorOps {
         .join(e.select(col("vec_id").as("b_id"), col("embedding").as("eb")), Seq("b_id"))
       val w = Window.partitionBy("a_id").orderBy(col("cos_e6").desc, col("b_id"))
       withVec
-        .withColumn("cos_e6", cosE6(col("ea"), col("eb")))
+        .withColumn("cos_e6", cosE6F("ea", "eb"))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= TopK)
         .select(col("a_id"), col("b_id"), col("rnk"), col("cos_e6"))
