@@ -1,13 +1,14 @@
 package graft.ledger
 
+import java.sql.Timestamp
+import java.time.Instant
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 
 /** S4/S5: the file-processing ledger — the reference's PostgreSQL
   * `file_processing_status` table (DDL at sudo_code.txt:25-49) re-homed
-  * as a single-writer, versioned, Parquet-backed state table
+  * as a single-writer, versioned, parquet-persisted state table
   * (SURVEY.md §7.3).
   *
   * State machine (sudo_code.txt:35): PENDING → PROCESSING →
@@ -16,26 +17,43 @@ import org.apache.spark.sql.types._
   * longer selectable and are finalized QUARANTINED — giving the
   * reference's declared-but-unused fifth state a job (SURVEY.md §7.5).
   *
-  * Concurrency: the reference gets multi-runner safety from
-  * `FOR UPDATE SKIP LOCKED` (psuedo_code.txt:170). Here every mutation
-  * writes a complete new version directory `v%05d` via write-to-tmp +
-  * atomic rename, and readers take max(version) — safe for one writer +
-  * any readers, which is the engine's documented T4 semantics; a real
-  * multi-runner deployment plugs a JDBC ledger behind the same API.
+  * Execution model mirrors the reference exactly: ledger operations are
+  * DRIVER TRANSACTIONS (SURVEY.md §2.1 S4 — "not a distributed read"),
+  * so state lives in driver memory and every mutation persists a
+  * complete new version directory `v%05d` (write-to-tmp + atomic
+  * rename). The ledger is metadata-scale — one row per FILE, not per
+  * record; 9 TB of weekly JSON drops is ~1e5-1e6 rows — so the
+  * in-memory copy is a few MB and a version write is one tiny parquet
+  * footprint. Selection/update never cost a cluster job; only the
+  * durability write does.
+  *
+  * Concurrency (T4): the reference gets multi-runner safety from
+  * `FOR UPDATE SKIP LOCKED` (psuedo_code.txt:170); here the documented
+  * contract is ONE writer instance per ledger directory (readers are
+  * free). Crash recovery: rows still PROCESSING when a ledger is LOADED
+  * are stale by definition (single writer) and are reclaimed as FAILED
+  * for re-pickup — the reference's crashed-work rule
+  * (psuedo_code.txt:57-59). A real multi-runner deployment plugs a JDBC
+  * ledger behind this same API.
   *
   * Audit columns mirror the DDL: retry_count, error_message, job_run_id,
-  * created_at / updated_at / processed_at — stamped with
-  * `current_timestamp()` (F3, the reference's `NOW()`).
-  *
-  * Scale: the ledger is metadata-scale (one row per FILE, not per
-  * record) — 9 TB of weekly JSON drops is ~1e5-1e6 rows, trivially a
-  * single parquet footprint; every op here is one narrow scan.
+  * created_at / updated_at / processed_at (the reference's `NOW()`, F3).
   */
 final class Ledger(spark: SparkSession, dir: String, maxRetries: Int = 3) {
   import Ledger._
 
   private val fs: FileSystem =
     FileSystem.get(new Path(dir).toUri, spark.sparkContext.hadoopConfiguration)
+
+  private case class Rec(
+      s3Key: String, fileSize: Long, status: String, retry: Int,
+      error: Option[String], runId: Option[String],
+      createdAt: Timestamp, updatedAt: Timestamp, processedAt: Option[Timestamp])
+
+  private var state: Vector[Rec] = load()
+  private var dirty = false // stale-PROCESSING reclaim pending persistence
+
+  private def now(): Timestamp = Timestamp.from(Instant.now())
 
   private def versionPath(v: Int) = new Path(dir, f"v$v%05d")
 
@@ -47,118 +65,118 @@ final class Ledger(spark: SparkSession, dir: String, maxRetries: Int = 3) {
       .foldLeft(0)(math.max)
   }
 
-  /** Latest ledger state (empty frame with the full schema if none). */
-  def snapshot(): DataFrame = {
+  private def load(): Vector[Rec] = {
     val v = latestVersion
-    if (v == 0) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schema)
-    else spark.read.parquet(versionPath(v).toString)
+    val rows =
+      if (v == 0) Vector.empty
+      else spark.read.parquet(versionPath(v).toString).collect().toVector.map { r =>
+        Rec(r.getAs[String]("s3_key"), r.getAs[Long]("file_size"),
+          r.getAs[String]("processing_status"), r.getAs[Int]("retry_count"),
+          Option(r.getAs[String]("error_message")), Option(r.getAs[String]("job_run_id")),
+          r.getAs[Timestamp]("created_at"), r.getAs[Timestamp]("updated_at"),
+          Option(r.getAs[Timestamp]("processed_at")))
+      }
+    // crashed-work reclaim: PROCESSING at load time is stale (T3)
+    val reclaimed = rows.map { r =>
+      if (r.status == Processing)
+        r.copy(status = Failed, error = Some("reclaimed: writer crashed mid-batch"),
+          updatedAt = now())
+      else r
+    }
+    dirty = reclaimed != rows
+    reclaimed
   }
 
-  private def commit(df: DataFrame): Unit = {
+  private def commit(): Unit = {
+    val rows: Seq[Row] = state.map(r => Row(
+      r.s3Key, r.fileSize, r.status, r.retry,
+      r.error.orNull, r.runId.orNull, r.createdAt, r.updatedAt, r.processedAt.orNull))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), Schema)
     val next = latestVersion + 1
     val tmp = new Path(dir, s".tmp-$next")
-    df.select(Schema.fieldNames.map(col).toSeq: _*)
-      .coalesce(1)
-      .write.mode("overwrite").parquet(tmp.toString)
+    df.write.mode("overwrite").parquet(tmp.toString)
     if (!fs.rename(tmp, versionPath(next)))
       throw new java.io.IOException(s"ledger commit race: v$next already exists")
+    dirty = false
+  }
+
+  /** Latest ledger state as a DataFrame (for the audit/query surface). */
+  def snapshot(): DataFrame = {
+    val rows: Seq[Row] = state.map(r => Row(
+      r.s3Key, r.fileSize, r.status, r.retry,
+      r.error.orNull, r.runId.orNull, r.createdAt, r.updatedAt, r.processedAt.orNull))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, math.max(1, rows.size / 100000 + 1)), Schema)
   }
 
   /** S5 registration: `INSERT ... ON CONFLICT (s3_key) DO NOTHING`
-    * (psuedo_code.txt:112-125) as an anti-join. Returns the number of
-    * newly registered files (A3, `COUNT_NEW_FILES` of sudo_code.txt:87-100).
+    * (psuedo_code.txt:112-125). Returns the number of newly registered
+    * files (A3, `COUNT_NEW_FILES` of sudo_code.txt:87-100).
     */
   def register(files: Seq[(String, Long)]): Long = {
-    import spark.implicits._
-    val prev = snapshot()
-    val incoming = files.toDF("s3_key", "file_size")
-      .join(prev.select("s3_key"), Seq("s3_key"), "left_anti")
-      .select(
-        col("s3_key"), col("file_size"),
-        lit(Pending).as("processing_status"),
-        lit(0).as("retry_count"),
-        lit(null).cast("string").as("error_message"),
-        lit(null).cast("string").as("job_run_id"),
-        current_timestamp().as("created_at"),
-        current_timestamp().as("updated_at"),
-        lit(null).cast("timestamp").as("processed_at"))
-    val n = incoming.count()
-    if (n > 0) commit(prev.unionByName(incoming))
-    n
+    val known = state.map(_.s3Key).toSet
+    val ts = now()
+    val fresh = files.filterNot { case (k, _) => known(k) }
+      .map { case (k, sz) => Rec(k, sz, Pending, 0, None, None, ts, ts, None) }
+    if (fresh.nonEmpty || dirty) {
+      state = state ++ fresh
+      commit()
+    }
+    fresh.size.toLong
   }
 
   /** S4/O1 batch selection: oldest-first top-k over selectable rows —
     * `SELECT s3_key ... WHERE processing_status IN ('PENDING','FAILED')
     * ORDER BY created_at LIMIT n` (psuedo_code.txt:170), with the
-    * retry-budget guard.
+    * retry-budget guard. Pure driver work, like the reference's SQL.
     */
   def selectBatch(n: Int): Seq[String] =
-    snapshot()
-      .filter(col("processing_status").isin(Pending, Failed) &&
-        col("retry_count") < maxRetries)
-      .orderBy(col("created_at"), col("s3_key"))
-      .limit(n)
-      .select("s3_key")
-      .collect().map(_.getString(0)).toSeq
+    state.filter(r => (r.status == Pending || r.status == Failed) && r.retry < maxRetries)
+      .sortBy(r => (r.createdAt.getTime, r.s3Key))
+      .take(n).map(_.s3Key)
 
   /** PENDING/FAILED → PROCESSING with retry_count + 1 (psuedo_code.txt:180). */
   def markProcessing(keys: Seq[String], runId: String): Unit =
-    transition(keys) { df =>
-      df.withColumn("retry_count", col("retry_count") + 1)
-        .withColumn("processing_status", lit(Processing))
-        .withColumn("job_run_id", lit(runId))
+    mutate(keys.toSet) { r =>
+      r.copy(status = Processing, retry = r.retry + 1, runId = Some(runId))
     }
 
   /** Terminal (or retryable-failure) transitions for a batch, keyed by
-    * status; stamps processed_at for terminal states.
-    */
+    * status; stamps processed_at for terminal states. */
   def markOutcome(outcomes: Map[String, String], runId: String,
                   errors: Map[String, String] = Map.empty): Unit = {
     if (outcomes.isEmpty) return
-    val statusOf = typedLit(outcomes)
-    val errorOf = typedLit(errors)
-    transition(outcomes.keys.toSeq) { df =>
-      val st = statusOf(col("s3_key"))
-      df.withColumn("processing_status", st)
-        .withColumn("error_message", errorOf(col("s3_key")))
-        .withColumn("job_run_id", lit(runId))
-        .withColumn("processed_at",
-          when(st.isin(Succeeded, Quarantined), current_timestamp())
-            .otherwise(col("processed_at")))
+    val ts = now()
+    mutate(outcomes.keySet) { r =>
+      val st = outcomes(r.s3Key)
+      r.copy(status = st, runId = Some(runId), error = errors.get(r.s3Key),
+        processedAt = if (st == Succeeded || st == Quarantined) Some(ts) else r.processedAt)
     }
   }
 
-  /** Crash recovery (T3, psuedo_code.txt:252-259): any row still
-    * PROCESSING under this run is downgraded to FAILED for re-pickup.
-    */
-  def failInFlight(runId: String, err: String): Unit = {
-    val prev = snapshot()
-    val hit = col("processing_status") === Processing && col("job_run_id") === runId
-    commit(prev
-      .withColumn("error_message", when(hit, lit(err)).otherwise(col("error_message")))
-      .withColumn("updated_at", when(hit, current_timestamp()).otherwise(col("updated_at")))
-      .withColumn("processing_status", when(hit, lit(Failed)).otherwise(col("processing_status"))))
-  }
+  /** Crash recovery within a run (T3, psuedo_code.txt:252-259): any row
+    * still PROCESSING under this run is FAILED for re-pickup. */
+  def failInFlight(runId: String, err: String): Unit =
+    mutate(state.filter(r => r.status == Processing && r.runId.contains(runId))
+      .map(_.s3Key).toSet) { r =>
+      r.copy(status = Failed, error = Some(err))
+    }
 
   /** FAILED rows out of retry budget → QUARANTINED (terminal). */
   def quarantineExhausted(runId: String): Long = {
-    val prev = snapshot()
-    val hit = col("processing_status") === Failed && col("retry_count") >= maxRetries
-    val n = prev.filter(hit).count()
-    if (n > 0)
-      commit(prev
-        .withColumn("processed_at", when(hit, current_timestamp()).otherwise(col("processed_at")))
-        .withColumn("updated_at", when(hit, current_timestamp()).otherwise(col("updated_at")))
-        .withColumn("job_run_id", when(hit, lit(runId)).otherwise(col("job_run_id")))
-        .withColumn("processing_status", when(hit, lit(Quarantined)).otherwise(col("processing_status"))))
-    n
+    val hit = state.filter(r => r.status == Failed && r.retry >= maxRetries).map(_.s3Key).toSet
+    if (hit.nonEmpty) {
+      val ts = now()
+      mutate(hit)(r => r.copy(status = Quarantined, runId = Some(runId), processedAt = Some(ts)))
+    }
+    hit.size.toLong
   }
 
-  private def transition(keys: Seq[String])(f: DataFrame => DataFrame): Unit = {
-    val prev = snapshot()
-    val hit = prev.filter(col("s3_key").isin(keys: _*))
-    val rest = prev.filter(!col("s3_key").isin(keys: _*))
-    commit(rest.unionByName(f(hit).withColumn("updated_at", current_timestamp())))
+  private def mutate(keys: Set[String])(f: Rec => Rec): Unit = {
+    if (keys.isEmpty) return
+    val ts = now()
+    state = state.map(r => if (keys(r.s3Key)) f(r).copy(updatedAt = ts) else r)
+    commit()
   }
 }
 

@@ -114,10 +114,10 @@ class IngestSpec extends AnyFunSuite {
     writeLines(s"${lay.rawDir}/ok.jsonl", Seq(rec("x-1")))
     val bp = new BatchProcessor(spark, lay, Contracts.events, batchSize = 2, maxRetries = 3)
     assert(bp.runUntilDrained() == 1)
-    val led = new Ledger(spark, lay.ledgerDir)
-    led.register(Seq(("/nonexistent/gone.jsonl", 0L)))
+    // single-writer contract: mutations go through the processor's ledger
+    bp.ledger.register(Seq(("/nonexistent/gone.jsonl", 0L)))
     assert(bp.runUntilDrained() == 3) // three failing attempts, then exhausted
-    val row = led.snapshot().filter(col("s3_key") === "/nonexistent/gone.jsonl")
+    val row = bp.ledger.snapshot().filter(col("s3_key") === "/nonexistent/gone.jsonl")
       .collect().head
     assert(row.getAs[String]("processing_status") == Ledger.Quarantined)
     assert(row.getAs[Int]("retry_count") == 3)
