@@ -7,9 +7,13 @@ import graft.queries._
   * that is SQL-expressible has a DuckDB oracle in [[oracleSql]].
   */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship (SURVEY.md §7.6): the minimum end-to-end slice — raw JSON
+    * fixtures → permissive read → segregate/DLQ → transform → partitioned
+    * curated lake → partition-pruned aggregate. One DataFrame that proves
+    * ingest → curate → query works. Driver smoke-checks rows>0 at sf0.001.
+    */
   def entry(spark: SparkSession): DataFrame =
-    queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+    queries("q39_ingest_pruned")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
