@@ -33,6 +33,40 @@ object Fixtures {
   val SyntheticMeta =
     """"metadata":{"app_version":"9.9.9","user_agent":"ua-x","user_id":1}"""
 
+  private val shared = scala.collection.mutable.Map.empty[String, String]
+
+  /** The fixture landing zone is deterministic per scale factor, and two
+    * demo pipelines (ledger-batch and streaming) each consume one — and
+    * the batch runner archives files out of its copy. So the Spark
+    * export runs once per (JVM, sf) into a shared template dir, and each
+    * demo gets a plain filesystem copy (~ms) instead of a second
+    * distributed JSON export. */
+  def generateInto(spark: SparkSession, sfDir: String, layout: LakeLayout): Unit = synchronized {
+    val template = shared.getOrElseUpdate(sfDir, {
+      val dir = new java.io.File(
+        s"target/fixtures/${new java.io.File(sfDir).getName}").getAbsoluteFile
+      deleteRec(dir)
+      generate(spark, sfDir, LakeLayout(dir.getPath))
+      s"$dir/raw"
+    })
+    copyRec(new java.io.File(template), new java.io.File(layout.rawDir))
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(deleteRec)
+    f.delete(): Unit
+  }
+
+  private def copyRec(src: java.io.File, dst: java.io.File): Unit = {
+    if (src.isDirectory) {
+      dst.mkdirs()
+      Option(src.listFiles()).toSeq.flatten
+        .foreach(c => copyRec(c, new java.io.File(dst, c.getName)))
+    } else
+      Files.copy(src.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+  }
+
   def generate(spark: SparkSession, sfDir: String, layout: LakeLayout): Unit = {
     // Good shards: JSON round-trip of the events table. The timestamp is
     // formatted at microsecond precision and parsed back with the same

@@ -29,7 +29,7 @@ object IngestDemo {
       val root = new File(s"target/ingest/$sfName").getAbsoluteFile
       deleteRec(root) // stale output from a previous JVM would double-append
       val layout = LakeLayout(root.getPath)
-      Fixtures.generate(spark, sfDir, layout)
+      Fixtures.generateInto(spark, sfDir, layout)
       val bp = new BatchProcessor(spark, layout, Contracts.events, batchSize = BatchSize)
       bp.runUntilDrained()
       layout

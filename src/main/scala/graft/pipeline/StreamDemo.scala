@@ -28,7 +28,7 @@ object StreamDemo {
       val root = new File(s"target/stream/${new File(sfDir).getName}").getAbsoluteFile
       deleteRec(root)
       val layout = LakeLayout(root.getPath)
-      Fixtures.generate(spark, sfDir, layout)
+      Fixtures.generateInto(spark, sfDir, layout)
       StreamingIngest.runAvailableNow(spark, layout, Contracts.events)
       layout
     })
