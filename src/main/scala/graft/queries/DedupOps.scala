@@ -38,9 +38,13 @@ object DedupOps {
         "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")))
       .select("doc_id", "sh")
 
-  /** Exact Jaccard between two distinct-shingle arrays, as (inter, uni). */
-  private def interUni(a: Column, b: Column): (Column, Column) =
-    (size(array_intersect(a, b)).cast("long"), size(array_union(a, b)).cast("long"))
+  /** Exact Jaccard between two distinct-shingle arrays, as (inter, uni).
+    * The arrays are already distinct, so |A∪B| = |A|+|B|−|A∩B| — one
+    * hash-set intersection per pair instead of intersect + union. */
+  private def interUni(a: Column, b: Column): (Column, Column) = {
+    val inter = size(array_intersect(a, b)).cast("long")
+    (inter, size(a).cast("long") + size(b).cast("long") - inter)
+  }
 
   val defs: Map[String, Q] = Map(
     // X2: MinHash-LSH near-dup pairs, exact-verified. Rows-only check
@@ -52,20 +56,21 @@ object DedupOps {
       // MEMORY_AND_DISK spills under pressure, so this holds at scale —
       // the cached form is (doc_id, distinct shingles), not raw text.
       val base = shingled(docs(s, d)).persist()
-      // 64 minhashes: h_j = min over shingles of xxhash64(j, shingle)
-      val sigCols = (0 until NumHashes).map { j =>
-        array_min(transform(col("sh"), x => xxhash64(lit(j), x))).as(s"h$j")
-      }
+      // 64 minhashes in one codegen pass: one xxhash64 per shingle plus
+      // 64 seeded finalizer mixes (graft.functions.MinHashSignature) —
+      // not 64 full string re-hashes per shingle through interpreted
+      // higher-order functions.
+      graft.functions.MinHashSignature.register(s, NumHashes)
       // The band explode and the self-join carry ONLY (band, bh, doc_id) —
       // never the shingle arrays. Carrying `sh` through the 16-way explode
       // would shuffle ≈16× the tokenized corpus and make the candidate
       // distinct compare whole arrays; at 100 TB that is the bottleneck.
       // Shingle sets are joined back BY ID only for the (small) verified
       // candidate set; the corpus is re-shingled rather than re-shuffled.
-      val sig = base.select(col("doc_id") +: sigCols: _*)
-      // 16 band keys, each hashing 4 consecutive signature rows
+      val sig = base.select(col("doc_id"), expr("minhash_sig(sh)").as("sig"))
+      // 16 band keys, each hashing 4 consecutive signature slots
       val bandCols = (0 until Bands).map { b =>
-        val rows = (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}"))
+        val rows = (0 until RowsPerBand).map(r => col("sig").getItem(b * RowsPerBand + r))
         struct(lit(b).as("band"), xxhash64(lit(b) +: rows: _*).as("bh"))
       }
       val exploded = sig
@@ -90,7 +95,8 @@ object DedupOps {
     // X2: exact n-gram-Jaccard similarity search — probes doc_id<20
     // against the whole corpus via broadcast, oracle-checked.
     "q33_jaccard_search" -> ((s, d) => {
-      val all = shingled(docs(s, d))
+      // probes and corpus both derive from the shingled frame → persist
+      val all = shingled(docs(s, d)).persist()
       val probes = all.filter(col("doc_id") < 20)
         .select(col("doc_id").as("a_id"), col("sh").as("sha"))
       val corpus = all.select(col("doc_id").as("b_id"), col("sh").as("shb"))
@@ -123,20 +129,12 @@ object DedupOps {
         .withColumn("toks", array_distinct(split(col("text"), " ")))
         .filter(size(col("toks")) >= 1)
       // 64-bit simhash: bit k set iff sum over tokens of sign(bit k of
-      // xxhash64(token)) is positive. The Scala DSL's shiftleft/shiftright
-      // take a literal Int shift, so the per-bit math (shift amount = the
-      // lambda variable k) is written as SQL, where shiftleft/shiftright
-      // accept column operands.
-      val sim = base.withColumn(
-        "simhash",
-        expr("""aggregate(
-                  zip_with(
-                    aggregate(toks, array_repeat(0L, 64),
-                      (acc, t) -> zip_with(acc, sequence(0, 63),
-                        (a, k) -> a + if((shiftright(xxhash64(t), k) & 1L) = 1L, 1L, -1L))),
-                    sequence(0, 63),
-                    (v, k) -> if(v > 0L, shiftleft(1L, k), 0L)),
-                  0L, (acc, x) -> acc | x)"""))
+      // xxhash64(token)) is positive — computed by the codegen
+      // [[graft.functions.SimHash64]] expression (one token hash + 64
+      // bit-votes per token, bit-compatible with the SQL xxhash64 form
+      // DedupSpec uses as brute-force truth).
+      graft.functions.SimHash64.register(s)
+      val sim = base.withColumn("simhash", expr("simhash64(toks)"))
         .select("doc_id", "simhash")
       // 4 chunks of 16 bits; hamming<=3 pairs must share a chunk
       val chunks = sim.select(col("doc_id"), col("simhash"),
