@@ -18,7 +18,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.defs ++ EventOps.defs ++ TextOps.defs ++ DedupOps.defs ++
-      VectorOps.defs ++ IngestQueries.defs ++ MultimodalOps.defs
+      VectorOps.defs ++ IngestQueries.defs ++ IngestQueries.defsBucketed ++ MultimodalOps.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

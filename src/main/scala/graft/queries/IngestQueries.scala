@@ -91,7 +91,30 @@ object IngestQueries {
         .orderBy("day")
     }))
 
+  val defsBucketed: Map[String, Q] = Map(
+    // J1 at lay-out level: co-located (bucketed) star join — both fact
+    // tables bucketed 8 ways on the order key with in-bucket sort, so the
+    // sort-merge join runs with ZERO exchange and ZERO sort operators
+    // (asserted on the physical plan in BucketedJoinSpec). The merge hint
+    // keeps Catalyst from broadcasting the small test-scale side, which
+    // would hide the property being demonstrated.
+    "q48_bucketed_join" -> ((s, d) => {
+      val (ot, lt) = IngestDemo.ensureBucketed(s, d)
+      s.table(lt).hint("merge")
+        .join(s.table(ot), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("rev_c"))
+        .orderBy("o_orderpriority")
+    }))
+
   val oracles: Map[String, String] = Map(
+    "q48_bucketed_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+           AS rev_c
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1 ORDER BY 1""",
     "q38_ingest_segregation" ->
       """SELECT CAST(5 AS BIGINT) AS clean_files, CAST(3 AS BIGINT) AS quarantined_files,
          (SELECT COUNT(*) FROM events) + 4 AS curated_rows, CAST(12 AS BIGINT) AS dlq_rows""",
