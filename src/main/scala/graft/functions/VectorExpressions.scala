@@ -34,10 +34,17 @@ case class FloatVectorDot(left: Expression, right: Expression)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "vec_dot"
 
+  override def nullable: Boolean = true
+
+  // Mismatched lengths yield NULL — the same answer the HOF form gives
+  // (zip_with pads the short side with null, which nulls the sum), so a
+  // ragged embedding is excluded from similarity instead of silently
+  // scoring on a truncated prefix.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -53,12 +60,16 @@ case class FloatVectorDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

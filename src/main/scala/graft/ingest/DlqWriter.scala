@@ -9,11 +9,16 @@ import org.apache.spark.sql.functions.{current_timestamp, lit}
   * whole late/bad-data story (SURVEY.md §2.9 T5).
   */
 object DlqWriter {
-  def write(dlqRows: DataFrame, dlqDir: String, runId: String): Unit =
+  /** `mode` is per-run-DIRECTORY: "append" for ledger runs (each run id
+    * is fresh), "overwrite" for streaming micro-batches whose ids are
+    * stable across restarts — replaying a crashed batch then overwrites
+    * its own directory instead of duplicating it. */
+  def write(dlqRows: DataFrame, dlqDir: String, runId: String,
+            mode: String = "append"): Unit =
     dlqRows
       .withColumn("job_run_id", lit(runId))
       .withColumn("quarantined_at", current_timestamp())
-      .write.mode("append")
+      .write.mode(mode)
       .json(s"$dlqDir/$runId")
 
   /** All DLQ records across runs (audit surface). */

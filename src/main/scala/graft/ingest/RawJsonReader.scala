@@ -78,8 +78,10 @@ object RawJsonReader {
       .option("columnNameOfCorruptRecord", CorruptCol)
       .schema(withCorrupt)
       .json(paths: _*)
-      // input_file_name() yields a file URI; normalize to a plain path so
-      // it joins against ledger keys and archive paths.
+      // input_file_name() yields a PERCENT-ENCODED URI; only the scheme
+      // is stripped here (keeps the column cheap and codegen'd). Driver-
+      // side consumers that compare against ledger keys must decode via
+      // PathNorm.fromString — see BatchProcessor.processBatch.
       .withColumn(SourceCol, regexp_replace(input_file_name(), "^file:(//)?", ""))
   }
 }

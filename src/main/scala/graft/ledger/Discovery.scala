@@ -30,7 +30,7 @@ object Discovery {
       val st = it.next()
       val name = st.getPath.getName
       if (!name.startsWith("_") && !name.startsWith("."))
-        out += ((st.getPath.toUri.getPath, st.getLen))
+        out += ((graft.ingest.PathNorm.fromUri(st.getPath.toUri), st.getLen))
     }
     out.sortBy(_._1).toSeq
   }

@@ -55,6 +55,10 @@ object DedupOps {
       // verification join-backs); persist so tokenize+shingle runs once.
       // MEMORY_AND_DISK spills under pressure, so this holds at scale —
       // the cached form is (doc_id, distinct shingles), not raw text.
+      // Lifetime note: the query contract returns a lazy DataFrame, so
+      // the cache cannot be unpersisted here; it lives until the session
+      // (or LRU eviction) reclaims it — one corpus-sized entry per
+      // session, by design.
       val base = shingled(docs(s, d)).persist()
       // 64 minhashes in one codegen pass: one xxhash64 per shingle plus
       // 64 seeded finalizer mixes (graft.functions.MinHashSignature) —

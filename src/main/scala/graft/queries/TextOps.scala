@@ -103,11 +103,15 @@ object TextOps {
         explode(expr(
           "transform(sequence(0, greatest(length(text)-3, 0)), i -> substring(text, i+1, 3))")).as("g"))
         .filter(length(col("g")) === 3)
-      val langTot = tri.groupBy("lang").agg(count(lit(1)).as("tot"))
       def logpE6(cnt: Column, tot: Column): Column =
         round(log((cnt + lit(0.5)) / (tot + lit(1000.0))) * 1e6).cast("long")
+      // (lang, gram) counts feed BOTH the totals and the profiles; persist
+      // this small aggregate (distinct grams × langs, not corpus-sized) so
+      // the corpus-wide trigram explode below it runs once, not twice.
+      val profCounts = tri.groupBy("lang", "g").agg(count(lit(1)).as("cnt")).persist()
+      val langTot = profCounts.groupBy("lang").agg(sum(col("cnt")).as("tot"))
       val profRank = Window.partitionBy("lang").orderBy(col("cnt").desc, col("g"))
-      val profiles = tri.groupBy("lang", "g").agg(count(lit(1)).as("cnt"))
+      val profiles = profCounts
         .withColumn("rn", row_number().over(profRank)).filter(col("rn") <= 2000)
         .join(langTot, Seq("lang"))
         .select(col("lang").as("p_lang"), col("g"), logpE6(col("cnt"), col("tot")).as("lp_e6"))

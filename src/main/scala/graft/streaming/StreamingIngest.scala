@@ -11,12 +11,23 @@ import graft.pipeline.LakeLayout
   * loop (T1, sudo_code.txt:104-109): instead of a cron re-running a batch
   * job against a ledger, a file-source stream with
   * `Trigger.AvailableNow` drains whatever has landed and stops; the
-  * stream CHECKPOINT plays the ledger's exactly-once role (a re-run
+  * stream CHECKPOINT plays the ledger's file-tracking role (a re-run
   * processes nothing new — T2/T3 come from the engine, not hand-rolled
   * state). Both runners share the same Segregator/Transformer/writer
   * stages via `foreachBatch`, so the pipeline semantics — permissive
   * split, all-or-nothing file quarantine, DLQ, partitioned curated
   * append — are identical to [[graft.pipeline.BatchProcessor]].
+  *
+  * Delivery semantics, stated precisely: `foreachBatch` is AT-LEAST-ONCE
+  * across crashes — a batch that wrote output but died before the
+  * checkpoint commit is replayed on restart. The DLQ write is idempotent
+  * (batch-id-keyed directory, overwritten on replay); the curated
+  * parquet APPEND is not, so a crash inside a micro-batch can duplicate
+  * that batch's curated rows. Exactly-once curated output needs either
+  * the ledger runner (whose curated markers bound replay per FILE) or a
+  * transactional table format under the sink. Across clean runs —
+  * including the re-drain StreamingSpec asserts — output is
+  * exactly-once.
   *
   * Trade-off vs the ledger runner (documented, both shipped): the
   * checkpoint is opaque (no per-file audit rows, no retry counters, no
@@ -68,7 +79,7 @@ object StreamingIngest {
       .filter(col("n_corrupt") + col("n_datebad") > 0)
       .select(SourceCol)
     val dlq = Segregator.dlqRecords(raw, "event_timestamp", "MODE", quarFiles)
-    if (!dlq.isEmpty) DlqWriter.write(dlq, layout.dlqDir, runId)
+    if (!dlq.isEmpty) DlqWriter.write(dlq, layout.dlqDir, runId, mode = "overwrite")
     val good = Segregator.goodRecords(raw, "event_timestamp", "MODE")
       .join(broadcast(quarFiles), Seq(SourceCol), "left_anti")
     if (!good.isEmpty)

@@ -33,6 +33,10 @@ class VectorExpressionsSpec extends AnyFunSuite {
       .toDF("a", "b")
     val out = df.select(expr("vec_dot(a, b)")).collect()
     assert(out.head.isNullAt(0))
+    // ragged vectors yield null (as the zip_with form does), never a
+    // truncated-prefix score
+    val ragged = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
+    assert(ragged.select(expr("vec_dot(a, b)")).collect().head.isNullAt(0))
     val bad = Seq((Seq(1, 2), Seq(3, 4))).toDF("a", "b")
     assertThrows[org.apache.spark.sql.AnalysisException] {
       bad.select(expr("vec_dot(a, b)")).collect(): Unit

@@ -109,6 +109,27 @@ class IngestSpec extends AnyFunSuite {
     assert(CuratedWriter.read(spark, lake.curatedDir).count() == before)
   }
 
+  test("file names needing URI encoding (spaces) still curate, quarantine, and archive correctly") {
+    val lay = freshLake()
+    writeLines(s"${lay.rawDir}/with space.jsonl", Seq(rec("s-1"), rec("s-2")))
+    writeLines(s"${lay.rawDir}/bad name%20.jsonl", Seq(rec("s-3"), """{"broken"""))
+    val bp = new BatchProcessor(spark, lay, Contracts.events, batchSize = 4)
+    bp.runUntilDrained()
+    // the clean space-named file curates and archives; the corrupt one
+    // quarantines with ALL its rows dead-lettered — encoding mismatches
+    // between input_file_name() and ledger keys would silently drop both
+    val curated = CuratedWriter.read(spark, lay.curatedDir)
+    assert(curated.select("record_id").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("s-1", "s-2"))
+    assert(spark.read.json(s"${lay.dlqDir}/*").count() == 2)
+    assert(new File(s"${lay.processedDir}/with space.jsonl").exists())
+    val statuses = bp.ledger.snapshot().collect()
+      .map(r => new File(r.getAs[String]("s3_key")).getName -> r.getAs[String]("processing_status"))
+      .toMap
+    assert(statuses("with space.jsonl") == Ledger.Succeeded)
+    assert(statuses("bad name%20.jsonl") == Ledger.Quarantined)
+  }
+
   test("a persistently failing batch is retried to exhaustion then quarantined (T3)") {
     val lay = freshLake()
     writeLines(s"${lay.rawDir}/ok.jsonl", Seq(rec("x-1")))
