@@ -81,6 +81,23 @@ object VectorOps {
       if ((h & 1) == 0) 1.0f else -1.0f
     }
 
+  /** (vec_id, t, code) bucket rows: per-table sign codes via codegen'd
+    * vec_dot against driver-literal hyperplanes (see q36 notes). */
+  private def lshBuckets(df: DataFrame, bits: Int, dim: Int): DataFrame =
+    df.withColumn("codes",
+      array((0 until Tables_).map { t =>
+        (0 until bits).map { j =>
+          when(call_function("vec_dot", col("embedding"),
+            typedLit(hyperplane(t, j, dim))) > 0.0, lit(1L << j)).otherwise(lit(0L))
+        }.reduce(_ + _)
+      }: _*))
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("t", "code")))
+
+  /** The exact code plus all hamming-1 flips (multi-probe ring). */
+  private def multiProbe(bits: Int): Column = expr(
+    s"array_union(array(code), transform(sequence(0, ${bits - 1}), " +
+      "j -> code ^ shiftleft(1L, j)))")
+
   val defs: Map[String, Q] = Map(
     // X3 baseline: exact cosine top-k per probe, probes broadcast.
     "q35_cosine_topk" -> ((s, d) => {
@@ -118,21 +135,11 @@ object VectorOps {
       val e = embs(s, d)
       val bits = codeBits(e.count())
       val dim = e.select(size(col("embedding"))).first().getInt(0)
-      def coded(df: DataFrame): DataFrame = df.withColumn("codes",
-        array((0 until Tables_).map { t =>
-          (0 until bits).map { j =>
-            when(call_function("vec_dot", col("embedding"),
-              typedLit(hyperplane(t, j, dim))) > 0.0, lit(1L << j)).otherwise(lit(0L))
-          }.reduce(_ + _)
-        }: _*))
-      val buckets = coded(e)
-        .select(col("vec_id"), posexplode(col("codes")).as(Seq("t", "code")))
-      val probes = coded(e.filter(col("vec_id") < NumProbes))
-        .select(col("vec_id").as("a_id"), posexplode(col("codes")).as(Seq("t", "code")))
+      val buckets = lshBuckets(e, bits, dim)
+      val probes = lshBuckets(e.filter(col("vec_id") < NumProbes), bits, dim)
+        .withColumnRenamed("vec_id", "a_id")
         // multi-probe expansion: the exact code + all bits hamming-1 flips
-        .select(col("a_id"), col("t"), explode(expr(
-          s"array_union(array(code), transform(sequence(0, ${bits - 1}), " +
-            "j -> code ^ shiftleft(1L, j)))")).as("code"))
+        .select(col("a_id"), col("t"), explode(multiProbe(bits)).as("code"))
       val cands = broadcast(probes)
         .join(buckets.select(col("vec_id").as("b_id"), col("t"), col("code")), Seq("t", "code"))
         .filter(col("a_id") =!= col("b_id"))
@@ -147,6 +154,37 @@ object VectorOps {
         .filter(col("rnk") <= TopK)
         .select(col("a_id"), col("b_id"), col("rnk"), col("cos_e6"))
         .orderBy("a_id", "rnk")
+    }),
+
+    // X2/X3: embedding-cosine near-duplicate pairs — the vector-space
+    // member of the dedup family (exact / MinHash / SimHash / embedding).
+    // Same LSH machinery as q36 but as a SELF-join: every vector's
+    // buckets, multi-probed on the left side, equi-joined on (table,
+    // code); candidates are exactly re-ranked with the codegen vec_dot
+    // and kept at cos ≥ 0.45 (the driver corpus is cluster-spread, so
+    // this is same-cluster neighbor mining; a dedup deployment raises τ).
+    // Never all-pairs: candidate volume ≈ tables × Σ bucket², bounded by
+    // the adaptive code width. Rows-only (probabilistic recall);
+    // VectorSpec asserts precision 1.0 and recall ≥ 0.9 vs brute force.
+    "q49_embed_neardup" -> ((s, d) => {
+      graft.functions.VectorExpressions.register(s)
+      val e = embs(s, d)
+      val bits = codeBits(e.count())
+      val dim = e.select(size(col("embedding"))).first().getInt(0)
+      val buckets = lshBuckets(e, bits, dim)
+      val left = buckets.select(col("vec_id").as("a_id"), col("t"),
+        explode(multiProbe(bits)).as("code"))
+      val cands = left
+        .join(buckets.select(col("vec_id").as("b_id"), col("t"), col("code")), Seq("t", "code"))
+        .filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id").distinct()
+      cands
+        .join(e.select(col("vec_id").as("a_id"), col("embedding").as("ea")), Seq("a_id"))
+        .join(e.select(col("vec_id").as("b_id"), col("embedding").as("eb")), Seq("b_id"))
+        .withColumn("cos_e6", cosE6F("ea", "eb"))
+        .filter(col("cos_e6") >= 450000)
+        .select("a_id", "b_id", "cos_e6")
+        .orderBy("a_id", "b_id")
     }),
 
     // X3/A4: elementwise per-label centroids + pairwise centroid cosine.

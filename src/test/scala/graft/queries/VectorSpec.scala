@@ -28,4 +28,40 @@ class VectorSpec extends AnyFunSuite {
       .groupBy("a_id").count().collect()
     assert(rows.length == 10 && rows.forall(_.getLong(1) == 5))
   }
+
+  for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+    test(s"q49 embedding near-dup: precision 1.0, recall >= 0.9 vs brute force at ${sf.split('/').last}") {
+      import org.apache.spark.sql.functions._
+      graft.functions.VectorExpressions.register(spark)
+      val e = graft.engine.Tables.load(spark, sf, "embeddings")
+      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
+      val truth = a.join(b, col("a_id") < col("b_id"))
+        .withColumn("cos_e6", expr(
+          "cast(round(vec_dot(ea, eb) / (sqrt(vec_dot(ea, ea)) * sqrt(vec_dot(eb, eb))) * 1e6) as long)"))
+        .filter(col("cos_e6") >= 450000)
+        .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = VectorOps.defs("q49_embed_neardup")(spark, sf)
+        .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(truth.nonEmpty, "corpus must contain >= 0.45-cosine pairs")
+      assert((got -- truth).isEmpty, s"false positives: ${(got -- truth).take(5)}")
+      val recall = (got & truth).size.toDouble / truth.size
+      assert(recall >= 0.9, s"recall $recall over ${truth.size} true pairs")
+    }
+  }
+
+  test("q49 finds a planted exact-duplicate embedding pair") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = graft.engine.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    // plant vec 9000 = copy of vec 0 (cosine exactly 1)
+    val dup = base.filter(col("vec_id") === 0)
+      .select(lit(9000L).as("vec_id"), col("embedding"), col("label"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-embdup").toString
+    base.select("vec_id", "embedding", "label").union(dup)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = VectorOps.defs("q49_embed_neardup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((0L, 9000L)), s"planted duplicate missing from $got")
+  }
 }
