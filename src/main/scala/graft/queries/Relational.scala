@@ -234,6 +234,25 @@ object Relational {
         .orderBy("l_returnflag")
     }),
 
+    // Correlated scalar subquery (TPC-H Q17 shape): lineitems whose
+    // quantity is below 20% of their part's average quantity. Written as
+    // SQL so Catalyst's subquery decorrelation runs (it rewrites the
+    // correlated aggregate into a grouped join — verify with PlanAudit:
+    // one aggregation over lineitem, one join, no per-row re-scan).
+    "q50_small_qty_revenue" -> ((s, d) => {
+      Tables.load(s, d, "lineitem").createOrReplaceTempView("v_lineitem")
+      Tables.load(s, d, "part").createOrReplaceTempView("v_part")
+      s.sql(
+        """SELECT p_brand,
+                  CAST(COUNT(*) AS BIGINT) AS n_small,
+                  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+           FROM v_lineitem JOIN v_part ON l_partkey = p_partkey
+           WHERE l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                               FROM v_lineitem l2
+                               WHERE l2.l_partkey = p_partkey)
+           GROUP BY p_brand ORDER BY p_brand""")
+    }),
+
     // A4 + HAVING + join-back (TPC-H Q18 shape): large-quantity orders.
     "q18_big_orders" -> ((s, d) => {
       val big = t(s, d, "lineitem")
@@ -369,6 +388,13 @@ object Relational {
       """SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_exact,
          CAST(1 AS INT) AS approx_ok
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q50_small_qty_revenue" ->
+      """SELECT p_brand, COUNT(*) AS n_small,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                             FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+         GROUP BY p_brand ORDER BY p_brand""",
     "q18_big_orders" ->
       """SELECT c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS odate,
          CAST(ROUND(o_totalprice*100) AS BIGINT) AS total_c, sum_qty
