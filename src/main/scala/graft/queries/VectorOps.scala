@@ -9,19 +9,25 @@ import graft.engine.Tables
   * north-star LLM-pipeline similarity surface). 64-dim float vectors,
   * 10 cluster labels (TESTDATA.md).
   *
-  * Three operators, no UDFs — the dot product is the higher-order
-  * `aggregate(zip_with(...))` form so everything stays in codegen:
+  * Five operators, no UDFs — dot products run on the codegen `vec_dot`
+  * expression (float arrays) or the higher-order `aggregate(zip_with)`
+  * form (double arrays):
   *
   *  - q35: exact brute-force cosine top-k for a probe set. Probes are
   *    broadcast, so the corpus is scanned once with no shuffle before the
   *    per-probe top-k; this is the correctness baseline and oracle-checked.
   *  - q36: approximate NN via random-hyperplane LSH (8 tables ×
   *    corpus-adaptive-width Rademacher sign codes, multi-probe over
-  *    hamming-1 neighbors). The
-  *    100 TB path: candidates come from an equi-join on (table, code) —
-  *    the corpus is never crossed with the probes — and only the candidate
-  *    set is exactly re-ranked. Rows-only (probabilistic); recall vs q35
-  *    is asserted in VectorSpec.
+  *    hamming-1 neighbors). The 100 TB path: candidates come from an
+  *    equi-join on (table, code) — the corpus is never crossed with the
+  *    probes — and only the candidate set is exactly re-ranked. Rows-only
+  *    (probabilistic); recall vs q35 is asserted in VectorSpec.
+  *  - q51: approximate NN via IVF — k-means coarse quantizer (Lloyd
+  *    iterations as DataFrame passes), nprobe nearest cells per probe,
+  *    exact re-rank of cell members. The other standard ANN layout;
+  *    recall vs q35 asserted in VectorSpec.
+  *  - q49: embedding-cosine near-duplicate pairs (the LSH machinery as a
+  *    self-join + exact verify) — the vector member of the dedup family.
   *  - q37: per-label centroid (elementwise mean via posexplode — a single
   *    shuffle keyed (label, pos), so no vector ever aggregates on one
   *    node) + pairwise centroid cosine. Oracle-checked.
@@ -149,6 +155,64 @@ object VectorOps {
         .join(e.select(col("vec_id").as("b_id"), col("embedding").as("eb")), Seq("b_id"))
       val w = Window.partitionBy("a_id").orderBy(col("cos_e6").desc, col("b_id"))
       withVec
+        .withColumn("cos_e6", cosE6F("ea", "eb"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= TopK)
+        .select(col("a_id"), col("b_id"), col("rnk"), col("cos_e6"))
+        .orderBy("a_id", "rnk")
+    }),
+
+    // X3 scale path #2: IVF — the OTHER standard ANN index. A coarse
+    // k-means quantizer (Lloyd iterations as pure DataFrame passes:
+    // assignment = argmax of codegen vec_dot against 16 broadcast
+    // centroid literals, update = the q37 posexplode-mean) partitions the
+    // corpus into cells; each probe searches only its nprobe=2 nearest
+    // cells and re-ranks those candidates exactly. At 100 TB: centroids
+    // are KBs (always broadcastable), assignment is one scan, the
+    // candidate set is ≈ nprobe/k of the corpus per probe. Deterministic:
+    // init = vectors 0..k-1, fixed iteration count. Rows-only; recall vs
+    // exact q35 asserted in VectorSpec.
+    "q51_ann_ivf" -> ((s, d) => {
+      graft.functions.VectorExpressions.register(s)
+      val e = embs(s, d)
+      val k = 16
+      val nprobe = 4
+      // centroid score: argmax of v·c − |c|²/2 (equivalent to nearest by
+      // L2). Returns the cell pick expression for a given centroid set.
+      def cellsOf(cents: Seq[Array[Float]], n: Int): Column = {
+        val scored = array(cents.zipWithIndex.map { case (c, j) =>
+          val norm2 = c.map(x => x.toDouble * x.toDouble).sum
+          struct((call_function("vec_dot", col("embedding"), typedLit(c.toSeq))
+            - lit(norm2 / 2)).as("s"), lit(j).as("c"))
+        }: _*)
+        val best = array_sort(scored, (l, r) =>
+          when(l.getField("s") > r.getField("s"), -1)
+            .when(l.getField("s") < r.getField("s"), 1)
+            .when(l.getField("c") < r.getField("c"), -1).otherwise(1))
+        transform(slice(best, 1, n), x => x.getField("c"))
+      }
+      // Lloyd's iterations, centroids collected driver-side (k×dim floats)
+      var cents: Seq[Array[Float]] = e.filter(col("vec_id") < k)
+        .orderBy("vec_id").collect()
+        .map(_.getAs[Seq[Float]]("embedding").toArray)
+      for (_ <- 1 to 3) {
+        cents = e.withColumn("cell", element_at(cellsOf(cents, 1), 1))
+          .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .groupBy("cell", "pos").agg(avg(col("x").cast("double")).as("m"))
+          .groupBy("cell")
+          .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+          .select(col("cell"), expr("transform(pm, p -> cast(p.m as float))").as("c"))
+          .orderBy("cell").collect()
+          .map(_.getAs[Seq[Float]]("c").toArray)
+      }
+      val corpus = e.withColumn("cell", element_at(cellsOf(cents, 1), 1))
+        .select(col("vec_id").as("b_id"), col("cell"), col("embedding").as("eb"))
+      val probes = e.filter(col("vec_id") < NumProbes)
+        .withColumn("cell", explode(cellsOf(cents, nprobe)))
+        .select(col("vec_id").as("a_id"), col("cell"), col("embedding").as("ea"))
+      val w = Window.partitionBy("a_id").orderBy(col("cos_e6").desc, col("b_id"))
+      broadcast(probes).join(corpus, Seq("cell"))
+        .filter(col("a_id") =!= col("b_id"))
         .withColumn("cos_e6", cosE6F("ea", "eb"))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= TopK)

@@ -30,6 +30,15 @@ class VectorSpec extends AnyFunSuite {
   }
 
   for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+    test(s"q51 IVF recall >= 0.85 vs exact q35 top-k at ${sf.split('/').last}") {
+      val exact = pairs("q35_cosine_topk", sf)
+      val ivf = pairs("q51_ann_ivf", sf)
+      val recall = (exact & ivf).size.toDouble / exact.size
+      assert(recall >= 0.85, s"IVF recall $recall")
+    }
+  }
+
+  for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
     test(s"q49 embedding near-dup: precision 1.0, recall >= 0.9 vs brute force at ${sf.split('/').last}") {
       import org.apache.spark.sql.functions._
       graft.functions.VectorExpressions.register(spark)
