@@ -36,6 +36,24 @@ object IngestDemo {
     })
   }
 
+  /** Tiny day-dimension parquet for the dynamic-partition-pruning demo
+    * (q52): day 1..31 with a peak flag on days 10 and 20. Written as a
+    * real file scan (a LocalRelation would constant-fold and bypass DPP). */
+  def ensureDayDim(spark: SparkSession, sfDir: String): String = synchronized {
+    val layout = ensure(spark, sfDir)
+    val path = s"${layout.root}/day_dim"
+    if (!new File(path).exists()) {
+      import spark.implicits._
+      // the filter below must stay a literal comparison (attr = 'peak');
+      // a bare boolean column would simplify to an attribute reference,
+      // which the DPP rule's selectivity check rejects
+      (1 to 31).map(d => (d, if (d == 10 || d == 20) "peak" else "off"))
+        .toDF("day", "kind")
+        .coalesce(1).write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
   /** Bucketed fact tables for the co-located-join demo (q48): orders and
     * lineitem written `bucketBy(8, key).sortBy(key)` into the catalog, so
     * an equi-join on the key needs NO exchange and NO sort — the physical

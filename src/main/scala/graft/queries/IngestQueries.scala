@@ -92,6 +92,24 @@ object IngestQueries {
     }))
 
   val defsBucketed: Map[String, Q] = Map(
+    // P9 at runtime: DYNAMIC partition pruning — the pruning value is not
+    // a literal but comes from a joined dimension (peak days), so
+    // Catalyst injects a dynamicpruning# subquery into the partitioned
+    // table's PartitionFilters and only day=10/day=20 directories are
+    // scanned (asserted on the plan in PruningSpec). The static-literal
+    // variant is q39/q41.
+    "q52_dpp_pruned" -> ((s, d) => {
+      val tbl = IngestDemo.ensureCatalog(s, d)
+      val dim = s.read.parquet(IngestDemo.ensureDayDim(s, d))
+        .filter(col("kind") === "peak")
+      s.table(tbl)
+        .join(broadcast(dim), Seq("day"))
+        .filter(col("year") === 2024 && col("month") === 1)
+        .groupBy("mode")
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_value_c"))
+        .orderBy("mode")
+    }),
+
     // J1 at lay-out level: co-located (bucketed) star join — both fact
     // tables bucketed 8 ways on the order key with in-bucket sort, so the
     // sort-merge join runs with ZERO exchange and ZERO sort operators
@@ -109,6 +127,11 @@ object IngestQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q52_dpp_pruned" ->
+      """SELECT event_type AS mode, COUNT(*) AS n,
+         CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
+         FROM events WHERE day(ts) IN (10, 20)
+         GROUP BY 1 ORDER BY 1""",
     "q48_bucketed_join" ->
       """SELECT o_orderpriority, COUNT(*) AS n_items,
          CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)

@@ -145,6 +145,31 @@ class IngestSpec extends AnyFunSuite {
     assert(row.getAs[String]("error_message") != null)
   }
 
+  test("archive failure does not re-append curated rows on retry (marker guard)") {
+    val lay = freshLake()
+    writeLines(s"${lay.rawDir}/ok.jsonl", Seq(rec("a-1"), rec("a-2")))
+    // block the archive destination: rename onto an existing FILE fails,
+    // downgrading the file to FAILED after its rows were already curated
+    writeLines(s"${lay.processedDir}/ok.jsonl", Seq("blocker"))
+    val bp = new BatchProcessor(spark, lay, Contracts.events, batchSize = 2, maxRetries = 5)
+    bp.runOnce() // one tick only — the drain loop would retry to exhaustion
+    assert(CuratedWriter.read(spark, lay.curatedDir).count() == 2)
+    val firstState = bp.ledger.snapshot()
+      .filter(col("s3_key").endsWith("/raw/ok.jsonl")).collect().head
+    assert(firstState.getAs[String]("processing_status") != Ledger.Succeeded)
+
+    // unblock and re-drain: the file archives and succeeds, and its rows
+    // are NOT appended a second time — the curated marker excluded it
+    Files.delete(Paths.get(s"${lay.processedDir}/ok.jsonl"))
+    bp.runUntilDrained()
+    assert(CuratedWriter.read(spark, lay.curatedDir).count() == 2,
+      "retry after failed archive duplicated curated rows")
+    val state = bp.ledger.snapshot()
+      .filter(col("s3_key").endsWith("/raw/ok.jsonl")).collect().head
+    assert(state.getAs[String]("processing_status") == Ledger.Succeeded)
+    assert(new File(s"${lay.processedDir}/ok.jsonl").exists())
+  }
+
   test("schema merge: contract wins conflicts, inferred-only fields are kept") {
     val contract = StructType(Seq(
       StructField("a", StringType),
