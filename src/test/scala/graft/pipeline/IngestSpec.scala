@@ -170,6 +170,28 @@ class IngestSpec extends AnyFunSuite {
     assert(new File(s"${lay.processedDir}/ok.jsonl").exists())
   }
 
+  test("compaction merges small partition files without changing any row") {
+    import graft.ingest.Compactor
+    val lay = freshLake()
+    // five single-record appends into the same partition → 5+ small files
+    (1 to 5).foreach { i =>
+      writeLines(s"${lay.rawDir}/f$i.jsonl", Seq(rec(s"c-$i")))
+      new BatchProcessor(spark, lay, Contracts.events, batchSize = 1).runUntilDrained(): Unit
+    }
+    val beforeRows = CuratedWriter.read(spark, lay.curatedDir)
+      .collect().map(_.toString).sorted.toSeq
+    val report = Compactor.compact(spark, lay.curatedDir, maxFilesPerPartition = 1)
+    assert(report.partitionsCompacted >= 1)
+    assert(report.filesAfter < report.filesBefore,
+      s"expected fewer files, got $report")
+    val afterRows = CuratedWriter.read(spark, lay.curatedDir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(afterRows == beforeRows)
+    // idempotent: a second pass finds nothing oversized
+    val second = Compactor.compact(spark, lay.curatedDir, maxFilesPerPartition = 1)
+    assert(second.partitionsCompacted == 0)
+  }
+
   test("schema merge: contract wins conflicts, inferred-only fields are kept") {
     val contract = StructType(Seq(
       StructField("a", StringType),
