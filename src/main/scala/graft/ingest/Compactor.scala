@@ -12,43 +12,58 @@ import scala.collection.mutable.ArrayBuffer
   * Per-PARTITION compaction, not whole-table rewrite: leaf partition
   * directories whose data-file count exceeds `maxFilesPerPartition` are
   * each rewritten into ceil(bytes/targetBytes) files and swapped in with
-  * two renames (leaf → leaf.old, tmp → leaf). The unit of work and of
-  * failure is one partition directory — a crash mid-compaction leaves
-  * every partition either fully old or fully new, and the job is
-  * re-runnable (single-writer discipline, same as the ledger). At 100 TB
-  * the candidate scan is a listing, partitions compact independently
-  * (driver loop here; trivially parallelizable), and untouched
-  * partitions cost nothing.
+  * two renames (leaf → .old-leaf, tmp → leaf). The unit of work and of
+  * failure is one partition directory; [[recover]] runs first on every
+  * invocation and completes or rolls back any swap a previous run left
+  * half-done (`.old-X` with no `X` → restore; with `X` → drop leftover),
+  * so the job is re-runnable and readers only ever see a partition fully
+  * old or fully new. The rewrite reads with mergeSchema=true — partition
+  * files can carry different schema generations (additive drift), and a
+  * single-footer read would silently drop drifted columns. At 100 TB the
+  * candidate scan is a listing, partitions compact independently (driver
+  * loop here; trivially parallelizable), and untouched partitions cost
+  * nothing.
   */
 object Compactor {
-  final case class Report(partitionsCompacted: Int, filesBefore: Int, filesAfter: Int)
+  final case class Report(partitionsCompacted: Int, filesBefore: Int, filesAfter: Int,
+                          recovered: Int)
+
+  private def isHidden(name: String): Boolean =
+    name.startsWith("_") || name.startsWith(".")
 
   def compact(spark: SparkSession, lakeDir: String,
               maxFilesPerPartition: Int = 4,
               targetBytesPerFile: Long = 128L * 1024 * 1024): Report = {
     val root = new Path(lakeDir)
     val fs = FileSystem.get(root.toUri, spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return Report(0, 0, 0)
+    if (!fs.exists(root)) return Report(0, 0, 0, 0)
+
+    val recovered = recover(fs, root)
 
     def dataFiles(dir: Path): Seq[Path] =
       fs.listStatus(dir).toSeq
-        .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
-          !s.getPath.getName.startsWith("."))
+        .filter(s => s.isFile && !isHidden(s.getPath.getName))
         .map(_.getPath)
 
-    // leaf partition dirs = directories that contain data files directly
+    // leaf partition dirs (no visible subdirectories). Files sitting in
+    // mixed dirs (stray writes next to partition subdirs) are counted in
+    // the totals but never rewritten.
     val leaves = ArrayBuffer.empty[Path]
+    var strayFiles = 0
     def walk(dir: Path): Unit = {
       val children = fs.listStatus(dir).toSeq
-      val subdirs = children.filter(_.isDirectory)
+      val subdirs = children.filter(s => s.isDirectory && !isHidden(s.getPath.getName))
       if (subdirs.isEmpty) { if (dataFiles(dir).nonEmpty) leaves += dir }
-      else subdirs.foreach(s => walk(s.getPath))
+      else {
+        strayFiles += dataFiles(dir).size
+        subdirs.foreach(s => walk(s.getPath))
+      }
     }
     walk(root)
 
     var compacted = 0
-    var before = 0
-    var after = 0
+    var before = strayFiles
+    var after = strayFiles
     leaves.foreach { leaf =>
       val files = dataFiles(leaf)
       before += files.size
@@ -59,7 +74,7 @@ object Compactor {
         fs.delete(tmp, true)
         // one leaf holds one partition's rows; partition values live in
         // the directory name, so the rewrite carries data columns only
-        spark.read.parquet(leaf.toString)
+        spark.read.option("mergeSchema", "true").parquet(leaf.toString)
           .repartition(nOut)
           .write.mode("overwrite").parquet(tmp.toString)
         val old = new Path(leaf.getParent, s".old-${leaf.getName}")
@@ -73,6 +88,34 @@ object Compactor {
         after += dataFiles(leaf).size
       } else after += files.size
     }
-    Report(compacted, before, after)
+    Report(compacted, before, after, recovered)
+  }
+
+  /** Complete or roll back swaps interrupted by a crash: a `.old-X` dir
+    * whose `X` is missing means the crash hit between the two renames —
+    * restore it (the `.compact-X` rewrite, if complete, is discarded;
+    * re-running compaction redoes it). Leftover `.compact-*`/`.old-*`
+    * next to a live `X` are deleted. Returns the number of restored
+    * partitions. */
+  def recover(fs: FileSystem, root: Path): Int = {
+    var restored = 0
+    def sweep(dir: Path): Unit = {
+      val children = fs.listStatus(dir).toSeq
+      children.filter(_.isDirectory).foreach { st =>
+        val name = st.getPath.getName
+        if (name.startsWith(".old-")) {
+          val live = new Path(dir, name.stripPrefix(".old-"))
+          if (!fs.exists(live)) {
+            if (!fs.rename(st.getPath, live))
+              throw new java.io.IOException(s"recovery restore failed: ${st.getPath}")
+            restored += 1
+          } else fs.delete(st.getPath, true): Unit
+        } else if (name.startsWith(".compact-")) {
+          fs.delete(st.getPath, true): Unit
+        } else if (!isHidden(name)) sweep(st.getPath)
+      }
+    }
+    if (fs.exists(root)) sweep(root)
+    restored
   }
 }

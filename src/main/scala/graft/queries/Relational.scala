@@ -240,15 +240,19 @@ object Relational {
     // correlated aggregate into a grouped join — verify with PlanAudit:
     // one aggregation over lineitem, one join, no per-row re-scan).
     "q50_small_qty_revenue" -> ((s, d) => {
-      Tables.load(s, d, "lineitem").createOrReplaceTempView("v_lineitem")
-      Tables.load(s, d, "part").createOrReplaceTempView("v_part")
+      // view names carry the scale-factor tag: a fixed global name would
+      // race a parallel runner using another sfDir on the same session
+      // (same-sfDir re-registration is idempotent and harmless)
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      Tables.load(s, d, "lineitem").createOrReplaceTempView(s"v_lineitem_$tag")
+      Tables.load(s, d, "part").createOrReplaceTempView(s"v_part_$tag")
       s.sql(
-        """SELECT p_brand,
+        s"""SELECT p_brand,
                   CAST(COUNT(*) AS BIGINT) AS n_small,
                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
-           FROM v_lineitem JOIN v_part ON l_partkey = p_partkey
+           FROM v_lineitem_$tag JOIN v_part_$tag ON l_partkey = p_partkey
            WHERE l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
-                               FROM v_lineitem l2
+                               FROM v_lineitem_$tag l2
                                WHERE l2.l_partkey = p_partkey)
            GROUP BY p_brand ORDER BY p_brand""")
     }),

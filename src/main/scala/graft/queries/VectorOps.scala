@@ -166,7 +166,7 @@ object VectorOps {
     // k-means quantizer (Lloyd iterations as pure DataFrame passes:
     // assignment = argmax of codegen vec_dot against 16 broadcast
     // centroid literals, update = the q37 posexplode-mean) partitions the
-    // corpus into cells; each probe searches only its nprobe=2 nearest
+    // corpus into cells; each probe searches only its nprobe=4 nearest
     // cells and re-ranks those candidates exactly. At 100 TB: centroids
     // are KBs (always broadcastable), assignment is one scan, the
     // candidate set is ≈ nprobe/k of the corpus per probe. Deterministic:
@@ -235,7 +235,9 @@ object VectorOps {
       val e = embs(s, d)
       val bits = codeBits(e.count())
       val dim = e.select(size(col("embedding"))).first().getInt(0)
-      val buckets = lshBuckets(e, bits, dim)
+      // the corpus coding pass feeds BOTH sides of the self-join; persist
+      // so it runs once (same session-lifetime note as the q32 cache)
+      val buckets = lshBuckets(e, bits, dim).persist()
       val left = buckets.select(col("vec_id").as("a_id"), col("t"),
         explode(multiProbe(bits)).as("code"))
       val cands = left

@@ -170,26 +170,46 @@ class IngestSpec extends AnyFunSuite {
     assert(new File(s"${lay.processedDir}/ok.jsonl").exists())
   }
 
-  test("compaction merges small partition files without changing any row") {
+  test("compaction merges small partition files, preserving rows and drifted columns") {
     import graft.ingest.Compactor
     val lay = freshLake()
-    // five single-record appends into the same partition → 5+ small files
-    (1 to 5).foreach { i =>
+    // five single-record appends into the same partition → 5+ small
+    // files; the last one carries a drifted column, so the leaf dir
+    // mixes schema generations and the rewrite must union them
+    (1 to 4).foreach { i =>
       writeLines(s"${lay.rawDir}/f$i.jsonl", Seq(rec(s"c-$i")))
       new BatchProcessor(spark, lay, Contracts.events, batchSize = 1).runUntilDrained(): Unit
     }
+    writeLines(s"${lay.rawDir}/f5.jsonl", Seq(
+      rec("c-5").stripSuffix("}") + ""","extra_field":"drifted"}"""))
+    new BatchProcessor(spark, lay, Contracts.events, batchSize = 1).runUntilDrained(): Unit
+
     val beforeRows = CuratedWriter.read(spark, lay.curatedDir)
       .collect().map(_.toString).sorted.toSeq
     val report = Compactor.compact(spark, lay.curatedDir, maxFilesPerPartition = 1)
     assert(report.partitionsCompacted >= 1)
-    assert(report.filesAfter < report.filesBefore,
-      s"expected fewer files, got $report")
-    val afterRows = CuratedWriter.read(spark, lay.curatedDir)
-      .collect().map(_.toString).sorted.toSeq
-    assert(afterRows == beforeRows)
+    assert(report.filesAfter < report.filesBefore, s"expected fewer files, got $report")
+    val after = CuratedWriter.read(spark, lay.curatedDir)
+    assert(after.collect().map(_.toString).sorted.toSeq == beforeRows)
+    assert(after.filter(col("extra_field") === "drifted").count() == 1,
+      "drifted column lost in compaction rewrite")
     // idempotent: a second pass finds nothing oversized
-    val second = Compactor.compact(spark, lay.curatedDir, maxFilesPerPartition = 1)
-    assert(second.partitionsCompacted == 0)
+    assert(Compactor.compact(spark, lay.curatedDir, maxFilesPerPartition = 1)
+      .partitionsCompacted == 0)
+
+    // crash recovery: simulate death between the two swap renames by
+    // hiding a live partition under its .old- name — the next run
+    // restores it before compacting
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI("file:///"), spark.sparkContext.hadoopConfiguration)
+    val leaf = new org.apache.hadoop.fs.Path(
+      s"${lay.curatedDir}/year=2024/month=3/day=7/mode=training")
+    val hidden = new org.apache.hadoop.fs.Path(leaf.getParent, ".old-mode=training")
+    assert(fs.rename(leaf, hidden)) // readers are now blind to the partition
+    val rec2 = Compactor.compact(spark, lay.curatedDir, maxFilesPerPartition = 1)
+    assert(rec2.recovered == 1)
+    assert(CuratedWriter.read(spark, lay.curatedDir)
+      .collect().map(_.toString).sorted.toSeq == beforeRows)
   }
 
   test("schema merge: contract wins conflicts, inferred-only fields are kept") {
