@@ -82,6 +82,56 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // X4: token counting beyond whitespace — a BPE-ish regex tokenizer
+    // (letter runs | digit runs | single non-space symbol, the GPT-2
+    // pre-tokenizer shape) beside the whitespace count, plus class
+    // histograms. Pure regexp_extract_all column algebra; the pattern is
+    // identical under Java regex and DuckDB's RE2.
+    "q53_regex_tokens" -> ((s, d) => {
+      val pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+      docs(s, d)
+        .filter(col("doc_id") < 100)
+        .withColumn("bpe", expr(s"regexp_extract_all(text, '$pat', 0)"))
+        .select(col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_ws"),
+          size(col("bpe")).cast("long").as("n_bpe"),
+          size(filter(col("bpe"), t => t.rlike("^[A-Za-z]+$"))).cast("long").as("n_alpha"),
+          size(filter(col("bpe"), t => t.rlike("^[0-9]+$"))).cast("long").as("n_digit"))
+        .withColumn("n_sym", col("n_bpe") - col("n_alpha") - col("n_digit"))
+        .orderBy("doc_id")
+    }),
+
+    // X4: winnowing document fingerprints over a polynomial ROLLING HASH
+    // (the MOSS construction): hash every 8-char gram (base 257 mod 1e9+7,
+    // plain integer column algebra so DuckDB reproduces it bit-for-bit),
+    // then keep the minimum hash of every 16-gram window and dedupe.
+    // Robust to insertions/shifts where the q30 whole-document md5 is not;
+    // winnowing guarantees bounded fingerprint volume (≈ 2/(w+1) per
+    // char) at 100 TB, and matching docs share fingerprint VALUES, so
+    // fingerprints are joinable for overlap detection.
+    "q54_winnow_fingerprints" -> ((s, d) => {
+      val gramHash =
+        """transform(sequence(0, length(text) - 8), i ->
+             (ascii(substring(text, i + 1, 1)) * 13163680L +
+              ascii(substring(text, i + 2, 1)) * 805498697L +
+              ascii(substring(text, i + 3, 1)) * 154885210L +
+              ascii(substring(text, i + 4, 1)) * 362470373L +
+              ascii(substring(text, i + 5, 1)) * 16974593L +
+              ascii(substring(text, i + 6, 1)) * 66049L +
+              ascii(substring(text, i + 7, 1)) * 257L +
+              ascii(substring(text, i + 8, 1))) % 1000000007L)"""
+      docs(s, d)
+        .filter(col("doc_id") < 100 && length(col("text")) >= 23)
+        .withColumn("gh", expr(gramHash))
+        .withColumn("fps", expr(
+          "array_distinct(transform(sequence(1, size(gh) - 15), w -> array_min(slice(gh, w, 16))))"))
+        .select(col("doc_id"),
+          size(col("fps")).cast("long").as("n_fp"),
+          array_min(col("fps")).as("fp_min"),
+          expr("aggregate(fps, 0L, (a, x) -> a + x)").as("fp_sum"))
+        .orderBy("doc_id")
+    }),
+
     // X4: character-trigram language guesser as a naive-Bayes unigram LM —
     // per-language trigram log-likelihoods with add-0.5 smoothing,
     // classify by argmax of summed log-probs. (Replaces the rank-distance
@@ -159,5 +209,41 @@ object TextOps {
            / len(string_split(text, ' '))) AS BIGINT) AS tok_len_e6
          FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
     "q30_fingerprints" ->
-      """SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id < 200 ORDER BY doc_id""")
+      """SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id < 200 ORDER BY doc_id""",
+    "q53_regex_tokens" ->
+      """WITH b AS (
+           SELECT doc_id, len(string_split(text, ' ')) AS n_ws,
+                  regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]') AS bpe
+           FROM documents WHERE doc_id < 100),
+         c AS (
+           SELECT doc_id, n_ws, len(bpe) AS n_bpe,
+                  len(list_filter(bpe, t -> regexp_full_match(t, '[A-Za-z]+'))) AS n_alpha,
+                  len(list_filter(bpe, t -> regexp_full_match(t, '[0-9]+'))) AS n_digit
+           FROM b)
+         SELECT doc_id, CAST(n_ws AS BIGINT) AS n_ws, CAST(n_bpe AS BIGINT) AS n_bpe,
+                CAST(n_alpha AS BIGINT) AS n_alpha, CAST(n_digit AS BIGINT) AS n_digit,
+                CAST(n_bpe - n_alpha - n_digit AS BIGINT) AS n_sym
+         FROM c ORDER BY doc_id""",
+    "q54_winnow_fingerprints" ->
+      """WITH g AS (
+           SELECT doc_id,
+             [ (ascii(substring(text, i, 1))::BIGINT * 13163680 +
+                ascii(substring(text, i + 1, 1))::BIGINT * 805498697 +
+                ascii(substring(text, i + 2, 1))::BIGINT * 154885210 +
+                ascii(substring(text, i + 3, 1))::BIGINT * 362470373 +
+                ascii(substring(text, i + 4, 1))::BIGINT * 16974593 +
+                ascii(substring(text, i + 5, 1))::BIGINT * 66049 +
+                ascii(substring(text, i + 6, 1))::BIGINT * 257 +
+                ascii(substring(text, i + 7, 1))::BIGINT) % 1000000007
+               FOR i IN range(1, len(text) - 6) ] AS gh
+           FROM documents WHERE doc_id < 100 AND len(text) >= 23),
+         f AS (
+           SELECT doc_id,
+             list_distinct([ list_min(gh[w : w + 15])
+                             FOR w IN range(1, len(gh) - 14) ]) AS fps
+           FROM g)
+         SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
+                CAST(list_min(fps) AS BIGINT) AS fp_min,
+                CAST(list_sum(fps) AS BIGINT) AS fp_sum
+         FROM f ORDER BY doc_id""")
 }
