@@ -20,9 +20,10 @@ import scala.collection.mutable.ArrayBuffer
   * old or fully new. The rewrite reads with mergeSchema=true — partition
   * files can carry different schema generations (additive drift), and a
   * single-footer read would silently drop drifted columns. At 100 TB the
-  * candidate scan is a listing, partitions compact independently (driver
-  * loop here; trivially parallelizable), and untouched partitions cost
-  * nothing.
+  * candidate scan is a listing, partitions compact independently (a
+  * bounded thread pool drives `parallelism` concurrent rewrite jobs —
+  * Spark schedules jobs from multiple driver threads natively), and
+  * untouched partitions cost nothing.
   */
 object Compactor {
   final case class Report(partitionsCompacted: Int, filesBefore: Int, filesAfter: Int,
@@ -33,7 +34,8 @@ object Compactor {
 
   def compact(spark: SparkSession, lakeDir: String,
               maxFilesPerPartition: Int = 4,
-              targetBytesPerFile: Long = 128L * 1024 * 1024): Report = {
+              targetBytesPerFile: Long = 128L * 1024 * 1024,
+              parallelism: Int = 4): Report = {
     val root = new Path(lakeDir)
     val fs = FileSystem.get(root.toUri, spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Report(0, 0, 0, 0)
@@ -61,12 +63,10 @@ object Compactor {
     }
     walk(root)
 
-    var compacted = 0
-    var before = strayFiles
-    var after = strayFiles
-    leaves.foreach { leaf =>
+    // each leaf is an independent unit of work and of failure; run up to
+    // `parallelism` leaf rewrites concurrently (each is its own Spark job)
+    def compactLeaf(leaf: Path): (Int, Int, Int) = { // (before, after, compacted)
       val files = dataFiles(leaf)
-      before += files.size
       if (files.size > maxFilesPerPartition) {
         val bytes = files.map(f => fs.getFileStatus(f).getLen).sum
         val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytesPerFile).toInt)
@@ -84,11 +84,25 @@ object Compactor {
           throw new java.io.IOException(s"swap-in failed: $leaf")
         }
         fs.delete(old, true)
-        compacted += 1
-        after += dataFiles(leaf).size
-      } else after += files.size
+        (files.size, dataFiles(leaf).size, 1)
+      } else (files.size, files.size, 0)
     }
-    Report(compacted, before, after, recovered)
+
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(parallelism, leaves.size)))
+    val results =
+      try {
+        import scala.jdk.CollectionConverters._
+        val tasks: Seq[java.util.concurrent.Callable[(Int, Int, Int)]] =
+          leaves.toSeq.map(leaf =>
+            (() => compactLeaf(leaf)): java.util.concurrent.Callable[(Int, Int, Int)])
+        pool.invokeAll(tasks.asJava).asScala.toSeq.map(_.get()) // rethrows leaf failures
+      } finally pool.shutdown()
+    Report(
+      results.map(_._3).sum,
+      strayFiles + results.map(_._1).sum,
+      strayFiles + results.map(_._2).sum,
+      recovered)
   }
 
   /** Complete or roll back swaps interrupted by a crash: a `.old-X` dir

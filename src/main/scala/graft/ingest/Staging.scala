@@ -1,0 +1,69 @@
+package graft.ingest
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import scala.collection.mutable.ArrayBuffer
+
+/** Staged-publish primitive shared by the batch and streaming runners:
+  * move the data files of a staged partition tree into the same relative
+  * locations under the live lake, file by file, via rename.
+  *
+  * Why this shape (SURVEY.md §7.5's exactly-once-without-a-table-format
+  * recommendation): a parquet `append` that dies mid-job leaves orphan
+  * rows the next retry duplicates. Writing the batch to a private
+  * staging tree first makes the batch's durability decision a single
+  * atomic rename (the caller's commit point), and the publish step is
+  * RESUMABLE — each rename removes its source, so a crash mid-publish
+  * re-runs and moves only what remains; a moved file can never move
+  * twice. File names get a caller-chosen prefix: unique per attempt for
+  * the batch runner (uniqueness under concurrent appends), deterministic
+  * per micro-batch for the streaming runner (so a replay can first sweep
+  * the partial files of a crashed attempt — `replaceExistingPrefix`).
+  *
+  * Object-store note: on HDFS/local these renames are atomic metadata
+  * ops; on S3A a rename is copy+delete, so the same protocol holds but
+  * the commit point should move to an S3-committer/table format at that
+  * deployment — documented trade-off, same code path.
+  */
+object Staging {
+  private def visible(name: String): Boolean =
+    !name.startsWith("_") && !name.startsWith(".")
+
+  /** (relative partition path, data files) for every directory under
+    * `root` that directly contains visible files. */
+  private def leaves(fs: FileSystem, root: Path): Seq[(Seq[String], Seq[Path])] = {
+    val out = ArrayBuffer.empty[(Seq[String], Seq[Path])]
+    def walk(dir: Path, rel: Vector[String]): Unit = {
+      val st = fs.listStatus(dir)
+      val files = st.toSeq.collect {
+        case s if s.isFile && visible(s.getPath.getName) => s.getPath
+      }
+      if (files.nonEmpty) out += ((rel, files))
+      st.toSeq.filter(s => s.isDirectory && visible(s.getPath.getName))
+        .foreach(s => walk(s.getPath, rel :+ s.getPath.getName))
+    }
+    if (fs.exists(root)) walk(root, Vector.empty)
+    out.toSeq
+  }
+
+  /** Publish `stagedRoot`'s data files into `liveRoot`. Returns the
+    * number of files moved (0 on a fully-resumed publish). */
+  def publish(fs: FileSystem, stagedRoot: Path, liveRoot: Path, prefix: String,
+              replaceExistingPrefix: Boolean = false): Int = {
+    var moved = 0
+    leaves(fs, stagedRoot).foreach { case (rel, files) =>
+      val dest = rel.foldLeft(liveRoot)(new Path(_, _))
+      fs.mkdirs(dest)
+      if (replaceExistingPrefix)
+        fs.listStatus(dest).toSeq
+          .filter(s => s.isFile && s.getPath.getName.startsWith(prefix))
+          .foreach(s => fs.delete(s.getPath, false): Unit)
+      files.foreach { f =>
+        val to = new Path(dest, prefix + f.getName)
+        if (!fs.rename(f, to))
+          throw new java.io.IOException(s"staged publish rename failed: $f -> $to")
+        moved += 1
+      }
+    }
+    moved
+  }
+}

@@ -30,10 +30,13 @@ final case class LakeLayout(root: String) {
   *    the curated lake (they all go to the DLQ), where the reference
   *    re-appends partial files on retry. Replay of a FAILED file is
   *    guarded by a per-file curated MARKER so a retry after a failed
-  *    archive (or a crash after the append) does not re-append its rows;
-  *    the residual duplicate window is a crash between the append and
-  *    the marker write — closing that fully needs a transactional table
-  *    format under the sink;
+  *    archive does not re-append its rows — and the batch's curated
+  *    output is STAGED and atomically committed (rename to `.ready`)
+  *    before any of it is published, so there is no crash window between
+  *    the append and the marker write: a batch either never published
+  *    (staging discarded, full retry) or is completed by the
+  *    [[recoverStaging]] sweep at the next tick (publish resumed, markers
+  *    written, no duplicate rows). Exactly-once without a table format;
   *  - per-file dispositions come from ONE aggregate (file-level collect
   *    bounded by batch size), not `distinct().collect()` per branch —
   *    and the raw frame is persisted across its four uses (pitfall P1);
@@ -48,10 +51,14 @@ final class BatchProcessor(
     layout: LakeLayout,
     contract: StructType,
     batchSize: Int = 10000,
-    maxRetries: Int = 3) {
+    maxRetries: Int = 3,
+    ledgerFactory: (SparkSession, String, Int) => Ledger = Ledger(_, _, _)) {
 
-  val ledger = new Ledger(spark, layout.ledgerDir, maxRetries)
+  val ledger: Ledger = ledgerFactory(spark, layout.ledgerDir, maxRetries)
   private var runCounter = 0
+  private val stagingRoot = new org.apache.hadoop.fs.Path(s"${layout.root}/curated-staging")
+  private val fs = org.apache.hadoop.fs.FileSystem.get(
+    new org.apache.hadoop.fs.Path(layout.root).toUri, spark.sparkContext.hadoopConfiguration)
 
   import RawJsonReader.SourceCol
 
@@ -59,6 +66,7 @@ final class BatchProcessor(
   def runOnce(): Boolean = {
     runCounter += 1
     val runId = f"run-$runCounter%05d"
+    recoverStaging() // complete or discard what a crashed tick left behind
     Discovery.run(spark, layout.rawDir, ledger)
     val batch = ledger.selectBatch(batchSize)
     if (batch.isEmpty) return false
@@ -104,12 +112,13 @@ final class BatchProcessor(
       }
 
       // Curate rows of clean files only. Replay safety: a file whose rows
-      // already reached the lake on a previous attempt (append succeeded,
-      // then archive failed or the writer crashed before SUCCEEDED) has a
-      // curated MARKER and is excluded from the append — re-processing it
-      // must not duplicate its rows. The residual window is a crash
-      // between the append and its marker write; closing it fully needs a
-      // transactional table format, which is out of scope and documented.
+      // already reached the lake on a previous attempt (staged batch
+      // committed, then archive failed or the writer crashed before
+      // SUCCEEDED) has a curated MARKER and is excluded from the append —
+      // re-processing it must not duplicate its rows. The batch's output
+      // is staged and committed with one atomic rename before publishing
+      // (see stagePublish), so no crash point can both publish rows and
+      // lose the marker: recoverStaging finishes the job next tick.
       val toCurate = cleanFiles.filterNot(markerExists)
       val curateEnc = {
         val toCurateSet = toCurate.toSet
@@ -117,15 +126,15 @@ final class BatchProcessor(
           case (enc, 0L) if toCurateSet(PathNorm.fromString(enc)) => enc
         }
       }
-      if (curateEnc.nonEmpty) {
-        import spark.implicits._
-        val good = Segregator.goodRecords(raw, "event_timestamp", "MODE")
-          .join(broadcast(curateEnc.toSeq.toDF(SourceCol)), Seq(SourceCol), "left_semi")
-        CuratedWriter.append(
-          Transformer.curate(good).withColumnRenamed(SourceCol, "source_file"),
-          layout.curatedDir)
-      }
-      toCurate.foreach(writeMarker)
+      val curated =
+        if (curateEnc.isEmpty) None
+        else {
+          import spark.implicits._
+          val good = Segregator.goodRecords(raw, "event_timestamp", "MODE")
+            .join(broadcast(curateEnc.toSeq.toDF(SourceCol)), Seq(SourceCol), "left_semi")
+          Some(Transformer.curate(good).withColumnRenamed(SourceCol, "source_file"))
+        }
+      stagePublish(curated, toCurate, runId)
 
       // Archive clean files (S8); a failed move downgrades that file only.
       val (archived, moveFailed) =
@@ -140,6 +149,72 @@ final class BatchProcessor(
       ledger.markOutcome(outcomes, runId, errors)
       archived.foreach(clearMarker) // SUCCEEDED files are never re-selected
     } finally raw.unpersist(): Unit
+  }
+
+  // ---- staged atomic publish -----------------------------------------
+  //
+  // Protocol (two-rename discipline, same as the Compactor's):
+  //   1. write the batch's curated rows to curated-staging/<token>
+  //   2. write a _manifest of the ledger keys the batch covers
+  //   3. rename <token> -> <token>.ready          <- THE commit point
+  //   4. move each staged data file into the live lake (resumable:
+  //      rename consumes the source, a re-run moves only what remains)
+  //   5. write the per-file curated markers (the replay guard)
+  //   6. delete the .ready dir
+  // A crash before (3) leaves an uncommitted dir that recoverStaging
+  // discards — the batch retries from scratch, nothing was published. A
+  // crash at/after (3) — including a failed marker write — leaves a
+  // .ready dir that recoverStaging COMPLETES (4-6 are all idempotent)
+  // before the next batch selection, so the marker guard is in place
+  // before the file can be re-processed. No ordering of crashes can
+  // duplicate curated rows.
+
+  private def stagePublish(curated: Option[DataFrame], files: Seq[String],
+                           runId: String): Unit = {
+    if (files.isEmpty) return
+    val token = s"$runId-${java.util.UUID.randomUUID().toString.take(8)}"
+    val stage = new org.apache.hadoop.fs.Path(stagingRoot, token)
+    curated.foreach(df => CuratedWriter.append(df, stage.toString))
+    writeManifest(stage, files)
+    val ready = new org.apache.hadoop.fs.Path(stagingRoot, s"$token.ready")
+    if (!fs.rename(stage, ready))
+      throw new java.io.IOException(s"staging commit failed: $stage")
+    publishReady(ready)
+  }
+
+  private def writeManifest(stage: org.apache.hadoop.fs.Path, files: Seq[String]): Unit = {
+    fs.mkdirs(stage)
+    val out = fs.create(new org.apache.hadoop.fs.Path(stage, "_manifest"), true)
+    try out.write(files.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readManifest(ready: org.apache.hadoop.fs.Path): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(ready, "_manifest")
+    if (!fs.exists(p)) return Seq.empty
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toVector
+    finally in.close()
+  }
+
+  private def publishReady(ready: org.apache.hadoop.fs.Path): Unit = {
+    val prefix = ready.getName.stripSuffix(".ready") + "-"
+    Staging.publish(fs, ready, new org.apache.hadoop.fs.Path(layout.curatedDir), prefix)
+    // markers AFTER the rows are live: a marker must never exist for rows
+    // that aren't in the lake (that ordering could lose data; this one
+    // can only retrigger an idempotent publish)
+    readManifest(ready).foreach(writeMarker)
+    fs.delete(ready, true): Unit
+  }
+
+  /** Complete committed-but-unpublished batches; discard uncommitted
+    * staging leftovers. Runs before every batch selection. */
+  def recoverStaging(): Unit = {
+    if (!fs.exists(stagingRoot)) return
+    fs.listStatus(stagingRoot).foreach { st =>
+      if (st.getPath.getName.endsWith(".ready")) publishReady(st.getPath)
+      else fs.delete(st.getPath, true): Unit
+    }
   }
 
   private def markerPath(file: String): java.nio.file.Path = {

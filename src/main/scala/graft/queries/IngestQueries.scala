@@ -25,7 +25,7 @@ object IngestQueries {
     // every events row + the 4 drift rows; DLQ gets 12 rows.
     "q38_ingest_segregation" -> ((s, d) => {
       val lay = IngestDemo.ensure(s, d)
-      val led = new Ledger(s, lay.ledgerDir).snapshot()
+      val led = Ledger(s, lay.ledgerDir).snapshot()
       led.agg(
         sum(when(col("processing_status") === Ledger.Succeeded, 1L).otherwise(0L))
           .as("clean_files"),
@@ -53,7 +53,7 @@ object IngestQueries {
     // terminal rows carry a processed_at stamp (current_timestamp).
     "q40_ledger_audit" -> ((s, d) => {
       val lay = IngestDemo.ensure(s, d)
-      new Ledger(s, lay.ledgerDir).snapshot()
+      Ledger(s, lay.ledgerDir).snapshot()
         .groupBy("processing_status")
         .agg(
           count(lit(1)).as("n_files"),

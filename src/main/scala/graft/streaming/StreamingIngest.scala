@@ -18,16 +18,19 @@ import graft.pipeline.LakeLayout
   * split, all-or-nothing file quarantine, DLQ, partitioned curated
   * append — are identical to [[graft.pipeline.BatchProcessor]].
   *
-  * Delivery semantics, stated precisely: `foreachBatch` is AT-LEAST-ONCE
-  * across crashes — a batch that wrote output but died before the
-  * checkpoint commit is replayed on restart. The DLQ write is idempotent
-  * (batch-id-keyed directory, overwritten on replay); the curated
-  * parquet APPEND is not, so a crash inside a micro-batch can duplicate
-  * that batch's curated rows. Exactly-once curated output needs either
-  * the ledger runner (whose curated markers bound replay per FILE) or a
-  * transactional table format under the sink. Across clean runs —
-  * including the re-drain StreamingSpec asserts — output is
-  * exactly-once.
+  * Delivery semantics: `foreachBatch` is AT-LEAST-ONCE across crashes —
+  * a batch that wrote output but died before the checkpoint commit is
+  * replayed on restart. Every sink write here is therefore made
+  * IDEMPOTENT per micro-batch, which upgrades the end-to-end result to
+  * exactly-once: the DLQ write is batch-id-keyed and overwritten on
+  * replay, and the curated append goes through a batch-id-keyed staging
+  * dir whose publish step (a) first sweeps any `b<id>-`-prefixed files a
+  * crashed attempt already published into the touched partitions, then
+  * (b) moves the staged files in, then (c) records a commit marker that
+  * short-circuits any later replay. The sweep relies on micro-batch
+  * determinism (same checkpointed input files → same partitions touched),
+  * which is Structured Streaming's own replay contract. Verified by the
+  * kill-between-publish-and-commit test in StreamingSpec.
   *
   * Trade-off vs the ledger runner (documented, both shipped): the
   * checkpoint is opaque (no per-file audit rows, no retry counters, no
@@ -72,9 +75,17 @@ object StreamingIngest {
 
   /** One micro-batch through the shared ingest stages — the §3.1 body
     * minus ledger bookkeeping (the checkpoint owns file-level
-    * exactly-once here). */
+    * exactly-once here; the staged publish below owns row-level
+    * exactly-once across mid-batch crashes). */
   private def processMicroBatch(spark: SparkSession, raw: DataFrame,
                                 layout: LakeLayout, runId: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new org.apache.hadoop.fs.Path(layout.root).toUri,
+      spark.sparkContext.hadoopConfiguration)
+    val commitMarker = new org.apache.hadoop.fs.Path(
+      s"${layout.root}/stream-commits/$runId")
+    if (fs.exists(commitMarker)) return // replay of a fully published batch
+
     val quarFiles = Segregator.fileDispositions(raw, "event_timestamp", "MODE")
       .filter(col("n_corrupt") + col("n_datebad") > 0)
       .select(SourceCol)
@@ -82,9 +93,26 @@ object StreamingIngest {
     if (!dlq.isEmpty) DlqWriter.write(dlq, layout.dlqDir, runId, mode = "overwrite")
     val good = Segregator.goodRecords(raw, "event_timestamp", "MODE")
       .join(broadcast(quarFiles), Seq(SourceCol), "left_anti")
-    if (!good.isEmpty)
-      CuratedWriter.append(
-        Transformer.curate(good).withColumnRenamed(SourceCol, "source_file"),
-        layout.curatedDir)
+    if (!good.isEmpty) {
+      // batch-id-keyed staging: a replay OVERWRITES the whole staging dir
+      // (so partial staging is self-healing), and the deterministic
+      // `b<id>-` prefix lets publish replace a crashed attempt's partial
+      // output instead of adding to it
+      val stage = new org.apache.hadoop.fs.Path(s"${layout.root}/stream-staging/$runId")
+      fs.delete(stage, true)
+      Transformer.curate(good).withColumnRenamed(SourceCol, "source_file")
+        .repartition(CuratedWriter.PartitionCols.map(col): _*)
+        .write.mode("overwrite")
+        .partitionBy(CuratedWriter.PartitionCols: _*)
+        .parquet(stage.toString)
+      Staging.publish(fs, stage, new org.apache.hadoop.fs.Path(layout.curatedDir),
+        prefix = s"b$runId-", replaceExistingPrefix = true)
+      fs.delete(stage, true): Unit
+    }
+    // commit marker LAST: a crash anywhere above replays the whole batch
+    // idempotently; after the marker, replays are no-ops
+    fs.mkdirs(commitMarker.getParent)
+    val out = fs.create(commitMarker, true)
+    out.close()
   }
 }

@@ -1,0 +1,154 @@
+package graft.ledger
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** The ledger state machine (sudo_code.txt:25-49) exercised IDENTICALLY
+  * against both implementations — the parquet single-writer default and
+  * the Derby-backed [[JdbcLedger]] (the reference's actual RDS shape) —
+  * plus the parquet ledger's bounded-durability guarantees: a fixed
+  * version window regardless of commit count, and no O(history) listing
+  * on the commit path (50k-file stress drain).
+  */
+class LedgerSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  System.setProperty("derby.system.home", "target/derby")
+
+  private def freshDir(): String = Files.createTempDirectory("graft-ledger").toString
+
+  private val impls: Seq[(String, String => Ledger)] = Seq(
+    "parquet" -> ((dir: String) => new ParquetLedger(spark, dir, maxRetries = 3)),
+    "jdbc" -> ((dir: String) => new JdbcLedger(spark, JdbcLedger.derbyUrl(dir), maxRetries = 3)))
+
+  private def statusOf(led: Ledger): Map[String, (String, Int, Boolean, Option[String])] =
+    led.snapshot().collect().map { r =>
+      r.getAs[String]("s3_key") ->
+        ((r.getAs[String]("processing_status"), r.getAs[Int]("retry_count"),
+          r.getAs[java.sql.Timestamp]("processed_at") != null,
+          Option(r.getAs[String]("error_message"))))
+    }.toMap
+
+  for ((name, mk) <- impls) {
+    test(s"$name: registration is conflict-ignore; selection is oldest-first top-k") {
+      val dir = freshDir()
+      val led = mk(dir)
+      assert(led.register(Seq(("f/a", 1L), ("f/b", 2L), ("f/c", 3L))) == 3L)
+      assert(led.register(Seq(("f/a", 1L), ("f/d", 4L))) == 1L) // a ignored
+      assert(led.selectBatch(2) == Seq("f/a", "f/b")) // same created_at -> key order
+      assert(led.selectBatch(10).size == 4)
+    }
+
+    test(s"$name: full transition cycle PENDING→PROCESSING→{SUCCEEDED,FAILED}→QUARANTINED") {
+      val dir = freshDir()
+      val led = mk(dir)
+      led.register(Seq(("g/a", 1L), ("g/b", 2L)))
+      led.markProcessing(Seq("g/a", "g/b"), "r1")
+      assert(statusOf(led)("g/a") == ((Ledger.Processing, 1, false, None)))
+      led.markOutcome(Map("g/a" -> Ledger.Succeeded, "g/b" -> Ledger.Failed),
+        "r1", Map("g/b" -> "boom"))
+      val s1 = statusOf(led)
+      assert(s1("g/a") == ((Ledger.Succeeded, 1, true, None)))
+      assert(s1("g/b") == ((Ledger.Failed, 1, false, Some("boom"))))
+      // FAILED is re-selectable until the retry budget is gone
+      assert(led.selectBatch(10) == Seq("g/b"))
+      led.markProcessing(Seq("g/b"), "r2")
+      led.markOutcome(Map("g/b" -> Ledger.Failed), "r2", Map("g/b" -> "boom2"))
+      led.markProcessing(Seq("g/b"), "r3")
+      led.markOutcome(Map("g/b" -> Ledger.Failed), "r3", Map("g/b" -> "boom3"))
+      assert(led.selectBatch(10).isEmpty) // retry budget (3) exhausted
+      assert(led.quarantineExhausted("r4") == 1L)
+      val s2 = statusOf(led)
+      assert(s2("g/b")._1 == Ledger.Quarantined && s2("g/b")._3)
+      assert(led.quarantineExhausted("r5") == 0L) // idempotent
+    }
+
+    test(s"$name: failInFlight downs only this run's PROCESSING rows; reload reclaims stale ones") {
+      val dir = freshDir()
+      val led = mk(dir)
+      led.register(Seq(("h/a", 1L), ("h/b", 2L)))
+      led.markProcessing(Seq("h/a"), "r1")
+      led.markProcessing(Seq("h/b"), "r2")
+      led.failInFlight("r1", "driver died")
+      val s = statusOf(led)
+      assert(s("h/a") == ((Ledger.Failed, 1, false, Some("driver died"))))
+      assert(s("h/b")._1 == Ledger.Processing) // other run untouched
+      // a NEW ledger instance over the same store reclaims stale PROCESSING
+      val led2 = mk(dir)
+      val s2 = statusOf(led2)
+      assert(s2("h/b")._1 == Ledger.Failed)
+      assert(s2("h/b")._4.exists(_.contains("reclaimed")))
+    }
+  }
+
+  test("parquet: version directory count stays bounded across many commits and reloads") {
+    val dir = freshDir()
+    val led = new ParquetLedger(spark, dir, maxRetries = 3, versionWindow = 8)
+    led.register((1 to 10).map(i => (f"v/f$i%02d", i.toLong)))
+    (1 to 15).foreach { i =>
+      val batch = led.selectBatch(1)
+      led.markProcessing(batch, s"r$i")
+      led.markOutcome(batch.map(_ -> Ledger.Succeeded).toMap, s"r$i")
+    }
+    def versions(): Seq[String] =
+      new java.io.File(dir).listFiles().toSeq.map(_.getName).filter(_.matches("v\\d{5}")).sorted
+    assert(versions().size <= 8, s"version window leaked: ${versions()}")
+    // reload from the bounded window: full state intact
+    val led2 = new ParquetLedger(spark, dir, maxRetries = 3, versionWindow = 8)
+    val s = statusOf(led2)
+    assert(s.size == 10)
+    assert(s.values.count(_._1 == Ledger.Succeeded) == 10)
+    assert(versions().size <= 8)
+  }
+
+  test("parquet: 50k-file drain keeps commit cost and version count bounded (stress)") {
+    val dir = freshDir()
+    val t0 = System.nanoTime()
+    val led = new ParquetLedger(spark, dir, maxRetries = 3)
+    val n = 50000
+    assert(led.register((1 to n).map(i => (f"s/f$i%06d", i.toLong))) == n.toLong)
+    var drained = 0
+    var round = 0
+    while (drained < n) {
+      round += 1
+      val batch = led.selectBatch(10000)
+      assert(batch.size == 10000)
+      led.markProcessing(batch, s"r$round")
+      led.markOutcome(batch.map(_ -> Ledger.Succeeded).toMap, s"r$round")
+      drained += batch.size
+    }
+    val secs = (System.nanoTime() - t0) / 1e9
+    val versionCount = new java.io.File(dir).listFiles()
+      .map(_.getName).count(_.matches("v\\d{5}"))
+    assert(versionCount <= 8, s"version count $versionCount exceeds window")
+    assert(led.selectBatch(1).isEmpty)
+    assert(led.snapshot().filter(col("processing_status") === Ledger.Succeeded).count() == n.toLong)
+    assert(secs < 60.0, f"50k-file drain took $secs%.1f s (budget 60 s)")
+  }
+
+  test("jdbc ledger drives the full batch pipeline end to end") {
+    import java.nio.charset.StandardCharsets
+    import graft.pipeline.{BatchProcessor, Contracts, LakeLayout}
+    val lay = LakeLayout(Files.createTempDirectory("graft-jdbc-lake").toString)
+    def rec(id: String): String =
+      s"""{"id":"$id","event_timestamp":"2024-03-07 11:22:33.000000","MODE":"training",""" +
+        s""""metadata":{"app_version":"2.4.1","user_agent":"svc/1.0","user_id":7},""" +
+        s""""payload":{"transaction_id":"t-$id","value":9.5,"props":"{}"}}"""
+    val p = java.nio.file.Paths.get(s"${lay.rawDir}/good.jsonl")
+    Files.createDirectories(p.getParent)
+    Files.write(p, (Seq(rec("j-1"), rec("j-2")).mkString("", "\n", "\n"))
+      .getBytes(StandardCharsets.UTF_8))
+    val bad = java.nio.file.Paths.get(s"${lay.rawDir}/bad.jsonl")
+    Files.write(bad, s"""${rec("j-3")}\n{"broken\n""".getBytes(StandardCharsets.UTF_8))
+
+    val bp = new BatchProcessor(spark, lay, Contracts.events, batchSize = 2,
+      ledgerFactory = (s, d, m) => new JdbcLedger(s, JdbcLedger.derbyUrl(d), m))
+    assert(bp.runUntilDrained() >= 1)
+    assert(graft.ingest.CuratedWriter.read(spark, lay.curatedDir).count() == 2)
+    val st = statusOf(bp.ledger)
+    assert(st.find(_._1.endsWith("good.jsonl")).get._2._1 == Ledger.Succeeded)
+    assert(st.find(_._1.endsWith("bad.jsonl")).get._2._1 == Ledger.Quarantined)
+  }
+}

@@ -86,7 +86,7 @@ class IngestSpec extends AnyFunSuite {
   }
 
   test("ledger reaches terminal states with audit stamps; clean files are archived") {
-    val led = new Ledger(spark, lake.ledgerDir).snapshot().collect()
+    val led = Ledger(spark, lake.ledgerDir).snapshot().collect()
       .map(r => new File(r.getAs[String]("s3_key")).getName ->
         (r.getAs[String]("processing_status"), r.getAs[Int]("retry_count"),
           r.getAs[java.sql.Timestamp]("processed_at"))).toMap
@@ -168,6 +168,72 @@ class IngestSpec extends AnyFunSuite {
       .filter(col("s3_key").endsWith("/raw/ok.jsonl")).collect().head
     assert(state.getAs[String]("processing_status") == Ledger.Succeeded)
     assert(new File(s"${lay.processedDir}/ok.jsonl").exists())
+  }
+
+  test("a crash between curated publish and marker write does not duplicate rows (staged atomic publish)") {
+    val lay = freshLake()
+    writeLines(s"${lay.rawDir}/ok.jsonl", Seq(rec("p-1"), rec("p-2")))
+    // Inject the crash: a FILE squatting on the marker directory makes
+    // writeMarker throw AFTER the staged batch was committed and its
+    // rows published — exactly the window the old append-then-mark flow
+    // could not survive.
+    writeLines(s"${lay.root}/curated-markers", Seq("blocker"))
+    val bp = new BatchProcessor(spark, lay, Contracts.events, batchSize = 2, maxRetries = 5)
+    bp.runOnce()
+    // rows are live (publish precedes markers), the tick failed at the
+    // marker step, and the committed .ready staging dir awaits recovery
+    assert(CuratedWriter.read(spark, lay.curatedDir).count() == 2)
+    assert(bp.ledger.snapshot().filter(col("s3_key").endsWith("/raw/ok.jsonl"))
+      .collect().head.getAs[String]("processing_status") != Ledger.Succeeded)
+    val staged = new File(s"${lay.root}/curated-staging").listFiles()
+    assert(staged != null && staged.exists(_.getName.endsWith(".ready")),
+      "committed staging batch missing after marker-write crash")
+
+    // unblock and re-drain: recovery completes the publish (writes the
+    // markers), the retry skips the already-published rows, archives, and
+    // succeeds — with NO duplicate curated rows
+    Files.delete(Paths.get(s"${lay.root}/curated-markers"))
+    bp.runUntilDrained()
+    assert(CuratedWriter.read(spark, lay.curatedDir).count() == 2,
+      "crash between publish and marker write duplicated curated rows")
+    assert(bp.ledger.snapshot().filter(col("s3_key").endsWith("/raw/ok.jsonl"))
+      .collect().head.getAs[String]("processing_status") == Ledger.Succeeded)
+    assert(new File(s"${lay.processedDir}/ok.jsonl").exists())
+    val leftover = new File(s"${lay.root}/curated-staging").listFiles()
+    assert(leftover == null || leftover.isEmpty, "staging not cleaned up after recovery")
+  }
+
+  test("an uncommitted staging dir (crash before the ready rename) is discarded, not published") {
+    val lay = freshLake()
+    writeLines(s"${lay.rawDir}/ok.jsonl", Seq(rec("u-1")))
+    // plant a fake uncommitted staging attempt with visible parquet-ish
+    // files; recovery must delete it without moving anything
+    writeLines(s"${lay.root}/curated-staging/run-99999-deadbeef/year=2024/month=3/day=7/mode=training/part-0.parquet",
+      Seq("not really parquet"))
+    val bp = new BatchProcessor(spark, lay, Contracts.events, batchSize = 2)
+    bp.runUntilDrained()
+    val curated = CuratedWriter.read(spark, lay.curatedDir)
+    assert(curated.count() == 1) // only the real row; the planted file never published
+    assert(new File(s"${lay.root}/curated-staging").listFiles() == null ||
+      new File(s"${lay.root}/curated-staging").listFiles().isEmpty)
+  }
+
+  test("compaction rewrites many partitions concurrently, preserving all rows") {
+    import graft.ingest.Compactor
+    import spark.implicits._
+    val lakeDir = Files.createTempDirectory("graft-compact-par").toString
+    // 6 single-day partitions × 3 small appends each
+    (1 to 6).foreach { day =>
+      (1 to 3).foreach { i =>
+        Seq((s"r-$day-$i", day * 100 + i)).toDF("record_id", "v")
+          .coalesce(1).write.mode("append").parquet(s"$lakeDir/day=$day")
+      }
+    }
+    val before = spark.read.parquet(lakeDir).collect().map(_.toString).sorted.toSeq
+    val report = Compactor.compact(spark, lakeDir, maxFilesPerPartition = 1, parallelism = 4)
+    assert(report.partitionsCompacted == 6)
+    assert(report.filesAfter < report.filesBefore)
+    assert(spark.read.parquet(lakeDir).collect().map(_.toString).sorted.toSeq == before)
   }
 
   test("compaction merges small partition files, preserving rows and drifted columns") {

@@ -50,6 +50,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(curated.filter(col("record_id") === "c-1").count() == 1)
   }
 
+  test("a micro-batch replayed after a mid-publish crash does not duplicate curated rows") {
+    val lay = LakeLayout(Files.createTempDirectory("graft-stream-replay").toString)
+    def writeFile(name: String, lines: Seq[String]): Unit = {
+      val p = Paths.get(s"${lay.rawDir}/$name")
+      Files.createDirectories(p.getParent)
+      Files.write(p, lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8)): Unit
+    }
+    writeFile("a.jsonl", Seq(rec("r-1", "2024-03-07 10:00:00.000000"),
+      rec("r-2", "2024-03-07 10:05:00.000000")))
+    // Inject the crash: a FILE squatting on the stream-commits dir makes
+    // the commit-marker write fail AFTER the batch's curated rows were
+    // published — the foreachBatch dies, the checkpoint never commits,
+    // and a restart MUST replay the batch without duplicating its rows.
+    Files.createDirectories(Paths.get(lay.root))
+    Files.write(Paths.get(s"${lay.root}/stream-commits"),
+      "blocker".getBytes(StandardCharsets.UTF_8))
+    intercept[Exception] {
+      StreamingIngest.runAvailableNow(spark, lay, Contracts.events)
+    }
+    assert(CuratedWriter.read(spark, lay.curatedDir).count() == 2,
+      "publish should precede the commit marker")
+
+    // unblock; the restart replays the uncommitted batch idempotently
+    Files.delete(Paths.get(s"${lay.root}/stream-commits"))
+    StreamingIngest.runAvailableNow(spark, lay, Contracts.events)
+    val curated = CuratedWriter.read(spark, lay.curatedDir)
+    assert(curated.count() == 2, "micro-batch replay duplicated curated rows")
+    assert(curated.filter(col("record_id") === "r-1").count() == 1)
+
+    // and the recovered stream keeps draining new files exactly-once
+    writeFile("b.jsonl", Seq(rec("r-3", "2024-03-07 12:00:00.000000")))
+    StreamingIngest.runAvailableNow(spark, lay, Contracts.events)
+    assert(CuratedWriter.read(spark, lay.curatedDir).count() == 3)
+  }
+
   test("flatMapGroupsWithState closed sessions == session_window sessions minus each user's last") {
     import spark.implicits._
     val ev = graft.engine.Tables.load(spark, sf, "events")
