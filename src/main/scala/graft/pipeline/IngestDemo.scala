@@ -78,6 +78,42 @@ object IngestDemo {
     (ot, lt)
   }
 
+  /** Catalog schema evolution on append (psuedo_code.txt:353-363 — the
+    * "schema auto-updated by the writer" Glue-Catalog discussion): a
+    * registered table's schema is a CATALOG fact, so when a drifted
+    * batch arrives the writer must evolve the catalog first
+    * (`ALTER TABLE ... ADD COLUMNS`, Spark's public analogue of Glue's
+    * updateTable) and then append — `spark.table` consumers see the new
+    * column immediately, pre-drift rows read it as NULL, and an append
+    * attempted WITHOUT the evolution step is rejected by Spark's
+    * schema check (asserted in CatalogEvolutionSpec). The table starts
+    * from real curated-lake rows (days 1-2) so the demo covers the
+    * reference's actual flow: lake → catalog → drifted append.
+    */
+  def ensureEvolvedCatalog(spark: SparkSession, sfDir: String): String = synchronized {
+    val tbl = "evolved_events_" + new File(sfDir).getName.replace('.', '_').replace('-', '_')
+    if (!catalogued.contains(tbl)) {
+      val layout = ensure(spark, sfDir)
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val whPath = if (wh.contains(":")) new URI(wh).getPath else wh
+      deleteRec(new File(whPath, tbl.toLowerCase))
+      import org.apache.spark.sql.functions.col
+      graft.ingest.CuratedWriter.read(spark, layout.curatedDir)
+        .filter(col("year") === 2024 && col("month") === 1 && col("day").between(1, 2))
+        .select(col("record_id"), col("mode"), col("value"))
+        .write.saveAsTable(tbl)
+      // drift arrives: evolve the CATALOG schema, then append
+      spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (note STRING)")
+      import spark.implicits._
+      Seq(("evo-1", "training", 1.0, "evolved"), ("evo-2", "eval", 2.5, "evolved"))
+        .toDF("record_id", "mode", "value", "note")
+        .write.mode("append").saveAsTable(tbl)
+      catalogued += tbl
+    }
+    tbl
+  }
+
   /** S9: register the curated lake in the session catalog via
     * `saveAsTable` (psuedo_code.txt:328-347) — partitioned managed table,
     * so `spark.table(...)` consumers get catalog-driven partition

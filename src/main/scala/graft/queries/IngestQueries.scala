@@ -79,6 +79,19 @@ object IngestQueries {
     "q46_stream_hourly" -> ((s, d) =>
       graft.pipeline.StreamDemo.ensureHourly(s, d)),
 
+    // S9 + schema evolution (psuedo_code.txt:353-363): a catalog table
+    // evolved in place — ALTER TABLE ADD COLUMNS, then a drifted append —
+    // queried via spark.table. Pre-drift rows read the new column as
+    // NULL; the '(pre)'/'evolved' split proves both generations are
+    // served through the evolved catalog schema.
+    "q55_catalog_evolution" -> ((s, d) => {
+      val tbl = IngestDemo.ensureEvolvedCatalog(s, d)
+      s.table(tbl)
+        .groupBy(coalesce(col("note"), lit("(pre)")).as("note"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_value_c"))
+        .orderBy("note")
+    }),
+
     // S9/P9/S10: the catalog consumption path — saveAsTable'd curated
     // lake read back via spark.table with partition-pruning filters.
     "q41_catalog_pruned" -> ((s, d) => {
@@ -164,6 +177,14 @@ object IngestQueries {
            UNION ALL
            SELECT epoch_us(TIMESTAMP '2024-01-25 10:00:00') AS h FROM range(4))
          SELECT h AS h_start_us, COUNT(*) AS n FROM ev GROUP BY 1 ORDER BY 1""",
+    "q55_catalog_evolution" ->
+      """SELECT '(pre)' AS note, COUNT(*) AS n,
+         CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
+         FROM events
+         WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-03'
+         UNION ALL
+         SELECT 'evolved', CAST(2 AS BIGINT), CAST(350 AS BIGINT)
+         ORDER BY note""",
     "q41_catalog_pruned" ->
       """SELECT CAST(day(ts) AS INT) AS day, COUNT(*) AS n,
          CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c

@@ -1,7 +1,8 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 import graft.engine.Tables
 
 /** X5: multimodal columns — image/audio/video payloads carried as opaque
@@ -13,25 +14,42 @@ import graft.engine.Tables
   *     dimensions) are ordinary columns so selection/dedup/stats stay
   *     columnar and pruned — a scan that only needs `modality` and
   *     `byte_len` never touches the bytes;
-  *   - the DECODE step is a stub by design: real image/audio decoding
-  *     runs as a batched Arrow UDF (`mapInPandas`/`mapPartitions` over
-  *     batches of (id, payload) with bounded batch byte-size); this
-  *     container has no codec libraries, so the decode here is a
-  *     deterministic fake derived from the byte length. The Spark-side
-  *     plumbing — BinaryType schema, per-modality grouping, fingerprint
-  *     dedup — is real and oracle-checked.
-  *
-  * The demo derives payloads from `documents.text` bytes so DuckDB can
-  * verify every derived column (`encode()`/`sha256()`/`octet_length()`).
+  *   - the DECODE boundary is REAL (q56): [[ImageDecode.decode]] is a
+  *     streamed `mapPartitions` stage parsing PNG/BMP headers in pure
+  *     JVM code — bounded memory (one payload per task at a time),
+  *     decode failures quarantined into a `decode_err` column, metadata
+  *     results as ordinary columns. q42 keeps the arithmetic
+  *     dimension-derivation variant because its point is the
+  *     metadata-only aggregate shape (every column DuckDB-verifiable
+  *     from `documents.text` via `encode()`/`sha256()`/`octet_length()`).
   */
 object MultimodalOps {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Deterministic fake decode: dimensions derived from byte length.
-    * A real decoder replaces exactly this projection with an Arrow UDF. */
+  /** Arithmetic dimension derivation for q42's metadata-shape demo (the
+    * real byte-parsing decode is [[ImageDecode.decode]], q56). */
   private def fakeDecode(df: DataFrame): DataFrame =
     df.withColumn("width", lit(320) + col("byte_len") % 1280)
       .withColumn("height", lit(240) + (col("byte_len") * 7) % 720)
+
+  /** Deterministic binary image corpus for the decode demo: 300 payloads,
+    * ids ≡ 0 (mod 3) valid PNG, ≡ 1 valid BMP, ≡ 2 corrupt bytes —
+    * dimensions a pure function of the id so DuckDB can recompute every
+    * aggregate without parsing a byte. */
+  private def imageFixture(s: SparkSession): DataFrame = {
+    val rows = (0 until 300).map { id =>
+      val w = 16 + id % 480
+      val h = 16 + (id * 3) % 360
+      val payload = (id % 3) match {
+        case 0 => ImageDecode.pngBytes(w, h)
+        case 1 => ImageDecode.bmpBytes(w, h)
+        case _ => Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte) // truncated JPEG-ish
+      }
+      Row(id.toLong, payload)
+    }
+    s.createDataFrame(s.sparkContext.parallelize(rows, 4),
+      StructType(Seq(StructField("doc_id", LongType), StructField("payload", BinaryType))))
+  }
 
   val defs: Map[String, Q] = Map(
     // Per-modality corpus stats over binary payloads: row counts, byte
@@ -55,6 +73,21 @@ object MultimodalOps {
           min(col("width")).as("min_width"),
           max(col("height")).as("max_height"))
         .orderBy("modality")
+    }),
+
+    // X5 decode boundary: real byte-level header decode over binary
+    // payloads (streamed mapPartitions, failures to decode_err), then a
+    // per-format metadata aggregate. Oracle recomputes the dimensions
+    // from the id arithmetic the fixture used.
+    "q56_image_decode" -> ((s, d) => {
+      ImageDecode.decode(imageFixture(s))
+        .groupBy(coalesce(col("fmt"), lit("(bad)")).as("fmt"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("width")).as("sum_w"),
+          sum(col("height")).as("sum_h"),
+          count(col("decode_err")).as("n_err"))
+        .orderBy("fmt")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -66,5 +99,13 @@ object MultimodalOps {
               COUNT(DISTINCT sha256(text)) AS n_fp,
               CAST(MIN(320 + octet_length(encode(text)) % 1280) AS BIGINT) AS min_width,
               CAST(MAX(240 + (octet_length(encode(text)) * 7) % 720) AS BIGINT) AS max_height
-         FROM documents GROUP BY 1 ORDER BY 1""")
+         FROM documents GROUP BY 1 ORDER BY 1""",
+    "q56_image_decode" ->
+      """WITH r AS (SELECT range AS id FROM range(300))
+         SELECT CASE id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE '(bad)' END AS fmt,
+                COUNT(*) AS n,
+                CAST(SUM(CASE WHEN id % 3 IN (0, 1) THEN 16 + id % 480 END) AS BIGINT) AS sum_w,
+                CAST(SUM(CASE WHEN id % 3 IN (0, 1) THEN 16 + (id * 3) % 360 END) AS BIGINT) AS sum_h,
+                CAST(SUM(CASE WHEN id % 3 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_err
+         FROM r GROUP BY 1 ORDER BY 1""")
 }

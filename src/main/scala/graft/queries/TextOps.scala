@@ -155,10 +155,15 @@ object TextOps {
         .filter(length(col("g")) === 3)
       def logpE6(cnt: Column, tot: Column): Column =
         round(log((cnt + lit(0.5)) / (tot + lit(1000.0))) * 1e6).cast("long")
-      // (lang, gram) counts feed BOTH the totals and the profiles; persist
-      // this small aggregate (distinct grams × langs, not corpus-sized) so
-      // the corpus-wide trigram explode below it runs once, not twice.
-      val profCounts = tri.groupBy("lang", "g").agg(count(lit(1)).as("cnt")).persist()
+      // ONE corpus explode: per-(doc, gram) counts feed the doc side
+      // directly AND re-aggregate into the (lang, gram) profile counts
+      // (lang is functionally determined by doc_id, so summing per-doc
+      // counts by (lang, g) is exactly the corpus-wide (lang, g) count).
+      // The persisted frame is gram-distinct per doc — far smaller than
+      // the exploded corpus — and the heaviest stage (tokenize + explode
+      // + first groupBy) runs once instead of twice.
+      val docG = tri.groupBy("doc_id", "lang", "g").agg(count(lit(1)).as("c")).persist()
+      val profCounts = docG.groupBy("lang", "g").agg(sum(col("c")).as("cnt"))
       val langTot = profCounts.groupBy("lang").agg(sum(col("cnt")).as("tot"))
       val profRank = Window.partitionBy("lang").orderBy(col("cnt").desc, col("g"))
       val profiles = profCounts
@@ -167,7 +172,6 @@ object TextOps {
         .select(col("lang").as("p_lang"), col("g"), logpE6(col("cnt"), col("tot")).as("lp_e6"))
       val defaults = langTot
         .select(col("lang").as("p_lang"), logpE6(lit(0.0), col("tot")).as("def_e6"))
-      val docG = tri.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
       val docTot = docG.groupBy("doc_id").agg(sum(col("c")).as("n_doc"))
       val matched = docG.join(broadcast(profiles), Seq("g"))
         .groupBy("doc_id", "p_lang")
