@@ -138,53 +138,55 @@ object TextOps {
     // heuristic: 50.6% vs 29% accuracy on the overlapping-vocabulary
     // driver corpus at sf0.01; perfect on separable corpora — LangGuessSpec.)
     //
-    // Scale shape: profiles are capped at the top-2000 trigrams per
-    // language (the ranking window runs over the already-aggregated
-    // (lang, gram) counts, orders of magnitude smaller than the corpus)
-    // and broadcast; unmatched grams contribute a per-language default
-    // via (n_doc − n_matched) × default, so the doc-side cost is one
-    // grouped count plus a broadcast join. Log-probs are scaled to 1e-6
-    // integers so score sums are order-independent — bit-identical
-    // across runs and partitionings (determinism asserted in
-    // LangGuessSpec). No SQL oracle (model output): rows-only.
+    // Scale shape: TRAIN = one corpus explode aggregated straight to
+    // (lang, gram) counts — map-side combine collapses the exploded rows
+    // to per-partition-distinct grams, so the shuffle is tiny — capped at
+    // the top-2000 trigrams per language and COLLECTED: the whole model is
+    // ≤2000 × n_langs entries (tens of KBs), the same driver-resident-
+    // metadata shape as the IVF centroids (q51). SCORE = one narrow
+    // codegen pass (`lang_guess`, functions/LangModel.scala) over the
+    // corpus — no second explode, no per-doc gram frame, no wide shuffle;
+    // the only post-scan shuffle is the n_langs² confusion-matrix
+    // aggregate. Log-probs are scaled to 1e-6 integers so score sums are
+    // order-independent — bit-identical across runs and partitionings
+    // (determinism asserted in LangGuessSpec). No SQL oracle (model
+    // output): rows-only.
     "q31_lang_guess" -> ((s, d) => {
       val dd = docs(s, d)
-      val tri = dd.select(col("doc_id"), col("lang"),
+      val profCounts = dd.select(col("lang"),
         explode(expr(
           "transform(sequence(0, greatest(length(text)-3, 0)), i -> substring(text, i+1, 3))")).as("g"))
         .filter(length(col("g")) === 3)
-      def logpE6(cnt: Column, tot: Column): Column =
-        round(log((cnt + lit(0.5)) / (tot + lit(1000.0))) * 1e6).cast("long")
-      // ONE corpus explode: per-(doc, gram) counts feed the doc side
-      // directly AND re-aggregate into the (lang, gram) profile counts
-      // (lang is functionally determined by doc_id, so summing per-doc
-      // counts by (lang, g) is exactly the corpus-wide (lang, g) count).
-      // The persisted frame is gram-distinct per doc — far smaller than
-      // the exploded corpus — and the heaviest stage (tokenize + explode
-      // + first groupBy) runs once instead of twice.
-      val docG = tri.groupBy("doc_id", "lang", "g").agg(count(lit(1)).as("c")).persist()
-      val profCounts = docG.groupBy("lang", "g").agg(sum(col("c")).as("cnt"))
+        .groupBy("lang", "g").agg(count(lit(1)).as("cnt"))
       val langTot = profCounts.groupBy("lang").agg(sum(col("cnt")).as("tot"))
       val profRank = Window.partitionBy("lang").orderBy(col("cnt").desc, col("g"))
-      val profiles = profCounts
+      val top = profCounts
         .withColumn("rn", row_number().over(profRank)).filter(col("rn") <= 2000)
         .join(langTot, Seq("lang"))
-        .select(col("lang").as("p_lang"), col("g"), logpE6(col("cnt"), col("tot")).as("lp_e6"))
-      val defaults = langTot
-        .select(col("lang").as("p_lang"), logpE6(lit(0.0), col("tot")).as("def_e6"))
-      val docTot = docG.groupBy("doc_id").agg(sum(col("c")).as("n_doc"))
-      val matched = docG.join(broadcast(profiles), Seq("g"))
-        .groupBy("doc_id", "p_lang")
-        .agg(sum(col("c") * col("lp_e6")).as("m_sum"), sum(col("c")).as("m_cnt"))
-      val scored = docTot.crossJoin(broadcast(defaults))
-        .join(matched, Seq("doc_id", "p_lang"), "left")
-        .withColumn("score_e6", coalesce(col("m_sum"), lit(0L)) +
-          (col("n_doc") - coalesce(col("m_cnt"), lit(0L))) * col("def_e6"))
-      val best = scored.groupBy("doc_id")
-        .agg(max(struct(col("score_e6").as("sc"), col("p_lang").as("pl"))).as("b"))
-        .select(col("doc_id"), col("b.pl").as("guessed"))
-      best.join(dd.select("doc_id", "lang"), Seq("doc_id"))
-        .groupBy(col("lang"), col("guessed"))
+        .select("lang", "g", "cnt", "tot")
+        .collect()
+      val tots = top.map(r => r.getAs[String]("lang") -> r.getAs[Long]("tot")).toMap
+      val langs = tots.keys.toArray.sorted
+      val idx = langs.zipWithIndex.toMap
+      def lpE6(cnt: Double, tot: Long): Long =
+        java.math.BigDecimal.valueOf(math.log((cnt + 0.5) / (tot + 1000.0)) * 1e6)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+      val defaults = langs.map(l => lpE6(0.0, tots(l)))
+      val byGram = top.groupBy(_.getAs[String]("g")).toArray.sortBy(_._1)
+      val grams = byGram.map(_._1)
+      val lps = byGram.map { case (_, rows) =>
+        val arr = defaults.clone()
+        rows.foreach { r =>
+          arr(idx(r.getAs[String]("lang"))) =
+            lpE6(r.getAs[Long]("cnt").toDouble, r.getAs[Long]("tot"))
+        }
+        arr
+      }
+      graft.functions.LangGuessExpr.register(s,
+        new graft.functions.LangScorer(langs, grams, lps, defaults))
+      dd.filter(length(col("text")) >= 3)
+        .select(col("lang"), expr("lang_guess(text)").as("guessed"))
+        .groupBy("lang", "guessed")
         .agg(count(lit(1)).as("n"))
         .orderBy("lang", "guessed")
     }))
