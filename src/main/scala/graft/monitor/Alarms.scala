@@ -1,0 +1,62 @@
+package graft.monitor
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ingest.DlqWriter
+import graft.ledger.Ledger
+import graft.pipeline.LakeLayout
+
+/** Alarm evaluation over a lake instance — the reference's CloudWatch
+  * alarms re-expressed as a declarative query (sudo_code.txt:268-276,
+  * diagram_1.txt:110-115):
+  *
+  *  - `job_failure`      — "Glue Job Failure": ledger rows stuck FAILED
+  *                         plus action failures seen by the attached
+  *                         [[GraftMonitor]] (if any).
+  *  - `dlq_activity`     — "DLQ Activity": records present in the DLQ.
+  *                         The reference raises this via S3 event →
+  *                         Lambda → custom metric; here the DLQ *is* a
+  *                         table, so the metric is a count over it.
+  *  - `file_quarantine`  — quarantined source files (the condition the
+  *                         DLQ alarm exists to surface, made first-class).
+  *  - `ledger_backlog`   — "runs too long / never drains": files still
+  *                         PENDING or PROCESSING after the drain loop.
+  *
+  * Scale shape: each metric is an aggregate the engine already optimizes
+  * — the DLQ count scans only DLQ files, ledger counts scan the compacted
+  * current snapshot (bounded version window), and the union is 4 rows.
+  * Nothing here is per-record driver work, so the evaluation is the same
+  * query at sf0.001 or 100 TB.
+  *
+  * The result is deterministic for a drained lake (counts of terminal
+  * state), so it is oracle-checkable; monitor-sourced events only ADD to
+  * `job_failure` when a monitor is supplied (specs cover that path).
+  */
+object Alarms {
+
+  /** (alarm, state, metric) — state is ALARM iff metric > threshold
+    * (every threshold is 0, matching the reference's "any occurrence
+    * alarms" posture). Ordered by alarm name. */
+  def evaluate(spark: SparkSession, layout: LakeLayout,
+               monitor: Option[GraftMonitor] = None): DataFrame = {
+    val led = Ledger(spark, layout.ledgerDir).snapshot()
+    val ledgerOf = (statuses: Seq[String]) =>
+      led.filter(col("processing_status").isin(statuses: _*)).agg(count(lit(1)))
+    val observedFailures = monitor.map(_.events.count(_.event == "failure").toLong).getOrElse(0L)
+
+    val metrics = Seq(
+      "dlq_activity" ->
+        DlqWriter.read(spark, layout.dlqDir).agg(count(lit(1))),
+      "file_quarantine" -> ledgerOf(Seq(Ledger.Quarantined)),
+      "job_failure" ->
+        ledgerOf(Seq(Ledger.Failed)).select(col("count(1)") + lit(observedFailures)),
+      "ledger_backlog" -> ledgerOf(Seq(Ledger.Pending, Ledger.Processing)))
+
+    metrics.map { case (name, agg) =>
+      agg.select(
+        lit(name).as("alarm"),
+        when(col(agg.columns.head) > 0, "ALARM").otherwise("OK").as("state"),
+        col(agg.columns.head).cast("long").as("metric"))
+    }.reduce(_.unionAll(_)).orderBy("alarm")
+  }
+}

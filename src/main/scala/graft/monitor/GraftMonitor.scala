@@ -1,0 +1,113 @@
+package graft.monitor
+
+import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.streaming.StreamingQueryListener
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** One observed execution event (SURVEY.md §2 "monitoring" — the
+  * Spark-native analogue of the reference's CloudWatch log/metric feed,
+  * sudo_code.txt:257-276).
+  *
+  * `rows` is the sink-side output row count when the plan exposes one
+  * (numOutputRows on the write node), else -1. Timestamps are wall-clock
+  * millis: monitor events feed ALARM EVALUATION (threshold counts), never
+  * correctness oracles, so nondeterminism is fine here.
+  */
+final case class MetricEvent(
+    ts_ms: Long,
+    source: String, // "sql" | "stream"
+    event: String, // "success" | "failure" | "progress" | "started" | "terminated"
+    name: String, // action name (count/save/…) or streaming query name
+    rows: Long,
+    duration_ms: Long,
+    error: String)
+
+/** Session-attachable execution monitor.
+  *
+  * The reference alarms on Glue job failure and DLQ S3-object activity
+  * through CloudWatch (sudo_code.txt:257-276, diagram_1.txt:110-115). The
+  * Spark-native feed is the listener bus: a [[QueryExecutionListener]]
+  * sees every DataFrame action's success/failure + duration, and a
+  * [[StreamingQueryListener]] sees every micro-batch's progress and every
+  * stream termination (with exception, if any). Events land in a BOUNDED
+  * ring buffer (default 10k, oldest dropped) so a long-lived session —
+  * the reference's loop runs every 15 min for years — holds a fixed few
+  * MBs, not an unbounded history; the durable history is the ledger and
+  * the DLQ themselves, which [[Alarms]] scans directly.
+  *
+  * Thread-safety: listeners fire on the listener-bus thread; the queue is
+  * concurrent and [[snapshot]] copies it. Attach/detach are idempotent
+  * per instance.
+  */
+final class GraftMonitor(maxEvents: Int = 10000) extends Serializable {
+
+  private val buf = new ConcurrentLinkedQueue[MetricEvent]()
+  private val dropped = new AtomicLong(0L)
+
+  def record(e: MetricEvent): Unit = {
+    buf.add(e)
+    while (buf.size > maxEvents) { // bounded: drop oldest
+      if (buf.poll() != null) dropped.incrementAndGet(): Unit
+    }
+  }
+
+  def droppedCount: Long = dropped.get()
+
+  /** All buffered events as a DataFrame (copy; safe to use while
+    * listeners keep firing). */
+  def snapshot(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    buf.iterator().asScala.toSeq.toDF()
+  }
+
+  def events: Seq[MetricEvent] = {
+    import scala.jdk.CollectionConverters._
+    buf.iterator().asScala.toVector
+  }
+
+  // ---- listeners ------------------------------------------------------
+
+  /** Output rows of the terminal (write) node when exposed. */
+  private def outputRows(qe: QueryExecution): Long =
+    qe.executedPlan.metrics.get("numOutputRows").map(_.value).getOrElse(-1L)
+
+  object sqlListener extends QueryExecutionListener {
+    override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+      record(MetricEvent(System.currentTimeMillis(), "sql", "success", funcName,
+        outputRows(qe), durationNs / 1000000L, null))
+    override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
+      record(MetricEvent(System.currentTimeMillis(), "sql", "failure", funcName,
+        -1L, -1L, Option(exception.getMessage).getOrElse(exception.getClass.getName)))
+  }
+
+  object streamListener extends StreamingQueryListener {
+    import StreamingQueryListener._
+    override def onQueryStarted(event: QueryStartedEvent): Unit =
+      record(MetricEvent(System.currentTimeMillis(), "stream", "started",
+        Option(event.name).getOrElse(event.id.toString), -1L, -1L, null))
+    override def onQueryProgress(event: QueryProgressEvent): Unit = {
+      val p = event.progress
+      record(MetricEvent(System.currentTimeMillis(), "stream", "progress",
+        Option(p.name).getOrElse(p.id.toString), p.numInputRows,
+        Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(-1L), null))
+    }
+    override def onQueryTerminated(event: QueryTerminatedEvent): Unit =
+      record(MetricEvent(System.currentTimeMillis(), "stream", "terminated",
+        event.id.toString, -1L, -1L, event.exception.orNull))
+  }
+
+  def attach(spark: SparkSession): Unit = {
+    spark.listenerManager.register(sqlListener)
+    spark.streams.addListener(streamListener)
+  }
+
+  def detach(spark: SparkSession): Unit = {
+    spark.listenerManager.unregister(sqlListener)
+    spark.streams.removeListener(streamListener)
+  }
+}

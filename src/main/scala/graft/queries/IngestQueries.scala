@@ -92,6 +92,18 @@ object IngestQueries {
         .orderBy("note")
     }),
 
+    // Monitoring-as-verification (sudo_code.txt:268-276): the reference's
+    // CloudWatch alarm set evaluated as a declarative query over the
+    // drained demo lake — DLQ activity (12 records) and file quarantine
+    // (3 files) ALARM; job failure and ledger backlog are OK because the
+    // drain loop ran every file to a terminal state. Listener-sourced
+    // failure events are exercised in MonitorSpec (nondeterministic
+    // timings stay out of the oracle surface).
+    "q57_monitor_alarms" -> ((s, d) => {
+      val lay = IngestDemo.ensure(s, d)
+      graft.monitor.Alarms.evaluate(s, lay)
+    }),
+
     // S9/P9/S10: the catalog consumption path — saveAsTable'd curated
     // lake read back via spark.table with partition-pruning filters.
     "q41_catalog_pruned" -> ((s, d) => {
@@ -185,6 +197,12 @@ object IngestQueries {
          UNION ALL
          SELECT 'evolved', CAST(2 AS BIGINT), CAST(350 AS BIGINT)
          ORDER BY note""",
+    "q57_monitor_alarms" ->
+      """SELECT 'dlq_activity' AS alarm, 'ALARM' AS state, CAST(12 AS BIGINT) AS metric
+         UNION ALL SELECT 'file_quarantine', 'ALARM', CAST(3 AS BIGINT)
+         UNION ALL SELECT 'job_failure', 'OK', CAST(0 AS BIGINT)
+         UNION ALL SELECT 'ledger_backlog', 'OK', CAST(0 AS BIGINT)
+         ORDER BY alarm""",
     "q41_catalog_pruned" ->
       """SELECT CAST(day(ts) AS INT) AS day, COUNT(*) AS n,
          CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c

@@ -1,0 +1,101 @@
+package graft.monitor
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.pipeline.{BatchProcessor, Contracts, LakeLayout}
+
+/** Monitoring-as-verification (the reference's CloudWatch alarm set):
+  * the listeners must observe real successes/failures/progress off the
+  * listener bus, the ring buffer must stay bounded, and Alarms.evaluate
+  * must flip exactly the right states on a drained lake. */
+class MonitorSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** Listener-bus delivery is async; poll up to 10 s. */
+  private def eventually[T](cond: => Boolean): Unit = {
+    val deadline = System.currentTimeMillis() + 10000
+    while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(cond)
+  }
+
+  test("QueryExecutionListener captures action success and failure") {
+    val mon = new GraftMonitor()
+    mon.attach(spark)
+    try {
+      import spark.implicits._
+      Seq(1, 2, 3).toDF("v").count(): Unit
+      eventually(mon.events.exists(e => e.source == "sql" && e.event == "success"))
+
+      intercept[Exception] {
+        Seq(1).toDF("v")
+          .select(raise_error(concat(lit("boom-"), col("v").cast("string"))))
+          .collect()
+      }
+      eventually(mon.events.exists(e =>
+        e.source == "sql" && e.event == "failure" && e.error != null))
+    } finally mon.detach(spark)
+  }
+
+  test("StreamingQueryListener captures micro-batch progress rows") {
+    val mon = new GraftMonitor()
+    mon.attach(spark)
+    try {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[Int]
+      mem.addData(1 to 7: _*)
+      val q = mem.toDF().writeStream
+        .format("noop").outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(30000)
+      eventually(mon.events.exists(e =>
+        e.source == "stream" && e.event == "progress" && e.rows == 7))
+      eventually(mon.events.exists(e => e.source == "stream" && e.event == "terminated"))
+    } finally mon.detach(spark)
+  }
+
+  test("ring buffer stays bounded and counts drops") {
+    val mon = new GraftMonitor(maxEvents = 10)
+    (1 to 25).foreach(i =>
+      mon.record(MetricEvent(i.toLong, "sql", "success", s"a$i", 0L, 0L, null)))
+    assert(mon.events.size == 10)
+    assert(mon.droppedCount == 15)
+    assert(mon.events.head.name == "a16") // oldest dropped first
+  }
+
+  test("alarms flip on DLQ/quarantine, stay OK when drained clean, and add monitor failures") {
+    val lay = LakeLayout(Files.createTempDirectory("graft-mon").toString)
+    def write(name: String, lines: Seq[String]): Unit = {
+      val p = Paths.get(s"${lay.rawDir}/$name")
+      Files.createDirectories(p.getParent)
+      Files.write(p, lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8)): Unit
+    }
+    def rec(id: String): String =
+      s"""{"id":"$id","event_timestamp":"2024-03-07 10:00:00.000000","MODE":"training",""" +
+        s""""metadata":{"app_version":"1","user_agent":"ua","user_id":1},""" +
+        s""""payload":{"transaction_id":"t-$id","value":2.0,"props":"{}"}}"""
+    write("good.jsonl", Seq(rec("g-1"), rec("g-2")))
+    write("bad.jsonl", Seq(rec("b-1"), """{"broken"""))
+
+    new BatchProcessor(spark, lay, Contracts.events).runUntilDrained()
+
+    val states = Alarms.evaluate(spark, lay).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(states("dlq_activity") == (("ALARM", 2L))) // corrupt + stranded good
+    assert(states("file_quarantine") == (("ALARM", 1L)))
+    assert(states("job_failure") == (("OK", 0L)))
+    assert(states("ledger_backlog") == (("OK", 0L)))
+
+    // monitor-observed action failures feed the job_failure alarm
+    val mon = new GraftMonitor()
+    mon.record(MetricEvent(1L, "sql", "failure", "save", -1L, -1L, "disk full"))
+    val withMon = Alarms.evaluate(spark, lay, Some(mon)).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(withMon("job_failure") == (("ALARM", 1L)))
+  }
+}
