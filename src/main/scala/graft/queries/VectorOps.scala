@@ -88,8 +88,11 @@ object VectorOps {
     }
 
   /** (vec_id, t, code) bucket rows: per-table sign codes via codegen'd
-    * vec_dot against driver-literal hyperplanes (see q36 notes). */
-  private def lshBuckets(df: DataFrame, bits: Int, dim: Int): DataFrame =
+    * vec_dot against driver-literal hyperplanes (see q36 notes). `carry`
+    * columns ride along on every bucket row (q49 carries the embedding +
+    * its norm so verification happens inside the join stage). */
+  private def lshBuckets(df: DataFrame, bits: Int, dim: Int,
+                         carry: Seq[String] = Nil): DataFrame =
     df.withColumn("codes",
       array((0 until Tables_).map { t =>
         (0 until bits).map { j =>
@@ -97,7 +100,7 @@ object VectorOps {
             typedLit(hyperplane(t, j, dim))) > 0.0, lit(1L << j)).otherwise(lit(0L))
         }.reduce(_ + _)
       }: _*))
-      .select(col("vec_id"), posexplode(col("codes")).as(Seq("t", "code")))
+      .select(col("vec_id") +: carry.map(col) :+ posexplode(col("codes")).as(Seq("t", "code")): _*)
 
   /** The exact code plus all hamming-1 flips (multi-probe ring). */
   private def multiProbe(bits: Int): Column = expr(
@@ -224,11 +227,19 @@ object VectorOps {
     // member of the dedup family (exact / MinHash / SimHash / embedding).
     // Same LSH machinery as q36 but as a SELF-join: every vector's
     // buckets, multi-probed on the left side, equi-joined on (table,
-    // code); candidates are exactly re-ranked with the codegen vec_dot
-    // and kept at cos ≥ 0.45 (the driver corpus is cluster-spread, so
-    // this is same-cluster neighbor mining; a dedup deployment raises τ).
-    // Never all-pairs: candidate volume ≈ tables × Σ bucket², bounded by
-    // the adaptive code width. Rows-only (probabilistic recall);
+    // code); colliding pairs are exactly verified with the codegen
+    // vec_dot and kept at cos ≥ 0.45 (the driver corpus is
+    // cluster-spread, so this is same-cluster neighbor mining; a dedup
+    // deployment raises τ). Never all-pairs: candidate volume ≈ tables ×
+    // Σ bucket², bounded by the adaptive code width.
+    //
+    // Candidate pairs are DISTINCT'd before verification (a pair that
+    // collides in several tables/probes is verified once), with the pair
+    // packed into one 64-bit key (valid while vec_id < 2^32; wider id
+    // spaces fall back to the two-column distinct) so the dedup shuffle
+    // carries 8 bytes per candidate; embeddings then join back BY ID for the (much
+    // smaller) deduped set only — the vector itself is never amplified
+    // through the explode/join. Rows-only (probabilistic recall);
     // VectorSpec asserts precision 1.0 and recall ≥ 0.9 vs brute force.
     "q49_embed_neardup" -> ((s, d) => {
       graft.functions.VectorExpressions.register(s)
@@ -243,7 +254,10 @@ object VectorOps {
       val cands = left
         .join(buckets.select(col("vec_id").as("b_id"), col("t"), col("code")), Seq("t", "code"))
         .filter(col("a_id") < col("b_id"))
-        .select("a_id", "b_id").distinct()
+        .select(shiftleft(col("a_id"), 32).bitwiseOR(col("b_id")).as("pk"))
+        .distinct()
+        .select(shiftright(col("pk"), 32).as("a_id"),
+          col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("b_id"))
       cands
         .join(e.select(col("vec_id").as("a_id"), col("embedding").as("ea")), Seq("a_id"))
         .join(e.select(col("vec_id").as("b_id"), col("embedding").as("eb")), Seq("b_id"))
