@@ -51,6 +51,28 @@ object MultimodalOps {
       StructType(Seq(StructField("doc_id", LongType), StructField("payload", BinaryType))))
   }
 
+  /** Deterministic binary WAV corpus for the audio demo: 240 payloads,
+    * id ≡ 0/1/3 (mod 4) valid PCM16 at 8000/16000(stereo)/44100 Hz with
+    * every sample = 100·(1 + id % 50) and exactly 5 + id % 10 complete
+    * 20 ms frames; id ≡ 2 is a truncated RIFF. Every frame/duration
+    * feature is a pure function of the id, so DuckDB recomputes the
+    * aggregates without parsing a byte. */
+  private def audioFixture(s: SparkSession): DataFrame = {
+    val rows = (0 until 240).map { id =>
+      val amp = 100 * (1 + id % 50)
+      val nf = 5 + id % 10
+      val payload = (id % 4) match {
+        case 0 => AudioDecode.wavBytes(8000, 1, amp, nf * 160)
+        case 1 => AudioDecode.wavBytes(16000, 2, amp, nf * 320)
+        case 3 => AudioDecode.wavBytes(44100, 1, amp, nf * 882)
+        case _ => "RIFFxx".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      }
+      Row(id.toLong, payload)
+    }
+    s.createDataFrame(s.sparkContext.parallelize(rows, 4),
+      StructType(Seq(StructField("doc_id", LongType), StructField("payload", BinaryType))))
+  }
+
   val defs: Map[String, Q] = Map(
     // Per-modality corpus stats over binary payloads: row counts, byte
     // volume, fingerprint-distinct payloads (binary exact-dedup surface),
@@ -88,6 +110,25 @@ object MultimodalOps {
           sum(col("height")).as("sum_h"),
           count(col("decode_err")).as("n_err"))
         .orderBy("fmt")
+    }),
+
+    // X5 audio: WAV header decode + every-3rd-20ms-frame RMS sampling
+    // (AudioDecode), aggregated per sample rate with the corrupt group
+    // kept visible. The frame table is the feature surface a training
+    // pipeline joins/dedups on; payload bytes are touched exactly once.
+    "q58_audio_frames" -> ((s, d) => {
+      val decoded = AudioDecode.decode(audioFixture(s))
+      val frames = AudioDecode.sampleFrames(decoded)
+      val byRate = decoded
+        .groupBy(coalesce(col("sample_rate").cast("string"), lit("(bad)")).as("rate"))
+        .agg(count(lit(1)).as("n"), count(col("decode_err")).as("n_err"),
+          sum(col("duration_ms")).as("sum_ms"))
+      val frameAgg = frames
+        .groupBy(col("sample_rate").cast("string").as("rate"))
+        .agg(count(lit(1)).as("n_frames"), sum(col("frame_rms")).as("sum_rms"))
+      byRate.join(frameAgg, Seq("rate"), "left")
+        .na.fill(0L, Seq("n_frames", "sum_rms"))
+        .orderBy("rate")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -107,5 +148,21 @@ object MultimodalOps {
                 CAST(SUM(CASE WHEN id % 3 IN (0, 1) THEN 16 + id % 480 END) AS BIGINT) AS sum_w,
                 CAST(SUM(CASE WHEN id % 3 IN (0, 1) THEN 16 + (id * 3) % 360 END) AS BIGINT) AS sum_h,
                 CAST(SUM(CASE WHEN id % 3 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_err
-         FROM r GROUP BY 1 ORDER BY 1""")
+         FROM r GROUP BY 1 ORDER BY 1""",
+    "q58_audio_frames" ->
+      """WITH v AS (
+           SELECT range AS id,
+             CASE range % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 3 THEN 44100 END AS rate,
+             5 + range % 10 AS nf,
+             100 * (1 + range % 50) AS amp
+           FROM range(240))
+         SELECT CASE WHEN rate IS NULL THEN '(bad)' ELSE CAST(rate AS VARCHAR) END AS rate,
+                COUNT(*) AS n,
+                CAST(SUM(CASE WHEN rate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_err,
+                CAST(SUM(nf * 20) FILTER (rate IS NOT NULL) AS BIGINT) AS sum_ms,
+                CAST(COALESCE(SUM((nf + 2) // 3) FILTER (rate IS NOT NULL), 0) AS BIGINT)
+                  AS n_frames,
+                CAST(COALESCE(SUM(((nf + 2) // 3) * amp) FILTER (rate IS NOT NULL), 0) AS BIGINT)
+                  AS sum_rms
+         FROM v GROUP BY 1 ORDER BY 1""")
 }

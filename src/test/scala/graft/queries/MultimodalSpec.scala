@@ -62,4 +62,61 @@ class MultimodalSpec extends AnyFunSuite {
 
   private def SparkEntry_q56(s: org.apache.spark.sql.SparkSession) =
     MultimodalOps.defs("q56_image_decode")(s, "/root/testdata/sf0.001")
+
+  // ---- audio (AudioDecode) -------------------------------------------
+
+  test("WAV headers decode to exact rate/channels/samples/duration") {
+    val m = AudioDecode.parseWav(AudioDecode.wavBytes(8000, 1, 500, 1600))
+    assert(m.fmt == "wav" && m.err == null)
+    assert(m.sampleRate == 8000 && m.channels == 1 && m.bits == 16)
+    assert(m.nSamples == 1600L && m.durationMs == 200L)
+    val st = AudioDecode.parseWav(AudioDecode.wavBytes(16000, 2, 300, 320))
+    assert(st.channels == 2 && st.nSamples == 320L && st.durationMs == 20L)
+  }
+
+  test("corrupt WAV payloads quarantine into err instead of throwing") {
+    assert(AudioDecode.parseWav(null).err == "truncated")
+    assert(AudioDecode.parseWav("RIFFxx".getBytes).err == "truncated")
+    assert(AudioDecode.parseWav("NOTRIFFNOTWAVE".getBytes).err == "unknown_format")
+    val full = AudioDecode.wavBytes(8000, 1, 500, 160)
+    assert(AudioDecode.parseWav(full.take(100)).err == "truncated_data")
+    // fmt chunk present, data chunk missing
+    assert(AudioDecode.parseWav(full.take(36)).err == "missing_chunk")
+    // non-PCM codec id
+    val alaw = full.clone(); alaw(20) = 6
+    assert(AudioDecode.parseWav(alaw).err == "unsupported_codec_6")
+    // chunk size near 2^31 must end the walk, not overflow the offset
+    val evil = full.clone()
+    evil(16) = 0xf0.toByte; evil(17) = 0xff.toByte
+    evil(18) = 0xff.toByte; evil(19) = 0x7f.toByte
+    assert(AudioDecode.parseWav(evil).err == "missing_chunk")
+  }
+
+  test("frame sampling emits every 3rd complete 20ms frame with exact RMS") {
+    import spark.implicits._
+    // 8000 Hz mono: 160 samples per 20ms frame; 7 complete frames (+ a
+    // partial tail that must be ignored) -> sampled frames k = 0, 3, 6
+    val df = Seq(
+      (1L, AudioDecode.wavBytes(8000, 1, 700, 7 * 160 + 80)),
+      (2L, AudioDecode.wavBytes(16000, 2, 250, 4 * 320)), // stereo: k = 0, 3
+      (3L, "RIFFxx".getBytes)).toDF("doc_id", "payload")
+    val frames = AudioDecode.sampleFrames(AudioDecode.decode(df))
+      .select("doc_id", "frame_idx", "frame_rms").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(frames.keySet == Set((1L, 0), (1L, 3), (1L, 6), (2L, 0), (2L, 3)))
+    assert(frames.values.toSet == Set(700L, 250L)) // constant wave -> rms = amplitude
+    assert(frames((1L, 0)) == 700L && frames((2L, 3)) == 250L)
+  }
+
+  test("q58 end-to-end: per-rate decode + frame aggregates over the 240-payload fixture") {
+    val rows = MultimodalOps.defs("q58_audio_frames")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => r.getAs[String]("rate") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("n_err"), r.getAs[Long]("n_frames")))).toMap
+    // 60 payloads per class; nf cycles 5..14 over ids, sampled = ceil(nf/3)
+    assert(rows.keySet == Set("(bad)", "16000", "44100", "8000"))
+    assert(rows("(bad)") == ((60L, 60L, 0L)))
+    assert(rows("8000")._1 == 60 && rows("8000")._2 == 0)
+    assert(rows("8000")._3 > 0 && rows("16000")._3 > 0 && rows("44100")._3 > 0)
+  }
 }
