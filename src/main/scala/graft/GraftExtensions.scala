@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+import graft.functions.{FloatVectorDot, MinHashSignature, SimHash64}
+
+/** The library's `SparkSessionExtensions` entry point — the idiomatic
+  * way a deployment picks up graft's codegen expressions for pure-SQL
+  * use, with no Scala call needed:
+  *
+  * {{{
+  *   spark.sql.extensions=graft.GraftExtensions
+  *   ...
+  *   SELECT vec_dot(a.embedding, b.embedding) FROM ...
+  *   SELECT minhash_sig(shingles)      -- 64 hashes (default)
+  *   SELECT minhash_sig(shingles, 128) -- explicit signature width
+  *   SELECT simhash64(tokens)
+  * }}}
+  *
+  * The per-query `register` helpers on each expression object stay for
+  * sessions built without the config (the query modules call them
+  * idempotently). `lang_guess` is deliberately NOT injected here: it
+  * binds a driver-trained model (functions/LangModel.scala), so a
+  * static, session-independent builder cannot construct it — training
+  * registers it per corpus.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def numHashesOf(e: Expression): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"minhash_sig width must be an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[FloatVectorDot].getName, "vec_dot"),
+      (exprs: Seq[Expression]) => FloatVectorDot(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sig"),
+      (exprs: Seq[Expression]) => MinHashSignature(exprs.head,
+        if (exprs.lengthCompare(1) > 0) numHashesOf(exprs(1)) else 64)))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL surface: a session built with
+  * `spark.sql.extensions=graft.GraftExtensions` must serve the codegen
+  * expressions to pure SQL, matching their Scala-registered semantics. */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  /** Build a second session (sharing the JVM's SparkContext) carrying
+    * [[GraftExtensions]], run `f`, restore the shared test session.
+    * `spark.sql.extensions` is a STATIC conf read at SparkContext
+    * creation, so in a shared-context test JVM the public
+    * `builder.withExtensions` API is the way to apply the same class;
+    * the config-string path is exercised by the Verify/Bench mains,
+    * whose fresh JVMs set it at context build. Never stops the new
+    * session — that would kill the shared context. */
+  private def withExtendedSession[T](f: SparkSession => T): T = {
+    val base = TestSpark.spark // force-create the shared context first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try f(SparkSession.builder()
+      .withExtensions(new GraftExtensions().apply(_))
+      .getOrCreate())
+    finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
+  test("vec_dot, minhash_sig and simhash64 are callable from pure SQL") {
+    withExtendedSession { s =>
+      val d = s.sql(
+        "SELECT vec_dot(array(cast(1.0 AS float), cast(2.0 AS float)), " +
+          "array(cast(3.0 AS float), cast(4.0 AS float))) AS d").first().getDouble(0)
+      assert(d == 11.0)
+
+      val sig = s.sql("SELECT minhash_sig(array('a', 'b', 'c')) AS sig")
+        .first().getSeq[Long](0)
+      assert(sig.length == 64)
+
+      val sig16 = s.sql("SELECT minhash_sig(array('a', 'b', 'c'), 16) AS sig")
+        .first().getSeq[Long](0)
+      assert(sig16.length == 16)
+      // narrower signature = a prefix-independent but deterministic family:
+      // same input twice gives the same signature
+      assert(sig16 == s.sql("SELECT minhash_sig(array('a', 'b', 'c'), 16)")
+        .first().getSeq[Long](0))
+
+      val sh = s.sql("SELECT simhash64(array('x', 'y')) AS h").first().getLong(0)
+      assert(sh == s.sql("SELECT simhash64(array('x', 'y'))").first().getLong(0))
+    }
+  }
+
+  test("extension semantics match the per-query Scala registration") {
+    val base = TestSpark.spark
+    graft.functions.VectorExpressions.register(base)
+    graft.functions.SimHash64.register(base)
+    val fromScala = base.sql("SELECT simhash64(array('alpha', 'beta', 'gamma')) AS h")
+      .first().getLong(0)
+    val fromExt = withExtendedSession(
+      _.sql("SELECT simhash64(array('alpha', 'beta', 'gamma')) AS h").first().getLong(0))
+    assert(fromScala == fromExt)
+  }
+}
