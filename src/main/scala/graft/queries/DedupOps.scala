@@ -97,16 +97,29 @@ object DedupOps {
     }),
 
     // X2: exact n-gram-Jaccard similarity search — probes doc_id<20
-    // against the whole corpus via broadcast, oracle-checked.
+    // against the whole corpus, oracle-checked. Intersections come from
+    // an exploded-shingle equi-join against the BROADCAST probe grams —
+    // work is O(total corpus grams) hash probes, not O(probes × corpus)
+    // per-pair array intersections (the previous form paid a full
+    // array_intersect for every probe/doc pair even when nothing
+    // overlapped). Probe-bounded at any corpus size: the broadcast side
+    // is only the probe set's grams, the corpus is scanned once, and
+    // only actually-overlapping (probe, doc) pairs reach the aggregate.
     "q33_jaccard_search" -> ((s, d) => {
-      // probes and corpus both derive from the shingled frame → persist
+      // probe grams + probe/corpus sizes all derive from one shingled
+      // frame → persist
       val all = shingled(docs(s, d)).persist()
-      val probes = all.filter(col("doc_id") < 20)
-        .select(col("doc_id").as("a_id"), col("sh").as("sha"))
-      val corpus = all.select(col("doc_id").as("b_id"), col("sh").as("shb"))
-      val (inter, uni) = interUni(col("sha"), col("shb"))
-      broadcast(probes).join(corpus, col("a_id") =!= col("b_id"))
-        .withColumn("inter", inter).withColumn("uni", uni)
+      val sizes = all.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
+      val probeG = all.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("a_id"), explode(col("sh")).as("g"))
+      val corpusG = all.select(col("doc_id").as("b_id"), explode(col("sh")).as("g"))
+      val inter = corpusG.join(broadcast(probeG), Seq("g"))
+        .filter(col("a_id") =!= col("b_id"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+      inter
+        .join(broadcast(sizes.select(col("doc_id").as("a_id"), col("n").as("na"))), Seq("a_id"))
+        .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), Seq("b_id"))
+        .withColumn("uni", col("na") + col("nb") - col("inter"))
         .filter(col("inter") * lit(1.0) / col("uni") >= 0.5)
         .select(col("a_id"), col("b_id"), col("inter"), col("uni"),
           round(col("inter") * lit(1000000.0) / col("uni")).cast("long").as("jac_e6"))

@@ -78,29 +78,18 @@ object VectorOps {
     math.max(MinBits, math.min(MaxBits,
       math.ceil(math.log(math.max(1.0, n.toDouble / BucketTarget)) / math.log(2.0)).toInt))
 
-  /** Deterministic Rademacher hyperplane (table t, bit j): ±1 per
-    * dimension from a murmur-style fmix32 — stable across JVMs/runs. */
-  private def hyperplane(t: Int, j: Int, dim: Int): Seq[Float] =
-    (0 until dim).map { i =>
-      var h = t * 0x9E3779B1 + j * 0x85EBCA77 + i * 0xC2B2AE3D
-      h ^= h >>> 16; h *= 0x85EBCA6B; h ^= h >>> 13; h *= 0xC2B2AE35; h ^= h >>> 16
-      if ((h & 1) == 0) 1.0f else -1.0f
-    }
-
-  /** (vec_id, t, code) bucket rows: per-table sign codes via codegen'd
-    * vec_dot against driver-literal hyperplanes (see q36 notes). `carry`
-    * columns ride along on every bucket row (q49 carries the embedding +
-    * its norm so verification happens inside the join stage). */
+  /** (vec_id, t, code) bucket rows: all per-table sign codes in ONE
+    * fused codegen pass (graft.functions.LshCodesExpr — bit-identical to
+    * the unrolled vec_dot-vs-literal-hyperplane form, but the generated
+    * code is a single tight loop instead of tables×bits unrolled dot
+    * products, which dominated cold-run Janino/JIT cost). `carry`
+    * columns ride along on every bucket row. */
   private def lshBuckets(df: DataFrame, bits: Int, dim: Int,
-                         carry: Seq[String] = Nil): DataFrame =
-    df.withColumn("codes",
-      array((0 until Tables_).map { t =>
-        (0 until bits).map { j =>
-          when(call_function("vec_dot", col("embedding"),
-            typedLit(hyperplane(t, j, dim))) > 0.0, lit(1L << j)).otherwise(lit(0L))
-        }.reduce(_ + _)
-      }: _*))
+                         carry: Seq[String] = Nil): DataFrame = {
+    graft.functions.LshCodesExpr.register(df.sparkSession, bits, Tables_, dim)
+    df.withColumn("codes", expr("lsh_codes(embedding)"))
       .select(col("vec_id") +: carry.map(col) :+ posexplode(col("codes")).as(Seq("t", "code")): _*)
+  }
 
   /** The exact code plus all hamming-1 flips (multi-probe ring). */
   private def multiProbe(bits: Int): Column = expr(

@@ -42,4 +42,36 @@ class VectorExpressionsSpec extends AnyFunSuite {
       bad.select(expr("vec_dot(a, b)")).collect(): Unit
     }
   }
+
+  test("fused lsh_codes is bit-identical to unrolled vec_dot against literal hyperplanes") {
+    VectorExpressions.register(spark)
+    val bits = 6
+    val tables = 8
+    val dim = 64
+    LshCodesExpr.register(spark, bits, tables, dim)
+    // the construction lsh_codes replaced: one vec_dot per (table, bit)
+    // against the same fmix32-derived ±1 hyperplane
+    def hyperplane(t: Int, j: Int): Seq[Float] =
+      (0 until dim).map { i =>
+        var h = t * 0x9E3779B1 + j * 0x85EBCA77 + i * 0xC2B2AE3D
+        h ^= h >>> 16; h *= 0x85EBCA6B; h ^= h >>> 13; h *= 0xC2B2AE35; h ^= h >>> 16
+        if ((h & 1) == 0) 1.0f else -1.0f
+      }
+    val unrolled = array((0 until tables).map { t =>
+      (0 until bits).map { j =>
+        when(call_function("vec_dot", col("embedding"),
+          typedLit(hyperplane(t, j))) > 0.0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+    val e = graft.engine.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val rows = e.select(expr("lsh_codes(embedding)").as("fused"), unrolled.as("ref"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+    // wrong-length embedding -> all-zero codes, matching the NULL-dot form
+    import spark.implicits._
+    val short = Seq(Seq(1.0f, 2.0f)).toDF("embedding")
+    assert(short.select(expr("lsh_codes(embedding)")).collect()
+      .head.getSeq[Long](0) == Seq.fill(tables)(0L))
+  }
 }
