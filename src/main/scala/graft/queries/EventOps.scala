@@ -93,6 +93,37 @@ object EventOps {
         .orderBy("user_id", "start_us")
     }),
 
+    // J1 under SKEW: salted hot-key join. event_type has 5 values over
+    // 100k rows — a shuffle join on it hashes each hot key onto ONE
+    // reducer (at 100 TB, one task gets 20 TB and the stage never ends).
+    // The salting pattern: the fact side appends salt =
+    // pmod(xxhash64(row key), S); the dim side is replicated ×S
+    // (posexplode over a sequence); the join key becomes (type, salt), so
+    // every hot key spreads over S reducers. Each fact row still matches
+    // EXACTLY ONE dim replica, so results are identical to the unsalted
+    // join — which is what the DuckDB oracle checks. The merge hint keeps
+    // the demo honest at test scale (a 5-row dim would otherwise
+    // broadcast, which is the right fix for small dims — salting is the
+    // big×big path where neither side broadcasts). SkewSpec asserts the
+    // plan is a non-broadcast SMJ and that the hot key's rows actually
+    // spread across partitions.
+    "q59_salted_join" -> ((s, d) => {
+      val salts = 8
+      val fact = ev(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .withColumn("salt", pmod(xxhash64(col("event_id")), lit(salts)).cast("int"))
+      val dim = ev(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("type_n"))
+        .select(col("event_type"), col("type_n"),
+          explode(sequence(lit(0), lit(salts - 1))).as("salt"))
+      fact.hint("merge").join(dim, Seq("event_type", "salt"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_value_c"),
+          max(col("type_n")).as("type_n"))
+        .orderBy("event_type")
+    }),
+
     // W2: lag/lead analytics over the per-user event timeline.
     "q25_session_gaps" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
@@ -139,6 +170,13 @@ object EventOps {
                FROM g)
          SELECT user_id, COUNT(*) AS n_events, MIN(us) AS start_us, MAX(us) AS end_us
          FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""",
+    "q59_salted_join" ->
+      """WITH dim AS (SELECT event_type, COUNT(*) AS type_n FROM events GROUP BY 1)
+         SELECT e.event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(e.value*100) AS BIGINT)) AS BIGINT) AS sum_value_c,
+           MAX(d.type_n) AS type_n
+         FROM events e JOIN dim d ON e.event_type = d.event_type
+         GROUP BY 1 ORDER BY 1""",
     "q25_session_gaps" ->
       """SELECT event_id, user_id,
          LAG(event_id, 1) OVER w AS prev_event_id,
