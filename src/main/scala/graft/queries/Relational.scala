@@ -234,6 +234,26 @@ object Relational {
         .orderBy("l_returnflag")
     }),
 
+    // A5/consumption: exact percentiles (linear interpolation at
+    // (n−1)·p, the definition Spark's `percentile` and DuckDB's
+    // `quantile_cont` share) per group, emitted as e6-scaled longs so
+    // float formatting can't reach the hash compare. The exact form is
+    // the correctness baseline; at 100 TB the same query swaps in
+    // percentile_approx (t-digest) exactly as q44 pairs exact/approx
+    // distinct — the approx estimate is engine-specific, so the oracle
+    // pins the exact one.
+    "q60_quantiles" -> ((s, d) => {
+      t(s, d, "events")
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          expr("percentile(value, array(0.5, 0.95))").as("q"))
+        .select(col("event_type"), col("n"),
+          round(element_at(col("q"), 1) * 1e6).cast("long").as("p50_e6"),
+          round(element_at(col("q"), 2) * 1e6).cast("long").as("p95_e6"))
+        .orderBy("event_type")
+    }),
+
     // Correlated scalar subquery (TPC-H Q17 shape): lineitems whose
     // quantity is below 20% of their part's average quantity. Written as
     // SQL so Catalyst's subquery decorrelation runs (it rewrites the
@@ -392,6 +412,11 @@ object Relational {
       """SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_exact,
          CAST(1 AS INT) AS approx_ok
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q60_quantiles" ->
+      """SELECT event_type, COUNT(*) AS n,
+         CAST(ROUND(quantile_cont(value, 0.5) * 1000000) AS BIGINT) AS p50_e6,
+         CAST(ROUND(quantile_cont(value, 0.95) * 1000000) AS BIGINT) AS p95_e6
+         FROM events GROUP BY 1 ORDER BY 1""",
     "q50_small_qty_revenue" ->
       """SELECT p_brand, COUNT(*) AS n_small,
          CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
