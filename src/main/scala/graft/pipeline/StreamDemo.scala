@@ -4,7 +4,7 @@ import java.io.File
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.Trigger
-import org.apache.spark.sql.types.{StructField, StructType, TimestampNTZType}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampNTZType}
 import scala.collection.mutable
 import graft.streaming.{EventStreams, StreamingIngest}
 
@@ -17,6 +17,7 @@ import graft.streaming.{EventStreams, StreamingIngest}
 object StreamDemo {
   private val built = mutable.Map.empty[String, LakeLayout]
   private val hourly = mutable.Map.empty[String, String]
+  private val joined = mutable.Map.empty[String, String]
 
   private def deleteRec(f: File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(deleteRec)
@@ -53,5 +54,33 @@ object StreamDemo {
       name
     })
     spark.table(tbl).orderBy(col("h_start_us"))
+  }
+
+  /** Run the stream-stream view→purchase join over the streamed curated
+    * lake (memory sink, append mode — inner-join pairs emit on match).
+    * Returns the materialized pair table. */
+  def ensureStreamJoin(spark: SparkSession, sfDir: String): DataFrame = synchronized {
+    val layout = ensure(spark, sfDir)
+    val tbl = joined.getOrElseUpdate(sfDir, {
+      val name = "stream_join_" + new File(sfDir).getName.replace('.', '_').replace('-', '_')
+      val src = spark.readStream
+        .schema(StructType(Seq(
+          StructField("event_time_utc", TimestampNTZType),
+          // ml_mode, not mode: mode is a PARTITION column of the curated
+          // lake, so it is absent from the data files and an explicit
+          // schema + recursiveFileLookup would read it as null
+          StructField("ml_mode", StringType),
+          StructField("user_id", LongType))))
+        .option("recursiveFileLookup", "true")
+        .parquet(layout.curatedDir)
+      EventStreams.viewPurchasePairs(src, "event_time_utc", "ml_mode",
+        gapMinutes = 30, lateness = "60 days")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+      name
+    })
+    spark.table(tbl)
   }
 }

@@ -92,6 +92,19 @@ object IngestQueries {
         .orderBy("note")
     }),
 
+    // T6 as a STREAM-STREAM join: views joined to the same user's
+    // purchases within 30 minutes, computed by a watermarked
+    // stream-stream inner join over the streamed curated lake, then
+    // aggregated in batch from the materialized pair table. The oracle
+    // recomputes the pairs from the original events with a plain batch
+    // join — the streaming pair set must match it exactly.
+    "q61_stream_join" -> ((s, d) => {
+      graft.pipeline.StreamDemo.ensureStreamJoin(s, d)
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("p_us") - col("v_us")).as("sum_gap_us"))
+    }),
+
     // Monitoring-as-verification (sudo_code.txt:268-276): the reference's
     // CloudWatch alarm set evaluated as a declarative query over the
     // drained demo lake — DLQ activity (12 records) and file quarantine
@@ -197,6 +210,14 @@ object IngestQueries {
          UNION ALL
          SELECT 'evolved', CAST(2 AS BIGINT), CAST(350 AS BIGINT)
          ORDER BY note""",
+    "q61_stream_join" ->
+      """SELECT COUNT(*) AS n_pairs, COUNT(DISTINCT v.user_id) AS n_users,
+         CAST(SUM(epoch_us(p.ts) - epoch_us(v.ts)) AS BIGINT) AS sum_gap_us
+         FROM events v JOIN events p
+           ON v.user_id = p.user_id
+          AND v.event_type = 'view' AND p.event_type = 'purchase'
+          AND epoch_us(p.ts) > epoch_us(v.ts)
+          AND epoch_us(p.ts) <= epoch_us(v.ts) + 1800000000""",
     "q57_monitor_alarms" ->
       """SELECT 'dlq_activity' AS alarm, 'ALARM' AS state, CAST(12 AS BIGINT) AS metric
          UNION ALL SELECT 'file_quarantine', 'ALARM', CAST(3 AS BIGINT)

@@ -40,6 +40,33 @@ object EventStreams {
         unix_micros(col("window.start")).as("h_start_us"),
         col("n"))
 
+  /** Stream-stream INNER join: each view joined to the same user's
+    * purchases within `gapMinutes` after it. Both sides carry a
+    * watermark plus the time-interval join condition — the canonical
+    * construction Spark uses to bound join state. Inner-join matches
+    * emit as soon as both rows are seen (the watermark only governs
+    * state EVICTION), so the emitted pair set equals the batch join's —
+    * PROVIDED no row is evicted before its partner arrives. A multi-file
+    * AvailableNow drain advances the watermark between micro-batches, so
+    * `lateness` must cover the stream's actual disorder; the demo sets
+    * it to the fixture's full time span (60 days) to make the result a
+    * pure function of the data, and a deployment sizes it to real
+    * lateness (that is the state-size/completeness dial, exactly as in
+    * any production stream-stream join). */
+  def viewPurchasePairs(events: DataFrame, tsCol: String, modeCol: String,
+                        gapMinutes: Int, lateness: String): DataFrame = {
+    val v = events.filter(col(modeCol) === "view")
+      .select(col("user_id"), col(tsCol).cast("timestamp").as("v_ts"))
+      .withWatermark("v_ts", lateness)
+    val p = events.filter(col(modeCol) === "purchase")
+      .select(col("user_id").as("p_user"), col(tsCol).cast("timestamp").as("p_ts"))
+      .withWatermark("p_ts", lateness)
+    v.join(p, expr(
+      s"user_id = p_user AND p_ts > v_ts AND p_ts <= v_ts + interval $gapMinutes minutes"))
+      .select(col("user_id"),
+        unix_micros(col("v_ts")).as("v_us"), unix_micros(col("p_ts")).as("p_us"))
+  }
+
   /** Gap-based sessions via explicit state. Emits only CLOSED sessions. */
   def closedSessions(events: Dataset[SessionEvent], gapMinutes: Int): Dataset[ClosedSession] = {
     import events.sparkSession.implicits._

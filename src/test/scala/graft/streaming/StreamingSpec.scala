@@ -143,4 +143,24 @@ class StreamingSpec extends AnyFunSuite {
       got.size >= truth.count(_._1 < flushedThrough - 3600000000L),
       "watermark did not flush completed windows")
   }
+
+  test("stream-stream view->purchase join emits exactly the batch join's pairs") {
+    val ev = graft.engine.Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_type"), col("ts_us"))
+    def side(t: String, uid: String, us: String) =
+      ev.filter(col("event_type") === t)
+        .select(col("user_id").as(uid), col("ts_us").as(us))
+    val truth = side("view", "user_id", "v_us")
+      .join(side("purchase", "p_user", "p_us"),
+        col("user_id") === col("p_user") && col("p_us") > col("v_us") &&
+          col("p_us") <= col("v_us") + 1800000000L)
+      .select("user_id", "v_us", "p_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val streamed = graft.pipeline.StreamDemo.ensureStreamJoin(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(truth.nonEmpty)
+    assert(streamed == truth,
+      s"missing=${(truth -- streamed).take(3)} extra=${(streamed -- truth).take(3)}")
+  }
 }
