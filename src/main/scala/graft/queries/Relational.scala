@@ -254,6 +254,23 @@ object Relational {
         .orderBy("event_type")
     }),
 
+    // A6/consumption: pivot — long-to-wide conditional aggregation. The
+    // value list is EXPLICIT (view/purchase/click), which is the 100 TB
+    // form: with it, pivot is a single pass of conditional aggregates;
+    // without it, Spark first runs a distinct scan just to learn the
+    // columns. The oracle is the equivalent FILTER'd aggregate.
+    "q62_pivot_traffic" -> ((s, d) => {
+      t(s, d, "events")
+        .withColumn("day", dayofmonth(col("ts")))
+        .groupBy("day")
+        .pivot("event_type", Seq("view", "purchase", "click"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select(col("day"), col("view").as("n_view"),
+          col("purchase").as("n_purchase"), col("click").as("n_click"))
+        .orderBy("day")
+    }),
+
     // Correlated scalar subquery (TPC-H Q17 shape): lineitems whose
     // quantity is below 20% of their part's average quantity. Written as
     // SQL so Catalyst's subquery decorrelation runs (it rewrites the
@@ -412,6 +429,12 @@ object Relational {
       """SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_exact,
          CAST(1 AS INT) AS approx_ok
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q62_pivot_traffic" ->
+      """SELECT CAST(day(ts) AS INT) AS day,
+         COUNT(*) FILTER (event_type = 'view') AS n_view,
+         COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+         COUNT(*) FILTER (event_type = 'click') AS n_click
+         FROM events GROUP BY 1 ORDER BY 1""",
     "q60_quantiles" ->
       """SELECT event_type, COUNT(*) AS n,
          CAST(ROUND(quantile_cont(value, 0.5) * 1000000) AS BIGINT) AS p50_e6,
