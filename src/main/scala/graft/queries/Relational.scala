@@ -271,6 +271,24 @@ object Relational {
         .orderBy("day")
     }),
 
+    // A6/consumption: unpivot (wide→long melt, the inverse of q62's
+    // pivot) — three per-flag money aggregates melted into a tidy
+    // (flag, metric, value) frame with the Dataset `unpivot` API. One
+    // aggregate pass plus a rows×metrics Expand; no shuffle beyond the
+    // aggregate's. Oracle is the equivalent UNION ALL.
+    "q63_unpivot_metrics" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          sum(cents(col("l_extendedprice"))).as("base_c"),
+          sum(cents(col("l_extendedprice") * col("l_discount"))).as("disc_c"),
+          sum(cents(col("l_extendedprice") * col("l_tax"))).as("tax_c"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("base_c"), col("disc_c"), col("tax_c")),
+          "metric", "value_c")
+        .orderBy("l_returnflag", "metric")
+    }),
+
     // Correlated scalar subquery (TPC-H Q17 shape): lineitems whose
     // quantity is below 20% of their part's average quantity. Written as
     // SQL so Catalyst's subquery decorrelation runs (it rewrites the
@@ -429,6 +447,17 @@ object Relational {
       """SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS n_exact,
          CAST(1 AS INT) AS approx_ok
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q63_unpivot_metrics" ->
+      """WITH w AS (
+           SELECT l_returnflag,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS base_c,
+             CAST(SUM(CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT) AS disc_c,
+             CAST(SUM(CAST(ROUND(l_extendedprice * l_tax * 100) AS BIGINT)) AS BIGINT) AS tax_c
+           FROM lineitem GROUP BY 1)
+         SELECT l_returnflag, 'base_c' AS metric, base_c AS value_c FROM w
+         UNION ALL SELECT l_returnflag, 'disc_c', disc_c FROM w
+         UNION ALL SELECT l_returnflag, 'tax_c', tax_c FROM w
+         ORDER BY l_returnflag, metric""",
     "q62_pivot_traffic" ->
       """SELECT CAST(day(ts) AS INT) AS day,
          COUNT(*) FILTER (event_type = 'view') AS n_view,
