@@ -28,6 +28,7 @@ object Bench {
     pipeline.IngestDemo.ensureEvolvedCatalog(spark, sfDir)
     pipeline.StreamDemo.ensure(spark, sfDir)
     pipeline.StreamDemo.ensureHourly(spark, sfDir).count()
+    pipeline.StreamDemo.ensureStreamJoin(spark, sfDir).count()
     val buildSec = (System.nanoTime() - b0) / 1e9
 
     // A failed query must never masquerade as a timing: record per-query
