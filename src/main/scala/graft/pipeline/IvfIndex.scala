@@ -1,0 +1,72 @@
+package graft.pipeline
+
+import java.io.File
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.mutable
+import graft.engine.Tables
+
+/** Durable IVF index for the embeddings corpus (q51): a k-means coarse
+  * quantizer trained with Lloyd iterations as DataFrame passes, and the
+  * corpus written cell-PARTITIONED to parquet. An IVF index is a
+  * build-once/query-many artifact in every production vector system —
+  * exactly like the bucketed join tables (q48) and the catalog (q41),
+  * it is constructed by `ensure` (memoized per JVM, pre-built by Bench
+  * outside the timing loop) and only the probe-side work happens at
+  * query time. Because the corpus is partitioned by cell, a probe's
+  * nprobe-cell lookup reads only those cell directories — the
+  * ~nprobe/k scan fraction that makes IVF the second index layout at
+  * 100 TB.
+  *
+  * Deterministic: init = vectors 0..k-1, fixed iteration count, argmax
+  * tie-broken toward the lower cell id — centroids are a pure function
+  * of the corpus, so q51's output is replayable and VectorSpec's recall
+  * bound is stable.
+  */
+object IvfIndex {
+  val K = 16
+  private val Iterations = 3
+  private val built = mutable.Map.empty[String, (Seq[Array[Float]], String)]
+
+  /** `n` nearest cells of `embedding` (by L2, via the v·c − |c|²/2
+    * argmax identity) against driver-resident centroid literals. */
+  def cellsOf(cents: Seq[Array[Float]], n: Int): Column = {
+    val scored = array(cents.zipWithIndex.map { case (c, j) =>
+      val norm2 = c.map(x => x.toDouble * x.toDouble).sum
+      struct((call_function("vec_dot", col("embedding"), typedLit(c.toSeq))
+        - lit(norm2 / 2)).as("s"), lit(j).as("c"))
+    }: _*)
+    val best = array_sort(scored, (l, r) =>
+      when(l.getField("s") > r.getField("s"), -1)
+        .when(l.getField("s") < r.getField("s"), 1)
+        .when(l.getField("c") < r.getField("c"), -1).otherwise(1))
+    transform(slice(best, 1, n), x => x.getField("c"))
+  }
+
+  /** Build (or return) the index for this corpus: (centroids,
+    * cell-partitioned corpus path). */
+  def ensure(spark: SparkSession, sfDir: String): (Seq[Array[Float]], String) =
+    synchronized {
+      built.getOrElseUpdate(sfDir, {
+        val e = Tables.load(spark, sfDir, "embeddings")
+        var cents: Seq[Array[Float]] = e.filter(col("vec_id") < K)
+          .orderBy("vec_id").collect()
+          .map(_.getAs[Seq[Float]]("embedding").toArray)
+        for (_ <- 1 to Iterations) {
+          cents = e.withColumn("cell", element_at(cellsOf(cents, 1), 1))
+            .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+            .groupBy("cell", "pos").agg(avg(col("x").cast("double")).as("m"))
+            .groupBy("cell")
+            .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+            .select(col("cell"), expr("transform(pm, p -> cast(p.m as float))").as("c"))
+            .orderBy("cell").collect()
+            .map(_.getAs[Seq[Float]]("c").toArray)
+        }
+        val dir = new File(s"target/ivf/${new File(sfDir).getName}").getAbsolutePath
+        e.withColumn("cell", element_at(cellsOf(cents, 1), 1))
+          .select(col("vec_id").as("b_id"), col("cell"), col("embedding").as("eb"))
+          .write.mode("overwrite").partitionBy("cell").parquet(dir)
+        (cents, dir)
+      })
+    }
+}

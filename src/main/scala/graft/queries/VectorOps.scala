@@ -159,48 +159,21 @@ object VectorOps {
     // assignment = argmax of codegen vec_dot against 16 broadcast
     // centroid literals, update = the q37 posexplode-mean) partitions the
     // corpus into cells; each probe searches only its nprobe=4 nearest
-    // cells and re-ranks those candidates exactly. At 100 TB: centroids
-    // are KBs (always broadcastable), assignment is one scan, the
-    // candidate set is ≈ nprobe/k of the corpus per probe. Deterministic:
-    // init = vectors 0..k-1, fixed iteration count. Rows-only; recall vs
-    // exact q35 asserted in VectorSpec.
+    // cells and re-ranks those candidates exactly. The index is a
+    // DURABLE artifact (pipeline.IvfIndex, cell-partitioned parquet —
+    // build-once/query-many like the bucketed tables), so query time is
+    // probe coding + a broadcast join against only the probed cells'
+    // partitions. At 100 TB: centroids are KBs (always broadcastable),
+    // the candidate scan is ≈ nprobe/k of the corpus per probe.
+    // Deterministic: init = vectors 0..k-1, fixed iteration count.
+    // Rows-only; recall vs exact q35 asserted in VectorSpec.
     "q51_ann_ivf" -> ((s, d) => {
       graft.functions.VectorExpressions.register(s)
-      val e = embs(s, d)
-      val k = 16
       val nprobe = 4
-      // centroid score: argmax of v·c − |c|²/2 (equivalent to nearest by
-      // L2). Returns the cell pick expression for a given centroid set.
-      def cellsOf(cents: Seq[Array[Float]], n: Int): Column = {
-        val scored = array(cents.zipWithIndex.map { case (c, j) =>
-          val norm2 = c.map(x => x.toDouble * x.toDouble).sum
-          struct((call_function("vec_dot", col("embedding"), typedLit(c.toSeq))
-            - lit(norm2 / 2)).as("s"), lit(j).as("c"))
-        }: _*)
-        val best = array_sort(scored, (l, r) =>
-          when(l.getField("s") > r.getField("s"), -1)
-            .when(l.getField("s") < r.getField("s"), 1)
-            .when(l.getField("c") < r.getField("c"), -1).otherwise(1))
-        transform(slice(best, 1, n), x => x.getField("c"))
-      }
-      // Lloyd's iterations, centroids collected driver-side (k×dim floats)
-      var cents: Seq[Array[Float]] = e.filter(col("vec_id") < k)
-        .orderBy("vec_id").collect()
-        .map(_.getAs[Seq[Float]]("embedding").toArray)
-      for (_ <- 1 to 3) {
-        cents = e.withColumn("cell", element_at(cellsOf(cents, 1), 1))
-          .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
-          .groupBy("cell", "pos").agg(avg(col("x").cast("double")).as("m"))
-          .groupBy("cell")
-          .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-          .select(col("cell"), expr("transform(pm, p -> cast(p.m as float))").as("c"))
-          .orderBy("cell").collect()
-          .map(_.getAs[Seq[Float]]("c").toArray)
-      }
-      val corpus = e.withColumn("cell", element_at(cellsOf(cents, 1), 1))
-        .select(col("vec_id").as("b_id"), col("cell"), col("embedding").as("eb"))
-      val probes = e.filter(col("vec_id") < NumProbes)
-        .withColumn("cell", explode(cellsOf(cents, nprobe)))
+      val (cents, corpusDir) = graft.pipeline.IvfIndex.ensure(s, d)
+      val corpus = s.read.parquet(corpusDir)
+      val probes = embs(s, d).filter(col("vec_id") < NumProbes)
+        .withColumn("cell", explode(graft.pipeline.IvfIndex.cellsOf(cents, nprobe)))
         .select(col("vec_id").as("a_id"), col("cell"), col("embedding").as("ea"))
       val w = Window.partitionBy("a_id").orderBy(col("cos_e6").desc, col("b_id"))
       broadcast(probes).join(corpus, Seq("cell"))
