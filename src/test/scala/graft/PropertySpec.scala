@@ -86,4 +86,32 @@ class PropertySpec extends AnyFunSuite {
     val meanErr = got.map { case (je, js) => math.abs(je - js) }.sum / got.length
     assert(meanErr < 0.08, s"mean |err| $meanErr")
   }
+
+  test("media decoders are total: random and mutated payloads never throw") {
+    val rnd = new scala.util.Random(42)
+    // pure-random byte arrays of many sizes
+    val randoms = (0 until 400).map { i =>
+      val b = new Array[Byte](rnd.nextInt(200)); rnd.nextBytes(b); b
+    }
+    // valid payloads with one mutated byte (header-adjacent corruption
+    // is likelier to hit parser edge cases than pure noise)
+    val mutated = (0 until 400).map { i =>
+      val base = (i % 3) match {
+        case 0 => graft.queries.ImageDecode.pngBytes(16 + i, 16 + i)
+        case 1 => graft.queries.ImageDecode.bmpBytes(16 + i, 16 + i)
+        case _ => graft.queries.AudioDecode.wavBytes(8000, 1, 100, 160)
+      }
+      if (base.nonEmpty) base(rnd.nextInt(base.length)) = rnd.nextInt(256).toByte
+      base
+    }
+    // truncations of a valid payload at every prefix length
+    val wav = graft.queries.AudioDecode.wavBytes(16000, 2, 300, 320)
+    val truncated = (0 until wav.length).map(wav.take(_))
+    (randoms ++ mutated ++ truncated).foreach { b =>
+      val h = graft.queries.ImageDecode.parseHeader(b)
+      assert(h != null && (h.err != null || h.fmt != null))
+      val m = graft.queries.AudioDecode.parseWav(b)
+      assert(m != null && (m.err != null || m.fmt == "wav"))
+    }
+  }
 }
