@@ -19,8 +19,13 @@ import graft.pipeline.LakeLayout
   *                         table, so the metric is a count over it.
   *  - `file_quarantine`  — quarantined source files (the condition the
   *                         DLQ alarm exists to surface, made first-class).
-  *  - `ledger_backlog`   — "runs too long / never drains": files still
-  *                         PENDING or PROCESSING after the drain loop.
+  *  - `ledger_backlog`   — "never drains": files still PENDING or
+  *                         PROCESSING after the drain loop.
+  *  - `slow_actions`     — the "Custom Alarms (runs too long)" item:
+  *                         monitor-observed actions exceeding
+  *                         `slowActionMs` (0 without a monitor, so the
+  *                         oracle surface stays deterministic; the
+  *                         monitor-fed path is spec-covered).
   *
   * Scale shape: each metric is an aggregate the engine already optimizes
   * — the DLQ count scans only DLQ files, ledger counts scan the compacted
@@ -38,11 +43,14 @@ object Alarms {
     * (every threshold is 0, matching the reference's "any occurrence
     * alarms" posture). Ordered by alarm name. */
   def evaluate(spark: SparkSession, layout: LakeLayout,
-               monitor: Option[GraftMonitor] = None): DataFrame = {
+               monitor: Option[GraftMonitor] = None,
+               slowActionMs: Long = 15 * 60 * 1000L): DataFrame = {
     val led = Ledger(spark, layout.ledgerDir).snapshot()
     val ledgerOf = (statuses: Seq[String]) =>
       led.filter(col("processing_status").isin(statuses: _*)).agg(count(lit(1)))
     val observedFailures = monitor.map(_.events.count(_.event == "failure").toLong).getOrElse(0L)
+    val observedSlow = monitor.map(_.events.count(e =>
+      e.event != "failure" && e.duration_ms > slowActionMs).toLong).getOrElse(0L)
 
     val metrics = Seq(
       "dlq_activity" ->
@@ -50,7 +58,9 @@ object Alarms {
       "file_quarantine" -> ledgerOf(Seq(Ledger.Quarantined)),
       "job_failure" ->
         ledgerOf(Seq(Ledger.Failed)).select(col("count(1)") + lit(observedFailures)),
-      "ledger_backlog" -> ledgerOf(Seq(Ledger.Pending, Ledger.Processing)))
+      "ledger_backlog" -> ledgerOf(Seq(Ledger.Pending, Ledger.Processing)),
+      "slow_actions" ->
+        led.limit(0).agg(count(lit(1))).select(col("count(1)") + lit(observedSlow)))
 
     metrics.map { case (name, agg) =>
       agg.select(

@@ -223,6 +223,7 @@ object IngestQueries {
          UNION ALL SELECT 'file_quarantine', 'ALARM', CAST(3 AS BIGINT)
          UNION ALL SELECT 'job_failure', 'OK', CAST(0 AS BIGINT)
          UNION ALL SELECT 'ledger_backlog', 'OK', CAST(0 AS BIGINT)
+         UNION ALL SELECT 'slow_actions', 'OK', CAST(0 AS BIGINT)
          ORDER BY alarm""",
     "q41_catalog_pruned" ->
       """SELECT CAST(day(ts) AS INT) AS day, COUNT(*) AS n,

@@ -91,11 +91,17 @@ class MonitorSpec extends AnyFunSuite {
     assert(states("job_failure") == (("OK", 0L)))
     assert(states("ledger_backlog") == (("OK", 0L)))
 
-    // monitor-observed action failures feed the job_failure alarm
+    assert(states("slow_actions") == (("OK", 0L)))
+
+    // monitor-observed action failures feed job_failure; long-running
+    // successes feed slow_actions (the "runs too long" custom alarm)
     val mon = new GraftMonitor()
     mon.record(MetricEvent(1L, "sql", "failure", "save", -1L, -1L, "disk full"))
+    mon.record(MetricEvent(2L, "sql", "success", "count", 10L, 20 * 60 * 1000L, null))
+    mon.record(MetricEvent(3L, "sql", "success", "count", 10L, 100L, null))
     val withMon = Alarms.evaluate(spark, lay, Some(mon)).collect()
       .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
     assert(withMon("job_failure") == (("ALARM", 1L)))
+    assert(withMon("slow_actions") == (("ALARM", 1L)))
   }
 }
