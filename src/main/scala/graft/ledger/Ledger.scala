@@ -78,6 +78,25 @@ object Ledger {
   def apply(spark: SparkSession, dir: String, maxRetries: Int = 3): Ledger =
     new ParquetLedger(spark, dir, maxRetries)
 
+  /** Read-only view of the latest committed parquet-ledger version, for
+    * monitoring/audit paths. Unlike constructing a [[ParquetLedger]],
+    * this performs NO filesystem writes and NO state transitions: it
+    * does not reclaim in-flight PROCESSING rows as FAILED (they are
+    * legitimately in flight when a live writer owns the ledger) and does
+    * not prune version directories out from under that writer. Returns
+    * an empty frame with the ledger schema when no version exists. */
+  def readOnlySnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val fs = FileSystem.get(new Path(dir).toUri, spark.sparkContext.hadoopConfiguration)
+    val p = new Path(dir)
+    val versions =
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.map(_.getPath.getName)
+        .filter(_.matches("v\\d{5}")).map(_.drop(1).toInt)
+    if (versions.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], Schema)
+    else spark.read.parquet(new Path(dir, f"v${versions.max}%05d").toString)
+  }
+
   private[ledger] case class Rec(
       s3Key: String, fileSize: Long, status: String, retry: Int,
       error: Option[String], runId: Option[String],

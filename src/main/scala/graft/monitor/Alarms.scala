@@ -45,16 +45,27 @@ object Alarms {
   def evaluate(spark: SparkSession, layout: LakeLayout,
                monitor: Option[GraftMonitor] = None,
                slowActionMs: Long = 15 * 60 * 1000L): DataFrame = {
-    val led = Ledger(spark, layout.ledgerDir).snapshot()
+    // read-only ledger view: evaluation must not reclaim in-flight work
+    // or prune versions under a live writer (monitoring runs CONCURRENT
+    // with the pipeline — that is its point)
+    val led = Ledger.readOnlySnapshot(spark, layout.ledgerDir)
     val ledgerOf = (statuses: Seq[String]) =>
       led.filter(col("processing_status").isin(statuses: _*)).agg(count(lit(1)))
     val observedFailures = monitor.map(_.events.count(_.event == "failure").toLong).getOrElse(0L)
     val observedSlow = monitor.map(_.events.count(e =>
       e.event != "failure" && e.duration_ms > slowActionMs).toLong).getOrElse(0L)
+    // a lake that never quarantined anything has no DLQ directory at all
+    // — that is the healthy state, not an error
+    val dlqPath = new org.apache.hadoop.fs.Path(layout.dlqDir)
+    val dlqFs = org.apache.hadoop.fs.FileSystem.get(
+      dlqPath.toUri, spark.sparkContext.hadoopConfiguration)
+    val dlqCount =
+      if (dlqFs.exists(dlqPath) && dlqFs.listStatus(dlqPath).nonEmpty)
+        DlqWriter.read(spark, layout.dlqDir).agg(count(lit(1)))
+      else led.limit(0).agg(count(lit(1)))
 
     val metrics = Seq(
-      "dlq_activity" ->
-        DlqWriter.read(spark, layout.dlqDir).agg(count(lit(1))),
+      "dlq_activity" -> dlqCount,
       "file_quarantine" -> ledgerOf(Seq(Ledger.Quarantined)),
       "job_failure" ->
         ledgerOf(Seq(Ledger.Failed)).select(col("count(1)") + lit(observedFailures)),

@@ -47,11 +47,18 @@ final class GraftMonitor(maxEvents: Int = 10000) extends Serializable {
 
   private val buf = new ConcurrentLinkedQueue[MetricEvent]()
   private val dropped = new AtomicLong(0L)
+  // ConcurrentLinkedQueue.size is O(n); the bound check runs on the
+  // listener-bus thread for every event, so track the count separately
+  private val size = new java.util.concurrent.atomic.AtomicInteger(0)
 
   def record(e: MetricEvent): Unit = {
     buf.add(e)
-    while (buf.size > maxEvents) { // bounded: drop oldest
-      if (buf.poll() != null) dropped.incrementAndGet(): Unit
+    size.incrementAndGet()
+    while (size.get > maxEvents) { // bounded: drop oldest
+      if (buf.poll() != null) {
+        size.decrementAndGet()
+        dropped.incrementAndGet(): Unit
+      }
     }
   }
 
@@ -101,13 +108,19 @@ final class GraftMonitor(maxEvents: Int = 10000) extends Serializable {
         event.id.toString, -1L, -1L, event.exception.orNull))
   }
 
-  def attach(spark: SparkSession): Unit = {
-    spark.listenerManager.register(sqlListener)
-    spark.streams.addListener(streamListener)
-  }
+  // listener registration is additive in Spark, so guard attach with a
+  // flag to honor the documented per-instance idempotence
+  private val attached = new java.util.concurrent.atomic.AtomicBoolean(false)
 
-  def detach(spark: SparkSession): Unit = {
-    spark.listenerManager.unregister(sqlListener)
-    spark.streams.removeListener(streamListener)
-  }
+  def attach(spark: SparkSession): Unit =
+    if (attached.compareAndSet(false, true)) {
+      spark.listenerManager.register(sqlListener)
+      spark.streams.addListener(streamListener)
+    }
+
+  def detach(spark: SparkSession): Unit =
+    if (attached.compareAndSet(true, false)) {
+      spark.listenerManager.unregister(sqlListener)
+      spark.streams.removeListener(streamListener)
+    }
 }

@@ -138,7 +138,7 @@ object AudioDecode {
           val off = dataOffset(b)
           val frameSamples = rate.toLong * frameMs / 1000
           val nFrames = if (frameSamples == 0) 0L else nPerCh / frameSamples
-          val base = row.toSeq.zipWithIndex.collect { case (v, i) if keepIdx.contains(i) => v }
+          val base = keepIdx.map(row.get)
           (0L until nFrames).iterator
             .filter(_ % everyNth == 0)
             .map { k =>

@@ -117,7 +117,10 @@ object MultimodalOps {
     // kept visible. The frame table is the feature surface a training
     // pipeline joins/dedups on; payload bytes are touched exactly once.
     "q58_audio_frames" -> ((s, d) => {
-      val decoded = AudioDecode.decode(audioFixture(s))
+      // decoded feeds both aggregate branches; persist so the fixture
+      // build + header chunk-walk run once (the frame sampler's PCM walk
+      // is inherently a second pass over the sampled windows only)
+      val decoded = AudioDecode.decode(audioFixture(s)).persist()
       val frames = AudioDecode.sampleFrames(decoded)
       val byRate = decoded
         .groupBy(coalesce(col("sample_rate").cast("string"), lit("(bad)")).as("rate"))

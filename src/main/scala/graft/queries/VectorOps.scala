@@ -197,8 +197,8 @@ object VectorOps {
     //
     // Candidate pairs are DISTINCT'd before verification (a pair that
     // collides in several tables/probes is verified once), with the pair
-    // packed into one 64-bit key (valid while vec_id < 2^32; wider id
-    // spaces fall back to the two-column distinct) so the dedup shuffle
+    // packed into one 64-bit key (valid while vec_id < 2^32; a wider id
+    // space requires switching to a two-column distinct) so the dedup shuffle
     // carries 8 bytes per candidate; embeddings then join back BY ID for the (much
     // smaller) deduped set only — the vector itself is never amplified
     // through the explode/join. Rows-only (probabilistic recall);
@@ -218,7 +218,9 @@ object VectorOps {
         .filter(col("a_id") < col("b_id"))
         .select(shiftleft(col("a_id"), 32).bitwiseOR(col("b_id")).as("pk"))
         .distinct()
-        .select(shiftright(col("pk"), 32).as("a_id"),
+        // unsigned shift: an a_id in [2^31, 2^32) sets pk's sign bit, and
+        // an arithmetic shift would sign-extend it into a negative id
+        .select(shiftrightunsigned(col("pk"), 32).as("a_id"),
           col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("b_id"))
       cands
         .join(e.select(col("vec_id").as("a_id"), col("embedding").as("ea")), Seq("a_id"))

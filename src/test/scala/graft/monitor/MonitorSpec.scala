@@ -104,4 +104,30 @@ class MonitorSpec extends AnyFunSuite {
     assert(withMon("job_failure") == (("ALARM", 1L)))
     assert(withMon("slow_actions") == (("ALARM", 1L)))
   }
+
+  test("a fully healthy lake (no DLQ directory ever created) evaluates all-OK") {
+    val lay = LakeLayout(Files.createTempDirectory("graft-mon-ok").toString)
+    val p = Paths.get(s"${lay.rawDir}/good.jsonl")
+    Files.createDirectories(p.getParent)
+    val rec = s"""{"id":"g","event_timestamp":"2024-03-07 10:00:00.000000","MODE":"training",""" +
+      s""""metadata":{"app_version":"1","user_agent":"ua","user_id":1},""" +
+      s""""payload":{"transaction_id":"t","value":2.0,"props":"{}"}}"""
+    Files.write(p, (rec + "\n").getBytes(StandardCharsets.UTF_8)): Unit
+    new BatchProcessor(spark, lay, Contracts.events).runUntilDrained()
+    val states = Alarms.evaluate(spark, lay).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(states.values.forall(_ == "OK"), s"expected all OK, got $states")
+  }
+
+  test("alarm evaluation is read-only: in-flight PROCESSING rows are not reclaimed") {
+    val lay = LakeLayout(Files.createTempDirectory("graft-mon-ro").toString)
+    val led = graft.ledger.Ledger(spark, lay.ledgerDir)
+    led.register(Seq("f1" -> 10L, "f2" -> 20L))
+    led.markProcessing(Seq("f1"), "run-1") // a live writer owns this batch
+    val states = Alarms.evaluate(spark, lay).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // the in-flight file counts as backlog, NOT as a failure
+    assert(states("ledger_backlog") == (("ALARM", 2L)))
+    assert(states("job_failure") == (("OK", 0L)))
+  }
 }
