@@ -48,5 +48,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("vec_quantize"),
+      new ExpressionInfo(classOf[graft.functions.Vec8Quantize].getName, "vec_quantize"),
+      (exprs: Seq[Expression]) => graft.functions.Vec8Quantize(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot_q8"),
+      new ExpressionInfo(classOf[graft.functions.Vec8Dot].getName, "vec_dot_q8"),
+      (exprs: Seq[Expression]) =>
+        graft.functions.Vec8Dot(exprs.head, exprs(1), exprs(2), exprs(3))))
   }
 }

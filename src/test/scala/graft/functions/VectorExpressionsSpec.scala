@@ -74,4 +74,38 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(short.select(expr("lsh_codes(embedding)")).collect()
       .head.getSeq[Long](0) == Seq.fill(tables)(0L))
   }
+
+  test("int8 quantization: 4x smaller payload, dot error <= 2%, zero/ragged safe") {
+    VectorExpressions.register(spark)
+    QuantizeExpressions.register(spark)
+    val e = graft.engine.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val rows = e.select(
+      expr("vec_dot(embedding, embedding)").as("exact"),
+      expr("vec_quantize(embedding)").as("qs"),
+      size(col("embedding")).as("dim"))
+      .select(col("exact"), col("dim"),
+        expr("vec_dot_q8(qs.q, qs.scale, qs.q, qs.scale)").as("approx"),
+        size(col("qs.q")).as("qlen"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // stored form is 1 byte/dim (+4-byte scale) vs 4 bytes/dim
+      assert(r.getAs[Int]("qlen") == r.getAs[Int]("dim"))
+      val exact = r.getDouble(0)
+      val approx = r.getDouble(2)
+      assert(math.abs(approx - exact) <= 0.02 * math.abs(exact) + 1e-6,
+        s"quantized self-dot $approx vs $exact")
+    }
+    import spark.implicits._
+    // all-zero vector: scale 0, all-zero q, dot 0 (not NaN)
+    val zero = Seq(Seq(0.0f, 0.0f, 0.0f)).toDF("embedding")
+      .select(expr("vec_quantize(embedding)").as("qs"))
+      .select(expr("vec_dot_q8(qs.q, qs.scale, qs.q, qs.scale)")).first().getDouble(0)
+    assert(zero == 0.0)
+    // ragged pair -> NULL, same posture as vec_dot
+    val ragged = Seq((Seq(1.0f, 2.0f), Seq(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+      .select(expr("vec_quantize(a)").as("qa"), expr("vec_quantize(b)").as("qb"))
+      .select(expr("vec_dot_q8(qa.q, qa.scale, qb.q, qb.scale)")).collect()
+    assert(ragged.head.isNullAt(0))
+  }
 }

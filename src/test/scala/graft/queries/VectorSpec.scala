@@ -30,6 +30,15 @@ class VectorSpec extends AnyFunSuite {
   }
 
   for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+    test(s"q64 int8-quantized recall >= 0.9 vs exact q35 top-k at ${sf.split('/').last}") {
+      val exact = pairs("q35_cosine_topk", sf)
+      val quant = pairs("q64_quantized_topk", sf)
+      val recall = (exact & quant).size.toDouble / exact.size
+      assert(recall >= 0.9, s"SQ8 recall $recall")
+    }
+  }
+
+  for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
     test(s"q51 IVF recall >= 0.85 vs exact q35 top-k at ${sf.split('/').last}") {
       val exact = pairs("q35_cosine_topk", sf)
       val ivf = pairs("q51_ann_ivf", sf)
