@@ -126,6 +126,51 @@ object DedupOps {
         .orderBy("a_id", "b_id")
     }),
 
+    // X2 closure: transitive dedup GROUPS — a dedup pipeline keeps one
+    // representative per duplicate CLUSTER, which is connected components
+    // over the near-dup pair graph, not the raw pair list. Edges here are
+    // exact 3-shingle Jaccard ≥ 0.5 (computed with the q33 gram-join
+    // shape) so DuckDB can verify the FULL transitive closure with a
+    // recursive CTE; components come from iterative min-label
+    // propagation (rep ← min(rep, neighbors' reps) until fixpoint — the
+    // GraphX-CC construction as DataFrame passes, each iteration one
+    // join + aggregate, iteration count = cluster diameter, driver sees
+    // only a changed-row count per round). At 100 TB the same closure
+    // operator runs over LSH-generated edges (q32/q34/q49); the
+    // doc_id<1000 cap bounds the exact edge build, not the operator.
+    "q65_dup_groups" -> ((s, d) => {
+      val universe = shingled(docs(s, d)).filter(col("doc_id") < 1000).persist()
+      val grams = universe.select(col("doc_id"), explode(col("sh")).as("g"))
+      val sizes = universe.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
+      val inter = grams.select(col("doc_id").as("a"), col("g"))
+        .join(grams.select(col("doc_id").as("b"), col("g")), Seq("g"))
+        .filter(col("a") < col("b"))
+        .groupBy("a", "b").agg(count(lit(1)).as("i"))
+      val edges = inter
+        .join(broadcast(sizes.select(col("doc_id").as("a"), col("n").as("na"))), Seq("a"))
+        .join(broadcast(sizes.select(col("doc_id").as("b"), col("n").as("nb"))), Seq("b"))
+        .filter(col("i") * lit(1.0) / (col("na") + col("nb") - col("i")) >= 0.5)
+        .select("a", "b")
+      val sym = edges.unionAll(edges.select(col("b").as("a"), col("a").as("b"))).persist()
+      var labels = universe.select(col("doc_id"), col("doc_id").as("rep")).persist()
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 25) {
+        val prop = labels.join(sym, col("doc_id") === col("a"), "left")
+        val next = prop.join(
+          labels.select(col("doc_id").as("b"), col("rep").as("nrep")), Seq("b"), "left")
+          .groupBy(col("doc_id"))
+          .agg(least(min(col("rep")), coalesce(min(col("nrep")), min(col("rep")))).as("rep"))
+          .persist()
+        changed = next.join(labels.withColumnRenamed("rep", "old"), Seq("doc_id"))
+          .filter(col("rep") =!= col("old")).count()
+        labels.unpersist()
+        labels = next
+        rounds += 1
+      }
+      labels.orderBy("doc_id").select(col("doc_id"), col("rep"))
+    }),
+
     // X2: SimHash near-dup pairs (hamming ≤ 3), chunk-bucketed candidates.
     // Rows-only check; cross-validated against MinHash in DedupSpec.
     //
@@ -171,6 +216,28 @@ object DedupOps {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q65_dup_groups" ->
+      """WITH RECURSIVE
+           tok AS (
+             SELECT doc_id, unnest(list_distinct(sh)) AS g FROM (
+               SELECT doc_id, string_split(text, ' ') AS t,
+                 [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(string_split(text,' ')) - 1)] AS sh
+               FROM documents WHERE doc_id < 1000) x WHERE len(t) >= 3),
+           sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1),
+           inter AS (
+             SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i
+             FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+           edges AS (
+             SELECT a, b FROM inter
+             JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+             WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+           sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+           walk(id, r) AS (
+             SELECT doc_id, doc_id FROM sizes
+             UNION
+             SELECT s.b, w.r FROM walk w JOIN sym s ON s.a = w.id)
+         SELECT id AS doc_id, MIN(r) AS rep FROM walk GROUP BY 1 ORDER BY 1""",
     "q33_jaccard_search" ->
       """WITH tok AS (
            SELECT doc_id, unnest(list_distinct(sh)) AS g FROM (
