@@ -34,28 +34,49 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"minhash_sig width must be an integer literal, got $other")
   }
 
+  /** A clean arity message beats the IndexOutOfBoundsException a bare
+    * exprs(n) would surface as an internal error. */
+  private def arity(name: String, exprs: Seq[Expression], expected: Int*): Unit =
+    if (!expected.contains(exprs.length))
+      throw new IllegalArgumentException(
+        s"$name expects ${expected.mkString(" or ")} argument(s), got ${exprs.length}")
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatVectorDot].getName, "vec_dot"),
-      (exprs: Seq[Expression]) => FloatVectorDot(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => {
+        arity("vec_dot", exprs, 2)
+        FloatVectorDot(exprs.head, exprs(1))
+      }))
     ext.injectFunction((
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sig"),
-      (exprs: Seq[Expression]) => MinHashSignature(exprs.head,
-        if (exprs.lengthCompare(1) > 0) numHashesOf(exprs(1)) else 64)))
+      (exprs: Seq[Expression]) => {
+        arity("minhash_sig", exprs, 1, 2)
+        MinHashSignature(exprs.head,
+          if (exprs.lengthCompare(1) > 0) numHashesOf(exprs(1)) else 64)
+      }))
     ext.injectFunction((
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+      (exprs: Seq[Expression]) => {
+        arity("simhash64", exprs, 1)
+        SimHash64(exprs.head)
+      }))
     ext.injectFunction((
       FunctionIdentifier("vec_quantize"),
       new ExpressionInfo(classOf[graft.functions.Vec8Quantize].getName, "vec_quantize"),
-      (exprs: Seq[Expression]) => graft.functions.Vec8Quantize(exprs.head)))
+      (exprs: Seq[Expression]) => {
+        arity("vec_quantize", exprs, 1)
+        graft.functions.Vec8Quantize(exprs.head)
+      }))
     ext.injectFunction((
       FunctionIdentifier("vec_dot_q8"),
       new ExpressionInfo(classOf[graft.functions.Vec8Dot].getName, "vec_dot_q8"),
-      (exprs: Seq[Expression]) =>
-        graft.functions.Vec8Dot(exprs.head, exprs(1), exprs(2), exprs(3))))
+      (exprs: Seq[Expression]) => {
+        arity("vec_dot_q8", exprs, 4)
+        graft.functions.Vec8Dot(exprs.head, exprs(1), exprs(2), exprs(3))
+      }))
   }
 }

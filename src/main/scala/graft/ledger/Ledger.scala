@@ -78,23 +78,42 @@ object Ledger {
   def apply(spark: SparkSession, dir: String, maxRetries: Int = 3): Ledger =
     new ParquetLedger(spark, dir, maxRetries)
 
+  /** Version directories under a parquet ledger dir. Shared by the
+    * writer and [[readOnlySnapshot]] so the name contract lives once;
+    * `v\d{5,}` because %05d grows past five digits after 99999 commits
+    * (a 15-min loop at ~3 commits/batch gets there in years, not
+    * never). */
+  private[ledger] def listVersions(fs: FileSystem, dir: String): Seq[Int] = {
+    val p = new Path(dir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.matches("v\\d{5,}")).map(_.drop(1).toInt)
+  }
+
   /** Read-only view of the latest committed parquet-ledger version, for
     * monitoring/audit paths. Unlike constructing a [[ParquetLedger]],
     * this performs NO filesystem writes and NO state transitions: it
     * does not reclaim in-flight PROCESSING rows as FAILED (they are
     * legitimately in flight when a live writer owns the ledger) and does
-    * not prune version directories out from under that writer. Returns
-    * an empty frame with the ledger schema when no version exists. */
+    * not prune version directories out from under that writer. The
+    * snapshot is EAGER (localCheckpoint) so a live writer pruning the
+    * read version after this call cannot fail the caller's later
+    * actions; the read itself retries once if it loses that race.
+    * Returns an empty frame with the ledger schema when no version
+    * exists. */
   def readOnlySnapshot(spark: SparkSession, dir: String): DataFrame = {
     val fs = FileSystem.get(new Path(dir).toUri, spark.sparkContext.hadoopConfiguration)
-    val p = new Path(dir)
-    val versions =
-      if (!fs.exists(p)) Seq.empty
-      else fs.listStatus(p).toSeq.map(_.getPath.getName)
-        .filter(_.matches("v\\d{5}")).map(_.drop(1).toInt)
-    if (versions.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], Schema)
-    else spark.read.parquet(new Path(dir, f"v${versions.max}%05d").toString)
+    def attempt(): DataFrame = {
+      val versions = listVersions(fs, dir)
+      if (versions.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], Schema)
+      else spark.read.parquet(new Path(dir, f"v${versions.max}%05d").toString)
+        .localCheckpoint(true)
+    }
+    try attempt()
+    catch { case _: org.apache.spark.SparkException | _: java.io.FileNotFoundException =>
+      attempt() // the version fell out of the writer's retention window mid-read
+    }
   }
 
   private[ledger] case class Rec(
@@ -159,12 +178,7 @@ final class ParquetLedger(spark: SparkSession, dir: String, maxRetries: Int = 3,
 
   private def versionPath(v: Int) = new Path(dir, f"v$v%05d")
 
-  private def listVersions(): Seq[Int] = {
-    val p = new Path(dir)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq.map(_.getPath.getName)
-      .filter(_.matches("v\\d{5}")).map(_.drop(1).toInt)
-  }
+  private def listVersions(): Seq[Int] = Ledger.listVersions(fs, dir)
 
   private def pruneBeyondWindow(): Unit =
     listVersions().filter(_ <= curVersion - versionWindow)

@@ -108,18 +108,25 @@ final class GraftMonitor(maxEvents: Int = 10000) extends Serializable {
         event.id.toString, -1L, -1L, event.exception.orNull))
   }
 
-  // listener registration is additive in Spark, so guard attach with a
-  // flag to honor the documented per-instance idempotence
-  private val attached = new java.util.concurrent.atomic.AtomicBoolean(false)
+  // listener registration is additive in Spark, so track the session
+  // this instance is attached to: a second attach (same session) is a
+  // no-op, attach to a different session while attached is rejected,
+  // and detach only acts on the session actually holding the listeners
+  private val attachedTo =
+    new java.util.concurrent.atomic.AtomicReference[SparkSession](null)
 
   def attach(spark: SparkSession): Unit =
-    if (attached.compareAndSet(false, true)) {
+    if (attachedTo.compareAndSet(null, spark)) {
       spark.listenerManager.register(sqlListener)
       spark.streams.addListener(streamListener)
+    } else if (attachedTo.get() ne spark) {
+      throw new IllegalStateException(
+        "this GraftMonitor is already attached to a different session; " +
+          "detach it there first or use one monitor per session")
     }
 
   def detach(spark: SparkSession): Unit =
-    if (attached.compareAndSet(true, false)) {
+    if (attachedTo.compareAndSet(spark, null)) {
       spark.listenerManager.unregister(sqlListener)
       spark.streams.removeListener(streamListener)
     }

@@ -155,7 +155,8 @@ object DedupOps {
       var labels = universe.select(col("doc_id"), col("doc_id").as("rep")).persist()
       var changed = 1L
       var rounds = 0
-      while (changed > 0 && rounds < 25) {
+      val maxRounds = 50
+      while (changed > 0 && rounds < maxRounds) {
         val prop = labels.join(sym, col("doc_id") === col("a"), "left")
         val next = prop.join(
           labels.select(col("doc_id").as("b"), col("rep").as("nrep")), Seq("b"), "left")
@@ -168,6 +169,11 @@ object DedupOps {
         labels = next
         rounds += 1
       }
+      // a partially-propagated labeling is a WRONG answer (split dedup
+      // groups), never return one silently
+      if (changed > 0) throw new IllegalStateException(
+        s"q65 label propagation did not converge in $maxRounds rounds " +
+          "(duplicate-chain diameter exceeds the cap; raise maxRounds)")
       labels.orderBy("doc_id").select(col("doc_id"), col("rep"))
     }),
 
