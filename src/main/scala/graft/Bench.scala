@@ -30,6 +30,7 @@ object Bench {
     pipeline.StreamDemo.ensureHourly(spark, sfDir).count()
     pipeline.StreamDemo.ensureStreamJoin(spark, sfDir).count()
     pipeline.IvfIndex.ensure(spark, sfDir)
+    queries.LangModelStore.ensure(spark, sfDir)
     val buildSec = (System.nanoTime() - b0) / 1e9
 
     // A failed query must never masquerade as a timing: record per-query
