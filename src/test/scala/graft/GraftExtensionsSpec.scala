@@ -50,6 +50,20 @@ class GraftExtensionsSpec extends AnyFunSuite {
 
       val sh = s.sql("SELECT simhash64(array('x', 'y')) AS h").first().getLong(0)
       assert(sh == s.sql("SELECT simhash64(array('x', 'y'))").first().getLong(0))
+
+      // int8 quantization round-trip from pure SQL (scale = 2/127 is a
+      // float, so the reconstruction is approximate, not exact)
+      val qd = s.sql(
+        "WITH q AS (SELECT vec_quantize(array(cast(2.0 AS float), cast(0.0 AS float))) AS v) " +
+          "SELECT vec_dot_q8(v.q, v.scale, v.q, v.scale) FROM q").first().getDouble(0)
+      assert(math.abs(qd - 4.0) < 1e-6, s"quantized self-dot $qd")
+    }
+  }
+
+  test("wrong arity surfaces as a clear message, not an index error") {
+    withExtendedSession { s =>
+      val e = intercept[Exception](s.sql("SELECT vec_dot_q8(array(cast(1 AS tinyint)))"))
+      assert(e.getMessage.contains("vec_dot_q8 expects 4"), e.getMessage)
     }
   }
 
