@@ -152,29 +152,50 @@ object DedupOps {
         .filter(col("i") * lit(1.0) / (col("na") + col("nb") - col("i")) >= 0.5)
         .select("a", "b")
       val sym = edges.unionAll(edges.select(col("b").as("a"), col("a").as("b"))).persist()
-      var labels = universe.select(col("doc_id"), col("doc_id").as("rep")).persist()
-      var changed = 1L
+      if (sys.env.contains("GRAFT_DEBUG")) {
+        val t0 = System.nanoTime()
+        val ne = sym.count()
+        System.err.println(f"[q65] edge build: $ne edges in ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
+      // Iterate ONLY over edge-touched nodes: an isolated doc is trivially
+      // its own component, and in a dedup pipeline near-dup edges touch a
+      // small fraction of the corpus — at 100 TB this keeps every per-round
+      // shuffle proportional to the duplicate subgraph, not the corpus.
+      // sym is symmetric, so the `a` column alone covers all touched nodes.
+      var labels = sym.select(col("a").as("doc_id"))
+        .distinct().withColumn("rep", col("doc_id")).persist()
+      // Reps only ever decrease (min-propagation), so sum(rep) is strictly
+      // monotone until fixpoint — convergence is one cheap aggregate on the
+      // cached frame instead of a join-and-count against the prior round.
+      var lastSum = labels.agg(sum("rep")).first().getLong(0)
+      var converged = false
       var rounds = 0
       val maxRounds = 50
-      while (changed > 0 && rounds < maxRounds) {
-        val prop = labels.join(sym, col("doc_id") === col("a"), "left")
-        val next = prop.join(
-          labels.select(col("doc_id").as("b"), col("rep").as("nrep")), Seq("b"), "left")
-          .groupBy(col("doc_id"))
-          .agg(least(min(col("rep")), coalesce(min(col("nrep")), min(col("rep")))).as("rep"))
+      while (!converged && rounds < maxRounds) {
+        val next = sym
+          .join(labels.select(col("doc_id").as("a"), col("rep").as("arep")), Seq("a"))
+          .join(labels.select(col("doc_id").as("b"), col("rep").as("brep")), Seq("b"))
+          .groupBy(col("a").as("doc_id"))
+          .agg(least(min(col("arep")), min(col("brep"))).as("rep"))
           .persist()
-        changed = next.join(labels.withColumnRenamed("rep", "old"), Seq("doc_id"))
-          .filter(col("rep") =!= col("old")).count()
+        val s = next.agg(sum("rep")).first().getLong(0)
+        converged = s == lastSum
+        lastSum = s
         labels.unpersist()
         labels = next
         rounds += 1
+        if (sys.env.contains("GRAFT_DEBUG"))
+          System.err.println(s"[q65] round=$rounds sum=$s")
       }
       // a partially-propagated labeling is a WRONG answer (split dedup
       // groups), never return one silently
-      if (changed > 0) throw new IllegalStateException(
+      if (!converged) throw new IllegalStateException(
         s"q65 label propagation did not converge in $maxRounds rounds " +
           "(duplicate-chain diameter exceeds the cap; raise maxRounds)")
-      labels.orderBy("doc_id").select(col("doc_id"), col("rep"))
+      universe.select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep"))
+        .orderBy("doc_id")
     }),
 
     // X2: SimHash near-dup pairs (hamming ≤ 3), chunk-bucketed candidates.
