@@ -18,11 +18,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.defs ++ EventOps.defs ++ TextOps.defs ++ DedupOps.defs ++
-      VectorOps.defs ++ IngestQueries.defs ++ IngestQueries.defsBucketed ++ MultimodalOps.defs
+      VectorOps.defs ++ IngestQueries.defs ++ IngestQueries.defsBucketed ++
+      MultimodalOps.defs ++ CurationOps.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ EventOps.oracles ++ TextOps.oracles ++ DedupOps.oracles ++
-      VectorOps.oracles ++ IngestQueries.oracles ++ MultimodalOps.oracles
+      VectorOps.oracles ++ IngestQueries.oracles ++ MultimodalOps.oracles ++
+      CurationOps.oracles
 }

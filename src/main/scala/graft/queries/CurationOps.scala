@@ -1,0 +1,218 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.engine.Tables
+
+/** Training-data curation operators over `documents` (SURVEY.md §2.10
+  * north-star: the ops a large-scale LLM training pipeline runs after
+  * dedup/quality scoring to turn a corpus into a training set).
+  *
+  * All five are pure column algebra — deterministic, oracle-checked
+  * against DuckDB, and shuffle-minimal by construction:
+  *
+  *  - q66 split assignment: hash-based train/val/test. `md5(doc_id)` is
+  *    stateless and reproducible — the split of any doc is decidable in
+  *    isolation, so assignment is a scan-only projection (no shuffle, no
+  *    stored split table, stable under corpus growth — the properties
+  *    that make hash-splits the standard over random sampling).
+  *  - q67 sequence packing: concat-and-chunk packing of docs into
+  *    fixed token budgets. Packing is inherently sequential, so it runs
+  *    per-SHARD (16 md5 shards): each shard's cumulative-sum window is
+  *    independent — at 100 TB this is an embarrassingly parallel window
+  *    per shard, never a global single-partition window.
+  *  - q68 PII redaction: regex email/phone scrub with audit counts. The
+  *    corpus text carries no PII (synthetic), so deterministic fake PII
+  *    is appended per-doc first; the redaction+audit pass is the real
+  *    operator. Scan-only: no shuffle before the per-lang audit agg.
+  *  - q69 mixture sampling: per-source weighted downsampling via md5
+  *    threshold — the "data mixture" step that reweights sources before
+  *    training. Scan-only filter; rates are exact in expectation and
+  *    deterministic per doc (re-runs select the SAME docs, unlike
+  *    `sample()`).
+  *  - q70 curation pipeline: quality gate → exact dedup (min doc_id per
+  *    text hash) → split assignment → per-(split, source) accounting.
+  *    One hash shuffle (the dedup row_number) + one agg shuffle.
+  *
+  * Token counts reuse the whitespace idiom hash-matched since q27/q28
+  * (`size(split(text, ' '))` ≡ DuckDB `len(string_split(text, ' '))`).
+  */
+object CurationOps {
+  type Q = (SparkSession, String) => DataFrame
+  private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
+
+  private def nTokens(c: Column): Column = size(split(c, " ")).cast("long")
+
+  /** First k lowercase-hex chars of md5(doc_id) — the deterministic
+    * per-doc randomness source. Identical bytes in Spark and DuckDB
+    * (both hash the UTF-8 of the decimal string), so hex-prefix string
+    * compares agree across engines. */
+  private def idHex(k: Int): Column =
+    substring(md5(col("doc_id").cast("string")), 1, k)
+
+  /** 75/12.5/12.5 split on the first hex nibble: 0-b train, c-d val,
+    * e-f test. */
+  private def splitCol: Column =
+    when(idHex(1) < "c", "train").when(idHex(1) < "e", "val").otherwise("test")
+
+  private val PackBudget = 512 // tokens per packed sequence
+
+  val defs: Map[String, Q] = Map(
+    // Deterministic hash split + per-split accounting.
+    "q66_split_assign" -> ((s, d) => {
+      docs(s, d)
+        .withColumn("split", splitCol)
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(nTokens(col("text"))).as("n_tokens"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy("split")
+    }),
+
+    // Concat-and-chunk sequence packing, parallel per md5 shard: a doc
+    // belongs to the bin where its tokens START (floor(prefix/budget)),
+    // which is exactly the chunk layout a sequential packer produces.
+    "q67_pack_sequences" -> ((s, d) => {
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, d)
+        .select(col("doc_id"), idHex(1).as("shard"), nTokens(col("text")).as("n_tok"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .withColumn("bin",
+          floor((col("cum") - col("n_tok")) / lit(PackBudget.toDouble)).cast("long"))
+        .groupBy("shard", "bin")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy("shard", "bin")
+    }),
+
+    // PII scrub with audit trail. Fake-but-deterministic PII is appended
+    // (corpus text is synthetic words only, so patterns cannot collide
+    // with natural text); the operator is the redact + audit pass.
+    "q68_pii_redact" -> ((s, d) => {
+      val emailPat = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+      val phonePat = "\\d{3}-\\d{4}"
+      docs(s, d)
+        .withColumn("text2", concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.com or tel 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .withColumn("n_email",
+          size(regexp_extract_all(col("text2"), lit(emailPat), lit(0))).cast("long"))
+        .withColumn("n_phone",
+          size(regexp_extract_all(col("text2"), lit(phonePat), lit(0))).cast("long"))
+        .withColumn("clean",
+          regexp_replace(regexp_replace(col("text2"), emailPat, "<EMAIL>"),
+            phonePat, "<PHONE>"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_email")).as("n_emails"),
+          sum(col("n_phone")).as("n_phones"),
+          sum((length(col("text2")) - length(col("clean"))).cast("long")).as("chars_removed"))
+        .orderBy("lang")
+    }),
+
+    // Per-source weighted downsampling (data-mixture reweighting):
+    // keep iff the doc's 2-hex-char bucket (256 buckets) is under the
+    // source's threshold — 12.5% / 25% / 50% / 100% tiers here.
+    "q69_mixture_sample" -> ((s, d) => {
+      val thr = when(col("source").isin("src0", "src1", "src2"), "20")
+        .when(col("source").isin("src3", "src4", "src5"), "40")
+        .when(col("source").isin("src6", "src7"), "80")
+        .otherwise("zz") // sorts after every hex string: keep all
+      docs(s, d)
+        .withColumn("keep", idHex(2) < thr)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("keep"), nTokens(col("text"))).otherwise(0L)).as("kept_tokens"))
+        .orderBy("source")
+    }),
+
+    // End-to-end curation: quality gate → exact dedup → hash split →
+    // per-(split, source) training-set accounting.
+    "q70_curation_pipeline" -> ((s, d) => {
+      val rw = Window.partitionBy(md5(col("text"))).orderBy("doc_id")
+      docs(s, d)
+        .withColumn("n_tok", nTokens(col("text")))
+        .filter(col("n_tok").between(20, 200) && col("n_chars") >= 100)
+        .withColumn("rn", row_number().over(rw))
+        .filter(col("rn") === 1)
+        .withColumn("split", splitCol)
+        .groupBy("split", "source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .orderBy("split", "source")
+    }))
+
+  private val SplitSql =
+    """CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+            ELSE 'test' END"""
+
+  val oracles: Map[String, String] = Map(
+    "q66_split_assign" ->
+      s"""SELECT $SplitSql AS split, COUNT(*) AS n_docs,
+          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+          COUNT(DISTINCT source) AS n_sources
+          FROM documents GROUP BY 1 ORDER BY 1""",
+    "q67_pack_sequences" ->
+      s"""WITH t AS (
+            SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+                   len(string_split(text, ' ')) AS n_tok
+            FROM documents),
+          c AS (
+            SELECT doc_id, shard, n_tok,
+                   SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM t)
+          SELECT shard, CAST(FLOOR((cum - n_tok) / $PackBudget.0) AS BIGINT) AS bin,
+                 COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+                 MIN(doc_id) AS first_doc
+          FROM c GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q68_pii_redact" ->
+      """WITH p AS (
+           SELECT lang,
+                  text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@mail.com or tel 555-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text2
+           FROM documents),
+         r AS (
+           SELECT lang, text2,
+                  len(regexp_extract_all(text2, '[a-z0-9]+@[a-z]+\.[a-z]+')) AS n_email,
+                  len(regexp_extract_all(text2, '\d{3}-\d{4}')) AS n_phone,
+                  regexp_replace(regexp_replace(text2,
+                    '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
+                    '\d{3}-\d{4}', '<PHONE>', 'g') AS clean
+           FROM p)
+         SELECT lang, COUNT(*) AS n_docs,
+                CAST(SUM(n_email) AS BIGINT) AS n_emails,
+                CAST(SUM(n_phone) AS BIGINT) AS n_phones,
+                CAST(SUM(length(text2) - length(clean)) AS BIGINT) AS chars_removed
+         FROM r GROUP BY 1 ORDER BY 1""",
+    "q69_mixture_sample" ->
+      """WITH t AS (
+           SELECT source, len(string_split(text, ' ')) AS n_tok,
+                  substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h2,
+                  CASE WHEN source IN ('src0','src1','src2') THEN '20'
+                       WHEN source IN ('src3','src4','src5') THEN '40'
+                       WHEN source IN ('src6','src7') THEN '80'
+                       ELSE 'zz' END AS thr
+           FROM documents)
+         SELECT source, COUNT(*) AS n_total,
+                CAST(SUM(CASE WHEN h2 < thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                CAST(SUM(CASE WHEN h2 < thr THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens
+         FROM t GROUP BY 1 ORDER BY 1""",
+    "q70_curation_pipeline" ->
+      s"""WITH base AS (
+            SELECT doc_id, source, text, len(string_split(text, ' ')) AS n_tok
+            FROM documents
+            WHERE len(string_split(text, ' ')) BETWEEN 20 AND 200 AND n_chars >= 100),
+          ded AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+            FROM base)
+          SELECT $SplitSql AS split, source, COUNT(*) AS n_docs,
+                 CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+          FROM ded WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""")
+}

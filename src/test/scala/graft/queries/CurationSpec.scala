@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Properties of the curation operators the DuckDB oracle cannot express:
+  * partition/packing invariants, redaction completeness, and determinism
+  * of the hash-based sampling (the reason hash sampling beats `sample()`
+  * for training-data reproducibility).
+  */
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def docsCount: Long =
+    graft.engine.Tables.load(spark, sf, "documents").count()
+
+  test("q66 split: partitions the corpus, exactly three splits, stable across runs") {
+    val a = CurationOps.defs("q66_split_assign")(spark, sf).collect()
+    assert(a.map(_.getString(0)).toSet === Set("train", "val", "test"))
+    assert(a.map(_.getLong(1)).sum === docsCount)
+    val b = CurationOps.defs("q66_split_assign")(spark, sf).collect()
+    assert(a.toSeq === b.toSeq, "hash split must be deterministic")
+  }
+
+  test("q67 packing: bins consecutive per shard, capacity bound, tokens conserved") {
+    val rows = CurationOps.defs("q67_pack_sequences")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val docs = graft.engine.Tables.load(spark, sf, "documents")
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+    val maxDoc = docs.agg(max("n")).first().getLong(0)
+    val totalTokens = docs.agg(sum("n")).first().getLong(0)
+    // bins within a shard are 0..k consecutive (concat-and-chunk never
+    // skips a chunk: each bin starts where the previous filled up)
+    rows.groupBy(_._1).foreach { case (shard, bs) =>
+      val ids = bs.map(_._2).sorted
+      assert(ids === (0L until ids.length).toArray.toSeq,
+        s"shard $shard bins not consecutive: ${ids.mkString(",")}")
+    }
+    // a bin holds at most budget-1 carried tokens plus one doc that
+    // crosses the boundary, so its sum is < budget + maxDoc
+    rows.foreach { case (shard, bin, _, toks) =>
+      assert(toks < 512 + maxDoc, s"bin ($shard,$bin) overfull: $toks")
+    }
+    assert(rows.map(_._4).sum === totalTokens, "packing must conserve tokens")
+    assert(rows.map(_._3).sum === docsCount, "packing must conserve docs")
+  }
+
+  test("q68 redaction: every doc audited, injected PII fully scrubbed") {
+    val rows = CurationOps.defs("q68_pii_redact")(spark, sf).collect()
+    // each doc gets exactly one email and one phone injected
+    assert(rows.map(_.getLong(1)).sum === docsCount)
+    assert(rows.map(_.getLong(2)).sum === docsCount, "one email per doc")
+    assert(rows.map(_.getLong(3)).sum === docsCount, "one phone per doc")
+    // '<EMAIL>'/'<PHONE>' are shorter than any injected match, so a
+    // complete scrub strictly shrinks every doc
+    assert(rows.forall(_.getLong(4) > 0), "redaction must remove characters")
+    // independent completeness check: re-apply the operator's regexes to
+    // the cleaned text and demand zero residual matches
+    val emailPat = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+    val phonePat = "\\d{3}-\\d{4}"
+    val residual = graft.engine.Tables.load(spark, sf, "documents")
+      .withColumn("text2", concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.com or tel 555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+      .withColumn("clean",
+        regexp_replace(regexp_replace(col("text2"), emailPat, "<EMAIL>"), phonePat, "<PHONE>"))
+      .filter(size(regexp_extract_all(col("clean"), lit(emailPat), lit(0))) > 0 ||
+        size(regexp_extract_all(col("clean"), lit(phonePat), lit(0))) > 0)
+      .count()
+    assert(residual === 0L, "cleaned text must contain no residual PII matches")
+  }
+
+  test("q69 mixture sampling: deterministic, bounded, keep-all tier keeps all") {
+    val a = CurationOps.defs("q69_mixture_sample")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val b = CurationOps.defs("q69_mixture_sample")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(a.toSeq === b.toSeq, "hash sampling must select the same docs every run")
+    a.foreach { case (src, total, kept, _) =>
+      assert(kept <= total, s"$src kept more than it saw")
+      val tiered = Set("src0", "src1", "src2", "src3", "src4", "src5", "src6", "src7")
+      if (!tiered.contains(src)) assert(kept === total, s"$src is keep-all tier")
+    }
+  }
+
+  test("q70 pipeline: output within gates, splits partition the kept set") {
+    val rows = CurationOps.defs("q70_curation_pipeline")(spark, sf).collect()
+    val kept = rows.map(_.getLong(2)).sum
+    assert(kept > 0 && kept <= docsCount)
+    assert(rows.map(_.getString(0)).toSet.subsetOf(Set("train", "val", "test")))
+    // per-(split,source) mean tokens must respect the quality gate bounds
+    rows.foreach { r =>
+      val mean = r.getLong(3).toDouble / r.getLong(2)
+      assert(mean >= 20 && mean <= 200, s"mean tokens $mean outside quality gate")
+    }
+  }
+}
