@@ -265,6 +265,14 @@ object VectorOps {
         // an arithmetic shift would sign-extend it into a negative id
         .select(shiftrightunsigned(col("pk"), 32).as("a_id"),
           col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("b_id"))
+      if (sys.env.contains("GRAFT_DEBUG")) {
+        var t0 = System.nanoTime()
+        val nb = buckets.count()
+        System.err.println(f"[q49] bits=$bits bucket_rows=$nb in ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        t0 = System.nanoTime()
+        val nc = cands.count()
+        System.err.println(f"[q49] cands=$nc in ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
       cands
         .join(e.select(col("vec_id").as("a_id"), col("embedding").as("ea")), Seq("a_id"))
         .join(e.select(col("vec_id").as("b_id"), col("embedding").as("eb")), Seq("b_id"))
