@@ -29,6 +29,7 @@ object Bench {
     pipeline.StreamDemo.ensure(spark, sfDir)
     pipeline.StreamDemo.ensureHourly(spark, sfDir).count()
     pipeline.StreamDemo.ensureStreamJoin(spark, sfDir).count()
+    pipeline.StreamDemo.ensureStreamDedup(spark, sfDir).count()
     pipeline.IvfIndex.ensure(spark, sfDir)
     queries.LangModelStore.ensure(spark, sfDir)
     val buildSec = (System.nanoTime() - b0) / 1e9

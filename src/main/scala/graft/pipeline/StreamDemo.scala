@@ -83,4 +83,58 @@ object StreamDemo {
     })
     spark.table(tbl)
   }
+
+  /** Streaming exact-dedup of an at-least-once landing zone. The fixture
+    * writes the events table as two overlapping deliveries (shards 0-6,
+    * then a REPLAY of shards 5-9 — the upstream-retries-a-file scenario),
+    * and the stream recovers exactly-once semantics with
+    * `dropDuplicatesWithinWatermark` on the event key. The watermark
+    * delay is the state-size dial: it must cover how far apart the
+    * original and its replay can arrive (here: the whole finite drain, so
+    * the dedup is exact and the result is a pure function of the data —
+    * a deployment sizes it to the redelivery window). Returns the
+    * deduped memory table; [[streamDedupLanding]] exposes the raw
+    * landing dir so callers can count pre-dedup rows. */
+  def ensureStreamDedup(spark: SparkSession, sfDir: String): DataFrame = synchronized {
+    val tbl = deduped.getOrElseUpdate(sfDir, {
+      val name = "stream_dedup_" + new File(sfDir).getName.replace('.', '_').replace('-', '_')
+      val root = new File(s"target/stream/${new File(sfDir).getName}-dedup").getAbsoluteFile
+      deleteRec(root)
+      val landing = new File(root, "landing").getPath
+      val ev = graft.engine.Tables.load(spark, sfDir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      ev.filter(col("event_id") % 10 < 7)
+        .write.mode("append").parquet(landing)
+      ev.filter(col("event_id") % 10 >= 5)
+        .write.mode("append").parquet(landing)
+      dedupLanding(sfDir) = landing
+      val src = spark.readStream
+        .schema(StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("ts", TimestampNTZType),
+          StructField("user_id", LongType),
+          StructField("event_type", StringType),
+          StructField("value", org.apache.spark.sql.types.DoubleType))))
+        .parquet(landing)
+      // watermarks require TIMESTAMP (not NTZ); session TZ is pinned UTC
+      // so the cast is value-preserving
+      src.withColumn("ts_w", col("ts").cast("timestamp"))
+        .withWatermark("ts_w", "3650 days")
+        .dropDuplicatesWithinWatermark("event_id")
+        .drop("ts_w")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start().awaitTermination()
+      name
+    })
+    spark.table(tbl)
+  }
+
+  /** Raw landing dir built by [[ensureStreamDedup]] (call that first). */
+  def streamDedupLanding(sfDir: String): String = synchronized(dedupLanding(sfDir))
+
+  private val deduped = mutable.Map.empty[String, String]
+  private val dedupLanding = mutable.Map.empty[String, String]
 }

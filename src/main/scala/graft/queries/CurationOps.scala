@@ -9,7 +9,7 @@ import graft.engine.Tables
   * north-star: the ops a large-scale LLM training pipeline runs after
   * dedup/quality scoring to turn a corpus into a training set).
   *
-  * All five are pure column algebra — deterministic, oracle-checked
+  * All six are pure column algebra — deterministic, oracle-checked
   * against DuckDB, and shuffle-minimal by construction:
   *
   *  - q66 split assignment: hash-based train/val/test. `md5(doc_id)` is
@@ -34,6 +34,8 @@ import graft.engine.Tables
   *  - q70 curation pipeline: quality gate → exact dedup (min doc_id per
   *    text hash) → split assignment → per-(split, source) accounting.
   *    One hash shuffle (the dedup row_number) + one agg shuffle.
+  *  - q71 repetition filter: duplicate 2-/3-gram fraction per doc (the
+  *    Gopher repetition quality signal). Per-row only — no shuffle.
   *
   * Token counts reuse the whitespace idiom hash-matched since q27/q28
   * (`size(split(text, ' '))` ≡ DuckDB `len(string_split(text, ' '))`).
@@ -131,6 +133,29 @@ object CurationOps {
         .orderBy("source")
     }),
 
+    // Repetition filter (the Gopher-style quality signal): fraction of
+    // duplicate 2-/3-grams within each doc. Pure per-row column algebra —
+    // no shuffle at all before the final sort — so it composes into any
+    // scan at any scale. Docs with >5% duplicate 2-grams are flagged.
+    "q71_repetition_ngrams" -> ((s, d) => {
+      docs(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 3)
+        .withColumn("g2", expr(
+          "transform(sequence(0, size(toks)-2), i -> concat_ws(' ', toks[i], toks[i+1]))"))
+        .withColumn("g3", expr(
+          "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
+        .withColumn("dup2_e6", round((lit(1.0) -
+          size(array_distinct(col("g2"))).cast("double") / size(col("g2"))) * 1000000)
+          .cast("long"))
+        .withColumn("dup3_e6", round((lit(1.0) -
+          size(array_distinct(col("g3"))).cast("double") / size(col("g3"))) * 1000000)
+          .cast("long"))
+        .select(col("doc_id"), col("dup2_e6"), col("dup3_e6"),
+          when(col("dup2_e6") > 50000, 1L).otherwise(0L).as("flagged"))
+        .orderBy("doc_id")
+    }),
+
     // End-to-end curation: quality gate → exact dedup → hash split →
     // per-(split, source) training-set accounting.
     "q70_curation_pipeline" -> ((s, d) => {
@@ -204,6 +229,26 @@ object CurationOps {
                 CAST(SUM(CASE WHEN h2 < thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
                 CAST(SUM(CASE WHEN h2 < thr THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tokens
          FROM t GROUP BY 1 ORDER BY 1""",
+    "q71_repetition_ngrams" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+           WHERE len(string_split(text, ' ')) >= 3),
+         g AS (
+           SELECT doc_id,
+                  [tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))] AS g2,
+                  [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                   FOR i IN range(1, len(tk) - 1)] AS g3
+           FROM t),
+         r AS (
+           SELECT doc_id,
+                  CAST(ROUND((1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2))
+                    * 1000000) AS BIGINT) AS dup2_e6,
+                  CAST(ROUND((1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3))
+                    * 1000000) AS BIGINT) AS dup3_e6
+           FROM g)
+         SELECT doc_id, dup2_e6, dup3_e6,
+                CAST(CASE WHEN dup2_e6 > 50000 THEN 1 ELSE 0 END AS BIGINT) AS flagged
+         FROM r ORDER BY doc_id""",
     "q70_curation_pipeline" ->
       s"""WITH base AS (
             SELECT doc_id, source, text, len(string_split(text, ' ')) AS n_tok

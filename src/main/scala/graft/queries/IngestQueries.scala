@@ -105,6 +105,24 @@ object IngestQueries {
           sum(col("p_us") - col("v_us")).as("sum_gap_us"))
     }),
 
+    // T5/X1 as a STREAM: exactly-once recovery from at-least-once file
+    // delivery — the landing zone holds the events table as two
+    // overlapping deliveries (a replayed upstream file), and the
+    // streaming runner dedups on the event key with
+    // dropDuplicatesWithinWatermark. The deduped stream must equal the
+    // original table exactly; landing_rows > n_events proves the replay
+    // existed and was suppressed.
+    "q72_stream_dedup" -> ((s, d) => {
+      val deduped = graft.pipeline.StreamDemo.ensureStreamDedup(s, d)
+      val raw = s.read.parquet(graft.pipeline.StreamDemo.streamDedupLanding(d))
+        .agg(count(lit(1)).as("landing_rows"))
+      deduped
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(cents(col("value"))).as("sum_value_c"))
+        .crossJoin(raw)
+    }),
+
     // Monitoring-as-verification (sudo_code.txt:268-276): the reference's
     // CloudWatch alarm set evaluated as a declarative query over the
     // drained demo lake — DLQ activity (12 records) and file quarantine
@@ -218,6 +236,14 @@ object IngestQueries {
           AND v.event_type = 'view' AND p.event_type = 'purchase'
           AND epoch_us(p.ts) > epoch_us(v.ts)
           AND epoch_us(p.ts) <= epoch_us(v.ts) + 1800000000""",
+    "q72_stream_dedup" ->
+      """SELECT (SELECT COUNT(*) FROM events) AS n_events,
+         (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users,
+         (SELECT CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) FROM events)
+           AS sum_value_c,
+         (SELECT CAST(COUNT(*) + SUM(CASE WHEN event_id % 10 IN (5, 6) THEN 1 ELSE 0 END)
+                 AS BIGINT)
+          FROM events) AS landing_rows""",
     "q57_monitor_alarms" ->
       """SELECT 'dlq_activity' AS alarm, 'ALARM' AS state, CAST(12 AS BIGINT) AS metric
          UNION ALL SELECT 'file_quarantine', 'ALARM', CAST(3 AS BIGINT)

@@ -163,4 +163,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == truth,
       s"missing=${(truth -- streamed).take(3)} extra=${(streamed -- truth).take(3)}")
   }
+
+  test("streaming dedup of a replayed landing zone emits each event exactly once") {
+    val deduped = graft.pipeline.StreamDemo.ensureStreamDedup(spark, sf)
+    val ids = deduped.select("event_id").collect().map(_.getLong(0))
+    assert(ids.length === ids.distinct.length, "dedup must emit no event twice")
+    val truth = graft.engine.Tables.load(spark, sf, "events")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(ids.toSet === truth, "deduped stream must equal the original event set")
+    // the landing zone really contained replays (shards 5-6 delivered twice)
+    val landing = spark.read.parquet(graft.pipeline.StreamDemo.streamDedupLanding(sf))
+    assert(landing.count() > truth.size, "fixture must contain replayed rows")
+  }
 }
