@@ -75,6 +75,11 @@ object CurationOps {
     // Concat-and-chunk sequence packing, parallel per md5 shard: a doc
     // belongs to the bin where its tokens START (floor(prefix/budget)),
     // which is exactly the chunk layout a sequential packer produces.
+    // The shard count is the parallelism dial — each shard is one
+    // independent cumulative-sum window. 16 (one hex nibble) keeps the
+    // oracle output readable at test scale; a 100 TB run widens the
+    // prefix (3 hex chars = 4096 shards) so no window partition holds
+    // more than ~corpus/shards tokens. Nothing else changes.
     "q67_pack_sequences" -> ((s, d) => {
       val w = Window.partitionBy("shard").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -30,6 +30,11 @@ object DedupOps {
   private val Bands = 16
   private val RowsPerBand = NumHashes / Bands
 
+  /** Max verified near-dup edges collected for driver-side union-find in
+    * q65 (~64 MB at 16 bytes/edge); above this the distributed min-label
+    * propagation path runs instead. */
+  private val DriverEdgeCap = 4L * 1000 * 1000
+
   /** doc_id + distinct token-3-shingle set (the unit of Jaccard). */
   private def shingled(df: DataFrame): DataFrame =
     df.withColumn("toks", split(col("text"), " "))
@@ -131,12 +136,13 @@ object DedupOps {
     // over the near-dup pair graph, not the raw pair list. Edges here are
     // exact 3-shingle Jaccard ≥ 0.5 (computed with the q33 gram-join
     // shape) so DuckDB can verify the FULL transitive closure with a
-    // recursive CTE; components come from iterative min-label
-    // propagation (rep ← min(rep, neighbors' reps) until fixpoint — the
-    // GraphX-CC construction as DataFrame passes, each iteration one
-    // join + aggregate, iteration count = cluster diameter, driver sees
-    // only a changed-row count per round). At 100 TB the same closure
-    // operator runs over LSH-generated edges (q32/q34/q49); the
+    // recursive CTE. Components are two-path by edge count: a driver
+    // union-find when the verified pair graph fits (the common dedup
+    // case — see DriverEdgeCap), else iterative min-label propagation
+    // (rep ← min(rep, neighbors' reps) until fixpoint — the GraphX-CC
+    // construction as DataFrame passes, each iteration one join +
+    // aggregate, iteration count = cluster diameter). At 100 TB the same
+    // closure operator runs over LSH-generated edges (q32/q34/q49); the
     // doc_id<1000 cap bounds the exact edge build, not the operator.
     "q65_dup_groups" -> ((s, d) => {
       val universe = shingled(docs(s, d)).filter(col("doc_id") < 1000).persist()
@@ -151,47 +157,77 @@ object DedupOps {
         .join(broadcast(sizes.select(col("doc_id").as("b"), col("n").as("nb"))), Seq("b"))
         .filter(col("i") * lit(1.0) / (col("na") + col("nb") - col("i")) >= 0.5)
         .select("a", "b")
-      val sym = edges.unionAll(edges.select(col("b").as("a"), col("a").as("b"))).persist()
-      if (sys.env.contains("GRAFT_DEBUG")) {
-        val t0 = System.nanoTime()
-        val ne = sym.count()
-        System.err.println(f"[q65] edge build: $ne edges in ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      val edgeList = edges.select(col("a").cast("long"), col("b").cast("long")).persist()
+      val ne = edgeList.count()
+      if (sys.env.contains("GRAFT_DEBUG"))
+        System.err.println(s"[q65] edge build: $ne edges")
+      // Two component paths, picked by the EDGE count — never the corpus
+      // size. Verified near-dup edges are orders of magnitude fewer than
+      // documents (a dedup pipeline expects a few % dup rate), so even at
+      // 100 TB the pair graph usually fits on the driver: ~16 bytes/edge
+      // means the cap below is ~64 MB collected. Under the cap, a driver
+      // union-find replaces ~2×diameter compiled join/aggregate stages —
+      // the component step becomes one collect + one broadcast join-back.
+      // Over the cap, fall back to distributed min-label propagation whose
+      // per-round shuffle is proportional to the duplicate subgraph.
+      val labels: DataFrame = if (ne <= DriverEdgeCap) {
+        // Union by smaller root: the surviving root is the component's
+        // MINIMUM id, matching min-label propagation and the recursive-CTE
+        // oracle exactly.
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+          r
+        }
+        edgeList.collect().foreach { row =>
+          val a = row.getLong(0); val b = row.getLong(1)
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+        }
+        import s.implicits._
+        parent.keys.toSeq.map(k => (k, find(k))).toDF("doc_id", "rep")
+      } else {
+        val sym = edgeList
+          .unionAll(edgeList.select(col("b").as("a"), col("a").as("b"))).persist()
+        // Iterate ONLY over edge-touched nodes: an isolated doc is trivially
+        // its own component. sym is symmetric, so the `a` column alone
+        // covers all touched nodes.
+        var lab = sym.select(col("a").as("doc_id"))
+          .distinct().withColumn("rep", col("doc_id")).persist()
+        // Reps only ever decrease (min-propagation), so sum(rep) is strictly
+        // monotone until fixpoint — convergence is one cheap aggregate on the
+        // cached frame instead of a join-and-count against the prior round.
+        var lastSum = lab.agg(sum("rep")).first().getLong(0)
+        var converged = false
+        var rounds = 0
+        val maxRounds = 50
+        while (!converged && rounds < maxRounds) {
+          val next = sym
+            .join(lab.select(col("doc_id").as("a"), col("rep").as("arep")), Seq("a"))
+            .join(lab.select(col("doc_id").as("b"), col("rep").as("brep")), Seq("b"))
+            .groupBy(col("a").as("doc_id"))
+            .agg(least(min(col("arep")), min(col("brep"))).as("rep"))
+            .persist()
+          val sm = next.agg(sum("rep")).first().getLong(0)
+          converged = sm == lastSum
+          lastSum = sm
+          lab.unpersist()
+          lab = next
+          rounds += 1
+          if (sys.env.contains("GRAFT_DEBUG"))
+            System.err.println(s"[q65] round=$rounds sum=$sm")
+        }
+        // a partially-propagated labeling is a WRONG answer (split dedup
+        // groups), never return one silently
+        if (!converged) throw new IllegalStateException(
+          s"q65 label propagation did not converge in $maxRounds rounds " +
+            "(duplicate-chain diameter exceeds the cap; raise maxRounds)")
+        lab
       }
-      // Iterate ONLY over edge-touched nodes: an isolated doc is trivially
-      // its own component, and in a dedup pipeline near-dup edges touch a
-      // small fraction of the corpus — at 100 TB this keeps every per-round
-      // shuffle proportional to the duplicate subgraph, not the corpus.
-      // sym is symmetric, so the `a` column alone covers all touched nodes.
-      var labels = sym.select(col("a").as("doc_id"))
-        .distinct().withColumn("rep", col("doc_id")).persist()
-      // Reps only ever decrease (min-propagation), so sum(rep) is strictly
-      // monotone until fixpoint — convergence is one cheap aggregate on the
-      // cached frame instead of a join-and-count against the prior round.
-      var lastSum = labels.agg(sum("rep")).first().getLong(0)
-      var converged = false
-      var rounds = 0
-      val maxRounds = 50
-      while (!converged && rounds < maxRounds) {
-        val next = sym
-          .join(labels.select(col("doc_id").as("a"), col("rep").as("arep")), Seq("a"))
-          .join(labels.select(col("doc_id").as("b"), col("rep").as("brep")), Seq("b"))
-          .groupBy(col("a").as("doc_id"))
-          .agg(least(min(col("arep")), min(col("brep"))).as("rep"))
-          .persist()
-        val s = next.agg(sum("rep")).first().getLong(0)
-        converged = s == lastSum
-        lastSum = s
-        labels.unpersist()
-        labels = next
-        rounds += 1
-        if (sys.env.contains("GRAFT_DEBUG"))
-          System.err.println(s"[q65] round=$rounds sum=$s")
-      }
-      // a partially-propagated labeling is a WRONG answer (split dedup
-      // groups), never return one silently
-      if (!converged) throw new IllegalStateException(
-        s"q65 label propagation did not converge in $maxRounds rounds " +
-          "(duplicate-chain diameter exceeds the cap; raise maxRounds)")
       universe.select(col("doc_id"))
         .join(labels, Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep"))

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.engine.{Cols, Tables}
@@ -254,6 +254,30 @@ object Relational {
         .orderBy("event_type")
     }),
 
+    // A5 scale path: the percentile_approx (t-digest style sketch) form
+    // q60's scaladoc promises — at 100 TB exact percentiles buffer every
+    // group value, while the approx sketch is bounded-memory and
+    // merges map-side. The sketch estimate is engine-specific, so the
+    // oracle pins the exact values plus a q44-style self-check flag:
+    // at accuracy 10000 the rank error is <= n/10000 rows, so the
+    // approx answer must land within 5% (or 0.05 absolute) of exact.
+    "q73_approx_quantiles" -> ((s, d) => {
+      def near(a: Column, e: Column): Column =
+        abs(a - e) <= greatest(abs(e) * 0.05, lit(0.05))
+      t(s, d, "events")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          expr("percentile(value, array(0.5, 0.95))").as("qe"),
+          expr("percentile_approx(value, array(0.5, 0.95), 10000)").as("qa"))
+        .select(col("event_type"), col("n"),
+          round(element_at(col("qe"), 1) * 1e6).cast("long").as("p50_e6"),
+          round(element_at(col("qe"), 2) * 1e6).cast("long").as("p95_e6"),
+          when(near(element_at(col("qa"), 1), element_at(col("qe"), 1)) &&
+            near(element_at(col("qa"), 2), element_at(col("qe"), 2)), 1)
+            .otherwise(0).cast("int").as("approx_ok"))
+        .orderBy("event_type")
+    }),
+
     // A6/consumption: pivot — long-to-wide conditional aggregation. The
     // value list is EXPLICIT (view/purchase/click), which is the 100 TB
     // form: with it, pivot is a single pass of conditional aggregates;
@@ -468,6 +492,12 @@ object Relational {
       """SELECT event_type, COUNT(*) AS n,
          CAST(ROUND(quantile_cont(value, 0.5) * 1000000) AS BIGINT) AS p50_e6,
          CAST(ROUND(quantile_cont(value, 0.95) * 1000000) AS BIGINT) AS p95_e6
+         FROM events GROUP BY 1 ORDER BY 1""",
+    "q73_approx_quantiles" ->
+      """SELECT event_type, COUNT(*) AS n,
+         CAST(ROUND(quantile_cont(value, 0.5) * 1000000) AS BIGINT) AS p50_e6,
+         CAST(ROUND(quantile_cont(value, 0.95) * 1000000) AS BIGINT) AS p95_e6,
+         CAST(1 AS INT) AS approx_ok
          FROM events GROUP BY 1 ORDER BY 1""",
     "q50_small_qty_revenue" ->
       """SELECT p_brand, COUNT(*) AS n_small,
