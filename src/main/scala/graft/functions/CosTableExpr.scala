@@ -1,0 +1,111 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Id-addressed cosine over a driver-resident embedding table
+  * (SURVEY.md §2.10 X2/X3; q49's broadcastable-corpus verification).
+  *
+  * When the whole embedding table fits in executor memory, verifying LSH
+  * collision pairs via two hash joins back to the corpus pays a 256-byte
+  * array copy per join per pair — the joins, not the arithmetic, dominate.
+  * This expression is the join-free form: the corpus ships once per
+  * executor as a reference object (the [[LshCoder]] pattern — a broadcast
+  * variable bound inside a codegen Expression), and verification becomes
+  * one projection computing `cos_by_id(a_id, b_id)` per candidate row.
+  *
+  * Value parity with the join + `vec_dot` form (bit-asserted in
+  * VectorExpressionsSpec): dot accumulates float→double left-to-right
+  * exactly like [[FloatVectorDot]]; norms are sqrt(vec_dot(v,v)) computed
+  * once per vector; the e6 scaling matches Spark's `round(x, 0)` on
+  * doubles (BigDecimal HALF_UP). An unknown id or a length-mismatched
+  * pair yields −2e6 — below any real cosine, so threshold filters drop it
+  * just as they drop the join form's NULL.
+  */
+final class CosTable(ids: Array[Long], vecs: Array[Array[Float]]) extends Serializable {
+  @transient private lazy val index: java.util.HashMap[java.lang.Long, Integer] = {
+    val m = new java.util.HashMap[java.lang.Long, Integer](ids.length * 2)
+    var i = 0
+    while (i < ids.length) { m.put(ids(i), i); i += 1 }
+    m
+  }
+  @transient private lazy val norms: Array[Double] = vecs.map { v =>
+    var s = 0.0
+    var i = 0
+    while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+    math.sqrt(s)
+  }
+
+  def cosE6(a: Long, b: Long): Long = {
+    val ia = index.get(a)
+    val ib = index.get(b)
+    if (ia == null || ib == null) return -2000000L
+    val va = vecs(ia)
+    val vb = vecs(ib)
+    if (va.length != vb.length) return -2000000L
+    var s = 0.0
+    var i = 0
+    while (i < va.length) { s += va(i).toDouble * vb(i).toDouble; i += 1 }
+    val x = s / (norms(ia) * norms(ib)) * 1000000.0
+    if (!java.lang.Double.isFinite(x)) return -2000000L
+    java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+  }
+}
+
+/** `cos_by_id(a_id, b_id)` — round(cos(corpus[a], corpus[b]) * 1e6) as
+  * long, bound to a collected corpus at registration. */
+case class CosByIdExpr(left: Expression, right: Expression, table: CosTable)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (LongType, LongType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"cos_by_id expects (bigint, bigint), got (${l.sql}, ${r.sql})")
+  }
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cos_by_id"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    table.cosE6(a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val t = ctx.addReferenceObj("cosTable", table, classOf[CosTable].getName)
+      s"${ev.value} = $t.cosE6($a, $b);"
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): CosByIdExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosByIdExpr {
+  /** Collect (vec_id, embedding) to the driver — callers gate on corpus
+    * row count; the table is a few hundred MB at the 1M-row cap. */
+  def build(corpus: DataFrame): CosTable = {
+    val rows = corpus.collect()
+    val ids = new Array[Long](rows.length)
+    val vecs = new Array[Array[Float]](rows.length)
+    var i = 0
+    while (i < rows.length) {
+      ids(i) = rows(i).getLong(0)
+      vecs(i) = rows(i).getSeq[Float](1).toArray
+      i += 1
+    }
+    new CosTable(ids, vecs)
+  }
+
+  /** (Re-)register `cos_by_id` bound to this corpus (per-query binding,
+    * like `lsh_codes`). */
+  def register(spark: SparkSession, table: CosTable): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("cos_by_id"),
+      new ExpressionInfo(classOf[CosByIdExpr].getName, "cos_by_id"),
+      (exprs: Seq[Expression]) => CosByIdExpr(exprs.head, exprs(1), table))
+}

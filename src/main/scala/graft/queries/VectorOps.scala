@@ -66,6 +66,11 @@ object VectorOps {
   private val MinBits = 4
   private val MaxBits = 24
 
+  /** Corpus row count under which the embedding table is comfortably
+    * broadcastable (~1M × 64 floats ≈ 256 MB) and q49 verifies raw
+    * collisions map-side instead of paying a candidate-distinct shuffle. */
+  private val BroadcastRows = 1000000L
+
   /** Code width scales with corpus size so each bucket holds
     * ≈[[BucketTarget]] vectors: bits = clamp(ceil(log2(n/target)), 4, 24).
     * 500 vectors → 4 bits; 1e9 vectors → 24 bits. A fixed width is wrong
@@ -95,6 +100,18 @@ object VectorOps {
   private def multiProbe(bits: Int): Column = expr(
     s"array_union(array(code), transform(sequence(0, ${bits - 1}), " +
       "j -> code ^ shiftleft(1L, j)))")
+
+  /** The exact code plus UPWARD hamming-1 flips only (0-bits set to 1).
+    * For a SELF-join this yields the identical candidate set as the full
+    * ring at ~half the explode: a hamming-1 pair's two codes differ in
+    * exactly one bit, so the member holding the 0 flips up to the other —
+    * every such pair is produced exactly once (vs twice with ± flips),
+    * provided the pair key is direction-free (least/greatest packing,
+    * not an a<b filter on the join output). */
+  private def upProbe(bits: Int): Column = expr(
+    s"array_union(array(code), transform(" +
+      s"filter(sequence(0, ${bits - 1}), j -> (code & shiftleft(1L, j)) = 0), " +
+      "j -> code | shiftleft(1L, j)))")
 
   val defs: Map[String, Q] = Map(
     // X3 baseline: exact cosine top-k per probe, probes broadcast.
@@ -238,48 +255,84 @@ object VectorOps {
     // deployment raises τ). Never all-pairs: candidate volume ≈ tables ×
     // Σ bucket², bounded by the adaptive code width.
     //
-    // Candidate pairs are DISTINCT'd before verification (a pair that
-    // collides in several tables/probes is verified once), with the pair
-    // packed into one 64-bit key (valid while vec_id < 2^32; a wider id
-    // space requires switching to a two-column distinct) so the dedup shuffle
-    // carries 8 bytes per candidate; embeddings then join back BY ID for the (much
-    // smaller) deduped set only — the vector itself is never amplified
-    // through the explode/join. Rows-only (probabilistic recall);
-    // VectorSpec asserts precision 1.0 and recall ≥ 0.9 vs brute force.
+    // Two verification paths, picked by CORPUS row count (known from the
+    // bits computation). Broadcastable corpus: verify the raw collision
+    // stream map-side against the broadcast embeddings and distinct only
+    // the (tiny) verified output — a pair colliding in several tables
+    // costs one extra codegen vec_dot, and the multi-million-candidate
+    // distinct shuffle disappears entirely. Big corpus: candidates are
+    // DISTINCT'd before verification, packed into one 64-bit key (valid
+    // while vec_id < 2^32) so the dedup shuffle carries 8 bytes per
+    // candidate, and embeddings join back BY ID for the deduped set only
+    // — at 1e9 rows the join back is itself a shuffle, so paying 8
+    // bytes/candidate to shrink it by the table×probe duplication factor
+    // is the right trade, and the vector is never amplified through the
+    // explode/join. Rows-only (probabilistic recall); VectorSpec asserts
+    // precision 1.0 and recall ≥ 0.9 vs brute force.
     "q49_embed_neardup" -> ((s, d) => {
       graft.functions.VectorExpressions.register(s)
       val e = embs(s, d)
-      val bits = codeBits(e.count())
+      val n = e.count()
+      val bits = codeBits(n)
       val dim = e.select(size(col("embedding"))).first().getInt(0)
       // the corpus coding pass feeds BOTH sides of the self-join; persist
       // so it runs once (same session-lifetime note as the q32 cache)
       val buckets = lshBuckets(e, bits, dim).persist()
+      // upward-only multi-probe: same candidate set as the full hamming-1
+      // ring (see upProbe) but each cross-bucket pair reaches the join
+      // once, and the ~bits/2 zero-bit flips halve the exploded left side
       val left = buckets.select(col("vec_id").as("a_id"), col("t"),
-        explode(multiProbe(bits)).as("code"))
-      val cands = left
+        explode(upProbe(bits)).as("code"))
+      val rawPairs = left
         .join(buckets.select(col("vec_id").as("b_id"), col("t"), col("code")), Seq("t", "code"))
-        .filter(col("a_id") < col("b_id"))
-        .select(shiftleft(col("a_id"), 32).bitwiseOR(col("b_id")).as("pk"))
-        .distinct()
-        // unsigned shift: an a_id in [2^31, 2^32) sets pk's sign bit, and
-        // an arithmetic shift would sign-extend it into a negative id
-        .select(shiftrightunsigned(col("pk"), 32).as("a_id"),
-          col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("b_id"))
+        .filter(col("a_id") =!= col("b_id"))
       if (sys.env.contains("GRAFT_DEBUG")) {
         var t0 = System.nanoTime()
         val nb = buckets.count()
         System.err.println(f"[q49] bits=$bits bucket_rows=$nb in ${(System.nanoTime() - t0) / 1e9}%.3f s")
         t0 = System.nanoTime()
-        val nc = cands.count()
-        System.err.println(f"[q49] cands=$nc in ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        val nj = rawPairs.count()
+        System.err.println(f"[q49] raw_pairs=$nj in ${(System.nanoTime() - t0) / 1e9}%.3f s")
       }
-      cands
-        .join(e.select(col("vec_id").as("a_id"), col("embedding").as("ea")), Seq("a_id"))
-        .join(e.select(col("vec_id").as("b_id"), col("embedding").as("eb")), Seq("b_id"))
-        .withColumn("cos_e6", cosE6F("ea", "eb"))
-        .filter(col("cos_e6") >= 450000)
-        .select("a_id", "b_id", "cos_e6")
-        .orderBy("a_id", "b_id")
+      // Per-vector norms are computed ONCE per vector, not per candidate
+      // pair — verification is then one dot + a divide per pair. Both
+      // paths' arithmetic is bit-identical to the join + vec_dot form.
+      def side(idCol: String, vecCol: String, nCol: String) =
+        e.select(col("vec_id").as(idCol), col("embedding").as(vecCol),
+          sqrt(expr("vec_dot(embedding, embedding)")).as(nCol))
+      val pairCos = round(expr("vec_dot(ea, eb)") / (col("na") * col("nb"))
+        * lit(1000000.0)).cast("long")
+      val verified =
+        if (n <= BroadcastRows) {
+          // join-free: the corpus rides inside the codegen cos_by_id
+          // expression (driver-resident table, one ship per executor), so
+          // verification is a single projection over the collision stream
+          graft.functions.CosByIdExpr.register(s,
+            graft.functions.CosByIdExpr.build(e.select("vec_id", "embedding")))
+          rawPairs
+            .select(least(col("a_id"), col("b_id")).as("a_id"),
+              greatest(col("a_id"), col("b_id")).as("b_id"))
+            .withColumn("cos_e6", expr("cos_by_id(a_id, b_id)"))
+            .filter(col("cos_e6") >= 450000)
+            .select("a_id", "b_id", "cos_e6")
+            .distinct()
+        } else {
+          val cands = rawPairs
+            .select(shiftleft(least(col("a_id"), col("b_id")), 32)
+              .bitwiseOR(greatest(col("a_id"), col("b_id"))).as("pk"))
+            .distinct()
+            // unsigned shift: an a_id in [2^31, 2^32) sets pk's sign bit,
+            // and an arithmetic shift would sign-extend it into a negative id
+            .select(shiftrightunsigned(col("pk"), 32).as("a_id"),
+              col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("b_id"))
+          cands
+            .join(side("a_id", "ea", "na"), Seq("a_id"))
+            .join(side("b_id", "eb", "nb"), Seq("b_id"))
+            .withColumn("cos_e6", pairCos)
+            .filter(col("cos_e6") >= 450000)
+            .select("a_id", "b_id", "cos_e6")
+        }
+      verified.orderBy("a_id", "b_id")
     }),
 
     // X3/A4: elementwise per-label centroids + pairwise centroid cosine.

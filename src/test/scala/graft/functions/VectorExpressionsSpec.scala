@@ -75,6 +75,35 @@ class VectorExpressionsSpec extends AnyFunSuite {
       .head.getSeq[Long](0) == Seq.fill(tables)(0L))
   }
 
+  test("cos_by_id is bit-identical to the join + vec_dot cosine") {
+    VectorExpressions.register(spark)
+    val e = graft.engine.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    CosByIdExpr.register(spark, CosByIdExpr.build(e.select("vec_id", "embedding")))
+    // the join form it replaces: every (a<b) pair's cosine via vec_dot
+    // with per-side norms — the exact arithmetic q49's big-corpus path uses
+    val side = (id: String, v: String, n: String) =>
+      e.select(col("vec_id").as(id), col("embedding").as(v),
+        sqrt(expr("vec_dot(embedding, embedding)")).as(n))
+    val probes = e.select(col("vec_id").as("a_id")).filter(col("a_id") < 30)
+    val pairs = probes.crossJoin(e.select(col("vec_id").as("b_id")))
+      .filter(col("a_id") < col("b_id"))
+    val rows = pairs
+      .join(side("a_id", "ea", "na"), Seq("a_id"))
+      .join(side("b_id", "eb", "nb"), Seq("b_id"))
+      .select(
+        expr("cos_by_id(a_id, b_id)").as("byid"),
+        round(expr("vec_dot(ea, eb)") / (col("na") * col("nb"))
+          * lit(1000000.0)).cast("long").as("ref"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // unknown id -> -2e6 sentinel (below any real cosine), never a crash
+    import spark.implicits._
+    val missing = Seq((-1L, 0L)).toDF("a", "b")
+      .select(expr("cos_by_id(a, b)")).first().getLong(0)
+    assert(missing == -2000000L)
+  }
+
   test("int8 quantization: 4x smaller payload, dot error <= 2%, zero/ragged safe") {
     VectorExpressions.register(spark)
     QuantizeExpressions.register(spark)
