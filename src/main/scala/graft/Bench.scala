@@ -1,9 +1,28 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Per query: one COLD run (first execution in this JVM
+  * — pays Janino codegen + JIT) then `SPARK_GRAFT_BENCH_REPS` (default
+  * 3) timed WARM runs; the regression signal is the warm MEDIAN, which
+  * round-6 analysis showed is stable where single cold samples swung
+  * 3-5× on unchanged code. The cache is cleared between every run so
+  * timings stay attributable (no cross-query or cross-rep cache hits).
+  *
+  * Output: human-readable `[bench]` progress lines on stderr, then ONE
+  * compact JSON line on stdout as the LAST line — totals first
+  * (`value` = sum of warm medians, `total_cold` beside it), then the
+  * per-query warm medians and colds, all rounded to ms so the line
+  * survives a truncated log tail.
+  *
+  * Demo artifacts are built OUTSIDE the timing loop and memoized across
+  * JVMs (pipeline/DemoCache.scala), so `build_sec` on a warm `target/`
+  * dir is seconds, not the 63 s full construction.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = SparkSession.builder()
       // the library's SQL surface, via the real static-conf path
       .config("spark.sql.extensions", classOf[GraftExtensions].getName)
@@ -21,43 +40,64 @@ object Bench {
     // construction of demo lakes / bucketed tables / stream checkpoints.
     // The aggregate construction cost is reported separately below.
     val b0 = System.nanoTime()
-    pipeline.IngestDemo.ensure(spark, sfDir)
-    pipeline.IngestDemo.ensureDayDim(spark, sfDir)
-    pipeline.IngestDemo.ensureBucketed(spark, sfDir)
-    pipeline.IngestDemo.ensureCatalog(spark, sfDir)
-    pipeline.IngestDemo.ensureEvolvedCatalog(spark, sfDir)
-    pipeline.StreamDemo.ensure(spark, sfDir)
-    pipeline.StreamDemo.ensureHourly(spark, sfDir).count()
-    pipeline.StreamDemo.ensureStreamJoin(spark, sfDir).count()
-    pipeline.StreamDemo.ensureStreamDedup(spark, sfDir).count()
-    pipeline.IvfIndex.ensure(spark, sfDir)
-    queries.LangModelStore.ensure(spark, sfDir)
+    def step(name: String)(body: => Any): Unit = {
+      val t = System.nanoTime()
+      body
+      System.err.println(f"[bench] build $name ${(System.nanoTime() - t) / 1e9}%.1f s")
+    }
+    step("ingest")(pipeline.IngestDemo.ensure(spark, sfDir))
+    step("daydim")(pipeline.IngestDemo.ensureDayDim(spark, sfDir))
+    step("bucketed")(pipeline.IngestDemo.ensureBucketed(spark, sfDir))
+    step("catalog")(pipeline.IngestDemo.ensureCatalog(spark, sfDir))
+    step("evolved")(pipeline.IngestDemo.ensureEvolvedCatalog(spark, sfDir))
+    step("stream")(pipeline.StreamDemo.ensure(spark, sfDir))
+    step("hourly")(pipeline.StreamDemo.ensureHourly(spark, sfDir).count())
+    step("sjoin")(pipeline.StreamDemo.ensureStreamJoin(spark, sfDir).count())
+    step("sdedup")(pipeline.StreamDemo.ensureStreamDedup(spark, sfDir).count())
+    step("ivf")(pipeline.IvfIndex.ensure(spark, sfDir))
+    step("langmodel")(queries.LangModelStore.ensure(spark, sfDir))
     val buildSec = (System.nanoTime() - b0) / 1e9
 
     // A failed query must never masquerade as a timing: record per-query
     // errors and exit non-zero so the driver sees a broken bench as broken.
     var failed = List.empty[String]
+    def r3(v: Double) = math.round(v * 1000) / 1000.0
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          failed ::= name
-          false
-        }
-      val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      // release each query's persisted frames: timings stay attributable
-      // (no cross-query cache hits) and executor memory stays bounded
-      // across the 50+-query loop instead of accumulating 50 caches
-      spark.catalog.clearCache()
-      name -> sec
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            failed ::= name
+            false
+          }
+        // release each query's persisted frames: timings stay attributable
+        // (no cross-query or cross-rep cache hits) and executor memory
+        // stays bounded across the 70+-query loop
+        spark.catalog.clearCache()
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      val cold = once()
+      val warms = if (cold >= 0) Seq.fill(reps)(once()).filter(_ >= 0) else Seq.empty
+      val median =
+        if (warms.isEmpty) -1.0 else warms.sorted.apply(warms.size / 2)
+      System.err.println(f"[bench] $name cold=$cold%.2f warm_median=$median%.2f " +
+        warms.map(w => f"$w%.2f").mkString("[", ",", "]"))
+      (name, r3(cold), r3(median))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, _, m) => s"\"" + k + "\":" + m }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"build_sec":$buildSec,"sf":"$sfDir"}""")
+    val colds = results.map { case (k, c, _) => s"\"" + k + "\":" + c }
+      .mkString("{", ",", "}")
+    val totalWarm = r3(results.collect { case (_, _, m) if m >= 0 => m }.sum)
+    val totalCold = r3(results.collect { case (_, c, _) if c >= 0 => c }.sum)
+    val errs = failed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // cold detail on its own line; the contract line LAST, with the
+    // totals repeated at the line's END so a head-truncated log tail
+    // (round 6 lost q01-q11 that way) still shows them
+    println(s"""{"metric":"cold_detail","unit":"sec","cold":$colds}""")
+    println(s"""{"metric":"total_warm_median","value":$totalWarm,"unit":"sec","reps":$reps,"errors":$errs,"queries":$qs,"build_sec":${r3(buildSec)},"sf":"$sfDir","total_cold":$totalCold,"total_warm_median":$totalWarm}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

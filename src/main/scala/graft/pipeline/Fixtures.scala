@@ -38,15 +38,16 @@ object Fixtures {
   /** The fixture landing zone is deterministic per scale factor, and two
     * demo pipelines (ledger-batch and streaming) each consume one — and
     * the batch runner archives files out of its copy. So the Spark
-    * export runs once per (JVM, sf) into a shared template dir, and each
-    * demo gets a plain filesystem copy (~ms) instead of a second
-    * distributed JSON export. */
+    * export runs once per sf into a shared template dir (cached across
+    * JVMs via [[DemoCache]]), and each demo gets a plain filesystem copy
+    * (~ms) instead of a second distributed JSON export. */
   def generateInto(spark: SparkSession, sfDir: String, layout: LakeLayout): Unit = synchronized {
     val template = shared.getOrElseUpdate(sfDir, {
       val dir = new java.io.File(
         s"target/fixtures/${new java.io.File(sfDir).getName}").getAbsoluteFile
-      deleteRec(dir)
-      generate(spark, sfDir, LakeLayout(dir.getPath))
+      DemoCache.cached(dir, sfDir) {
+        generate(spark, sfDir, LakeLayout(dir.getPath))
+      }
       s"$dir/raw"
     })
     copyRec(new java.io.File(template), new java.io.File(layout.rawDir))

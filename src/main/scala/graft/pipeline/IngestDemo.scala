@@ -22,16 +22,21 @@ object IngestDemo {
     f.delete(): Unit
   }
 
-  /** Run (or reuse) the demo pipeline for this scale factor. */
+  /** Run (or reuse) the demo pipeline for this scale factor. The drained
+    * lake is a pure function of the fixtures, so a completed build is
+    * reused across JVMs ([[DemoCache]]); a half-drained lake from an
+    * interrupted JVM carries no marker and is deleted, so it can never
+    * double-append. */
   def ensure(spark: SparkSession, sfDir: String): LakeLayout = synchronized {
     built.getOrElseUpdate(sfDir, {
       val sfName = new File(sfDir).getName
       val root = new File(s"target/ingest/$sfName").getAbsoluteFile
-      deleteRec(root) // stale output from a previous JVM would double-append
       val layout = LakeLayout(root.getPath)
-      Fixtures.generateInto(spark, sfDir, layout)
-      val bp = new BatchProcessor(spark, layout, Contracts.events, batchSize = BatchSize)
-      bp.runUntilDrained()
+      DemoCache.cached(root, sfDir) {
+        Fixtures.generateInto(spark, sfDir, layout)
+        val bp = new BatchProcessor(spark, layout, Contracts.events, batchSize = BatchSize)
+        bp.runUntilDrained()
+      }
       layout
     })
   }
@@ -54,24 +59,52 @@ object IngestDemo {
     path
   }
 
+  private def warehousePath(spark: SparkSession): String = {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    if (wh.contains(":")) new URI(wh).getPath else wh
+  }
+
+  // table DDL captured at build time so warm JVMs re-register without a
+  // schema-inference read over the data files
+  private def writeDdl(memo: File, tbl: String, ddl: String): Unit =
+    java.nio.file.Files.write(new File(memo, s"$tbl.ddl").toPath,
+      ddl.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+  private def readDdl(memo: File, tbl: String): String =
+    new String(java.nio.file.Files.readAllBytes(new File(memo, s"$tbl.ddl").toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+
   /** Bucketed fact tables for the co-located-join demo (q48): orders and
     * lineitem written `bucketBy(8, key).sortBy(key)` into the catalog, so
     * an equi-join on the key needs NO exchange and NO sort — the physical
-    * co-location a 100 TB star join is laid out for. Memoized per
-    * (JVM, sf); returns the two table names. */
+    * co-location a 100 TB star join is laid out for. The FILES survive
+    * across JVMs ([[DemoCache]]); the in-memory catalog does not, so a
+    * warm JVM re-registers them as external tables over the same bucketed
+    * layout (`CREATE TABLE ... CLUSTERED BY ... LOCATION`) instead of
+    * rewriting the data. Returns the two table names. */
   def ensureBucketed(spark: SparkSession, sfDir: String): (String, String) = synchronized {
     val sfTag = new File(sfDir).getName.replace('.', '_').replace('-', '_')
     val (ot, lt) = (s"bkt_orders_$sfTag", s"bkt_lineitem_$sfTag")
     if (!catalogued.contains(ot)) {
-      val wh = spark.conf.get("spark.sql.warehouse.dir")
-      val whPath = if (wh.contains(":")) new URI(wh).getPath else wh
-      for ((tbl, src, key) <- Seq((ot, "orders", "o_orderkey"), (lt, "lineitem", "l_orderkey"))) {
-        spark.sql(s"DROP TABLE IF EXISTS $tbl")
-        deleteRec(new File(whPath, tbl.toLowerCase))
-        graft.engine.Tables.load(spark, sfDir, src)
-          .write.mode("overwrite")
-          .bucketBy(8, key).sortBy(key)
-          .saveAsTable(tbl)
+      val whPath = warehousePath(spark)
+      val memo = new File(warehousePath(spark), s"_graft_memo/bucketed_$sfTag").getAbsoluteFile
+      DemoCache.cached(memo, sfDir) {
+        for ((tbl, src, key) <- Seq((ot, "orders", "o_orderkey"), (lt, "lineitem", "l_orderkey"))) {
+          spark.sql(s"DROP TABLE IF EXISTS $tbl")
+          deleteRec(new File(whPath, tbl.toLowerCase))
+          graft.engine.Tables.load(spark, sfDir, src)
+            .write.mode("overwrite")
+            .bucketBy(8, key).sortBy(key)
+            .saveAsTable(tbl)
+          memo.mkdirs()
+          writeDdl(memo, tbl, spark.table(tbl).schema.toDDL)
+        }
+      }
+      for ((tbl, key) <- Seq((ot, "o_orderkey"), (lt, "l_orderkey"))) {
+        if (!spark.catalog.tableExists(tbl)) {
+          val loc = new File(whPath, tbl.toLowerCase).getAbsolutePath
+          spark.sql(s"CREATE TABLE $tbl (${readDdl(memo, tbl)}) USING parquet " +
+            s"CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS LOCATION '$loc'")
+        }
         catalogued += tbl
       }
     }
@@ -91,24 +124,36 @@ object IngestDemo {
     * reference's actual flow: lake → catalog → drifted append.
     */
   def ensureEvolvedCatalog(spark: SparkSession, sfDir: String): String = synchronized {
-    val tbl = "evolved_events_" + new File(sfDir).getName.replace('.', '_').replace('-', '_')
+    val sfTag = new File(sfDir).getName.replace('.', '_').replace('-', '_')
+    val tbl = "evolved_events_" + sfTag
     if (!catalogued.contains(tbl)) {
-      val layout = ensure(spark, sfDir)
-      spark.sql(s"DROP TABLE IF EXISTS $tbl")
-      val wh = spark.conf.get("spark.sql.warehouse.dir")
-      val whPath = if (wh.contains(":")) new URI(wh).getPath else wh
-      deleteRec(new File(whPath, tbl.toLowerCase))
-      import org.apache.spark.sql.functions.col
-      graft.ingest.CuratedWriter.read(spark, layout.curatedDir)
-        .filter(col("year") === 2024 && col("month") === 1 && col("day").between(1, 2))
-        .select(col("record_id"), col("mode"), col("value"))
-        .write.saveAsTable(tbl)
-      // drift arrives: evolve the CATALOG schema, then append
-      spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (note STRING)")
-      import spark.implicits._
-      Seq(("evo-1", "training", 1.0, "evolved"), ("evo-2", "eval", 2.5, "evolved"))
-        .toDF("record_id", "mode", "value", "note")
-        .write.mode("append").saveAsTable(tbl)
+      val whPath = warehousePath(spark)
+      val loc = new File(whPath, tbl.toLowerCase).getAbsolutePath
+      val memo = new File(warehousePath(spark), s"_graft_memo/evolved_$sfTag").getAbsoluteFile
+      DemoCache.cached(memo, sfDir) {
+        val layout = ensure(spark, sfDir)
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        deleteRec(new File(whPath, tbl.toLowerCase))
+        import org.apache.spark.sql.functions.col
+        graft.ingest.CuratedWriter.read(spark, layout.curatedDir)
+          .filter(col("year") === 2024 && col("month") === 1 && col("day").between(1, 2))
+          .select(col("record_id"), col("mode"), col("value"))
+          .write.saveAsTable(tbl)
+        // drift arrives: evolve the CATALOG schema, then append
+        spark.sql(s"ALTER TABLE $tbl ADD COLUMNS (note STRING)")
+        import spark.implicits._
+        Seq(("evo-1", "training", 1.0, "evolved"), ("evo-2", "eval", 2.5, "evolved"))
+          .toDF("record_id", "mode", "value", "note")
+          .write.mode("append").saveAsTable(tbl)
+        memo.mkdirs()
+        writeDdl(memo, tbl, spark.table(tbl).schema.toDDL)
+      }
+      if (!spark.catalog.tableExists(tbl)) {
+        // warm JVM: files survived, catalog didn't — re-register over the
+        // EVOLVED schema (pre-drift files read `note` as NULL, exactly as
+        // the evolved catalog serves them)
+        spark.sql(s"CREATE TABLE $tbl (${readDdl(memo, tbl)}) USING parquet LOCATION '$loc'")
+      }
       catalogued += tbl
     }
     tbl
@@ -120,19 +165,34 @@ object IngestDemo {
     * pruning (P9). Returns the table name.
     */
   def ensureCatalog(spark: SparkSession, sfDir: String): String = synchronized {
-    val layout = ensure(spark, sfDir)
-    val tbl = "curated_events_" + new File(sfDir).getName.replace('.', '_').replace('-', '_')
+    val sfTag = new File(sfDir).getName.replace('.', '_').replace('-', '_')
+    val tbl = "curated_events_" + sfTag
     if (!catalogued.contains(tbl)) {
-      spark.sql(s"DROP TABLE IF EXISTS $tbl")
-      // in-memory catalog forgets tables across JVMs but the warehouse
-      // directory survives — clear it so CREATE doesn't trip on leftovers
-      val wh = spark.conf.get("spark.sql.warehouse.dir")
-      val whPath = if (wh.contains(":")) new URI(wh).getPath else wh
-      deleteRec(new File(whPath, tbl.toLowerCase))
-      graft.ingest.CuratedWriter.read(spark, layout.curatedDir)
-        .write.mode("overwrite")
-        .partitionBy(graft.ingest.CuratedWriter.PartitionCols: _*)
-        .saveAsTable(tbl)
+      val whPath = warehousePath(spark)
+      val loc = new File(whPath, tbl.toLowerCase).getAbsolutePath
+      val memo = new File(warehousePath(spark), s"_graft_memo/catalog_$sfTag").getAbsoluteFile
+      DemoCache.cached(memo, sfDir) {
+        val layout = ensure(spark, sfDir)
+        spark.sql(s"DROP TABLE IF EXISTS $tbl")
+        // in-memory catalog forgets tables across JVMs but the warehouse
+        // directory survives — clear it so CREATE doesn't trip on leftovers
+        deleteRec(new File(whPath, tbl.toLowerCase))
+        graft.ingest.CuratedWriter.read(spark, layout.curatedDir)
+          .write.mode("overwrite")
+          .partitionBy(graft.ingest.CuratedWriter.PartitionCols: _*)
+          .saveAsTable(tbl)
+        memo.mkdirs()
+        writeDdl(memo, tbl, spark.table(tbl).schema.toDDL)
+      }
+      if (!spark.catalog.tableExists(tbl)) {
+        // warm JVM: re-register the surviving partitioned layout as an
+        // external table, then recover its partitions into the catalog so
+        // catalog-driven pruning (q41) works exactly as on the cold path
+        val parts = graft.ingest.CuratedWriter.PartitionCols
+        spark.sql(s"CREATE TABLE $tbl (${readDdl(memo, tbl)}) USING parquet " +
+          s"PARTITIONED BY (${parts.mkString(", ")}) LOCATION '$loc'")
+        spark.sql(s"MSCK REPAIR TABLE $tbl")
+      }
       catalogued += tbl
     }
     tbl

@@ -15,7 +15,20 @@ object LangModelStore {
   private val models = scala.collection.mutable.Map.empty[String, graft.functions.LangScorer]
 
   def ensure(s: SparkSession, d: String): graft.functions.LangScorer = synchronized {
-    models.getOrElseUpdate(d, train(s, d))
+    models.getOrElseUpdate(d, {
+      // durable across JVMs (DemoCache): training is deterministic, so
+      // the serialized model equals a fresh train bit-for-bit
+      val root = new java.io.File(
+        s"target/langmodel/${new java.io.File(d).getName}").getAbsoluteFile
+      val bin = new java.io.File(root, "model.bin")
+      graft.pipeline.DemoCache.cached(root, d) {
+        root.mkdirs()
+        val out = new java.io.ObjectOutputStream(new java.io.FileOutputStream(bin))
+        try out.writeObject(train(s, d)) finally out.close()
+      }
+      val in = new java.io.ObjectInputStream(new java.io.FileInputStream(bin))
+      try in.readObject().asInstanceOf[graft.functions.LangScorer] finally in.close()
+    })
   }
 
   private def train(s: SparkSession, d: String): graft.functions.LangScorer = {
