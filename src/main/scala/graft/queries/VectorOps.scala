@@ -113,22 +113,136 @@ object VectorOps {
       s"filter(sequence(0, ${bits - 1}), j -> (code & shiftleft(1L, j)) = 0), " +
       "j -> code | shiftleft(1L, j)))")
 
+  /** Exact brute-force cosine top-k picks for the probe set (the q35
+    * frame): probes broadcast, corpus scanned once, per-probe top-k via
+    * window rank. Also the in-query truth side of the q36/q51/q64
+    * self-checks. */
+  def exactTopK(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val e = embs(s, d)
+    val probes = e.filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+    val corpus = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
+    val w = Window.partitionBy("a_id").orderBy(col("cos_e6").desc, col("b_id"))
+    broadcast(probes).join(corpus, col("a_id") =!= col("b_id"))
+      .withColumn("cos_e6", cosE6F("ea", "eb"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TopK)
+      .select(col("a_id"), col("b_id"), col("rnk"), col("cos_e6"))
+      .orderBy("a_id", "rnk")
+  }
+
+  /** Driver-visible self-check frame for an ANN operator: per probe, the
+    * EXACT top-k summary (count, Σb_id, Σcos_e6 — all DuckDB-derivable)
+    * plus `recall_ok` = 1 iff the ANN picks overlap the exact top-k in at
+    * least `minOverlap` of [[TopK]] positions. The oracle recomputes the
+    * exact side and pins the flag at 1 (the q44/q73 approx-self-check
+    * pattern): the whole ANN stack is deterministic (fmix32 hyperplanes,
+    * fixed k-means init, fixed quantizer), so the flag is a pure function
+    * of the corpus — a regression in bucketing, probing, or re-ranking
+    * flips it to 0 and the driver's hash compare turns red. Per-probe
+    * floors are set just under the measured per-probe overlap so the
+    * check is tight but not tie-flaky; the MEAN recall bounds stay
+    * asserted in VectorSpec against the full pick frames. */
+  private def annSelfCheck(exact: DataFrame, ann: DataFrame, minOverlap: Int): DataFrame = {
+    val hits = exact.select("a_id", "b_id")
+      .join(ann.select("a_id", "b_id"), Seq("a_id", "b_id"))
+      .groupBy("a_id").agg(count(lit(1)).as("n_hit"))
+    exact.groupBy("a_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum("b_id").as("exact_bsum"),
+        sum("cos_e6").as("exact_sum_e6"))
+      .join(hits, Seq("a_id"), "left")
+      .select(col("a_id"), col("n_exact"), col("exact_bsum"), col("exact_sum_e6"),
+        when(coalesce(col("n_hit"), lit(0L)) >= minOverlap, 1)
+          .otherwise(0).cast("int").as("recall_ok"))
+      .orderBy("a_id")
+  }
+
+  /** Raw LSH ANN top-k picks (the pre-round-7 q36 frame: a_id, b_id,
+    * rnk, cos_e6). */
+  def lshPicks(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val e = embs(s, d)
+    val bits = codeBits(e.count())
+    val dim = e.select(size(col("embedding"))).first().getInt(0)
+    val buckets = lshBuckets(e, bits, dim)
+    val probes = lshBuckets(e.filter(col("vec_id") < NumProbes), bits, dim)
+      .withColumnRenamed("vec_id", "a_id")
+      // multi-probe expansion: the exact code + all bits hamming-1 flips
+      .select(col("a_id"), col("t"), explode(multiProbe(bits)).as("code"))
+    val cands = broadcast(probes)
+      .join(buckets.select(col("vec_id").as("b_id"), col("t"), col("code")), Seq("t", "code"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val withVec = cands
+      .join(e.select(col("vec_id").as("a_id"), col("embedding").as("ea")), Seq("a_id"))
+      .join(e.select(col("vec_id").as("b_id"), col("embedding").as("eb")), Seq("b_id"))
+    val w = Window.partitionBy("a_id").orderBy(col("cos_e6").desc, col("b_id"))
+    withVec
+      .withColumn("cos_e6", cosE6F("ea", "eb"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TopK)
+      .select(col("a_id"), col("b_id"), col("rnk"), col("cos_e6"))
+      .orderBy("a_id", "rnk")
+  }
+
+  /** Raw IVF ANN top-k picks (the pre-round-7 q51 frame). */
+  def ivfPicks(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val nprobe = 4
+    val (cents, corpusDir) = graft.pipeline.IvfIndex.ensure(s, d)
+    val corpus = s.read.parquet(corpusDir)
+    val probes = embs(s, d).filter(col("vec_id") < NumProbes)
+      .withColumn("cell", explode(graft.pipeline.IvfIndex.cellsOf(cents, nprobe)))
+      .select(col("vec_id").as("a_id"), col("cell"), col("embedding").as("ea"))
+    val w = Window.partitionBy("a_id").orderBy(col("cos_e6").desc, col("b_id"))
+    broadcast(probes).join(corpus, Seq("cell"))
+      .filter(col("a_id") =!= col("b_id"))
+      .withColumn("cos_e6", cosE6F("ea", "eb"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TopK)
+      .select(col("a_id"), col("b_id"), col("rnk"), col("cos_e6"))
+      .orderBy("a_id", "rnk")
+  }
+
+  /** Raw int8-SQ ANN top-k picks (the pre-round-7 q64 frame). */
+  def sq8Picks(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    graft.functions.QuantizeExpressions.register(s)
+    val e = embs(s, d)
+    def quantized(idCol: String) = e
+      .select(col("vec_id").as(idCol), expr("vec_quantize(embedding)").as("qs"))
+      .select(col(idCol), col("qs"),
+        sqrt(expr("vec_dot_q8(qs.q, qs.scale, qs.q, qs.scale)")).as("qn"))
+    val qprobes = quantized("a_id").filter(col("a_id") < NumProbes)
+      .select(col("a_id"), col("qs").as("qp"), col("qn").as("qna"))
+    val qcorpus = quantized("b_id")
+      .select(col("b_id"), col("qs").as("qc"), col("qn").as("qnb"))
+    val wq = Window.partitionBy("a_id").orderBy(col("qcos").desc, col("b_id"))
+    val cands = broadcast(qprobes).join(qcorpus, col("a_id") =!= col("b_id"))
+      .withColumn("qdot", expr("vec_dot_q8(qp.q, qp.scale, qc.q, qc.scale)"))
+      .withColumn("qcos", when(col("qna") * col("qnb") > 0,
+        col("qdot") / (col("qna") * col("qnb"))).otherwise(lit(-2.0)))
+      .withColumn("qrnk", row_number().over(wq))
+      .filter(col("qrnk") <= TopK * 4)
+      .select("a_id", "b_id")
+    // exact re-rank: float vectors fetched for the candidate set only
+    val w = Window.partitionBy("a_id").orderBy(col("cos_e6").desc, col("b_id"))
+    cands
+      .join(broadcast(e.filter(col("vec_id") < NumProbes)
+        .select(col("vec_id").as("a_id"), col("embedding").as("ea"))), Seq("a_id"))
+      .join(e.select(col("vec_id").as("b_id"), col("embedding").as("eb")), Seq("b_id"))
+      .withColumn("cos_e6", cosE6F("ea", "eb"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= TopK)
+      .select(col("a_id"), col("b_id"), col("rnk"), col("cos_e6"))
+      .orderBy("a_id", "rnk")
+  }
+
   val defs: Map[String, Q] = Map(
     // X3 baseline: exact cosine top-k per probe, probes broadcast.
-    "q35_cosine_topk" -> ((s, d) => {
-      graft.functions.VectorExpressions.register(s)
-      val e = embs(s, d)
-      val probes = e.filter(col("vec_id") < NumProbes)
-        .select(col("vec_id").as("a_id"), col("embedding").as("ea"))
-      val corpus = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
-      val w = Window.partitionBy("a_id").orderBy(col("cos_e6").desc, col("b_id"))
-      broadcast(probes).join(corpus, col("a_id") =!= col("b_id"))
-        .withColumn("cos_e6", cosE6F("ea", "eb"))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= TopK)
-        .select(col("a_id"), col("b_id"), col("rnk"), col("cos_e6"))
-        .orderBy("a_id", "rnk")
-    }),
+    "q35_cosine_topk" -> ((s, d) => exactTopK(s, d)),
 
     // X3 scale path: random-hyperplane LSH buckets → candidate equi-join →
     // exact re-rank of candidates only. Hyperplanes are deterministic
@@ -144,32 +258,15 @@ object VectorOps {
     // buckets per table, ~200 lookups per probe vector at 24 bits).
     // Probes are coded from a pre-filtered 10-row frame, so the expensive
     // corpus coding pass runs exactly once (on the right side of the join).
-    // VectorSpec asserts recall vs the exact q35 baseline.
-    "q36_ann_lsh" -> ((s, d) => {
-      graft.functions.VectorExpressions.register(s)
-      val e = embs(s, d)
-      val bits = codeBits(e.count())
-      val dim = e.select(size(col("embedding"))).first().getInt(0)
-      val buckets = lshBuckets(e, bits, dim)
-      val probes = lshBuckets(e.filter(col("vec_id") < NumProbes), bits, dim)
-        .withColumnRenamed("vec_id", "a_id")
-        // multi-probe expansion: the exact code + all bits hamming-1 flips
-        .select(col("a_id"), col("t"), explode(multiProbe(bits)).as("code"))
-      val cands = broadcast(probes)
-        .join(buckets.select(col("vec_id").as("b_id"), col("t"), col("code")), Seq("t", "code"))
-        .filter(col("a_id") =!= col("b_id"))
-        .select("a_id", "b_id").distinct()
-      val withVec = cands
-        .join(e.select(col("vec_id").as("a_id"), col("embedding").as("ea")), Seq("a_id"))
-        .join(e.select(col("vec_id").as("b_id"), col("embedding").as("eb")), Seq("b_id"))
-      val w = Window.partitionBy("a_id").orderBy(col("cos_e6").desc, col("b_id"))
-      withVec
-        .withColumn("cos_e6", cosE6F("ea", "eb"))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= TopK)
-        .select(col("a_id"), col("b_id"), col("rnk"), col("cos_e6"))
-        .orderBy("a_id", "rnk")
-    }),
+    // Driver-visible output is the [[annSelfCheck]] frame (exact top-k
+    // summary + recall_ok, floor 4/5 per probe — measured 5/5 at the
+    // gated sf); the raw ANN picks stay available via [[lshPicks]], and
+    // VectorSpec asserts mean recall >= 0.9 on them. The extra exact pass
+    // is the same 10-broadcast-probe scan q35 runs — per-probe-bounded,
+    // not quadratic; at 100 TB a deployment samples probes for the same
+    // continuous recall audit.
+    "q36_ann_lsh" -> ((s, d) =>
+      annSelfCheck(exactTopK(s, d), lshPicks(s, d), minOverlap = 4)),
 
     // X3 scale path #2: IVF — the OTHER standard ANN index. A coarse
     // k-means quantizer (Lloyd iterations as pure DataFrame passes:
@@ -183,24 +280,12 @@ object VectorOps {
     // partitions. At 100 TB: centroids are KBs (always broadcastable),
     // the candidate scan is ≈ nprobe/k of the corpus per probe.
     // Deterministic: init = vectors 0..k-1, fixed iteration count.
-    // Rows-only; recall vs exact q35 asserted in VectorSpec.
-    "q51_ann_ivf" -> ((s, d) => {
-      graft.functions.VectorExpressions.register(s)
-      val nprobe = 4
-      val (cents, corpusDir) = graft.pipeline.IvfIndex.ensure(s, d)
-      val corpus = s.read.parquet(corpusDir)
-      val probes = embs(s, d).filter(col("vec_id") < NumProbes)
-        .withColumn("cell", explode(graft.pipeline.IvfIndex.cellsOf(cents, nprobe)))
-        .select(col("vec_id").as("a_id"), col("cell"), col("embedding").as("ea"))
-      val w = Window.partitionBy("a_id").orderBy(col("cos_e6").desc, col("b_id"))
-      broadcast(probes).join(corpus, Seq("cell"))
-        .filter(col("a_id") =!= col("b_id"))
-        .withColumn("cos_e6", cosE6F("ea", "eb"))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= TopK)
-        .select(col("a_id"), col("b_id"), col("rnk"), col("cos_e6"))
-        .orderBy("a_id", "rnk")
-    }),
+    // Driver-visible output is the [[annSelfCheck]] frame (floor 3/5 per
+    // probe — nprobe=4 of 16 cells legitimately misses boundary
+    // neighbors; measured per-probe overlap at the gated sf is 3-5/5 and
+    // the mean bound >= 0.85 stays asserted in VectorSpec on [[ivfPicks]]).
+    "q51_ann_ivf" -> ((s, d) =>
+      annSelfCheck(exactTopK(s, d), ivfPicks(s, d), minOverlap = 3)),
 
     // X3 storage path: int8 scalar quantization (the FAISS-SQ8 layout).
     // The corpus is quantized once into struct(scale, q: array<tinyint>)
@@ -209,41 +294,12 @@ object VectorOps {
     // the top 4·k candidates per probe fetch their float vectors for
     // exact re-ranking. At 100 TB that means the ranking scan reads a
     // quarter of the bytes and the float column is touched for ~40 rows
-    // per probe. Rows-only (quantization error is data-dependent);
-    // VectorSpec asserts recall ≥ 0.9 vs the exact q35 top-k and
-    // a ≤2% dot-product error bound is asserted in VectorExpressionsSpec.
-    "q64_quantized_topk" -> ((s, d) => {
-      graft.functions.VectorExpressions.register(s)
-      graft.functions.QuantizeExpressions.register(s)
-      val e = embs(s, d)
-      def quantized(idCol: String) = e
-        .select(col("vec_id").as(idCol), expr("vec_quantize(embedding)").as("qs"))
-        .select(col(idCol), col("qs"),
-          sqrt(expr("vec_dot_q8(qs.q, qs.scale, qs.q, qs.scale)")).as("qn"))
-      val qprobes = quantized("a_id").filter(col("a_id") < NumProbes)
-        .select(col("a_id"), col("qs").as("qp"), col("qn").as("qna"))
-      val qcorpus = quantized("b_id")
-        .select(col("b_id"), col("qs").as("qc"), col("qn").as("qnb"))
-      val wq = Window.partitionBy("a_id").orderBy(col("qcos").desc, col("b_id"))
-      val cands = broadcast(qprobes).join(qcorpus, col("a_id") =!= col("b_id"))
-        .withColumn("qdot", expr("vec_dot_q8(qp.q, qp.scale, qc.q, qc.scale)"))
-        .withColumn("qcos", when(col("qna") * col("qnb") > 0,
-          col("qdot") / (col("qna") * col("qnb"))).otherwise(lit(-2.0)))
-        .withColumn("qrnk", row_number().over(wq))
-        .filter(col("qrnk") <= TopK * 4)
-        .select("a_id", "b_id")
-      // exact re-rank: float vectors fetched for the candidate set only
-      val w = Window.partitionBy("a_id").orderBy(col("cos_e6").desc, col("b_id"))
-      cands
-        .join(broadcast(e.filter(col("vec_id") < NumProbes)
-          .select(col("vec_id").as("a_id"), col("embedding").as("ea"))), Seq("a_id"))
-        .join(e.select(col("vec_id").as("b_id"), col("embedding").as("eb")), Seq("b_id"))
-        .withColumn("cos_e6", cosE6F("ea", "eb"))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= TopK)
-        .select(col("a_id"), col("b_id"), col("rnk"), col("cos_e6"))
-        .orderBy("a_id", "rnk")
-    }),
+    // per probe. Driver-visible output is the [[annSelfCheck]] frame
+    // (floor 4/5 per probe — measured 5/5 at the gated sf); raw picks via
+    // [[sq8Picks]], mean recall >= 0.9 asserted in VectorSpec, and the
+    // ≤2% dot-product error bound in VectorExpressionsSpec.
+    "q64_quantized_topk" -> ((s, d) =>
+      annSelfCheck(exactTopK(s, d), sq8Picks(s, d), minOverlap = 4)),
 
     // X2/X3: embedding-cosine near-duplicate pairs — the vector-space
     // member of the dedup family (exact / MinHash / SimHash / embedding).
@@ -267,8 +323,10 @@ object VectorOps {
     // — at 1e9 rows the join back is itself a shuffle, so paying 8
     // bytes/candidate to shrink it by the table×probe duplication factor
     // is the right trade, and the vector is never amplified through the
-    // explode/join. Rows-only (probabilistic recall); VectorSpec asserts
-    // precision 1.0 and recall ≥ 0.9 vs brute force.
+    // explode/join. Oracle-checked against the brute-force TRUE pair set
+    // (see oracles — the multi-probe index achieves recall 1.0 at the
+    // gated sfs); VectorSpec asserts the contractual precision 1.0 /
+    // recall ≥ 0.9 bounds independently.
     "q49_embed_neardup" -> ((s, d) => {
       graft.functions.VectorExpressions.register(s)
       val e = embs(s, d)
@@ -351,7 +409,50 @@ object VectorOps {
         .orderBy("la", "lb")
     }))
 
+  /** Shared oracle CTE: exact per-probe top-k, identical to the q35
+    * oracle (cos desc, b_id tiebreak). */
+  private def exactTopKSql: String =
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                   FROM embeddings),
+        n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v),
+        pairs AS (
+          SELECT p.vec_id AS a_id, c.vec_id AS b_id,
+                 CAST(ROUND(list_sum(list_transform(range(1, len(p.e) + 1), i -> p.e[i] * c.e[i]))
+                      / (p.nrm * c.nrm) * 1000000) AS BIGINT) AS cos_e6
+          FROM n p JOIN n c ON p.vec_id < $NumProbes AND c.vec_id <> p.vec_id),
+        ranked AS (
+          SELECT a_id, b_id, cos_e6,
+                 ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY cos_e6 DESC, b_id) AS rnk
+          FROM pairs)"""
+
+  /** The q36/q51/q64 self-check oracle: exact top-k summary per probe +
+    * the recall flag pinned at 1 (q44/q73 pattern). */
+  private def annSelfCheckSql: String =
+    s"""$exactTopKSql
+        SELECT a_id, COUNT(*) AS n_exact, CAST(SUM(b_id) AS BIGINT) AS exact_bsum,
+               CAST(SUM(cos_e6) AS BIGINT) AS exact_sum_e6, CAST(1 AS INT) AS recall_ok
+        FROM ranked WHERE rnk <= $TopK GROUP BY a_id ORDER BY a_id"""
+
   val oracles: Map[String, String] = Map(
+    "q36_ann_lsh" -> annSelfCheckSql,
+    "q51_ann_ivf" -> annSelfCheckSql,
+    "q64_quantized_topk" -> annSelfCheckSql,
+    // q49: the oracle is the brute-force TRUE pair set (rounded-threshold
+    // filter, identical to the engine's). This pins precision AND recall
+    // at exactly 1.0 — measured true at the gated scale factors; the LSH
+    // contract is only recall >= 0.9 (VectorSpec), so if a future corpus
+    // drops a boundary pair this row turns red while the operator still
+    // meets its spec bound — that is the desired hard-signal behavior.
+    "q49_embed_neardup" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                    FROM embeddings),
+         n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v),
+         p AS (
+           SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                  CAST(ROUND(list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]))
+                       / (a.nrm * b.nrm) * 1000000) AS BIGINT) AS cos_e6
+           FROM n a JOIN n b ON a.vec_id < b.vec_id)
+         SELECT a_id, b_id, cos_e6 FROM p WHERE cos_e6 >= 450000 ORDER BY a_id, b_id""",
     "q35_cosine_topk" ->
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
                      FROM embeddings),

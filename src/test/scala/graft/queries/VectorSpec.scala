@@ -9,14 +9,16 @@ import graft.TestSpark
 class VectorSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
-  private def pairs(q: String, sf: String): Set[(Long, Long)] =
-    VectorOps.defs(q)(spark, sf).select("a_id", "b_id")
+  // the recall bounds are asserted on the RAW pick frames — the q36/q51/
+  // q64 defs now emit the driver-visible self-check summary instead
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("a_id", "b_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
   for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
     test(s"q36 recall >= 0.9 vs exact q35 top-k at ${sf.split('/').last}") {
-      val exact = pairs("q35_cosine_topk", sf)
-      val ann = pairs("q36_ann_lsh", sf)
+      val exact = pairs(VectorOps.exactTopK(spark, sf))
+      val ann = pairs(VectorOps.lshPicks(spark, sf))
       assert(exact.size == 50, s"expected 10 probes x top-5, got ${exact.size}")
       val recall = (exact & ann).size.toDouble / exact.size
       assert(recall >= 0.9, s"ANN recall $recall")
@@ -24,15 +26,15 @@ class VectorSpec extends AnyFunSuite {
   }
 
   test("q36 returns a full top-5 per probe (candidates are not starved)") {
-    val rows = VectorOps.defs("q36_ann_lsh")(spark, "/root/testdata/sf0.01")
+    val rows = VectorOps.lshPicks(spark, "/root/testdata/sf0.01")
       .groupBy("a_id").count().collect()
     assert(rows.length == 10 && rows.forall(_.getLong(1) == 5))
   }
 
   for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
     test(s"q64 int8-quantized recall >= 0.9 vs exact q35 top-k at ${sf.split('/').last}") {
-      val exact = pairs("q35_cosine_topk", sf)
-      val quant = pairs("q64_quantized_topk", sf)
+      val exact = pairs(VectorOps.exactTopK(spark, sf))
+      val quant = pairs(VectorOps.sq8Picks(spark, sf))
       val recall = (exact & quant).size.toDouble / exact.size
       assert(recall >= 0.9, s"SQ8 recall $recall")
     }
@@ -40,10 +42,20 @@ class VectorSpec extends AnyFunSuite {
 
   for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
     test(s"q51 IVF recall >= 0.85 vs exact q35 top-k at ${sf.split('/').last}") {
-      val exact = pairs("q35_cosine_topk", sf)
-      val ivf = pairs("q51_ann_ivf", sf)
+      val exact = pairs(VectorOps.exactTopK(spark, sf))
+      val ivf = pairs(VectorOps.ivfPicks(spark, sf))
       val recall = (exact & ivf).size.toDouble / exact.size
       assert(recall >= 0.85, s"IVF recall $recall")
+    }
+  }
+
+  test("ANN self-check frames report recall_ok=1 for every probe at sf0.01") {
+    for (q <- Seq("q36_ann_lsh", "q51_ann_ivf", "q64_quantized_topk")) {
+      val rows = VectorOps.defs(q)(spark, "/root/testdata/sf0.01").collect()
+      assert(rows.length == 10, s"$q: expected 10 probe rows, got ${rows.length}")
+      assert(rows.forall(_.getAs[Int]("recall_ok") == 1),
+        s"$q: probes under floor: " +
+          rows.filter(_.getAs[Int]("recall_ok") == 0).map(_.getLong(0)).mkString(","))
     }
   }
 
