@@ -36,6 +36,9 @@ import graft.engine.Tables
   *    One hash shuffle (the dedup row_number) + one agg shuffle.
   *  - q71 repetition filter: duplicate 2-/3-gram fraction per doc (the
   *    Gopher repetition quality signal). Per-row only — no shuffle.
+  *  - q74 near-dup curation FLAGSHIP: q70 plus the near-duplicate stage —
+  *    MinHash-LSH edges over the deduped representatives, transitive
+  *    closure to duplicate groups, keep the min-id representative.
   *
   * Token counts reuse the whitespace idiom hash-matched since q27/q28
   * (`size(split(text, ' '))` ≡ DuckDB `len(string_split(text, ' '))`).
@@ -174,6 +177,47 @@ object CurationOps {
         .groupBy("split", "source")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
         .orderBy("split", "source")
+    }),
+
+    // The FLAGSHIP near-dup curation pipeline — the full LLM-training-set
+    // shape the north star names, composed from the family's kernels:
+    // quality gate (q70's) → exact dedup (q26 kernel) → MinHash-LSH
+    // near-dup EDGES among the surviving representatives (q32 kernel,
+    // exact-Jaccard-verified at 0.8) → transitive duplicate GROUPS (q65
+    // kernel: driver union-find / distributed min-label propagation) →
+    // keep the component-minimum representative → hash split (q66
+    // kernel) → per-(split, source) accounting of kept docs, kept
+    // tokens, and near-dup drops. Every stage is the scale-shaped form
+    // verified piecewise by its own query; the doc_id < 1000 cap bounds
+    // the ORACLE's recursive-CTE closure (like q65), not the operator.
+    // The oracle recomputes the exact >= 0.8 Jaccard edge set — the
+    // banded LSH candidates reproduce it exactly here (b=16/r=4 misses
+    // a J=0.8 pair with p ~ 3e-4; a miss would split a component and
+    // turn this row red, which is the desired hard signal).
+    "q74_neardup_curation" -> ((s, d) => {
+      val rw = Window.partitionBy(md5(col("text"))).orderBy("doc_id")
+      val reps = docs(s, d)
+        .filter(col("doc_id") < 1000)
+        .withColumn("n_tok", nTokens(col("text")))
+        .filter(col("n_tok").between(20, 200) && col("n_chars") >= 100)
+        .withColumn("rn", row_number().over(rw))
+        .filter(col("rn") === 1)
+        .select("doc_id", "source", "text", "n_tok")
+        .persist()
+      val sh = DedupOps.shingled(reps).persist()
+      val edges = DedupOps.minhashEdges(s, sh, minJ = 0.8)
+      val packed = edges.select(
+        shiftleft(col("a_id"), 32).bitwiseOR(col("b_id")).as("pk")).persist()
+      val labels = DedupOps.componentLabels(s, packed)
+      reps.join(labels, Seq("doc_id"), "left")
+        .withColumn("rep", coalesce(col("rep"), col("doc_id")))
+        .withColumn("kept", col("doc_id") === col("rep"))
+        .withColumn("split", splitCol)
+        .groupBy("split", "source")
+        .agg(sum(when(col("kept"), 1L).otherwise(0L)).as("n_docs"),
+          sum(when(col("kept"), col("n_tok")).otherwise(0L)).as("n_tokens"),
+          sum(when(!col("kept"), 1L).otherwise(0L)).as("n_neardup_dropped"))
+        .orderBy("split", "source")
     }))
 
   private val SplitSql =
@@ -264,5 +308,45 @@ object CurationOps {
             FROM base)
           SELECT $SplitSql AS split, source, COUNT(*) AS n_docs,
                  CAST(SUM(n_tok) AS BIGINT) AS n_tokens
-          FROM ded WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""")
+          FROM ded WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q74_neardup_curation" ->
+      s"""WITH RECURSIVE
+           base AS (
+             SELECT doc_id, source, text, len(string_split(text, ' ')) AS n_tok
+             FROM documents
+             WHERE doc_id < 1000
+               AND len(string_split(text, ' ')) BETWEEN 20 AND 200 AND n_chars >= 100),
+           ded AS (
+             SELECT doc_id, source, text, n_tok FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+               FROM base) x WHERE rn = 1),
+           tok AS (
+             SELECT doc_id, unnest(list_distinct(sh)) AS g FROM (
+               SELECT doc_id, string_split(text, ' ') AS t,
+                 [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                  FOR i IN range(1, len(string_split(text, ' ')) - 1)] AS sh
+               FROM ded) x),
+           sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1),
+           inter AS (
+             SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i
+             FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+           edges AS (
+             SELECT a, b FROM inter
+             JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+             WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+           sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+           walk(id, r) AS (
+             SELECT doc_id, doc_id FROM ded
+             UNION
+             SELECT s.b, w.r FROM walk w JOIN sym s ON s.a = w.id),
+           labs AS (SELECT id AS doc_id, MIN(r) AS rep FROM walk GROUP BY 1),
+           j AS (
+             SELECT d.doc_id AS doc_id, d.source AS source, d.n_tok AS n_tok, l.rep AS rep
+             FROM ded d JOIN labs l ON l.doc_id = d.doc_id)
+         SELECT $SplitSql AS split, source,
+                CAST(SUM(CASE WHEN rep = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+                CAST(SUM(CASE WHEN rep = doc_id THEN n_tok ELSE 0 END) AS BIGINT) AS n_tokens,
+                CAST(SUM(CASE WHEN rep <> doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup_dropped
+         FROM j GROUP BY 1, 2 ORDER BY 1, 2""")
 }

@@ -31,12 +31,15 @@ object DedupOps {
   private val RowsPerBand = NumHashes / Bands
 
   /** Max verified near-dup edges collected for driver-side union-find in
-    * q65 (~64 MB at 16 bytes/edge); above this the distributed min-label
+    * q65. Edges are packed `(a<<32)|b` into ONE long column and collected
+    * as a primitive `Array[Long]` — true 8 bytes/edge, so the cap is
+    * 32 MB on the driver (collecting two-column `Row`s instead would box
+    * every edge at ~80+ bytes). Above the cap the distributed min-label
     * propagation path runs instead. */
   private val DriverEdgeCap = 4L * 1000 * 1000
 
   /** doc_id + distinct token-3-shingle set (the unit of Jaccard). */
-  private def shingled(df: DataFrame): DataFrame =
+  private[queries] def shingled(df: DataFrame): DataFrame =
     df.withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
       .withColumn("sh", array_distinct(expr(
@@ -49,6 +52,139 @@ object DedupOps {
   private def interUni(a: Column, b: Column): (Column, Column) = {
     val inter = size(array_intersect(a, b)).cast("long")
     (inter, size(a).cast("long") + size(b).cast("long") - inter)
+  }
+
+  /** Connected-component labels (doc_id, rep = component MINIMUM id)
+    * over a persisted single-column frame of packed `(a<<32)|b` edges.
+    * Two paths, picked by the EDGE count — never the corpus size.
+    * Verified near-dup edges are orders of magnitude fewer than documents
+    * (a dedup pipeline expects a few % dup rate), so even at 100 TB the
+    * pair graph usually fits on the driver: 8 bytes/edge (primitive
+    * collect of the packed column) means [[DriverEdgeCap]] is 32 MB
+    * collected. Under the cap, a driver union-find replaces ~2×diameter
+    * compiled join/aggregate stages — the component step becomes one
+    * collect + one broadcast join-back. Over the cap, distributed
+    * min-label propagation (rep ← min(rep, neighbors' reps) until
+    * fixpoint — the GraphX-CC construction as DataFrame passes) whose
+    * per-round shuffle is proportional to the duplicate subgraph.
+    * `edgeList` is unpersisted once labels are materialized. Both paths
+    * produce identical labels (asserted in DedupSpec, which forces the
+    * distributed path with `driverCap = 0`). */
+  def componentLabels(s: SparkSession, edgeList: DataFrame,
+                      driverCap: Long = DriverEdgeCap): DataFrame = {
+    val ne = edgeList.count()
+    if (sys.env.contains("GRAFT_DEBUG"))
+      System.err.println(s"[q65] edge build: $ne edges")
+    if (ne <= driverCap) {
+      // Union by smaller root: the surviving root is the component's
+      // MINIMUM id, matching min-label propagation and the recursive-CTE
+      // oracle exactly.
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      import s.implicits._
+      val packed: Array[Long] = edgeList.as[Long].collect() // primitive
+      edgeList.unpersist()
+      packed.foreach { pk =>
+        val a = pk >>> 32; val b = pk & 0xFFFFFFFFL
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+      parent.keys.toSeq.map(k => (k, find(k))).toDF("doc_id", "rep")
+    } else {
+      val ab = edgeList.select(
+        shiftrightunsigned(col("pk"), 32).as("a"),
+        col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("b"))
+      val sym = ab
+        .unionAll(ab.select(col("b").as("a"), col("a").as("b"))).persist()
+      // Iterate ONLY over edge-touched nodes: an isolated doc is trivially
+      // its own component. sym is symmetric, so the `a` column alone
+      // covers all touched nodes.
+      var lab = sym.select(col("a").as("doc_id"))
+        .distinct().withColumn("rep", col("doc_id")).persist()
+      // Reps only ever decrease (min-propagation), so sum(rep) is strictly
+      // monotone until fixpoint — convergence is one cheap aggregate on the
+      // cached frame instead of a join-and-count against the prior round.
+      var lastSum = lab.agg(sum("rep")).first().getLong(0)
+      var converged = false
+      var rounds = 0
+      val maxRounds = 50
+      while (!converged && rounds < maxRounds) {
+        val next = sym
+          .join(lab.select(col("doc_id").as("a"), col("rep").as("arep")), Seq("a"))
+          .join(lab.select(col("doc_id").as("b"), col("rep").as("brep")), Seq("b"))
+          .groupBy(col("a").as("doc_id"))
+          .agg(least(min(col("arep")), min(col("brep"))).as("rep"))
+          .persist()
+        val sm = next.agg(sum("rep")).first().getLong(0)
+        converged = sm == lastSum
+        lastSum = sm
+        lab.unpersist()
+        lab = next
+        rounds += 1
+        if (sys.env.contains("GRAFT_DEBUG"))
+          System.err.println(s"[q65] round=$rounds sum=$sm")
+      }
+      // a partially-propagated labeling is a WRONG answer (split dedup
+      // groups), never return one silently
+      if (!converged) throw new IllegalStateException(
+        s"q65 label propagation did not converge in $maxRounds rounds " +
+          "(duplicate-chain diameter exceeds the cap; raise maxRounds)")
+      // lab is materialized (each round's agg forced it); the edge
+      // frames won't be touched again — release their cached blocks so
+      // repeated invocations in one session don't accumulate storage
+      sym.unpersist()
+      edgeList.unpersist()
+      lab
+    }
+  }
+
+  /** Exact-verified MinHash-LSH near-dup edges (a_id < b_id, jac_e6) over
+    * a shingled frame (the q32 kernel, reused by the q74 curation
+    * pipeline). `base` should be persisted by the caller — it feeds the
+    * signature pass plus the two verification join-backs.
+    *
+    * The band explode and the self-join carry ONLY (band, bh, doc_id) —
+    * never the shingle arrays. Carrying `sh` through the 16-way explode
+    * would shuffle ≈16× the tokenized corpus and make the candidate
+    * distinct compare whole arrays; at 100 TB that is the bottleneck.
+    * Shingle sets are joined back BY ID only for the (small) verified
+    * candidate set; the corpus is re-shingled rather than re-shuffled. */
+  private[queries] def minhashEdges(s: SparkSession, base: DataFrame,
+                                    minJ: Double): DataFrame = {
+    // 64 minhashes in one codegen pass: one xxhash64 per shingle plus
+    // 64 seeded finalizer mixes (graft.functions.MinHashSignature) —
+    // not 64 full string re-hashes per shingle through interpreted
+    // higher-order functions.
+    graft.functions.MinHashSignature.register(s, NumHashes)
+    val sig = base.select(col("doc_id"), expr("minhash_sig(sh)").as("sig"))
+    // 16 band keys, each hashing 4 consecutive signature slots
+    val bandCols = (0 until Bands).map { b =>
+      val rows = (0 until RowsPerBand).map(r => col("sig").getItem(b * RowsPerBand + r))
+      struct(lit(b).as("band"), xxhash64(lit(b) +: rows: _*).as("bh"))
+    }
+    val exploded = sig
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.bh"))
+    val a = exploded.select(col("band"), col("bh"), col("doc_id").as("a_id"))
+    val b = exploded.select(col("band"), col("bh"), col("doc_id").as("b_id"))
+    val cands = a.join(b, Seq("band", "bh")).filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val withSh = cands
+      .join(base.select(col("doc_id").as("a_id"), col("sh").as("sha")), Seq("a_id"))
+      .join(base.select(col("doc_id").as("b_id"), col("sh").as("shb")), Seq("b_id"))
+    val (inter, uni) = interUni(col("sha"), col("shb"))
+    withSh
+      .withColumn("inter", inter).withColumn("uni", uni)
+      .filter(col("inter") * lit(1.0) / col("uni") >= minJ)
+      .select(col("a_id"), col("b_id"),
+        round(col("inter") * lit(1000000.0) / col("uni")).cast("long").as("jac_e6"))
   }
 
   val defs: Map[String, Q] = Map(
@@ -65,40 +201,7 @@ object DedupOps {
       // (or LRU eviction) reclaims it — one corpus-sized entry per
       // session, by design.
       val base = shingled(docs(s, d)).persist()
-      // 64 minhashes in one codegen pass: one xxhash64 per shingle plus
-      // 64 seeded finalizer mixes (graft.functions.MinHashSignature) —
-      // not 64 full string re-hashes per shingle through interpreted
-      // higher-order functions.
-      graft.functions.MinHashSignature.register(s, NumHashes)
-      // The band explode and the self-join carry ONLY (band, bh, doc_id) —
-      // never the shingle arrays. Carrying `sh` through the 16-way explode
-      // would shuffle ≈16× the tokenized corpus and make the candidate
-      // distinct compare whole arrays; at 100 TB that is the bottleneck.
-      // Shingle sets are joined back BY ID only for the (small) verified
-      // candidate set; the corpus is re-shingled rather than re-shuffled.
-      val sig = base.select(col("doc_id"), expr("minhash_sig(sh)").as("sig"))
-      // 16 band keys, each hashing 4 consecutive signature slots
-      val bandCols = (0 until Bands).map { b =>
-        val rows = (0 until RowsPerBand).map(r => col("sig").getItem(b * RowsPerBand + r))
-        struct(lit(b).as("band"), xxhash64(lit(b) +: rows: _*).as("bh"))
-      }
-      val exploded = sig
-        .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-        .select(col("doc_id"), col("bk.band"), col("bk.bh"))
-      val a = exploded.select(col("band"), col("bh"), col("doc_id").as("a_id"))
-      val b = exploded.select(col("band"), col("bh"), col("doc_id").as("b_id"))
-      val cands = a.join(b, Seq("band", "bh")).filter(col("a_id") < col("b_id"))
-        .select("a_id", "b_id").distinct()
-      val withSh = cands
-        .join(base.select(col("doc_id").as("a_id"), col("sh").as("sha")), Seq("a_id"))
-        .join(base.select(col("doc_id").as("b_id"), col("sh").as("shb")), Seq("b_id"))
-      val (inter, uni) = interUni(col("sha"), col("shb"))
-      withSh
-        .withColumn("inter", inter).withColumn("uni", uni)
-        .filter(col("inter") * lit(1.0) / col("uni") >= 0.8)
-        .select(col("a_id"), col("b_id"),
-          round(col("inter") * lit(1000000.0) / col("uni")).cast("long").as("jac_e6"))
-        .orderBy("a_id", "b_id")
+      minhashEdges(s, base, minJ = 0.8).orderBy("a_id", "b_id")
     }),
 
     // X2: exact n-gram-Jaccard similarity search — probes doc_id<20
@@ -157,77 +260,13 @@ object DedupOps {
         .join(broadcast(sizes.select(col("doc_id").as("b"), col("n").as("nb"))), Seq("b"))
         .filter(col("i") * lit(1.0) / (col("na") + col("nb") - col("i")) >= 0.5)
         .select("a", "b")
-      val edgeList = edges.select(col("a").cast("long"), col("b").cast("long")).persist()
-      val ne = edgeList.count()
-      if (sys.env.contains("GRAFT_DEBUG"))
-        System.err.println(s"[q65] edge build: $ne edges")
-      // Two component paths, picked by the EDGE count — never the corpus
-      // size. Verified near-dup edges are orders of magnitude fewer than
-      // documents (a dedup pipeline expects a few % dup rate), so even at
-      // 100 TB the pair graph usually fits on the driver: ~16 bytes/edge
-      // means the cap below is ~64 MB collected. Under the cap, a driver
-      // union-find replaces ~2×diameter compiled join/aggregate stages —
-      // the component step becomes one collect + one broadcast join-back.
-      // Over the cap, fall back to distributed min-label propagation whose
-      // per-round shuffle is proportional to the duplicate subgraph.
-      val labels: DataFrame = if (ne <= DriverEdgeCap) {
-        // Union by smaller root: the surviving root is the component's
-        // MINIMUM id, matching min-label propagation and the recursive-CTE
-        // oracle exactly.
-        val parent = scala.collection.mutable.LongMap.empty[Long]
-        def find(x: Long): Long = {
-          var r = x
-          while (parent(r) != r) r = parent(r)
-          var c = x
-          while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
-          r
-        }
-        edgeList.collect().foreach { row =>
-          val a = row.getLong(0); val b = row.getLong(1)
-          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-          val ra = find(a); val rb = find(b)
-          if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
-        }
-        import s.implicits._
-        parent.keys.toSeq.map(k => (k, find(k))).toDF("doc_id", "rep")
-      } else {
-        val sym = edgeList
-          .unionAll(edgeList.select(col("b").as("a"), col("a").as("b"))).persist()
-        // Iterate ONLY over edge-touched nodes: an isolated doc is trivially
-        // its own component. sym is symmetric, so the `a` column alone
-        // covers all touched nodes.
-        var lab = sym.select(col("a").as("doc_id"))
-          .distinct().withColumn("rep", col("doc_id")).persist()
-        // Reps only ever decrease (min-propagation), so sum(rep) is strictly
-        // monotone until fixpoint — convergence is one cheap aggregate on the
-        // cached frame instead of a join-and-count against the prior round.
-        var lastSum = lab.agg(sum("rep")).first().getLong(0)
-        var converged = false
-        var rounds = 0
-        val maxRounds = 50
-        while (!converged && rounds < maxRounds) {
-          val next = sym
-            .join(lab.select(col("doc_id").as("a"), col("rep").as("arep")), Seq("a"))
-            .join(lab.select(col("doc_id").as("b"), col("rep").as("brep")), Seq("b"))
-            .groupBy(col("a").as("doc_id"))
-            .agg(least(min(col("arep")), min(col("brep"))).as("rep"))
-            .persist()
-          val sm = next.agg(sum("rep")).first().getLong(0)
-          converged = sm == lastSum
-          lastSum = sm
-          lab.unpersist()
-          lab = next
-          rounds += 1
-          if (sys.env.contains("GRAFT_DEBUG"))
-            System.err.println(s"[q65] round=$rounds sum=$sm")
-        }
-        // a partially-propagated labeling is a WRONG answer (split dedup
-        // groups), never return one silently
-        if (!converged) throw new IllegalStateException(
-          s"q65 label propagation did not converge in $maxRounds rounds " +
-            "(duplicate-chain diameter exceeds the cap; raise maxRounds)")
-        lab
-      }
+      // one packed-long column: 8 bytes/edge through the shuffle, the
+      // distinct, the cache, AND the driver collect (valid while
+      // doc_id < 2^32 — same packing as the q49 big-corpus path)
+      val edgeList = edges.select(
+        shiftleft(col("a").cast("long"), 32)
+          .bitwiseOR(col("b").cast("long")).as("pk")).persist()
+      val labels = componentLabels(s, edgeList)
       universe.select(col("doc_id"))
         .join(labels, Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("rep"))

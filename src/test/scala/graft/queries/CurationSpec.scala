@@ -31,6 +31,13 @@ class CurationSpec extends AnyFunSuite {
       .select(size(split(col("text"), " ")).cast("long").as("n"))
     val maxDoc = docs.agg(max("n")).first().getLong(0)
     val totalTokens = docs.agg(sum("n")).first().getLong(0)
+    // PRECONDITION for the consecutive-bins assertion below: a single doc
+    // longer than 2x the 512-token budget makes its successor skip a bin
+    // (bin = starting offset / budget — still q67's defined semantics,
+    // but the gap would fail the stricter invariant this test checks).
+    // If the fixture ever grows such docs, weaken the assertion to
+    // "bins non-decreasing with gaps only after over-budget docs".
+    assert(maxDoc <= 2 * 512, s"fixture precondition violated: maxDoc=$maxDoc")
     // bins within a shard are 0..k consecutive (concat-and-chunk never
     // skips a chunk: each bin starts where the previous filled up)
     rows.groupBy(_._1).foreach { case (shard, bs) =>
@@ -84,6 +91,36 @@ class CurationSpec extends AnyFunSuite {
       val tiered = Set("src0", "src1", "src2", "src3", "src4", "src5", "src6", "src7")
       if (!tiered.contains(src)) assert(kept === total, s"$src is keep-all tier")
     }
+  }
+
+  test("q74 near-dup curation: transitive groups collapse to min-id reps, accounting conserves docs") {
+    import spark.implicits._
+    import java.nio.file.Files
+    // 50-token base text; B = A with last token changed (3-shingle
+    // Jaccard ~0.88 >= 0.8), C = B with FIRST token changed (C~B ~0.88,
+    // but C~A ~0.78 < 0.8) — so {A,B,C} is one duplicate GROUP only via
+    // the transitive closure through B. Doc 3 is an EXACT copy of A
+    // (removed by the exact-dedup stage before near-dup ever sees it),
+    // and 100..109 are unrelated singletons.
+    val base = (0 until 50).map(i => s"w$i")
+    val a = base.mkString(" ")
+    val b = (base.dropRight(1) :+ "zlast").mkString(" ")
+    val c = ("zfirst" +: base.drop(1).dropRight(1) :+ "zlast").mkString(" ")
+    val rows = Seq((0L, a), (1L, b), (2L, c), (3L, a)) ++
+      (100 until 110).map(i => (i.toLong, (0 until 50).map(j => s"u${i}t$j").mkString(" ")))
+    val dir = Files.createTempDirectory("graft-q74").toString
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = CurationOps.defs("q74_neardup_curation")(spark, dir).collect()
+    val kept = out.map(_.getLong(2)).sum
+    val dropped = out.map(_.getLong(4)).sum
+    // 13 reps after exact dedup (0,1,2 + 10 singletons); the {0,1,2}
+    // group elects rep 0, so 2 near-dup drops and 11 kept
+    assert(kept === 11L, s"kept $kept, rows: ${out.mkString(";")}")
+    assert(dropped === 2L, s"dropped $dropped")
+    assert(out.map(_.getString(0)).toSet.subsetOf(Set("train", "val", "test")))
   }
 
   test("q70 pipeline: output within gates, splits partition the kept set") {

@@ -108,4 +108,24 @@ class DedupSpec extends AnyFunSuite {
     val q32 = pairSet(DedupOps.defs("q32_minhash_neardup")(spark, dir))
     assert(q32.contains((0L, 200L)), s"planted near-dup missing from $q32")
   }
+
+  test("q65 component paths agree: driver union-find == distributed min-label propagation") {
+    import spark.implicits._
+    // chain 1-2-3-4, pair 10-11, triangle 20-21-22, isolated edge 30-31;
+    // packed (a<<32)|b edges, as the operator builds them
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L), (30L, 31L))
+    def packed() = edges.map { case (a, b) => (a << 32) | b }
+      .toDF("pk").persist()
+    def labels(cap: Long): Map[Long, Long] =
+      DedupOps.componentLabels(spark, packed(), driverCap = cap)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaDriver = labels(cap = Long.MaxValue)
+    val viaPropagation = labels(cap = 0) // force the distributed path
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L,
+      30L -> 30L, 31L -> 30L)
+    assert(viaDriver == expected, s"driver path: $viaDriver")
+    assert(viaPropagation == expected, s"propagation path: $viaPropagation")
+  }
 }
