@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.broadcast.Broadcast
 
 /** Id-addressed cosine over a driver-resident embedding table
   * (SURVEY.md §2.10 X2/X3; q49's broadcastable-corpus verification).
@@ -13,10 +14,14 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * When the whole embedding table fits in executor memory, verifying LSH
   * collision pairs via two hash joins back to the corpus pays a 256-byte
   * array copy per join per pair — the joins, not the arithmetic, dominate.
-  * This expression is the join-free form: the corpus ships once per
-  * executor as a reference object (the [[LshCoder]] pattern — a broadcast
-  * variable bound inside a codegen Expression), and verification becomes
-  * one projection computing `cos_by_id(a_id, b_id)` per candidate row.
+  * This expression is the join-free form: the corpus ships as a real
+  * `sparkContext.broadcast` — fetched from the block manager and
+  * deserialized ONCE per executor, not once per task the way an
+  * `addReferenceObj` table riding the task binary would be — and
+  * verification becomes one projection computing `cos_by_id(a_id, b_id)`
+  * per candidate row. Only the (tiny) broadcast handle rides the task
+  * binary; the lazy id→index map and norm cache therefore also build
+  * once per executor.
   *
   * Value parity with the join + `vec_dot` form (bit-asserted in
   * VectorExpressionsSpec): dot accumulates float→double left-to-right
@@ -58,8 +63,9 @@ final class CosTable(ids: Array[Long], vecs: Array[Array[Float]]) extends Serial
 }
 
 /** `cos_by_id(a_id, b_id)` — round(cos(corpus[a], corpus[b]) * 1e6) as
-  * long, bound to a collected corpus at registration. */
-case class CosByIdExpr(left: Expression, right: Expression, table: CosTable)
+  * long, bound to a broadcast corpus at registration. */
+case class CosByIdExpr(left: Expression, right: Expression,
+                       bcast: Broadcast[CosTable])
   extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
@@ -72,11 +78,17 @@ case class CosByIdExpr(left: Expression, right: Expression, table: CosTable)
   override def prettyName: String = "cos_by_id"
 
   override def nullSafeEval(a: Any, b: Any): Any =
-    table.cosE6(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    bcast.value.cosE6(a.asInstanceOf[Long], b.asInstanceOf[Long])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val t = ctx.addReferenceObj("cosTable", table, classOf[CosTable].getName)
+      // Reference the broadcast HANDLE (bytes, not the table); .value()
+      // resolves to the executor-local singleton.
+      val bc = ctx.addReferenceObj("cosTableBc", bcast,
+        classOf[Broadcast[CosTable]].getName)
+      val t = ctx.freshName("cosTable")
+      val cls = classOf[CosTable].getName
+      ctx.addImmutableStateIfNotExists(cls, t, v => s"$v = ($cls) $bc.value();")
       s"${ev.value} = $t.cosE6($a, $b);"
     })
 
@@ -102,10 +114,14 @@ object CosByIdExpr {
   }
 
   /** (Re-)register `cos_by_id` bound to this corpus (per-query binding,
-    * like `lsh_codes`). */
-  def register(spark: SparkSession, table: CosTable): Unit =
+    * like `lsh_codes`). Broadcasts the table so executors materialize it
+    * once each; re-registration over a previous binding leaves the old
+    * broadcast to the context cleaner. */
+  def register(spark: SparkSession, table: CosTable): Unit = {
+    val bcast = spark.sparkContext.broadcast(table)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("cos_by_id"),
       new ExpressionInfo(classOf[CosByIdExpr].getName, "cos_by_id"),
-      (exprs: Seq[Expression]) => CosByIdExpr(exprs.head, exprs(1), table))
+      (exprs: Seq[Expression]) => CosByIdExpr(exprs.head, exprs(1), bcast))
+  }
 }
