@@ -83,10 +83,21 @@ case class CosByIdExpr(left: Expression, right: Expression,
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       // Reference the broadcast HANDLE (bytes, not the table); .value()
-      // resolves to the executor-local singleton.
-      val bc = ctx.addReferenceObj("cosTableBc", bcast,
-        classOf[Broadcast[CosTable]].getName)
-      val t = ctx.freshName("cosTable")
+      // resolves to the executor-local singleton. The member name is
+      // keyed to the broadcast id (NOT freshName) so every cos_by_id
+      // occurrence in one generated class shares a single member and one
+      // value() resolution — freshName would make the if-not-exists
+      // dedup vacuous. That sharing requires the init statement to be
+      // byte-identical across occurrences, so the references slot is
+      // deduplicated by identity too (addReferenceObj would hand each
+      // occurrence a fresh slot and trip the "already defined with
+      // different initialization" assertion).
+      val refIdx = {
+        val i = ctx.references.indexWhere(_.asInstanceOf[AnyRef] eq bcast)
+        if (i >= 0) i else { ctx.references += bcast; ctx.references.size - 1 }
+      }
+      val bc = s"((${classOf[Broadcast[CosTable]].getName}) references[$refIdx] /* cosTableBc */)"
+      val t = s"cosTable_${bcast.id}"
       val cls = classOf[CosTable].getName
       ctx.addImmutableStateIfNotExists(cls, t, v => s"$v = ($cls) $bc.value();")
       s"${ev.value} = $t.cosE6($a, $b);"
@@ -113,15 +124,23 @@ object CosByIdExpr {
     new CosTable(ids, vecs)
   }
 
+  /** The previous binding's broadcast, dropped eagerly on rebind. */
+  private var lastBcast: Broadcast[CosTable] = _
+
   /** (Re-)register `cos_by_id` bound to this corpus (per-query binding,
     * like `lsh_codes`). Broadcasts the table so executors materialize it
-    * once each; re-registration over a previous binding leaves the old
-    * broadcast to the context cleaner. */
-  def register(spark: SparkSession, table: CosTable): Unit = {
+    * once each. Rebinding unpersists the PREVIOUS broadcast
+    * (non-blocking) instead of leaving a potentially hundreds-of-MB
+    * corpus copy in executor block managers until the context cleaner
+    * notices; unpersist only drops cached executor copies — in-flight
+    * queries holding the old handle can refetch — so it is safe. */
+  def register(spark: SparkSession, table: CosTable): Unit = synchronized {
     val bcast = spark.sparkContext.broadcast(table)
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("cos_by_id"),
       new ExpressionInfo(classOf[CosByIdExpr].getName, "cos_by_id"),
       (exprs: Seq[Expression]) => CosByIdExpr(exprs.head, exprs(1), bcast))
+    if (lastBcast != null) lastBcast.unpersist(blocking = false)
+    lastBcast = bcast
   }
 }

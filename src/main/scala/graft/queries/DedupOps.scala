@@ -188,9 +188,13 @@ object DedupOps {
   }
 
   val defs: Map[String, Q] = Map(
-    // X2: MinHash-LSH near-dup pairs, exact-verified. Rows-only check
-    // (probabilistic candidate generation is not ANSI-SQL-expressible);
-    // recall vs brute force is asserted in DedupSpec.
+    // X2: MinHash-LSH near-dup pairs, exact-verified. DIRECT oracle: the
+    // exact >= 0.8 Jaccard edge set (DuckDB gram-join CTE, the q65/q74
+    // shape). Every emitted pair is exact-verified, so the only way the
+    // LSH side can diverge from the oracle is a MISSED candidate —
+    // b=16/r=4 misses a J=0.8 pair with p ≈ 3e-4, the same hard-signal
+    // trade q74 accepted; a banding/signature regression turns this row
+    // red. Recall vs brute force is additionally asserted in DedupSpec.
     "q32_minhash_neardup" -> ((s, d) => {
       // The shingled corpus is used three times (signatures + the two
       // verification join-backs); persist so tokenize+shingle runs once.
@@ -273,51 +277,122 @@ object DedupOps {
         .orderBy("doc_id")
     }),
 
-    // X2: SimHash near-dup pairs (hamming ≤ 3), chunk-bucketed candidates.
-    // Rows-only check; cross-validated against MinHash in DedupSpec.
-    //
-    // Skew guard: exact-duplicate texts all collapse to one simhash, so a
-    // boilerplate-heavy corpus makes one (chunk, ck) bucket quadratic. An
-    // exact-dedup pre-pass (min doc_id per distinct text — the q26 kernel)
-    // bounds every bucket by the number of DISTINCT texts in it; pairs are
-    // then near-dup pairs among distinct-text representatives, which is
-    // the useful answer for a dedup pipeline anyway (exact dups are
-    // already handled by X1). DedupSpec asserts this completes with
-    // bounded output on a 50×-replicated boilerplate fixture.
+    // X2: SimHash near-dup — driver-visible SELF-CHECK row. The real
+    // operator is [[simhashPairs]] (the chunk-bucketed banded join, run
+    // over the FULL corpus here); the query compares its output
+    // restricted to doc_id < 1000 against an in-query brute-force
+    // hamming truth over the same capped rep set (the q44/q73
+    // approx-self-check shape — the xxhash64-based simhash is not
+    // DuckDB-computable, so the truth side must be in-query). Chunk
+    // bucketing is EXACT by pigeonhole (hamming ≤ 3 over 4×16-bit
+    // chunks ⇒ some chunk equal), so match_ok = 1 is a theorem; a
+    // bucketing/hamming regression flips it and the driver's hash
+    // compare turns red. n_reps (distinct-text representatives under
+    // the cap) is recomputed by the oracle from `documents` directly.
+    // The capped cross-join is the TRUTH side only (≤1000 reps →
+    // ≤500k pairs); the operator itself never goes quadratic.
     "q34_simhash_neardup" -> ((s, d) => {
-      val repW = Window.partitionBy("th").orderBy("doc_id")
-      val base = docs(s, d)
-        .withColumn("th", xxhash64(col("text")))
-        .withColumn("rn", row_number().over(repW))
-        .filter(col("rn") === 1)
-        .withColumn("toks", array_distinct(split(col("text"), " ")))
-        .filter(size(col("toks")) >= 1)
-      // 64-bit simhash: bit k set iff sum over tokens of sign(bit k of
-      // xxhash64(token)) is positive — computed by the codegen
-      // [[graft.functions.SimHash64]] expression (one token hash + 64
-      // bit-votes per token, bit-compatible with the SQL xxhash64 form
-      // DedupSpec uses as brute-force truth).
-      graft.functions.SimHash64.register(s)
-      val sim = base.withColumn("simhash", expr("simhash64(toks)"))
-        .select("doc_id", "simhash")
-      // 4 chunks of 16 bits; hamming<=3 pairs must share a chunk
-      val chunks = sim.select(col("doc_id"), col("simhash"),
-        explode(expr("transform(sequence(0, 3), c -> " +
-          "struct(c AS chunk, shiftright(simhash, c * 16) & 65535L AS ck))")).as("x"))
-        .select(col("doc_id"), col("simhash"), col("x.chunk"), col("x.ck"))
-      val a = chunks.select(col("chunk"), col("ck"),
-        col("doc_id").as("a_id"), col("simhash").as("ha"))
-      val b = chunks.select(col("chunk"), col("ck"),
-        col("doc_id").as("b_id"), col("simhash").as("hb"))
-      a.join(b, Seq("chunk", "ck")).filter(col("a_id") < col("b_id"))
-        .select("a_id", "b_id", "ha", "hb").distinct()
-        .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      val pairs = simhashPairs(s, d)
+      val simAll = simhashed(docs(s, d))
+      val capped = simAll.filter(col("doc_id") < 1000).persist()
+      val truth = capped.select(col("doc_id").as("a_id"), col("simhash").as("ha"))
+        .crossJoin(capped.select(col("doc_id").as("b_id"), col("simhash").as("hb")))
+        .filter(col("a_id") < col("b_id"))
+        .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int"))
         .filter(col("hamming") <= 3)
-        .select(col("a_id"), col("b_id"), col("hamming").cast("int").as("hamming"))
-        .orderBy("a_id", "b_id")
+        .select("a_id", "b_id", "hamming")
+      val got = pairs.filter(col("a_id") < 1000 && col("b_id") < 1000)
+      // symmetric difference via union-tag: rows present in exactly one
+      // side sum to 1 or 2, matched rows to 3
+      val mism = truth.withColumn("src", lit(1L))
+        .unionAll(got.withColumn("src", lit(2L)))
+        .groupBy("a_id", "b_id", "hamming").agg(sum("src").as("t"))
+        .filter(col("t") =!= 3L)
+      capped.agg(count(lit(1)).as("n_reps"))
+        .crossJoin(mism.agg(count(lit(1)).as("n_bad")))
+        .select(col("n_reps"),
+          when(col("n_bad") === 0, 1).otherwise(0).cast("int").as("match_ok"))
     }))
 
+  /** doc_id → 64-bit simhash over distinct-text representatives (the
+    * exact-dedup pre-pass that bounds chunk buckets — see
+    * [[simhashPairs]]). Bit k of the simhash is set iff the sum over
+    * tokens of sign(bit k of xxhash64(token)) is positive, computed by
+    * the codegen [[graft.functions.SimHash64]] expression (one token
+    * hash + 64 bit-votes per token, bit-compatible with the SQL
+    * xxhash64 form DedupSpec uses as brute-force truth). */
+  private[queries] def simhashed(df: DataFrame): DataFrame = {
+    val repW = Window.partitionBy("th").orderBy("doc_id")
+    val base = df
+      .withColumn("th", xxhash64(col("text")))
+      .withColumn("rn", row_number().over(repW))
+      .filter(col("rn") === 1)
+      .withColumn("toks", array_distinct(split(col("text"), " ")))
+      .filter(size(col("toks")) >= 1)
+    graft.functions.SimHash64.register(df.sparkSession)
+    base.withColumn("simhash", expr("simhash64(toks)"))
+      .select("doc_id", "simhash")
+  }
+
+  /** SimHash near-dup pairs (hamming ≤ 3), chunk-bucketed candidates —
+    * the q34 kernel. Candidates come from a 4-way chunk explode +
+    * equi-self-join (pigeonhole: hamming ≤ 3 ⇒ some 16-bit chunk
+    * equal — the candidate set is EXACT, not probabilistic), verified
+    * by `bit_count(xor) ≤ 3`.
+    *
+    * Skew guard: exact-duplicate texts all collapse to one simhash, so a
+    * boilerplate-heavy corpus makes one (chunk, ck) bucket quadratic. An
+    * exact-dedup pre-pass (min doc_id per distinct text — the q26 kernel,
+    * inside [[simhashed]]) bounds every bucket by the number of DISTINCT
+    * texts in it; pairs are then near-dup pairs among distinct-text
+    * representatives, which is the useful answer for a dedup pipeline
+    * anyway (exact dups are already handled by X1). DedupSpec asserts
+    * this completes with bounded output on a 50×-replicated boilerplate
+    * fixture. */
+  private[queries] def simhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sim = simhashed(docs(s, d))
+    // 4 chunks of 16 bits; hamming<=3 pairs must share a chunk
+    val chunks = sim.select(col("doc_id"), col("simhash"),
+      explode(expr("transform(sequence(0, 3), c -> " +
+        "struct(c AS chunk, shiftright(simhash, c * 16) & 65535L AS ck))")).as("x"))
+      .select(col("doc_id"), col("simhash"), col("x.chunk"), col("x.ck"))
+    val a = chunks.select(col("chunk"), col("ck"),
+      col("doc_id").as("a_id"), col("simhash").as("ha"))
+    val b = chunks.select(col("chunk"), col("ck"),
+      col("doc_id").as("b_id"), col("simhash").as("hb"))
+    a.join(b, Seq("chunk", "ck")).filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "ha", "hb").distinct()
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= 3)
+      .select(col("a_id"), col("b_id"), col("hamming").cast("int").as("hamming"))
+      .orderBy("a_id", "b_id")
+  }
+
   val oracles: Map[String, String] = Map(
+    // The simhash itself is xxhash64-based (not DuckDB-computable), so
+    // the truth side of the pair comparison is in-query; the oracle
+    // recomputes the capped rep count from `documents` and pins the
+    // theorem flag at 1 (q44/q73 pattern).
+    "q34_simhash_neardup" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_reps, CAST(1 AS INT) AS match_ok
+         FROM (SELECT MIN(doc_id) AS m FROM documents GROUP BY text) x
+         WHERE m < 1000""",
+    "q32_minhash_neardup" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(list_distinct(sh)) AS g FROM (
+             SELECT doc_id, string_split(text, ' ') AS t,
+               [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(string_split(text,' ')) - 1)] AS sh
+             FROM documents) x WHERE len(t) >= 3),
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+           FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT a_id, b_id,
+           CAST(ROUND(CAST(i AS DOUBLE) * 1000000 / (sa.n + sb.n - i)) AS BIGINT) AS jac_e6
+         FROM inter JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+         WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+         ORDER BY a_id, b_id""",
     "q65_dup_groups" ->
       """WITH RECURSIVE
            tok AS (

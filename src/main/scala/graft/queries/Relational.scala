@@ -29,6 +29,42 @@ object Relational {
     */
   private def ts(v: String) = lit(v).cast("timestamp")
 
+  /** Rank index h = (n−1)·p for the linear-interpolation quantile
+    * definition, computed in IEEE double — the SAME operation sequence
+    * the oracle SQL spells out (double literals `0.5e0`/`0.95e0`), so
+    * floor/frac agree bit-for-bit across engines. */
+  private def qH(p: Double): Column = (col("n") - 1).cast("double") * lit(p)
+
+  /** round(lo + frac(h)·(hi − lo)) on e6-scaled long quantile neighbors;
+    * `hi` is NULL when h is the last index (frac 0), so coalesce to lo. */
+  private def qInterp(lo: Column, hi: Column, h: Column): Column =
+    round(lo.cast("double") +
+      (h - floor(h).cast("double")) * (coalesce(hi, lo) - lo).cast("double"))
+      .cast("long")
+
+  /** Per-group quantile NEIGHBORS by explicit rank arithmetic: values are
+    * e6-quantized to longs first (so the interpolation inputs are exact
+    * integers in both engines), ranked per group, and the two values
+    * flanking h = (n−1)·p for p ∈ {0.5, 0.95} are picked by rank in one
+    * aggregate pass. One shuffle for the window sort; the aggregate
+    * reuses the same partitioning. `extraAggs` lets q73 fold its
+    * percentile_approx sketch into the same pass. */
+  private def rankQuantileAgg(events: DataFrame,
+                              extraAggs: Seq[Column] = Nil): DataFrame = {
+    val byType = Window.partitionBy("event_type")
+    val ranked = events
+      .select(col("event_type"), col("value"),
+        round(col("value") * 1e6).cast("long").as("ve6"))
+      .withColumn("rn", row_number().over(byType.orderBy("ve6")))
+      .withColumn("n", count(lit(1)).over(byType))
+    def at(off: Long, p: Double): Column =
+      max(when((col("rn") - 1) === floor(qH(p)) + off, col("ve6")))
+    val aggs = Seq(
+      at(0, 0.5).as("lo50"), at(1, 0.5).as("hi50"),
+      at(0, 0.95).as("lo95"), at(1, 0.95).as("hi95")) ++ extraAggs
+    ranked.groupBy("event_type").agg(max(col("n")).as("n"), aggs: _*)
+  }
+
   val defs: Map[String, Q] = Map(
     // A4/A1: grouped aggregation with map-side partial agg; filter pushed to scan.
     "q01_pricing_summary" -> ((s, d) => {
@@ -234,23 +270,23 @@ object Relational {
         .orderBy("l_returnflag")
     }),
 
-    // A5/consumption: exact percentiles (linear interpolation at
-    // (n−1)·p, the definition Spark's `percentile` and DuckDB's
-    // `quantile_cont` share) per group, emitted as e6-scaled longs so
-    // float formatting can't reach the hash compare. The exact form is
+    // A5/consumption: exact percentiles per group, emitted as e6-scaled
+    // longs so float formatting can't reach the hash compare. The
+    // interpolation is OWNED by the query (explicit rank arithmetic on
+    // e6-quantized values — see [[rankQuantileAgg]]) rather than
+    // delegated to each engine's `percentile`/`quantile_cont` internals:
+    // those interpolate doubles in different evaluation orders and can
+    // disagree by 1 ulp on boundary values, which was the one latent
+    // cross-engine flake left in the oracle suite. The exact form is
     // the correctness baseline; at 100 TB the same query swaps in
     // percentile_approx (t-digest) exactly as q44 pairs exact/approx
     // distinct — the approx estimate is engine-specific, so the oracle
     // pins the exact one.
     "q60_quantiles" -> ((s, d) => {
-      t(s, d, "events")
-        .groupBy("event_type")
-        .agg(
-          count(lit(1)).as("n"),
-          expr("percentile(value, array(0.5, 0.95))").as("q"))
+      rankQuantileAgg(t(s, d, "events"))
         .select(col("event_type"), col("n"),
-          round(element_at(col("q"), 1) * 1e6).cast("long").as("p50_e6"),
-          round(element_at(col("q"), 2) * 1e6).cast("long").as("p95_e6"))
+          qInterp(col("lo50"), col("hi50"), qH(0.5)).as("p50_e6"),
+          qInterp(col("lo95"), col("hi95"), qH(0.95)).as("p95_e6"))
         .orderBy("event_type")
     }),
 
@@ -258,22 +294,23 @@ object Relational {
     // q60's scaladoc promises — at 100 TB exact percentiles buffer every
     // group value, while the approx sketch is bounded-memory and
     // merges map-side. The sketch estimate is engine-specific, so the
-    // oracle pins the exact values plus a q44-style self-check flag:
-    // at accuracy 10000 the rank error is <= n/10000 rows, so the
-    // approx answer must land within 5% (or 0.05 absolute) of exact.
+    // oracle pins the exact values (same owned-interpolation form as
+    // q60) plus a q44-style self-check flag: at accuracy 10000 the rank
+    // error is <= n/10000 rows, so the approx answer must land within
+    // 5% (or 0.05 absolute, = 5e4 at e6 scale) of exact.
     "q73_approx_quantiles" -> ((s, d) => {
-      def near(a: Column, e: Column): Column =
-        abs(a - e) <= greatest(abs(e) * 0.05, lit(0.05))
-      t(s, d, "events")
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n"),
-          expr("percentile(value, array(0.5, 0.95))").as("qe"),
-          expr("percentile_approx(value, array(0.5, 0.95), 10000)").as("qa"))
+      def near(aE6: Column, eE6: Column): Column =
+        abs(aE6 - eE6.cast("double")) <=
+          greatest(abs(eE6.cast("double")) * 0.05, lit(50000.0))
+      rankQuantileAgg(t(s, d, "events"),
+        Seq(expr("percentile_approx(value, array(0.5, 0.95), 10000)").as("qa")))
         .select(col("event_type"), col("n"),
-          round(element_at(col("qe"), 1) * 1e6).cast("long").as("p50_e6"),
-          round(element_at(col("qe"), 2) * 1e6).cast("long").as("p95_e6"),
-          when(near(element_at(col("qa"), 1), element_at(col("qe"), 1)) &&
-            near(element_at(col("qa"), 2), element_at(col("qe"), 2)), 1)
+          qInterp(col("lo50"), col("hi50"), qH(0.5)).as("p50_e6"),
+          qInterp(col("lo95"), col("hi95"), qH(0.95)).as("p95_e6"),
+          col("qa"))
+        .select(col("event_type"), col("n"), col("p50_e6"), col("p95_e6"),
+          when(near(element_at(col("qa"), 1) * 1e6, col("p50_e6")) &&
+            near(element_at(col("qa"), 2) * 1e6, col("p95_e6")), 1)
             .otherwise(0).cast("int").as("approx_ok"))
         .orderBy("event_type")
     }),
@@ -366,6 +403,32 @@ object Relational {
           count(lit(1)).as("n"))
         .orderBy("p_brand")
     }))
+
+  /** DuckDB mirror of [[rankQuantileAgg]] + [[qInterp]]: e6-quantize,
+    * rank, pick flanking values, interpolate — all in DOUBLE. */
+  private def rankQuantileSql(withApproxFlag: Boolean): String = {
+    val flag = if (withApproxFlag) ", CAST(1 AS INT) AS approx_ok" else ""
+    s"""WITH v AS (
+          SELECT event_type, CAST(ROUND(value * 1000000) AS BIGINT) AS ve6 FROM events),
+        r AS (
+          SELECT event_type, ve6,
+                 ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ve6) AS rn,
+                 COUNT(*) OVER (PARTITION BY event_type) AS n
+          FROM v),
+        a AS (
+          SELECT event_type, MAX(n) AS n,
+                 MAX(CASE WHEN rn - 1 = FLOOR((n - 1) * 0.5e0) THEN ve6 END) AS lo50,
+                 MAX(CASE WHEN rn - 1 = FLOOR((n - 1) * 0.5e0) + 1 THEN ve6 END) AS hi50,
+                 MAX(CASE WHEN rn - 1 = FLOOR((n - 1) * 0.95e0) THEN ve6 END) AS lo95,
+                 MAX(CASE WHEN rn - 1 = FLOOR((n - 1) * 0.95e0) + 1 THEN ve6 END) AS hi95
+          FROM r GROUP BY 1)
+        SELECT event_type, n,
+          CAST(ROUND(lo50 + ((n - 1) * 0.5e0 - FLOOR((n - 1) * 0.5e0))
+            * (COALESCE(hi50, lo50) - lo50)) AS BIGINT) AS p50_e6,
+          CAST(ROUND(lo95 + ((n - 1) * 0.95e0 - FLOOR((n - 1) * 0.95e0))
+            * (COALESCE(hi95, lo95) - lo95)) AS BIGINT) AS p95_e6$flag
+        FROM a ORDER BY 1"""
+  }
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -488,17 +551,11 @@ object Relational {
          COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
          COUNT(*) FILTER (event_type = 'click') AS n_click
          FROM events GROUP BY 1 ORDER BY 1""",
-    "q60_quantiles" ->
-      """SELECT event_type, COUNT(*) AS n,
-         CAST(ROUND(quantile_cont(value, 0.5) * 1000000) AS BIGINT) AS p50_e6,
-         CAST(ROUND(quantile_cont(value, 0.95) * 1000000) AS BIGINT) AS p95_e6
-         FROM events GROUP BY 1 ORDER BY 1""",
-    "q73_approx_quantiles" ->
-      """SELECT event_type, COUNT(*) AS n,
-         CAST(ROUND(quantile_cont(value, 0.5) * 1000000) AS BIGINT) AS p50_e6,
-         CAST(ROUND(quantile_cont(value, 0.95) * 1000000) AS BIGINT) AS p95_e6,
-         CAST(1 AS INT) AS approx_ok
-         FROM events GROUP BY 1 ORDER BY 1""",
+    // Explicit-rank quantile oracle: the SAME double-arithmetic steps the
+    // Spark side owns (0.5e0/0.95e0 are DOUBLE literals — a bare 0.95
+    // would be DECIMAL in DuckDB and floor differently on boundaries).
+    "q60_quantiles" -> rankQuantileSql(withApproxFlag = false),
+    "q73_approx_quantiles" -> rankQuantileSql(withApproxFlag = true),
     "q50_small_qty_revenue" ->
       """SELECT p_brand, COUNT(*) AS n_small,
          CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_c

@@ -212,18 +212,52 @@ object TextOps {
     // the n_langs² confusion-matrix aggregate. Log-probs are scaled to
     // 1e-6 integers so score sums are order-independent — bit-identical
     // across runs and partitionings (determinism asserted in
-    // LangGuessSpec, which also covers the memoized-model path). No SQL
-    // oracle (model output): rows-only.
+    // LangGuessSpec, which also covers the memoized-model path).
+    //
+    // Driver-visible output is a per-lang accuracy SELF-CHECK (the
+    // q44/q73 pattern — model guesses aren't SQL-expressible, so the
+    // oracle recomputes the classifiable doc counts from `documents`
+    // and pins `acc_ok` at 1): the whole stack is deterministic, so
+    // per-lang accuracy is a pure function of the corpus. Floors sit
+    // just below the minimum measured across sf0.001/0.01/0.1 (en
+    // 0.45..0.91 → floor 0.40; the other langs 0.14..0.35 on the
+    // barely-separable synthetic vocab → floor 0.10) — a scoring or
+    // model-train regression that collapses guesses to one class flips
+    // at least one flag and the hash compare turns red. The full
+    // confusion matrix stays available via [[langConfusion]]
+    // (LangGuessSpec asserts determinism, mass conservation, and
+    // perfect separation on disjoint vocab).
     "q31_lang_guess" -> ((s, d) => {
-      graft.functions.LangGuessExpr.register(s, LangModelStore.ensure(s, d))
-      docs(s, d).filter(length(col("text")) >= 3)
-        .select(col("lang"), expr("lang_guess(text)").as("guessed"))
-        .groupBy("lang", "guessed")
-        .agg(count(lit(1)).as("n"))
-        .orderBy("lang", "guessed")
+      langConfusion(s, d)
+        .groupBy("lang")
+        .agg(sum("n").as("n_docs"),
+          sum(when(col("guessed") === col("lang"), col("n")).otherwise(0L)).as("n_ok"))
+        .select(col("lang"), col("n_docs"),
+          when(col("n_ok") * 100L >=
+            col("n_docs") * when(col("lang") === "en", 40L).otherwise(10L), 1)
+            .otherwise(0).cast("int").as("acc_ok"))
+        .orderBy("lang")
     }))
 
+  /** (lang, guessed, n) confusion matrix of the q31 guesser — the raw
+    * frame LangGuessSpec checks; q31's driver-visible row is the
+    * accuracy self-check derived from it. */
+  private[queries] def langConfusion(s: SparkSession, d: String): DataFrame = {
+    graft.functions.LangGuessExpr.register(s, LangModelStore.ensure(s, d))
+    docs(s, d).filter(length(col("text")) >= 3)
+      .select(col("lang"), expr("lang_guess(text)").as("guessed"))
+      .groupBy("lang", "guessed")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "guessed")
+  }
+
   val oracles: Map[String, String] = Map(
+    // Model guesses aren't SQL-expressible; the oracle pins the
+    // classifiable per-lang doc counts and the accuracy-floor theorem
+    // flag (q44/q73 pattern — see the q31 scaladoc for the floors).
+    "q31_lang_guess" ->
+      """SELECT lang, COUNT(*) AS n_docs, CAST(1 AS INT) AS acc_ok
+         FROM documents WHERE length(text) >= 3 GROUP BY 1 ORDER BY 1""",
     "q26_exact_dedup" ->
       """SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY 1""",
     "q27_corpus_stats" ->

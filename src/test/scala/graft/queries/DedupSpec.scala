@@ -79,8 +79,12 @@ class DedupSpec extends AnyFunSuite {
     val truth = a.join(b, col("a_id") < col("b_id"))
       .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= 3)
       .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val got = pairSet(DedupOps.defs("q34_simhash_neardup")(spark, sf))
+    val got = pairSet(DedupOps.simhashPairs(spark, sf))
     assert(got == truth, s"got ${got.size} pairs, truth ${truth.size}")
+    // the driver-visible q34 self-check row must agree: match_ok pinned 1
+    val check = DedupOps.defs("q34_simhash_neardup")(spark, sf).collect()
+    assert(check.length == 1 && check(0).getInt(1) == 1,
+      s"q34 self-check row: ${check.toSeq}")
   }
 
   test("boilerplate-heavy corpus: bounded candidates, planted near-dup found") {
@@ -98,7 +102,7 @@ class DedupSpec extends AnyFunSuite {
       .withColumn("n_chars", length(col("text")).cast("long"))
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
 
-    val q34 = DedupOps.defs("q34_simhash_neardup")(spark, dir).collect()
+    val q34 = DedupOps.simhashPairs(spark, dir).collect()
     // exact-dup pre-pass: no pair may join two copies of the same text,
     // and candidate volume stays far below the 60*59/2-per-clone blowup
     val q34Pairs = q34.map(r => (r.getLong(0), r.getLong(1))).toSet

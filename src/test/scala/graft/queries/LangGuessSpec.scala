@@ -16,7 +16,7 @@ class LangGuessSpec extends AnyFunSuite {
   private val sf = "/root/testdata/sf0.001"
 
   private def run(dir: String): Seq[(String, String, Long)] =
-    TextOps.defs("q31_lang_guess")(spark, dir)
+    TextOps.langConfusion(spark, dir)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq.sorted
 
   test("deterministic across runs and conserves document mass") {
@@ -26,6 +26,10 @@ class LangGuessSpec extends AnyFunSuite {
     val classifiable = graft.engine.Tables.load(spark, sf, "documents")
       .filter(length(col("text")) >= 3).count()
     assert(a.map(_._3).sum == classifiable)
+    // the driver-visible q31 self-check rows: every accuracy floor holds
+    val check = TextOps.defs("q31_lang_guess")(spark, sf).collect()
+    assert(check.nonEmpty && check.forall(_.getInt(2) == 1),
+      s"q31 accuracy floor broken: ${check.toSeq}")
   }
 
   test("classifies perfectly when language vocabularies are disjoint") {
