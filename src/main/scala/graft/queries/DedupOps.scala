@@ -156,8 +156,12 @@ object DedupOps {
     * distinct compare whole arrays; at 100 TB that is the bottleneck.
     * Shingle sets are joined back BY ID only for the (small) verified
     * candidate set; the corpus is re-shingled rather than re-shuffled. */
-  private[queries] def minhashEdges(s: SparkSession, base: DataFrame,
-                                    minJ: Double): DataFrame = {
+  /** Distinct LSH candidate pairs (a_id < b_id) from band-hash
+    * collisions — the pre-verification frame whose growth the
+    * scale-stress harness (tools/ScaleStress) measures: bucket-bounded
+    * candidate generation must grow ~linearly with the corpus, never
+    * quadratically. */
+  private[queries] def minhashCandidates(s: SparkSession, base: DataFrame): DataFrame = {
     // 64 minhashes in one codegen pass: one xxhash64 per shingle plus
     // 64 seeded finalizer mixes (graft.functions.MinHashSignature) —
     // not 64 full string re-hashes per shingle through interpreted
@@ -174,9 +178,13 @@ object DedupOps {
       .select(col("doc_id"), col("bk.band"), col("bk.bh"))
     val a = exploded.select(col("band"), col("bh"), col("doc_id").as("a_id"))
     val b = exploded.select(col("band"), col("bh"), col("doc_id").as("b_id"))
-    val cands = a.join(b, Seq("band", "bh")).filter(col("a_id") < col("b_id"))
+    a.join(b, Seq("band", "bh")).filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
-    val withSh = cands
+  }
+
+  private[queries] def minhashEdges(s: SparkSession, base: DataFrame,
+                                    minJ: Double): DataFrame = {
+    val withSh = minhashCandidates(s, base)
       .join(base.select(col("doc_id").as("a_id"), col("sh").as("sha")), Seq("a_id"))
       .join(base.select(col("doc_id").as("b_id"), col("sh").as("shb")), Seq("b_id"))
     val (inter, uni) = interUni(col("sha"), col("shb"))
@@ -349,8 +357,9 @@ object DedupOps {
     * anyway (exact dups are already handled by X1). DedupSpec asserts
     * this completes with bounded output on a 50×-replicated boilerplate
     * fixture. */
-  private[queries] def simhashPairs(s: SparkSession, d: String): DataFrame = {
-    val sim = simhashed(docs(s, d))
+  /** Distinct chunk-collision candidates (a_id, b_id, ha, hb) — the
+    * pre-verification frame the scale-stress harness measures. */
+  private[queries] def simhashCandidates(sim: DataFrame): DataFrame = {
     // 4 chunks of 16 bits; hamming<=3 pairs must share a chunk
     val chunks = sim.select(col("doc_id"), col("simhash"),
       explode(expr("transform(sequence(0, 3), c -> " +
@@ -362,11 +371,14 @@ object DedupOps {
       col("doc_id").as("b_id"), col("simhash").as("hb"))
     a.join(b, Seq("chunk", "ck")).filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id", "ha", "hb").distinct()
+  }
+
+  private[queries] def simhashPairs(s: SparkSession, d: String): DataFrame =
+    simhashCandidates(simhashed(docs(s, d)))
       .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
       .filter(col("hamming") <= 3)
       .select(col("a_id"), col("b_id"), col("hamming").cast("int").as("hamming"))
       .orderBy("a_id", "b_id")
-  }
 
   val oracles: Map[String, String] = Map(
     // The simhash itself is xxhash64-based (not DuckDB-computable), so

@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+
+/** Instrumented runners for the dedup/ANN kernels, measuring the numbers
+  * the 100 TB claims rest on: INPUT rows, CANDIDATE pairs (the frame
+  * between bucketing and verification — the thing that must not go
+  * quadratic), OUTPUT pairs, and end-to-end seconds. Driven by
+  * [[graft.tools.ScaleStress]] across corpus tiers (sf0.01 → sf0.1 →
+  * a 10× blow-up of sf0.1); the harness asserts candidate growth stays
+  * ~linear in corpus size.
+  *
+  * Methodology: the candidate count is measured in its own pass, then
+  * the cache is cleared and the FULL kernel (candidates + verification)
+  * is timed end-to-end from cold cache, so `secs` is the real operator
+  * cost at that tier and is never flattered by the counting pass.
+  */
+object ScaleProbe {
+  final case class Stat(kernel: String, tier: String, nInput: Long,
+                        nCandidates: Long, nOutput: Long, secs: Double) {
+    def json: String =
+      s"""{"kernel":"$kernel","tier":"$tier","n_input":$nInput,""" +
+        s""""n_candidates":$nCandidates,"n_output":$nOutput,"secs":${math.round(secs * 1000) / 1000.0}}"""
+  }
+
+  private def timed[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** MinHash-LSH near-dup edges (the q32/q74 kernel) at >= 0.8 Jaccard. */
+  def minhash(s: SparkSession, dir: String, tier: String): Stat = {
+    val docs = Tables.load(s, dir, "documents")
+    val nIn = docs.count()
+    s.catalog.clearCache()
+    val base0 = DedupOps.shingled(docs).persist()
+    val nc = DedupOps.minhashCandidates(s, base0).count()
+    s.catalog.clearCache()
+    val base = DedupOps.shingled(docs).persist()
+    val (ne, secs) = timed(DedupOps.minhashEdges(s, base, minJ = 0.8).count())
+    s.catalog.clearCache()
+    Stat("minhash_lsh", tier, nIn, nc, ne, secs)
+  }
+
+  /** SimHash near-dup pairs (the q34 kernel), hamming <= 3. */
+  def simhash(s: SparkSession, dir: String, tier: String): Stat = {
+    val docs = Tables.load(s, dir, "documents")
+    val nIn = docs.count()
+    s.catalog.clearCache()
+    val nc = DedupOps.simhashCandidates(DedupOps.simhashed(docs)).count()
+    s.catalog.clearCache()
+    val (np, secs) = timed(DedupOps.simhashPairs(s, dir).count())
+    s.catalog.clearCache()
+    Stat("simhash", tier, nIn, nc, np, secs)
+  }
+
+  /** Embedding-cosine near-dup pairs (the q49 kernel), cos >= 0.45. */
+  def embed(s: SparkSession, dir: String, tier: String): Stat = {
+    val e = Tables.load(s, dir, "embeddings")
+    val nIn = e.count()
+    s.catalog.clearCache()
+    val nc = VectorOps.lshSelfCollisions(e, nIn)
+      .select(least(col("a_id"), col("b_id")).as("a"),
+        greatest(col("a_id"), col("b_id")).as("b"))
+      .distinct().count()
+    s.catalog.clearCache()
+    val (np, secs) = timed(VectorOps.embedNeardupPairs(s, e).count())
+    s.catalog.clearCache()
+    Stat("embed_lsh", tier, nIn, nc, np, secs)
+  }
+
+  /** Transitive duplicate groups (the q65/q74 closure) over the verified
+    * minhash edge set: nCandidates = edges in, nOutput = labeled docs. */
+  def components(s: SparkSession, dir: String, tier: String): Stat = {
+    val docs = Tables.load(s, dir, "documents")
+    val nIn = docs.count()
+    s.catalog.clearCache()
+    val (out, secs) = timed {
+      val base = DedupOps.shingled(docs).persist()
+      val edges = DedupOps.minhashEdges(s, base, minJ = 0.8)
+      val packed = edges.select(
+        shiftleft(col("a_id"), 32).bitwiseOR(col("b_id")).as("pk")).persist()
+      val ne = packed.count()
+      val labeled = DedupOps.componentLabels(s, packed).count()
+      (ne, labeled)
+    }
+    s.catalog.clearCache()
+    Stat("components", tier, nIn, out._1, out._2, secs)
+  }
+
+  def all(s: SparkSession, dir: String, tier: String): Seq[Stat] =
+    Seq(minhash(s, dir, tier), simhash(s, dir, tier),
+      embed(s, dir, tier), components(s, dir, tier))
+}

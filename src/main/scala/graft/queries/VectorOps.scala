@@ -327,31 +327,51 @@ object VectorOps {
     // (see oracles — the multi-probe index achieves recall 1.0 at the
     // gated sfs); VectorSpec asserts the contractual precision 1.0 /
     // recall ≥ 0.9 bounds independently.
-    "q49_embed_neardup" -> ((s, d) => {
+    "q49_embed_neardup" -> ((s, d) =>
+      embedNeardupPairs(s, embs(s, d)).orderBy("a_id", "b_id")),
+
+    // X3/A4: elementwise per-label centroids + pairwise centroid cosine.
+    "q37_label_centroids" -> ((s, d) => {
+      val cent = embs(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("label", "pos")
+        .agg(avg(col("x").cast("double")).as("m"))
+        .groupBy("label")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("label"), expr("transform(pm, p -> p.m)").as("e"))
+      val a = cent.select(col("label").as("la"), col("e").as("ea"))
+      val b = cent.select(col("label").as("lb"), col("e").as("eb"))
+      broadcast(a).join(b, col("la") < col("lb"))
+        .select(col("la"), col("lb"), cosE6(col("ea"), col("eb")).as("cos_e6"))
+        .orderBy("la", "lb")
+    }))
+
+  /** The q49 raw collision stream: upward-multi-probed LSH self-join
+    * over (table, code) buckets — every candidate pair reaches the join
+    * exactly once, pre-distinct. Exposed (with [[embedNeardupPairs]])
+    * so the scale-stress harness can measure candidate growth. */
+  private[queries] def lshSelfCollisions(e: DataFrame, n: Long): DataFrame = {
+    graft.functions.VectorExpressions.register(e.sparkSession)
+    val bits = codeBits(n)
+    val dim = e.select(size(col("embedding"))).first().getInt(0)
+    // the corpus coding pass feeds BOTH sides of the self-join; persist
+    // so it runs once (same session-lifetime note as the q32 cache)
+    val buckets = lshBuckets(e, bits, dim).persist()
+    // upward-only multi-probe: same candidate set as the full hamming-1
+    // ring (see upProbe) but each cross-bucket pair reaches the join
+    // once, and the ~bits/2 zero-bit flips halve the exploded left side
+    val left = buckets.select(col("vec_id").as("a_id"), col("t"),
+      explode(upProbe(bits)).as("code"))
+    left
+      .join(buckets.select(col("vec_id").as("b_id"), col("t"), col("code")), Seq("t", "code"))
+      .filter(col("a_id") =!= col("b_id"))
+  }
+
+  /** Embedding near-dup pair kernel (the q49 body, minus the final sort). */
+  private[queries] def embedNeardupPairs(s: SparkSession, e: DataFrame): DataFrame = {
       graft.functions.VectorExpressions.register(s)
-      val e = embs(s, d)
       val n = e.count()
-      val bits = codeBits(n)
-      val dim = e.select(size(col("embedding"))).first().getInt(0)
-      // the corpus coding pass feeds BOTH sides of the self-join; persist
-      // so it runs once (same session-lifetime note as the q32 cache)
-      val buckets = lshBuckets(e, bits, dim).persist()
-      // upward-only multi-probe: same candidate set as the full hamming-1
-      // ring (see upProbe) but each cross-bucket pair reaches the join
-      // once, and the ~bits/2 zero-bit flips halve the exploded left side
-      val left = buckets.select(col("vec_id").as("a_id"), col("t"),
-        explode(upProbe(bits)).as("code"))
-      val rawPairs = left
-        .join(buckets.select(col("vec_id").as("b_id"), col("t"), col("code")), Seq("t", "code"))
-        .filter(col("a_id") =!= col("b_id"))
-      if (sys.env.contains("GRAFT_DEBUG")) {
-        var t0 = System.nanoTime()
-        val nb = buckets.count()
-        System.err.println(f"[q49] bits=$bits bucket_rows=$nb in ${(System.nanoTime() - t0) / 1e9}%.3f s")
-        t0 = System.nanoTime()
-        val nj = rawPairs.count()
-        System.err.println(f"[q49] raw_pairs=$nj in ${(System.nanoTime() - t0) / 1e9}%.3f s")
-      }
+      val rawPairs = lshSelfCollisions(e, n)
       // Per-vector norms are computed ONCE per vector, not per candidate
       // pair — verification is then one dot + a divide per pair. Both
       // paths' arithmetic is bit-identical to the join + vec_dot form.
@@ -390,24 +410,8 @@ object VectorOps {
             .filter(col("cos_e6") >= 450000)
             .select("a_id", "b_id", "cos_e6")
         }
-      verified.orderBy("a_id", "b_id")
-    }),
-
-    // X3/A4: elementwise per-label centroids + pairwise centroid cosine.
-    "q37_label_centroids" -> ((s, d) => {
-      val cent = embs(s, d)
-        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
-        .groupBy("label", "pos")
-        .agg(avg(col("x").cast("double")).as("m"))
-        .groupBy("label")
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("label"), expr("transform(pm, p -> p.m)").as("e"))
-      val a = cent.select(col("label").as("la"), col("e").as("ea"))
-      val b = cent.select(col("label").as("lb"), col("e").as("eb"))
-      broadcast(a).join(b, col("la") < col("lb"))
-        .select(col("la"), col("lb"), cosE6(col("ea"), col("eb")).as("cos_e6"))
-        .orderBy("la", "lb")
-    }))
+      verified
+  }
 
   /** Shared oracle CTE: exact per-probe top-k, identical to the q35
     * oracle (cos desc, b_id tiebreak). */
