@@ -14,10 +14,14 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.warehouse.dir", "target/spark-warehouse")
+      .config("spark.sql.warehouse.dir", "var/demo/spark-warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // restore the tracked demo-artifact snapshot (if one exists for this
+    // sf) so the lazily-built ingest/stream/index artifacts behind
+    // q38-q41/q45-q48/q51/q52/q55 don't pay full construction per round
+    pipeline.DemoCache.primeFromSnapshot(sfDir): Unit
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

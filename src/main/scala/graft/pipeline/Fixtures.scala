@@ -43,8 +43,7 @@ object Fixtures {
     * (~ms) instead of a second distributed JSON export. */
   def generateInto(spark: SparkSession, sfDir: String, layout: LakeLayout): Unit = synchronized {
     val template = shared.getOrElseUpdate(sfDir, {
-      val dir = new java.io.File(
-        s"target/fixtures/${new java.io.File(sfDir).getName}").getAbsoluteFile
+      val dir = DemoCache.root(s"fixtures/${new java.io.File(sfDir).getName}")
       DemoCache.cached(dir, sfDir) {
         generate(spark, sfDir, LakeLayout(dir.getPath))
       }

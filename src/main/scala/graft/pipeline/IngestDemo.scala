@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import scala.collection.mutable
 
 /** Builds (once per JVM per scale factor) a complete mini-lake under
-  * `target/ingest/<sf>/` by running the full §3.1 pipeline over the
+  * `var/demo/ingest/<sf>/` by running the full §3.1 pipeline over the
   * generated fixtures, so the q38-q41 CORRECTNESS entries have a real
   * ingest run to interrogate. batchSize=3 forces multiple scheduler
   * ticks (T1) and a multi-append curated lake (exercising the read-side
@@ -30,7 +30,7 @@ object IngestDemo {
   def ensure(spark: SparkSession, sfDir: String): LakeLayout = synchronized {
     built.getOrElseUpdate(sfDir, {
       val sfName = new File(sfDir).getName
-      val root = new File(s"target/ingest/$sfName").getAbsoluteFile
+      val root = DemoCache.root(s"ingest/$sfName")
       val layout = LakeLayout(root.getPath)
       DemoCache.cached(root, sfDir) {
         Fixtures.generateInto(spark, sfDir, layout)

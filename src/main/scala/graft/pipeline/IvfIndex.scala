@@ -47,12 +47,12 @@ object IvfIndex {
     * cell-partitioned corpus path). The index is durable across JVMs
     * ([[DemoCache]]): the cell-partitioned corpus stays where it was
     * written and the trained centroids are stored beside it, so a warm
-    * `target/` dir skips the k-means passes entirely — the
+    * `var/demo/` dir skips the k-means passes entirely — the
     * build-once/query-many lifecycle a production IVF index has. */
   def ensure(spark: SparkSession, sfDir: String): (Seq[Array[Float]], String) =
     synchronized {
       built.getOrElseUpdate(sfDir, {
-        val root = new File(s"target/ivf/${new File(sfDir).getName}").getAbsoluteFile
+        val root = DemoCache.root(s"ivf/${new File(sfDir).getName}")
         val dir = new File(root, "cells").getPath
         val centFile = new File(root, "centroids.txt")
         DemoCache.cached(root, sfDir) {

@@ -32,7 +32,7 @@ object StreamDemo {
 
   def ensure(spark: SparkSession, sfDir: String): LakeLayout = synchronized {
     built.getOrElseUpdate(sfDir, {
-      val root = new File(s"target/stream/${sfName(sfDir)}").getAbsoluteFile
+      val root = DemoCache.root(s"stream/${sfName(sfDir)}")
       val layout = LakeLayout(root.getPath)
       DemoCache.cached(root, sfDir) {
         Fixtures.generateInto(spark, sfDir, layout)
@@ -47,7 +47,7 @@ object StreamDemo {
     * stream and re-register the parquet as the `name` temp view. */
   private def memoStream(spark: SparkSession, sfDir: String, name: String)
                         (run: => Unit): String = {
-    val memo = new File(s"target/stream/${sfName(sfDir)}-memo/$name").getAbsoluteFile
+    val memo = DemoCache.root(s"stream/${sfName(sfDir)}-memo/$name")
     val data = new File(memo, "data").getPath
     val hit = DemoCache.cached(memo, sfDir) {
       run
@@ -123,7 +123,7 @@ object StreamDemo {
   def ensureStreamDedup(spark: SparkSession, sfDir: String): DataFrame = synchronized {
     val tbl = deduped.getOrElseUpdate(sfDir, {
       val name = "stream_dedup_" + sfName(sfDir).replace('.', '_').replace('-', '_')
-      val root = new File(s"target/stream/${sfName(sfDir)}-dedup").getAbsoluteFile
+      val root = DemoCache.root(s"stream/${sfName(sfDir)}-dedup")
       val landing = new File(root, "landing").getPath
       val data = new File(root, "result").getPath
       val hit = DemoCache.cached(root, sfDir) {

@@ -18,8 +18,7 @@ object LangModelStore {
     models.getOrElseUpdate(d, {
       // durable across JVMs (DemoCache): training is deterministic, so
       // the serialized model equals a fresh train bit-for-bit
-      val root = new java.io.File(
-        s"target/langmodel/${new java.io.File(d).getName}").getAbsoluteFile
+      val root = graft.pipeline.DemoCache.root(s"langmodel/${new java.io.File(d).getName}")
       val bin = new java.io.File(root, "model.bin")
       graft.pipeline.DemoCache.cached(root, d) {
         root.mkdirs()
