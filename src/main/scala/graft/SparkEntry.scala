@@ -27,4 +27,18 @@ object SparkEntry {
     Relational.oracles ++ EventOps.oracles ++ TextOps.oracles ++ DedupOps.oracles ++
       VectorOps.oracles ++ IngestQueries.oracles ++ MultimodalOps.oracles ++
       CurationOps.oracles
+
+  /** Library-consumer cache hygiene: run `queries(name)` through
+    * `action` (which must EXECUTE the frame — count/collect/write), then
+    * unpersist exactly the session-lifetime caches the query planted
+    * (the shingled corpus in q32/q33/q65/q74, the LSH bucket coding in
+    * q49, …). Precise alternative to `spark.catalog.clearCache()`, which
+    * would also evict the caller's own cached tables. Frames tracked
+    * before the call (another query's still-live caches) are untouched;
+    * release is newest-first and non-blocking. */
+  def runAndRelease[A](spark: SparkSession, sfDir: String, name: String)
+                      (action: DataFrame => A): A = {
+    val m = QueryCaches.mark()
+    try action(queries(name)(spark, sfDir)) finally QueryCaches.releaseSince(m)
+  }
 }

@@ -17,13 +17,34 @@ import scala.collection.mutable.ArrayBuffer
   * single-commit register.
   */
 object Discovery {
+  /** Landing-zone manifest location: an underscore-prefixed directory, so
+    * both the tree-walk below and Spark's own file readers skip it as
+    * metadata. */
+  def manifestDir(rawDir: String): String = s"$rawDir/$ManifestName"
+  val ManifestName = "_manifest"
+
   /** Data files only: skip committer markers (_SUCCESS), checksums and
     * other dot/underscore files — same convention Spark's own readers use.
-    */
+    *
+    * When the landing zone carries a manifest (`_manifest/` parquet of
+    * (path, size) rows, written by the upstream producer or
+    * [[writeManifest]]), it is preferred over the walk: a recursive
+    * listing is one driver-side metadata call per ~1,000 objects, so at
+    * the ~100k-file mark (minutes of driver list latency on an object
+    * store; S3 inventory exists for exactly this reason) discovery should
+    * be manifest-driven — the manifest read is one parquet scan
+    * regardless of file count. The walk remains the zero-setup fallback,
+    * and both paths yield identical [[graft.ingest.PathNorm]]-normalized
+    * keys (asserted in IngestSpec). */
   def listDataFiles(spark: SparkSession, rawDir: String): Seq[(String, Long)] = {
     val root = new Path(rawDir)
     val fs = FileSystem.get(root.toUri, spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Seq.empty
+    if (fs.exists(new Path(manifestDir(rawDir)))) listViaManifest(spark, rawDir)
+    else listViaWalk(fs, root)
+  }
+
+  private def listViaWalk(fs: FileSystem, root: Path): Seq[(String, Long)] = {
     val out = ArrayBuffer.empty[(String, Long)]
     val it = fs.listFiles(root, true)
     while (it.hasNext) {
@@ -33,6 +54,41 @@ object Discovery {
         out += ((graft.ingest.PathNorm.fromUri(st.getPath.toUri), st.getLen))
     }
     out.sortBy(_._1).toSeq
+  }
+
+  /** Manifest-driven listing: read (rel_path, size) rows from the
+    * `_manifest/` parquet and resolve each against the landing root into
+    * the same normalized absolute key the walk produces. Paths are stored
+    * RELATIVE so the manifest survives a lake relocation (and a snapshot
+    * restore). Collected on the driver — a manifest row is ~100 bytes, so
+    * even a 10M-file zone is a ~1 GB driver read; beyond that the ledger
+    * register itself should go distributed, not this listing. */
+  def listViaManifest(spark: SparkSession, rawDir: String): Seq[(String, Long)] = {
+    val rootUri = new Path(rawDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(new Path(rawDir)).toUri
+    spark.read.parquet(manifestDir(rawDir))
+      .select("rel_path", "size").collect()
+      .map { r =>
+        val abs = new Path(new Path(rootUri), r.getAs[String]("rel_path"))
+        (graft.ingest.PathNorm.fromUri(abs.toUri), r.getAs[Long]("size"))
+      }
+      .sortBy(_._1).toSeq
+  }
+
+  /** Producer-side helper: walk the zone once and write its manifest
+    * (one coalesced parquet of relative paths), making every later
+    * discovery manifest-driven. */
+  def writeManifest(spark: SparkSession, rawDir: String): Long = {
+    val root = new Path(rawDir)
+    val fs = FileSystem.get(root.toUri, spark.sparkContext.hadoopConfiguration)
+    val rootKey = graft.ingest.PathNorm.fromUri(fs.makeQualified(root).toUri)
+    val rows = listViaWalk(fs, root).map { case (p, len) =>
+      (p.stripPrefix(rootKey).stripPrefix("/"), len)
+    }
+    import spark.implicits._
+    rows.toDF("rel_path", "size").coalesce(1)
+      .write.mode("overwrite").parquet(manifestDir(rawDir))
+    rows.size.toLong
   }
 
   /** Returns the number of newly registered files. */

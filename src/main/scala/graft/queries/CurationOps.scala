@@ -196,18 +196,17 @@ object CurationOps {
     // turn this row red, which is the desired hard signal).
     "q74_neardup_curation" -> ((s, d) => {
       val rw = Window.partitionBy(md5(col("text"))).orderBy("doc_id")
-      val reps = docs(s, d)
+      val reps = QueryCaches.track(docs(s, d)
         .filter(col("doc_id") < 1000)
         .withColumn("n_tok", nTokens(col("text")))
         .filter(col("n_tok").between(20, 200) && col("n_chars") >= 100)
         .withColumn("rn", row_number().over(rw))
         .filter(col("rn") === 1)
-        .select("doc_id", "source", "text", "n_tok")
-        .persist()
-      val sh = DedupOps.shingled(reps).persist()
+        .select("doc_id", "source", "text", "n_tok"))
+      val sh = QueryCaches.track(DedupOps.shingled(reps))
       val edges = DedupOps.minhashEdges(s, sh, minJ = 0.8)
-      val packed = edges.select(
-        shiftleft(col("a_id"), 32).bitwiseOR(col("b_id")).as("pk")).persist()
+      val packed = QueryCaches.track(edges.select(
+        shiftleft(col("a_id"), 32).bitwiseOR(col("b_id")).as("pk")))
       val labels = DedupOps.componentLabels(s, packed)
       reps.join(labels, Seq("doc_id"), "left")
         .withColumn("rep", coalesce(col("rep"), col("doc_id")))

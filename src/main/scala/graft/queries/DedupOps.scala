@@ -141,7 +141,7 @@ object DedupOps {
       // repeated invocations in one session don't accumulate storage
       sym.unpersist()
       edgeList.unpersist()
-      lab
+      QueryCaches.note(lab)
     }
   }
 
@@ -209,10 +209,10 @@ object DedupOps {
       // MEMORY_AND_DISK spills under pressure, so this holds at scale —
       // the cached form is (doc_id, distinct shingles), not raw text.
       // Lifetime note: the query contract returns a lazy DataFrame, so
-      // the cache cannot be unpersisted here; it lives until the session
-      // (or LRU eviction) reclaims it — one corpus-sized entry per
-      // session, by design.
-      val base = shingled(docs(s, d)).persist()
+      // the cache cannot be unpersisted here; it is tracked in
+      // QueryCaches so SparkEntry.runAndRelease drops it once the caller
+      // has executed the result.
+      val base = QueryCaches.track(shingled(docs(s, d)))
       minhashEdges(s, base, minJ = 0.8).orderBy("a_id", "b_id")
     }),
 
@@ -228,7 +228,7 @@ object DedupOps {
     "q33_jaccard_search" -> ((s, d) => {
       // probe grams + probe/corpus sizes all derive from one shingled
       // frame → persist
-      val all = shingled(docs(s, d)).persist()
+      val all = QueryCaches.track(shingled(docs(s, d)))
       val sizes = all.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
       val probeG = all.filter(col("doc_id") < 20)
         .select(col("doc_id").as("a_id"), explode(col("sh")).as("g"))
@@ -260,7 +260,7 @@ object DedupOps {
     // closure operator runs over LSH-generated edges (q32/q34/q49); the
     // doc_id<1000 cap bounds the exact edge build, not the operator.
     "q65_dup_groups" -> ((s, d) => {
-      val universe = shingled(docs(s, d)).filter(col("doc_id") < 1000).persist()
+      val universe = QueryCaches.track(shingled(docs(s, d)).filter(col("doc_id") < 1000))
       val grams = universe.select(col("doc_id"), explode(col("sh")).as("g"))
       val sizes = universe.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
       val inter = grams.select(col("doc_id").as("a"), col("g"))
@@ -275,9 +275,9 @@ object DedupOps {
       // one packed-long column: 8 bytes/edge through the shuffle, the
       // distinct, the cache, AND the driver collect (valid while
       // doc_id < 2^32 — same packing as the q49 big-corpus path)
-      val edgeList = edges.select(
+      val edgeList = QueryCaches.track(edges.select(
         shiftleft(col("a").cast("long"), 32)
-          .bitwiseOR(col("b").cast("long")).as("pk")).persist()
+          .bitwiseOR(col("b").cast("long")).as("pk")))
       val labels = componentLabels(s, edgeList)
       universe.select(col("doc_id"))
         .join(labels, Seq("doc_id"), "left")
@@ -302,7 +302,7 @@ object DedupOps {
     "q34_simhash_neardup" -> ((s, d) => {
       val pairs = simhashPairs(s, d)
       val simAll = simhashed(docs(s, d))
-      val capped = simAll.filter(col("doc_id") < 1000).persist()
+      val capped = QueryCaches.track(simAll.filter(col("doc_id") < 1000))
       val truth = capped.select(col("doc_id").as("a_id"), col("simhash").as("ha"))
         .crossJoin(capped.select(col("doc_id").as("b_id"), col("simhash").as("hb")))
         .filter(col("a_id") < col("b_id"))
@@ -379,6 +379,26 @@ object DedupOps {
       .filter(col("hamming") <= 3)
       .select(col("a_id"), col("b_id"), col("hamming").cast("int").as("hamming"))
       .orderBy("a_id", "b_id")
+
+  /** Group-collapsed SimHash output: ONE row per near-dup cluster —
+    * `(rep, n_members)`, rep = the cluster's minimum doc_id (its seed) —
+    * instead of one row per pair. This is the form to compose into a
+    * curation pipeline (q65/q74 shape): the pair list is O(k²/2) in a
+    * k-document near-dup cluster, so a boilerplate-heavy corpus can emit
+    * quadratically many pairs even though candidate GENERATION is
+    * bucket-bounded; the collapsed form is O(k) via the same
+    * [[componentLabels]] closure the other dedup families use (driver
+    * union-find under the edge cap, min-label propagation above it).
+    * Pair vs collapsed equivalence is asserted in DedupSpec on the
+    * replicated-boilerplate fixture. */
+  private[queries] def simhashGroups(s: SparkSession, d: String): DataFrame = {
+    val edgeList = QueryCaches.track(simhashPairs(s, d).select(
+      shiftleft(col("a_id").cast("long"), 32)
+        .bitwiseOR(col("b_id").cast("long")).as("pk")))
+    componentLabels(s, edgeList)
+      .groupBy(col("rep")).agg(count(lit(1)).cast("long").as("n_members"))
+      .orderBy("rep")
+  }
 
   val oracles: Map[String, String] = Map(
     // The simhash itself is xxhash64-based (not DuckDB-computable), so

@@ -120,7 +120,7 @@ object MultimodalOps {
       // decoded feeds both aggregate branches; persist so the fixture
       // build + header chunk-walk run once (the frame sampler's PCM walk
       // is inherently a second pass over the sampled windows only)
-      val decoded = AudioDecode.decode(audioFixture(s)).persist()
+      val decoded = QueryCaches.track(AudioDecode.decode(audioFixture(s)))
       val frames = AudioDecode.sampleFrames(decoded)
       val byRate = decoded
         .groupBy(coalesce(col("sample_rate").cast("string"), lit("(bad)")).as("rate"))

@@ -356,7 +356,7 @@ object VectorOps {
     val dim = e.select(size(col("embedding"))).first().getInt(0)
     // the corpus coding pass feeds BOTH sides of the self-join; persist
     // so it runs once (same session-lifetime note as the q32 cache)
-    val buckets = lshBuckets(e, bits, dim).persist()
+    val buckets = QueryCaches.track(lshBuckets(e, bits, dim))
     // upward-only multi-probe: same candidate set as the full hamming-1
     // ring (see upProbe) but each cross-bucket pair reaches the join
     // once, and the ~bits/2 zero-bit flips halve the exploded left side

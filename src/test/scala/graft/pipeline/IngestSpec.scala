@@ -52,6 +52,36 @@ class IngestSpec extends AnyFunSuite {
     lay
   }
 
+  test("manifest-driven discovery: listing comes from the manifest, and the drain works off it") {
+    import graft.ledger.Discovery
+    val lay = freshLake()
+    writeLines(s"${lay.rawDir}/a.jsonl", Seq(rec("a-1"), rec("a-2")))
+    writeLines(s"${lay.rawDir}/b.jsonl", Seq(rec("b-1")))
+    writeLines(s"${lay.rawDir}/sub/c.jsonl", Seq(rec("c-1")))
+    val walked = Discovery.listDataFiles(spark, lay.rawDir)
+    assert(walked.size == 3)
+
+    // writing the manifest switches discovery to the manifest path, with
+    // identical normalized (path, size) keys
+    assert(Discovery.writeManifest(spark, lay.rawDir) == 3)
+    val viaManifest = Discovery.listDataFiles(spark, lay.rawDir)
+    assert(viaManifest == walked,
+      s"manifest listing diverged:\n$viaManifest\nvs walk:\n$walked")
+
+    // proof the manifest is authoritative: a file landed AFTER the
+    // manifest write is invisible until the producer republishes
+    writeLines(s"${lay.rawDir}/late.jsonl", Seq(rec("l-1")))
+    assert(Discovery.listDataFiles(spark, lay.rawDir) == walked)
+
+    // the drain registers and processes exactly the manifest's files
+    new BatchProcessor(spark, lay, Contracts.events, batchSize = 2).runUntilDrained()
+    val led = Ledger(spark, lay.ledgerDir).snapshot().collect()
+    assert(led.length == 3, s"ledger rows: ${led.length}")
+    assert(led.forall(_.getAs[String]("processing_status") == "SUCCEEDED"))
+    val curated = CuratedWriter.read(spark, lay.curatedDir)
+    assert(curated.count() == 4) // a-1 a-2 b-1 c-1; l-1 not in manifest
+  }
+
   test("corrupt/unpartitionable records land in the DLQ with reasons; clean-file rows are curated") {
     val dlq = DlqWriter.read(spark, lake.dlqDir)
     val byReason = dlq.groupBy("reason").count().collect()

@@ -1,0 +1,40 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{SparkEntry, TestSpark}
+
+/** The runAndRelease contract: after a consumer executes a
+  * cache-planting query through it, NO persisted RDD the query planted
+  * survives — the storage tab is clean without a blanket
+  * `spark.catalog.clearCache()`. Asserted as a set DELTA against the
+  * pre-call persistent-RDD ids so caches owned by other suites (the
+  * shared session runs every spec in one JVM) are not blamed. */
+class CacheHygieneSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  // every query whose closure plants a session-lifetime cache
+  private val planting = Seq(
+    "q32_minhash_neardup", "q33_jaccard_search", "q34_simhash_neardup",
+    "q49_embed_neardup", "q65_dup_groups", "q58_audio_frames",
+    "q74_neardup_curation")
+
+  test("runAndRelease drops every cache the query planted") {
+    for (name <- planting) {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      val n = SparkEntry.runAndRelease(spark, sf, name)(_.count())
+      assert(n >= 0)
+      val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+      assert(leaked.isEmpty, s"$name leaked persisted RDDs: $leaked")
+    }
+  }
+
+  test("runAndRelease leaves caches planted BEFORE the call untouched") {
+    import spark.implicits._
+    val mine = Seq(1, 2, 3).toDF("x").persist()
+    mine.count()
+    SparkEntry.runAndRelease(spark, sf, "q32_minhash_neardup")(_.count())
+    assert(mine.storageLevel.useMemory, "caller-owned cache was evicted")
+    mine.unpersist()
+  }
+}

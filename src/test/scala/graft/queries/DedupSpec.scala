@@ -113,6 +113,50 @@ class DedupSpec extends AnyFunSuite {
     assert(q32.contains((0L, 200L)), s"planted near-dup missing from $q32")
   }
 
+  test("q34 group-collapse: one row per cluster, consistent with the pair output") {
+    import spark.implicits._
+    // same boilerplate shape as above: clone families collapse to one rep
+    // each; doc 200 is a hamming-close tweak of doc 0's rep
+    val toks = (0 until 50).map(i => s"tok$i").mkString(" ")
+    val tweaked = ((0 until 49).map(i => s"tok$i") :+ "changed").mkString(" ")
+    val rows =
+      (0 until 60).map(i => (i.toLong, toks)) ++
+      (60 until 120).map(i => (i.toLong, s"other $toks")) ++
+      Seq((200L, tweaked)) ++
+      // permutations of doc 0's tokens: distinct TEXT (survives the
+      // exact-dedup pre-pass) but the same distinct-token SET, so the
+      // simhash is identical — a guaranteed hamming-0 clique {rep of
+      // 0..59, 400, 401} that must collapse to ONE group row
+      Seq((400L, (0 until 50).map(i => s"tok${49 - i}").mkString(" ")),
+          (401L, ((25 until 50) ++ (0 until 25)).map(i => s"tok$i").mkString(" "))) ++
+      (300 until 340).map(i => (i.toLong, (0 until 50).map(j => s"u${i}t$j").mkString(" ")))
+    val dir = Files.createTempDirectory("graft-dedup-groups").toString
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val pairs = DedupOps.simhashPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // brute-force union-find over the pair list = expected (rep, size)
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    pairs.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    }
+    val expected = parent.keys.groupBy(find).map { case (r, m) => r -> m.size.toLong }
+
+    val groups = DedupOps.simhashGroups(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups == expected, s"groups $groups != pair-derived $expected")
+    // collapsed form: one row per CLUSTER (every cluster >= 2 members),
+    // never the O(k^2/2) pair blowup of a clone family
+    assert(groups.values.forall(_ >= 2))
+    assert(groups.size < pairs.length, s"${groups.size} groups vs ${pairs.length} pairs")
+  }
+
   test("q65 component paths agree: driver union-find == distributed min-label propagation") {
     import spark.implicits._
     // chain 1-2-3-4, pair 10-11, triangle 20-21-22, isolated edge 30-31;
