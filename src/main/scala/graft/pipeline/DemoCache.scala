@@ -65,14 +65,20 @@ object DemoCache {
     ok
   }
 
-  /** Pack every artifact dir for this scale factor (plus the shared
-    * warehouse) into the tracked snapshot. Dev-time only, via
-    * `tools.DemoSnapshot`. */
+  /** Pack every artifact dir for this scale factor — including only the
+    * warehouse tables/memos tagged with its sfTag, so per-sf snapshots
+    * stay independent and extractions never clobber another scale's
+    * tables. Dev-time only, via `tools.DemoSnapshot`. */
   def writeSnapshot(sfName: String): File = {
     val snap = snapshotFile(sfName)
     snap.getParentFile.mkdirs()
-    val subs = Seq(s"ingest/$sfName", s"stream/$sfName", s"stream/$sfName-dedup",
-      s"stream/$sfName-memo", s"ivf/$sfName", s"langmodel/$sfName", "spark-warehouse")
+    val sfTag = sfName.replace('.', '_').replace('-', '_')
+    def children(sub: String): Seq[String] =
+      Option(new File(Root, sub).listFiles()).toSeq.flatten
+        .filter(_.getName.endsWith(s"_$sfTag")).map(f => s"$sub/${f.getName}")
+    val subs = (Seq(s"ingest/$sfName", s"stream/$sfName", s"stream/$sfName-dedup",
+      s"stream/$sfName-memo", s"ivf/$sfName", s"langmodel/$sfName") ++
+      children("spark-warehouse") ++ children("spark-warehouse/_graft_memo"))
       .filter(s => new File(Root, s).exists())
     val cmd = Seq("tar", "czf", snap.getAbsolutePath) ++ subs
     val rc = new ProcessBuilder(cmd: _*).directory(Root).inheritIO().start().waitFor()
