@@ -98,7 +98,10 @@ object Bench {
           }
         // release each query's persisted frames: timings stay attributable
         // (no cross-query or cross-rep cache hits) and executor memory
-        // stays bounded across the 70+-query loop
+        // stays bounded across the 70+-query loop. releaseAll drains the
+        // QueryCaches registry (dropping the Dataset references);
+        // clearCache stays as the catch-all for anything untracked.
+        queries.QueryCaches.releaseAll()
         spark.catalog.clearCache()
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }

@@ -29,6 +29,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // the dump is one pass per query — drop each query's caches so the
+      // 70+-query sweep doesn't accumulate corpus-sized storage entries
+      queries.QueryCaches.releaseAll()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
