@@ -39,6 +39,14 @@ import graft.engine.Tables
   *  - q74 near-dup curation FLAGSHIP: q70 plus the near-duplicate stage —
   *    MinHash-LSH edges over the deduped representatives, transitive
   *    closure to duplicate groups, keep the min-id representative.
+  *  - q75 benchmark decontamination: n-gram CONTAINMENT of each training
+  *    doc against a held-out eval set (the GPT-3/PaLM-style test-set
+  *    overlap scrub — asymmetric, unlike Jaccard: a doc that swallows a
+  *    whole benchmark item is contaminated no matter how much else it
+  *    contains). Eval-set grams are broadcast (benchmark suites are
+  *    MB-scale even against a 100 TB corpus), the corpus is scanned
+  *    once, and only (doc_id, n_hit) rows reach the aggregate — the
+  *    same probe-bounded gram-join shape as q33.
   *
   * Token counts reuse the whitespace idiom hash-matched since q27/q28
   * (`size(split(text, ' '))` ≡ DuckDB `len(string_split(text, ' '))`).
@@ -217,6 +225,27 @@ object CurationOps {
           sum(when(col("kept"), col("n_tok")).otherwise(0L)).as("n_tokens"),
           sum(when(!col("kept"), 1L).otherwise(0L)).as("n_neardup_dropped"))
         .orderBy("split", "source")
+    }),
+
+    // Benchmark decontamination: docs whose 3-gram CONTAINMENT vs the
+    // eval set (doc_id < 50 stands in for a benchmark suite) reaches 5%.
+    // Both engines filter on the ROUNDED e6 value so the threshold
+    // boundary is computed identically.
+    "q75_decontaminate" -> ((s, d) => {
+      val sh = DedupOps.shingled(docs(s, d))
+      val benchGrams = sh.filter(col("doc_id") < 50)
+        .select(explode(col("sh")).as("g")).distinct()
+      val corpus = sh.filter(col("doc_id") >= 50)
+      val hits = corpus.select(col("doc_id"), explode(col("sh")).as("g"))
+        .join(broadcast(benchGrams), Seq("g"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+      corpus.select(col("doc_id"), size(col("sh")).cast("long").as("n_grams"))
+        .join(hits, Seq("doc_id"))
+        .withColumn("contam_e6",
+          round(col("n_hit") * lit(1000000.0) / col("n_grams")).cast("long"))
+        .filter(col("contam_e6") >= 50000)
+        .select("doc_id", "n_grams", "n_hit", "contam_e6")
+        .orderBy("doc_id")
     }))
 
   private val SplitSql =
@@ -347,5 +376,24 @@ object CurationOps {
                 CAST(SUM(CASE WHEN rep = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
                 CAST(SUM(CASE WHEN rep = doc_id THEN n_tok ELSE 0 END) AS BIGINT) AS n_tokens,
                 CAST(SUM(CASE WHEN rep <> doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup_dropped
-         FROM j GROUP BY 1, 2 ORDER BY 1, 2""")
+         FROM j GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q75_decontaminate" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(list_distinct(sh)) AS g FROM (
+             SELECT doc_id, string_split(text, ' ') AS t,
+               [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                FOR i IN range(1, len(string_split(text, ' ')) - 1)] AS sh
+             FROM documents) x WHERE len(t) >= 3),
+         bench AS (SELECT DISTINCT g FROM tok WHERE doc_id < 50),
+         corpus AS (SELECT doc_id, g FROM tok WHERE doc_id >= 50),
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM corpus GROUP BY 1),
+         hits AS (
+           SELECT c.doc_id, COUNT(*) AS n_hit
+           FROM corpus c JOIN bench b ON c.g = b.g GROUP BY 1)
+         SELECT s.doc_id, CAST(s.n AS BIGINT) AS n_grams,
+                CAST(h.n_hit AS BIGINT) AS n_hit,
+                CAST(ROUND(h.n_hit * 1000000.0 / s.n) AS BIGINT) AS contam_e6
+         FROM sizes s JOIN hits h ON h.doc_id = s.doc_id
+         WHERE CAST(ROUND(h.n_hit * 1000000.0 / s.n) AS BIGINT) >= 50000
+         ORDER BY 1""")
 }

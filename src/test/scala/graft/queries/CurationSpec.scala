@@ -123,6 +123,31 @@ class CurationSpec extends AnyFunSuite {
     assert(out.map(_.getString(0)).toSet.subsetOf(Set("train", "val", "test")))
   }
 
+  test("q75 decontamination: verbatim benchmark inclusion flagged, clean docs pass") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val bench = (0 until 30).map(j => s"benchtok$j").mkString(" ")
+    // doc 100 swallows the whole benchmark item inside unrelated text
+    // (containment ~60% of its grams), doc 101 shares only a 2-token
+    // overlap (no 3-gram in common), doc 102 is fully unrelated
+    val contaminated = s"prefix0 prefix1 prefix2 $bench suffix0 suffix1 suffix2"
+    val brushing = s"benchtok0 benchtok1 ${(0 until 40).map(j => s"clean$j").mkString(" ")}"
+    val unrelated = (0 until 40).map(j => s"other$j").mkString(" ")
+    val rows = Seq((10L, bench), (100L, contaminated), (101L, brushing), (102L, unrelated))
+    val dir = Files.createTempDirectory("graft-q75").toString
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = CurationOps.defs("q75_decontaminate")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out.contains(100L), s"verbatim inclusion not flagged: $out")
+    assert(out(100L) >= 500000L, s"containment should be majority: ${out(100L)}")
+    assert(!out.contains(101L), "2-token brush must not flag (no shared 3-gram)")
+    assert(!out.contains(102L), "unrelated doc flagged")
+    assert(!out.contains(10L), "benchmark doc itself must not appear (eval side)")
+  }
+
   test("q70 pipeline: output within gates, splits partition the kept set") {
     val rows = CurationOps.defs("q70_curation_pipeline")(spark, sf).collect()
     val kept = rows.map(_.getLong(2)).sum
