@@ -235,12 +235,14 @@ object CurationOps {
       val sh = DedupOps.shingled(docs(s, d))
       val benchGrams = sh.filter(col("doc_id") < 50)
         .select(explode(col("sh")).as("g")).distinct()
-      val corpus = sh.filter(col("doc_id") >= 50)
-      val hits = corpus.select(col("doc_id"), explode(col("sh")).as("g"))
+      // ONE corpus scan: n_grams rides through the explode (8 bytes/gram
+      // against a broadcast hash probe — cheaper than a second shingle
+      // pass + join-back), and only gram-matching rows reach the agg
+      sh.filter(col("doc_id") >= 50)
+        .select(col("doc_id"), size(col("sh")).cast("long").as("n_grams"),
+          explode(col("sh")).as("g"))
         .join(broadcast(benchGrams), Seq("g"))
-        .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
-      corpus.select(col("doc_id"), size(col("sh")).cast("long").as("n_grams"))
-        .join(hits, Seq("doc_id"))
+        .groupBy("doc_id", "n_grams").agg(count(lit(1)).as("n_hit"))
         .withColumn("contam_e6",
           round(col("n_hit") * lit(1000000.0) / col("n_grams")).cast("long"))
         .filter(col("contam_e6") >= 50000)
