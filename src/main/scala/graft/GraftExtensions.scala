@@ -65,6 +65,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         SimHash64(exprs.head)
       }))
     ext.injectFunction((
+      FunctionIdentifier("shingle3"),
+      new ExpressionInfo(classOf[graft.functions.Shingle3].getName, "shingle3"),
+      (exprs: Seq[Expression]) => {
+        arity("shingle3", exprs, 1)
+        graft.functions.Shingle3(exprs.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("vec_quantize"),
       new ExpressionInfo(classOf[graft.functions.Vec8Quantize].getName, "vec_quantize"),
       (exprs: Seq[Expression]) => {

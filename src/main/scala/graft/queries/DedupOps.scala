@@ -38,13 +38,18 @@ object DedupOps {
     * propagation path runs instead. */
   private val DriverEdgeCap = 4L * 1000 * 1000
 
-  /** doc_id + distinct token-3-shingle set (the unit of Jaccard). */
-  private[queries] def shingled(df: DataFrame): DataFrame =
-    df.withColumn("toks", split(col("text"), " "))
-      .filter(size(col("toks")) >= 3)
-      .withColumn("sh", array_distinct(expr(
-        "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")))
-      .select("doc_id", "sh")
+  /** doc_id + distinct token-3-shingle set (the unit of Jaccard).
+    * One codegen byte walk per doc ([[graft.functions.Shingle3]]) —
+    * the portable `split`+`transform`+`array_distinct` form runs
+    * through interpreted higher-order functions and was the dominant
+    * cost of every text-dedup query (ShingleSpec asserts exact
+    * element-for-element parity with it). An EMPTY shingle array marks
+    * a <3-token doc, matching the old `size(toks) >= 3` filter. */
+  private[queries] def shingled(df: DataFrame): DataFrame = {
+    graft.functions.Shingle3.register(df.sparkSession)
+    df.select(col("doc_id"), expr("shingle3(text)").as("sh"))
+      .filter(size(col("sh")) >= 1)
+  }
 
   /** Exact Jaccard between two distinct-shingle arrays, as (inter, uni).
     * The arrays are already distinct, so |A∪B| = |A|+|B|−|A∩B| — one
