@@ -91,7 +91,28 @@ object ScaleProbe {
     Stat("components", tier, nIn, out._1, out._2, secs)
   }
 
+  /** Benchmark decontamination (the q75 kernel): nCandidates = corpus
+    * grams matching the broadcast eval-set gram table (the join output
+    * feeding the per-doc aggregate — the frame that must track corpus
+    * size, not corpus × benchmark), nOutput = flagged docs. */
+  def decontam(s: SparkSession, dir: String, tier: String): Stat = {
+    val docs = Tables.load(s, dir, "documents")
+    val nIn = docs.count()
+    s.catalog.clearCache()
+    def sh = DedupOps.shingled(docs)
+    def benchGrams = sh.filter(col("doc_id") < 50)
+      .select(explode(col("sh")).as("g")).distinct()
+    val nc = sh.filter(col("doc_id") >= 50)
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .join(broadcast(benchGrams), Seq("g")).count()
+    s.catalog.clearCache()
+    val (nOut, secs) = timed(
+      CurationOps.defs("q75_decontaminate")(s, dir).count())
+    s.catalog.clearCache()
+    Stat("decontam", tier, nIn, nc, nOut, secs)
+  }
+
   def all(s: SparkSession, dir: String, tier: String): Seq[Stat] =
     Seq(minhash(s, dir, tier), simhash(s, dir, tier),
-      embed(s, dir, tier), components(s, dir, tier))
+      embed(s, dir, tier), components(s, dir, tier), decontam(s, dir, tier))
 }
