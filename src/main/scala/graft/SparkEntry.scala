@@ -33,12 +33,11 @@ object SparkEntry {
     * unpersist exactly the session-lifetime caches the query planted
     * (the shingled corpus in q32/q33/q65/q74, the LSH bucket coding in
     * q49, …). Precise alternative to `spark.catalog.clearCache()`, which
-    * would also evict the caller's own cached tables. Frames tracked
-    * before the call (another query's still-live caches) are untouched;
-    * release is newest-first and non-blocking. */
+    * would also evict the caller's own cached tables. Ownership is a
+    * per-call thread-bound token (QueryCaches.scoped), so frames tracked
+    * before the call — or by a concurrent runAndRelease on another
+    * thread — are untouched; release is newest-first and non-blocking. */
   def runAndRelease[A](spark: SparkSession, sfDir: String, name: String)
-                      (action: DataFrame => A): A = {
-    val m = QueryCaches.mark()
-    try action(queries(name)(spark, sfDir)) finally QueryCaches.releaseSince(m)
-  }
+                      (action: DataFrame => A): A =
+    QueryCaches.scoped(action(queries(name)(spark, sfDir)))
 }

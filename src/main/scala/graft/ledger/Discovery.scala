@@ -45,12 +45,24 @@ object Discovery {
   }
 
   private def listViaWalk(fs: FileSystem, root: Path): Seq[(String, Long)] = {
+    val qroot = fs.makeQualified(root)
     val out = ArrayBuffer.empty[(String, Long)]
     val it = fs.listFiles(root, true)
     while (it.hasNext) {
       val st = it.next()
-      val name = st.getPath.getName
-      if (!name.startsWith("_") && !name.startsWith("."))
+      // A file is metadata if ANY segment below root is _- or .-prefixed,
+      // not just its basename: the parquet parts under `_manifest/` have
+      // ordinary part-*.parquet names, and discovering them as data rows
+      // would let a manifest republish (mode overwrite) delete files the
+      // ledger had just registered.
+      var p = st.getPath
+      var hidden = false
+      while (p != null && p != qroot) {
+        val n = p.getName
+        if (n.startsWith("_") || n.startsWith(".")) hidden = true
+        p = p.getParent
+      }
+      if (!hidden)
         out += ((graft.ingest.PathNorm.fromUri(st.getPath.toUri), st.getLen))
     }
     out.sortBy(_._1).toSeq

@@ -2,7 +2,7 @@ package graft.pipeline
 
 import java.io.File
 import java.nio.charset.StandardCharsets
-import java.nio.file.Files
+import java.nio.file.{Files, StandardCopyOption}
 
 /** Cross-JVM memo for deterministic demo artifacts (lakes, stream
   * results, indexes, models) under `var/demo/`.
@@ -58,11 +58,47 @@ object DemoCache {
       !isFresh(root(s"ingest/$sfName"), sfDir)
     if (ok) {
       Root.mkdirs()
+      // Extract into a temp dir and rename each artifact dir into place:
+      // tar restores members in ARCHIVE order, not marker-last, so a
+      // failed or killed in-place extraction could leave a tree where
+      // _GRAFT_BUILD_OK exists but later data files don't — isFresh
+      // would then trust an incomplete artifact. The temp dir lives
+      // under Root so every move is a same-filesystem atomic rename;
+      // a kill between delete-dest and move just means that artifact's
+      // marker is gone and it rebuilds cold, never serves half a tree.
+      val tmp = new File(Root, s".snap-extract-${ProcessHandle.current().pid()}")
+      deleteRec(tmp)
+      tmp.mkdirs()
       val rc = new ProcessBuilder("tar", "xzf", snap.getAbsolutePath)
-        .directory(Root).inheritIO().start().waitFor()
-      if (rc != 0) System.err.println(s"[demo-cache] snapshot extract failed rc=$rc (will build cold)")
+        .directory(tmp).inheritIO().start().waitFor()
+      if (rc != 0)
+        System.err.println(s"[demo-cache] snapshot extract failed rc=$rc (will build cold)")
+      else moveExtracted(tmp, Root)
+      deleteRec(tmp)
     }
     ok
+  }
+
+  /** Promote every artifact directory under `tmp` into the live tree,
+    * one atomic rename per artifact (destination replaced wholesale).
+    * Artifact granularity mirrors [[writeSnapshot]]'s member list:
+    * second-level dirs, one level deeper under the warehouse memo. */
+  private def moveExtracted(tmp: File, dst: File): Unit = {
+    def move(rel: String): Unit = {
+      val to = new File(dst, rel)
+      to.getParentFile.mkdirs()
+      deleteRec(to)
+      Files.move(new File(tmp, rel).toPath, to.toPath, StandardCopyOption.ATOMIC_MOVE)
+    }
+    for {
+      top <- Option(tmp.listFiles()).toSeq.flatten
+      c <- Option(top.listFiles()).toSeq.flatten
+    } {
+      val rel = s"${top.getName}/${c.getName}"
+      if (rel == "spark-warehouse/_graft_memo")
+        Option(c.listFiles()).toSeq.flatten.foreach(g => move(s"$rel/${g.getName}"))
+      else move(rel)
+    }
   }
 
   /** Pack every artifact dir for this scale factor — including only the

@@ -305,9 +305,13 @@ object DedupOps {
     // The capped cross-join is the TRUTH side only (≤1000 reps →
     // ≤500k pairs); the operator itself never goes quadratic.
     "q34_simhash_neardup" -> ((s, d) => {
-      val pairs = simhashPairs(s, d)
-      val simAll = simhashed(docs(s, d))
-      val capped = QueryCaches.track(simAll.filter(col("doc_id") < 1000))
+      // ONE simhash pass feeds both the kernel (candidates → verify) and
+      // the capped truth side — the (doc_id, simhash) frame is tiny
+      // (16 bytes/doc), so caching it is free and recomputing it was the
+      // whole-corpus tokenize+hash twice over.
+      val simAll = QueryCaches.track(simhashed(docs(s, d)))
+      val pairs = simhashPairsFrom(simAll)
+      val capped = simAll.filter(col("doc_id") < 1000)
       val truth = capped.select(col("doc_id").as("a_id"), col("simhash").as("ha"))
         .crossJoin(capped.select(col("doc_id").as("b_id"), col("simhash").as("hb")))
         .filter(col("a_id") < col("b_id"))
@@ -378,12 +382,18 @@ object DedupOps {
       .select("a_id", "b_id", "ha", "hb").distinct()
   }
 
-  private[queries] def simhashPairs(s: SparkSession, d: String): DataFrame =
-    simhashCandidates(simhashed(docs(s, d)))
+  /** Verified hamming ≤ 3 pairs from an already-simhashed frame — lets a
+    * caller that needs the simhash frame for something else (the q34
+    * truth side) share ONE pass instead of recomputing it. */
+  private[queries] def simhashPairsFrom(sim: DataFrame): DataFrame =
+    simhashCandidates(sim)
       .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
       .filter(col("hamming") <= 3)
       .select(col("a_id"), col("b_id"), col("hamming").cast("int").as("hamming"))
       .orderBy("a_id", "b_id")
+
+  private[queries] def simhashPairs(s: SparkSession, d: String): DataFrame =
+    simhashPairsFrom(simhashed(docs(s, d)))
 
   /** Group-collapsed SimHash output: ONE row per near-dup cluster —
     * `(rep, n_members)`, rep = the cluster's minimum doc_id (its seed) —

@@ -73,13 +73,25 @@ class IngestSpec extends AnyFunSuite {
     writeLines(s"${lay.rawDir}/late.jsonl", Seq(rec("l-1")))
     assert(Discovery.listDataFiles(spark, lay.rawDir) == walked)
 
+    // REPUBLISH round-trip: writeManifest walks the zone again, and the
+    // walk must NOT see the previous manifest's own parquet parts as
+    // data (they are under _manifest/ but have ordinary part-* names) —
+    // if it did, the overwrite would delete the very files it just
+    // listed, leaving dangling manifest rows for the drain to choke on.
+    assert(Discovery.writeManifest(spark, lay.rawDir) == 4)
+    val republished = Discovery.listDataFiles(spark, lay.rawDir)
+    assert(republished.map(_._1).exists(_.endsWith("late.jsonl")))
+    assert(republished.size == 4)
+    assert(republished.forall { case (p, _) => !p.contains("_manifest") },
+      s"manifest internals leaked into discovery: $republished")
+
     // the drain registers and processes exactly the manifest's files
     new BatchProcessor(spark, lay, Contracts.events, batchSize = 2).runUntilDrained()
     val led = Ledger(spark, lay.ledgerDir).snapshot().collect()
-    assert(led.length == 3, s"ledger rows: ${led.length}")
+    assert(led.length == 4, s"ledger rows: ${led.length}")
     assert(led.forall(_.getAs[String]("processing_status") == "SUCCEEDED"))
     val curated = CuratedWriter.read(spark, lay.curatedDir)
-    assert(curated.count() == 4) // a-1 a-2 b-1 c-1; l-1 not in manifest
+    assert(curated.count() == 5) // a-1 a-2 b-1 c-1 + l-1 via the republish
   }
 
   test("corrupt/unpartitionable records land in the DLQ with reasons; clean-file rows are curated") {

@@ -37,4 +37,23 @@ class CacheHygieneSpec extends AnyFunSuite {
     assert(mine.storageLevel.useMemory, "caller-owned cache was evicted")
     mine.unpersist()
   }
+
+  test("concurrent runAndRelease calls release only their own caches") {
+    // Ownership is a thread-bound token, not a shared watermark: two
+    // overlapping calls on different threads must not unpersist each
+    // other's still-live frames (the old index scheme could). Run two
+    // cache-planting queries concurrently many enough times to
+    // interleave, asserting no cross-release and no leak.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val runs = Future.sequence(Seq(
+      Future(SparkEntry.runAndRelease(spark, sf, "q32_minhash_neardup")(_.count())),
+      Future(SparkEntry.runAndRelease(spark, sf, "q33_jaccard_search")(_.count()))))
+    val counts = Await.result(runs, 5.minutes)
+    assert(counts.forall(_ >= 0))
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"concurrent calls leaked persisted RDDs: $leaked")
+  }
 }
