@@ -30,6 +30,12 @@ object DedupOps {
   private val Bands = 16
   private val RowsPerBand = NumHashes / Bands
 
+  /** q76 sliding-window width in tokens. Lee et al. use 50 BPE tokens;
+    * the synthetic corpus averages ~55 whitespace tokens per doc
+    * (TESTDATA.md), so 20 keeps the operator exercised on real shared
+    * spans at every SF while preserving the construction exactly. */
+  private[queries] val SpanWindow = 20
+
   /** Max verified near-dup edges collected for driver-side union-find in
     * q65. Edges are packed `(a<<32)|b` into ONE long column and collected
     * as a primitive `Array[Long]` — true 8 bytes/edge, so the cap is
@@ -329,7 +335,21 @@ object DedupOps {
         .crossJoin(mism.agg(count(lit(1)).as("n_bad")))
         .select(col("n_reps"),
           when(col("n_bad") === 0, 1).otherwise(0).cast("int").as("match_ok"))
-    }))
+    }),
+
+    // X2: substring-level exact span dedup — the Lee et al. modality
+    // ("Deduplicating Training Data Makes Language Models Better",
+    // exact-substring dedup at >= 50 BPE tokens) that DOC-level LSH
+    // cannot catch: two long documents sharing one boilerplate
+    // paragraph have tiny whole-doc Jaccard, but the paragraph should
+    // still be scrubbed. Every [[SpanWindow]]-token sliding window is
+    // hashed; a window appearing in >= 2 DISTINCT docs marks its
+    // [pos, pos+W) token range, and per doc the marked ranges merge
+    // into maximal spans — the (doc_id, span) form a scrubbing pass
+    // consumes. DIRECT oracle: DuckDB recomputes the windows on the
+    // window STRINGS (no xxhash64 needed oracle-side), so the whole
+    // output — not a capped slice — is hash-compared.
+    "q76_span_dedup" -> ((s, d) => spanDedup(s, d)))
 
   /** doc_id → 64-bit simhash over distinct-text representatives (the
     * exact-dedup pre-pass that bounds chunk buckets — see
@@ -415,7 +435,88 @@ object DedupOps {
       .orderBy("rep")
   }
 
+  /** (doc_id, pos, wh): one 64-bit hash per [[SpanWindow]]-token sliding
+    * window (pos = 0-based start token). The join key through every
+    * downstream shuffle is the 8-byte hash, never the window string —
+    * at 100 TB the dup-detection group-by moves hashes only. */
+  private[queries] def spanWindows(df: DataFrame): DataFrame = {
+    val W = SpanWindow
+    df.select(col("doc_id"), split(col("text"), " ").as("t"))
+      // REQUIRED, not an optimization: Spark's sequence(0, n) DESCENDS
+      // for negative n, so short docs would emit windows at negative
+      // positions instead of none
+      .filter(size(col("t")) >= W)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(t) - $W), i -> " +
+          s"struct(i AS pos, xxhash64(array_join(slice(t, i + 1, $W), ' ')) AS wh))")).as("x"))
+      .select(col("doc_id"), col("x.pos").cast("long").as("pos"), col("x.wh"))
+  }
+
+  /** (doc_id, pos) of every window duplicated across >= 2 distinct docs.
+    * "Distinct docs" is tested as min(doc_id) != max(doc_id): unlike
+    * count(distinct), min/max are map-side combinable, so the dup
+    * group-by partial-aggregates before the shuffle. The join back is
+    * hash-vs-hash; AQE converts it to broadcast when the dup set is
+    * small (the common case — duplicated distinct windows are a tiny
+    * fraction of corpus windows), and it degrades to a plain shuffle
+    * join on a boilerplate-heavy crawl rather than OOMing a broadcast. */
+  private[queries] def spanDupMarks(wins: DataFrame): DataFrame = {
+    val dup = wins.groupBy("wh")
+      .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+      .filter(col("mn") =!= col("mx")).select("wh")
+    wins.join(dup, Seq("wh")).select("doc_id", "pos")
+  }
+
+  /** Merged duplicated spans per doc: (doc_id, span_start, span_end,
+    * n_windows), span_end exclusive in token positions. Marked window
+    * starts are interval-merged with one per-doc sort window: a new
+    * span begins where the gap to the previous start exceeds W. */
+  private[queries] def spanDedup(s: SparkSession, d: String): DataFrame = {
+    val wins = QueryCaches.track(spanWindows(docs(s, d)))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    spanDupMarks(wins)
+      .withColumn("brk",
+        when(col("pos") - lag("pos", 1).over(w) > SpanWindow, 1).otherwise(0))
+      .withColumn("grp", sum("brk").over(w))
+      .groupBy("doc_id", "grp")
+      .agg(min("pos").as("span_start"),
+        (max("pos") + SpanWindow).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("n_windows"))
+      .orderBy("doc_id", "span_start")
+  }
+
   val oracles: Map[String, String] = Map(
+    // q76: recomputed on the window STRINGS (DuckDB needs no xxhash64 —
+    // the hash is an engine-side compression of the same equality), so
+    // any Spark-side hashing/merging regression diverges the full
+    // output. min<>max == "appears in >= 2 distinct docs".
+    "q76_span_dedup" ->
+      s"""WITH toks AS (
+           SELECT doc_id, string_split(text, ' ') AS t FROM documents
+         ), win AS (
+           SELECT doc_id, i - 1 AS pos,
+                  array_to_string(t[i:i+${SpanWindow - 1}], ' ') AS w
+           FROM toks, UNNEST(generate_series(1, len(t) - ${SpanWindow - 1})) AS u(i)
+           WHERE len(t) >= $SpanWindow
+         ), dup AS (
+           SELECT w FROM win GROUP BY w HAVING MIN(doc_id) <> MAX(doc_id)
+         ), marked AS (
+           SELECT doc_id, pos FROM win JOIN dup USING (w)
+         ), brk AS (
+           SELECT doc_id, pos,
+             CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                    > $SpanWindow THEN 1 ELSE 0 END AS b
+           FROM marked
+         ), grp AS (
+           SELECT doc_id, pos,
+             SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+           FROM brk
+         )
+         SELECT doc_id, MIN(pos) AS span_start,
+                MAX(pos) + $SpanWindow AS span_end,
+                CAST(COUNT(*) AS BIGINT) AS n_windows
+         FROM grp GROUP BY doc_id, g ORDER BY doc_id, span_start""",
     // The simhash itself is xxhash64-based (not DuckDB-computable), so
     // the truth side of the pair comparison is in-query; the oracle
     // recomputes the capped rep count from `documents` and pins the

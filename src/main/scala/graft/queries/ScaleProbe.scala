@@ -112,7 +112,23 @@ object ScaleProbe {
     Stat("decontam", tier, nIn, nc, nOut, secs)
   }
 
+  /** Substring span dedup (the q76 kernel): nCandidates = marked
+    * duplicated window positions (the join-back output feeding the
+    * span merge — duplication MASS, linear in corpus size for a
+    * structure-preserving blow-up), nOutput = merged span rows. */
+  def spans(s: SparkSession, dir: String, tier: String): Stat = {
+    val docs = Tables.load(s, dir, "documents")
+    val nIn = docs.count()
+    s.catalog.clearCache()
+    val nc = DedupOps.spanDupMarks(DedupOps.spanWindows(docs).persist()).count()
+    s.catalog.clearCache()
+    val (nOut, secs) = timed(DedupOps.defs("q76_span_dedup")(s, dir).count())
+    s.catalog.clearCache()
+    Stat("span_dedup", tier, nIn, nc, nOut, secs)
+  }
+
   def all(s: SparkSession, dir: String, tier: String): Seq[Stat] =
     Seq(minhash(s, dir, tier), simhash(s, dir, tier),
-      embed(s, dir, tier), components(s, dir, tier), decontam(s, dir, tier))
+      embed(s, dir, tier), components(s, dir, tier), decontam(s, dir, tier),
+      spans(s, dir, tier))
 }

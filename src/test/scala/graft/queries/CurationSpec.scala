@@ -148,6 +148,41 @@ class CurationSpec extends AnyFunSuite {
     assert(!out.contains(10L), "benchmark doc itself must not appear (eval side)")
   }
 
+  test("q76 span dedup: planted shared spans found, merged, disjoint runs kept apart") {
+    import spark.implicits._
+    import java.nio.file.Files
+    // W = 20. Tokens are namespaced per doc except the planted runs, so
+    // every expected row is derivable by hand:
+    //  - doc 1 owns a0..a79; doc 2 embeds a20..a59 at position 5
+    //    → doc 1 windows start 20..40 (span [20,60)), doc 2 start 5..25
+    //    (span [5,45)), 21 windows each
+    //  - doc 4 embeds a20..a44 at position 10 (starts 10..15, span
+    //    [10,35)) and a40..a59 at position 65 (one window, span
+    //    [65,85)); the 50-token start gap > W keeps the spans separate
+    //  - doc 3 is all-unique → no rows
+    def toks(p: String, r: Range) = r.map(i => s"$p$i")
+    val a = toks("a", 0 until 80)
+    val rows = Seq(
+      1L -> a.mkString(" "),
+      2L -> (toks("b", 0 until 5) ++ a.slice(20, 60) ++ toks("b", 5 until 40)).mkString(" "),
+      3L -> toks("c", 0 until 50).mkString(" "),
+      4L -> (toks("d", 0 until 10) ++ a.slice(20, 45) ++
+        toks("d", 10 until 40) ++ a.slice(40, 60)).mkString(" "))
+    val dir = Files.createTempDirectory("graft-span").toString
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val got = graft.queries.DedupOps.defs("q76_span_dedup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 20L, 60L, 21L),
+      (2L, 5L, 45L, 21L),
+      (4L, 10L, 35L, 6L),
+      (4L, 65L, 85L, 1L)), s"got ${got.mkString(", ")}")
+  }
+
   test("q70 pipeline: output within gates, splits partition the kept set") {
     val rows = CurationOps.defs("q70_curation_pipeline")(spark, sf).collect()
     val kept = rows.map(_.getLong(2)).sum
