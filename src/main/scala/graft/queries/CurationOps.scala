@@ -71,6 +71,50 @@ object CurationOps {
 
   private val PackBudget = 512 // tokens per packed sequence
 
+  /** Keep threshold for [[withQualityScore]]: score >= 0 passes. At the
+    * calibrated weights, 0 sits near the 2nd percentile of the corpus
+    * score distribution — the gate drops only the clearly degenerate
+    * tail (repetition-heavy / stopword-free / pathological token
+    * lengths), never the bulk. */
+  val QualityMinE6 = 0L
+
+  /** Per-doc `quality_score_e6` — the scorer hook for the curation gate
+    * (q70/q74), exposed standalone as q77. A linear model over the
+    * q29/q71 quality signals with fixed calibrated weights mirroring
+    * the sign structure of the published heuristics (C4/Gopher:
+    * stopword presence is evidence of natural language; repeated
+    * bigrams and extreme mean token lengths are evidence of boilerplate
+    * or garbage; very short docs carry little signal):
+    *
+    *   score_e6 = 2*stop_ratio_e6 - 3*dup2_e6
+    *              - |tok_len_e6 - 5e6| div 5 + 10000*min(n_tokens, 100)
+    *
+    * Everything after the per-feature e6 rounding (the q29/q71 idiom,
+    * hash-matched since those rows) is EXACT bigint arithmetic, so the
+    * gate thresholds identically in Spark and the DuckDB oracle — a
+    * sigmoid would rank identically but compare doubles across two libm
+    * implementations at the threshold boundary. Helper columns are
+    * q_-prefixed; callers select away what they don't need. Scan-only:
+    * no shuffle, composes into any gate at any scale. */
+  def withQualityScore(df: DataFrame): DataFrame =
+    df.withColumn("q_toks", split(col("text"), " "))
+      .withColumn("q_n", size(col("q_toks")).cast("long"))
+      .withColumn("q_stop_e6",
+        round(size(filter(col("q_toks"), t => t.isInCollection(TextOps.Stopwords)))
+          .cast("double") * 1000000 / col("q_n")).cast("long"))
+      .withColumn("q_toklen_e6",
+        round(length(regexp_replace(col("text"), " ", "")).cast("double") * 1000000
+          / col("q_n")).cast("long"))
+      .withColumn("q_dup2_e6", when(col("q_n") >= 2,
+        round((lit(1.0) - size(array_distinct(expr(
+          "transform(sequence(0, size(q_toks)-2), i -> concat_ws(' ', q_toks[i], q_toks[i+1]))")))
+          .cast("double") / (col("q_n") - 1)) * 1000000).cast("long"))
+        .otherwise(0L))
+      .withColumn("quality_score_e6",
+        lit(2L) * col("q_stop_e6") - lit(3L) * col("q_dup2_e6")
+          - expr("abs(q_toklen_e6 - 5000000) div 5")
+          + lit(10000L) * least(col("q_n"), lit(100L)))
+
   val defs: Map[String, Q] = Map(
     // Deterministic hash split + per-split accounting.
     "q66_split_assign" -> ((s, d) => {
@@ -172,13 +216,27 @@ object CurationOps {
         .orderBy("doc_id")
     }),
 
-    // End-to-end curation: quality gate → exact dedup → hash split →
-    // per-(split, source) training-set accounting.
+    // The scorer hook standalone (see [[withQualityScore]]): per-doc
+    // features + score + keep flag over the whole corpus, fully
+    // oracle-recomputed. Scan-only at any scale.
+    "q77_quality_scorer" -> ((s, d) => {
+      withQualityScore(docs(s, d))
+        .select(col("doc_id"), col("q_n").as("n_tokens"),
+          col("q_stop_e6").as("stop_ratio_e6"), col("q_dup2_e6").as("dup2_e6"),
+          col("q_toklen_e6").as("tok_len_e6"), col("quality_score_e6"),
+          when(col("quality_score_e6") >= QualityMinE6, 1).otherwise(0)
+            .cast("int").as("keep"))
+        .orderBy("doc_id")
+    }),
+
+    // End-to-end curation: quality gate (bounds + the q77 scorer) →
+    // exact dedup → hash split → per-(split, source) accounting.
     "q70_curation_pipeline" -> ((s, d) => {
       val rw = Window.partitionBy(md5(col("text"))).orderBy("doc_id")
-      docs(s, d)
-        .withColumn("n_tok", nTokens(col("text")))
-        .filter(col("n_tok").between(20, 200) && col("n_chars") >= 100)
+      withQualityScore(docs(s, d))
+        .withColumn("n_tok", col("q_n"))
+        .filter(col("n_tok").between(20, 200) && col("n_chars") >= 100 &&
+          col("quality_score_e6") >= QualityMinE6)
         .withColumn("rn", row_number().over(rw))
         .filter(col("rn") === 1)
         .withColumn("split", splitCol)
@@ -204,10 +262,11 @@ object CurationOps {
     // turn this row red, which is the desired hard signal).
     "q74_neardup_curation" -> ((s, d) => {
       val rw = Window.partitionBy(md5(col("text"))).orderBy("doc_id")
-      val reps = QueryCaches.track(docs(s, d)
-        .filter(col("doc_id") < 1000)
-        .withColumn("n_tok", nTokens(col("text")))
-        .filter(col("n_tok").between(20, 200) && col("n_chars") >= 100)
+      val reps = QueryCaches.track(withQualityScore(docs(s, d)
+        .filter(col("doc_id") < 1000))
+        .withColumn("n_tok", col("q_n"))
+        .filter(col("n_tok").between(20, 200) && col("n_chars") >= 100 &&
+          col("quality_score_e6") >= QualityMinE6)
         .withColumn("rn", row_number().over(rw))
         .filter(col("rn") === 1)
         .select("doc_id", "source", "text", "n_tok"))
@@ -254,6 +313,30 @@ object CurationOps {
         .select("doc_id", "n_grams", "n_hit", "contam_e6")
         .orderBy("doc_id")
     }))
+
+  /** Oracle mirror of [[withQualityScore]]: scored documents with
+    * (doc_id, source, text, n_chars, n_tok, stop_e6, dup2_e6,
+    * toklen_e6, score_e6). Everything after the per-feature e6
+    * rounding is bigint arithmetic (`//` = integer division on the
+    * abs(), matching Spark's `div` for non-negative operands). */
+  private val ScoredDocsSql =
+    """SELECT doc_id, source, text, n_chars, n_tok, stop_e6, dup2_e6, toklen_e6,
+         2*stop_e6 - 3*dup2_e6 - abs(toklen_e6 - 5000000)//5
+           + 10000*least(n_tok, 100) AS score_e6
+       FROM (
+         SELECT doc_id, source, text, n_chars, len(tk) AS n_tok,
+           CAST(ROUND(CAST(len(list_filter(tk,
+               t -> t IN ('the','a','of','and','to','in'))) AS DOUBLE)
+             * 1000000 / len(tk)) AS BIGINT) AS stop_e6,
+           CAST(ROUND(CAST(len(replace(text, ' ', '')) AS DOUBLE)
+             * 1000000 / len(tk)) AS BIGINT) AS toklen_e6,
+           CASE WHEN len(tk) >= 2 THEN
+             CAST(ROUND((1.0 - CAST(len(list_distinct(
+                 [tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))])) AS DOUBLE)
+               / (len(tk) - 1)) * 1000000) AS BIGINT)
+           ELSE 0 END AS dup2_e6
+         FROM (SELECT doc_id, source, text, n_chars,
+                      string_split(text, ' ') AS tk FROM documents) t0) t1"""
 
   private val SplitSql =
     """CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'train'
@@ -333,11 +416,18 @@ object CurationOps {
          SELECT doc_id, dup2_e6, dup3_e6,
                 CAST(CASE WHEN dup2_e6 > 50000 THEN 1 ELSE 0 END AS BIGINT) AS flagged
          FROM r ORDER BY doc_id""",
+    "q77_quality_scorer" ->
+      s"""SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+            stop_e6 AS stop_ratio_e6, dup2_e6, toklen_e6 AS tok_len_e6,
+            CAST(score_e6 AS BIGINT) AS quality_score_e6,
+            CAST(CASE WHEN score_e6 >= $QualityMinE6 THEN 1 ELSE 0 END AS INTEGER) AS keep
+          FROM ($ScoredDocsSql) sd ORDER BY doc_id""",
     "q70_curation_pipeline" ->
       s"""WITH base AS (
-            SELECT doc_id, source, text, len(string_split(text, ' ')) AS n_tok
-            FROM documents
-            WHERE len(string_split(text, ' ')) BETWEEN 20 AND 200 AND n_chars >= 100),
+            SELECT doc_id, source, text, n_tok
+            FROM ($ScoredDocsSql) sd
+            WHERE n_tok BETWEEN 20 AND 200 AND n_chars >= 100
+              AND score_e6 >= $QualityMinE6),
           ded AS (
             SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
             FROM base)
@@ -347,10 +437,11 @@ object CurationOps {
     "q74_neardup_curation" ->
       s"""WITH RECURSIVE
            base AS (
-             SELECT doc_id, source, text, len(string_split(text, ' ')) AS n_tok
-             FROM documents
+             SELECT doc_id, source, text, n_tok
+             FROM ($ScoredDocsSql) sd
              WHERE doc_id < 1000
-               AND len(string_split(text, ' ')) BETWEEN 20 AND 200 AND n_chars >= 100),
+               AND n_tok BETWEEN 20 AND 200 AND n_chars >= 100
+               AND score_e6 >= $QualityMinE6),
            ded AS (
              SELECT doc_id, source, text, n_tok FROM (
                SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn

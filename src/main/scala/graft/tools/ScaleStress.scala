@@ -6,10 +6,14 @@ import graft.engine.Tables
 import graft.queries.ScaleProbe
 
 /** Scale-stress harness for the dedup/ANN 100 TB claims: runs the
-  * minhash / simhash / embedding near-dup kernels and the transitive
-  * closure at three corpus tiers — sf0.01, sf0.1 (both driver-provided),
-  * and a deterministic 10× blow-up of sf0.1 built under `var/scale/x10`
-  * — and asserts CANDIDATE growth is sub-quadratic in corpus size.
+  * minhash / simhash / embedding / span-dedup kernels and the
+  * transitive closure at corpus tiers — sf0.01, sf0.1 (both
+  * driver-provided), a deterministic 10× blow-up of sf0.1 under
+  * `var/scale/x10`, and a 100× documents-only blow-up under
+  * `var/scale/x100` for the cheapest corpus kernels — and asserts
+  * CANDIDATE growth is sub-quadratic in corpus size. Also assembles
+  * `var/scale/x10full` (sf0.1 relational tables + x10 corpus, via
+  * symlinks) so the whole-bench 10× row needs no manual step.
   *
   * The blow-up preserves duplicate DENSITY instead of densifying it
   * (which would make any bucketed algorithm look quadratic for the
@@ -33,14 +37,14 @@ import graft.queries.ScaleProbe
   * Results are recorded in README.md §scale.
   */
 object ScaleStress {
-  private val Copies = 10
-  private val IdOffset = 10000000L // keeps ids < 2^32 for packed-pair keys
+  private val IdOffset = 10000000L // 100 copies * 1e7 < 2^32: packed-pair-safe
 
-  private def ensureBlowup(spark: SparkSession, src: String, out: String): Unit = {
+  private def ensureBlowup(spark: SparkSession, src: String, out: String,
+                           copies: Int, withEmbeddings: Boolean): Unit = {
     val ok = new java.io.File(s"$out/_OK")
     if (ok.exists) return
     val docs = Tables.load(spark, src, "documents")
-    (0 until Copies).map { k =>
+    (0 until copies).map { k =>
       if (k == 0) docs
       else docs.select(
         (col("doc_id") + lit(k * IdOffset)).as("doc_id"),
@@ -50,18 +54,46 @@ object ScaleStress {
         .withColumn("n_chars", length(col("text")).cast("long"))
     }.reduce(_.unionByName(_))
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
-    val e = Tables.load(spark, src, "embeddings")
-    (0 until Copies).map { k =>
-      if (k == 0) e
-      else e.select(
-        (col("vec_id") + lit(k * IdOffset)).as("vec_id"),
-        expr(s"transform(embedding, (x, i) -> " +
-          s"CAST(x * (1 - 2 * pmod(hash(i, $k), 2)) AS FLOAT))").as("embedding"),
-        col("label"))
-    }.reduce(_.unionByName(_))
-      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    if (withEmbeddings) {
+      val e = Tables.load(spark, src, "embeddings")
+      (0 until copies).map { k =>
+        if (k == 0) e
+        else e.select(
+          (col("vec_id") + lit(k * IdOffset)).as("vec_id"),
+          expr(s"transform(embedding, (x, i) -> " +
+            s"CAST(x * (1 - 2 * pmod(hash(i, $k), 2)) AS FLOAT))").as("embedding"),
+          col("label"))
+      }.reduce(_.unionByName(_))
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    }
     ok.getParentFile.mkdirs()
     ok.createNewFile()
+    ()
+  }
+
+  /** Assemble the full 10× LAKE the whole-bench row runs against:
+    * symlinks to the sf0.1 relational/event tables beside the x10
+    * documents/embeddings, so `SPARK_GRAFT_SF_DIR=var/scale/x10full
+    * runMain graft.Bench` works on a wiped workspace with no manual
+    * step. Symlinks, not copies — the sources are immutable driver
+    * data and the blow-up output; the lake is just a view. */
+  private def ensureFullLake(src: String, x10: String, out: String): Unit = {
+    import java.nio.file.{Files, LinkOption, Paths}
+    val okF = new java.io.File(s"$out/_OK")
+    if (okF.exists) return
+    new java.io.File(out).mkdirs()
+    val blown = Set("documents.parquet", "embeddings.parquet")
+    val links =
+      Option(new java.io.File(src).listFiles()).toSeq.flatten
+        .filter(f => f.getName.endsWith(".parquet") && !blown(f.getName))
+        .map(f => f.getName -> f.toPath.toAbsolutePath) ++
+      blown.toSeq.sorted.map(n => n -> Paths.get(x10, n).toAbsolutePath)
+    links.foreach { case (name, target) =>
+      val l = Paths.get(out, name)
+      if (!Files.exists(l, LinkOption.NOFOLLOW_LINKS))
+        Files.createSymbolicLink(l, target): Unit
+    }
+    okF.createNewFile()
     ()
   }
 
@@ -76,22 +108,36 @@ object ScaleStress {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    val sf01 = "/root/testdata/sf0.1"
     val x10 = "var/scale/x10"
-    ensureBlowup(spark, "/root/testdata/sf0.1", x10)
-    val tiers = Seq(
-      "sf0.01" -> "/root/testdata/sf0.01",
-      "sf0.1" -> "/root/testdata/sf0.1",
-      "x10" -> x10)
+    val x100 = "var/scale/x100"
+    ensureBlowup(spark, sf01, x10, copies = 10, withEmbeddings = true)
+    ensureFullLake(sf01, x10, "var/scale/x10full")
+    // x100: one more decade of the growth curve for the cheapest
+    // corpus kernels (minhash / decontam / span dedup) — 500k docs.
+    // Embeddings are not blown up at this tier (the vector kernels
+    // stay at x10), so the build is one documents pass.
+    ensureBlowup(spark, sf01, x100, copies = 100, withEmbeddings = false)
 
-    val stats = tiers.flatMap { case (tier, dir) =>
-      val ss = ScaleProbe.all(spark, dir, tier)
-      ss.foreach(st => println(s"SCALE ${st.json}"))
-      ss
-    }
+    val stats =
+      Seq("sf0.01" -> "/root/testdata/sf0.01", "sf0.1" -> sf01, "x10" -> x10)
+        .flatMap { case (tier, dir) =>
+          val ss = ScaleProbe.all(spark, dir, tier)
+          ss.foreach(st => println(s"SCALE ${st.json}"))
+          ss
+        } ++ {
+        val ss = Seq(ScaleProbe.minhash(spark, x100, "x100"),
+          ScaleProbe.decontam(spark, x100, "x100"),
+          ScaleProbe.spans(spark, x100, "x100"))
+        ss.foreach(st => println(s"SCALE ${st.json}"))
+        ss
+      }
 
-    // growth verdicts between consecutive tiers (each ~10× the last)
+    // growth verdicts between consecutive tiers (each ~10× the last,
+    // x10 -> x100 also structure-preserving); kernels not run at a tier
+    // (vector kernels at x100) simply have no verdict row there
     var failed = false
-    for (Seq(lo, hi) <- Seq("sf0.01", "sf0.1", "x10").sliding(2)) {
+    for (Seq(lo, hi) <- Seq("sf0.01", "sf0.1", "x10", "x100").sliding(2)) {
       val a = stats.filter(_.tier == lo)
       val b = stats.filter(_.tier == hi)
       for (sa <- a; sb <- b if sa.kernel == sb.kernel) {

@@ -183,6 +183,42 @@ class CurationSpec extends AnyFunSuite {
       (4L, 65L, 85L, 1L)), s"got ${got.mkString(", ")}")
   }
 
+  test("q77 scorer: monotone in the quality signals, and the q70 gate uses it") {
+    import spark.implicits._
+    import java.nio.file.Files
+    def score(texts: Seq[String]): Seq[Long] = {
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      CurationOps.withQualityScore(df).orderBy("doc_id")
+        .select("quality_score_e6").collect().map(_.getLong(0)).toSeq
+    }
+    // vary ONE signal at a time: same token count, rising repetition
+    val distinct60 = (0 until 60).map(i => s"tok$i")
+    val rep0 = distinct60.mkString(" ")
+    val rep30 = ((0 until 30) ++ (0 until 30)).map(i => s"tok$i").mkString(" ")
+    val rep60 = Seq.fill(60)("tok0").mkString(" ")
+    val Seq(s0, s30, s60) = score(Seq(rep0, rep30, rep60))
+    assert(s0 > s30 && s30 > s60, s"repetition must lower the score: $s0, $s30, $s60")
+
+    // six distinct stopwords replace six distinct tokens: dup2 stays 0,
+    // only stopword density (and slightly mean token length) moves
+    val withStops = (graft.queries.TextOps.Stopwords ++ distinct60.drop(6)).mkString(" ")
+    val Seq(sBase, sStop) = score(Seq(rep0, withStops))
+    assert(sStop > sBase, s"stopword density must raise the score: $sStop <= $sBase")
+
+    // the hook IS the gate: a degenerate doc that passes the bounds
+    // gate (60 tokens, 299 chars) but scores below QualityMinE6 is
+    // dropped from the q70 accounting; the clean doc survives
+    assert(s0 >= CurationOps.QualityMinE6 && s60 < CurationOps.QualityMinE6)
+    val dir = Files.createTempDirectory("graft-score").toString
+    Seq((1L, rep0, "en", "srcA"), (2L, rep60, "en", "srcA"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = CurationOps.defs("q70_curation_pipeline")(spark, dir).collect()
+    assert(out.map(_.getLong(2)).sum == 1L,
+      s"scorer gate must drop the degenerate doc: ${out.mkString(", ")}")
+  }
+
   test("q70 pipeline: output within gates, splits partition the kept set") {
     val rows = CurationOps.defs("q70_curation_pipeline")(spark, sf).collect()
     val kept = rows.map(_.getLong(2)).sum
