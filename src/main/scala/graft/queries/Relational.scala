@@ -336,7 +336,10 @@ object Relational {
     // pivot) — three per-flag money aggregates melted into a tidy
     // (flag, metric, value) frame with the Dataset `unpivot` API. One
     // aggregate pass plus a rows×metrics Expand; no shuffle beyond the
-    // aggregate's. Oracle is the equivalent UNION ALL.
+    // aggregate's. Oracle is the equivalent UNION ALL. 9 output rows →
+    // overhead-dominated wall time that jitters ±0.2 s between bench
+    // rounds; the shape that matters (Expand ABOVE the aggregate, 4-col
+    // pruned scan, 2 exchanges) is pinned by UnpivotPlanSpec.
     "q63_unpivot_metrics" -> ((s, d) => {
       t(s, d, "lineitem")
         .groupBy("l_returnflag")
