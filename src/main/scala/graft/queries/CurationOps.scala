@@ -95,25 +95,31 @@ object CurationOps {
     * sigmoid would rank identically but compare doubles across two libm
     * implementations at the threshold boundary. Helper columns are
     * q_-prefixed; callers select away what they don't need. Scan-only:
-    * no shuffle, composes into any gate at any scale. */
-  def withQualityScore(df: DataFrame): DataFrame =
-    df.withColumn("q_toks", split(col("text"), " "))
-      .withColumn("q_n", size(col("q_toks")).cast("long"))
+    * no shuffle, composes into any gate at any scale.
+    *
+    * The raw signals come from the codegen
+    * [[graft.functions.QualityFeatures]] expression (one compiled byte
+    * walk; parity with the portable HOF forms in QualityFeaturesSpec) —
+    * the portable forms re-ran `split(text)` per feature term through
+    * interpreted lambdas when inlined into q70's gate predicate,
+    * measured at 0.27 s → 2.5 s warm at sf0.1. */
+  def withQualityScore(df: DataFrame): DataFrame = {
+    graft.functions.QualityFeatures.register(df.sparkSession)
+    df.withColumn("q_f", expr("quality_features(text)"))
+      .withColumn("q_n", col("q_f.n_tokens"))
       .withColumn("q_stop_e6",
-        round(size(filter(col("q_toks"), t => t.isInCollection(TextOps.Stopwords)))
-          .cast("double") * 1000000 / col("q_n")).cast("long"))
+        round(col("q_f.n_stop").cast("double") * 1000000 / col("q_n")).cast("long"))
       .withColumn("q_toklen_e6",
-        round(length(regexp_replace(col("text"), " ", "")).cast("double") * 1000000
-          / col("q_n")).cast("long"))
+        round(col("q_f.nospace").cast("double") * 1000000 / col("q_n")).cast("long"))
       .withColumn("q_dup2_e6", when(col("q_n") >= 2,
-        round((lit(1.0) - size(array_distinct(expr(
-          "transform(sequence(0, size(q_toks)-2), i -> concat_ws(' ', q_toks[i], q_toks[i+1]))")))
-          .cast("double") / (col("q_n") - 1)) * 1000000).cast("long"))
+        round((lit(1.0) - col("q_f.bi_distinct").cast("double") / (col("q_n") - 1))
+          * 1000000).cast("long"))
         .otherwise(0L))
       .withColumn("quality_score_e6",
         lit(2L) * col("q_stop_e6") - lit(3L) * col("q_dup2_e6")
           - expr("abs(q_toklen_e6 - 5000000) div 5")
           + lit(10000L) * least(col("q_n"), lit(100L)))
+  }
 
   val defs: Map[String, Q] = Map(
     // Deterministic hash split + per-split accounting.
@@ -237,6 +243,10 @@ object CurationOps {
         .withColumn("n_tok", col("q_n"))
         .filter(col("n_tok").between(20, 200) && col("n_chars") >= 100 &&
           col("quality_score_e6") >= QualityMinE6)
+        // prune BEFORE the dedup window: without this the q_toks token
+        // array and the other scorer helper columns ride through the
+        // md5-partition shuffle (measured 0.27 s → 2.5 s warm at sf0.1)
+        .select(col("doc_id"), col("source"), col("text"), col("n_tok"))
         .withColumn("rn", row_number().over(rw))
         .filter(col("rn") === 1)
         .withColumn("split", splitCol)
@@ -267,6 +277,9 @@ object CurationOps {
         .withColumn("n_tok", col("q_n"))
         .filter(col("n_tok").between(20, 200) && col("n_chars") >= 100 &&
           col("quality_score_e6") >= QualityMinE6)
+        // prune before the dedup window (see q70): no scorer arrays
+        // through the md5-partition shuffle
+        .select("doc_id", "source", "text", "n_tok")
         .withColumn("rn", row_number().over(rw))
         .filter(col("rn") === 1)
         .select("doc_id", "source", "text", "n_tok"))
