@@ -438,18 +438,15 @@ object DedupOps {
   /** (doc_id, pos, wh): one 64-bit hash per [[SpanWindow]]-token sliding
     * window (pos = 0-based start token). The join key through every
     * downstream shuffle is the 8-byte hash, never the window string —
-    * at 100 TB the dup-detection group-by moves hashes only. */
+    * at 100 TB the dup-detection group-by moves hashes only. The scan
+    * pass is the codegen [[graft.functions.SpanHashes]] byte walk (one
+    * in-place xxh64 per window, zero intermediate arrays/strings;
+    * hash↔string equivalence-class bijection asserted in
+    * SpanHashesSpec); short docs emit no windows. */
   private[queries] def spanWindows(df: DataFrame): DataFrame = {
-    val W = SpanWindow
-    df.select(col("doc_id"), split(col("text"), " ").as("t"))
-      // REQUIRED, not an optimization: Spark's sequence(0, n) DESCENDS
-      // for negative n, so short docs would emit windows at negative
-      // positions instead of none
-      .filter(size(col("t")) >= W)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, size(t) - $W), i -> " +
-          s"struct(i AS pos, xxhash64(array_join(slice(t, i + 1, $W), ' ')) AS wh))")).as("x"))
-      .select(col("doc_id"), col("x.pos").cast("long").as("pos"), col("x.wh"))
+    graft.functions.SpanHashes.register(df.sparkSession, SpanWindow)
+    df.select(col("doc_id"), posexplode(expr("span_hashes(text)")).as(Seq("pos", "wh")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("wh"))
   }
 
   /** (doc_id, pos) of every window duplicated across >= 2 distinct docs.
