@@ -222,6 +222,29 @@ object CurationOps {
         .orderBy("doc_id")
     }),
 
+    // Deterministic training-order shuffle: the pipeline's LAST stage
+    // materializes the corpus in a seed-keyed pseudorandom order, so a
+    // training run is reproducible doc-for-doc and the stream is
+    // decorrelated from source/ingest order. The order is a TOTAL sort
+    // by md5(seed:doc_id) — at 100 TB that is Spark's range-partitioned
+    // distributed sort (sample → range boundaries → per-shard sorted
+    // write, no single reducer), and a new epoch is just a new seed.
+    // The driver-visible row pins the head of epoch0's order with an
+    // explicit rank (the compare sorts rows, so order must live in a
+    // VALUE): top-100 via TakeOrderedAndProject (scale-safe top-k),
+    // then rank within the 100-row result — the bounded-window q03/q10
+    // idiom, never a global row_number.
+    "q78_train_order" -> ((s, d) => {
+      val key = md5(concat(lit("epoch0:"), col("doc_id").cast("string")))
+      val top = docs(s, d)
+        .select(col("doc_id"), key.as("shuffle_key"))
+        .orderBy("shuffle_key").limit(100)
+      top.withColumn("rank",
+          row_number().over(Window.orderBy("shuffle_key")).cast("long"))
+        .select(col("rank"), col("doc_id"), col("shuffle_key"))
+        .orderBy("rank")
+    }),
+
     // The scorer hook standalone (see [[withQualityScore]]): per-doc
     // features + score + keep flag over the whole corpus, fully
     // oracle-recomputed. Scan-only at any scale.
@@ -429,6 +452,12 @@ object CurationOps {
          SELECT doc_id, dup2_e6, dup3_e6,
                 CAST(CASE WHEN dup2_e6 > 50000 THEN 1 ELSE 0 END AS BIGINT) AS flagged
          FROM r ORDER BY doc_id""",
+    "q78_train_order" ->
+      """SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5('epoch0:' || CAST(doc_id AS VARCHAR)))
+                AS BIGINT) AS rank,
+              doc_id,
+              md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+         FROM documents ORDER BY shuffle_key LIMIT 100""",
     "q77_quality_scorer" ->
       s"""SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
             stop_e6 AS stop_ratio_e6, dup2_e6, toklen_e6 AS tok_len_e6,

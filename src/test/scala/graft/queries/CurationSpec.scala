@@ -219,6 +219,16 @@ class CurationSpec extends AnyFunSuite {
       s"scorer gate must drop the degenerate doc: ${out.mkString(", ")}")
   }
 
+  test("q78 train order: deterministic, dense ranks, order decorrelated from doc_id") {
+    val a = CurationOps.defs("q78_train_order")(spark, sf).collect()
+    val b = CurationOps.defs("q78_train_order")(spark, sf).collect()
+    assert(a.toSeq == b.toSeq, "seeded shuffle must be reproducible run-to-run")
+    assert(a.map(_.getLong(0)).toSeq == (1L to 100L), "ranks must be dense 1..100")
+    // hash order must not be doc_id order (the whole point of the shuffle)
+    val ids = a.map(_.getLong(1)).toSeq
+    assert(ids != ids.sorted, "shuffled head should not be in doc_id order")
+  }
+
   test("q70 pipeline: output within gates, splits partition the kept set") {
     val rows = CurationOps.defs("q70_curation_pipeline")(spark, sf).collect()
     val kept = rows.map(_.getLong(2)).sum
