@@ -113,11 +113,12 @@ object ScaleStress {
     val x100 = "var/scale/x100"
     ensureBlowup(spark, sf01, x10, copies = 10, withEmbeddings = true)
     ensureFullLake(sf01, x10, "var/scale/x10full")
-    // x100: one more decade of the growth curve for the cheapest
-    // corpus kernels (minhash / decontam / span dedup) — 500k docs.
-    // Embeddings are not blown up at this tier (the vector kernels
-    // stay at x10), so the build is one documents pass.
-    ensureBlowup(spark, sf01, x100, copies = 100, withEmbeddings = false)
+    // x100: one more decade of the growth curve — 500k docs / 200k
+    // vectors — for the kernels cheap enough to run it: minhash,
+    // decontam, span dedup, and the embedding near-dup kernel (whose
+    // adaptive code width must absorb the decade: 200k vectors → 12-bit
+    // codes, per-bucket occupancy held ≈constant).
+    ensureBlowup(spark, sf01, x100, copies = 100, withEmbeddings = true)
 
     val stats =
       Seq("sf0.01" -> "/root/testdata/sf0.01", "sf0.1" -> sf01, "x10" -> x10)
@@ -128,7 +129,8 @@ object ScaleStress {
         } ++ {
         val ss = Seq(ScaleProbe.minhash(spark, x100, "x100"),
           ScaleProbe.decontam(spark, x100, "x100"),
-          ScaleProbe.spans(spark, x100, "x100"))
+          ScaleProbe.spans(spark, x100, "x100"),
+          ScaleProbe.embed(spark, x100, "x100"))
         ss.foreach(st => println(s"SCALE ${st.json}"))
         ss
       }

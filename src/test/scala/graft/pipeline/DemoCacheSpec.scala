@@ -65,4 +65,43 @@ class DemoCacheSpec extends AnyFunSuite {
     assert(!DemoCache.primeFromSnapshot("/no/such/sf-dir-xyz"),
       "missing snapshot must report false and leave the cold path to build")
   }
+
+  test("primeFromSnapshot: extracts via temp dir, replaces stale trees wholesale") {
+    // a synthetic per-sf snapshot, exercised through the real prime path
+    // (temp-dir extraction + atomic per-artifact rename)
+    val sfName = s"sftest${System.nanoTime()}"
+    val sfDir = s"/tmp/graft-prime-fixture/$sfName"
+    val snap = new File("assets", s"demo-$sfName.tgz")
+    val live = new File(DemoCache.Root, s"ingest/$sfName")
+    try {
+      val stage = Files.createTempDirectory("graft-prime").toFile
+      val art = new File(stage, s"ingest/$sfName")
+      art.mkdirs()
+      Files.write(new File(art, "data.txt").toPath, "payload".getBytes)
+      Files.write(new File(art, "_GRAFT_BUILD_OK").toPath,
+        s"${DemoCache.Version}:$sfDir".getBytes(StandardCharsets.UTF_8))
+      assert(new ProcessBuilder("tar", "czf", snap.getAbsolutePath, s"ingest/$sfName")
+        .directory(stage).start().waitFor() == 0)
+
+      // a stale tree at the destination must be replaced WHOLESALE
+      live.mkdirs()
+      Files.write(new File(live, "junk.txt").toPath, "stale".getBytes)
+      assert(DemoCache.primeFromSnapshot(sfDir), "extraction should run")
+      assert(new File(live, "data.txt").exists(), "snapshot content promoted")
+      assert(!new File(live, "junk.txt").exists(), "stale content replaced wholesale")
+      var builds = 0
+      assert(DemoCache.cached(live, sfDir) { builds += 1 },
+        "promoted artifact must read as fresh")
+      assert(builds == 0)
+      // no half-extracted temp trees left behind
+      val leftovers = Option(DemoCache.Root.listFiles()).toSeq.flatten
+        .filter(_.getName.startsWith(".snap-extract-"))
+      assert(leftovers.isEmpty, s"temp extraction dirs left: $leftovers")
+      // fresh artifact → second prime skips extraction entirely
+      assert(!DemoCache.primeFromSnapshot(sfDir), "fresh artifact must skip")
+    } finally {
+      snap.delete()
+      DemoCache.deleteRec(live)
+    }
+  }
 }
