@@ -17,6 +17,9 @@ import graft.functions.{FloatVectorDot, MinHashSignature, SimHash64}
   *   SELECT minhash_sig(shingles)      -- 64 hashes (default)
   *   SELECT minhash_sig(shingles, 128) -- explicit signature width
   *   SELECT simhash64(tokens)
+  *   SELECT quality_features(text)     -- scorer signals, one byte walk
+  *   SELECT span_hashes(text)          -- q76 windows (default W=20)
+  *   SELECT span_hashes(text, 50)      -- explicit window width
   * }}}
   *
   * The per-query `register` helpers on each expression object stay for
@@ -28,10 +31,12 @@ import graft.functions.{FloatVectorDot, MinHashSignature, SimHash64}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def numHashesOf(e: Expression): Int = e match {
+  private def numHashesOf(e: Expression): Int = intLiteralOf("minhash_sig", e)
+
+  private def intLiteralOf(name: String, e: Expression): Int = e match {
     case Literal(v: Int, IntegerType) => v
     case other => throw new IllegalArgumentException(
-      s"minhash_sig width must be an integer literal, got $other")
+      s"$name width must be an integer literal, got $other")
   }
 
   /** A clean arity message beats the IndexOutOfBoundsException a bare
@@ -70,6 +75,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         arity("shingle3", exprs, 1)
         graft.functions.Shingle3(exprs.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("quality_features"),
+      new ExpressionInfo(classOf[graft.functions.QualityFeatures].getName, "quality_features"),
+      (exprs: Seq[Expression]) => {
+        arity("quality_features", exprs, 1)
+        graft.functions.QualityFeatures(exprs.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("span_hashes"),
+      new ExpressionInfo(classOf[graft.functions.SpanHashes].getName, "span_hashes"),
+      (exprs: Seq[Expression]) => {
+        arity("span_hashes", exprs, 1, 2)
+        graft.functions.SpanHashes(exprs.head,
+          if (exprs.lengthCompare(1) > 0) intLiteralOf("span_hashes", exprs(1)) else 20)
       }))
     ext.injectFunction((
       FunctionIdentifier("vec_quantize"),

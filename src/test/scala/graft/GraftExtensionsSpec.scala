@@ -57,6 +57,22 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "WITH q AS (SELECT vec_quantize(array(cast(2.0 AS float), cast(0.0 AS float))) AS v) " +
           "SELECT vec_dot_q8(v.q, v.scale, v.q, v.scale) FROM q").first().getDouble(0)
       assert(math.abs(qd - 4.0) < 1e-6, s"quantized self-dot $qd")
+
+      // the curation-scorer feature walk: 5 tokens, 1 stopword ('the'),
+      // 4 distinct of 4 bigrams, nospace = 18 chars minus 4 separators
+      val qf = s.sql("SELECT quality_features('the cat sat on mat') AS f")
+        .selectExpr("f.n_tokens", "f.n_stop", "f.nospace", "f.bi_distinct")
+        .first()
+      assert((qf.getLong(0), qf.getLong(1), qf.getLong(2), qf.getLong(3))
+        == ((5L, 1L, 14L, 4L)))
+
+      // span hashes: default 20-token window → a 21-token doc has 2
+      // windows; explicit width 3 → n-2 windows, deterministic
+      val doc = (0 until 21).map(i => s"t$i").mkString(" ")
+      assert(s.sql(s"SELECT size(span_hashes('$doc')) AS n").first().getInt(0) == 2)
+      val h3a = s.sql("SELECT span_hashes('a b c d', 3) AS h").first().getSeq[Long](0)
+      assert(h3a.length == 2)
+      assert(h3a == s.sql("SELECT span_hashes('a b c d', 3)").first().getSeq[Long](0))
     }
   }
 
