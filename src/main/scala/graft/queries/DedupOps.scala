@@ -172,21 +172,27 @@ object DedupOps {
     * scale-stress harness (tools/ScaleStress) measures: bucket-bounded
     * candidate generation must grow ~linearly with the corpus, never
     * quadratically. */
-  private[queries] def minhashCandidates(s: SparkSession, base: DataFrame): DataFrame = {
-    // 64 minhashes in one codegen pass: one xxhash64 per shingle plus
-    // 64 seeded finalizer mixes (graft.functions.MinHashSignature) —
-    // not 64 full string re-hashes per shingle through interpreted
-    // higher-order functions.
+  /** (doc_id, band, bh) — the LSH signature index of a shingled frame:
+    * 64 minhashes in one codegen pass (one xxhash64 per shingle plus 64
+    * seeded finalizer mixes, graft.functions.MinHashSignature — not 64
+    * full string re-hashes through interpreted higher-order functions),
+    * folded into 16 band keys of 4 consecutive signature slots. This is
+    * the frame a production deployment PERSISTS as a bucketed table:
+    * the self-join (q32) and the incremental batch probe (q79) are both
+    * equi-joins against it. */
+  private[queries] def bandRows(s: SparkSession, base: DataFrame): DataFrame = {
     graft.functions.MinHashSignature.register(s, NumHashes)
     val sig = base.select(col("doc_id"), expr("minhash_sig(sh)").as("sig"))
-    // 16 band keys, each hashing 4 consecutive signature slots
     val bandCols = (0 until Bands).map { b =>
       val rows = (0 until RowsPerBand).map(r => col("sig").getItem(b * RowsPerBand + r))
       struct(lit(b).as("band"), xxhash64(lit(b) +: rows: _*).as("bh"))
     }
-    val exploded = sig
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.bh"))
+  }
+
+  private[queries] def minhashCandidates(s: SparkSession, base: DataFrame): DataFrame = {
+    val exploded = bandRows(s, base)
     val a = exploded.select(col("band"), col("bh"), col("doc_id").as("a_id"))
     val b = exploded.select(col("band"), col("bh"), col("doc_id").as("b_id"))
     a.join(b, Seq("band", "bh")).filter(col("a_id") < col("b_id"))
@@ -335,6 +341,36 @@ object DedupOps {
         .crossJoin(mism.agg(count(lit(1)).as("n_bad")))
         .select(col("n_reps"),
           when(col("n_bad") === 0, 1).otherwise(0).cast("int").as("match_ok"))
+    }),
+
+    // X2 incremental: dedup an INCOMING batch against the EXISTING
+    // corpus — the production shape for continuous ingestion. A live
+    // pipeline cannot re-pair the whole corpus per batch; it keeps the
+    // corpus's band rows as a write-once signature INDEX (a bucketed
+    // table at 100 TB — recomputed here from the split), probes it
+    // with the batch's bands in one equi-join, and exact-verifies only
+    // (new, old) collisions. Cost per batch: O(batch signatures +
+    // touched buckets), independent of corpus pair mass. Docs < 400
+    // stand in for the existing corpus, 400-499 for the batch; the
+    // oracle recomputes the exact cross-set >= 0.8 Jaccard edges (the
+    // q32 trade: every emitted pair is verified, misses at p ~ 3e-4).
+    "q79_incremental_dedup" -> ((s, d) => {
+      val sh = QueryCaches.track(shingled(docs(s, d)))
+      val old = sh.filter(col("doc_id") < 400)
+      val neu = sh.filter(col("doc_id") >= 400 && col("doc_id") < 500)
+      val cands = bandRows(s, neu).select(col("doc_id").as("new_id"), col("band"), col("bh"))
+        .join(bandRows(s, old).select(col("doc_id").as("old_id"), col("band"), col("bh")),
+          Seq("band", "bh"))
+        .select("new_id", "old_id").distinct()
+      val withSh = cands
+        .join(sh.select(col("doc_id").as("new_id"), col("sh").as("sha")), Seq("new_id"))
+        .join(sh.select(col("doc_id").as("old_id"), col("sh").as("shb")), Seq("old_id"))
+      val (inter, uni) = interUni(col("sha"), col("shb"))
+      withSh.withColumn("inter", inter).withColumn("uni", uni)
+        .filter(col("inter") * lit(1.0) / col("uni") >= 0.8)
+        .select(col("new_id"), col("old_id"),
+          round(col("inter") * lit(1000000.0) / col("uni")).cast("long").as("jac_e6"))
+        .orderBy("new_id", "old_id")
     }),
 
     // X2: substring-level exact span dedup — the Lee et al. modality
@@ -538,6 +574,26 @@ object DedupOps {
          FROM inter JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
          ORDER BY a_id, b_id""",
+    // q79: the exact cross-set >= 0.8 Jaccard edges between the batch
+    // (doc_id 400-499) and the existing corpus (doc_id < 400) — the
+    // q32 construction restricted to cross pairs.
+    "q79_incremental_dedup" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(list_distinct(sh)) AS g FROM (
+             SELECT doc_id, string_split(text, ' ') AS t,
+               [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(string_split(text,' ')) - 1)] AS sh
+             FROM documents) x WHERE len(t) >= 3),
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1),
+         inter AS (
+           SELECT b.doc_id AS new_id, a.doc_id AS old_id, COUNT(*) AS i
+           FROM tok a JOIN tok b ON a.g = b.g
+           WHERE a.doc_id < 400 AND b.doc_id >= 400 AND b.doc_id < 500
+           GROUP BY 1, 2)
+         SELECT new_id, old_id,
+           CAST(ROUND(CAST(i AS DOUBLE) * 1000000 / (sa.n + sb.n - i)) AS BIGINT) AS jac_e6
+         FROM inter JOIN sizes sa ON sa.doc_id = old_id JOIN sizes sb ON sb.doc_id = new_id
+         WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+         ORDER BY new_id, old_id""",
     "q65_dup_groups" ->
       """WITH RECURSIVE
            tok AS (

@@ -87,6 +87,21 @@ class DedupSpec extends AnyFunSuite {
       s"q34 self-check row: ${check.toSeq}")
   }
 
+  test("q79 incremental dedup == q32 self-join restricted to the cross-set") {
+    // the batch probe must find exactly the batch↔corpus edges the full
+    // self-join finds — an incremental path that misses (or invents)
+    // cross pairs would silently let duplicates into the lake
+    val full = DedupOps.defs("q32_minhash_neardup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val crossFromFull = full.collect {
+      case (a, b, j) if a < 400 && b >= 400 && b < 500 => (b, a, j)
+    }
+    val inc = DedupOps.defs("q79_incremental_dedup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(inc == crossFromFull,
+      s"incremental ${inc.size} pairs vs cross-restricted full ${crossFromFull.size}")
+  }
+
   test("boilerplate-heavy corpus: bounded candidates, planted near-dup found") {
     import spark.implicits._
     val toks = (0 until 50).map(i => s"tok$i").mkString(" ")
