@@ -133,6 +133,33 @@ object TextOps {
         .orderBy("doc_id")
     }),
 
+    // X4: per-source characteristic terms — TF-IDF-style salience over
+    // the corpus vocabulary. tf = occurrences of the token in the
+    // source, df = number of sources containing it; salience is the
+    // exact integer e6 ratio tf/df (rank-equivalent to tf·idf for a
+    // fixed source count, and — unlike ln() — bit-identical across
+    // engines), top-3 per source with (salience desc, token asc)
+    // deterministic tie-break. Shape at 100 TB: one token explode with
+    // map-side combine into a vocabulary×sources frame; the ranking
+    // window partitions by source over that BOUNDED frame, never the
+    // corpus.
+    "q80_tfidf_terms" -> ((s, d) => {
+      val tf = docs(s, d)
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("score_e6").desc, col("tok").asc)
+      tf.join(df_, Seq("tok"))
+        .withColumn("score_e6",
+          round(col("tf").cast("double") * 1000000 / col("df")).cast("long"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("source"), col("rk").cast("long").as("rk"),
+          col("tok"), col("tf"), col("df"), col("score_e6"))
+        .orderBy("source", "rk")
+    }),
+
     // X4: content fingerprinting (md5 of the raw text).
     "q30_fingerprints" -> ((s, d) => {
       docs(s, d)
@@ -281,6 +308,21 @@ object TextOps {
          FROM documents WHERE doc_id < 100 ORDER BY doc_id""",
     "q30_fingerprints" ->
       """SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id < 200 ORDER BY doc_id""",
+    "q80_tfidf_terms" ->
+      """WITH tf AS (
+           SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents) x
+           GROUP BY 1, 2),
+         dfx AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         ranked AS (
+           SELECT source, tok, tf, df,
+             CAST(ROUND(CAST(tf AS DOUBLE) * 1000000 / df) AS BIGINT) AS score_e6,
+             ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY CAST(ROUND(CAST(tf AS DOUBLE) * 1000000 / df) AS BIGINT) DESC,
+                        tok ASC) AS rk
+           FROM tf JOIN dfx USING (tok))
+         SELECT source, CAST(rk AS BIGINT) AS rk, tok, tf, df, score_e6
+         FROM ranked WHERE rk <= 3 ORDER BY source, rk""",
     "q53_regex_tokens" ->
       """WITH b AS (
            SELECT doc_id, len(string_split(text, ' ')) AS n_ws,
