@@ -127,8 +127,48 @@ object ScaleProbe {
     Stat("span_dedup", tier, nIn, nc, nOut, secs)
   }
 
+  /** Incremental dedup (the q79 kernel): a FIXED 100-doc batch
+    * (doc_id 400-499) probed against everything else. nCandidates =
+    * (new, old) band collisions — the number that must stay ~CONSTANT
+    * as the corpus grows (the batch touches its own buckets, not the
+    * corpus's pair mass); nOutput = verified cross edges. secs includes
+    * re-banding the corpus side each run — in production that index is
+    * write-once, so the growth claim rides on candidates, not secs. */
+  def incremental(s: SparkSession, dir: String, tier: String): Stat = {
+    val d = Tables.load(s, dir, "documents")
+    val nIn = d.count()
+    s.catalog.clearCache()
+    def sh = DedupOps.shingled(d)
+    def old(f: DataFrame) = f.filter(!col("doc_id").between(400, 499))
+    def neu(f: DataFrame) = f.filter(col("doc_id").between(400, 499))
+    val sh0 = sh.persist()
+    val nc = DedupOps.bandRows(s, neu(sh0))
+      .select(col("doc_id").as("new_id"), col("band"), col("bh"))
+      .join(DedupOps.bandRows(s, old(sh0))
+        .select(col("doc_id").as("old_id"), col("band"), col("bh")), Seq("band", "bh"))
+      .select("new_id", "old_id").distinct().count()
+    s.catalog.clearCache()
+    val (ne, secs) = timed {
+      val base = sh.persist()
+      val cands = DedupOps.bandRows(s, neu(base))
+        .select(col("doc_id").as("new_id"), col("band"), col("bh"))
+        .join(DedupOps.bandRows(s, old(base))
+          .select(col("doc_id").as("old_id"), col("band"), col("bh")), Seq("band", "bh"))
+        .select("new_id", "old_id").distinct()
+      cands
+        .join(base.select(col("doc_id").as("new_id"), col("sh").as("sha")), Seq("new_id"))
+        .join(base.select(col("doc_id").as("old_id"), col("sh").as("shb")), Seq("old_id"))
+        .filter(size(array_intersect(col("sha"), col("shb"))).cast("double")
+          / (size(col("sha")) + size(col("shb"))
+            - size(array_intersect(col("sha"), col("shb")))) >= 0.8)
+        .count()
+    }
+    s.catalog.clearCache()
+    Stat("incremental", tier, nIn, nc, ne, secs)
+  }
+
   def all(s: SparkSession, dir: String, tier: String): Seq[Stat] =
     Seq(minhash(s, dir, tier), simhash(s, dir, tier),
       embed(s, dir, tier), components(s, dir, tier), decontam(s, dir, tier),
-      spans(s, dir, tier))
+      spans(s, dir, tier), incremental(s, dir, tier))
 }

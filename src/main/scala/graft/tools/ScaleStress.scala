@@ -130,7 +130,8 @@ object ScaleStress {
         val ss = Seq(ScaleProbe.minhash(spark, x100, "x100"),
           ScaleProbe.decontam(spark, x100, "x100"),
           ScaleProbe.spans(spark, x100, "x100"),
-          ScaleProbe.embed(spark, x100, "x100"))
+          ScaleProbe.embed(spark, x100, "x100"),
+          ScaleProbe.incremental(spark, x100, "x100"))
         ss.foreach(st => println(s"SCALE ${st.json}"))
         ss
       }
