@@ -385,7 +385,32 @@ object DedupOps {
     // consumes. DIRECT oracle: DuckDB recomputes the windows on the
     // window STRINGS (no xxhash64 needed oracle-side), so the whole
     // output — not a capped slice — is hash-compared.
-    "q76_span_dedup" -> ((s, d) => spanDedup(s, d)))
+    "q76_span_dedup" -> ((s, d) => spanDedup(s, d)),
+
+    // X2: the SCRUB composed on q76's spans — the actionable half of
+    // exact-substring dedup: drop every token inside a duplicated
+    // span and reassemble the doc. Per-doc accounting plus the md5 of
+    // the scrubbed text (the driver compare needs the exact bytes in a
+    // VALUE, and shipping whole texts through the oracle diff would
+    // dwarf the signal). Spans per doc are a tiny collected list (the
+    // left join's build side is q76's output, orders of magnitude
+    // smaller than the corpus), and the token filter is one scan pass.
+    "q81_span_scrub" -> ((s, d) => {
+      val spans = spanDedup(s, d)
+        .groupBy("doc_id")
+        .agg(collect_list(struct(col("span_start"), col("span_end"))).as("sp"))
+      docs(s, d).join(spans, Seq("doc_id"), "left")
+        .withColumn("tk", split(col("text"), " "))
+        .withColumn("keep", expr(
+          "filter(transform(tk, (t, i) -> struct(t AS t, i AS i)), " +
+            "x -> sp IS NULL OR NOT exists(sp, " +
+            "r -> x.i >= r.span_start AND x.i < r.span_end))"))
+        .select(col("doc_id"),
+          size(col("tk")).cast("long").as("n_before"),
+          size(col("keep")).cast("long").as("n_after"),
+          md5(expr("array_join(transform(keep, x -> x.t), ' ')")).as("scrub_md5"))
+        .orderBy("doc_id")
+    }))
 
   /** doc_id → 64-bit simhash over distinct-text representatives (the
     * exact-dedup pre-pass that bounds chunk buckets — see
@@ -519,13 +544,12 @@ object DedupOps {
       .orderBy("doc_id", "span_start")
   }
 
-  val oracles: Map[String, String] = Map(
-    // q76: recomputed on the window STRINGS (DuckDB needs no xxhash64 —
-    // the hash is an engine-side compression of the same equality), so
-    // any Spark-side hashing/merging regression diverges the full
-    // output. min<>max == "appears in >= 2 distinct docs".
-    "q76_span_dedup" ->
-      s"""WITH toks AS (
+  /** Shared oracle CTE chain computing the q76 merged spans on the
+    * window STRINGS (DuckDB needs no xxhash64 — the hash is an
+    * engine-side compression of the same equality). min<>max ==
+    * "appears in >= 2 distinct docs". */
+  private val SpanCtes =
+    s"""toks AS (
            SELECT doc_id, string_split(text, ' ') AS t FROM documents
          ), win AS (
            SELECT doc_id, i - 1 AS pos,
@@ -545,11 +569,41 @@ object DedupOps {
            SELECT doc_id, pos,
              SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS g
            FROM brk
+         ), spans AS (
+           SELECT doc_id, MIN(pos) AS span_start,
+                  MAX(pos) + $SpanWindow AS span_end,
+                  CAST(COUNT(*) AS BIGINT) AS n_windows
+           FROM grp GROUP BY doc_id, g
+         )"""
+
+  val oracles: Map[String, String] = Map(
+    "q76_span_dedup" ->
+      s"""WITH $SpanCtes
+         SELECT doc_id, span_start, span_end, n_windows
+         FROM spans ORDER BY doc_id, span_start""",
+    // q81: the scrub composed on the same spans — token kept iff it is
+    // inside no merged span; md5 of the reassembled text pins the exact
+    // scrubbed bytes.
+    "q81_span_scrub" ->
+      s"""WITH $SpanCtes,
+         pos AS (
+           SELECT doc_id, i - 1 AS p, t[i] AS tok
+           FROM toks, UNNEST(generate_series(1, len(t))) AS u(i)
+         ), kept AS (
+           SELECT p.doc_id, p.p, p.tok FROM pos p
+           WHERE NOT EXISTS (SELECT 1 FROM spans s
+             WHERE s.doc_id = p.doc_id AND p.p >= s.span_start AND p.p < s.span_end)
+         ), agg AS (
+           SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_after,
+                  md5(string_agg(tok, ' ' ORDER BY p)) AS scrub_md5
+           FROM kept GROUP BY 1
          )
-         SELECT doc_id, MIN(pos) AS span_start,
-                MAX(pos) + $SpanWindow AS span_end,
-                CAST(COUNT(*) AS BIGINT) AS n_windows
-         FROM grp GROUP BY doc_id, g ORDER BY doc_id, span_start""",
+         SELECT b.doc_id,
+                CAST(len(string_split(b.text, ' ')) AS BIGINT) AS n_before,
+                COALESCE(a.n_after, 0) AS n_after,
+                COALESCE(a.scrub_md5, md5('')) AS scrub_md5
+         FROM documents b LEFT JOIN agg a ON a.doc_id = b.doc_id
+         ORDER BY b.doc_id""",
     // The simhash itself is xxhash64-based (not DuckDB-computable), so
     // the truth side of the pair comparison is in-query; the oracle
     // recomputes the capped rep count from `documents` and pins the

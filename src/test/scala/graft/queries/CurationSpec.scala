@@ -181,6 +181,17 @@ class CurationSpec extends AnyFunSuite {
       (2L, 5L, 45L, 21L),
       (4L, 10L, 35L, 6L),
       (4L, 65L, 85L, 1L)), s"got ${got.mkString(", ")}")
+
+    // the q81 scrub on the same fixture: every planted span's tokens are
+    // removed, untouched docs keep their exact bytes
+    val scrub = graft.queries.DedupOps.defs("q81_span_scrub")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(scrub(1L)._1 == 80L && scrub(1L)._2 == 40L) // minus [20,60)
+    assert(scrub(2L)._1 == 80L && scrub(2L)._2 == 40L) // minus [5,45)
+    assert(scrub(4L)._1 == 85L && scrub(4L)._2 == 40L) // minus [10,35)+[65,85)
+    val d3md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(rows(2)._2.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(scrub(3L) == ((50L, 50L, d3md5)), "span-free doc must be byte-identical")
   }
 
   test("q77 scorer: monotone in the quality signals, and the q70 gate uses it") {
