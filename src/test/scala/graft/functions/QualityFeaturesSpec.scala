@@ -59,4 +59,20 @@ class QualityFeaturesSpec extends AnyFunSuite {
       "trailing the  double  spaces in  a of")
     assertParity(rows.toDF("text"))
   }
+
+  test("parity on 150 pinned-seed random docs (stopwords, empties, unicode mix)") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // empty tokens in the vocab produce repeated-space runs when joined
+    val tok = Gen.oneOf("the", "a", "of", "and", "to", "in",
+      "x", "yy", "zzz", "é两", "tok1", "tok2", "")
+    val doc = for {
+      n <- Gen.chooseNum(0, 60)
+      ts <- Gen.listOfN(n, tok)
+    } yield ts.mkString(" ")
+    val texts = (0 until 150)
+      .map(i => doc.pureApply(Gen.Parameters.default, Seed(31L + i))).distinct
+    assertParity(texts.toDF("text"))
+  }
 }

@@ -58,4 +58,20 @@ class SpanHashesSpec extends AnyFunSuite {
       5L -> (0 until W).map(i => s"d$i").mkString(" "))               // exactly W
     assertBijection(rows.toDF("doc_id", "text"))
   }
+
+  test("bijection on 120 pinned-seed random docs over a small vocab") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // small vocab → windows repeat across docs, exercising the
+    // equal-strings ⇒ equal-hashes direction, not just distinctness
+    val tok = Gen.oneOf("a", "b", "cc", "the", "é两", "")
+    val doc = for {
+      n <- Gen.chooseNum(0, 50)
+      ts <- Gen.listOfN(n, tok)
+    } yield ts.mkString(" ")
+    val rows = (0 until 120).map(i =>
+      (i.toLong, doc.pureApply(Gen.Parameters.default, Seed(47L + i))))
+    assertBijection(rows.toDF("doc_id", "text"))
+  }
 }
