@@ -144,6 +144,31 @@ class StreamingSpec extends AnyFunSuite {
       "watermark did not flush completed windows")
   }
 
+  test("the q77 quality-score gate applies unchanged to a stream (scan-only claim)") {
+    // withQualityScore is pure per-row column algebra, so the SAME
+    // function must gate a readStream exactly as it gates a batch scan
+    // — the property that lets a deployment reuse the curation gate in
+    // its streaming ingest path with no rewrite.
+    val docs = graft.engine.Tables.load(spark, sf, "documents")
+      .select("doc_id", "text")
+    val truth = graft.queries.CurationOps.withQualityScore(docs)
+      .filter(col("quality_score_e6") >= graft.queries.CurationOps.QualityMinE6)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    val dir = Files.createTempDirectory("graft-qgate").toString
+    docs.coalesce(1).write.parquet(s"$dir/data")
+    val src = spark.readStream.schema(docs.schema).parquet(s"$dir/data")
+    val name = "q77_stream_gate"
+    graft.queries.CurationOps.withQualityScore(src)
+      .filter(col("quality_score_e6") >= graft.queries.CurationOps.QualityMinE6)
+      .select("doc_id")
+      .writeStream.format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start().awaitTermination()
+    val got = spark.table(name).collect().map(_.getLong(0)).toSet
+    assert(got == truth, s"stream gate kept ${got.size} docs, batch kept ${truth.size}")
+  }
+
   test("stream-stream view->purchase join emits exactly the batch join's pairs") {
     val ev = graft.engine.Tables.load(spark, sf, "events")
       .select(col("user_id"), col("event_type"), col("ts_us"))
