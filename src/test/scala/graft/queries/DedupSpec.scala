@@ -100,6 +100,10 @@ class DedupSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(inc == crossFromFull,
       s"incremental ${inc.size} pairs vs cross-restricted full ${crossFromFull.size}")
+    // the durable-index path must emit the identical edge set
+    val indexed = DedupOps.defs("q82_indexed_dedup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(indexed == inc, s"indexed ${indexed.size} pairs vs recomputed ${inc.size}")
   }
 
   test("boilerplate-heavy corpus: bounded candidates, planted near-dup found") {
