@@ -42,6 +42,7 @@ object DemoSnapshot {
     pipeline.StreamDemo.ensureStreamJoin(spark, sfDir).count()
     pipeline.StreamDemo.ensureStreamDedup(spark, sfDir).count()
     pipeline.IvfIndex.ensure(spark, sfDir)
+    graft.queries.MinHashIndex.ensure(spark, sfDir)
     graft.queries.LangModelStore.ensure(spark, sfDir)
     val snap = pipeline.DemoCache.writeSnapshot(new java.io.File(sfDir).getName)
     println(s"[demo-snapshot] wrote $snap (${snap.length() / 1024 / 1024} MB)")
