@@ -384,16 +384,24 @@ object VectorOps {
         if (n <= BroadcastRows) {
           // join-free: the corpus rides inside the codegen cos_by_id
           // expression (driver-resident table, one ship per executor), so
-          // verification is a single projection over the collision stream
+          // verification is a single projection over the collision stream.
+          // Dedup BEFORE scoring, on the packed 8-byte pair key: a pair
+          // colliding in k tables/probes reaches the distinct's map-side
+          // partial aggregate as one long (not a 24-byte row), and the
+          // dot product runs once per UNIQUE pair instead of once per
+          // collision (the raw stream is ~8x the unique set at sf0.1).
           graft.functions.CosByIdExpr.register(s,
             graft.functions.CosByIdExpr.build(e.select("vec_id", "embedding")))
           rawPairs
-            .select(least(col("a_id"), col("b_id")).as("a_id"),
-              greatest(col("a_id"), col("b_id")).as("b_id"))
+            .select(shiftleft(least(col("a_id"), col("b_id")), 32)
+              .bitwiseOR(greatest(col("a_id"), col("b_id"))).as("pk"))
+            .distinct()
+            // unsigned shift: see the big-corpus path below
+            .select(shiftrightunsigned(col("pk"), 32).as("a_id"),
+              col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("b_id"))
             .withColumn("cos_e6", expr("cos_by_id(a_id, b_id)"))
             .filter(col("cos_e6") >= 450000)
             .select("a_id", "b_id", "cos_e6")
-            .distinct()
         } else {
           val cands = rawPairs
             .select(shiftleft(least(col("a_id"), col("b_id")), 32)
