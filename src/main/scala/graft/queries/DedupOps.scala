@@ -16,9 +16,10 @@ import graft.engine.Tables
   *    exact Jaccard verification ≥ 0.8. With b=16, r=4 the probability of
   *    missing a pair at J=0.8 is (1-0.8^4)^16 ≈ 3e-4, and every emitted
   *    pair is exact-verified, so output ≈ the exact ≥0.8 pair set.
-  *  - SimHash (q34): 64-bit per-token-hash bit votes → 4×16-bit chunk
-  *    bucketing (pigeonhole: hamming ≤ 3 ⇒ some chunk equal) → verified
-  *    by bit_count(xor) ≤ 3.
+  *  - SimHash (q34): 64-bit per-token-hash bit votes → block-triple
+  *    multi-index (6 blocks, all 20 triples; pigeonhole: hamming ≤ 3 ⇒
+  *    some triple intact — Manku et al., WWW'07) → verified by
+  *    bit_count(xor) ≤ 3.
   *  - Exact n-gram Jaccard probe search (q33): a small probe set against
   *    the full corpus — broadcast join, SQL-oracle-checkable.
   */
@@ -303,14 +304,14 @@ object DedupOps {
     }),
 
     // X2: SimHash near-dup — driver-visible SELF-CHECK row. The real
-    // operator is [[simhashPairs]] (the chunk-bucketed banded join, run
+    // operator is [[simhashPairs]] (the block-triple banded join, run
     // over the FULL corpus here); the query compares its output
     // restricted to doc_id < 1000 against an in-query brute-force
     // hamming truth over the same capped rep set (the q44/q73
     // approx-self-check shape — the xxhash64-based simhash is not
     // DuckDB-computable, so the truth side must be in-query). Chunk
-    // bucketing is EXACT by pigeonhole (hamming ≤ 3 over 4×16-bit
-    // chunks ⇒ some chunk equal), so match_ok = 1 is a theorem; a
+    // bucketing is EXACT by pigeonhole (hamming ≤ 3 damages ≤ 3 of 6
+    // blocks ⇒ some block triple intact), so match_ok = 1 is a theorem; a
     // bucketing/hamming regression flips it and the driver's hash
     // compare turns red. n_reps (distinct-text representatives under
     // the cap) is recomputed by the oracle from `documents` directly.
@@ -445,7 +446,7 @@ object DedupOps {
     }))
 
   /** doc_id → 64-bit simhash over distinct-text representatives (the
-    * exact-dedup pre-pass that bounds chunk buckets — see
+    * exact-dedup pre-pass that bounds bucket occupancy — see
     * [[simhashPairs]]). Bit k of the simhash is set iff the sum over
     * tokens of sign(bit k of xxhash64(token)) is positive, computed by
     * the codegen [[graft.functions.SimHash64]] expression (one token
@@ -464,14 +465,14 @@ object DedupOps {
       .select("doc_id", "simhash")
   }
 
-  /** SimHash near-dup pairs (hamming ≤ 3), chunk-bucketed candidates —
-    * the q34 kernel. Candidates come from a 4-way chunk explode +
-    * equi-self-join (pigeonhole: hamming ≤ 3 ⇒ some 16-bit chunk
-    * equal — the candidate set is EXACT, not probabilistic), verified
+  /** SimHash near-dup pairs (hamming ≤ 3), block-triple candidates —
+    * the q34 kernel. Candidates come from a 20-way triple-key explode +
+    * equi-self-join (pigeonhole: hamming ≤ 3 ⇒ some block triple
+    * intact — the candidate set is EXACT, not probabilistic), verified
     * by `bit_count(xor) ≤ 3`.
     *
     * Skew guard: exact-duplicate texts all collapse to one simhash, so a
-    * boilerplate-heavy corpus makes one (chunk, ck) bucket quadratic. An
+    * boilerplate-heavy corpus makes one (combo, ck) bucket quadratic. An
     * exact-dedup pre-pass (min doc_id per distinct text — the q26 kernel,
     * inside [[simhashed]]) bounds every bucket by the number of DISTINCT
     * texts in it; pairs are then near-dup pairs among distinct-text
@@ -479,19 +480,46 @@ object DedupOps {
     * anyway (exact dups are already handled by X1). DedupSpec asserts
     * this completes with bounded output on a 50×-replicated boilerplate
     * fixture. */
-  /** Distinct chunk-collision candidates (a_id, b_id, ha, hb) — the
-    * pre-verification frame the scale-stress harness measures. */
+  /** 64-bit simhash split into 6 blocks (11,11,11,11,10,10 bits). */
+  private val SimBlocks: Seq[(Int, Int)] = {
+    val widths = Seq(11, 11, 11, 11, 10, 10)
+    widths.scanLeft(0)(_ + _).zip(widths)
+  }
+  /** All 20 block triples — the multi-index of Manku et al. (WWW'07):
+    * hamming <= 3 damages at most 3 blocks, so >= 3 of 6 are intact and
+    * SOME triple matches exactly — the candidate set stays EXACT. */
+  private val BlockTriples: Seq[Seq[Int]] =
+    SimBlocks.indices.combinations(3).map(_.toSeq).toSeq
+
+  /** Distinct block-triple-collision candidates (a_id, b_id, ha, hb) —
+    * the pre-verification frame the scale-stress harness measures.
+    *
+    * Why triples of ~11-bit blocks instead of the single 16-bit chunks
+    * of the classic 4-way split: bucketing keys must OUTGROW the corpus
+    * or random co-occupancy goes quadratic. A 16-bit chunk has 65k
+    * buckets — at 50k distinct sims the ×4 chunk tables measured 17.9M
+    * candidates against 2.2M true pairs (the n²/65536 term). A triple
+    * key spans ~32 bits (4B buckets), so random collisions are
+    * negligible at any realistic shard size and candidates track TRUE
+    * near-dup mass; the price is a 20-way explode instead of 4-way on
+    * a 16-byte frame. Same pigeonhole exactness, measured in
+    * ScaleStress. */
   private[queries] def simhashCandidates(sim: DataFrame): DataFrame = {
-    // 4 chunks of 16 bits; hamming<=3 pairs must share a chunk
-    val chunks = sim.select(col("doc_id"), col("simhash"),
-      explode(expr("transform(sequence(0, 3), c -> " +
-        "struct(c AS chunk, shiftright(simhash, c * 16) & 65535L AS ck))")).as("x"))
-      .select(col("doc_id"), col("simhash"), col("x.chunk"), col("x.ck"))
-    val a = chunks.select(col("chunk"), col("ck"),
+    val comboCols = BlockTriples.zipWithIndex.map { case (t, id) =>
+      val key = t.map { bi =>
+        val (off, w) = SimBlocks(bi)
+        shiftright(col("simhash"), off).bitwiseAND(lit((1L << w) - 1))
+      }.reduceLeft((a, b) => shiftleft(a, 11).bitwiseOR(b)) // <= 33 bits
+      struct(lit(id).as("combo"), key.as("ck"))
+    }
+    val blocks = sim.select(col("doc_id"), col("simhash"),
+      explode(array(comboCols: _*)).as("x"))
+      .select(col("doc_id"), col("simhash"), col("x.combo"), col("x.ck"))
+    val a = blocks.select(col("combo"), col("ck"),
       col("doc_id").as("a_id"), col("simhash").as("ha"))
-    val b = chunks.select(col("chunk"), col("ck"),
+    val b = blocks.select(col("combo"), col("ck"),
       col("doc_id").as("b_id"), col("simhash").as("hb"))
-    a.join(b, Seq("chunk", "ck")).filter(col("a_id") < col("b_id"))
+    a.join(b, Seq("combo", "ck")).filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id", "ha", "hb").distinct()
   }
 
