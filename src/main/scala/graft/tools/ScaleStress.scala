@@ -131,7 +131,10 @@ object ScaleStress {
           ScaleProbe.decontam(spark, x100, "x100"),
           ScaleProbe.spans(spark, x100, "x100"),
           ScaleProbe.embed(spark, x100, "x100"),
-          ScaleProbe.incremental(spark, x100, "x100"))
+          ScaleProbe.incremental(spark, x100, "x100"),
+          // affordable at x100 since the block-triple multi-index:
+          // candidates track true pair mass, not n²/buckets
+          ScaleProbe.simhash(spark, x100, "x100"))
         ss.foreach(st => println(s"SCALE ${st.json}"))
         ss
       }
