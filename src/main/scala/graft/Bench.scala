@@ -73,7 +73,10 @@ object Bench {
         step("sdedup")(pipeline.StreamDemo.ensureStreamDedup(spark, sfDir).count())
       },
       Future(step("ivf")(pipeline.IvfIndex.ensure(spark, sfDir))),
-      Future(step("mhindex")(queries.MinHashIndex.ensure(spark, sfDir))),
+      Future {
+        step("mhindex")(queries.MinHashIndex.ensure(spark, sfDir))
+        step("mhappend")(queries.MinHashIndex.ensureAppended(spark, sfDir))
+      },
       Future(step("langmodel")(queries.LangModelStore.ensure(spark, sfDir))))
     chains.foreach(Await.result(_, Duration.Inf))
     val buildSec = (System.nanoTime() - b0) / 1e9

@@ -383,28 +383,24 @@ object DedupOps {
     // against the shingle store BY ID. Emits the same edge set as q79
     // (asserted in DedupSpec); the bench gap between the two IS the
     // measured value of owning the index.
-    "q82_indexed_dedup" -> ((s, d) => {
-      val idx = MinHashIndex.ensure(s, d)
-      val bands = s.read.parquet(s"$idx/bands")
-      val oldSh = s.read.parquet(s"$idx/shingles")
-      val neu = QueryCaches.track(shingled(
-        docs(s, d).filter(col("doc_id") >= 400 && col("doc_id") < 500)))
-      val cands = broadcast(bandRows(s, neu)
-        .select(col("doc_id").as("new_id"), col("band"), col("bh")))
-        .join(bands.select(col("doc_id").as("old_id"), col("band"), col("bh")),
-          Seq("band", "bh"))
-        .select("new_id", "old_id").distinct()
-      val withSh = cands
-        .join(broadcast(neu.select(col("doc_id").as("new_id"), col("sh").as("sha"))),
-          Seq("new_id"))
-        .join(oldSh.select(col("doc_id").as("old_id"), col("sh").as("shb")), Seq("old_id"))
-      val (inter, uni) = interUni(col("sha"), col("shb"))
-      withSh.withColumn("inter", inter).withColumn("uni", uni)
-        .filter(col("inter") * lit(1.0) / col("uni") >= 0.8)
-        .select(col("new_id"), col("old_id"),
-          round(col("inter") * lit(1000000.0) / col("uni")).cast("long").as("jac_e6"))
-        .orderBy("new_id", "old_id")
-    }),
+    "q82_indexed_dedup" -> ((s, d) =>
+      indexedProbe(s, d, MinHashIndex.ensure(s, d), lo = 400, hi = 500)),
+
+    // X2 incremental, APPENDED: the q82 lifecycle COMPLETED — the index
+    // probed here is not a one-shot build but corpus + an appended
+    // batch A ([[MinHashIndex.ensureAppended]]: build docs < 400, then
+    // append-on-commit docs 400-449), and the probe batch B is docs
+    // 450-499. This is the steady state of continuous ingestion: every
+    // committed batch's band rows + shingles land in the index as
+    // append-only parquet files, so batch N+1's probe sees batch N
+    // without any corpus-side recompute. DedupSpec proves sequential
+    // appends ≡ a from-scratch build over the union; the oracle is the
+    // exact cross-set >= 0.8 Jaccard edges with the corpus EXTENDED to
+    // doc_id < 450 — a probe against a stale (pre-append) index would
+    // miss every B↔A edge and hash-mismatch.
+    "q83_appended_dedup" -> ((s, d) =>
+      indexedProbe(s, d, MinHashIndex.ensureAppended(s, d),
+        lo = MinHashIndex.BatchSplit, hi = 500)),
 
     // X2: substring-level exact span dedup — the Lee et al. modality
     // ("Deduplicating Training Data Makes Language Models Better",
@@ -444,6 +440,37 @@ object DedupOps {
           md5(expr("array_join(transform(keep, x -> x.t), ' ')")).as("scrub_md5"))
         .orderBy("doc_id")
     }))
+
+  /** The q82/q83 probe body: dedup the batch `[lo, hi)` against the
+    * durable signature index at `idxRoot` (band rows + shingle feature
+    * store — see [[MinHashIndex]]). Per-batch work: signature the batch,
+    * broadcast-probe the band index (the index side is scanned in
+    * place, never shuffled), exact-verify collisions against the
+    * shingle store BY ID. Emits the same edge set as the recomputing
+    * q79 path over the same split (asserted in DedupSpec); the bench
+    * gap between the two IS the measured value of owning the index. */
+  private def indexedProbe(s: SparkSession, d: String, idxRoot: String,
+                           lo: Int, hi: Int): DataFrame = {
+    val bands = s.read.parquet(s"$idxRoot/bands")
+    val oldSh = s.read.parquet(s"$idxRoot/shingles")
+    val neu = QueryCaches.track(shingled(
+      docs(s, d).filter(col("doc_id") >= lo && col("doc_id") < hi)))
+    val cands = broadcast(bandRows(s, neu)
+      .select(col("doc_id").as("new_id"), col("band"), col("bh")))
+      .join(bands.select(col("doc_id").as("old_id"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .select("new_id", "old_id").distinct()
+    val withSh = cands
+      .join(broadcast(neu.select(col("doc_id").as("new_id"), col("sh").as("sha"))),
+        Seq("new_id"))
+      .join(oldSh.select(col("doc_id").as("old_id"), col("sh").as("shb")), Seq("old_id"))
+    val (inter, uni) = interUni(col("sha"), col("shb"))
+    withSh.withColumn("inter", inter).withColumn("uni", uni)
+      .filter(col("inter") * lit(1.0) / col("uni") >= 0.8)
+      .select(col("new_id"), col("old_id"),
+        round(col("inter") * lit(1000000.0) / col("uni")).cast("long").as("jac_e6"))
+      .orderBy("new_id", "old_id")
+  }
 
   /** doc_id → 64-bit simhash over distinct-text representatives (the
     * exact-dedup pre-pass that bounds bucket occupancy — see
@@ -636,10 +663,12 @@ object DedupOps {
            FROM grp GROUP BY doc_id, g
          )"""
 
-  /** q79/q82 shared oracle: exact cross-set >= 0.8 Jaccard edges
-    * between the batch (doc_id 400-499) and the corpus (doc_id < 400). */
-  private val CrossSetOracleSql =
-    """WITH tok AS (
+  /** q79/q82/q83 shared oracle shape: exact cross-set >= 0.8 Jaccard
+    * edges between the batch (doc_id [lo, hi)) and the corpus
+    * (doc_id < oldCap). q79/q82 use (400, 400, 500); q83 extends the
+    * corpus past the appended batch A: (450, 450, 500). */
+  private def crossSetOracleSql(oldCap: Int, lo: Int, hi: Int) =
+    s"""WITH tok AS (
            SELECT doc_id, unnest(list_distinct(sh)) AS g FROM (
              SELECT doc_id, string_split(text, ' ') AS t,
                [t[i] || ' ' || t[i+1] || ' ' || t[i+2] FOR i IN range(1, len(string_split(text,' ')) - 1)] AS sh
@@ -648,13 +677,15 @@ object DedupOps {
          inter AS (
            SELECT b.doc_id AS new_id, a.doc_id AS old_id, COUNT(*) AS i
            FROM tok a JOIN tok b ON a.g = b.g
-           WHERE a.doc_id < 400 AND b.doc_id >= 400 AND b.doc_id < 500
+           WHERE a.doc_id < $oldCap AND b.doc_id >= $lo AND b.doc_id < $hi
            GROUP BY 1, 2)
          SELECT new_id, old_id,
            CAST(ROUND(CAST(i AS DOUBLE) * 1000000 / (sa.n + sb.n - i)) AS BIGINT) AS jac_e6
          FROM inter JOIN sizes sa ON sa.doc_id = old_id JOIN sizes sb ON sb.doc_id = new_id
          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
          ORDER BY new_id, old_id"""
+
+  private val CrossSetOracleSql = crossSetOracleSql(400, 400, 500)
 
   val oracles: Map[String, String] = Map(
     "q76_span_dedup" ->
@@ -715,6 +746,12 @@ object DedupOps {
     // the SAME edges.
     "q79_incremental_dedup" -> CrossSetOracleSql,
     "q82_indexed_dedup" -> CrossSetOracleSql,
+    // q83: same construction with the corpus extended over the appended
+    // batch A — the probe runs against index(docs < 400 ∪ docs 400-449),
+    // so the truth side is every cross edge from batch B (450-499) into
+    // doc_id < 450. A stale index (no append) would miss all B↔A edges.
+    "q83_appended_dedup" ->
+      crossSetOracleSql(MinHashIndex.BatchSplit, MinHashIndex.BatchSplit, 500),
     "q65_dup_groups" ->
       """WITH RECURSIVE
            tok AS (

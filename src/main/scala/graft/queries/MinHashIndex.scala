@@ -1,49 +1,107 @@
 package graft.queries
 
 import java.io.File
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import scala.collection.mutable
 import graft.engine.Tables
 import graft.pipeline.DemoCache
 
-/** Durable MinHash signature index over the EXISTING corpus (q82): the
-  * band rows and shingle sets of every already-ingested doc, written
-  * once to parquet under `var/demo/minhash/<sf>` and probed by each
-  * incoming batch. This is the production form of the q79 incremental
-  * dedup: a live pipeline amortizes the corpus-side shingle+signature
-  * pass into a write-once index (appended as batches commit), so
-  * per-batch work is ONLY the batch's own signatures plus the bucket
-  * probe — the same build-once/query-many lifecycle as the IVF index
-  * (q51) and the bucketed join tables (q48).
+/** Durable MinHash signature index over the EXISTING corpus (q82/q83):
+  * the band rows and shingle sets of every already-ingested doc, written
+  * to parquet under `var/demo` and probed by each incoming
+  * batch (roots `minhash/<sf>` and `minhash_app/<sf>`). This is the
+  * production form of the q79 incremental dedup: a live pipeline amortizes the corpus-side shingle+signature pass into a
+  * durable index, so per-batch work is ONLY the batch's own signatures
+  * plus the bucket probe — the same build-once/query-many lifecycle as
+  * the IVF index (q51) and the bucketed join tables (q48).
   *
   * Two artifacts, the classic index + feature-store split:
   *  - `bands/`    (doc_id, band, bh): the probe target;
   *  - `shingles/` (doc_id, sh): exact-verification features, joined
   *    BY ID only for the (tiny) collision set.
   *
+  * LIFECYCLE (q83): the index is append-on-commit, not build-once. After
+  * a batch's near-dups are resolved, [[append]] adds the surviving docs'
+  * band rows + shingles as NEW parquet files in the same directories —
+  * an append-only write, existing files are immutable — so batch N+1
+  * probes an index that already contains batch N. DedupSpec proves two
+  * sequential appends produce byte-identical index CONTENT to one
+  * from-scratch build over the union.
+  *
+  * CONCURRENCY: appends follow the repo's single-writer discipline (the
+  * parquet-Ledger rule, Ledger.scala) — one ingest driver owns the index
+  * and serializes appends through the commit path ([[graft.pipeline
+  * .BatchProcessor]] ticks are sequential); readers are snapshot-safe
+  * because parquet append only ADDS files and a probe lists the
+  * directory once at plan time. At 100 TB the same contract holds with
+  * the band table bucketed by (band, bh); multi-writer deployments would
+  * swap the directory listing for a transactional table format, which is
+  * an orthogonal storage choice — the probe and append plans are
+  * unchanged.
+  *
   * Memoized per JVM and durable across JVMs via [[DemoCache]] markers;
-  * Bench builds it outside the timing loop. The indexed corpus is
-  * doc_id < 400 — the same "existing corpus" split q79 recomputes
-  * in-flight, so DedupSpec can assert the two paths emit identical
-  * edges.
+  * Bench builds both roots outside the timing loop. The q82 root indexes
+  * doc_id < [[CorpusCap]] — the same "existing corpus" split q79
+  * recomputes in-flight, so DedupSpec can assert the two paths emit
+  * identical edges. The q83 root starts from the same corpus and then
+  * [[append]]s batch A (doc_id [[CorpusCap]]..<[[BatchSplit]]), so the
+  * q83 probe of batch B (doc_id >= [[BatchSplit]]) sees corpus ∪ A.
   */
 object MinHashIndex {
   val CorpusCap = 400
+  /** q83 split: batch A = [CorpusCap, BatchSplit), batch B = [BatchSplit, 500). */
+  val BatchSplit = 450
   private val built = mutable.Map.empty[String, String]
 
-  /** Build (or return) the index root for this corpus. */
+  /** Shingle `docsDf` and write its band rows + shingle sets into the
+    * index at `root` with the given save mode ("overwrite" = initial
+    * build, "append" = commit a new batch). */
+  private def write(s: SparkSession, root: File, docsDf: DataFrame,
+                    mode: String): Unit = {
+    val sh = DedupOps.shingled(docsDf).persist()
+    sh.write.mode(mode).parquet(new File(root, "shingles").getPath)
+    DedupOps.bandRows(s, sh)
+      .write.mode(mode).parquet(new File(root, "bands").getPath)
+    sh.unpersist()
+    ()
+  }
+
+  /** From-scratch index build at `root` over `docsDf` (overwrites). */
+  def build(s: SparkSession, root: File, docsDf: DataFrame): Unit =
+    write(s, root, docsDf, "overwrite")
+
+  /** Append-on-commit: add a committed batch's docs to the index at
+    * `root`. Append-only — new parquet files land next to the existing
+    * ones; nothing is rewritten, so concurrent probes stay snapshot-safe
+    * (see CONCURRENCY above). Caller is the single writer. */
+  def append(s: SparkSession, root: File, docsDf: DataFrame): Unit =
+    write(s, root, docsDf, "append")
+
+  /** Build (or return) the q82 index root: corpus = doc_id < [[CorpusCap]]. */
   def ensure(s: SparkSession, sfDir: String): String = synchronized {
     built.getOrElseUpdate(sfDir, {
       val root = DemoCache.root(s"minhash/${new File(sfDir).getName}")
       DemoCache.cached(root, sfDir) {
-        val sh = DedupOps.shingled(
-          Tables.load(s, sfDir, "documents").filter(col("doc_id") < CorpusCap)).persist()
-        sh.write.mode("overwrite").parquet(new File(root, "shingles").getPath)
-        DedupOps.bandRows(s, sh)
-          .write.mode("overwrite").parquet(new File(root, "bands").getPath)
-        sh.unpersist()
-        ()
+        build(s, root,
+          Tables.load(s, sfDir, "documents").filter(col("doc_id") < CorpusCap))
+      }
+      root.getPath
+    })
+  }
+
+  /** Build (or return) the q83 appended-lifecycle root: the [[CorpusCap]]
+    * corpus build followed by an [[append]] of batch A — exercising the
+    * exact write path an ingest tick runs on commit, so the q83 probe
+    * measures a post-append index, not a freshly built one. */
+  def ensureAppended(s: SparkSession, sfDir: String): String = synchronized {
+    built.getOrElseUpdate(s"$sfDir#app", {
+      val root = DemoCache.root(s"minhash_app/${new File(sfDir).getName}")
+      DemoCache.cached(root, sfDir) {
+        val docs = Tables.load(s, sfDir, "documents")
+        build(s, root, docs.filter(col("doc_id") < CorpusCap))
+        append(s, root, docs.filter(
+          col("doc_id") >= CorpusCap && col("doc_id") < BatchSplit))
       }
       root.getPath
     })

@@ -43,6 +43,7 @@ object DemoSnapshot {
     pipeline.StreamDemo.ensureStreamDedup(spark, sfDir).count()
     pipeline.IvfIndex.ensure(spark, sfDir)
     graft.queries.MinHashIndex.ensure(spark, sfDir)
+    graft.queries.MinHashIndex.ensureAppended(spark, sfDir)
     graft.queries.LangModelStore.ensure(spark, sfDir)
     val snap = pipeline.DemoCache.writeSnapshot(new java.io.File(sfDir).getName)
     println(s"[demo-snapshot] wrote $snap (${snap.length() / 1024 / 1024} MB)")

@@ -106,6 +106,44 @@ class DedupSpec extends AnyFunSuite {
     assert(indexed == inc, s"indexed ${indexed.size} pairs vs recomputed ${inc.size}")
   }
 
+  test("q83 appended-index probe == cross edges with the corpus extended over batch A") {
+    // after the append-on-commit of batch A (400-449), batch B's probe
+    // must find exactly the B↔(corpus ∪ A) edges of the full self-join;
+    // a stale (pre-append) index would miss every B↔A edge
+    val split = MinHashIndex.BatchSplit
+    val full = DedupOps.defs("q32_minhash_neardup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val crossFromFull = full.collect {
+      case (a, b, j) if a < split && b >= split && b < 500 => (b, a, j)
+    }
+    val app = DedupOps.defs("q83_appended_dedup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(app == crossFromFull,
+      s"appended-index probe ${app.size} pairs vs cross-restricted full ${crossFromFull.size}")
+  }
+
+  test("two sequential appends produce the same index content as one from-scratch build") {
+    import java.io.File
+    val docs = graft.engine.Tables.load(spark, sf, "documents")
+    val seq = Files.createTempDirectory("graft-mhidx-seq").toFile
+    MinHashIndex.build(spark, seq, docs.filter(col("doc_id") < 400))
+    MinHashIndex.append(spark, seq,
+      docs.filter(col("doc_id") >= 400 && col("doc_id") < 450))
+    MinHashIndex.append(spark, seq,
+      docs.filter(col("doc_id") >= 450 && col("doc_id") < 500))
+    val full = Files.createTempDirectory("graft-mhidx-full").toFile
+    MinHashIndex.build(spark, full, docs.filter(col("doc_id") < 500))
+    def bands(r: File): Set[(Long, Int, Long)] =
+      spark.read.parquet(new File(r, "bands").getPath).collect()
+        .map(x => (x.getLong(0), x.getInt(1), x.getLong(2))).toSet
+    def shingles(r: File): Set[(Long, Set[String])] =
+      spark.read.parquet(new File(r, "shingles").getPath).collect()
+        .map(x => (x.getLong(0), x.getSeq[String](1).toSet)).toSet
+    assert(bands(seq) == bands(full),
+      s"band rows diverge: seq ${bands(seq).size} vs full ${bands(full).size}")
+    assert(shingles(seq) == shingles(full), "shingle store diverges")
+  }
+
   test("boilerplate-heavy corpus: bounded candidates, planted near-dup found") {
     import spark.implicits._
     val toks = (0 until 50).map(i => s"tok$i").mkString(" ")
