@@ -8,11 +8,14 @@ import org.apache.spark.sql.SparkSession
   * 3-5× on unchanged code. The cache is cleared between every run so
   * timings stay attributable (no cross-query or cross-rep cache hits).
   *
-  * Output: human-readable `[bench]` progress lines on stderr, then ONE
-  * compact JSON line on stdout as the LAST line — totals first
-  * (`value` = sum of warm medians, `total_cold` beside it), then the
-  * per-query warm medians and colds, all rounded to ms so the line
-  * survives a truncated log tail.
+  * Output: human-readable `[bench]` progress lines on stderr, then
+  * THREE JSON lines on stdout — `cold_detail`, `noise_detail`
+  * (per-query warm MIN + the median rep's process-CPU/wall "effective
+  * cores", the co-tenant-interference diagnostics), and LAST the
+  * contract line — totals first (`value` = sum of warm medians,
+  * `total_cold`/`total_warm_min` beside it), then the per-query warm
+  * medians, all rounded to ms so the line survives a truncated log
+  * tail.
   *
   * Demo artifacts are built OUTSIDE the timing loop and memoized across
   * JVMs (pipeline/DemoCache.scala) — warm `var/demo/`, or the tracked
@@ -90,8 +93,21 @@ object Bench {
     // errors and exit non-zero so the driver sees a broken bench as broken.
     var failed = List.empty[String]
     def r3(v: Double) = math.round(v * 1000) / 1000.0
+    // BENCH_r09 was inflated +47% by a co-tenant process stealing cores
+    // for a ~40 s window (ten adjacent queries 3-14× their clean
+    // timings; a judge re-run reproduced none of it). Make the artifact
+    // self-diagnosing instead of requiring that re-run: alongside each
+    // warm MEDIAN record the warm MIN (one clean rep survives most
+    // interference windows) and the rep's process-CPU/wall ratio — the
+    // "effective cores" this JVM actually burned. Our own heavy stages
+    // hold effective cores near the core count; an interference window
+    // shows wall inflating while OUR cpu stays flat, so the ratio drops
+    // on exactly the inflated queries. README §bench documents the read.
+    val osBean = java.lang.management.ManagementFactory.getPlatformMXBean(
+      classOf[com.sun.management.OperatingSystemMXBean])
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
+      def once(): (Double, Double) = {
+        val c0 = osBean.getProcessCpuTime
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }
@@ -107,28 +123,40 @@ object Bench {
         // clearCache stays as the catch-all for anything untracked.
         queries.QueryCaches.releaseAll()
         spark.catalog.clearCache()
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        val wall = (System.nanoTime() - t0) / 1e9
+        val cpu = (osBean.getProcessCpuTime - c0) / 1e9
+        if (ok) (wall, cpu / wall) else (-1.0, -1.0)
       }
-      val cold = once()
-      val warms = if (cold >= 0) Seq.fill(reps)(once()).filter(_ >= 0) else Seq.empty
-      val median =
-        if (warms.isEmpty) -1.0 else warms.sorted.apply(warms.size / 2)
+      val (cold, _) = once()
+      val warms = if (cold >= 0) Seq.fill(reps)(once()).filter(_._1 >= 0)
+                  else Seq.empty
+      val byWall = warms.map(_._1).sorted
+      val median = if (byWall.isEmpty) -1.0 else byWall(byWall.size / 2)
+      val wmin = if (byWall.isEmpty) -1.0 else byWall.head
+      // the MEDIAN rep's ratio — the rep the headline number comes from
+      val ratio = if (warms.isEmpty) -1.0
+        else warms.sortBy(_._1).apply(warms.size / 2)._2
       System.err.println(f"[bench] $name cold=$cold%.2f warm_median=$median%.2f " +
-        warms.map(w => f"$w%.2f").mkString("[", ",", "]"))
-      (name, r3(cold), r3(median))
+        f"warm_min=$wmin%.2f ecores=$ratio%.1f " +
+        byWall.map(w => f"$w%.2f").mkString("[", ",", "]"))
+      (name, r3(cold), r3(median), r3(wmin), r3(ratio))
     }
-    val qs = results.map { case (k, _, m) => s"\"" + k + "\":" + m }
-      .mkString("{", ",", "}")
-    val colds = results.map { case (k, c, _) => s"\"" + k + "\":" + c }
-      .mkString("{", ",", "}")
-    val totalWarm = r3(results.collect { case (_, _, m) if m >= 0 => m }.sum)
-    val totalCold = r3(results.collect { case (_, c, _) if c >= 0 => c }.sum)
+    def jmap(f: ((String, Double, Double, Double, Double)) => Double): String =
+      results.map(t => s"\"" + t._1 + "\":" + f(t)).mkString("{", ",", "}")
+    val qs = jmap(_._3)
+    val totalWarm = r3(results.collect { case (_, _, m, _, _) if m >= 0 => m }.sum)
+    val totalCold = r3(results.collect { case (_, c, _, _, _) if c >= 0 => c }.sum)
+    val totalMin = r3(results.collect { case (_, _, _, w, _) if w >= 0 => w }.sum)
     val errs = failed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // cold detail on its own line; the contract line LAST, with the
-    // totals repeated at the line's END so a head-truncated log tail
-    // (round 6 lost q01-q11 that way) still shows them
-    println(s"""{"metric":"cold_detail","unit":"sec","cold":$colds}""")
-    println(s"""{"metric":"total_warm_median","value":$totalWarm,"unit":"sec","reps":$reps,"errors":$errs,"queries":$qs,"build_sec":${r3(buildSec)},"sf":"$sfDir","total_cold":$totalCold,"total_warm_median":$totalWarm}""")
+    // detail lines first (cold + noise diagnostics), the contract line
+    // LAST with the totals repeated at the line's END so a
+    // head-truncated log tail (round 6 lost q01-q11 that way) still
+    // shows them. total_warm_min ≈ total_warm_median on a quiet
+    // machine; a large gap — or an ecores dip over a contiguous block —
+    // marks the artifact as interference-contaminated.
+    println(s"""{"metric":"cold_detail","unit":"sec","cold":${jmap(_._2)}}""")
+    println(s"""{"metric":"noise_detail","unit":"sec","cores":$cpus,"warm_min":${jmap(_._4)},"ecores_median_rep":${jmap(_._5)}}""")
+    println(s"""{"metric":"total_warm_median","value":$totalWarm,"unit":"sec","reps":$reps,"errors":$errs,"queries":$qs,"build_sec":${r3(buildSec)},"sf":"$sfDir","total_cold":$totalCold,"total_warm_min":$totalMin,"total_warm_median":$totalWarm}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
