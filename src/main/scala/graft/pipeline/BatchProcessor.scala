@@ -13,6 +13,7 @@ final case class LakeLayout(root: String) {
   val processedDir = s"$root/raw-processed"
   val curatedDir = s"$root/curated"
   val dlqDir = s"$root/dlq"
+  val dedupDlqDir = s"$root/dedup-dlq"
   val ledgerDir = s"$root/ledger"
 }
 
@@ -45,6 +46,12 @@ final case class LakeLayout(root: String) {
   *
   * T1/T2: [[runUntilDrained]] is the scheduler loop — re-run until the
   * ledger has no selectable work, then exit gracefully.
+  *
+  * Optional [[DedupStage]]: near-dup rows (vs the lake's MinHash
+  * signature index) divert to `dedup-dlq/` instead of the curated lake,
+  * the file's ledger row carries a suppression note, and survivors'
+  * signatures are appended to the index after the publish commit point
+  * — the q83 append-on-commit lifecycle running inside the tick.
   */
 final class BatchProcessor(
     spark: SparkSession,
@@ -52,7 +59,8 @@ final class BatchProcessor(
     contract: StructType,
     batchSize: Int = 10000,
     maxRetries: Int = 3,
-    ledgerFactory: (SparkSession, String, Int) => Ledger = Ledger(_, _, _)) {
+    ledgerFactory: (SparkSession, String, Int) => Ledger = Ledger(_, _, _),
+    dedup: Option[DedupStage] = None) {
 
   val ledger: Ledger = ledgerFactory(spark, layout.ledgerDir, maxRetries)
   private var runCounter = 0
@@ -134,7 +142,42 @@ final class BatchProcessor(
             .join(broadcast(curateEnc.toSeq.toDF(SourceCol)), Seq(SourceCol), "left_semi")
           Some(Transformer.curate(good).withColumnRenamed(SourceCol, "source_file"))
         }
-      stagePublish(curated, toCurate, runId)
+
+      // Optional near-dup gate (X2 as an ingest stage): probe the batch
+      // against the lake's MinHash signature index, divert flagged rows
+      // to the dedup DLQ (with the matched doc + Jaccard), note the
+      // suppression on the file's ledger row, and publish survivors
+      // only. The survivors frame is persisted because it feeds two
+      // sinks: the staged publish and the post-commit index append.
+      val (published, dedupNotes) = (curated, dedup) match {
+        case (Some(df), Some(cfg)) =>
+          cfg.partition(spark, df) match {
+            case (survivors, Some(flagged0)) =>
+              val flagged = flagged0.persist()
+              val notes =
+                if (flagged.isEmpty) Map.empty[String, String]
+                else {
+                  DlqWriter.write(flagged, layout.dedupDlqDir, runId)
+                  flagged.groupBy("source_file").count().collect()
+                    .map(r => PathNorm.fromString(r.getString(0)) ->
+                      s"near-dup: ${r.getLong(1)} row(s) suppressed").toMap
+                }
+              flagged.unpersist()
+              (Some(survivors.persist()), notes)
+            case (survivors, None) => // first tick: no index to probe yet
+              (Some(survivors.persist()), Map.empty[String, String])
+          }
+        case _ => (curated, Map.empty[String, String])
+      }
+      stagePublish(published, toCurate, runId)
+      // Append-on-commit, strictly AFTER the publish commit point: a
+      // crash between publish and append under-indexes (safe direction —
+      // see DedupStage scaladoc) and can never double-append, because a
+      // replayed file is marker-excluded from curation.
+      if (dedup.isDefined) {
+        for (cfg <- dedup; df <- published) cfg.appendSurvivors(spark, df)
+        published.foreach(_.unpersist())
+      }
 
       // Archive clean files (S8); a failed move downgrades that file only.
       val (archived, moveFailed) =
@@ -143,7 +186,8 @@ final class BatchProcessor(
         archived.map(_ -> Ledger.Succeeded).toMap ++
         quarFiles.map(_ -> Ledger.Quarantined).toMap ++
         moveFailed.map { case (f, _) => f -> Ledger.Failed }.toMap
-      val errors =
+      // dedup notes first so a real failure message wins on collision
+      val errors = dedupNotes ++
         quarFiles.map(f => f -> s"${disp(f)} corrupt/unpartitionable record(s)").toMap ++
         moveFailed.map { case (f, m) => f -> s"archive failed: $m" }.toMap
       ledger.markOutcome(outcomes, runId, errors)

@@ -1,0 +1,74 @@
+package graft.pipeline
+
+import java.io.File
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.MinHashIndex
+
+/** Optional near-dup gate for the ingest pipeline (SURVEY.md §2.10 X2
+  * as an INGEST STAGE, not a standalone query): after segregation and
+  * curation, the batch's rows are probed against the lake's durable
+  * MinHash signature index ([[graft.queries.MinHashIndex]]); rows that
+  * near-duplicate an already-ingested doc are diverted to a dedup DLQ
+  * (with the matched doc and exact Jaccard) instead of the curated
+  * lake, and the SURVIVORS' signatures are appended to the index after
+  * the publish commit point — so the next tick probes an index that
+  * already contains this tick (the q83 lifecycle, running inside
+  * [[BatchProcessor]]).
+  *
+  * Semantics and scale:
+  *  - the probe is batch↔index only; duplicates WITHIN one batch are
+  *    not paired here (that is the q32 self-join's job upstream, or
+  *    simply the next tick's probe once the first copy is indexed);
+  *  - per-tick cost is O(batch signatures + touched buckets),
+  *    independent of index size — the batch side broadcasts, the index
+  *    side never shuffles ([[MinHashIndex.probeShingled]]);
+  *  - `id`/`text` are caller-chosen columns over the CURATED frame;
+  *    ids are keyed through xxhash64 so any id type joins the index's
+  *    long doc_id space; docs under 3 tokens are never flagged and
+  *    never indexed (no shingles);
+  *  - index append is AFTER publish: a crash between them under-indexes
+  *    (a future dup of this batch could slip through) but can never
+  *    double-publish or double-append — replayed files are
+  *    marker-excluded from curation, so their rows are not re-appended.
+  *    Appends inherit the single-writer discipline of the ticks that
+  *    issue them.
+  */
+final case class DedupStage(
+    indexRoot: String,
+    id: Column,
+    text: Column,
+    minJaccard: Double = 0.8) {
+
+  private def keyed(curated: DataFrame): DataFrame =
+    curated.withColumn("_dedup_id", xxhash64(id))
+
+  /** Split the curated batch into (survivors, flagged near-dups). The
+    * flagged frame carries the curated columns plus `dup_of` (the
+    * matched index doc_id, best match by Jaccard) and `jac_e6`; None
+    * when the index does not exist yet (first tick — nothing to probe
+    * against). Both returned frames are lazy; the caller materializes. */
+  def partition(s: SparkSession, curated: DataFrame): (DataFrame, Option[DataFrame]) = {
+    if (!new File(indexRoot, "bands").exists()) return (curated, None)
+    val k = keyed(curated)
+    val sh = MinHashIndex.shingle(
+      k.select(col("_dedup_id").as("doc_id"), text.as("text")))
+    // best match per batch row: one (dup_of, jac) pair, max by Jaccard
+    val dups = MinHashIndex.probeShingled(s, indexRoot, sh, minJaccard)
+      .groupBy("new_id")
+      .agg(max(struct(col("jac_e6"), col("old_id"))).as("m"))
+      .select(col("new_id"), col("m.old_id").as("dup_of"), col("m.jac_e6").as("jac_e6"))
+    val flagged = k.join(broadcast(dups), k("_dedup_id") === dups("new_id"))
+      .drop("new_id", "_dedup_id")
+    val survivors = k
+      .join(broadcast(dups.select("new_id")), k("_dedup_id") === col("new_id"), "left_anti")
+      .drop("_dedup_id")
+    (survivors, Some(flagged))
+  }
+
+  /** Append-on-commit: index the published survivors so the NEXT tick
+    * probes against them. Call strictly after the publish commit point. */
+  def appendSurvivors(s: SparkSession, survivors: DataFrame): Unit =
+    MinHashIndex.append(s, new File(indexRoot),
+      survivors.select(xxhash64(id).as("doc_id"), text.as("text")))
+}

@@ -61,7 +61,7 @@ object DedupOps {
   /** Exact Jaccard between two distinct-shingle arrays, as (inter, uni).
     * The arrays are already distinct, so |A∪B| = |A|+|B|−|A∩B| — one
     * hash-set intersection per pair instead of intersect + union. */
-  private def interUni(a: Column, b: Column): (Column, Column) = {
+  private[queries] def interUni(a: Column, b: Column): (Column, Column) = {
     val inter = size(array_intersect(a, b)).cast("long")
     (inter, size(a).cast("long") + size(b).cast("long") - inter)
   }
@@ -451,24 +451,9 @@ object DedupOps {
     * gap between the two IS the measured value of owning the index. */
   private def indexedProbe(s: SparkSession, d: String, idxRoot: String,
                            lo: Int, hi: Int): DataFrame = {
-    val bands = s.read.parquet(s"$idxRoot/bands")
-    val oldSh = s.read.parquet(s"$idxRoot/shingles")
     val neu = QueryCaches.track(shingled(
       docs(s, d).filter(col("doc_id") >= lo && col("doc_id") < hi)))
-    val cands = broadcast(bandRows(s, neu)
-      .select(col("doc_id").as("new_id"), col("band"), col("bh")))
-      .join(bands.select(col("doc_id").as("old_id"), col("band"), col("bh")),
-        Seq("band", "bh"))
-      .select("new_id", "old_id").distinct()
-    val withSh = cands
-      .join(broadcast(neu.select(col("doc_id").as("new_id"), col("sh").as("sha"))),
-        Seq("new_id"))
-      .join(oldSh.select(col("doc_id").as("old_id"), col("sh").as("shb")), Seq("old_id"))
-    val (inter, uni) = interUni(col("sha"), col("shb"))
-    withSh.withColumn("inter", inter).withColumn("uni", uni)
-      .filter(col("inter") * lit(1.0) / col("uni") >= 0.8)
-      .select(col("new_id"), col("old_id"),
-        round(col("inter") * lit(1000000.0) / col("uni")).cast("long").as("jac_e6"))
+    MinHashIndex.probeShingled(s, idxRoot, neu, minJ = 0.8)
       .orderBy("new_id", "old_id")
   }
 

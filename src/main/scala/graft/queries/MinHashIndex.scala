@@ -71,6 +71,41 @@ object MinHashIndex {
   def build(s: SparkSession, root: File, docsDf: DataFrame): Unit =
     write(s, root, docsDf, "overwrite")
 
+  /** (doc_id, sh) for an arbitrary `(doc_id, text)` frame — the dedup
+    * kernels' shingling (codegen token 3-grams, distinct; <3-token docs
+    * drop out), public so index writers/probers outside this package
+    * (the ingest [[graft.pipeline.DedupStage]]) share the exact
+    * definition the index content was built with. */
+  def shingle(docs: DataFrame): DataFrame = DedupOps.shingled(docs)
+
+  /** Probe an already-[[shingle]]d batch against the index at `root`:
+    * one row `(new_id, old_id, jac_e6)` per batch↔index pair with exact
+    * Jaccard >= `minJ`. The batch side (tiny — one ingest tick)
+    * broadcasts into the band join and the shingle verify, so the index
+    * side is scanned in place and never shuffles; only (new, old)
+    * band-bucket collisions are exact-verified, BY ID, against the
+    * shingle store. Per-batch cost is O(batch signatures + touched
+    * buckets) — independent of corpus pair mass at any index size. */
+  def probeShingled(s: SparkSession, root: String, sh: DataFrame,
+                    minJ: Double): DataFrame = {
+    val bands = s.read.parquet(s"$root/bands")
+    val oldSh = s.read.parquet(s"$root/shingles")
+    val cands = broadcast(DedupOps.bandRows(s, sh)
+      .select(col("doc_id").as("new_id"), col("band"), col("bh")))
+      .join(bands.select(col("doc_id").as("old_id"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .select("new_id", "old_id").distinct()
+    val withSh = cands
+      .join(broadcast(sh.select(col("doc_id").as("new_id"), col("sh").as("sha"))),
+        Seq("new_id"))
+      .join(oldSh.select(col("doc_id").as("old_id"), col("sh").as("shb")), Seq("old_id"))
+    val (inter, uni) = DedupOps.interUni(col("sha"), col("shb"))
+    withSh.withColumn("inter", inter).withColumn("uni", uni)
+      .filter(col("inter") * lit(1.0) / col("uni") >= minJ)
+      .select(col("new_id"), col("old_id"),
+        round(col("inter") * lit(1000000.0) / col("uni")).cast("long").as("jac_e6"))
+  }
+
   /** Append-on-commit: add a committed batch's docs to the index at
     * `root`. Append-only — new parquet files land next to the existing
     * ones; nothing is rewritten, so concurrent probes stay snapshot-safe

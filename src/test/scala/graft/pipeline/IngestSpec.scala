@@ -52,6 +52,57 @@ class IngestSpec extends AnyFunSuite {
     lay
   }
 
+  test("dedup stage: a tick-2 near-dup of a tick-1 doc is flagged, diverted, and ledger-noted") {
+    val lay = freshLake()
+    def drec(id: String, text: String): String =
+      s"""{"id":"$id","event_timestamp":"2024-03-07 11:22:33.000000","MODE":"training",""" +
+        s""""metadata":{"app_version":"2.4.1","user_agent":"svc/1.0","user_id":7},""" +
+        s""""payload":{"transaction_id":"t-$id","value":9.5,"props":"$text"}}"""
+    val t1 = (0 until 50).map(i => s"tok$i").mkString(" ")
+    val t1near = ((0 until 49).map(i => s"tok$i") :+ "changed").mkString(" ")
+    val t2uniq = (0 until 50).map(i => s"qq$i").mkString(" ")
+    val t2near = ((0 until 49).map(i => s"qq$i") :+ "flipped").mkString(" ")
+    val stage = DedupStage(s"${lay.root}/dedup-index",
+      id = col("record_id"), text = col("payload.props"))
+    val bp = new BatchProcessor(spark, lay, Contracts.events, dedup = Some(stage))
+
+    // tick 1: first batch — index doesn't exist yet, everything publishes
+    writeLines(s"${lay.rawDir}/t1.jsonl", Seq(
+      drec("a-1", t1), drec("a-2", (0 until 50).map(i => s"zz$i").mkString(" "))))
+    assert(bp.runUntilDrained() == 1)
+    // tick 2: b-1 near-dups a-1 (one of 50 tokens changed) — must divert
+    writeLines(s"${lay.rawDir}/t2.jsonl", Seq(drec("b-1", t1near), drec("b-2", t2uniq)))
+    assert(bp.runUntilDrained() == 1)
+    // tick 3: c-1 near-dups b-2, a TICK-2 SURVIVOR — proves tick 2's
+    // survivors were appended on commit, not just the initial build
+    writeLines(s"${lay.rawDir}/t3.jsonl", Seq(drec("c-1", t2near)))
+    assert(bp.runUntilDrained() == 1)
+
+    val curatedIds = CuratedWriter.read(spark, lay.curatedDir)
+      .select("record_id").collect().map(_.getString(0)).sorted.toSeq
+    assert(curatedIds == Seq("a-1", "a-2", "b-2"), s"curated: $curatedIds")
+    val dd = DlqWriter.read(spark, lay.dedupDlqDir)
+    val flaggedRows = dd.select("record_id", "dup_of", "jac_e6").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val hash = (id: String) => {
+      import spark.implicits._
+      Seq(id).toDF("i").select(xxhash64(col("i"))).collect()(0).getLong(0)
+    }
+    assert(flaggedRows.map(_._1) == Seq("b-1", "c-1"))
+    assert(flaggedRows(0)._2 == hash("a-1") && flaggedRows(1)._2 == hash("b-2"),
+      s"dup_of mismatch: $flaggedRows")
+    assert(flaggedRows.forall(_._3 >= 800000L), s"sub-threshold jac: $flaggedRows")
+    // ledger audit: the files SUCCEEDED and carry the suppression note
+    val led = Ledger(spark, lay.ledgerDir).snapshot()
+      .filter(col("error_message").contains("near-dup"))
+      .select("s3_key", "processing_status", "error_message").collect()
+    assert(led.length == 2, s"expected 2 noted files: ${led.toSeq}")
+    assert(led.forall(_.getString(1) == Ledger.Succeeded))
+    assert(led.map(r => new File(r.getString(0)).getName).sorted.toSeq ==
+      Seq("t2.jsonl", "t3.jsonl"))
+    assert(led.forall(_.getString(2) == "near-dup: 1 row(s) suppressed"))
+  }
+
   test("manifest-driven discovery: listing comes from the manifest, and the drain works off it") {
     import graft.ledger.Discovery
     val lay = freshLake()
