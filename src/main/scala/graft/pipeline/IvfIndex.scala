@@ -43,47 +43,80 @@ object IvfIndex {
     transform(slice(best, 1, n), x => x.getField("c"))
   }
 
+  private def centFile(root: File) = new File(root, "centroids.txt")
+
+  /** Trained centroids stored beside the cells (float → exact decimal
+    * string round-trips bit-for-bit, so reloaded centroids are
+    * identical to the trained ones). */
+  def loadCentroids(root: File): Seq[Array[Float]] =
+    new String(java.nio.file.Files.readAllBytes(centFile(root).toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").toSeq.map(_.split(",").map(_.toFloat))
+
+  /** Train the coarse quantizer on `e` (vec_id, embedding) and write the
+    * index at `root`: cell-partitioned corpus under `cells/`, centroids
+    * beside it. Returns the trained centroids. */
+  def build(spark: SparkSession, root: File, e: DataFrame): Seq[Array[Float]] = {
+    graft.functions.VectorExpressions.register(spark) // cellsOf needs vec_dot
+    val dir = new File(root, "cells").getPath
+    var cents: Seq[Array[Float]] = e.filter(col("vec_id") < K)
+      .orderBy("vec_id").collect()
+      .map(_.getAs[Seq[Float]]("embedding").toArray)
+    for (_ <- 1 to Iterations) {
+      cents = e.withColumn("cell", element_at(cellsOf(cents, 1), 1))
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg(col("x").cast("double")).as("m"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell"), expr("transform(pm, p -> cast(p.m as float))").as("c"))
+        .orderBy("cell").collect()
+        .map(_.getAs[Seq[Float]]("c").toArray)
+    }
+    e.withColumn("cell", element_at(cellsOf(cents, 1), 1))
+      .select(col("vec_id").as("b_id"), col("cell"), col("embedding").as("eb"))
+      .write.mode("overwrite").partitionBy("cell").parquet(dir)
+    java.nio.file.Files.write(centFile(root).toPath,
+      cents.map(_.mkString(",")).mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    cents
+  }
+
+  /** Insert new vectors into an EXISTING index at `root`: assign each to
+    * its nearest TRAINED cell and append to that cell's partition — no
+    * re-train, the centroids are immutable after [[build]]. This is the
+    * production insert path every IVF deployment runs between periodic
+    * re-trains: because probes rank the SAME frozen centroids that
+    * route storage, an inserted vector is always found through the cell
+    * it was filed under — recall degrades only as far as the data
+    * DISTRIBUTION drifts from the trained quantizer (VectorSpec pins
+    * recall ≥ 0.9 after a 10% append). Cell partitions only gain files
+    * (append-only, like the MinHash index), so concurrent probes are
+    * snapshot-safe; appends are single-writer by the same Ledger
+    * discipline. */
+  def append(spark: SparkSession, root: File, vecs: DataFrame): Unit = {
+    graft.functions.VectorExpressions.register(spark) // cellsOf needs vec_dot
+    val cents = loadCentroids(root)
+    vecs.withColumn("cell", element_at(cellsOf(cents, 1), 1))
+      .select(col("vec_id").as("b_id"), col("cell"), col("embedding").as("eb"))
+      .write.mode("append").partitionBy("cell")
+      .parquet(new File(root, "cells").getPath)
+  }
+
   /** Build (or return) the index for this corpus: (centroids,
     * cell-partitioned corpus path). The index is durable across JVMs
     * ([[DemoCache]]): the cell-partitioned corpus stays where it was
     * written and the trained centroids are stored beside it, so a warm
     * `var/demo/` dir skips the k-means passes entirely — the
-    * build-once/query-many lifecycle a production IVF index has. */
+    * build-once/query-many lifecycle a production IVF index has (plus
+    * the [[append]] insert path between re-trains). */
   def ensure(spark: SparkSession, sfDir: String): (Seq[Array[Float]], String) =
     synchronized {
       built.getOrElseUpdate(sfDir, {
         val root = DemoCache.root(s"ivf/${new File(sfDir).getName}")
-        val dir = new File(root, "cells").getPath
-        val centFile = new File(root, "centroids.txt")
         DemoCache.cached(root, sfDir) {
-          val e = Tables.load(spark, sfDir, "embeddings")
-          var cents: Seq[Array[Float]] = e.filter(col("vec_id") < K)
-            .orderBy("vec_id").collect()
-            .map(_.getAs[Seq[Float]]("embedding").toArray)
-          for (_ <- 1 to Iterations) {
-            cents = e.withColumn("cell", element_at(cellsOf(cents, 1), 1))
-              .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
-              .groupBy("cell", "pos").agg(avg(col("x").cast("double")).as("m"))
-              .groupBy("cell")
-              .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-              .select(col("cell"), expr("transform(pm, p -> cast(p.m as float))").as("c"))
-              .orderBy("cell").collect()
-              .map(_.getAs[Seq[Float]]("c").toArray)
-          }
-          e.withColumn("cell", element_at(cellsOf(cents, 1), 1))
-            .select(col("vec_id").as("b_id"), col("cell"), col("embedding").as("eb"))
-            .write.mode("overwrite").partitionBy("cell").parquet(dir)
-          // float → exact decimal string round-trips bit-for-bit, so the
-          // reloaded centroids are identical to the trained ones
-          java.nio.file.Files.write(centFile.toPath,
-            cents.map(_.mkString(",")).mkString("\n")
-              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          build(spark, root, Tables.load(spark, sfDir, "embeddings")): Unit
         }
-        val cents: Seq[Array[Float]] =
-          new String(java.nio.file.Files.readAllBytes(centFile.toPath),
-            java.nio.charset.StandardCharsets.UTF_8)
-            .split("\n").toSeq.map(_.split(",").map(_.toFloat))
-        (cents, dir)
+        (loadCentroids(root), new File(root, "cells").getPath)
       })
     }
 }

@@ -189,9 +189,18 @@ object VectorOps {
 
   /** Raw IVF ANN top-k picks (the pre-round-7 q51 frame). */
   def ivfPicks(s: SparkSession, d: String): DataFrame = {
-    graft.functions.VectorExpressions.register(s)
-    val nprobe = 4
     val (cents, corpusDir) = graft.pipeline.IvfIndex.ensure(s, d)
+    ivfPicksAt(s, d, cents, corpusDir)
+  }
+
+  /** [[ivfPicks]] against an explicit index (centroids + cell dir) —
+    * lets VectorSpec probe a freshly built-then-appended index instead
+    * of the durable demo artifact. `nprobe` is the scan-fraction/recall
+    * dial: 4 of 16 cells is the q51 operating point; deployments probe
+    * one more cell between re-trains to offset quantizer staleness. */
+  def ivfPicksAt(s: SparkSession, d: String, cents: Seq[Array[Float]],
+                 corpusDir: String, nprobe: Int = 4): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
     val corpus = s.read.parquet(corpusDir)
     val probes = embs(s, d).filter(col("vec_id") < NumProbes)
       .withColumn("cell", explode(graft.pipeline.IvfIndex.cellsOf(cents, nprobe)))
