@@ -80,7 +80,8 @@ object Bench {
         step("mhindex")(queries.MinHashIndex.ensure(spark, sfDir))
         step("mhappend")(queries.MinHashIndex.ensureAppended(spark, sfDir))
       },
-      Future(step("langmodel")(queries.LangModelStore.ensure(spark, sfDir))))
+      Future(step("langmodel")(queries.LangModelStore.ensure(spark, sfDir))),
+      Future(step("qualmodel")(queries.QualityModelStore.ensure(spark, sfDir))))
     chains.foreach(Await.result(_, Duration.Inf))
     val buildSec = (System.nanoTime() - b0) / 1e9
     // dev loop: measure/pre-warm the artifact build without the 72-query sweep

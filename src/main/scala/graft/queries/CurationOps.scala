@@ -258,6 +258,39 @@ object CurationOps {
         .orderBy("doc_id")
     }),
 
+    // TRAINED quality scorer (the q31 LangModel lifecycle applied to
+    // q77): logistic weights learned by [[QualityModelStore]] from weak
+    // labels the fixed-weight gate supplies, scored as pure column
+    // algebra over the codegen feature struct. The trained score is a
+    // float ranking, not cross-engine-exact, so the driver row is the
+    // q34/q44 self-check shape: the in-query evaluation computes the
+    // rank-sum (Mann-Whitney) AUC of the trained score against the weak
+    // labels on a BOUNDED deterministic eval sample and pins `auc_ok`
+    // at 1 (trained AUC >= 0.95 — the learned ranking must reproduce
+    // the heuristic gate's separation); n_scored and n_eval are exact
+    // and recomputed by the DuckDB oracle (the md5-nibble sample is
+    // engine-portable). CurationSpec does the planted-garbage
+    // evaluation where ground truth is independent of the weak labels.
+    "q84_trained_quality" -> ((s, d) => {
+      val m = QualityModelStore.ensure(s, d)
+      val scored = withQualityScore(docs(s, d))
+        .withColumn("t_score", m.scoreCol)
+        .withColumn("label",
+          when(col("quality_score_e6") >= QualityMinE6, 1).otherwise(0))
+      // bounded eval sample: first hex nibble of md5(doc_id) < '4' —
+      // a deterministic ~25% subsample, so the global rank window below
+      // is over a capped frame, never the corpus
+      val eval = scored
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 1) < "4")
+      val auc = aucOf(eval, col("t_score"), col("label"))
+      scored.agg(count(lit(1)).as("n_scored"))
+        .crossJoin(eval.agg(count(lit(1)).as("n_eval")))
+        .crossJoin(auc.select(
+          when(col("auc") >= 0.95 || col("degenerate") === 1, 1).otherwise(0)
+            .cast("int").as("auc_ok")))
+        .select(col("n_scored"), col("n_eval"), col("auc_ok"))
+    }),
+
     // End-to-end curation: quality gate (bounds + the q77 scorer) →
     // exact dedup → hash split → per-(split, source) accounting.
     "q70_curation_pipeline" -> ((s, d) => {
@@ -379,7 +412,38 @@ object CurationOps {
             WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'val'
             ELSE 'test' END"""
 
+  /** Rank-sum (Mann-Whitney U) AUC of `score` ranking binary `label`,
+    * tie-corrected via average ranks — one row (auc, degenerate). The
+    * rank is ONE GLOBAL WINDOW over `df`: callers pass a bounded eval
+    * frame (a hash subsample, a fixture), never the corpus. `degenerate`
+    * = 1 when either class is empty (AUC undefined; reported as 1.0 so
+    * self-check flags stay pinned on tiny fixtures). */
+  private[queries] def aucOf(df: DataFrame, score: Column, label: Column): DataFrame = {
+    val ranked = df.select(score.as("s"), label.as("y"))
+      .withColumn("r", row_number().over(Window.orderBy(col("s"))))
+    val avgR = ranked.groupBy("s").agg(avg(col("r")).as("ar"))
+    ranked.join(avgR, "s")
+      .agg(sum(col("y")).as("np"),
+        sum(lit(1) - col("y")).as("nn"),
+        sum(when(col("y") === 1, col("ar"))).as("sr"))
+      .select(
+        when(col("np") * col("nn") === 0, 1).otherwise(0)
+          .cast("int").as("degenerate"),
+        when(col("np") * col("nn") === 0, lit(1.0)).otherwise(
+          (col("sr") - col("np") * (col("np") + lit(1)) / lit(2.0)) /
+            (col("np") * col("nn"))).as("auc"))
+  }
+
   val oracles: Map[String, String] = Map(
+    // q84: the exact columns (doc counts; the md5-nibble eval sample is
+    // engine-portable) plus the pinned self-check flag — the float AUC
+    // itself is in-query only (q34/q44 pattern).
+    "q84_trained_quality" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_scored,
+                CAST(SUM(CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_eval,
+                CAST(1 AS INT) AS auc_ok
+         FROM documents""",
     "q66_split_assign" ->
       s"""SELECT $SplitSql AS split, COUNT(*) AS n_docs,
           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,

@@ -230,6 +230,39 @@ class CurationSpec extends AnyFunSuite {
       s"scorer gate must drop the degenerate doc: ${out.mkString(", ")}")
   }
 
+  test("q84 trained scorer: deterministic retrain, AUC >= the fixed gate on planted garbage") {
+    import spark.implicits._
+    // ground truth INDEPENDENT of the weak labels: 60 natural-language
+    // docs (stopword-bearing, varied vocabulary) vs 20 planted-garbage
+    // docs (repetition-heavy, stopword-free, degenerate token lengths)
+    val clean = (0 until 60).map { i =>
+      val words = (0 until 40).map(j => s"word${(i * 7 + j * 3) % 97}")
+      (i.toLong, s"the quick item ${words.take(20).mkString(" ")} and a " +
+        s"detail of ${words.drop(20).mkString(" ")} in the set", 0)
+    }
+    val garbage =
+      (60 until 70).map(i => (i.toLong, Seq.fill(30)(s"blob$i blob$i").mkString(" "), 1)) ++
+      (70 until 80).map(i => (i.toLong, Seq.fill(40)(s"zqxj${i}wvkpt${i}mmmm").mkString(" "), 1))
+    val fixture = (clean ++ garbage).toDF("doc_id", "text", "is_garbage")
+
+    // weak labels come from the fixed-weight heuristic, truth does not
+    val m1 = QualityModelStore.trainOn(fixture.select("doc_id", "text"))
+    val m2 = QualityModelStore.trainOn(fixture.select("doc_id", "text"))
+    assert(m1.w.toSeq == m2.w.toSeq && m1.b == m2.b,
+      "retrain must be bit-identical")
+
+    val scored = CurationOps.withQualityScore(fixture)
+      .withColumn("t_score", m1.scoreCol)
+      .withColumn("truth", lit(1) - col("is_garbage")) // 1 = keep-worthy
+    def auc(score: org.apache.spark.sql.Column): Double =
+      CurationOps.aucOf(scored, score, col("truth")).first().getDouble(1)
+    val aucTrained = auc(col("t_score"))
+    val aucFixed = auc(col("quality_score_e6"))
+    assert(aucTrained >= aucFixed,
+      s"trained AUC $aucTrained below fixed-weight AUC $aucFixed")
+    assert(aucTrained >= 0.95, s"trained AUC $aucTrained")
+  }
+
   test("q78 train order: deterministic, dense ranks, order decorrelated from doc_id") {
     val a = CurationOps.defs("q78_train_order")(spark, sf).collect()
     val b = CurationOps.defs("q78_train_order")(spark, sf).collect()
