@@ -89,7 +89,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         arity("span_hashes", exprs, 1, 2)
         graft.functions.SpanHashes(exprs.head,
-          if (exprs.lengthCompare(1) > 0) intLiteralOf("span_hashes", exprs(1)) else 20)
+          if (exprs.lengthCompare(1) > 0) intLiteralOf("span_hashes", exprs(1))
+          else graft.functions.SpanHashes.DefaultWindow)
       }))
     ext.injectFunction((
       FunctionIdentifier("vec_quantize"),

@@ -59,8 +59,21 @@ case class SpanHashes(child: Expression, windowTokens: Int)
 }
 
 object SpanHashes {
+  /** Default sliding-window width in tokens — THE span-dedup window:
+    * DedupOps.SpanWindow (the q76/q81 operators and their oracles) and
+    * the GraftExtensions SQL default both alias this constant, so the
+    * SQL surface can never silently diverge from the operator. */
+  val DefaultWindow = 20
+
   private val Seed = 4242L
   private val Empty = new GenericArrayData(new Array[Long](0))
+
+  /** Width each session's `span_hashes` was registered with — lets
+    * [[register]] detect (and overwrite on) a width change instead of
+    * silently keeping the first registration. */
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, Integer]())
 
   /** One byte walk: token boundaries → one in-place xxh64 per window. */
   def compute(text: UTF8String, w: Int): GenericArrayData = {
@@ -89,15 +102,22 @@ object SpanHashes {
     new GenericArrayData(out)
   }
 
-  /** Idempotently register `span_hashes` (fixed window) in the session. */
+  /** Idempotently register `span_hashes` (fixed window) in the session.
+    * Re-registers (overwrites) when the session's known width differs or
+    * when the function came from elsewhere (the GraftExtensions
+    * injection) — never silently keeps a registration whose width this
+    * caller didn't pick. */
   def register(spark: SparkSession, windowTokens: Int): Unit = {
     val ident = FunctionIdentifier("span_hashes")
     val registry = spark.sessionState.functionRegistry
-    if (!registry.functionExists(ident)) {
+    val known = registered.get(spark)
+    if (known == null || known.intValue() != windowTokens ||
+        !registry.functionExists(ident)) {
       registry.registerFunction(
         ident,
         new ExpressionInfo(classOf[SpanHashes].getName, "span_hashes"),
         (exprs: Seq[Expression]) => SpanHashes(exprs.head, windowTokens))
+      registered.put(spark, Integer.valueOf(windowTokens)): Unit
     }
   }
 }

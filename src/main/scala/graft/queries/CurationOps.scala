@@ -299,9 +299,12 @@ object CurationOps {
         .withColumn("n_tok", col("q_n"))
         .filter(col("n_tok").between(20, 200) && col("n_chars") >= 100 &&
           col("quality_score_e6") >= QualityMinE6)
-        // prune BEFORE the dedup window: without this the q_toks token
-        // array and the other scorer helper columns ride through the
-        // md5-partition shuffle (measured 0.27 s → 2.5 s warm at sf0.1)
+        // prune BEFORE the dedup window: without this the q_f feature
+        // struct and the derived q_* helper columns ride through the
+        // md5-partition shuffle (the 0.27 s → 2.5 s warm regression at
+        // sf0.1 was measured on the abandoned portable-HOF scorer,
+        // whose q_toks array was the worst offender; the pruning
+        // matters for the codegen form too)
         .select(col("doc_id"), col("source"), col("text"), col("n_tok"))
         .withColumn("rn", row_number().over(rw))
         .filter(col("rn") === 1)

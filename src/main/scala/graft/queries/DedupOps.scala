@@ -34,8 +34,10 @@ object DedupOps {
   /** q76 sliding-window width in tokens. Lee et al. use 50 BPE tokens;
     * the synthetic corpus averages ~55 whitespace tokens per doc
     * (TESTDATA.md), so 20 keeps the operator exercised on real shared
-    * spans at every SF while preserving the construction exactly. */
-  private[queries] val SpanWindow = 20
+    * spans at every SF while preserving the construction exactly.
+    * Aliases the [[graft.functions.SpanHashes.DefaultWindow]] constant
+    * the SQL surface defaults to, so operator and SQL cannot diverge. */
+  private[queries] val SpanWindow = graft.functions.SpanHashes.DefaultWindow
 
   /** Max verified near-dup edges collected for driver-side union-find in
     * q65. Edges are packed `(a<<32)|b` into ONE long column and collected

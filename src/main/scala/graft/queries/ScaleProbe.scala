@@ -127,7 +127,11 @@ object ScaleProbe {
     Stat("span_dedup", tier, nIn, nc, nOut, secs)
   }
 
-  /** Incremental dedup (the q79 kernel): a FIXED 100-doc batch
+  /** Incremental dedup (the q79 kernel SHAPE, not its exact split: q79
+    * and its oracle cap the corpus at doc_id < 400, while this harness
+    * deliberately probes the batch against the ENTIRE rest of the
+    * corpus — the growth claim needs the corpus side to scale with the
+    * tier, and a <400 cap would freeze it): a FIXED 100-doc batch
     * (doc_id 400-499) probed against everything else. nCandidates =
     * (new, old) band collisions — the number that must stay ~CONSTANT
     * as the corpus grows (the batch touches its own buckets, not the
