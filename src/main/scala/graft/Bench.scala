@@ -27,6 +27,14 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // Optional subset run (the x100 corpus-bench row): comma-separated
+    // query-name prefixes, e.g. SPARK_GRAFT_BENCH_ONLY=q26,q32,q49.
+    // Unset = the full contract sweep. Artifact pre-builds below are
+    // skipped when no selected query needs them.
+    val only: Option[Seq[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    def selected(name: String): Boolean = only.forall(_.exists(name.startsWith))
     val spark = SparkSession.builder()
       // the library's SQL surface, via the real static-conf path
       .config("spark.sql.extensions", classOf[GraftExtensions].getName)
@@ -61,28 +69,35 @@ object Bench {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    val chains = Seq(
-      Future {
+    // Each chain is pre-built only when a selected query would otherwise
+    // pay its construction inside the timing loop (prefixes per family).
+    def need(prefixes: String*): Boolean =
+      SparkEntry.queries.keys.exists(n => selected(n) && prefixes.exists(n.startsWith))
+    val chains = Seq[(Boolean, () => Future[Any])](
+      need("q38", "q39", "q40", "q41", "q48", "q52", "q55", "q57") -> (() => Future {
         step("ingest")(pipeline.IngestDemo.ensure(spark, sfDir))
         step("daydim")(pipeline.IngestDemo.ensureDayDim(spark, sfDir))
         step("bucketed")(pipeline.IngestDemo.ensureBucketed(spark, sfDir))
         step("catalog")(pipeline.IngestDemo.ensureCatalog(spark, sfDir))
         step("evolved")(pipeline.IngestDemo.ensureEvolvedCatalog(spark, sfDir))
-      },
-      Future {
+      }),
+      need("q45", "q46", "q61", "q72") -> (() => Future {
         step("stream")(pipeline.StreamDemo.ensure(spark, sfDir))
         step("hourly")(pipeline.StreamDemo.ensureHourly(spark, sfDir).count())
         step("sjoin")(pipeline.StreamDemo.ensureStreamJoin(spark, sfDir).count())
         step("sdedup")(pipeline.StreamDemo.ensureStreamDedup(spark, sfDir).count())
-      },
-      Future(step("ivf")(pipeline.IvfIndex.ensure(spark, sfDir))),
-      Future {
+      }),
+      need("q51", "q64") ->
+        (() => Future(step("ivf")(pipeline.IvfIndex.ensure(spark, sfDir)))),
+      need("q82", "q83") -> (() => Future {
         step("mhindex")(queries.MinHashIndex.ensure(spark, sfDir))
         step("mhappend")(queries.MinHashIndex.ensureAppended(spark, sfDir))
-      },
-      Future(step("langmodel")(queries.LangModelStore.ensure(spark, sfDir))),
-      Future(step("qualmodel")(queries.QualityModelStore.ensure(spark, sfDir))))
-    chains.foreach(Await.result(_, Duration.Inf))
+      }),
+      need("q31") ->
+        (() => Future(step("langmodel")(queries.LangModelStore.ensure(spark, sfDir)))),
+      need("q84") ->
+        (() => Future(step("qualmodel")(queries.QualityModelStore.ensure(spark, sfDir)))))
+    chains.collect { case (true, f) => f() }.foreach(Await.result(_, Duration.Inf))
     val buildSec = (System.nanoTime() - b0) / 1e9
     // dev loop: measure/pre-warm the artifact build without the 72-query sweep
     if (sys.env.get("SPARK_GRAFT_BUILD_ONLY").contains("1")) {
@@ -106,7 +121,8 @@ object Bench {
     // on exactly the inflated queries. README §bench documents the read.
     val osBean = java.lang.management.ManagementFactory.getPlatformMXBean(
       classOf[com.sun.management.OperatingSystemMXBean])
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter(t => selected(t._1)).map { case (name, fn) =>
       def once(): (Double, Double) = {
         val c0 = osBean.getProcessCpuTime
         val t0 = System.nanoTime()
@@ -157,7 +173,8 @@ object Bench {
     // marks the artifact as interference-contaminated.
     println(s"""{"metric":"cold_detail","unit":"sec","cold":${jmap(_._2)}}""")
     println(s"""{"metric":"noise_detail","unit":"sec","cores":$cpus,"warm_min":${jmap(_._4)},"ecores_median_rep":${jmap(_._5)}}""")
-    println(s"""{"metric":"total_warm_median","value":$totalWarm,"unit":"sec","reps":$reps,"errors":$errs,"queries":$qs,"build_sec":${r3(buildSec)},"sf":"$sfDir","total_cold":$totalCold,"total_warm_min":$totalMin,"total_warm_median":$totalWarm}""")
+    val subset = only.map(p => s""","subset":"${p.mkString(",")}"""").getOrElse("")
+    println(s"""{"metric":"total_warm_median","value":$totalWarm,"unit":"sec","reps":$reps,"errors":$errs,"queries":$qs,"build_sec":${r3(buildSec)},"sf":"$sfDir"$subset,"total_cold":$totalCold,"total_warm_min":$totalMin,"total_warm_median":$totalWarm}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

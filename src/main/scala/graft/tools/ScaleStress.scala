@@ -119,6 +119,16 @@ object ScaleStress {
     // adaptive code width must absorb the decade: 200k vectors → 12-bit
     // codes, per-bucket occupancy held ≈constant).
     ensureBlowup(spark, sf01, x100, copies = 100, withEmbeddings = true)
+    // x100full: the whole-LAKE view at 100× corpus (sf0.1 relational
+    // tables beside the x100 documents/embeddings), so the corpus-query
+    // subset of the full bench can run one decade deeper:
+    // SPARK_GRAFT_SF_DIR=var/scale/x100full + SPARK_GRAFT_BENCH_ONLY.
+    ensureFullLake(sf01, x100, "var/scale/x100full")
+
+    // `runMain graft.tools.ScaleStress assemble` — build the blow-up
+    // lakes only (for the x10full/x100full bench rows) without the
+    // multi-tier kernel sweep + growth verdicts.
+    if (args.headOption.contains("assemble")) { spark.stop(); return }
 
     val stats =
       Seq("sf0.01" -> "/root/testdata/sf0.01", "sf0.1" -> sf01, "x10" -> x10)
