@@ -93,6 +93,8 @@ object Bench {
         step("mhindex")(queries.MinHashIndex.ensure(spark, sfDir))
         step("mhappend")(queries.MinHashIndex.ensureAppended(spark, sfDir))
       }),
+      need("q86") -> (() => Future(step("sneardup")(
+        pipeline.StreamDemo.ensureStreamNearDedup(spark, sfDir).count()))),
       need("q31") ->
         (() => Future(step("langmodel")(queries.LangModelStore.ensure(spark, sfDir)))),
       need("q84") ->

@@ -173,6 +173,54 @@ object StreamDemo {
   /** Raw landing dir built by [[ensureStreamDedup]] (call that first). */
   def streamDedupLanding(sfDir: String): String = synchronized(dedupLanding(sfDir))
 
+  /** Streaming NEAR-dup dedup (q86): the q82 batch probe as a live
+    * stream — incoming docs land as files, the stream shingles and
+    * signatures them, probes the durable [[graft.queries.MinHashIndex]]
+    * (corpus = doc_id < CorpusCap) with stream-static joins, and emits
+    * exact-verified `(new_id, old_id, jac_e6)` edges in append mode.
+    * The batch (doc_id 400-499) arrives as two deliveries so a
+    * micro-batch boundary falls inside it — edges must not depend on
+    * arrival batching (they don't: the probe is stateless per row and
+    * the pair dedup is arrival-order-independent because a pair's
+    * jac_e6 is the same whenever it fires). Must emit exactly the q79
+    * cross-set edge set — the oracle is the same SQL. */
+  def ensureStreamNearDedup(spark: SparkSession, sfDir: String): DataFrame = synchronized {
+    val tbl = nearDeduped.getOrElseUpdate(sfDir, {
+      val name = "stream_neardup_" + sfName(sfDir).replace('.', '_').replace('-', '_')
+      val root = DemoCache.root(s"stream/${sfName(sfDir)}-neardup")
+      val landing = new File(root, "landing").getPath
+      val data = new File(root, "result").getPath
+      val hit = DemoCache.cached(root, sfDir) {
+        val idx = graft.queries.MinHashIndex.ensure(spark, sfDir)
+        val batch = graft.engine.Tables.load(spark, sfDir, "documents")
+          .filter(col("doc_id") >= 400 && col("doc_id") < 500)
+          .select(col("doc_id"), col("text"))
+        batch.filter(col("doc_id") % 2 === 0).coalesce(1)
+          .write.mode("append").parquet(landing)
+        batch.filter(col("doc_id") % 2 =!= 0).coalesce(1)
+          .write.mode("append").parquet(landing)
+        val src = spark.readStream
+          .schema(StructType(Seq(
+            StructField("doc_id", LongType),
+            StructField("text", StringType))))
+          // one file per micro-batch: the two deliveries really cross a
+          // micro-batch boundary instead of collapsing into one
+          .option("maxFilesPerTrigger", "1")
+          .parquet(landing)
+        graft.queries.MinHashIndex.probeStream(spark, idx, src, minJ = 0.8)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start().awaitTermination()
+        spark.table(name).coalesce(1).write.mode("overwrite").parquet(data)
+      }
+      if (hit) spark.read.parquet(data).createOrReplaceTempView(name)
+      name
+    })
+    spark.table(tbl)
+  }
+
   private val deduped = mutable.Map.empty[String, String]
   private val dedupLanding = mutable.Map.empty[String, String]
+  private val nearDeduped = mutable.Map.empty[String, String]
 }

@@ -78,6 +78,18 @@ object CurationOps {
     * lengths), never the bulk. */
   val QualityMinE6 = 0L
 
+  /** q85 keep threshold: mean bigram probability >= 0.03 (e6). Real docs
+    * on the driver corpus score ~26k-41k under the en-slice reference
+    * model; out-of-vocabulary token soup scores ~0 (no reference hit
+    * contributes), so the gate separates gibberish from language by a
+    * wide margin (CurationSpec plants both). */
+  val FluencyMinE6 = 30000L
+
+  /** q87 per-source token budget (the selection unit recipes actually
+    * state). Sized so the driver corpus part-fills every source: the
+    * greedy fill stops mid-source, exercising the budget boundary. */
+  val TokenBudget = 1000L
+
   /** Per-doc `quality_score_e6` — the scorer hook for the curation gate
     * (q70/q74), exposed standalone as q77. A linear model over the
     * q29/q71 quality signals with fixed calibrated weights mirroring
@@ -291,6 +303,76 @@ object CurationOps {
         .select(col("n_scored"), col("n_eval"), col("auc_ok"))
     }),
 
+    // Reference-LM fluency filter (the CCNet/LLaMA shape: score every
+    // doc under a language model trained on a trusted reference slice,
+    // drop what the model finds implausible — the filter that catches
+    // gibberish and boilerplate which per-doc heuristics like q77
+    // cannot, because fluency is a property of token SEQUENCES, not
+    // counts). The model is a bigram LM over the corpus's `lang='en'`
+    // slice: p(b|a) = count(a b)/count(a ·) as exact e6 integers (the
+    // q80 idiom — bit-identical across engines, where log-prob sums
+    // would compare libm doubles). Per doc: mean bigram probability,
+    // hit count (pairs the reference has seen — OOV-heavy docs score
+    // near 0), and the keep gate at [[FluencyMinE6]].
+    //
+    // Scale shape: the reference slice is bounded by construction (a
+    // curated corpus, MB-to-GB against 100 TB), so the model BROADCASTS
+    // into the scoring join; the corpus pass is one explode + broadcast
+    // hash join + per-doc re-agg whose partial aggregation collapses
+    // each doc's pairs before the doc_id shuffle. No corpus-side wide
+    // shuffle, no all-pairs anything.
+    "q85_lm_fluency" -> ((s, d) => {
+      val pairs = docs(s, d)
+        .withColumn("t", split(col("text"), " "))
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"), col("lang"), explode(expr(
+          "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS a, t[i+1] AS b))")).as("p"))
+        .select(col("doc_id"), col("lang"), col("p.a").as("a"), col("p.b").as("b"))
+      val ref = pairs.filter(col("lang") === "en")
+      val probs = ref.groupBy("a", "b").agg(count(lit(1)).as("cb"))
+        .join(ref.groupBy("a").agg(count(lit(1)).as("ca")), Seq("a"))
+        .withColumn("p_e6",
+          round(col("cb").cast("double") * 1000000 / col("ca")).cast("long"))
+        .select("a", "b", "p_e6")
+      pairs.join(broadcast(probs), Seq("a", "b"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          count(col("p_e6")).as("n_hit"),
+          round(sum(coalesce(col("p_e6"), lit(0L))).cast("double") / count(lit(1)))
+            .cast("long").as("fluency_e6"))
+        .withColumn("keep",
+          when(col("fluency_e6") >= FluencyMinE6, 1).otherwise(0).cast("int"))
+        .orderBy("doc_id")
+    }),
+
+    // Per-source token-BUDGET selection (the mixture step stated in
+    // tokens, as training recipes state it — "N tokens from source X" —
+    // where q69 reweights by doc fraction): docs are taken in the
+    // deterministic md5 order until the source's budget is exhausted;
+    // the doc that crosses the line is included (greedy fill). Output
+    // is the per-source account plus the md5 of the selected id list,
+    // so the oracle pins the exact selection, not just its size.
+    //
+    // Scale shape: one running-sum window per source — the q67/q78
+    // discipline: a range-partitioned sort WITHIN each source
+    // partition, embarrassingly parallel across sources, one row-pass;
+    // no global window, no driver-side anything.
+    "q87_token_budget" -> ((s, d) => {
+      val w = Window.partitionBy("source").orderBy("rk", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs(s, d)
+        .select(col("doc_id"), col("source"), nTokens(col("text")).as("n_tok"),
+          md5(concat(lit("graft87:"), col("doc_id").cast("string"))).as("rk"))
+        .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        .filter(col("cum_before") < TokenBudget)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_sel"),
+          sum(col("n_tok")).as("tok_sel"),
+          md5(expr("array_join(transform(sort_array(collect_list(doc_id))," +
+            " x -> cast(x AS string)), ',')")).as("sel_md5"))
+        .orderBy("source")
+    }),
+
     // End-to-end curation: quality gate (bounds + the q77 scorer) →
     // exact dedup → hash split → per-(split, source) accounting.
     "q70_curation_pipeline" -> ((s, d) => {
@@ -447,6 +529,49 @@ object CurationOps {
                               THEN 1 ELSE 0 END) AS BIGINT) AS n_eval,
                 CAST(1 AS INT) AS auc_ok
          FROM documents""",
+    // q85: the bigram model is recomputed from the same en slice the
+    // query trains on (deterministic), so the oracle pins every doc's
+    // exact e6 fluency and the gate flag — a model/scoring drift on
+    // either side hash-mismatches.
+    "q85_lm_fluency" ->
+      s"""WITH tok AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+          pairs AS (
+            SELECT doc_id, lang, t[i] AS a, t[i+1] AS b
+            FROM tok, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+            WHERE len(t) >= 2),
+          model AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cb
+                    FROM pairs WHERE lang = 'en' GROUP BY 1, 2),
+          ctx AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS ca
+                  FROM pairs WHERE lang = 'en' GROUP BY 1),
+          probs AS (SELECT a, b,
+                      CAST(ROUND(CAST(cb AS DOUBLE) * 1000000 / ca) AS BIGINT) AS p_e6
+                    FROM model JOIN ctx USING (a)),
+          scored AS (
+            SELECT p.doc_id,
+              CAST(COUNT(*) AS BIGINT) AS n_pairs,
+              CAST(COUNT(m.p_e6) AS BIGINT) AS n_hit,
+              CAST(ROUND(CAST(SUM(COALESCE(m.p_e6, 0)) AS DOUBLE) / COUNT(*)) AS BIGINT)
+                AS fluency_e6
+            FROM pairs p LEFT JOIN probs m ON m.a = p.a AND m.b = p.b
+            GROUP BY 1)
+          SELECT doc_id, n_pairs, n_hit, fluency_e6,
+            CAST(CASE WHEN fluency_e6 >= $FluencyMinE6 THEN 1 ELSE 0 END AS INT) AS keep
+          FROM scored ORDER BY doc_id""",
+    "q87_token_budget" ->
+      s"""WITH base AS (
+            SELECT doc_id, source,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+              md5('graft87:' || CAST(doc_id AS VARCHAR)) AS rk
+            FROM documents),
+          c AS (
+            SELECT *, COALESCE(SUM(n_tok) OVER (PARTITION BY source
+                ORDER BY rk, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+            FROM base)
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sel,
+                 CAST(SUM(n_tok) AS BIGINT) AS tok_sel,
+                 md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS sel_md5
+          FROM c WHERE cum_before < $TokenBudget GROUP BY 1 ORDER BY 1""",
     "q66_split_assign" ->
       s"""SELECT $SplitSql AS split, COUNT(*) AS n_docs,
           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,

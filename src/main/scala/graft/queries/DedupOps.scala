@@ -183,15 +183,21 @@ object DedupOps {
     * the frame a production deployment PERSISTS as a bucketed table:
     * the self-join (q32) and the incremental batch probe (q79) are both
     * equi-joins against it. */
-  private[queries] def bandRows(s: SparkSession, base: DataFrame): DataFrame = {
+  /** `carry` columns ride along unchanged — the streaming probe (q86)
+    * keeps each doc's shingle array beside its band rows this way,
+    * because joining the bands back to the shingles by id would be a
+    * stream-stream self-join. */
+  private[queries] def bandRows(s: SparkSession, base: DataFrame,
+                                carry: Seq[String] = Nil): DataFrame = {
     graft.functions.MinHashSignature.register(s, NumHashes)
-    val sig = base.select(col("doc_id"), expr("minhash_sig(sh)").as("sig"))
+    val cc = carry.map(col)
+    val sig = base.select(col("doc_id") +: cc :+ expr("minhash_sig(sh)").as("sig"): _*)
     val bandCols = (0 until Bands).map { b =>
       val rows = (0 until RowsPerBand).map(r => col("sig").getItem(b * RowsPerBand + r))
       struct(lit(b).as("band"), xxhash64(lit(b) +: rows: _*).as("bh"))
     }
-    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band"), col("bk.bh"))
+    sig.select(col("doc_id") +: cc :+ explode(array(bandCols: _*)).as("bk"): _*)
+      .select(col("doc_id") +: cc :+ col("bk.band") :+ col("bk.bh"): _*)
   }
 
   private[queries] def minhashCandidates(s: SparkSession, base: DataFrame): DataFrame = {
@@ -403,6 +409,18 @@ object DedupOps {
     "q83_appended_dedup" -> ((s, d) =>
       indexedProbe(s, d, MinHashIndex.ensureAppended(s, d),
         lo = MinHashIndex.BatchSplit, hi = 500)),
+
+    // X2 incremental, STREAMING: the q82 probe as a LIVE Structured
+    // Streaming query — docs land as files, the stream signatures them
+    // and probes the durable index with stream-static joins
+    // ([[MinHashIndex.probeStream]]; harness
+    // [[graft.pipeline.StreamDemo.ensureStreamNearDedup]], two
+    // deliveries so a micro-batch boundary falls inside the batch).
+    // Same oracle as q79/q82: the streaming path must emit exactly the
+    // batch path's cross-set edge set, independent of arrival batching.
+    "q86_stream_neardup" -> ((s, d) =>
+      graft.pipeline.StreamDemo.ensureStreamNearDedup(s, d)
+        .orderBy("new_id", "old_id")),
 
     // X2: substring-level exact span dedup — the Lee et al. modality
     // ("Deduplicating Training Data Makes Language Models Better",
@@ -733,6 +751,10 @@ object DedupOps {
     // the SAME edges.
     "q79_incremental_dedup" -> CrossSetOracleSql,
     "q82_indexed_dedup" -> CrossSetOracleSql,
+    // q86: the STREAMING probe of the same index over the same batch —
+    // three paths (recompute / indexed batch / indexed stream), one
+    // truth.
+    "q86_stream_neardup" -> CrossSetOracleSql,
     // q83: same construction with the corpus extended over the appended
     // batch A — the probe runs against index(docs < 400 ∪ docs 400-449),
     // so the truth side is every cross edge from batch B (450-499) into

@@ -106,6 +106,42 @@ object MinHashIndex {
         round(col("inter") * lit(1000000.0) / col("uni")).cast("long").as("jac_e6"))
   }
 
+  /** Streaming twin of [[probeShingled]] (q86): the same band-probe +
+    * exact-verify against the index, as a plan over a STREAMING
+    * `(doc_id, text)` source. Every stage is stateless (codegen
+    * shingle/signature projections, stream-STATIC joins against the
+    * band and shingle stores — the index side is a batch scan, so no
+    * watermark is needed) except the final pair dedup, which collapses
+    * multi-band collisions of the same pair; its state is one key per
+    * emitted edge — the verified-duplicate set, orders of magnitude
+    * smaller than the stream. A deployment bounds that state with a
+    * watermark on ingest time (a pair re-colliding across micro-batches
+    * re-verifies to the same exact Jaccard, so late re-emission is
+    * idempotent for downstream suppression); the finite AvailableNow
+    * drain here doesn't need one. The doc's shingle array rides along
+    * the band rows (`carry`) because banding and verification both
+    * derive from the same stream — joining them by id would be a
+    * stream-stream join. */
+  def probeStream(s: SparkSession, root: String, docsStream: DataFrame,
+                  minJ: Double): DataFrame = {
+    val bands = s.read.parquet(s"$root/bands")
+    val oldSh = s.read.parquet(s"$root/shingles")
+    val neu = DedupOps.bandRows(s, DedupOps.shingled(docsStream), carry = Seq("sh"))
+      .select(col("doc_id").as("new_id"), col("sh").as("sha"),
+        col("band"), col("bh"))
+    val withSh = neu
+      .join(bands.select(col("doc_id").as("old_id"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .join(oldSh.select(col("doc_id").as("old_id"), col("sh").as("shb")),
+        Seq("old_id"))
+    val (inter, uni) = DedupOps.interUni(col("sha"), col("shb"))
+    withSh.withColumn("inter", inter).withColumn("uni", uni)
+      .filter(col("inter") * lit(1.0) / col("uni") >= minJ)
+      .select(col("new_id"), col("old_id"),
+        round(col("inter") * lit(1000000.0) / col("uni")).cast("long").as("jac_e6"))
+      .dropDuplicates("new_id", "old_id")
+  }
+
   /** Append-on-commit: add a committed batch's docs to the index at
     * `root`. Append-only — new parquet files land next to the existing
     * ones; nothing is rewritten, so concurrent probes stay snapshot-safe

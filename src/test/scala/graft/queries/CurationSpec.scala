@@ -263,6 +263,64 @@ class CurationSpec extends AnyFunSuite {
     assert(aucTrained >= 0.95, s"trained AUC $aucTrained")
   }
 
+  test("q85 fluency: reference-vocabulary docs kept, OOV garbage scored to zero") {
+    import spark.implicits._
+    import java.nio.file.Files
+    // 30 reference docs share one phrase distribution (the en slice IS
+    // the training corpus); 5 garbage docs use per-doc-unique tokens, so
+    // every one of their bigrams is out of vocabulary
+    val phrase = "the cat sat on the mat and the dog ran to the house by the lake"
+    val clean = (0L until 30L).map(i => (i, phrase, "en", "srcA"))
+    val junk = (30L until 35L).map(i =>
+      (i, (0 until 16).map(j => s"zx${i}q$j").mkString(" "), "xx", "srcB"))
+    val dir = Files.createTempDirectory("graft-q85").toString
+    (clean ++ junk).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = CurationOps.defs("q85_lm_fluency")(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4))).toMap
+    assert(rows.size == 35)
+    (0L until 30L).foreach { i =>
+      val (nPairs, nHit, flu, keep) = rows(i)
+      assert(nHit == nPairs && keep == 1 && flu >= CurationOps.FluencyMinE6,
+        s"reference doc $i must pass the gate: hit=$nHit/$nPairs flu=$flu")
+    }
+    (30L until 35L).foreach { i =>
+      val (_, nHit, flu, keep) = rows(i)
+      assert(nHit == 0 && flu == 0 && keep == 0,
+        s"OOV doc $i must score zero: hit=$nHit flu=$flu keep=$keep")
+    }
+  }
+
+  test("q87 token budget: selection equals the greedy md5-order fill, deterministic") {
+    // independent recompute of the whole semantics: md5 order per
+    // source, greedy take while the pre-doc cumulative sum is under
+    // budget, then compare (n_sel, tok_sel, md5-of-id-list) per source
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = graft.engine.Tables.load(spark, sf, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2).split(" ").length.toLong))
+    val expect = docs.groupBy(_._2).map { case (src, ds) =>
+      val ordered = ds.map { case (id, _, n) => (md5hex(s"graft87:$id"), id, n) }
+        .sortBy(t => (t._1, t._2))
+      var cum = 0L
+      val sel = ordered.takeWhile { case (_, _, n) =>
+        val ok = cum < CurationOps.TokenBudget; cum += n; ok
+      }
+      src -> (sel.length.toLong, sel.map(_._3).sum,
+        md5hex(sel.map(_._2).sorted.mkString(",")))
+    }
+    val a = CurationOps.defs("q87_token_budget")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(a == expect, s"selection mismatch: got $a expected $expect")
+    val b = CurationOps.defs("q87_token_budget")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(a == b, "budget selection must be deterministic")
+  }
+
   test("q78 train order: deterministic, dense ranks, order decorrelated from doc_id") {
     val a = CurationOps.defs("q78_train_order")(spark, sf).collect()
     val b = CurationOps.defs("q78_train_order")(spark, sf).collect()

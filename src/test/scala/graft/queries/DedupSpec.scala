@@ -122,6 +122,19 @@ class DedupSpec extends AnyFunSuite {
       s"appended-index probe ${app.size} pairs vs cross-restricted full ${crossFromFull.size}")
   }
 
+  test("q86 streaming probe == the batch probe's edge set, across a micro-batch boundary") {
+    // the streaming path (file landing → shingle/signature → stream-
+    // static band probe → exact verify → pair dedup) must emit exactly
+    // the recomputing batch path's cross-set edges, even though the
+    // batch arrives as two deliveries crossing a micro-batch boundary
+    val stream = DedupOps.defs("q86_stream_neardup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = DedupOps.defs("q79_incremental_dedup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(stream == batch,
+      s"streaming ${stream.size} edges vs batch ${batch.size}")
+  }
+
   test("two sequential appends produce the same index content as one from-scratch build") {
     import java.io.File
     val docs = graft.engine.Tables.load(spark, sf, "documents")
