@@ -41,6 +41,7 @@ object DemoSnapshot {
     pipeline.StreamDemo.ensureHourly(spark, sfDir).count()
     pipeline.StreamDemo.ensureStreamJoin(spark, sfDir).count()
     pipeline.StreamDemo.ensureStreamDedup(spark, sfDir).count()
+    pipeline.StreamDemo.ensureStreamNearDedup(spark, sfDir).count()
     pipeline.IvfIndex.ensure(spark, sfDir)
     graft.queries.MinHashIndex.ensure(spark, sfDir)
     graft.queries.MinHashIndex.ensureAppended(spark, sfDir)
