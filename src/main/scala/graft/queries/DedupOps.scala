@@ -422,6 +422,33 @@ object DedupOps {
       graft.pipeline.StreamDemo.ensureStreamNearDedup(s, d)
         .orderBy("new_id", "old_id")),
 
+    // X2 incremental SPANS: the Lee-et-al exact-substring probe at
+    // ingest time — which [[SpanWindow]]-token windows of an INCOMING
+    // batch already exist in the corpus (cross-set only, the q79
+    // discipline: within-batch dups are the batch's own q76 pass).
+    // Production shape: the corpus's distinct window hashes are the
+    // third store of the durable signature index (append-only parquet
+    // beside bands/shingles); the probe broadcasts the BATCH's window
+    // hashes (one ingest tick — tiny) against the index scan, collects
+    // the matched hashes (tinier), and broadcasts them back over the
+    // batch — the corpus/index side never shuffles, per-batch cost is
+    // O(batch windows + index scan), and both joins are semi
+    // (duplicate-insensitive, so an append-only index needs no global
+    // re-distinct). Emits the batch docs' merged already-in-corpus
+    // spans — exactly what an ingest gate scrubs before commit.
+    "q88_incremental_spans" -> ((s, d) => {
+      val all = docs(s, d)
+      val batchWins = QueryCaches.track(spanWindows(
+        all.filter(col("doc_id") >= 400 && col("doc_id") < 500)))
+      val batchWh = batchWins.select("wh").distinct()
+      val matched = spanWindows(all.filter(col("doc_id") < 400))
+        .join(broadcast(batchWh), Seq("wh"), "left_semi")
+        .select("wh").distinct()
+      val marks = batchWins.join(broadcast(matched), Seq("wh"), "left_semi")
+        .select("doc_id", "pos")
+      mergeSpans(marks)
+    }),
+
     // X2: substring-level exact span dedup — the Lee et al. modality
     // ("Deduplicating Training Data Makes Language Models Better",
     // exact-substring dedup at >= 50 BPE tokens) that DOC-level LSH
@@ -617,14 +644,13 @@ object DedupOps {
     wins.join(dup, Seq("wh")).select("doc_id", "pos")
   }
 
-  /** Merged duplicated spans per doc: (doc_id, span_start, span_end,
-    * n_windows), span_end exclusive in token positions. Marked window
-    * starts are interval-merged with one per-doc sort window: a new
-    * span begins where the gap to the previous start exceeds W. */
-  private[queries] def spanDedup(s: SparkSession, d: String): DataFrame = {
-    val wins = QueryCaches.track(spanWindows(docs(s, d)))
+  /** Interval-merge marked window starts `(doc_id, pos)` into maximal
+    * spans: (doc_id, span_start, span_end, n_windows), span_end
+    * exclusive in token positions. One per-doc sort window: a new span
+    * begins where the gap to the previous start exceeds W. */
+  private[queries] def mergeSpans(marks: DataFrame): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
-    spanDupMarks(wins)
+    marks
       .withColumn("brk",
         when(col("pos") - lag("pos", 1).over(w) > SpanWindow, 1).otherwise(0))
       .withColumn("grp", sum("brk").over(w))
@@ -634,6 +660,12 @@ object DedupOps {
         count(lit(1)).as("n_windows"))
       .select(col("doc_id"), col("span_start"), col("span_end"), col("n_windows"))
       .orderBy("doc_id", "span_start")
+  }
+
+  /** Merged duplicated spans per doc over the whole corpus (q76). */
+  private[queries] def spanDedup(s: SparkSession, d: String): DataFrame = {
+    val wins = QueryCaches.track(spanWindows(docs(s, d)))
+    mergeSpans(spanDupMarks(wins))
   }
 
   /** Shared oracle CTE chain computing the q76 merged spans on the
@@ -755,6 +787,37 @@ object DedupOps {
     // three paths (recompute / indexed batch / indexed stream), one
     // truth.
     "q86_stream_neardup" -> CrossSetOracleSql,
+    // q88: cross-set span marks recomputed on the window STRINGS (the
+    // q76 oracle discipline), merged with the same break/group CTEs.
+    "q88_incremental_spans" ->
+      s"""WITH toks AS (
+           SELECT doc_id, string_split(text, ' ') AS t FROM documents
+         ), win AS (
+           SELECT doc_id, i - 1 AS pos,
+                  array_to_string(t[i:i+${SpanWindow - 1}], ' ') AS w
+           FROM toks, UNNEST(generate_series(1, len(t) - ${SpanWindow - 1})) AS u(i)
+           WHERE len(t) >= $SpanWindow
+         ), marked AS (
+           SELECT b.doc_id, b.pos FROM win b
+           WHERE b.doc_id >= 400 AND b.doc_id < 500
+             AND EXISTS (SELECT 1 FROM win c WHERE c.doc_id < 400 AND c.w = b.w)
+         ), brk AS (
+           SELECT doc_id, pos,
+             CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                    > $SpanWindow THEN 1 ELSE 0 END AS b
+           FROM marked
+         ), grp AS (
+           SELECT doc_id, pos,
+             SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+           FROM brk
+         ), spans AS (
+           SELECT doc_id, MIN(pos) AS span_start,
+                  MAX(pos) + $SpanWindow AS span_end,
+                  CAST(COUNT(*) AS BIGINT) AS n_windows
+           FROM grp GROUP BY doc_id, g
+         )
+         SELECT doc_id, span_start, span_end, n_windows
+         FROM spans ORDER BY doc_id, span_start""",
     // q83: same construction with the corpus extended over the appended
     // batch A — the probe runs against index(docs < 400 ∪ docs 400-449),
     // so the truth side is every cross edge from batch B (450-499) into

@@ -135,6 +135,33 @@ class DedupSpec extends AnyFunSuite {
       s"streaming ${stream.size} edges vs batch ${batch.size}")
   }
 
+  test("q88 incremental spans: cross-set runs marked, within-batch runs ignored") {
+    import spark.implicits._
+    // W = 20. Corpus doc 10 owns a0..a79; batch doc 400 embeds a20..a59
+    // at position 5 → its windows starting 5..25 are in the corpus, span
+    // [5,45), 21 windows. Batch docs 401 and 402 SHARE b0..b39 — a
+    // within-batch dup, which the cross-set probe must NOT mark (that's
+    // the batch's own q76 pass). Corpus docs 10/11 share a40..a79 — a
+    // corpus-corpus dup, absent from the output (batch docs only).
+    def toks(p: String, r: Range) = r.map(i => s"$p$i")
+    val a = toks("a", 0 until 80)
+    val b = toks("b", 0 until 40)
+    val rows = Seq(
+      10L -> a.mkString(" "),
+      11L -> (toks("c", 0 until 30) ++ a.slice(40, 80)).mkString(" "),
+      400L -> (toks("d", 0 until 5) ++ a.slice(20, 60) ++ toks("d", 5 until 40)).mkString(" "),
+      401L -> (b ++ toks("e", 0 until 30)).mkString(" "),
+      402L -> (toks("f", 0 until 30) ++ b).mkString(" "))
+    val dir = Files.createTempDirectory("graft-q88").toString
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = DedupOps.defs("q88_incremental_spans")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((400L, 5L, 45L, 21L)), s"got ${got.mkString(", ")}")
+  }
+
   test("two sequential appends produce the same index content as one from-scratch build") {
     import java.io.File
     val docs = graft.engine.Tables.load(spark, sf, "documents")
