@@ -89,7 +89,7 @@ object Bench {
       }),
       need("q51", "q64") ->
         (() => Future(step("ivf")(pipeline.IvfIndex.ensure(spark, sfDir)))),
-      need("q82", "q83") -> (() => Future {
+      need("q82", "q83", "q89") -> (() => Future {
         step("mhindex")(queries.MinHashIndex.ensure(spark, sfDir))
         step("mhappend")(queries.MinHashIndex.ensureAppended(spark, sfDir))
       }),

@@ -449,6 +449,17 @@ object DedupOps {
       mergeSpans(marks)
     }),
 
+    // X2 incremental SPANS, INDEXED: q88 against the durable index's
+    // `winhashes` store ([[MinHashIndex]] — written at build time and
+    // on every append-on-commit beside bands/shingles, so the store
+    // already contains every committed doc's windows and the corpus
+    // side is never recomputed). Same oracle as q88: two paths
+    // (recompute / durable store), one truth; DedupSpec asserts
+    // span-set equality.
+    "q89_indexed_spans" -> ((s, d) =>
+      MinHashIndex.probeSpans(s, MinHashIndex.ensure(s, d),
+        docs(s, d).filter(col("doc_id") >= 400 && col("doc_id") < 500))),
+
     // X2: substring-level exact span dedup — the Lee et al. modality
     // ("Deduplicating Training Data Makes Language Models Better",
     // exact-substring dedup at >= 50 BPE tokens) that DOC-level LSH
@@ -724,6 +735,39 @@ object DedupOps {
 
   private val CrossSetOracleSql = crossSetOracleSql(400, 400, 500)
 
+  /** q88/q89 shared oracle: cross-set span marks recomputed on the
+    * window STRINGS (q76 discipline) — batch docs' windows that exist
+    * in the corpus, merged with the same break/group CTEs. */
+  private val CrossSetSpanOracleSql =
+    s"""WITH toks AS (
+           SELECT doc_id, string_split(text, ' ') AS t FROM documents
+         ), win AS (
+           SELECT doc_id, i - 1 AS pos,
+                  array_to_string(t[i:i+${SpanWindow - 1}], ' ') AS w
+           FROM toks, UNNEST(generate_series(1, len(t) - ${SpanWindow - 1})) AS u(i)
+           WHERE len(t) >= $SpanWindow
+         ), marked AS (
+           SELECT b.doc_id, b.pos FROM win b
+           WHERE b.doc_id >= 400 AND b.doc_id < 500
+             AND EXISTS (SELECT 1 FROM win c WHERE c.doc_id < 400 AND c.w = b.w)
+         ), brk AS (
+           SELECT doc_id, pos,
+             CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                    > $SpanWindow THEN 1 ELSE 0 END AS b
+           FROM marked
+         ), grp AS (
+           SELECT doc_id, pos,
+             SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+           FROM brk
+         ), spans AS (
+           SELECT doc_id, MIN(pos) AS span_start,
+                  MAX(pos) + $SpanWindow AS span_end,
+                  CAST(COUNT(*) AS BIGINT) AS n_windows
+           FROM grp GROUP BY doc_id, g
+         )
+         SELECT doc_id, span_start, span_end, n_windows
+         FROM spans ORDER BY doc_id, span_start"""
+
   val oracles: Map[String, String] = Map(
     "q76_span_dedup" ->
       s"""WITH $SpanCtes
@@ -787,37 +831,12 @@ object DedupOps {
     // three paths (recompute / indexed batch / indexed stream), one
     // truth.
     "q86_stream_neardup" -> CrossSetOracleSql,
-    // q88: cross-set span marks recomputed on the window STRINGS (the
-    // q76 oracle discipline), merged with the same break/group CTEs.
-    "q88_incremental_spans" ->
-      s"""WITH toks AS (
-           SELECT doc_id, string_split(text, ' ') AS t FROM documents
-         ), win AS (
-           SELECT doc_id, i - 1 AS pos,
-                  array_to_string(t[i:i+${SpanWindow - 1}], ' ') AS w
-           FROM toks, UNNEST(generate_series(1, len(t) - ${SpanWindow - 1})) AS u(i)
-           WHERE len(t) >= $SpanWindow
-         ), marked AS (
-           SELECT b.doc_id, b.pos FROM win b
-           WHERE b.doc_id >= 400 AND b.doc_id < 500
-             AND EXISTS (SELECT 1 FROM win c WHERE c.doc_id < 400 AND c.w = b.w)
-         ), brk AS (
-           SELECT doc_id, pos,
-             CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
-                    > $SpanWindow THEN 1 ELSE 0 END AS b
-           FROM marked
-         ), grp AS (
-           SELECT doc_id, pos,
-             SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS g
-           FROM brk
-         ), spans AS (
-           SELECT doc_id, MIN(pos) AS span_start,
-                  MAX(pos) + $SpanWindow AS span_end,
-                  CAST(COUNT(*) AS BIGINT) AS n_windows
-           FROM grp GROUP BY doc_id, g
-         )
-         SELECT doc_id, span_start, span_end, n_windows
-         FROM spans ORDER BY doc_id, span_start""",
+    // q88/q89: cross-set span marks recomputed on the window STRINGS
+    // (the q76 oracle discipline), merged with the same break/group
+    // CTEs. One oracle for both paths — recompute and durable store
+    // must emit identical spans.
+    "q88_incremental_spans" -> CrossSetSpanOracleSql,
+    "q89_indexed_spans" -> CrossSetSpanOracleSql,
     // q83: same construction with the corpus extended over the appended
     // batch A — the probe runs against index(docs < 400 ∪ docs 400-449),
     // so the truth side is every cross edge from batch B (450-499) into

@@ -54,9 +54,15 @@ object MinHashIndex {
   val BatchSplit = 450
   private val built = mutable.Map.empty[String, String]
 
-  /** Shingle `docsDf` and write its band rows + shingle sets into the
-    * index at `root` with the given save mode ("overwrite" = initial
-    * build, "append" = commit a new batch). */
+  /** Shingle `docsDf` and write its band rows + shingle sets + span
+    * window hashes into the index at `root` with the given save mode
+    * ("overwrite" = initial build, "append" = commit a new batch).
+    * `winhashes/` is the third store: the distinct [[DedupOps
+    * .SpanWindow]]-token window hashes of the indexed docs — the probe
+    * target of the INCREMENTAL span dedup (q88/q89). Distinct is
+    * per-write only (append-only files are immutable), which is
+    * sufficient because every consumer probes it with SEMI joins —
+    * duplicate keys across files change nothing. */
   private def write(s: SparkSession, root: File, docsDf: DataFrame,
                     mode: String): Unit = {
     val sh = DedupOps.shingled(docsDf).persist()
@@ -64,7 +70,26 @@ object MinHashIndex {
     DedupOps.bandRows(s, sh)
       .write.mode(mode).parquet(new File(root, "bands").getPath)
     sh.unpersist()
+    DedupOps.spanWindows(docsDf).select("wh").dropDuplicates("wh")
+      .write.mode(mode).parquet(new File(root, "winhashes").getPath)
     ()
+  }
+
+  /** Probe the `winhashes` store with a batch of `(doc_id, text)` docs
+    * (q89; the ingest-time Lee-et-al pass against the DURABLE index):
+    * merged per-doc spans of the batch whose windows already exist in
+    * the indexed corpus. Both probes are broadcast semi joins — the
+    * batch's window-hash set out to the store scan, the matched set
+    * back over the batch — so the index side never shuffles and the
+    * per-batch cost is O(batch windows + store scan). */
+  def probeSpans(s: SparkSession, root: String, docsDf: DataFrame): DataFrame = {
+    val wins = DedupOps.spanWindows(docsDf)
+    val store = s.read.parquet(s"$root/winhashes")
+    val matched = store
+      .join(broadcast(wins.select("wh").distinct()), Seq("wh"), "left_semi")
+      .select("wh").distinct()
+    DedupOps.mergeSpans(
+      wins.join(broadcast(matched), Seq("wh"), "left_semi").select("doc_id", "pos"))
   }
 
   /** From-scratch index build at `root` over `docsDf` (overwrites). */

@@ -162,6 +162,14 @@ class DedupSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((400L, 5L, 45L, 21L)), s"got ${got.mkString(", ")}")
   }
 
+  test("q89 durable-store span probe == the recomputing q88 path") {
+    val a = DedupOps.defs("q88_incremental_spans")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val b = DedupOps.defs("q89_indexed_spans")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(a == b, s"recompute ${a.size} spans vs indexed ${b.size}")
+  }
+
   test("two sequential appends produce the same index content as one from-scratch build") {
     import java.io.File
     val docs = graft.engine.Tables.load(spark, sf, "documents")
@@ -182,6 +190,12 @@ class DedupSpec extends AnyFunSuite {
     assert(bands(seq) == bands(full),
       s"band rows diverge: seq ${bands(seq).size} vs full ${bands(full).size}")
     assert(shingles(seq) == shingles(full), "shingle store diverges")
+    // winhashes is distinct-per-write (append-only), so the SETS must
+    // agree even though the sequential path may hold a hash twice
+    def winhashes(r: File): Set[Long] =
+      spark.read.parquet(new File(r, "winhashes").getPath).collect()
+        .map(_.getLong(0)).toSet
+    assert(winhashes(seq) == winhashes(full), "winhash store diverges")
   }
 
   test("boilerplate-heavy corpus: bounded candidates, planted near-dup found") {
