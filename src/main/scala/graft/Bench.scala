@@ -144,6 +144,15 @@ object Bench {
         spark.catalog.clearCache()
         val wall = (System.nanoTime() - t0) / 1e9
         val cpu = (osBean.getProcessCpuTime - c0) / 1e9
+        // OUTSIDE the timed window: Spark's ContextCleaner releases
+        // dropped shuffle/broadcast state only when the JVM collects
+        // the owning objects, and a bench JVM under its default GC
+        // cadence accumulates it across the 80+-query loop — at the
+        // x100 tier this showed as monotonically growing reps
+        // (q34 2.8 → 14.7 → 19.1 s) with effective cores collapsing.
+        // One explicit collection per run keeps every timing a clean
+        // slate without charging the cleanup to any query.
+        System.gc()
         if (ok) (wall, cpu / wall) else (-1.0, -1.0)
       }
       val (cold, _) = once()
