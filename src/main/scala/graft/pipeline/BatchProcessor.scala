@@ -151,8 +151,23 @@ final class BatchProcessor(
       // sinks: the staged publish and the post-commit index append.
       val (published, dedupNotes) = (curated, dedup) match {
         case (Some(df), Some(cfg)) =>
+          // Span-scrub accounting (when the stage scrubs): count rows
+          // whose text lost already-in-corpus spans, per source file,
+          // then DROP the audit column so it never reaches the lake.
+          def splitScrubNotes(survivors: DataFrame): (DataFrame, Map[String, String]) =
+            if (!survivors.columns.contains(cfg.ScrubAuditCol)) (survivors, Map.empty)
+            else {
+              val p = survivors.persist()
+              val notes = p.filter(col(cfg.ScrubAuditCol) > 0)
+                .groupBy("source_file").count().collect()
+                .map(r => PathNorm.fromString(r.getString(0)) ->
+                  s"spans scrubbed: ${r.getLong(1)} row(s)").toMap
+              val out = p.drop(cfg.ScrubAuditCol)
+              p.unpersist() // the caller persists the dropped frame
+              (out, notes)
+            }
           cfg.partition(spark, df) match {
-            case (survivors, Some(flagged0)) =>
+            case (survivors0, Some(flagged0)) =>
               val flagged = flagged0.persist()
               val notes =
                 if (flagged.isEmpty) Map.empty[String, String]
@@ -163,9 +178,13 @@ final class BatchProcessor(
                       s"near-dup: ${r.getLong(1)} row(s) suppressed").toMap
                 }
               flagged.unpersist()
-              (Some(survivors.persist()), notes)
-            case (survivors, None) => // first tick: no index to probe yet
-              (Some(survivors.persist()), Map.empty[String, String])
+              val (survivors, scrubNotes) = splitScrubNotes(survivors0)
+              // one note per file: a real near-dup suppression wins the
+              // slot; scrub-only files carry the scrub note
+              (Some(survivors.persist()), scrubNotes ++ notes)
+            case (survivors0, None) => // first tick: no index to probe yet
+              val (survivors, scrubNotes) = splitScrubNotes(survivors0)
+              (Some(survivors.persist()), scrubNotes)
           }
         case _ => (curated, Map.empty[String, String])
       }

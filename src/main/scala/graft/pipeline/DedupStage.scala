@@ -38,7 +38,25 @@ final case class DedupStage(
     indexRoot: String,
     id: Column,
     text: Column,
-    minJaccard: Double = 0.8) {
+    minJaccard: Double = 0.8,
+    /** When set, doc-level SURVIVORS are additionally span-scrubbed
+      * (the Lee-et-al exact-substring pass at ingest, q88/q89): tokens
+      * inside any [[graft.queries.MinHashIndex.probeSpans]] span —
+      * a window-for-window match against already-committed docs — are
+      * dropped before publish AND before the index append, so the lake
+      * never stores the duplicated paragraph twice. The setter writes
+      * the scrubbed text back into the caller's schema (needed because
+      * `text` may be a nested field — e.g.
+      * `(df, c) => df.withColumn("payload", col("payload").withField("props", c))`).
+      * Rows whose text was touched are counted into the ledger note via
+      * the `_scrubbed_spans` audit column (dropped before publish). */
+    spanScrub: Option[(DataFrame, Column) => DataFrame] = None) {
+
+  /** Audit column [[partition]] adds to survivors under [[spanScrub]]:
+    * number of already-in-corpus spans removed from the row's text
+    * (0 = untouched). [[graft.pipeline.BatchProcessor]] notes per-file
+    * counts and drops the column before the staged publish. */
+  val ScrubAuditCol = "_scrubbed_spans"
 
   private def keyed(curated: DataFrame): DataFrame =
     curated.withColumn("_dedup_id", xxhash64(id))
@@ -60,10 +78,44 @@ final case class DedupStage(
       .select(col("new_id"), col("m.old_id").as("dup_of"), col("m.jac_e6").as("jac_e6"))
     val flagged = k.join(broadcast(dups), k("_dedup_id") === dups("new_id"))
       .drop("new_id", "_dedup_id")
-    val survivors = k
+    val survivors0 = k
       .join(broadcast(dups.select("new_id")), k("_dedup_id") === col("new_id"), "left_anti")
-      .drop("_dedup_id")
+    val survivors = spanScrub match {
+      case Some(setter) => scrubSpans(s, survivors0, setter).drop("_dedup_id")
+      case None => survivors0.drop("_dedup_id")
+    }
     (survivors, Some(flagged))
+  }
+
+  /** Span-scrub doc-level survivors against the index's winhashes store
+    * (see [[spanScrub]]): per surviving row, drop every token inside an
+    * already-in-corpus span and write the reassembled text back through
+    * the setter. The span list is [[MinHashIndex.probeSpans]]' output
+    * grouped per doc — a tiny broadcast build side (one ingest tick's
+    * matches); the token filter is one scan pass (the q81 kernel). */
+  private def scrubSpans(s: SparkSession, keyedSurvivors: DataFrame,
+                         setter: (DataFrame, Column) => DataFrame): DataFrame = {
+    if (!new File(indexRoot, "winhashes").exists())
+      return keyedSurvivors.withColumn(ScrubAuditCol, lit(0L))
+    val spans = MinHashIndex.probeSpans(s, indexRoot,
+        keyedSurvivors.select(col("_dedup_id").as("doc_id"), text.as("text")))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("_sp"))
+      .select(col("doc_id").as("_sp_id"), col("_sp"))
+    val joined = keyedSurvivors
+      .join(broadcast(spans), col("_dedup_id") === col("_sp_id"), "left")
+      .withColumn("_tk", split(text, " "))
+      .withColumn("_keep", expr(
+        "filter(transform(_tk, (t, i) -> struct(t AS t, i AS i)), " +
+          "x -> _sp IS NULL OR NOT exists(_sp, " +
+          "r -> x.i >= r.span_start AND x.i < r.span_end))"))
+    val scrubbedText = expr("array_join(transform(_keep, x -> x.t), ' ')")
+    setter(
+      joined
+        .withColumn(ScrubAuditCol,
+          coalesce(expr("size(_sp)").cast("long"), lit(0L))),
+      when(col("_sp").isNull, text).otherwise(scrubbedText))
+      .drop("_sp_id", "_sp", "_tk", "_keep")
   }
 
   /** Append-on-commit: index the published survivors so the NEXT tick

@@ -103,6 +103,48 @@ class IngestSpec extends AnyFunSuite {
     assert(led.forall(_.getString(2) == "near-dup: 1 row(s) suppressed"))
   }
 
+  test("span-scrub stage: a tick-2 doc sharing a paragraph with tick 1 is scrubbed, not dropped") {
+    val lay = freshLake()
+    def drec(id: String, text: String): String =
+      s"""{"id":"$id","event_timestamp":"2024-03-07 11:22:33.000000","MODE":"training",""" +
+        s""""metadata":{"app_version":"2.4.1","user_agent":"svc/1.0","user_id":7},""" +
+        s""""payload":{"transaction_id":"t-$id","value":9.5,"props":"$text"}}"""
+    // tick-1 doc A: 50 tokens. tick-2 doc E: 30 unique tokens followed by
+    // a 25-token run copied from A — whole-doc Jaccard ~0.29 (passes the
+    // 0.8 doc gate) but every W=20 window inside the copied run is
+    // already in the corpus, so the run must be scrubbed before publish.
+    val t1 = (0 until 50).map(i => s"tok$i").mkString(" ")
+    val eUniq = (0 until 30).map(i => s"ee$i")
+    val t2 = (eUniq ++ (0 until 25).map(i => s"tok$i")).mkString(" ")
+    val stage = DedupStage(s"${lay.root}/dedup-index",
+      id = col("record_id"), text = col("payload.props"),
+      spanScrub = Some((df, c) =>
+        df.withColumn("payload", col("payload").withField("props", c))))
+    val bp = new BatchProcessor(spark, lay, Contracts.events, dedup = Some(stage))
+
+    writeLines(s"${lay.rawDir}/t1.jsonl", Seq(drec("a-1", t1)))
+    assert(bp.runUntilDrained() == 1)
+    writeLines(s"${lay.rawDir}/t2.jsonl", Seq(drec("e-1", t2)))
+    assert(bp.runUntilDrained() == 1)
+
+    val curated = CuratedWriter.read(spark, lay.curatedDir)
+      .select(col("record_id"), col("payload.props").as("p")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // both docs published (no doc-level suppression), E's run removed
+    assert(curated.keySet == Set("a-1", "e-1"), s"curated: ${curated.keySet}")
+    assert(curated("a-1") == t1, "tick-1 doc must be untouched")
+    assert(curated("e-1") == eUniq.mkString(" "),
+      s"copied run must be scrubbed: got '${curated("e-1")}'")
+    // ledger carries the scrub note; nothing reached the dedup DLQ
+    val led = Ledger(spark, lay.ledgerDir).snapshot()
+      .filter(col("error_message").contains("spans scrubbed"))
+      .select("s3_key", "error_message").collect()
+    assert(led.length == 1 &&
+      new java.io.File(led(0).getString(0)).getName == "t2.jsonl" &&
+      led(0).getString(1) == "spans scrubbed: 1 row(s)", s"ledger: ${led.toSeq}")
+    assert(!new java.io.File(lay.dedupDlqDir).exists())
+  }
+
   test("manifest-driven discovery: listing comes from the manifest, and the drain works off it") {
     import graft.ledger.Discovery
     val lay = freshLake()
