@@ -171,8 +171,39 @@ object ScaleProbe {
     Stat("incremental", tier, nIn, nc, ne, secs)
   }
 
+  /** Incremental SPAN dedup (the q88/q89 kernel, same fixed-batch shape
+    * as [[incremental]]): the 100-doc batch's windows probed against
+    * the rest of the corpus's window set. nCandidates = matched marks
+    * (batch window positions already present in the corpus) — the
+    * number that must stay ~CONSTANT as the corpus grows: the blow-up
+    * replicas live in disjoint token spaces, so a growing corpus adds
+    * no new matches for a fixed batch, and any growth here would mean
+    * the probe is leaking corpus-side mass. nOutput = merged spans.
+    * secs includes re-hashing the corpus windows each run — in
+    * production that is the write-once `winhashes` store. */
+  def incrementalSpans(s: SparkSession, dir: String, tier: String): Stat = {
+    val d = Tables.load(s, dir, "documents")
+    val nIn = d.count()
+    s.catalog.clearCache()
+    def probeMarks(): DataFrame = {
+      val batchWins = DedupOps.spanWindows(d.filter(col("doc_id").between(400, 499)))
+      val corpusWins = DedupOps.spanWindows(d.filter(!col("doc_id").between(400, 499)))
+      val matched = corpusWins
+        .join(broadcast(batchWins.select("wh").distinct()), Seq("wh"), "left_semi")
+        .select("wh").distinct()
+      batchWins.join(broadcast(matched), Seq("wh"), "left_semi")
+        .select("doc_id", "pos")
+    }
+    val nc = probeMarks().count()
+    s.catalog.clearCache()
+    val (nOut, secs) = timed(DedupOps.mergeSpans(probeMarks()).count())
+    s.catalog.clearCache()
+    Stat("incr_spans", tier, nIn, nc, nOut, secs)
+  }
+
   def all(s: SparkSession, dir: String, tier: String): Seq[Stat] =
     Seq(minhash(s, dir, tier), simhash(s, dir, tier),
       embed(s, dir, tier), components(s, dir, tier), decontam(s, dir, tier),
-      spans(s, dir, tier), incremental(s, dir, tier))
+      spans(s, dir, tier), incremental(s, dir, tier),
+      incrementalSpans(s, dir, tier))
 }

@@ -142,6 +142,7 @@ object ScaleStress {
           ScaleProbe.spans(spark, x100, "x100"),
           ScaleProbe.embed(spark, x100, "x100"),
           ScaleProbe.incremental(spark, x100, "x100"),
+          ScaleProbe.incrementalSpans(spark, x100, "x100"),
           // affordable at x100 since the block-triple multi-index:
           // candidates track true pair mass, not n²/buckets
           ScaleProbe.simhash(spark, x100, "x100"))
