@@ -353,17 +353,39 @@ object CurationOps {
     // is the per-source account plus the md5 of the selected id list,
     // so the oracle pins the exact selection, not just its size.
     //
-    // Scale shape: one running-sum window per source — the q67/q78
-    // discipline: a range-partitioned sort WITHIN each source
-    // partition, embarrassingly parallel across sources, one row-pass;
-    // no global window, no driver-side anything.
+    // Scale shape — TWO-PHASE shard split, because the naive form (one
+    // running-sum window per source) serializes each source into a
+    // single sort partition, and at 100 TB one source can be most of
+    // the corpus. The md5 order is refined by its own prefix: shard =
+    // first 2 hex chars of rk, so global md5 order == (shard, rk)
+    // order. Phase 1 aggregates per-(source, shard) token sums (256
+    // tiny rows per source) and computes each shard's STARTING offset
+    // with a window over that bounded frame. Phase 2 joins the offsets
+    // back (broadcast — sources × 256 rows) and runs the running-sum
+    // window per (source, shard): 256× the parallelism, each partition
+    // 1/256th of the source, and the doc's global cum_before is
+    // shard_offset + intra-shard prefix. Byte-identical output to the
+    // single-window form; CurationSpec checks against an independent
+    // greedy recompute.
     "q87_token_budget" -> ((s, d) => {
-      val w = Window.partitionBy("source").orderBy("rk", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      docs(s, d)
+      val base = docs(s, d)
         .select(col("doc_id"), col("source"), nTokens(col("text")).as("n_tok"),
           md5(concat(lit("graft87:"), col("doc_id").cast("string"))).as("rk"))
-        .withColumn("cum_before", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        .withColumn("shard", substring(col("rk"), 1, 2))
+      val shardOffsets = base.groupBy("source", "shard")
+        .agg(sum("n_tok").as("sh_tok"))
+        .withColumn("sh_off", coalesce(
+          sum("sh_tok").over(Window.partitionBy("source").orderBy("shard")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        // shards whose offset is already past the budget cannot select
+        // anything — prune them before the per-shard window
+        .filter(col("sh_off") < TokenBudget)
+        .select("source", "shard", "sh_off")
+      val wIntra = Window.partitionBy("source", "shard").orderBy("rk", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      base.join(broadcast(shardOffsets), Seq("source", "shard"))
+        .withColumn("cum_before",
+          col("sh_off") + coalesce(sum(col("n_tok")).over(wIntra), lit(0L)))
         .filter(col("cum_before") < TokenBudget)
         .groupBy("source")
         .agg(count(lit(1)).as("n_sel"),
