@@ -18,7 +18,8 @@ class CacheHygieneSpec extends AnyFunSuite {
     "q32_minhash_neardup", "q33_jaccard_search", "q34_simhash_neardup",
     "q49_embed_neardup", "q65_dup_groups", "q58_audio_frames",
     "q74_neardup_curation", "q75_decontaminate", "q76_span_dedup",
-    "q79_incremental_dedup", "q82_indexed_dedup", "q83_appended_dedup")
+    "q79_incremental_dedup", "q82_indexed_dedup", "q83_appended_dedup",
+    "q88_incremental_spans")
 
   test("runAndRelease drops every cache the query planted") {
     for (name <- planting) {
