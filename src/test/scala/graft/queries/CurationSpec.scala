@@ -321,6 +321,48 @@ class CurationSpec extends AnyFunSuite {
     assert(a == b, "budget selection must be deterministic")
   }
 
+  test("q87 boundary shapes: over-budget first doc, exact fill, tiny source") {
+    import spark.implicits._
+    import java.nio.file.Files
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // srcBig: one 5000-token doc — over budget alone, but greedy fill
+    //   includes the doc that CROSSES the line, so it is selected.
+    // srcMany: 1500 one-token docs — selection must stop at exactly
+    //   budget docs (cum_before of doc k is k), exercising the
+    //   two-phase shard-offset arithmetic across many md5 shards.
+    // srcOne: a single 7-token doc — budget never reached, all selected.
+    val rows =
+      Seq((1000000L, Seq.fill(5000)("b").mkString(" "), "srcBig")) ++
+      (0L until 1500L).map(i => (2000000L + i, "m", "srcMany")) ++
+      Seq((3000000L, Seq.fill(7)("o").mkString(" "), "srcOne"))
+    val dir = Files.createTempDirectory("graft-q87b").toString
+    rows.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val expect = rows.groupBy(_._3).map { case (src, ds) =>
+      val ordered = ds.map { case (id, t, _) =>
+        (md5hex(s"graft87:$id"), id, t.split(" ").length.toLong) }
+        .sortBy(x => (x._1, x._2))
+      var cum = 0L
+      val sel = ordered.takeWhile { case (_, _, n) =>
+        val ok = cum < CurationOps.TokenBudget; cum += n; ok
+      }
+      src -> (sel.length.toLong, sel.map(_._3).sum,
+        md5hex(sel.map(_._2).sorted.mkString(",")))
+    }
+    val got = CurationOps.defs("q87_token_budget")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got == expect, s"got $got expected $expect")
+    assert(got("srcBig")._1 == 1L && got("srcBig")._2 == 5000L,
+      "the crossing doc must be selected even when alone over budget")
+    assert(got("srcMany")._1 == CurationOps.TokenBudget,
+      "one-token docs must fill to exactly the budget")
+    assert(got("srcOne")._1 == 1L && got("srcOne")._2 == 7L)
+  }
+
   test("q78 train order: deterministic, dense ranks, order decorrelated from doc_id") {
     val a = CurationOps.defs("q78_train_order")(spark, sf).collect()
     val b = CurationOps.defs("q78_train_order")(spark, sf).collect()
