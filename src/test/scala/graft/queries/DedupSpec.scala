@@ -198,6 +198,43 @@ class DedupSpec extends AnyFunSuite {
     assert(winhashes(seq) == winhashes(full), "winhash store diverges")
   }
 
+  test("index compaction: content preserved, probe unchanged, crash window self-heals") {
+    import java.io.File
+    val docs = graft.engine.Tables.load(spark, sf, "documents")
+    val root = Files.createTempDirectory("graft-mhidx-compact").toFile
+    MinHashIndex.build(spark, root, docs.filter(col("doc_id") < 200))
+    (200 until 400 by 50).foreach(lo => MinHashIndex.append(spark, root,
+      docs.filter(col("doc_id") >= lo && col("doc_id") < lo + 50)))
+    def files(store: String): Int =
+      Option(new File(root, store).listFiles()).toSeq.flatten
+        .count(f => f.getName.endsWith(".parquet"))
+    def bands(): Set[(Long, Int, Long)] =
+      spark.read.parquet(new File(root, "bands").getPath).collect()
+        .map(x => (x.getLong(0), x.getInt(1), x.getLong(2))).toSet
+    def winhashes(): Set[Long] =
+      spark.read.parquet(new File(root, "winhashes").getPath).collect()
+        .map(_.getLong(0)).toSet
+    val batch = DedupOps.shingled(
+      docs.filter(col("doc_id") >= 400 && col("doc_id") < 500))
+    def probe(): Set[(Long, Long, Long)] =
+      MinHashIndex.probeShingled(spark, root.getPath, batch, 0.8).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val (b0, w0, p0) = (bands(), winhashes(), probe())
+    assert(files("bands") > 1, "fixture must start multi-file")
+
+    MinHashIndex.compact(spark, root)
+    assert(files("bands") == 1 && files("shingles") == 1 && files("winhashes") == 1)
+    assert(bands() == b0 && winhashes() == w0, "compaction changed index content")
+    assert(probe() == p0, "compaction changed probe results")
+
+    // simulated crash between the two renames: live store gone, .old
+    // beside it — the next compact call must restore then re-compact
+    val live = new File(root, "bands")
+    assert(live.renameTo(new File(root, ".old-bands")))
+    MinHashIndex.compact(spark, root)
+    assert(bands() == b0 && probe() == p0, "crash-window recovery lost content")
+  }
+
   test("boilerplate-heavy corpus: bounded candidates, planted near-dup found") {
     import spark.implicits._
     val toks = (0 until 50).map(i => s"tok$i").mkString(" ")
