@@ -28,6 +28,35 @@ object Staging {
   private def visible(name: String): Boolean =
     !name.startsWith("_") && !name.startsWith(".")
 
+  /** Compact-swap discipline shared by the durable-index compactions
+    * (`MinHashIndex.compact`, `IvfIndex.compact`): `write` rewrites the
+    * store into a hidden staging dir beside it, then two renames swap
+    * it live (live → `.old-<store>`, staged → live, old dropped). A
+    * crash between the renames leaves the live path absent with the
+    * `.old` beside it; the next call SELF-HEALS by renaming it back
+    * before re-staging. Callers run under their index's single-writer
+    * discipline. Local-FS/HDFS renames are atomic metadata ops; see the
+    * object-store note above for S3A deployments. */
+  def compactStore(root: java.io.File, store: String)
+                  (write: java.io.File => Unit): Unit = {
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(deleteRec)
+      f.delete(): Unit
+    }
+    val live = new java.io.File(root, store)
+    val old = new java.io.File(root, s".old-$store")
+    val staged = new java.io.File(root, s".compact-$store")
+    if (!live.exists && old.exists) { old.renameTo(live); () }
+    if (live.exists) {
+      deleteRec(staged)
+      write(staged)
+      deleteRec(old)
+      require(live.renameTo(old), s"compact: rename-out failed for $store")
+      require(staged.renameTo(live), s"compact: rename-in failed for $store")
+      deleteRec(old)
+    }
+  }
+
   /** (relative partition path, data files) for every directory under
     * `root` that directly contains visible files. */
   private def leaves(fs: FileSystem, root: Path): Seq[(Seq[String], Seq[Path])] = {

@@ -93,6 +93,21 @@ object IvfIndex {
     * (append-only, like the MinHash index), so concurrent probes are
     * snapshot-safe; appends are single-writer by the same Ledger
     * discipline. */
+  /** Compact the cell store: every [[append]] adds one file per touched
+    * cell partition, so the lifecycle between re-trains accumulates
+    * small files that probe planning pays for. Content-preserving
+    * rewrite to ~one file per cell (`repartition` by the cell column —
+    * each cell hashes to one task) behind [[graft.ingest.Staging
+    * .compactStore]]'s crash-safe two-rename swap; centroids are
+    * untouched, so probe routing is identical. Runs under the index's
+    * single-writer discipline. */
+  def compact(spark: SparkSession, root: File): Unit =
+    graft.ingest.Staging.compactStore(root, "cells") { staged =>
+      spark.read.parquet(new File(root, "cells").getPath)
+        .repartition(col("cell"))
+        .write.partitionBy("cell").parquet(staged.getPath)
+    }
+
   def append(spark: SparkSession, root: File, vecs: DataFrame): Unit = {
     graft.functions.VectorExpressions.register(spark) // cellsOf needs vec_dot
     val cents = loadCentroids(root)

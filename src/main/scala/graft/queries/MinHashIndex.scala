@@ -184,28 +184,16 @@ object MinHashIndex {
     * tick that would append instead compacts; concurrent probes from
     * other sessions follow the Ledger rule of not racing the writer).
     *
-    * Crash-safe two-rename swap per store, the Compactor/Staging
-    * discipline: staged rewrite → rename live aside → rename staged in
-    * → drop the old. A crash between the renames leaves the live path
-    * absent with the `.old` beside it; the next [[compact]] call
-    * self-heals by renaming it back before re-staging (asserted in
-    * DedupSpec with a simulated crash window). */
+    * Crash-safe per store via [[graft.ingest.Staging.compactStore]]'s
+    * two-rename swap (a crash between the renames self-heals on the
+    * next call — asserted in DedupSpec with a simulated crash
+    * window). */
   def compact(s: SparkSession, root: File, targetFiles: Int = 1): Unit =
     Seq("bands", "shingles", "winhashes").foreach { store =>
-      val live = new File(root, store)
-      val old = new File(root, s".old-$store")
-      val staged = new File(root, s".compact-$store")
-      // self-heal a prior attempt that died between the two renames
-      if (!live.exists && old.exists) { old.renameTo(live); () }
-      if (live.exists) {
-        DemoCache.deleteRec(staged)
-        val df0 = s.read.parquet(live.getPath)
+      graft.ingest.Staging.compactStore(root, store) { staged =>
+        val df0 = s.read.parquet(new File(root, store).getPath)
         val df = if (store == "winhashes") df0.dropDuplicates("wh") else df0
         df.coalesce(targetFiles).write.parquet(staged.getPath)
-        DemoCache.deleteRec(old)
-        require(live.renameTo(old), s"compact: rename-out failed for $store")
-        require(staged.renameTo(live), s"compact: rename-in failed for $store")
-        DemoCache.deleteRec(old)
       }
     }
 

@@ -88,6 +88,26 @@ class VectorSpec extends AnyFunSuite {
     assert(recall5 >= 0.9, s"post-append IVF recall at nprobe=5: $recall5")
     // appended vectors are reachable as neighbors, not just stored
     assert(ivf4.exists(_._2 % 10 == 0), "no appended vector ever retrieved")
+
+    // compaction: the build + append left multi-file cell partitions;
+    // the rewrite must collapse them to ~one file per cell without
+    // changing a single stored row or pick (centroids untouched)
+    val rowsBefore = spark.read.parquet(cellsDir).collect()
+      .map(r => (r.getLong(0), r.getInt(r.fieldIndex("cell")))).toSet
+    IvfIndex.compact(spark, root)
+    val cellDirs = Option(new java.io.File(cellsDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty)
+    cellDirs.foreach { d =>
+      val n = Option(d.listFiles()).toSeq.flatten
+        .count(_.getName.endsWith(".parquet"))
+      assert(n == 1, s"${d.getName} has $n files after compaction")
+    }
+    val rowsAfter = spark.read.parquet(cellsDir).collect()
+      .map(r => (r.getLong(0), r.getInt(r.fieldIndex("cell")))).toSet
+    assert(rowsAfter == rowsBefore, "compaction changed cell contents")
+    val ivf4b = pairs(VectorOps.ivfPicksAt(spark, sf, cents, cellsDir))
+    assert(ivf4b == ivf4, "compaction changed probe picks")
   }
 
   test("ANN self-check frames report recall_ok=1 for every probe at sf0.01") {
