@@ -179,10 +179,14 @@ final class BatchProcessor(
                 }
               flagged.unpersist()
               val (survivors, scrubNotes) = splitScrubNotes(survivors0)
-              // one note per file: a real near-dup suppression wins the
-              // slot; scrub-only files carry the scrub note
-              (Some(survivors.persist()), scrubNotes ++ notes)
-            case (survivors0, None) => // first tick: no index to probe yet
+              // one ledger slot per file: a file with BOTH suppressions
+              // and scrubs carries both notes, "; "-joined (suppression
+              // first)
+              val merged = (notes.keySet ++ scrubNotes.keySet).map { f =>
+                f -> Seq(notes.get(f), scrubNotes.get(f)).flatten.mkString("; ")
+              }.toMap
+              (Some(survivors.persist()), merged)
+            case (survivors0, None) => // nothing flagged this tick
               val (survivors, scrubNotes) = splitScrubNotes(survivors0)
               (Some(survivors.persist()), scrubNotes)
           }

@@ -17,12 +17,18 @@ import graft.queries.MinHashIndex
   * [[BatchProcessor]]).
   *
   * Semantics and scale:
-  *  - the probe is batch↔index only; duplicates WITHIN one batch are
-  *    not paired here (that is the q32 self-join's job upstream, or
-  *    simply the next tick's probe once the first copy is indexed);
+  *  - BOTH duplicate windows are closed: batch↔index (rows matching an
+  *    already-ingested doc) AND batch↔batch (two copies arriving in the
+  *    SAME tick — invisible to the index probe because neither copy is
+  *    indexed yet; the q32 self-join kernel pairs them and the minimum
+  *    keyed id per duplicate component survives), so no duplicate
+  *    reaches the lake regardless of arrival interleaving — the
+  *    reference's idempotency philosophy (psuedo_code.txt:57-59);
   *  - per-tick cost is O(batch signatures + touched buckets),
   *    independent of index size — the batch side broadcasts, the index
-  *    side never shuffles ([[MinHashIndex.probeShingled]]);
+  *    side never shuffles ([[MinHashIndex.probeShingled]]); the
+  *    intra-batch self-join is batch↔batch only (one tick, broadcast
+  *    scale);
   *  - `id`/`text` are caller-chosen columns over the CURATED frame;
   *    ids are keyed through xxhash64 so any id type joins the index's
   *    long doc_id space; docs under 3 tokens are never flagged and
@@ -62,29 +68,96 @@ final case class DedupStage(
     curated.withColumn("_dedup_id", xxhash64(id))
 
   /** Split the curated batch into (survivors, flagged near-dups). The
-    * flagged frame carries the curated columns plus `dup_of` (the
-    * matched index doc_id, best match by Jaccard) and `jac_e6`; None
-    * when the index does not exist yet (first tick — nothing to probe
-    * against). Both returned frames are lazy; the caller materializes. */
+    * flagged frame carries the curated columns plus `dup_of` (the best
+    * Jaccard match — an index doc_id for batch↔index flags, the
+    * SURVIVING batch-mate's keyed id for intra-batch flags) and
+    * `jac_e6`; None when nothing is flagged. The duplicate RESOLUTION
+    * (index probe + intra-batch self-join + union-find) runs eagerly
+    * here — its result is a driver-resident flag list bounded by the
+    * tick's suppression count, the same batch-bounded budget as
+    * [[BatchProcessor]]'s per-file disposition collect — and the
+    * returned frames join that list back as a broadcast local relation,
+    * so materializing them never re-runs the probe. */
   def partition(s: SparkSession, curated: DataFrame): (DataFrame, Option[DataFrame]) = {
-    if (!new File(indexRoot, "bands").exists()) return (curated, None)
     val k = keyed(curated)
     val sh = MinHashIndex.shingle(
-      k.select(col("_dedup_id").as("doc_id"), text.as("text")))
-    // best match per batch row: one (dup_of, jac) pair, max by Jaccard
-    val dups = MinHashIndex.probeShingled(s, indexRoot, sh, minJaccard)
-      .groupBy("new_id")
-      .agg(max(struct(col("jac_e6"), col("old_id"))).as("m"))
-      .select(col("new_id"), col("m.old_id").as("dup_of"), col("m.jac_e6").as("jac_e6"))
-    val flagged = k.join(broadcast(dups), k("_dedup_id") === dups("new_id"))
-      .drop("new_id", "_dedup_id")
-    val survivors0 = k
-      .join(broadcast(dups.select("new_id")), k("_dedup_id") === col("new_id"), "left_anti")
+      k.select(col("_dedup_id").as("doc_id"), text.as("text"))).persist()
+    // 1. batch ↔ index: best match per batch row, max by Jaccard.
+    //    Skipped on the first tick (no index to probe against yet).
+    val indexDups: Array[(Long, Long, Long)] =
+      if (!new File(indexRoot, "bands").exists()) Array.empty
+      else MinHashIndex.probeShingled(s, indexRoot, sh, minJaccard)
+        .groupBy("new_id")
+        .agg(max(struct(col("jac_e6"), col("old_id"))).as("m"))
+        .select(col("new_id"), col("m.old_id"), col("m.jac_e6"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // 2. batch ↔ batch among the index survivors: a row already flagged
+    //    against the lake is out either way; its batch-mates dedup among
+    //    themselves (keeping one whose only match was the flagged row is
+    //    correct — vs the LAKE it is no duplicate).
+    val shSurv =
+      if (indexDups.isEmpty) sh
+      else {
+        import s.implicits._
+        sh.join(broadcast(indexDups.map(_._1).toSeq.toDF("doc_id")),
+          Seq("doc_id"), "left_anti")
+      }
+    val batchDups = intraBatchDups(s, shSurv)
+    sh.unpersist()
+    val dups = indexDups.toSeq ++ batchDups
+    val (survivors0, flagged) =
+      if (dups.isEmpty) (k, None)
+      else {
+        import s.implicits._
+        val dupsDf = broadcast(dups.toDF("new_id", "dup_of", "jac_e6"))
+        (k.join(dupsDf.select("new_id"), k("_dedup_id") === col("new_id"), "left_anti"),
+          Some(k.join(dupsDf, k("_dedup_id") === col("new_id"))
+            .drop("new_id", "_dedup_id")))
+      }
     val survivors = spanScrub match {
       case Some(setter) => scrubSpans(s, survivors0, setter).drop("_dedup_id")
       case None => survivors0.drop("_dedup_id")
     }
-    (survivors, Some(flagged))
+    (survivors, flagged)
+  }
+
+  /** Pair duplicates WITHIN one tick — the window the index probe cannot
+    * see (both copies arrived together; neither is indexed yet). Runs
+    * the q32 self-join kernel ([[MinHashIndex.selfEdges]]) over the
+    * batch's shingles, collects the verified edge set to the driver
+    * (bounded by the tick's duplicate pair mass — one tick, not the
+    * corpus), and closes it with union-find so transitive chains
+    * (A~B~C) keep exactly one copy: per component the MINIMUM keyed id
+    * survives; every other member is flagged `(id, dup_of = the
+    * surviving batch-mate, jac_e6 = its best incident edge)`. `dup_of`
+    * always names a doc that IS being published, even mid-chain (C's
+    * best match B may itself be flagged; C's `dup_of` is the component
+    * survivor A). */
+  private def intraBatchDups(s: SparkSession, shSurv: DataFrame): Seq[(Long, Long, Long)] = {
+    val edges = MinHashIndex.selfEdges(s, shSurv, minJaccard)
+      .select("a_id", "b_id", "jac_e6")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    if (edges.isEmpty) return Nil
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    val bestJac = scala.collection.mutable.LongMap.empty[Long]
+    edges.foreach { case (a, b, j) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      bestJac(a) = math.max(bestJac.getOrElse(a, Long.MinValue), j)
+      bestJac(b) = math.max(bestJac.getOrElse(b, Long.MinValue), j)
+    }
+    parent.keys.toSeq.flatMap { id =>
+      val rep = find(id)
+      if (rep == id) None else Some((id, rep, bestJac(id)))
+    }
   }
 
   /** Span-scrub doc-level survivors against the index's winhashes store

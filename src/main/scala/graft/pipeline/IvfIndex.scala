@@ -81,18 +81,6 @@ object IvfIndex {
     cents
   }
 
-  /** Insert new vectors into an EXISTING index at `root`: assign each to
-    * its nearest TRAINED cell and append to that cell's partition — no
-    * re-train, the centroids are immutable after [[build]]. This is the
-    * production insert path every IVF deployment runs between periodic
-    * re-trains: because probes rank the SAME frozen centroids that
-    * route storage, an inserted vector is always found through the cell
-    * it was filed under — recall degrades only as far as the data
-    * DISTRIBUTION drifts from the trained quantizer (VectorSpec pins
-    * recall ≥ 0.9 after a 10% append). Cell partitions only gain files
-    * (append-only, like the MinHash index), so concurrent probes are
-    * snapshot-safe; appends are single-writer by the same Ledger
-    * discipline. */
   /** Compact the cell store: every [[append]] adds one file per touched
     * cell partition, so the lifecycle between re-trains accumulates
     * small files that probe planning pays for. Content-preserving
@@ -108,6 +96,18 @@ object IvfIndex {
         .write.partitionBy("cell").parquet(staged.getPath)
     }
 
+  /** Insert new vectors into an EXISTING index at `root`: assign each to
+    * its nearest TRAINED cell and append to that cell's partition — no
+    * re-train, the centroids are immutable after [[build]]. This is the
+    * production insert path every IVF deployment runs between periodic
+    * re-trains: because probes rank the SAME frozen centroids that
+    * route storage, an inserted vector is always found through the cell
+    * it was filed under — recall degrades only as far as the data
+    * DISTRIBUTION drifts from the trained quantizer (VectorSpec pins
+    * recall ≥ 0.9 after a 10% append). Cell partitions only gain files
+    * (append-only, like the MinHash index), so concurrent probes are
+    * snapshot-safe; appends are single-writer by the same Ledger
+    * discipline. */
   def append(spark: SparkSession, root: File, vecs: DataFrame): Unit = {
     graft.functions.VectorExpressions.register(spark) // cellsOf needs vec_dot
     val cents = loadCentroids(root)

@@ -103,6 +103,17 @@ object MinHashIndex {
     * definition the index content was built with. */
   def shingle(docs: DataFrame): DataFrame = DedupOps.shingled(docs)
 
+  /** Verified near-dup edges WITHIN one [[shingle]]d frame — the q32
+    * self-join kernel (band-bucket candidates, exact-Jaccard verify),
+    * re-exported for probers outside this package. The ingest
+    * [[graft.pipeline.DedupStage]] runs it over ONE tick's shingles to
+    * pair intra-batch duplicates the index probe cannot see (both copies
+    * arrived together, neither is indexed yet). One row
+    * `(a_id, b_id, jac_e6)` per unordered pair with Jaccard >= `minJ`,
+    * `a_id < b_id`. */
+  def selfEdges(s: SparkSession, sh: DataFrame, minJ: Double): DataFrame =
+    DedupOps.minhashEdges(s, sh, minJ)
+
   /** Probe an already-[[shingle]]d batch against the index at `root`:
     * one row `(new_id, old_id, jac_e6)` per batch↔index pair with exact
     * Jaccard >= `minJ`. The batch side (tiny — one ingest tick)

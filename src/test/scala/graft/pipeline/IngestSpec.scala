@@ -103,6 +103,89 @@ class IngestSpec extends AnyFunSuite {
     assert(led.forall(_.getString(2) == "near-dup: 1 row(s) suppressed"))
   }
 
+  test("dedup stage: two copies arriving in ONE tick publish exactly one (intra-batch window)") {
+    val lay = freshLake()
+    def drec(id: String, text: String): String =
+      s"""{"id":"$id","event_timestamp":"2024-03-07 11:22:33.000000","MODE":"training",""" +
+        s""""metadata":{"app_version":"2.4.1","user_agent":"svc/1.0","user_id":7},""" +
+        s""""payload":{"transaction_id":"t-$id","value":9.5,"props":"$text"}}"""
+    val t = (0 until 50).map(i => s"ib$i").mkString(" ")
+    val tnear = ((0 until 49).map(i => s"ib$i") :+ "changed").mkString(" ")
+    val stage = DedupStage(s"${lay.root}/dedup-index",
+      id = col("record_id"), text = col("payload.props"))
+    val bp = new BatchProcessor(spark, lay, Contracts.events, dedup = Some(stage))
+
+    // ONE tick, FIRST tick (no index exists yet — the intra-batch window
+    // is the only defense): dup-1 ~ dup-2, u-1 unique
+    writeLines(s"${lay.rawDir}/t1.jsonl", Seq(
+      drec("dup-1", t), drec("dup-2", tnear),
+      drec("u-1", (0 until 50).map(i => s"uu$i").mkString(" "))))
+    assert(bp.runUntilDrained() == 1)
+
+    val hash = (id: String) => {
+      import spark.implicits._
+      Seq(id).toDF("i").select(xxhash64(col("i"))).collect()(0).getLong(0)
+    }
+    // min keyed id survives, deterministically
+    val (survivor, dropped) =
+      if (hash("dup-1") < hash("dup-2")) ("dup-1", "dup-2") else ("dup-2", "dup-1")
+    val curatedIds = CuratedWriter.read(spark, lay.curatedDir)
+      .select("record_id").collect().map(_.getString(0)).sorted.toSeq
+    assert(curatedIds == Seq(survivor, "u-1").sorted, s"curated: $curatedIds")
+    // the dropped copy is flagged with its BATCH-MATE's keyed id
+    val dd = DlqWriter.read(spark, lay.dedupDlqDir)
+      .select("record_id", "dup_of", "jac_e6").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(dd.map(_._1) == Seq(dropped), s"dedup DLQ: $dd")
+    assert(dd(0)._2 == hash(survivor), s"dup_of must be the surviving batch-mate: $dd")
+    assert(dd(0)._3 >= 800000L, s"sub-threshold jac: $dd")
+    // only the survivor was indexed: a LATER copy of t flags against the
+    // survivor, proving the dropped copy never reached the index
+    writeLines(s"${lay.rawDir}/t2.jsonl", Seq(drec("late-1", t)))
+    assert(bp.runUntilDrained() == 1)
+    val dd2 = DlqWriter.read(spark, lay.dedupDlqDir)
+      .filter(col("record_id") === "late-1").select("dup_of").collect()
+    assert(dd2.length == 1 && dd2(0).getLong(0) == hash(survivor),
+      s"late copy must match the indexed survivor: ${dd2.toSeq}")
+  }
+
+  test("dedup stage: one file with BOTH a suppressed row and a scrubbed row carries both notes") {
+    val lay = freshLake()
+    def drec(id: String, text: String): String =
+      s"""{"id":"$id","event_timestamp":"2024-03-07 11:22:33.000000","MODE":"training",""" +
+        s""""metadata":{"app_version":"2.4.1","user_agent":"svc/1.0","user_id":7},""" +
+        s""""payload":{"transaction_id":"t-$id","value":9.5,"props":"$text"}}"""
+    val t1 = (0 until 50).map(i => s"tok$i").mkString(" ")
+    val eUniq = (0 until 30).map(i => s"ee$i")
+    val stage = DedupStage(s"${lay.root}/dedup-index",
+      id = col("record_id"), text = col("payload.props"),
+      spanScrub = Some((df, c) =>
+        df.withColumn("payload", col("payload").withField("props", c))))
+    val bp = new BatchProcessor(spark, lay, Contracts.events, dedup = Some(stage))
+
+    writeLines(s"${lay.rawDir}/t1.jsonl", Seq(drec("a-1", t1)))
+    assert(bp.runUntilDrained() == 1)
+    // tick 2, ONE file: b-1 doc-level near-dups a-1 (suppressed); e-1
+    // shares only a 25-token run with a-1 (published, scrubbed)
+    writeLines(s"${lay.rawDir}/t2.jsonl", Seq(
+      drec("b-1", ((0 until 49).map(i => s"tok$i") :+ "changed").mkString(" ")),
+      drec("e-1", (eUniq ++ (0 until 25).map(i => s"tok$i")).mkString(" "))))
+    assert(bp.runUntilDrained() == 1)
+
+    val curated = CuratedWriter.read(spark, lay.curatedDir)
+      .select(col("record_id"), col("payload.props").as("p")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(curated.keySet == Set("a-1", "e-1"), s"curated: ${curated.keySet}")
+    assert(curated("e-1") == eUniq.mkString(" "),
+      s"copied run must be scrubbed: got '${curated("e-1")}'")
+    val led = Ledger(spark, lay.ledgerDir).snapshot()
+      .filter(col("error_message").isNotNull && col("error_message") =!= "")
+      .select("s3_key", "error_message").collect()
+      .map(r => new File(r.getString(0)).getName -> r.getString(1)).toMap
+    assert(led.get("t2.jsonl").contains(
+      "near-dup: 1 row(s) suppressed; spans scrubbed: 1 row(s)"), s"ledger: $led")
+  }
+
   test("span-scrub stage: a tick-2 doc sharing a paragraph with tick 1 is scrubbed, not dropped") {
     val lay = freshLake()
     def drec(id: String, text: String): String =
