@@ -34,26 +34,28 @@ object Staging {
     * it live (live → `.old-<store>`, staged → live, old dropped). A
     * crash between the renames leaves the live path absent with the
     * `.old` beside it; the next call SELF-HEALS by renaming it back
-    * before re-staging. Callers run under their index's single-writer
-    * discipline. Local-FS/HDFS renames are atomic metadata ops; see the
-    * object-store note above for S3A deployments. */
-  def compactStore(root: java.io.File, store: String)
-                  (write: java.io.File => Unit): Unit = {
-    def deleteRec(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(deleteRec)
-      f.delete(): Unit
-    }
-    val live = new java.io.File(root, store)
-    val old = new java.io.File(root, s".old-$store")
-    val staged = new java.io.File(root, s".compact-$store")
-    if (!live.exists && old.exists) { old.renameTo(live); () }
-    if (live.exists) {
-      deleteRec(staged)
+    * before re-staging — require-checked like the swap renames, so a
+    * failed recovery surfaces instead of leaving the store headless.
+    * Callers run under their index's single-writer discipline. Runs
+    * through the Hadoop [[FileSystem]] bound to `root`'s scheme — the
+    * index family lives wherever the lake lives (local, HDFS, object
+    * store), not on the driver's local disk. Local-FS/HDFS renames are
+    * atomic metadata ops; see the object-store note above for S3A
+    * deployments. */
+  def compactStore(fs: FileSystem, root: Path, store: String)
+                  (write: Path => Unit): Unit = {
+    val live = new Path(root, store)
+    val old = new Path(root, s".old-$store")
+    val staged = new Path(root, s".compact-$store")
+    if (!fs.exists(live) && fs.exists(old))
+      require(fs.rename(old, live), s"compact: self-heal rename failed for $store")
+    if (fs.exists(live)) {
+      fs.delete(staged, true)
       write(staged)
-      deleteRec(old)
-      require(live.renameTo(old), s"compact: rename-out failed for $store")
-      require(staged.renameTo(live), s"compact: rename-in failed for $store")
-      deleteRec(old)
+      fs.delete(old, true)
+      require(fs.rename(live, old), s"compact: rename-out failed for $store")
+      require(fs.rename(staged, live), s"compact: rename-in failed for $store")
+      fs.delete(old, true): Unit
     }
   }
 

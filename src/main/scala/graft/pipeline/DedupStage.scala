@@ -1,6 +1,5 @@
 package graft.pipeline
 
-import java.io.File
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.queries.MinHashIndex
@@ -41,6 +40,11 @@ import graft.queries.MinHashIndex
   *    issue them.
   */
 final case class DedupStage(
+    /** Index location as a Hadoop FS URI (or schemeless local path) —
+      * the index lives beside the lake it guards, so any scheme the
+      * deployment's Hadoop conf binds works (`file:`, `hdfs:`,
+      * `s3a:`, ...); all existence probes and writes go through the
+      * [[org.apache.hadoop.fs.FileSystem]] API. */
     indexRoot: String,
     id: Column,
     text: Column,
@@ -85,7 +89,7 @@ final case class DedupStage(
     // 1. batch ↔ index: best match per batch row, max by Jaccard.
     //    Skipped on the first tick (no index to probe against yet).
     val indexDups: Array[(Long, Long, Long)] =
-      if (!new File(indexRoot, "bands").exists()) Array.empty
+      if (!MinHashIndex.storeExists(s, indexRoot, "bands")) Array.empty
       else MinHashIndex.probeShingled(s, indexRoot, sh, minJaccard)
         .groupBy("new_id")
         .agg(max(struct(col("jac_e6"), col("old_id"))).as("m"))
@@ -168,7 +172,7 @@ final case class DedupStage(
     * matches); the token filter is one scan pass (the q81 kernel). */
   private def scrubSpans(s: SparkSession, keyedSurvivors: DataFrame,
                          setter: (DataFrame, Column) => DataFrame): DataFrame = {
-    if (!new File(indexRoot, "winhashes").exists())
+    if (!MinHashIndex.storeExists(s, indexRoot, "winhashes"))
       return keyedSurvivors.withColumn(ScrubAuditCol, lit(0L))
     val spans = MinHashIndex.probeSpans(s, indexRoot,
         keyedSurvivors.select(col("_dedup_id").as("doc_id"), text.as("text")))
@@ -194,6 +198,17 @@ final case class DedupStage(
   /** Append-on-commit: index the published survivors so the NEXT tick
     * probes against them. Call strictly after the publish commit point. */
   def appendSurvivors(s: SparkSession, survivors: DataFrame): Unit =
-    MinHashIndex.append(s, new File(indexRoot),
+    MinHashIndex.append(s, indexRoot,
       survivors.select(xxhash64(id).as("doc_id"), text.as("text")))
+
+  /** [[appendSurvivors]] for AT-LEAST-ONCE callers: the streaming twin's
+    * `foreachBatch` may replay a micro-batch after a crash, so its
+    * append goes through [[MinHashIndex.appendStaged]] keyed by the
+    * deterministic micro-batch token — a replayed token sweeps the
+    * crashed attempt's files before moving its own, converging to
+    * exactly one copy (no double-append window). */
+  def appendSurvivorsStaged(s: SparkSession, survivors: DataFrame,
+                            token: String): Unit =
+    MinHashIndex.appendStaged(s, indexRoot,
+      survivors.select(xxhash64(id).as("doc_id"), text.as("text")), token)
 }

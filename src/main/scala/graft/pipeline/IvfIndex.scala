@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import java.io.File
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import scala.collection.mutable
@@ -43,22 +44,30 @@ object IvfIndex {
     transform(slice(best, 1, n), x => x.getField("c"))
   }
 
-  private def centFile(root: File) = new File(root, "centroids.txt")
+  /** The Hadoop [[FileSystem]] bound to `root`'s scheme — like the
+    * MinHash index, the IVF index lives beside the lake (any FS URI the
+    * deployment's Hadoop conf binds), so centroid I/O and compaction
+    * renames never touch `java.io.File`. */
+  private def fsOf(spark: SparkSession, root: String): FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** Trained centroids stored beside the cells (float → exact decimal
     * string round-trips bit-for-bit, so reloaded centroids are
     * identical to the trained ones). */
-  def loadCentroids(root: File): Seq[Array[Float]] =
-    new String(java.nio.file.Files.readAllBytes(centFile(root).toPath),
-      java.nio.charset.StandardCharsets.UTF_8)
-      .split("\n").toSeq.map(_.split(",").map(_.toFloat))
+  def loadCentroids(spark: SparkSession, root: String): Seq[Array[Float]] = {
+    val in = fsOf(spark, root).open(new Path(root, "centroids.txt"))
+    val txt =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    txt.split("\n").toSeq.map(_.split(",").map(_.toFloat))
+  }
 
   /** Train the coarse quantizer on `e` (vec_id, embedding) and write the
     * index at `root`: cell-partitioned corpus under `cells/`, centroids
     * beside it. Returns the trained centroids. */
-  def build(spark: SparkSession, root: File, e: DataFrame): Seq[Array[Float]] = {
+  def build(spark: SparkSession, root: String, e: DataFrame): Seq[Array[Float]] = {
     graft.functions.VectorExpressions.register(spark) // cellsOf needs vec_dot
-    val dir = new File(root, "cells").getPath
+    val dir = s"$root/cells"
     var cents: Seq[Array[Float]] = e.filter(col("vec_id") < K)
       .orderBy("vec_id").collect()
       .map(_.getAs[Seq[Float]]("embedding").toArray)
@@ -75,9 +84,10 @@ object IvfIndex {
     e.withColumn("cell", element_at(cellsOf(cents, 1), 1))
       .select(col("vec_id").as("b_id"), col("cell"), col("embedding").as("eb"))
       .write.mode("overwrite").partitionBy("cell").parquet(dir)
-    java.nio.file.Files.write(centFile(root).toPath,
-      cents.map(_.mkString(",")).mkString("\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = fsOf(spark, root).create(new Path(root, "centroids.txt"), true)
+    try out.write(cents.map(_.mkString(",")).mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
     cents
   }
 
@@ -89,11 +99,11 @@ object IvfIndex {
     * .compactStore]]'s crash-safe two-rename swap; centroids are
     * untouched, so probe routing is identical. Runs under the index's
     * single-writer discipline. */
-  def compact(spark: SparkSession, root: File): Unit =
-    graft.ingest.Staging.compactStore(root, "cells") { staged =>
-      spark.read.parquet(new File(root, "cells").getPath)
+  def compact(spark: SparkSession, root: String): Unit =
+    graft.ingest.Staging.compactStore(fsOf(spark, root), new Path(root), "cells") { staged =>
+      spark.read.parquet(s"$root/cells")
         .repartition(col("cell"))
-        .write.partitionBy("cell").parquet(staged.getPath)
+        .write.partitionBy("cell").parquet(staged.toString)
     }
 
   /** Insert new vectors into an EXISTING index at `root`: assign each to
@@ -108,13 +118,13 @@ object IvfIndex {
     * (append-only, like the MinHash index), so concurrent probes are
     * snapshot-safe; appends are single-writer by the same Ledger
     * discipline. */
-  def append(spark: SparkSession, root: File, vecs: DataFrame): Unit = {
+  def append(spark: SparkSession, root: String, vecs: DataFrame): Unit = {
     graft.functions.VectorExpressions.register(spark) // cellsOf needs vec_dot
-    val cents = loadCentroids(root)
+    val cents = loadCentroids(spark, root)
     vecs.withColumn("cell", element_at(cellsOf(cents, 1), 1))
       .select(col("vec_id").as("b_id"), col("cell"), col("embedding").as("eb"))
       .write.mode("append").partitionBy("cell")
-      .parquet(new File(root, "cells").getPath)
+      .parquet(s"$root/cells")
   }
 
   /** Build (or return) the index for this corpus: (centroids,
@@ -129,9 +139,9 @@ object IvfIndex {
       built.getOrElseUpdate(sfDir, {
         val root = DemoCache.root(s"ivf/${new File(sfDir).getName}")
         DemoCache.cached(root, sfDir) {
-          build(spark, root, Tables.load(spark, sfDir, "embeddings")): Unit
+          build(spark, root.getPath, Tables.load(spark, sfDir, "embeddings")): Unit
         }
-        (loadCentroids(root), new File(root, "cells").getPath)
+        (loadCentroids(spark, root.getPath), new File(root, "cells").getPath)
       })
     }
 }

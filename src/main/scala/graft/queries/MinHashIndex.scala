@@ -1,6 +1,7 @@
 package graft.queries
 
 import java.io.File
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import scala.collection.mutable
@@ -54,6 +55,20 @@ object MinHashIndex {
   val BatchSplit = 450
   private val built = mutable.Map.empty[String, String]
 
+  /** The Hadoop [[FileSystem]] bound to `root`'s scheme. All index file
+    * handling (existence probes, compaction renames) goes through this,
+    * never `java.io.File` — the index lives beside the lake it guards
+    * (diagram_1.txt:8-11 puts the lake on object storage), so `root`
+    * may be any FS URI the deployment's Hadoop conf can bind
+    * (`file:`, `hdfs:`, `s3a:`, ...). */
+  private def fsOf(s: SparkSession, root: String): FileSystem =
+    new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  /** Does store `store` (e.g. "bands") exist under the index `root`?
+    * The first-tick probe guard in [[graft.pipeline.DedupStage]]. */
+  def storeExists(s: SparkSession, root: String, store: String): Boolean =
+    fsOf(s, root).exists(new Path(root, store))
+
   /** Shingle `docsDf` and write its band rows + shingle sets + span
     * window hashes into the index at `root` with the given save mode
     * ("overwrite" = initial build, "append" = commit a new batch).
@@ -63,15 +78,15 @@ object MinHashIndex {
     * per-write only (append-only files are immutable), which is
     * sufficient because every consumer probes it with SEMI joins —
     * duplicate keys across files change nothing. */
-  private def write(s: SparkSession, root: File, docsDf: DataFrame,
+  private def write(s: SparkSession, root: String, docsDf: DataFrame,
                     mode: String): Unit = {
     val sh = DedupOps.shingled(docsDf).persist()
-    sh.write.mode(mode).parquet(new File(root, "shingles").getPath)
+    sh.write.mode(mode).parquet(s"$root/shingles")
     DedupOps.bandRows(s, sh)
-      .write.mode(mode).parquet(new File(root, "bands").getPath)
+      .write.mode(mode).parquet(s"$root/bands")
     sh.unpersist()
     DedupOps.spanWindows(docsDf).select("wh").dropDuplicates("wh")
-      .write.mode(mode).parquet(new File(root, "winhashes").getPath)
+      .write.mode(mode).parquet(s"$root/winhashes")
     ()
   }
 
@@ -93,7 +108,7 @@ object MinHashIndex {
   }
 
   /** From-scratch index build at `root` over `docsDf` (overwrites). */
-  def build(s: SparkSession, root: File, docsDf: DataFrame): Unit =
+  def build(s: SparkSession, root: String, docsDf: DataFrame): Unit =
     write(s, root, docsDf, "overwrite")
 
   /** (doc_id, sh) for an arbitrary `(doc_id, text)` frame — the dedup
@@ -121,7 +136,14 @@ object MinHashIndex {
     * side is scanned in place and never shuffles; only (new, old)
     * band-bucket collisions are exact-verified, BY ID, against the
     * shingle store. Per-batch cost is O(batch signatures + touched
-    * buckets) — independent of corpus pair mass at any index size. */
+    * buckets) — independent of corpus pair mass at any index size.
+    *
+    * A doc is never a duplicate of ITSELF: pairs with `new_id ==
+    * old_id` are dropped, the index-probe form of the self-join
+    * kernel's `a_id < b_id` convention. This is also what makes an
+    * AT-LEAST-ONCE caller's replay benign — a replayed batch whose
+    * first attempt already appended to the index re-probes its own
+    * entries (same keyed ids) and must not suppress itself. */
   def probeShingled(s: SparkSession, root: String, sh: DataFrame,
                     minJ: Double): DataFrame = {
     val bands = s.read.parquet(s"$root/bands")
@@ -130,6 +152,7 @@ object MinHashIndex {
       .select(col("doc_id").as("new_id"), col("band"), col("bh")))
       .join(bands.select(col("doc_id").as("old_id"), col("band"), col("bh")),
         Seq("band", "bh"))
+      .filter(col("new_id") =!= col("old_id"))
       .select("new_id", "old_id").distinct()
     val withSh = cands
       .join(broadcast(sh.select(col("doc_id").as("new_id"), col("sh").as("sha"))),
@@ -168,6 +191,7 @@ object MinHashIndex {
     val withSh = neu
       .join(bands.select(col("doc_id").as("old_id"), col("band"), col("bh")),
         Seq("band", "bh"))
+      .filter(col("new_id") =!= col("old_id")) // never a dup of itself
       .join(oldSh.select(col("doc_id").as("old_id"), col("sh").as("shb")),
         Seq("old_id"))
     val (inter, uni) = DedupOps.interUni(col("sha"), col("shb"))
@@ -182,8 +206,33 @@ object MinHashIndex {
     * `root`. Append-only — new parquet files land next to the existing
     * ones; nothing is rewritten, so concurrent probes stay snapshot-safe
     * (see CONCURRENCY above). Caller is the single writer. */
-  def append(s: SparkSession, root: File, docsDf: DataFrame): Unit =
+  def append(s: SparkSession, root: String, docsDf: DataFrame): Unit =
     write(s, root, docsDf, "append")
+
+  /** Replay-IDEMPOTENT append for AT-LEAST-ONCE callers (the streaming
+    * ingest twin, whose `foreachBatch` may re-run a batch after a
+    * crash): the batch's index rows are first written to a hidden
+    * staging dir, then moved into the live stores with a DETERMINISTIC
+    * `b<token>-` file prefix, sweeping any files a crashed previous
+    * attempt of the same token already moved ([[graft.ingest.Staging
+    * .publish]] with `replaceExistingPrefix`) — so replaying a token
+    * converges to exactly one copy of its rows, closing the
+    * double-append window plain [[append]] has under replay. Also
+    * CREATES the index on the very first batch (the stores spring into
+    * existence with the first publish). Single-writer like every other
+    * index mutation; in particular a [[compact]] must not interleave
+    * with an in-flight token's replay window (compaction renames away
+    * the `b<token>-` prefixes the sweep keys on). */
+  def appendStaged(s: SparkSession, root: String, docsDf: DataFrame,
+                   token: String): Unit = {
+    val fs = fsOf(s, root)
+    val stage = new Path(new Path(root), s".append-$token")
+    fs.delete(stage, true)
+    write(s, stage.toString, docsDf, "overwrite")
+    graft.ingest.Staging.publish(fs, stage, new Path(root), s"b$token-",
+      replaceExistingPrefix = true)
+    fs.delete(stage, true): Unit
+  }
 
   /** Compact the append-only index stores: after thousands of ingest
     * ticks each store is thousands of small parquet files, and probe
@@ -199,21 +248,23 @@ object MinHashIndex {
     * two-rename swap (a crash between the renames self-heals on the
     * next call — asserted in DedupSpec with a simulated crash
     * window). */
-  def compact(s: SparkSession, root: File, targetFiles: Int = 1): Unit =
+  def compact(s: SparkSession, root: String, targetFiles: Int = 1): Unit = {
+    val fs = fsOf(s, root)
     Seq("bands", "shingles", "winhashes").foreach { store =>
-      graft.ingest.Staging.compactStore(root, store) { staged =>
-        val df0 = s.read.parquet(new File(root, store).getPath)
+      graft.ingest.Staging.compactStore(fs, new Path(root), store) { staged =>
+        val df0 = s.read.parquet(s"$root/$store")
         val df = if (store == "winhashes") df0.dropDuplicates("wh") else df0
-        df.coalesce(targetFiles).write.parquet(staged.getPath)
+        df.coalesce(targetFiles).write.parquet(staged.toString)
       }
     }
+  }
 
   /** Build (or return) the q82 index root: corpus = doc_id < [[CorpusCap]]. */
   def ensure(s: SparkSession, sfDir: String): String = synchronized {
     built.getOrElseUpdate(sfDir, {
       val root = DemoCache.root(s"minhash/${new File(sfDir).getName}")
       DemoCache.cached(root, sfDir) {
-        build(s, root,
+        build(s, root.getPath,
           Tables.load(s, sfDir, "documents").filter(col("doc_id") < CorpusCap))
       }
       root.getPath
@@ -229,8 +280,8 @@ object MinHashIndex {
       val root = DemoCache.root(s"minhash_app/${new File(sfDir).getName}")
       DemoCache.cached(root, sfDir) {
         val docs = Tables.load(s, sfDir, "documents")
-        build(s, root, docs.filter(col("doc_id") < CorpusCap))
-        append(s, root, docs.filter(
+        build(s, root.getPath, docs.filter(col("doc_id") < CorpusCap))
+        append(s, root.getPath, docs.filter(
           col("doc_id") >= CorpusCap && col("doc_id") < BatchSplit))
       }
       root.getPath

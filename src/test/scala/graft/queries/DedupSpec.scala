@@ -174,13 +174,13 @@ class DedupSpec extends AnyFunSuite {
     import java.io.File
     val docs = graft.engine.Tables.load(spark, sf, "documents")
     val seq = Files.createTempDirectory("graft-mhidx-seq").toFile
-    MinHashIndex.build(spark, seq, docs.filter(col("doc_id") < 400))
-    MinHashIndex.append(spark, seq,
+    MinHashIndex.build(spark, seq.getPath, docs.filter(col("doc_id") < 400))
+    MinHashIndex.append(spark, seq.getPath,
       docs.filter(col("doc_id") >= 400 && col("doc_id") < 450))
-    MinHashIndex.append(spark, seq,
+    MinHashIndex.append(spark, seq.getPath,
       docs.filter(col("doc_id") >= 450 && col("doc_id") < 500))
     val full = Files.createTempDirectory("graft-mhidx-full").toFile
-    MinHashIndex.build(spark, full, docs.filter(col("doc_id") < 500))
+    MinHashIndex.build(spark, full.getPath, docs.filter(col("doc_id") < 500))
     def bands(r: File): Set[(Long, Int, Long)] =
       spark.read.parquet(new File(r, "bands").getPath).collect()
         .map(x => (x.getLong(0), x.getInt(1), x.getLong(2))).toSet
@@ -202,8 +202,8 @@ class DedupSpec extends AnyFunSuite {
     import java.io.File
     val docs = graft.engine.Tables.load(spark, sf, "documents")
     val root = Files.createTempDirectory("graft-mhidx-compact").toFile
-    MinHashIndex.build(spark, root, docs.filter(col("doc_id") < 200))
-    (200 until 400 by 50).foreach(lo => MinHashIndex.append(spark, root,
+    MinHashIndex.build(spark, root.getPath, docs.filter(col("doc_id") < 200))
+    (200 until 400 by 50).foreach(lo => MinHashIndex.append(spark, root.getPath,
       docs.filter(col("doc_id") >= lo && col("doc_id") < lo + 50)))
     def files(store: String): Int =
       Option(new File(root, store).listFiles()).toSeq.flatten
@@ -222,7 +222,7 @@ class DedupSpec extends AnyFunSuite {
     val (b0, w0, p0) = (bands(), winhashes(), probe())
     assert(files("bands") > 1, "fixture must start multi-file")
 
-    MinHashIndex.compact(spark, root)
+    MinHashIndex.compact(spark, root.getPath)
     assert(files("bands") == 1 && files("shingles") == 1 && files("winhashes") == 1)
     assert(bands() == b0 && winhashes() == w0, "compaction changed index content")
     assert(probe() == p0, "compaction changed probe results")
@@ -231,7 +231,7 @@ class DedupSpec extends AnyFunSuite {
     // beside it — the next compact call must restore then re-compact
     val live = new File(root, "bands")
     assert(live.renameTo(new File(root, ".old-bands")))
-    MinHashIndex.compact(spark, root)
+    MinHashIndex.compact(spark, root.getPath)
     assert(bands() == b0 && probe() == p0, "crash-window recovery lost content")
   }
 

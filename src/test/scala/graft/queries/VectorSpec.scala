@@ -61,9 +61,9 @@ class VectorSpec extends AnyFunSuite {
     val sf = "/root/testdata/sf0.01"
     val e = graft.engine.Tables.load(spark, sf, "embeddings")
     val root = Files.createTempDirectory("graft-ivf-append").toFile
-    IvfIndex.build(spark, root, e.filter(col("vec_id") % 10 =!= 0))
-    IvfIndex.append(spark, root, e.filter(col("vec_id") % 10 === 0))
-    val cents = IvfIndex.loadCentroids(root)
+    IvfIndex.build(spark, root.getPath, e.filter(col("vec_id") % 10 =!= 0))
+    IvfIndex.append(spark, root.getPath, e.filter(col("vec_id") % 10 === 0))
+    val cents = IvfIndex.loadCentroids(spark, root.getPath)
     val cellsDir = new java.io.File(root, "cells").getPath
     // the index must now hold the full corpus, every row in some cell
     assert(spark.read.parquet(cellsDir).count() == e.count())
@@ -94,7 +94,7 @@ class VectorSpec extends AnyFunSuite {
     // changing a single stored row or pick (centroids untouched)
     val rowsBefore = spark.read.parquet(cellsDir).collect()
       .map(r => (r.getLong(0), r.getInt(r.fieldIndex("cell")))).toSet
-    IvfIndex.compact(spark, root)
+    IvfIndex.compact(spark, root.getPath)
     val cellDirs = Option(new java.io.File(cellsDir).listFiles()).toSeq.flatten
       .filter(f => f.isDirectory && f.getName.startsWith("cell="))
     assert(cellDirs.nonEmpty)
