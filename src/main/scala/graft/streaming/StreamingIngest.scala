@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.{StringType, StructType}
 import graft.ingest._
-import graft.pipeline.LakeLayout
+import graft.pipeline.{DedupStage, LakeLayout}
 
 /** The Structured-Streaming form of the reference's scheduled micro-batch
   * loop (T1, sudo_code.txt:104-109): instead of a cron re-running a batch
@@ -45,9 +45,20 @@ object StreamingIngest {
   /** Drain everything currently in `layout.rawDir` into the curated lake
     * + DLQ, exactly once per file across invocations (checkpoint under
     * the lake root). Blocks until the stream finishes.
+    *
+    * Optional `dedup`: the SAME near-dup gate the ledger runner wires in
+    * ([[graft.pipeline.DedupStage]]) — each micro-batch is probed
+    * against the lake's signature index (and against itself), flagged
+    * rows divert to the batch-id-keyed dedup DLQ, survivors publish,
+    * and their signatures are appended through the replay-idempotent
+    * staged path ([[DedupStage.appendSurvivorsStaged]]) before the
+    * commit marker — so a crashed batch's replay converges to exactly
+    * one copy of everything: curated rows (prefix sweep), DLQ rows
+    * (overwrite), and index rows (prefix sweep).
     */
   def runAvailableNow(spark: SparkSession, layout: LakeLayout, contract: StructType,
-                      maxFilesPerTrigger: Option[Int] = None): Unit = {
+                      maxFilesPerTrigger: Option[Int] = None,
+                      dedup: Option[DedupStage] = None): Unit = {
     val schema =
       if (contract.fieldNames.contains(CorruptCol)) contract
       else contract.add(CorruptCol, StringType, nullable = true)
@@ -65,7 +76,7 @@ object StreamingIngest {
       .option("checkpointLocation", s"${layout.root}/checkpoint")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processMicroBatch(spark, batch.persist(), layout, s"stream-$batchId")
+        processMicroBatch(spark, batch.persist(), layout, s"stream-$batchId", dedup)
         batch.unpersist()
         ()
       }
@@ -78,7 +89,8 @@ object StreamingIngest {
     * exactly-once here; the staged publish below owns row-level
     * exactly-once across mid-batch crashes). */
   private def processMicroBatch(spark: SparkSession, raw: DataFrame,
-                                layout: LakeLayout, runId: String): Unit = {
+                                layout: LakeLayout, runId: String,
+                                dedup: Option[DedupStage]): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new org.apache.hadoop.fs.Path(layout.root).toUri,
       spark.sparkContext.hadoopConfiguration)
@@ -94,20 +106,40 @@ object StreamingIngest {
     val good = Segregator.goodRecords(raw, "event_timestamp", "MODE")
       .join(broadcast(quarFiles), Seq(SourceCol), "left_anti")
     if (!good.isEmpty) {
+      val curated = Transformer.curate(good).withColumnRenamed(SourceCol, "source_file")
+      // near-dup gate (the ledger runner's stage, streaming-shaped):
+      // flagged rows divert to the batch-id-keyed dedup DLQ — replay
+      // overwrites, micro-batch determinism makes the re-flags identical
+      val (published, flagged) = dedup match {
+        case Some(cfg) =>
+          // the scrub audit column is ledger-runner bookkeeping — this
+          // runner has no per-file ledger slot, so just drop it
+          val (sv, fl) = cfg.partition(spark, curated)
+          (sv.drop(cfg.ScrubAuditCol), fl)
+        case None => (curated, None)
+      }
+      val pub = published.persist() // publish + index append both read it
+      flagged.filter(!_.isEmpty).foreach(f =>
+        DlqWriter.write(f, layout.dedupDlqDir, runId, mode = "overwrite"))
       // batch-id-keyed staging: a replay OVERWRITES the whole staging dir
       // (so partial staging is self-healing), and the deterministic
       // `b<id>-` prefix lets publish replace a crashed attempt's partial
       // output instead of adding to it
       val stage = new org.apache.hadoop.fs.Path(s"${layout.root}/stream-staging/$runId")
       fs.delete(stage, true)
-      Transformer.curate(good).withColumnRenamed(SourceCol, "source_file")
-        .repartition(CuratedWriter.PartitionCols.map(col): _*)
+      pub.repartition(CuratedWriter.PartitionCols.map(col): _*)
         .write.mode("overwrite")
         .partitionBy(CuratedWriter.PartitionCols: _*)
         .parquet(stage.toString)
       Staging.publish(fs, stage, new org.apache.hadoop.fs.Path(layout.curatedDir),
         prefix = s"b$runId-", replaceExistingPrefix = true)
-      fs.delete(stage, true): Unit
+      fs.delete(stage, true)
+      // survivors' signatures enter the index through the staged,
+      // prefix-swept path, so a crash ANYWHERE in this method replays
+      // to exactly one copy of the batch's index rows; ordering before
+      // the commit marker means a committed batch is always indexed
+      dedup.foreach(cfg => cfg.appendSurvivorsStaged(spark, pub, runId))
+      pub.unpersist(): Unit
     }
     // commit marker LAST: a crash anywhere above replays the whole batch
     // idempotently; after the marker, replays are no-ops

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
-import graft.ingest.CuratedWriter
+import graft.ingest.{CuratedWriter, DlqWriter}
 import graft.pipeline.{Contracts, LakeLayout}
 
 /** Streaming semantics the modules promise: checkpointed exactly-once
@@ -83,6 +83,75 @@ class StreamingSpec extends AnyFunSuite {
     writeFile("b.jsonl", Seq(rec("r-3", "2024-03-07 12:00:00.000000")))
     StreamingIngest.runAvailableNow(spark, lay, Contracts.events)
     assert(CuratedWriter.read(spark, lay.curatedDir).count() == 3)
+  }
+
+  test("streaming dedup stage: cross-delivery + intra-batch near-dups suppressed, crash replay never double-appends") {
+    import graft.pipeline.DedupStage
+    val lay = LakeLayout(Files.createTempDirectory("graft-stream-dedup-stage").toString)
+    def drec(id: String, text: String): String =
+      s"""{"id":"$id","event_timestamp":"2024-03-07 10:00:00.000000","MODE":"training",""" +
+        s""""metadata":{"app_version":"1.0.0","user_agent":"ua","user_id":1},""" +
+        s""""payload":{"transaction_id":"t-$id","value":2.0,"props":"$text"}}"""
+    def writeFile(name: String, lines: Seq[String]): Unit = {
+      val p = Paths.get(s"${lay.rawDir}/$name")
+      Files.createDirectories(p.getParent)
+      Files.write(p, lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8)): Unit
+    }
+    val hash = (id: String) => {
+      import spark.implicits._
+      Seq(id).toDF("i").select(xxhash64(col("i"))).collect()(0).getLong(0)
+    }
+    val stage = DedupStage(s"${lay.root}/dedup-index",
+      id = col("record_id"), text = col("payload.props"))
+    def drain(): Unit =
+      StreamingIngest.runAvailableNow(spark, lay, Contracts.events, dedup = Some(stage))
+    val t = (0 until 50).map(i => s"sd$i").mkString(" ")
+    val tnear = ((0 until 49).map(i => s"sd$i") :+ "changed").mkString(" ")
+
+    // delivery 1 crashes AFTER publish+append, BEFORE the commit marker
+    // (a file squatting on stream-commits) — the replay must not
+    // double-publish OR double-append the batch's index rows
+    writeFile("a.jsonl", Seq(
+      drec("a-1", t), drec("a-2", (0 until 50).map(i => s"ss$i").mkString(" "))))
+    Files.createDirectories(Paths.get(lay.root))
+    Files.write(Paths.get(s"${lay.root}/stream-commits"),
+      "blocker".getBytes(StandardCharsets.UTF_8))
+    intercept[Exception] { drain() }
+    Files.delete(Paths.get(s"${lay.root}/stream-commits"))
+    drain() // replay: its probe sees the crashed attempt's own index
+    // entries (append ran before the crash) — the probe's self-pair
+    // filter is what keeps the batch from suppressing itself here
+    assert(CuratedWriter.read(spark, lay.curatedDir).count() == 2)
+    val shingleIds = spark.read.parquet(s"${lay.root}/dedup-index/shingles")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(shingleIds.sorted == Seq(hash("a-1"), hash("a-2")).sorted,
+      s"replay double-appended the index: $shingleIds")
+
+    // delivery 2: b-1 near-dups a-1 ACROSS deliveries (via the replayed
+    // index); c-1 ~ c-2 WITHIN the delivery (intra-batch window)
+    val u = (0 until 50).map(i => s"uu$i").mkString(" ")
+    val unear = ((0 until 49).map(i => s"uu$i") :+ "flip").mkString(" ")
+    writeFile("b.jsonl", Seq(drec("b-1", tnear), drec("c-1", u), drec("c-2", unear)))
+    drain()
+    val (cSurvivor, cDropped) =
+      if (hash("c-1") < hash("c-2")) ("c-1", "c-2") else ("c-2", "c-1")
+    val curatedIds = CuratedWriter.read(spark, lay.curatedDir)
+      .select("record_id").collect().map(_.getString(0)).sorted.toSeq
+    assert(curatedIds == Seq("a-1", "a-2", cSurvivor).sorted, s"curated: $curatedIds")
+    // the suppression edges match the batch runner's kernel exactly:
+    // dup_of is the matched doc's keyed id in both windows
+    val dd = DlqWriter.read(spark, lay.dedupDlqDir)
+      .select("record_id", "dup_of").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dd == Map("b-1" -> hash("a-1"), cDropped -> hash(cSurvivor)),
+      s"dedup DLQ edges: $dd")
+    // a third delivery near-dup of the intra-batch survivor proves the
+    // survivor (and only it) was appended on commit
+    writeFile("c.jsonl", Seq(drec("late-1", u)))
+    drain()
+    val late = DlqWriter.read(spark, lay.dedupDlqDir)
+      .filter(col("record_id") === "late-1").select("dup_of").collect()
+    assert(late.length == 1 && late(0).getLong(0) == hash(cSurvivor))
   }
 
   test("flatMapGroupsWithState closed sessions == session_window sessions minus each user's last") {
