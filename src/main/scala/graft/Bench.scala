@@ -69,37 +69,47 @@ object Bench {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
-    // Each chain is pre-built only when a selected query would otherwise
-    // pay its construction inside the timing loop (prefixes per family).
-    def need(prefixes: String*): Boolean =
-      SparkEntry.queries.keys.exists(n => selected(n) && prefixes.exists(n.startsWith))
-    val chains = Seq[(Boolean, () => Future[Any])](
-      need("q38", "q39", "q40", "q41", "q48", "q52", "q55", "q57") -> (() => Future {
+    // Artifact chains, keyed by the names SparkEntry.artifactDeps uses.
+    // WHICH chains run is derived from that per-query registry (kept
+    // next to the query defs so the mapping can't drift from the
+    // sweep): a chain is pre-built iff a SELECTED query declares it.
+    val chainBuilders = Map[String, () => Future[Any]](
+      "ingest" -> (() => Future {
         step("ingest")(pipeline.IngestDemo.ensure(spark, sfDir))
         step("daydim")(pipeline.IngestDemo.ensureDayDim(spark, sfDir))
         step("bucketed")(pipeline.IngestDemo.ensureBucketed(spark, sfDir))
         step("catalog")(pipeline.IngestDemo.ensureCatalog(spark, sfDir))
         step("evolved")(pipeline.IngestDemo.ensureEvolvedCatalog(spark, sfDir))
       }),
-      need("q45", "q46", "q61", "q72") -> (() => Future {
+      "stream" -> (() => Future {
         step("stream")(pipeline.StreamDemo.ensure(spark, sfDir))
         step("hourly")(pipeline.StreamDemo.ensureHourly(spark, sfDir).count())
         step("sjoin")(pipeline.StreamDemo.ensureStreamJoin(spark, sfDir).count())
         step("sdedup")(pipeline.StreamDemo.ensureStreamDedup(spark, sfDir).count())
       }),
-      need("q51", "q64") ->
-        (() => Future(step("ivf")(pipeline.IvfIndex.ensure(spark, sfDir)))),
-      need("q82", "q83", "q89") -> (() => Future {
+      "ivf" -> (() => Future(step("ivf")(pipeline.IvfIndex.ensure(spark, sfDir)))),
+      "embedtables" -> (() => Future(
+        step("embedtables")(queries.EmbedTableStore.ensure(spark, sfDir)))),
+      "mhindex" -> (() => Future {
         step("mhindex")(queries.MinHashIndex.ensure(spark, sfDir))
         step("mhappend")(queries.MinHashIndex.ensureAppended(spark, sfDir))
       }),
-      need("q86") -> (() => Future(step("sneardup")(
+      "sneardup" -> (() => Future(step("sneardup")(
         pipeline.StreamDemo.ensureStreamNearDedup(spark, sfDir).count()))),
-      need("q31") ->
-        (() => Future(step("langmodel")(queries.LangModelStore.ensure(spark, sfDir)))),
-      need("q84") ->
-        (() => Future(step("qualmodel")(queries.QualityModelStore.ensure(spark, sfDir)))))
-    chains.collect { case (true, f) => f() }.foreach(Await.result(_, Duration.Inf))
+      "langmodel" -> (() =>
+        Future(step("langmodel")(queries.LangModelStore.ensure(spark, sfDir)))),
+      "qualmodel" -> (() =>
+        Future(step("qualmodel")(queries.QualityModelStore.ensure(spark, sfDir)))))
+    // registry hygiene: an artifactDeps entry for an unknown query or an
+    // unknown chain is a bug, not a silent no-op
+    SparkEntry.artifactDeps.foreach { case (q, cs) =>
+      require(SparkEntry.queries.contains(q), s"artifactDeps: unknown query $q")
+      cs.foreach(c => require(chainBuilders.contains(c), s"artifactDeps: unknown chain $c ($q)"))
+    }
+    val needed = SparkEntry.artifactDeps
+      .collect { case (q, cs) if selected(q) => cs }.flatten.toSet
+    needed.toSeq.map(chainBuilders).map(_())
+      .foreach(Await.result(_, Duration.Inf))
     val buildSec = (System.nanoTime() - b0) / 1e9
     // dev loop: measure/pre-warm the artifact build without the 72-query sweep
     if (sys.env.get("SPARK_GRAFT_BUILD_ONLY").contains("1")) {

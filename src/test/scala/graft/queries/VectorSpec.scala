@@ -141,6 +141,28 @@ class VectorSpec extends AnyFunSuite {
     }
   }
 
+  test("q49 quantized pre-gate: |qcos - cos| <= margin over every LSH collision at sf0.01") {
+    // The gate's safety argument is an error BOUND, so measure the
+    // realized error on exactly the population the gate filters — the
+    // raw collision stream — and require it under the margin the gate
+    // subtracts from the threshold. Any violation could silently drop
+    // a true pair, so this is asserted as a hard invariant, not a
+    // statistical bound.
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.01"
+    val e = graft.engine.Tables.load(spark, sf, "embeddings")
+    val table = graft.functions.CosByIdExpr.build(e.select("vec_id", "embedding"))
+    graft.functions.CosByIdExpr.register(spark, table)
+    graft.functions.QuantCosByIdExpr.register(spark,
+      graft.functions.QuantCosByIdExpr.buildFrom(table))
+    val coll = VectorOps.lshSelfCollisions(e, e.count())
+      .select("a_id", "b_id").distinct()
+      .withColumn("d", abs(expr("qcos_by_id(a_id, b_id)") - expr("cos_by_id(a_id, b_id)")))
+    val worst = coll.agg(max("d")).first().getLong(0)
+    graft.queries.QueryCaches.releaseAll()
+    assert(worst <= 70000L, s"quantized-cosine error $worst exceeds the 70000 gate margin")
+  }
+
   test("q49 finds a planted exact-duplicate embedding pair") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
