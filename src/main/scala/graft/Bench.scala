@@ -96,6 +96,8 @@ object Bench {
       }),
       "sneardup" -> (() => Future(step("sneardup")(
         pipeline.StreamDemo.ensureStreamNearDedup(spark, sfDir).count()))),
+      "deduplake" -> (() => Future(step("deduplake")(
+        pipeline.DedupDemo.ensure(spark, sfDir)))),
       "langmodel" -> (() =>
         Future(step("langmodel")(queries.LangModelStore.ensure(spark, sfDir)))),
       "qualmodel" -> (() =>

@@ -74,8 +74,11 @@ final case class DedupStage(
   /** Split the curated batch into (survivors, flagged near-dups). The
     * flagged frame carries the curated columns plus `dup_of` (the best
     * Jaccard match — an index doc_id for batch↔index flags, the
-    * SURVIVING batch-mate's keyed id for intra-batch flags) and
-    * `jac_e6`; None when nothing is flagged. The duplicate RESOLUTION
+    * SURVIVING batch-mate's keyed id for intra-batch flags), `jac_e6`,
+    * and `dup_reason` (`"index"` = matched an already-ingested doc,
+    * `"batch"` = matched a same-tick batch-mate — the audit dimension
+    * the dedup DLQ consumer aggregates by, q90); None when nothing is
+    * flagged. The duplicate RESOLUTION
     * (index probe + intra-batch self-join + union-find) runs eagerly
     * here — its result is a driver-resident flag list bounded by the
     * tick's suppression count, the same batch-bounded budget as
@@ -108,12 +111,13 @@ final case class DedupStage(
       }
     val batchDups = intraBatchDups(s, shSurv)
     sh.unpersist()
-    val dups = indexDups.toSeq ++ batchDups
+    val dups = indexDups.toSeq.map { case (a, b, j) => (a, b, j, "index") } ++
+      batchDups.map { case (a, b, j) => (a, b, j, "batch") }
     val (survivors0, flagged) =
       if (dups.isEmpty) (k, None)
       else {
         import s.implicits._
-        val dupsDf = broadcast(dups.toDF("new_id", "dup_of", "jac_e6"))
+        val dupsDf = broadcast(dups.toDF("new_id", "dup_of", "jac_e6", "dup_reason"))
         (k.join(dupsDf.select("new_id"), k("_dedup_id") === col("new_id"), "left_anti"),
           Some(k.join(dupsDf, k("_dedup_id") === col("new_id"))
             .drop("new_id", "_dedup_id")))

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.engine.Cols.cents
 import graft.ingest.{CuratedWriter, DlqWriter}
 import graft.ledger.Ledger
-import graft.pipeline.IngestDemo
+import graft.pipeline.{DedupDemo, IngestDemo}
 
 /** CORRECTNESS surface for the ingest pipeline (SURVEY.md §3.1 — the
   * reference's core loop). Each query first ensures the demo pipeline has
@@ -135,6 +135,34 @@ object IngestQueries {
       graft.monitor.Alarms.evaluate(s, lay)
     }),
 
+    // X2 audit surface (the reference's DLQ-as-audit philosophy,
+    // psuedo_code.txt:195-208, applied to the near-dup gate): "what got
+    // suppressed, why, and when" — per-tick suppression counts by
+    // reason from the dedup DLQ (batch↔index vs intra-batch, with the
+    // exact verify Jaccard) unioned with the span-scrub accounting the
+    // ledger notes carry. Runs over [[DedupDemo]]'s engineered 3-tick
+    // history, where every suppression and its jac_e6 is a closed form
+    // (see that scaladoc) — so the oracle pins the full audit trail as
+    // literals. Scale shape: the DLQ holds only suppressed rows and the
+    // ledger one row per file; both aggregates are trivially
+    // hash-partitioned.
+    "q90_dedup_dlq_audit" -> ((s, d) => {
+      val lay = DedupDemo.ensure(s, d)
+      val dlq = DlqWriter.read(s, lay.dedupDlqDir)
+        .groupBy(col("job_run_id"), col("dup_reason").as("reason"))
+        .agg(count(lit(1)).as("n"), max(col("jac_e6")).as("max_jac_e6"))
+      val scrubs = Ledger(s, lay.ledgerDir).snapshot()
+        .filter(col("error_message").rlike("spans scrubbed: \\d+ row"))
+        .select(col("job_run_id"),
+          regexp_extract(col("error_message"), "spans scrubbed: (\\d+) row", 1)
+            .cast("long").as("n_rows"))
+        .groupBy("job_run_id")
+        .agg(sum(col("n_rows")).as("n"))
+        .select(col("job_run_id"), lit("span-scrub").as("reason"), col("n"),
+          lit(null).cast("long").as("max_jac_e6"))
+      dlq.unionByName(scrubs).orderBy("job_run_id", "reason")
+    }),
+
     // S9/P9/S10: the catalog consumption path — saveAsTable'd curated
     // lake read back via spark.table with partition-pruning filters.
     "q41_catalog_pruned" -> ((s, d) => {
@@ -251,6 +279,16 @@ object IngestQueries {
          UNION ALL SELECT 'ledger_backlog', 'OK', CAST(0 AS BIGINT)
          UNION ALL SELECT 'slow_actions', 'OK', CAST(0 AS BIGINT)
          ORDER BY alarm""",
+    // q90: every value is forced by DedupDemo's engineered fixture —
+    // 959184 = round(47e6/49), the Jaccard of two 50-token docs
+    // differing in the last token (47 of 49 distinct 3-shingles shared).
+    "q90_dedup_dlq_audit" ->
+      """SELECT 'run-00001' AS job_run_id, 'batch' AS reason,
+              CAST(1 AS BIGINT) AS n, CAST(959184 AS BIGINT) AS max_jac_e6
+         UNION ALL SELECT 'run-00003', 'index', CAST(1 AS BIGINT), CAST(959184 AS BIGINT)
+         UNION ALL SELECT 'run-00003', 'span-scrub', CAST(1 AS BIGINT), CAST(NULL AS BIGINT)
+         UNION ALL SELECT 'run-00005', 'index', CAST(1 AS BIGINT), CAST(959184 AS BIGINT)
+         ORDER BY job_run_id, reason""",
     "q41_catalog_pruned" ->
       """SELECT CAST(day(ts) AS INT) AS day, COUNT(*) AS n,
          CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c

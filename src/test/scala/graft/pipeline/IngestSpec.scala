@@ -84,6 +84,9 @@ class IngestSpec extends AnyFunSuite {
     val dd = DlqWriter.read(spark, lay.dedupDlqDir)
     val flaggedRows = dd.select("record_id", "dup_of", "jac_e6").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    // both flags matched an already-INGESTED doc → audit reason "index"
+    assert(dd.select("dup_reason").collect().map(_.getString(0)).toSeq ==
+      Seq("index", "index"))
     val hash = (id: String) => {
       import spark.implicits._
       Seq(id).toDF("i").select(xxhash64(col("i"))).collect()(0).getLong(0)
@@ -132,11 +135,13 @@ class IngestSpec extends AnyFunSuite {
     val curatedIds = CuratedWriter.read(spark, lay.curatedDir)
       .select("record_id").collect().map(_.getString(0)).sorted.toSeq
     assert(curatedIds == Seq(survivor, "u-1").sorted, s"curated: $curatedIds")
-    // the dropped copy is flagged with its BATCH-MATE's keyed id
+    // the dropped copy is flagged with its BATCH-MATE's keyed id, and
+    // the audit reason distinguishes the window that caught it
     val dd = DlqWriter.read(spark, lay.dedupDlqDir)
-      .select("record_id", "dup_of", "jac_e6").collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      .select("record_id", "dup_of", "jac_e6", "dup_reason").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
     assert(dd.map(_._1) == Seq(dropped), s"dedup DLQ: $dd")
+    assert(dd(0)._4 == "batch", s"intra-batch flag must carry reason 'batch': $dd")
     assert(dd(0)._2 == hash(survivor), s"dup_of must be the surviving batch-mate: $dd")
     assert(dd(0)._3 >= 800000L, s"sub-threshold jac: $dd")
     // only the survivor was indexed: a LATER copy of t flags against the
