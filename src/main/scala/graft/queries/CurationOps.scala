@@ -90,6 +90,14 @@ object CurationOps {
     * greedy fill stops mid-source, exercising the budget boundary. */
   val TokenBudget = 1000L
 
+  /** q91 decontamination threshold: containment >= 15% drops the doc.
+    * q75's 5% is the right benchmark-scrub default, but this synthetic
+    * corpus shares its generator vocabulary so 5% flags ~82% of it
+    * (q75's own numbers) and would starve every later recipe stage;
+    * at 15% each stage has real survivors AND real drops, and the
+    * budget fill still hits its boundary. */
+  val RecipeContamE6 = 150000L
+
   /** Per-doc `quality_score_e6` — the scorer hook for the curation gate
     * (q70/q74), exposed standalone as q77. A linear model over the
     * q29/q71 quality signals with fixed calibrated weights mirroring
@@ -351,42 +359,12 @@ object CurationOps {
     // deterministic md5 order until the source's budget is exhausted;
     // the doc that crosses the line is included (greedy fill). Output
     // is the per-source account plus the md5 of the selected id list,
-    // so the oracle pins the exact selection, not just its size.
-    //
-    // Scale shape — TWO-PHASE shard split, because the naive form (one
-    // running-sum window per source) serializes each source into a
-    // single sort partition, and at 100 TB one source can be most of
-    // the corpus. The md5 order is refined by its own prefix: shard =
-    // first 2 hex chars of rk, so global md5 order == (shard, rk)
-    // order. Phase 1 aggregates per-(source, shard) token sums (256
-    // tiny rows per source) and computes each shard's STARTING offset
-    // with a window over that bounded frame. Phase 2 joins the offsets
-    // back (broadcast — sources × 256 rows) and runs the running-sum
-    // window per (source, shard): 256× the parallelism, each partition
-    // 1/256th of the source, and the doc's global cum_before is
-    // shard_offset + intra-shard prefix. Byte-identical output to the
-    // single-window form; CurationSpec checks against an independent
-    // greedy recompute.
+    // so the oracle pins the exact selection, not just its size. The
+    // fill kernel is [[budgetFill]], shared with the q91 recipe.
     "q87_token_budget" -> ((s, d) => {
-      val base = docs(s, d)
-        .select(col("doc_id"), col("source"), nTokens(col("text")).as("n_tok"),
-          md5(concat(lit("graft87:"), col("doc_id").cast("string"))).as("rk"))
-        .withColumn("shard", substring(col("rk"), 1, 2))
-      val shardOffsets = base.groupBy("source", "shard")
-        .agg(sum("n_tok").as("sh_tok"))
-        .withColumn("sh_off", coalesce(
-          sum("sh_tok").over(Window.partitionBy("source").orderBy("shard")
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        // shards whose offset is already past the budget cannot select
-        // anything — prune them before the per-shard window
-        .filter(col("sh_off") < TokenBudget)
-        .select("source", "shard", "sh_off")
-      val wIntra = Window.partitionBy("source", "shard").orderBy("rk", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      base.join(broadcast(shardOffsets), Seq("source", "shard"))
-        .withColumn("cum_before",
-          col("sh_off") + coalesce(sum(col("n_tok")).over(wIntra), lit(0L)))
-        .filter(col("cum_before") < TokenBudget)
+      budgetFill(docs(s, d)
+          .select(col("doc_id"), col("source"), nTokens(col("text")).as("n_tok")),
+          TokenBudget, "graft87:")
         .groupBy("source")
         .agg(count(lit(1)).as("n_sel"),
           sum(col("n_tok")).as("tok_sel"),
@@ -394,6 +372,9 @@ object CurationOps {
             " x -> cast(x AS string)), ',')")).as("sel_md5"))
         .orderBy("source")
     }),
+
+    // The CAPSTONE recipe (see [[recipe]]).
+    "q91_curation_recipe" -> ((s, d) => recipe(s, d)),
 
     // End-to-end curation: quality gate (bounds + the q77 scorer) →
     // exact dedup → hash split → per-(split, source) accounting.
@@ -489,6 +470,132 @@ object CurationOps {
         .select("doc_id", "n_grams", "n_hit", "contam_e6")
         .orderBy("doc_id")
     }))
+
+  /** Greedy per-source token-budget fill in the deterministic md5
+    * order — the q87 kernel, returning the SELECTED rows with the
+    * input's columns. Input must carry (doc_id, source, n_tok).
+    *
+    * Scale shape — TWO-PHASE shard split, because the naive form (one
+    * running-sum window per source) serializes each source into a
+    * single sort partition, and at 100 TB one source can be most of
+    * the corpus. The md5 order is refined by its own prefix: shard =
+    * first 2 hex chars of rk, so global md5 order == (shard, rk)
+    * order. Phase 1 aggregates per-(source, shard) token sums (256
+    * tiny rows per source) and computes each shard's STARTING offset
+    * with a window over that bounded frame. Phase 2 joins the offsets
+    * back (broadcast — sources × 256 rows) and runs the running-sum
+    * window per (source, shard): 256× the parallelism, each partition
+    * 1/256th of the source, and the doc's global cum_before is
+    * shard_offset + intra-shard prefix. Byte-identical output to the
+    * single-window form; CurationSpec checks against an independent
+    * greedy recompute. */
+  private def budgetFill(df: DataFrame, budget: Long, salt: String): DataFrame = {
+    val base = df
+      .withColumn("rk", md5(concat(lit(salt), col("doc_id").cast("string"))))
+      .withColumn("shard", substring(col("rk"), 1, 2))
+    val shardOffsets = base.groupBy("source", "shard")
+      .agg(sum("n_tok").as("sh_tok"))
+      .withColumn("sh_off", coalesce(
+        sum("sh_tok").over(Window.partitionBy("source").orderBy("shard")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      // shards whose offset is already past the budget cannot select
+      // anything — prune them before the per-shard window
+      .filter(col("sh_off") < budget)
+      .select("source", "shard", "sh_off")
+    val wIntra = Window.partitionBy("source", "shard").orderBy("rk", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.join(broadcast(shardOffsets), Seq("source", "shard"))
+      .withColumn("cum_before",
+        col("sh_off") + coalesce(sum(col("n_tok")).over(wIntra), lit(0L)))
+      .filter(col("cum_before") < budget)
+      .drop("rk", "shard", "sh_off", "cum_before")
+  }
+
+  /** q91 — the CAPSTONE: the end-to-end training-set recipe the north
+    * star describes ("ML training data platform", sudo_code.txt:1),
+    * composed from the family's individually-verified kernels in the
+    * order a production curation run applies them:
+    *
+    *   1. quality gate (q77 scorer + q70 bounds) over the corpus with
+    *      the held-out eval set (doc_id < 50, the q75 stand-in)
+    *      excluded;
+    *   2. exact dedup — min doc_id per md5(text) (q26/q70 kernel);
+    *   3. benchmark decontamination — drop docs whose 3-gram
+    *      containment vs the eval set reaches [[RecipeContamE6]]
+    *      (q75 kernel; the eval grams broadcast);
+    *   4. near-dup dedup — MinHash-LSH edges at J >= 0.8, transitive
+    *      closure, keep the component-minimum rep (q32/q65/q74
+    *      kernels). This is the batch recompute form; at ingest the
+    *      same semantics run incrementally via [[graft.pipeline
+    *      .DedupStage]] against the durable index (q82/q83);
+    *   5. per-source token-budget selection ([[budgetFill]], q87);
+    *   6. deterministic training order — the q78 epoch shuffle key.
+    *
+    * Output: one row per source accounting every gated doc's fate
+    * (gated / exact-dup / contaminated / near-dup / selected) plus
+    * `order_md5`, the md5 of the SELECTED ids concatenated in training
+    * order — so the oracle pins the entire manifest, not a prefix.
+    * Every stage is the scale-shaped form its own query verified:
+    * scan-only gate, one hash shuffle for the dedup window, broadcast
+    * gram probe, banded LSH (never all-pairs), edge-capped closure,
+    * two-phase budget windows, and an aggregate whose per-source state
+    * is the selected-id list (bounded by the token budget). */
+  def recipe(s: SparkSession, d: String): DataFrame = {
+    val rw = Window.partitionBy(md5(col("text"))).orderBy("doc_id")
+    val gated = QueryCaches.track(
+      withQualityScore(docs(s, d).filter(col("doc_id") >= 50))
+        .withColumn("n_tok", col("q_n"))
+        .filter(col("n_tok").between(20, 200) && col("n_chars") >= 100 &&
+          col("quality_score_e6") >= QualityMinE6)
+        // prune before the dedup window (q70): no scorer arrays through
+        // the md5-partition shuffle
+        .select(col("doc_id"), col("source"), col("text"), col("n_tok"))
+        .withColumn("rn", row_number().over(rw)))
+    val reps = gated.filter(col("rn") === 1).select("doc_id", "source", "text", "n_tok")
+    val sh = QueryCaches.track(DedupOps.shingled(reps))
+    val benchGrams = DedupOps.shingled(docs(s, d).filter(col("doc_id") < 50))
+      .select(explode(col("sh")).as("g")).distinct()
+    val contam = sh
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_grams"),
+        explode(col("sh")).as("g"))
+      .join(broadcast(benchGrams), Seq("g"))
+      .groupBy("doc_id", "n_grams").agg(count(lit(1)).as("n_hit"))
+      .filter(round(col("n_hit") * lit(1000000.0) / col("n_grams")).cast("long")
+        >= RecipeContamE6)
+      .select(col("doc_id"), lit(1L).as("is_contam"))
+    val shClean = sh.join(contam.select("doc_id"), Seq("doc_id"), "left_anti")
+    val packed = QueryCaches.track(DedupOps.minhashEdges(s, shClean, minJ = 0.8)
+      .select(shiftleft(col("a_id"), 32).bitwiseOR(col("b_id")).as("pk")))
+    val labels = DedupOps.componentLabels(s, packed)
+    val clean = reps
+      .join(contam, Seq("doc_id"), "left")
+      .join(labels, Seq("doc_id"), "left")
+      .filter(col("is_contam").isNull &&
+        coalesce(col("rep"), col("doc_id")) === col("doc_id"))
+      .select("doc_id", "source", "n_tok")
+    val sel = budgetFill(clean, TokenBudget, "graft91:")
+      .select(col("doc_id"), lit(1L).as("is_sel"),
+        md5(concat(lit("epoch0:"), col("doc_id").cast("string"))).as("shuffle_key"))
+    gated
+      .join(contam, Seq("doc_id"), "left")
+      .join(labels, Seq("doc_id"), "left")
+      .join(broadcast(sel), Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_gated"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_exact_dup"),
+        sum(when(col("rn") === 1 && col("is_contam").isNotNull, 1L).otherwise(0L))
+          .as("n_contaminated"),
+        sum(when(col("rn") === 1 && col("is_contam").isNull &&
+          coalesce(col("rep"), col("doc_id")) =!= col("doc_id"), 1L).otherwise(0L))
+          .as("n_neardup"),
+        sum(when(col("is_sel").isNotNull, 1L).otherwise(0L)).as("n_sel"),
+        sum(when(col("is_sel").isNotNull, col("n_tok")).otherwise(0L)).as("tok_sel"),
+        md5(expr("array_join(transform(array_sort(collect_list(" +
+          "CASE WHEN is_sel IS NOT NULL THEN struct(shuffle_key, doc_id) END))," +
+          " x -> cast(x.doc_id AS string)), ',')")).as("order_md5"))
+      .orderBy("source")
+  }
 
   /** Oracle mirror of [[withQualityScore]]: scored documents with
     * (doc_id, source, text, n_chars, n_tok, stop_e6, dup2_e6,
@@ -731,6 +838,88 @@ object CurationOps {
                 CAST(SUM(CASE WHEN rep = doc_id THEN n_tok ELSE 0 END) AS BIGINT) AS n_tokens,
                 CAST(SUM(CASE WHEN rep <> doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup_dropped
          FROM j GROUP BY 1, 2 ORDER BY 1, 2""",
+    // q91: the full recipe recomputed from first principles — the q70
+    // gate, the q75 containment CTE, the q74 exact-Jaccard recursive
+    // closure, the q87 single-window budget fill (equivalent to the
+    // two-phase form by the shard-prefix argument), and the q78 order
+    // key — chained. string_agg's ORDER BY includes doc_id as the
+    // tiebreak to mirror Spark's struct sort.
+    "q91_curation_recipe" ->
+      s"""WITH RECURSIVE
+           gated AS (
+             SELECT doc_id, source, text, n_tok,
+               ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+             FROM ($ScoredDocsSql) sd
+             WHERE doc_id >= 50
+               AND n_tok BETWEEN 20 AND 200 AND n_chars >= 100
+               AND score_e6 >= $QualityMinE6),
+           reps AS (SELECT doc_id, source, text, n_tok FROM gated WHERE rn = 1),
+           tokr AS (
+             SELECT doc_id, unnest(list_distinct(sh)) AS g FROM (
+               SELECT doc_id, string_split(text, ' ') AS t,
+                 [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                  FOR i IN range(1, len(string_split(text, ' ')) - 1)] AS sh
+               FROM reps) x),
+           toke AS (
+             SELECT DISTINCT unnest(list_distinct(sh)) AS g FROM (
+               SELECT string_split(text, ' ') AS t,
+                 [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                  FOR i IN range(1, len(string_split(text, ' ')) - 1)] AS sh
+               FROM documents WHERE doc_id < 50) x),
+           sizes AS (SELECT doc_id, COUNT(*) AS n FROM tokr GROUP BY 1),
+           contam AS (
+             SELECT s.doc_id FROM sizes s JOIN (
+               SELECT c.doc_id, COUNT(*) AS n_hit
+               FROM tokr c JOIN toke b ON c.g = b.g GROUP BY 1) h
+               ON h.doc_id = s.doc_id
+             WHERE CAST(ROUND(h.n_hit * 1000000.0 / s.n) AS BIGINT) >= $RecipeContamE6),
+           ded AS (SELECT * FROM reps
+                   WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+           inter AS (
+             SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i
+             FROM tokr a JOIN tokr b ON a.g = b.g AND a.doc_id < b.doc_id
+             WHERE a.doc_id IN (SELECT doc_id FROM ded)
+               AND b.doc_id IN (SELECT doc_id FROM ded)
+             GROUP BY 1, 2),
+           edges AS (
+             SELECT a, b FROM inter
+             JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+             WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+           sym AS (SELECT a, b FROM edges UNION ALL SELECT b, a FROM edges),
+           walk(id, r) AS (
+             SELECT doc_id, doc_id FROM ded
+             UNION
+             SELECT s.b, w.r FROM walk w JOIN sym s ON s.a = w.id),
+           labs AS (SELECT id AS doc_id, MIN(r) AS rep FROM walk GROUP BY 1),
+           clean AS (
+             SELECT d.doc_id, d.source, d.n_tok
+             FROM ded d JOIN labs l ON l.doc_id = d.doc_id
+             WHERE l.rep = d.doc_id),
+           cum AS (
+             SELECT *, COALESCE(SUM(n_tok) OVER (PARTITION BY source
+                 ORDER BY md5('graft91:' || CAST(doc_id AS VARCHAR)), doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+             FROM clean),
+           sel AS (SELECT doc_id FROM cum WHERE cum_before < $TokenBudget),
+           fate AS (
+             SELECT g.doc_id, g.source, g.n_tok, g.rn,
+               g.doc_id IN (SELECT doc_id FROM contam) AS is_contam,
+               l.rep AS rep,
+               g.doc_id IN (SELECT doc_id FROM sel) AS is_sel
+             FROM gated g LEFT JOIN labs l ON l.doc_id = g.doc_id)
+         SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_gated,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+           CAST(SUM(CASE WHEN rn = 1 AND is_contam THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contaminated,
+           CAST(SUM(CASE WHEN rn = 1 AND NOT is_contam AND rep IS NOT NULL
+                          AND rep <> doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup,
+           CAST(SUM(CASE WHEN is_sel THEN 1 ELSE 0 END) AS BIGINT) AS n_sel,
+           CAST(SUM(CASE WHEN is_sel THEN n_tok ELSE 0 END) AS BIGINT) AS tok_sel,
+           md5(COALESCE(string_agg(CASE WHEN is_sel THEN CAST(doc_id AS VARCHAR) END, ','
+             ORDER BY md5('epoch0:' || CAST(doc_id AS VARCHAR)), doc_id), ''))
+             AS order_md5
+         FROM fate GROUP BY 1 ORDER BY 1""",
     "q75_decontaminate" ->
       """WITH tok AS (
            SELECT doc_id, unnest(list_distinct(sh)) AS g FROM (

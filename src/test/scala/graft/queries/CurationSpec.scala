@@ -363,6 +363,89 @@ class CurationSpec extends AnyFunSuite {
     assert(got("srcOne")._1 == 1L && got("srcOne")._2 == 7L)
   }
 
+  test("q91 recipe: equals a first-principles recompute of all six stages") {
+    // Independent driver-side recompute of the ENTIRE recipe — scoring,
+    // gate, exact dedup, containment, exact-Jaccard closure, greedy
+    // budget fill, training order — sharing no code with the operator.
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val stop = Set("the", "a", "of", "and", "to", "in")
+    val all = graft.engine.Tables.load(spark, sf, "documents")
+      .select("doc_id", "source", "text", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    def grams(text: String): Set[String] = {
+      val t = text.split(" ")
+      if (t.length < 3) Set.empty
+      else (0 to t.length - 3).map(i => s"${t(i)} ${t(i + 1)} ${t(i + 2)}").toSet
+    }
+    // stage 1: gate (q77 score recomputed from its published formula)
+    val gated = all.filter { case (id, _, text, nChars) =>
+      val tk = text.split(" ")
+      val n = tk.length.toLong
+      val stopE6 = math.round(tk.count(stop) * 1e6 / n)
+      val toklenE6 = math.round(text.replace(" ", "").length * 1e6 / n)
+      val dup2E6 = if (n >= 2)
+        math.round((1.0 - tk.sliding(2).map(_.mkString(" ")).toSet.size.toDouble / (n - 1)) * 1e6)
+      else 0L
+      val score = 2 * stopE6 - 3 * dup2E6 - math.abs(toklenE6 - 5000000L) / 5 +
+        10000L * math.min(n, 100L)
+      id >= 50 && n >= 20 && n <= 200 && nChars >= 100 && score >= CurationOps.QualityMinE6
+    }
+    // stage 2: exact dedup (min id per text)
+    val repIds = gated.groupBy(_._3).map(_._2.map(_._1).min).toSet
+    val reps = gated.filter(t => repIds(t._1))
+    // stage 3: decontamination (containment vs the eval-set grams)
+    val evalGrams = all.filter(_._1 < 50).flatMap(t => grams(t._3)).toSet
+    val contam = reps.filter { t =>
+      val g = grams(t._3)
+      math.round(g.count(evalGrams).toDouble * 1e6 / g.size) >= CurationOps.RecipeContamE6
+    }.map(_._1).toSet
+    // stage 4: exact-Jaccard >= 0.8 closure, min-id rep survives
+    val ded = reps.filterNot(t => contam(t._1))
+    val gs = ded.map(t => t._1 -> grams(t._3)).toMap
+    val ids = ded.map(_._1).sorted
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for (i <- ids.indices; j <- i + 1 until ids.length) {
+      val (a, b) = (gs(ids(i)), gs(ids(j)))
+      val inter = (a & b).size
+      if (inter.toDouble / (a.size + b.size - inter) >= 0.8) {
+        val (ra, rb) = (find(ids(i)), find(ids(j)))
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+    }
+    val survivors = ded.filter(t => find(t._1) == t._1)
+    // stages 5+6: greedy budget fill in md5 order, then training order
+    val expect = survivors.groupBy(_._2).map { case (src, ds) =>
+      val ordered = ds.map { case (id, _, text, _) =>
+        (md5hex(s"graft91:$id"), id, text.split(" ").length.toLong) }
+        .sortBy(t => (t._1, t._2))
+      var cum = 0L
+      val sel = ordered.takeWhile { case (_, _, n) =>
+        val ok = cum < CurationOps.TokenBudget; cum += n; ok
+      }
+      val inOrder = sel.map(_._2).sortBy(id => (md5hex(s"epoch0:$id"), id))
+      src -> (sel.length.toLong, sel.map(_._3).sum, md5hex(inOrder.mkString(",")))
+    }
+    val gatedBySrc = gated.groupBy(_._2)
+    val got = CurationOps.defs("q91_curation_recipe")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getString(7))).toMap
+    assert(got.keySet == gatedBySrc.keySet)
+    got.foreach { case (src, (nGated, nExact, nContam, nNeardup, nSel, tokSel, orderMd5)) =>
+      val g = gatedBySrc(src)
+      assert(nGated == g.length, s"$src n_gated")
+      assert(nExact == g.count(t => !repIds(t._1)), s"$src n_exact_dup")
+      assert(nContam == g.count(t => contam(t._1)), s"$src n_contaminated")
+      assert(nNeardup == g.count(t => repIds(t._1) && !contam(t._1) &&
+        parent.contains(t._1) && find(t._1) != t._1), s"$src n_neardup")
+      val (eSel, eTok, eMd5) = expect(src)
+      assert((nSel, tokSel, orderMd5) == ((eSel, eTok, eMd5)),
+        s"$src selection mismatch: got ($nSel, $tokSel, $orderMd5)")
+    }
+  }
+
   test("q78 train order: deterministic, dense ranks, order decorrelated from doc_id") {
     val a = CurationOps.defs("q78_train_order")(spark, sf).collect()
     val b = CurationOps.defs("q78_train_order")(spark, sf).collect()
