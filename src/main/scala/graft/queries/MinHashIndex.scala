@@ -173,21 +173,40 @@ object MinHashIndex {
     * watermark is needed) except the final pair dedup, which collapses
     * multi-band collisions of the same pair; its state is one key per
     * emitted edge — the verified-duplicate set, orders of magnitude
-    * smaller than the stream. A deployment bounds that state with a
-    * watermark on ingest time (a pair re-colliding across micro-batches
-    * re-verifies to the same exact Jaccard, so late re-emission is
-    * idempotent for downstream suppression); the finite AvailableNow
-    * drain here doesn't need one. The doc's shingle array rides along
-    * the band rows (`carry`) because banding and verification both
-    * derive from the same stream — joining them by id would be a
-    * stream-stream join. */
+    * smaller than the stream. That state bound is an API-LEVEL
+    * contract, not a comment: a CONTINUOUS deployment must pass
+    * `watermark = Some(eventTimeCol -> delay)` — the stream gets
+    * `withWatermark` and the pair dedup becomes
+    * `dropDuplicatesWithinWatermark`, so emitted-edge state ages out
+    * after `delay` (a pair re-colliding later re-verifies to the same
+    * exact Jaccard, so late re-emission is idempotent for downstream
+    * suppression). `watermark = None` keeps ALL emitted edges and is
+    * only legal under a FINITE drain (AvailableNow, the q86 harness) —
+    * exactly-once edge emission over a bounded run. The doc's shingle
+    * array rides along the band rows (`carry`) because banding and
+    * verification both derive from the same stream — joining them by id
+    * would be a stream-stream join. */
   def probeStream(s: SparkSession, root: String, docsStream: DataFrame,
-                  minJ: Double): DataFrame = {
+                  minJ: Double,
+                  watermark: Option[(String, String)] = None): DataFrame = {
     val bands = s.read.parquet(s"$root/bands")
     val oldSh = s.read.parquet(s"$root/shingles")
-    val neu = DedupOps.bandRows(s, DedupOps.shingled(docsStream), carry = Seq("sh"))
-      .select(col("doc_id").as("new_id"), col("sh").as("sha"),
-        col("band"), col("bh"))
+    // Under a watermark the event-time column must ride the whole plan
+    // (withWatermark → band rows → joins → the state-bounded dedup), so
+    // it joins `sh` in the carry set and appears in the OUTPUT schema —
+    // the continuous consumer needs it downstream anyway.
+    val (src, carryCols) = watermark match {
+      case Some((tsCol, delay)) =>
+        graft.functions.Shingle3.register(s)
+        (docsStream.withWatermark(tsCol, delay)
+          .select(col("doc_id"), expr("shingle3(text)").as("sh"), col(tsCol))
+          .filter(size(col("sh")) >= 1), Seq("sh", tsCol))
+      case None => (DedupOps.shingled(docsStream), Seq("sh"))
+    }
+    val tsSel = watermark.map(w => col(w._1)).toSeq
+    val neu = DedupOps.bandRows(s, src, carry = carryCols)
+      .select(Seq(col("doc_id").as("new_id"), col("sh").as("sha"),
+        col("band"), col("bh")) ++ tsSel: _*)
     val withSh = neu
       .join(bands.select(col("doc_id").as("old_id"), col("band"), col("bh")),
         Seq("band", "bh"))
@@ -195,11 +214,15 @@ object MinHashIndex {
       .join(oldSh.select(col("doc_id").as("old_id"), col("sh").as("shb")),
         Seq("old_id"))
     val (inter, uni) = DedupOps.interUni(col("sha"), col("shb"))
-    withSh.withColumn("inter", inter).withColumn("uni", uni)
+    val edges = withSh.withColumn("inter", inter).withColumn("uni", uni)
       .filter(col("inter") * lit(1.0) / col("uni") >= minJ)
-      .select(col("new_id"), col("old_id"),
+      .select(Seq(col("new_id"), col("old_id"),
         round(col("inter") * lit(1000000.0) / col("uni")).cast("long").as("jac_e6"))
-      .dropDuplicates("new_id", "old_id")
+        ++ tsSel: _*)
+    watermark match {
+      case Some(_) => edges.dropDuplicatesWithinWatermark("new_id", "old_id")
+      case None => edges.dropDuplicates("new_id", "old_id")
+    }
   }
 
   /** Append-on-commit: add a committed batch's docs to the index at

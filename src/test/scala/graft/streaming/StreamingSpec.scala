@@ -269,4 +269,42 @@ class StreamingSpec extends AnyFunSuite {
     val landing = spark.read.parquet(graft.pipeline.StreamDemo.streamDedupLanding(sf))
     assert(landing.count() > truth.size, "fixture must contain replayed rows")
   }
+
+  test("probeStream watermark contract: continuous form emits the same edges with aged-out state") {
+    // The q86 harness drains AvailableNow (watermark = None is legal);
+    // a CONTINUOUS caller must pass the event-time watermark. Assert the
+    // watermarked form (1) finds the same verified edge, (2) carries the
+    // event-time column through to the output, and (3) actually runs the
+    // state-bounded dedup (a watermark is present on the state operator).
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val tmp = Files.createTempDirectory("graft-wmprobe").toString
+    def doc(p: String, last: String): String =
+      ((0 until 49).map(i => s"$p$i") :+ last).mkString(" ")
+    graft.queries.MinHashIndex.append(spark, s"$tmp/idx",
+      Seq((1L, doc("aa", "aa49")), (2L, doc("bb", "bb49"))).toDF("doc_id", "text"))
+    Seq((3L, doc("aa", "zz"), java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+        (4L, doc("cc", "cc49"), java.sql.Timestamp.valueOf("2024-01-01 00:01:00")))
+      .toDF("doc_id", "text", "ts").coalesce(1).write.parquet(s"$tmp/landing")
+    val src = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType), StructField("ts", TimestampType))))
+      .parquet(s"$tmp/landing")
+    val q = graft.queries.MinHashIndex
+      .probeStream(spark, s"$tmp/idx", src, minJ = 0.8,
+        watermark = Some("ts" -> "10 minutes"))
+      .writeStream.format("memory").queryName("wm_probe").outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.table("wm_probe")
+    assert(out.columns.toSeq == Seq("new_id", "old_id", "jac_e6", "ts"),
+      "watermarked form must carry the event-time column through")
+    val rows = out.select("new_id", "old_id", "jac_e6").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows == Seq((3L, 1L, 959184L)), s"edges: $rows")
+    val st = q.lastProgress.stateOperators
+    assert(st.nonEmpty && st.exists(_.operatorName.toLowerCase.contains("dedupe")),
+      s"expected a dedup state operator: ${st.map(_.operatorName).toSeq}")
+  }
 }
