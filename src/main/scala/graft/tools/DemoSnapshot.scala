@@ -43,6 +43,7 @@ object DemoSnapshot {
     pipeline.StreamDemo.ensureStreamDedup(spark, sfDir).count()
     pipeline.StreamDemo.ensureStreamNearDedup(spark, sfDir).count()
     pipeline.IvfIndex.ensure(spark, sfDir)
+    pipeline.DedupDemo.ensure(spark, sfDir)
     graft.queries.MinHashIndex.ensure(spark, sfDir)
     graft.queries.MinHashIndex.ensureAppended(spark, sfDir)
     graft.queries.LangModelStore.ensure(spark, sfDir)
