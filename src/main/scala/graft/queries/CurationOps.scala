@@ -47,6 +47,11 @@ import graft.engine.Tables
   *    MB-scale even against a 100 TB corpus), the corpus is scanned
   *    once, and only (doc_id, n_hit) rows reach the aggregate — the
   *    same probe-bounded gram-join shape as q33.
+  *  - q93 gate calibration sweep: survivors (docs AND tokens) at every
+  *    rung of a fixed threshold grid, in ONE corpus scan — conditional
+  *    partial aggregates collapse map-side, so the tuning table that
+  *    answers "where does the gate meet my token budget" costs a scan,
+  *    not a pipeline re-run per candidate threshold.
   *
   * Token counts reuse the whitespace idiom hash-matched since q27/q28
   * (`size(split(text, ' '))` ≡ DuckDB `len(string_split(text, ' '))`).
@@ -89,6 +94,15 @@ object CurationOps {
     * state). Sized so the driver corpus part-fills every source: the
     * greedy fill stops mid-source, exercising the budget boundary. */
   val TokenBudget = 1000L
+
+  /** q93 calibration grid (e6 units): the gate thresholds the sweep
+    * reports survivors at. Fixed literals — a data-derived grid would
+    * make the report (and its oracle) corpus-dependent. 0..1e6 step 1e5
+    * spans the scorer's observed mass on this corpus (min ≈ −0.45e6,
+    * median ≈ 0.49e6, max ≈ 1.08e6 across the gated sfs), so every row
+    * is non-degenerate: survivors shrink monotonically and the top rung
+    * still keeps at least one doc. */
+  val CalibrationGridE6: Seq[Long] = (0L to 1000000L by 100000L).toSeq
 
   /** q91 decontamination threshold: containment >= 15% drops the doc.
     * q75's 5% is the right benchmark-scrub default, but this synthetic
@@ -371,6 +385,29 @@ object CurationOps {
           md5(expr("array_join(transform(sort_array(collect_list(doc_id))," +
             " x -> cast(x AS string)), ',')")).as("sel_md5"))
         .orderBy("source")
+    }),
+
+    // Gate CALIBRATION sweep: for every threshold on the fixed grid,
+    // how many docs and tokens survive `quality_score_e6 >= t`? This is
+    // the tuning surface behind every gate choice in q70/q74/q91 —
+    // "where do I set the gate to land my token budget" is answered by
+    // reading this report, not by re-running the pipeline per guess.
+    // Plan shape: ONE corpus scan with 2×|grid| conditional partial
+    // aggregates (map-side combine reduces each partition to a single
+    // row, so the shuffle is |partitions| rows regardless of corpus
+    // size), then an explode of the 1-row result into the |grid|-row
+    // report. No per-threshold passes, no join, no window over data.
+    "q93_gate_calibration" -> ((s, d) => {
+      val scored = withQualityScore(docs(s, d))
+      val aggs = CalibrationGridE6.flatMap(t => Seq(
+        sum(when(col("quality_score_e6") >= t, 1L).otherwise(0L)).as(s"d_$t"),
+        sum(when(col("quality_score_e6") >= t, col("q_n")).otherwise(0L)).as(s"t_$t")))
+      scored.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(CalibrationGridE6.map(t =>
+          struct(lit(t).as("threshold_e6"), col(s"d_$t").as("n_docs"),
+            col(s"t_$t").as("n_tokens"))): _*)).as("r"))
+        .select(col("r.threshold_e6"), col("r.n_docs"), col("r.n_tokens"))
+        .orderBy("threshold_e6")
     }),
 
     // The CAPSTONE recipe (see [[recipe]]).
@@ -701,6 +738,13 @@ object CurationOps {
                  CAST(SUM(n_tok) AS BIGINT) AS tok_sel,
                  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS sel_md5
           FROM c WHERE cum_before < $TokenBudget GROUP BY 1 ORDER BY 1""",
+    // q93: the same scored frame, surviving docs/tokens per grid rung.
+    "q93_gate_calibration" ->
+      s"""WITH g AS (SELECT UNNEST([${CalibrationGridE6.mkString(",")}]) AS t)
+          SELECT CAST(g.t AS BIGINT) AS threshold_e6,
+                 CAST(SUM(CASE WHEN sd.score_e6 >= g.t THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+                 CAST(SUM(CASE WHEN sd.score_e6 >= g.t THEN sd.n_tok ELSE 0 END) AS BIGINT) AS n_tokens
+          FROM g, ($ScoredDocsSql) sd GROUP BY g.t ORDER BY threshold_e6""",
     "q66_split_assign" ->
       s"""SELECT $SplitSql AS split, COUNT(*) AS n_docs,
           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,

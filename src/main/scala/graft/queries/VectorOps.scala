@@ -9,7 +9,7 @@ import graft.engine.Tables
   * north-star LLM-pipeline similarity surface). 64-dim float vectors,
   * 10 cluster labels (TESTDATA.md).
   *
-  * Five operators, no UDFs — dot products run on the codegen `vec_dot`
+  * No UDFs anywhere — dot products run on the codegen `vec_dot`
   * expression (float arrays) or the higher-order `aggregate(zip_with)`
   * form (double arrays):
   *
@@ -31,6 +31,13 @@ import graft.engine.Tables
   *  - q37: per-label centroid (elementwise mean via posexplode — a single
   *    shuffle keyed (label, pos), so no vector ever aggregates on one
   *    node) + pairwise centroid cosine. Oracle-checked.
+  *  - q92: SEMANTIC decontamination — the embedding-space complement of
+  *    q75's n-gram containment scrub. The eval set is vectors, not
+  *    grams, so paraphrased leakage that shares no 8-gram with the
+  *    benchmark still gets caught by cosine proximity. Eval vectors ride
+  *    the scan as literals (an eval set is KBs–MBs at any corpus scale),
+  *    so the corpus is scanned ONCE with zero shuffle and only the
+  *    flagged sliver leaves the map side.
   *
   * Cosines are emitted as `round(cos * 1e6)` integers for the same
   * order-independence reason as the money columns (graft.engine.Cols).
@@ -85,6 +92,15 @@ object VectorOps {
     * broadcastable (~1M × 64 floats ≈ 256 MB) and q49 verifies raw
     * collisions map-side instead of paying a candidate-distinct shuffle. */
   private val BroadcastRows = 1000000L
+
+  /** q92 semantic-contamination threshold (e6 units). Deliberately
+    * LOOSER than q49's 0.45 near-dup bound: decontamination wants the
+    * paraphrase-adjacent halo around each eval item, not just its
+    * near-copies. On this corpus's cluster geometry (same-cluster
+    * cosine ≈ 0.45, cross-cluster median ≈ 0.19) 0.35 flags the
+    * eval-adjacent tail at every gated sf (7/11/43 vectors at
+    * sf0.001/0.01/0.1) without swallowing whole clusters. */
+  private val SemContamE6 = 350000L
 
   /** Aimed-for vectors per bucket — NOT scale-adaptive, on measured
     * evidence: the corpus's true pairs sit right at the 0.45 threshold
@@ -372,6 +388,17 @@ object VectorOps {
       embedNeardupPairs(s, embs(s, d), tablesBound = true).orderBy("a_id", "b_id")
     }),
 
+    // X6/X3: SEMANTIC decontamination — flag corpus vectors cosine-close
+    // to the eval probe set (vec_id < NumProbes, the q35/q75 eval-set
+    // stand-in). Complements q75: n-gram containment catches verbatim
+    // leakage, this catches paraphrased leakage living near the eval
+    // items in embedding space. Plan: one corpus scan, eval set as
+    // vec_dot literals, map-side max + filter — no join, no shuffle
+    // (see [[semanticContam]]). Oracle pins the exact flagged set with
+    // nearest-eval attribution.
+    "q92_semantic_decontam" -> ((s, d) =>
+      semanticContam(embs(s, d)).orderBy("vec_id")),
+
     // X3/A4: elementwise per-label centroids + pairwise centroid cosine.
     "q37_label_centroids" -> ((s, d) => {
       val cent = embs(s, d)
@@ -437,6 +464,54 @@ object VectorOps {
     } else
       packTC(left).select("a_id", "tc").join(right, Seq("tc"))
         .filter(col("a_id") =!= col("b_id"))
+  }
+
+  /** q92 kernel: flag corpus vectors within [[SemContamE6]] cosine of
+    * ANY eval vector, returning (vec_id, label, eval_id, max_cos_e6)
+    * for the flagged sliver — eval_id is the nearest eval item
+    * (cos desc, id asc on ties), the audit trail a scrub report needs.
+    *
+    * Scale shape: the eval frame is collected on the driver (BOUNDED by
+    * construction — an eval benchmark is thousands of items, KBs–MBs;
+    * same discipline as the IVF centroids and the q36 hyperplanes) and
+    * shipped as float-array literals inside codegen `vec_dot` calls, so
+    * the plan is scan → per-row max over |eval| dots → map-side filter.
+    * No join, no shuffle, no per-corpus-row state: at 100 TB the cost is
+    * one corpus scan regardless of how the corpus is partitioned, and
+    * only flagged rows (the contamination report) reach the output sort.
+    * An eval set too big for literals would ride a driver-registered
+    * table (the [[graft.functions.CosByIdExpr]] path q49 uses) — the
+    * corpus side never changes.
+    *
+    * Float literals are rendered via `Float.toString`, which round-trips
+    * exactly through the SQL double literal → FLOAT cast; the driver-side
+    * eval norm accumulates left-to-right in double like `vec_dot` and
+    * DuckDB's `list_sum`, keeping the e6 rounding bit-identical to the
+    * oracle's. */
+  private[queries] def semanticContam(e: DataFrame): DataFrame = {
+    graft.functions.VectorExpressions.register(e.sparkSession)
+    val evalRows = e.filter(col("vec_id") < NumProbes)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getAs[scala.collection.Seq[Float]](1)))
+      .sortBy(_._1)
+    require(evalRows.nonEmpty, "semanticContam: empty eval probe set")
+    val cands = evalRows.map { case (id, v) =>
+      val arrSql = v.map(x => s"CAST(${x.toString} AS FLOAT)")
+        .mkString("array(", ",", ")")
+      val nrm = math.sqrt(v.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+      val cos = round(expr(s"vec_dot(embedding, $arrSql)")
+        / (sqrt(expr("vec_dot(embedding, embedding)")) * lit(nrm))
+        * lit(1000000.0)).cast("long")
+      // negated id: array_max is lexicographic on (cos, ni), so ties
+      // resolve to the LOWEST eval id deterministically
+      struct(cos.as("c"), lit(-id).as("ni"))
+    }
+    e.filter(col("vec_id") >= NumProbes)
+      .withColumn("best", array_max(array(cands.toIndexedSeq: _*)))
+      .filter(col("best.c") >= SemContamE6)
+      .select(col("vec_id"), col("label"),
+        (-col("best.ni")).cast("int").as("eval_id"),
+        col("best.c").as("max_cos_e6"))
   }
 
   /** Embedding near-dup pair kernel (the q49 body, minus the final
@@ -559,6 +634,23 @@ object VectorOps {
                        / (a.nrm * b.nrm) * 1000000) AS BIGINT) AS cos_e6
            FROM n a JOIN n b ON a.vec_id < b.vec_id)
          SELECT a_id, b_id, cos_e6 FROM p WHERE cos_e6 >= 450000 ORDER BY a_id, b_id""",
+    // q92: brute-force recompute of the flagged set — max cosine to any
+    // eval vector with nearest-eval attribution (cos desc, id asc).
+    "q92_semantic_decontam" ->
+      s"""WITH v AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                     FROM embeddings),
+          n AS (SELECT vec_id, label, e, sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v),
+          pc AS (
+            SELECT c.vec_id, c.label, p.vec_id AS eval_id,
+                   CAST(ROUND(list_sum(list_transform(range(1, len(p.e) + 1), i -> p.e[i] * c.e[i]))
+                        / (p.nrm * c.nrm) * 1000000) AS BIGINT) AS cos_e6
+            FROM n c JOIN n p ON p.vec_id < $NumProbes AND c.vec_id >= $NumProbes),
+          best AS (
+            SELECT vec_id, label, eval_id, cos_e6,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_e6 DESC, eval_id) AS rnk
+            FROM pc)
+          SELECT vec_id, label, CAST(eval_id AS INT) AS eval_id, cos_e6 AS max_cos_e6
+          FROM best WHERE rnk = 1 AND cos_e6 >= $SemContamE6 ORDER BY vec_id""",
     "q35_cosine_topk" ->
       s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
                      FROM embeddings),

@@ -321,6 +321,31 @@ class CurationSpec extends AnyFunSuite {
     assert(a == b, "budget selection must be deterministic")
   }
 
+  test("q93 calibration: rows equal per-threshold recounts of the scored frame") {
+    import org.apache.spark.sql.functions._
+    // first-principles: for each grid rung, re-filter the scored frame
+    // and compare (n_docs, n_tokens) — the sweep's conditional-aggregate
+    // form must be exactly the naive per-threshold recount
+    val scored = CurationOps.withQualityScore(
+        graft.engine.Tables.load(spark, sf, "documents"))
+      .select(col("quality_score_e6").as("s"), col("q_n").cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val got = CurationOps.defs("q93_gate_calibration")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(got.map(_._1) == CurationOps.CalibrationGridE6.toList,
+      s"grid mismatch: ${got.map(_._1)}")
+    got.foreach { case (t, nd, nt) =>
+      val surv = scored.filter(_._1 >= t)
+      assert(nd == surv.length && nt == surv.map(_._2).sum,
+        s"rung $t: got ($nd, $nt) expected (${surv.length}, ${surv.map(_._2).sum})")
+    }
+    // monotone by construction; assert anyway so a grid edit that breaks
+    // the report shape (e.g. unsorted rungs) fails loudly
+    assert(got.map(_._2) == got.map(_._2).sorted.reverse, "n_docs not non-increasing")
+    assert(got.map(_._3) == got.map(_._3).sorted.reverse, "n_tokens not non-increasing")
+    assert(got.last._2 >= 1, "top rung degenerate (no survivors)")
+  }
+
   test("q87 boundary shapes: over-budget first doc, exact fill, tiny source") {
     import spark.implicits._
     import java.nio.file.Files

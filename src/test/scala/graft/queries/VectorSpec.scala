@@ -177,4 +177,26 @@ class VectorSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got.contains((0L, 9000L)), s"planted duplicate missing from $got")
   }
+
+  test("q92 flags a planted eval copy at cos 1e6 and ignores an orthogonal vector") {
+    import org.apache.spark.sql.functions._
+    val base = graft.engine.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val dim = base.select(size(col("embedding"))).first().getInt(0)
+    // vec 9001 = exact copy of eval vec 3 (max_cos = 1e6, nearest = 3);
+    // vec 9002 = one-hot on dim 0 minus its projection onto nothing —
+    //   a fresh axis vector is orthogonal-ish to the cluster-spread
+    //   corpus; assert it scores BELOW the gate rather than assuming 0.
+    val copy = base.filter(col("vec_id") === 3)
+      .select(lit(9001L).as("vec_id"), col("embedding"), lit(99).as("label"))
+    val axis = base.limit(1).select(lit(9002L).as("vec_id"),
+      expr(s"transform(sequence(1, $dim), i -> CAST(CASE WHEN i = 1 THEN 1.0 ELSE 0.0 END AS FLOAT))")
+        .as("embedding"), lit(99).as("label"))
+    val e = base.unionByName(copy).unionByName(axis)
+    val got = VectorOps.semanticContam(e)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3))).toList
+    val hit = got.filter(_._1 == 9001L)
+    assert(hit == List((9001L, 3, 1000000L)),
+      s"planted eval copy not attributed to eval 3 at cos 1e6: $got")
+    assert(!got.exists(_._1 == 9002L), s"orthogonal axis vector flagged: $got")
+  }
 }
