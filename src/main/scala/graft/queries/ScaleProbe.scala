@@ -76,6 +76,23 @@ object ScaleProbe {
     Stat("embed_lsh", tier, nIn, nc, np, secs)
   }
 
+  /** Semantic decontamination (the q92 kernel): nCandidates = cosines
+    * evaluated (|eval| × corpus — linear in corpus BY CONSTRUCTION,
+    * since the eval side is a fixed driver-collected literal set and
+    * the plan is a single scan with map-side filter; there is no
+    * bucketing stage whose occupancy could drift), nOutput = flagged
+    * vectors. The growth claim here is wall time ∝ corpus size at a
+    * fixed eval set. */
+  def semantic(s: SparkSession, dir: String, tier: String): Stat = {
+    val e = Tables.load(s, dir, "embeddings")
+    val nIn = e.count()
+    val nEval = e.filter(col("vec_id") < 10).count()
+    s.catalog.clearCache()
+    val (nOut, secs) = timed(VectorOps.semanticContam(e).count())
+    s.catalog.clearCache()
+    Stat("semantic_decontam", tier, nIn, (nIn - nEval) * nEval, nOut, secs)
+  }
+
   /** Transitive duplicate groups (the q65/q74 closure) over the verified
     * minhash edge set: nCandidates = edges in, nOutput = labeled docs. */
   def components(s: SparkSession, dir: String, tier: String): Stat = {
@@ -209,5 +226,5 @@ object ScaleProbe {
     Seq(minhash(s, dir, tier), simhash(s, dir, tier),
       embed(s, dir, tier), components(s, dir, tier), decontam(s, dir, tier),
       spans(s, dir, tier), incremental(s, dir, tier),
-      incrementalSpans(s, dir, tier))
+      incrementalSpans(s, dir, tier), semantic(s, dir, tier))
 }

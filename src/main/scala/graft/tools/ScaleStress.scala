@@ -145,7 +145,8 @@ object ScaleStress {
           ScaleProbe.incrementalSpans(spark, x100, "x100"),
           // affordable at x100 since the block-triple multi-index:
           // candidates track true pair mass, not n²/buckets
-          ScaleProbe.simhash(spark, x100, "x100"))
+          ScaleProbe.simhash(spark, x100, "x100"),
+          ScaleProbe.semantic(spark, x100, "x100"))
         ss.foreach(st => println(s"SCALE ${st.json}"))
         ss
       }

@@ -199,4 +199,13 @@ class VectorSpec extends AnyFunSuite {
       s"planted eval copy not attributed to eval 3 at cos 1e6: $got")
     assert(!got.exists(_._1 == 9002L), s"orthogonal axis vector flagged: $got")
   }
+
+  test("ScaleProbe.semantic stat agrees with the q92 row it instruments") {
+    val sf = "/root/testdata/sf0.001"
+    val st = ScaleProbe.semantic(spark, sf, "spec")
+    val q92 = VectorOps.defs("q92_semantic_decontam")(spark, sf).count()
+    assert(st.nOutput == q92, s"probe nOutput ${st.nOutput} != q92 rows $q92")
+    assert(st.nCandidates == (st.nInput - 10) * 10,
+      s"cosine-evaluation count must be linear in corpus: $st")
+  }
 }
