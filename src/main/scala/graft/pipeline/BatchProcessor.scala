@@ -14,6 +14,7 @@ final case class LakeLayout(root: String) {
   val curatedDir = s"$root/curated"
   val dlqDir = s"$root/dlq"
   val dedupDlqDir = s"$root/dedup-dlq"
+  val qualityDlqDir = s"$root/quality-dlq"
   val ledgerDir = s"$root/ledger"
 }
 
@@ -52,6 +53,11 @@ final case class LakeLayout(root: String) {
   * the file's ledger row carries a suppression note, and survivors'
   * signatures are appended to the index after the publish commit point
   * — the q83 append-on-commit lifecycle running inside the tick.
+  *
+  * Optional [[QualityGate]]: runs BEFORE the dedup stage (garbage never
+  * pays shingling, never enters the index) — under-threshold rows
+  * divert to `quality-dlq/` with their exact score, and the file's
+  * ledger row carries a `quality:` note alongside any dedup/scrub note.
   */
 final class BatchProcessor(
     spark: SparkSession,
@@ -60,7 +66,8 @@ final class BatchProcessor(
     batchSize: Int = 10000,
     maxRetries: Int = 3,
     ledgerFactory: (SparkSession, String, Int) => Ledger = Ledger(_, _, _),
-    dedup: Option[DedupStage] = None) {
+    dedup: Option[DedupStage] = None,
+    quality: Option[QualityGate] = None) {
 
   val ledger: Ledger = ledgerFactory(spark, layout.ledgerDir, maxRetries)
   private var runCounter = 0
@@ -143,13 +150,33 @@ final class BatchProcessor(
           Some(Transformer.curate(good).withColumnRenamed(SourceCol, "source_file"))
         }
 
+      // Optional quality gate (X6 as an ingest stage), FIRST: one
+      // codegen scan scores every curated row; under-threshold rows
+      // divert to the quality DLQ with their score, and only the
+      // gate's survivors reach the (more expensive) dedup stage below.
+      val (gated, qualityNotes) = (curated, quality) match {
+        case (Some(df), Some(g)) =>
+          g.partition(spark, df) match {
+            case (survivors, Some(flagged0)) =>
+              val flagged = flagged0.persist()
+              DlqWriter.write(flagged, layout.qualityDlqDir, runId)
+              val notes = flagged.groupBy("source_file").count().collect()
+                .map(r => PathNorm.fromString(r.getString(0)) ->
+                  s"quality: ${r.getLong(1)} row(s) suppressed").toMap
+              flagged.unpersist()
+              (Some(survivors), notes)
+            case (survivors, None) => (Some(survivors), Map.empty[String, String])
+          }
+        case _ => (curated, Map.empty[String, String])
+      }
+
       // Optional near-dup gate (X2 as an ingest stage): probe the batch
       // against the lake's MinHash signature index, divert flagged rows
       // to the dedup DLQ (with the matched doc + Jaccard), note the
       // suppression on the file's ledger row, and publish survivors
       // only. The survivors frame is persisted because it feeds two
       // sinks: the staged publish and the post-commit index append.
-      val (published, dedupNotes) = (curated, dedup) match {
+      val (published, dedupNotes) = (gated, dedup) match {
         case (Some(df), Some(cfg)) =>
           // Span-scrub accounting (when the stage scrubs): count rows
           // whose text lost already-in-corpus spans, per source file,
@@ -190,7 +217,7 @@ final class BatchProcessor(
               val (survivors, scrubNotes) = splitScrubNotes(survivors0)
               (Some(survivors.persist()), scrubNotes)
           }
-        case _ => (curated, Map.empty[String, String])
+        case _ => (gated, Map.empty[String, String])
       }
       stagePublish(published, toCurate, runId)
       // Append-on-commit, strictly AFTER the publish commit point: a
@@ -209,8 +236,12 @@ final class BatchProcessor(
         archived.map(_ -> Ledger.Succeeded).toMap ++
         quarFiles.map(_ -> Ledger.Quarantined).toMap ++
         moveFailed.map { case (f, _) => f -> Ledger.Failed }.toMap
-      // dedup notes first so a real failure message wins on collision
-      val errors = dedupNotes ++
+      // informational notes merge "; "-joined (quality first — it runs
+      // first); real failure messages still win the slot outright
+      val infoNotes = (qualityNotes.keySet ++ dedupNotes.keySet).map { f =>
+        f -> Seq(qualityNotes.get(f), dedupNotes.get(f)).flatten.mkString("; ")
+      }.toMap
+      val errors = infoNotes ++
         quarFiles.map(f => f -> s"${disp(f)} corrupt/unpartitionable record(s)").toMap ++
         moveFailed.map { case (f, m) => f -> s"archive failed: $m" }.toMap
       ledger.markOutcome(outcomes, runId, errors)

@@ -22,7 +22,10 @@ import scala.collection.mutable
   * cliques, so survivor choice can't change later match results):
   *
   *   tick 1 (run-00001): a-1 ~ a-2 (same-tick pair → ONE survives the
-  *     intra-batch window, reason "batch"), a-3, a-4 unique.
+  *     intra-batch window, reason "batch"), a-3, a-4 unique; a-5 is
+  *     GARBAGE (25 identical tokens → the q77 score is the closed form
+  *     [[GarbageScoreE6]] < 0) — the quality gate diverts it to the
+  *     quality DLQ before the dedup probe ever sees it.
   *   tick 2 (run-00003): b-1 ~ the tick-1 "aa" survivor (index probe,
   *     reason "index"); b-2 unique; b-3 = 30 fresh tokens + a 25-token
   *     run copied from a-1 — BELOW the 0.8 doc gate but every interior
@@ -33,7 +36,9 @@ import scala.collection.mutable
   *
   * Even run-ids are the drain loop's empty closing ticks. Expected lake
   * state: 6 curated docs, 3 dedup-DLQ rows (1 batch + 2 index, all
-  * jac_e6 = 959184), 3 noted ledger files.
+  * jac_e6 = 959184), 1 quality-DLQ row (a-5, score [[GarbageScoreE6]]),
+  * 3 noted ledger files (t1 carries the quality AND near-dup notes
+  * "; "-joined).
   */
 object DedupDemo {
   private val built = mutable.Map.empty[String, LakeLayout]
@@ -41,6 +46,12 @@ object DedupDemo {
   /** jac_e6 of every planted near-pair: 47 of 49 distinct shingles
     * shared (50 distinct tokens, last token changed). */
   val PairJacE6: Long = math.round(47e6 / 49) // = 959184
+
+  /** q77 score of the planted garbage doc (25 × "zz"): stop = 0,
+    * dup2_e6 = round((1 − 1/24)·1e6) = 958333 (one distinct bigram),
+    * toklen_e6 = 2e6 (2-char tokens) → |2e6−5e6| div 5 = 600000,
+    * length bonus = 10000·25: 0 − 3·958333 − 600000 + 250000. */
+  val GarbageScoreE6: Long = -3224999L
 
   private def writeLines(path: String, lines: Seq[String]): Unit = {
     val p = Paths.get(path)
@@ -71,10 +82,13 @@ object DedupDemo {
           id = col("record_id"), text = col("payload.props"),
           spanScrub = Some((df, c) =>
             df.withColumn("payload", col("payload").withField("props", c))))
-        val bp = new BatchProcessor(spark, layout, Contracts.events, dedup = Some(stage))
+        val bp = new BatchProcessor(spark, layout, Contracts.events,
+          dedup = Some(stage),
+          quality = Some(QualityGate(text = col("payload.props"))))
         writeLines(s"${layout.rawDir}/t1.jsonl", Seq(
           rec("a-1", base("aa")), rec("a-2", near("aa", "x2")),
-          rec("a-3", base("bb")), rec("a-4", base("cc"))))
+          rec("a-3", base("bb")), rec("a-4", base("cc")),
+          rec("a-5", Seq.fill(25)("zz").mkString(" "))))
         require(bp.runUntilDrained() == 1, "dedup demo tick 1 did no work")
         writeLines(s"${layout.rawDir}/t2.jsonl", Seq(
           rec("b-1", near("aa", "x3")), rec("b-2", base("dd")),

@@ -34,7 +34,7 @@ import java.nio.file.{Files, StandardCopyOption}
   */
 object DemoCache {
   /** Bump on any change that alters demo-artifact content. */
-  val Version = "r10a" // minhash index gained the winhashes store (q89)
+  val Version = "r11a" // dedup demo gained the quality gate + planted garbage doc (q90)
 
   /** All demo artifacts root here: survives `sbt clean`, git-ignored. */
   val Root: File = new File("var/demo").getAbsoluteFile

@@ -1,0 +1,55 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import graft.queries.CurationOps
+
+/** Optional quality gate for the ingest pipeline (SURVEY.md §2.10 X6 as
+  * an INGEST STAGE): the C4/CCNet-style "filter at ingestion" pass.
+  * After segregation and curation — and BEFORE the near-dup gate, so
+  * garbage never pays shingling — each row's text is scored by the q77
+  * codegen scorer ([[CurationOps.withQualityScoreOn]]); rows under the
+  * threshold divert to a quality DLQ (carrying their exact score, the
+  * DLQ-as-audit discipline of the dedup stage) and the file's ledger
+  * row carries a suppression note.
+  *
+  * Scale shape: the scorer is ONE compiled byte walk per row
+  * ([[graft.functions.QualityFeatures]]) composed into the batch scan —
+  * no join, no shuffle, no driver state; the flagged frame holds only
+  * suppressed rows. The same gate formula drives the standalone q77/q93
+  * surfaces, so "what would this gate have dropped" is answerable
+  * offline before turning it on at ingest (q93's calibration sweep),
+  * and the ingest decision is bit-identical to the offline answer.
+  *
+  * Composition with [[DedupStage]] (both runners wire quality FIRST):
+  * quality-flagged rows never reach the dedup probe, never enter the
+  * signature index, and never publish — the lake and its index only
+  * ever see rows that passed both gates.
+  */
+final case class QualityGate(
+    /** Text column over the CURATED frame (may be nested, e.g.
+      * `col("payload.props")`). */
+    text: Column,
+    /** Keep threshold (e6 units): `quality_score_e6 >= minScoreE6`
+      * publishes. The default is the q70/q77 gate setting. */
+    minScoreE6: Long = CurationOps.QualityMinE6) {
+
+  /** Audit column the flagged frame carries into the quality DLQ. */
+  val ScoreCol = "quality_score_e6"
+
+  private val helperCols = Seq("q_f", "q_n", "q_stop_e6", "q_toklen_e6", "q_dup2_e6")
+
+  /** Split the curated batch into (survivors, flagged). Survivors keep
+    * the caller's schema exactly (the staged publish and the index
+    * append downstream depend on it); the flagged frame adds
+    * [[ScoreCol]]. None = nothing flagged this tick (the common case —
+    * checked eagerly so callers skip the DLQ write entirely). */
+  def partition(s: SparkSession, curated: DataFrame): (DataFrame, Option[DataFrame]) = {
+    val scored = CurationOps.withQualityScoreOn(curated, text)
+    val keep = scored.filter(col(ScoreCol) >= minScoreE6)
+      .drop(helperCols :+ ScoreCol: _*)
+    val flagged = scored.filter(col(ScoreCol) < minScoreE6)
+      .drop(helperCols: _*)
+    if (flagged.isEmpty) (keep, None) else (keep, Some(flagged))
+  }
+}

@@ -137,9 +137,17 @@ object CurationOps {
     * the portable forms re-ran `split(text)` per feature term through
     * interpreted lambdas when inlined into q70's gate predicate,
     * measured at 0.27 s → 2.5 s warm at sf0.1. */
-  def withQualityScore(df: DataFrame): DataFrame = {
+  def withQualityScore(df: DataFrame): DataFrame =
+    withQualityScoreOn(df, col("text"))
+
+  /** [[withQualityScore]] over an ARBITRARY text column — the form the
+    * ingest-time quality gate ([[graft.pipeline.QualityGate]]) needs,
+    * where the text lives in a nested payload field rather than a
+    * top-level `text` column. One definition of the score formula; the
+    * q77 surface and the ingest gate cannot drift apart. */
+  def withQualityScoreOn(df: DataFrame, text: Column): DataFrame = {
     graft.functions.QualityFeatures.register(df.sparkSession)
-    df.withColumn("q_f", expr("quality_features(text)"))
+    df.withColumn("q_f", call_function("quality_features", text))
       .withColumn("q_n", col("q_f.n_tokens"))
       .withColumn("q_stop_e6",
         round(col("q_f.n_stop").cast("double") * 1000000 / col("q_n")).cast("long"))

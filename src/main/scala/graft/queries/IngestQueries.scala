@@ -135,22 +135,28 @@ object IngestQueries {
       graft.monitor.Alarms.evaluate(s, lay)
     }),
 
-    // X2 audit surface (the reference's DLQ-as-audit philosophy,
-    // psuedo_code.txt:195-208, applied to the near-dup gate): "what got
+    // X2/X6 audit surface (the reference's DLQ-as-audit philosophy,
+    // psuedo_code.txt:195-208, applied to BOTH ingest gates): "what got
     // suppressed, why, and when" — per-tick suppression counts by
     // reason from the dedup DLQ (batch↔index vs intra-batch, with the
-    // exact verify Jaccard) unioned with the span-scrub accounting the
-    // ledger notes carry. Runs over [[DedupDemo]]'s engineered 3-tick
-    // history, where every suppression and its jac_e6 is a closed form
-    // (see that scaladoc) — so the oracle pins the full audit trail as
-    // literals. Scale shape: the DLQ holds only suppressed rows and the
-    // ledger one row per file; both aggregates are trivially
-    // hash-partitioned.
+    // exact verify Jaccard) and the QUALITY DLQ (the q77 gate at
+    // ingest), unioned with the span-scrub accounting the ledger notes
+    // carry. Runs over [[DedupDemo]]'s engineered 3-tick history, where
+    // every suppression, its jac_e6, and the garbage doc's score are
+    // closed forms (see that scaladoc) — so the oracle pins the full
+    // audit trail as literals. Scale shape: the DLQs hold only
+    // suppressed rows and the ledger one row per file; all three
+    // aggregates are trivially hash-partitioned.
     "q90_dedup_dlq_audit" -> ((s, d) => {
       val lay = DedupDemo.ensure(s, d)
       val dlq = DlqWriter.read(s, lay.dedupDlqDir)
         .groupBy(col("job_run_id"), col("dup_reason").as("reason"))
         .agg(count(lit(1)).as("n"), max(col("jac_e6")).as("max_jac_e6"))
+      val qual = DlqWriter.read(s, lay.qualityDlqDir)
+        .groupBy(col("job_run_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("job_run_id"), lit("quality").as("reason"), col("n"),
+          lit(null).cast("long").as("max_jac_e6"))
       val scrubs = Ledger(s, lay.ledgerDir).snapshot()
         .filter(col("error_message").rlike("spans scrubbed: \\d+ row"))
         .select(col("job_run_id"),
@@ -160,7 +166,7 @@ object IngestQueries {
         .agg(sum(col("n_rows")).as("n"))
         .select(col("job_run_id"), lit("span-scrub").as("reason"), col("n"),
           lit(null).cast("long").as("max_jac_e6"))
-      dlq.unionByName(scrubs).orderBy("job_run_id", "reason")
+      dlq.unionByName(qual).unionByName(scrubs).orderBy("job_run_id", "reason")
     }),
 
     // S9/P9/S10: the catalog consumption path — saveAsTable'd curated
@@ -281,10 +287,13 @@ object IngestQueries {
          ORDER BY alarm""",
     // q90: every value is forced by DedupDemo's engineered fixture —
     // 959184 = round(47e6/49), the Jaccard of two 50-token docs
-    // differing in the last token (47 of 49 distinct 3-shingles shared).
+    // differing in the last token (47 of 49 distinct 3-shingles shared);
+    // the tick-1 'quality' row is the planted garbage doc the ingest
+    // quality gate diverts (score −3224999, DedupDemo.GarbageScoreE6).
     "q90_dedup_dlq_audit" ->
       """SELECT 'run-00001' AS job_run_id, 'batch' AS reason,
               CAST(1 AS BIGINT) AS n, CAST(959184 AS BIGINT) AS max_jac_e6
+         UNION ALL SELECT 'run-00001', 'quality', CAST(1 AS BIGINT), CAST(NULL AS BIGINT)
          UNION ALL SELECT 'run-00003', 'index', CAST(1 AS BIGINT), CAST(959184 AS BIGINT)
          UNION ALL SELECT 'run-00003', 'span-scrub', CAST(1 AS BIGINT), CAST(NULL AS BIGINT)
          UNION ALL SELECT 'run-00005', 'index', CAST(1 AS BIGINT), CAST(959184 AS BIGINT)

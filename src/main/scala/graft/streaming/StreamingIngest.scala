@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.{StringType, StructType}
 import graft.ingest._
-import graft.pipeline.{DedupStage, LakeLayout}
+import graft.pipeline.{DedupStage, LakeLayout, QualityGate}
 
 /** The Structured-Streaming form of the reference's scheduled micro-batch
   * loop (T1, sudo_code.txt:104-109): instead of a cron re-running a batch
@@ -55,10 +55,16 @@ object StreamingIngest {
     * commit marker — so a crashed batch's replay converges to exactly
     * one copy of everything: curated rows (prefix sweep), DLQ rows
     * (overwrite), and index rows (prefix sweep).
+    *
+    * Optional `quality`: the SAME ingest-time quality gate as the
+    * ledger runner ([[graft.pipeline.QualityGate]]), run BEFORE the
+    * dedup probe — under-threshold rows divert to the batch-id-keyed
+    * quality DLQ (overwritten on replay) and never enter the index.
     */
   def runAvailableNow(spark: SparkSession, layout: LakeLayout, contract: StructType,
                       maxFilesPerTrigger: Option[Int] = None,
-                      dedup: Option[DedupStage] = None): Unit = {
+                      dedup: Option[DedupStage] = None,
+                      quality: Option[QualityGate] = None): Unit = {
     val schema =
       if (contract.fieldNames.contains(CorruptCol)) contract
       else contract.add(CorruptCol, StringType, nullable = true)
@@ -76,7 +82,7 @@ object StreamingIngest {
       .option("checkpointLocation", s"${layout.root}/checkpoint")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processMicroBatch(spark, batch.persist(), layout, s"stream-$batchId", dedup)
+        processMicroBatch(spark, batch.persist(), layout, s"stream-$batchId", dedup, quality)
         batch.unpersist()
         ()
       }
@@ -90,7 +96,8 @@ object StreamingIngest {
     * exactly-once across mid-batch crashes). */
   private def processMicroBatch(spark: SparkSession, raw: DataFrame,
                                 layout: LakeLayout, runId: String,
-                                dedup: Option[DedupStage]): Unit = {
+                                dedup: Option[DedupStage],
+                                quality: Option[QualityGate]): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new org.apache.hadoop.fs.Path(layout.root).toUri,
       spark.sparkContext.hadoopConfiguration)
@@ -106,7 +113,19 @@ object StreamingIngest {
     val good = Segregator.goodRecords(raw, "event_timestamp", "MODE")
       .join(broadcast(quarFiles), Seq(SourceCol), "left_anti")
     if (!good.isEmpty) {
-      val curated = Transformer.curate(good).withColumnRenamed(SourceCol, "source_file")
+      val curated0 = Transformer.curate(good).withColumnRenamed(SourceCol, "source_file")
+      // quality gate FIRST (the ledger runner's ordering): garbage rows
+      // divert to the batch-id-keyed quality DLQ with their score —
+      // replay overwrites, micro-batch determinism makes re-flags
+      // identical — and never reach the dedup probe or the index
+      val curated = quality match {
+        case Some(g) =>
+          val (survivors, qFlagged) = g.partition(spark, curated0)
+          qFlagged.foreach(f =>
+            DlqWriter.write(f, layout.qualityDlqDir, runId, mode = "overwrite"))
+          survivors
+        case None => curated0
+      }
       // near-dup gate (the ledger runner's stage, streaming-shaped):
       // flagged rows divert to the batch-id-keyed dedup DLQ — replay
       // overwrites, micro-batch determinism makes the re-flags identical

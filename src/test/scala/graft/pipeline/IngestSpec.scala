@@ -154,6 +154,54 @@ class IngestSpec extends AnyFunSuite {
       s"late copy must match the indexed survivor: ${dd2.toSeq}")
   }
 
+  test("quality gate: garbage diverts with its exact score; a file with quality AND near-dup rows carries both notes") {
+    val lay = freshLake()
+    def drec(id: String, text: String): String =
+      s"""{"id":"$id","event_timestamp":"2024-03-07 11:22:33.000000","MODE":"training",""" +
+        s""""metadata":{"app_version":"2.4.1","user_agent":"svc/1.0","user_id":7},""" +
+        s""""payload":{"transaction_id":"t-$id","value":9.5,"props":"$text"}}"""
+    val t = (0 until 50).map(i => s"qg$i").mkString(" ")
+    val tnear = ((0 until 49).map(i => s"qg$i") :+ "changed").mkString(" ")
+    val garbage = Seq.fill(25)("zz").mkString(" ")
+    val stage = DedupStage(s"${lay.root}/dedup-index",
+      id = col("record_id"), text = col("payload.props"))
+    val bp = new BatchProcessor(spark, lay, Contracts.events,
+      dedup = Some(stage), quality = Some(QualityGate(col("payload.props"))))
+
+    // tick 1: the original publishes and is indexed
+    writeLines(s"${lay.rawDir}/t1.jsonl", Seq(drec("a-1", t)))
+    assert(bp.runUntilDrained() == 1)
+    // tick 2, ONE file: b-1 near-dups a-1 (dedup window), b-2 is garbage
+    // (quality window), b-3 is clean — the file must publish b-3 only
+    // and its single ledger slot must carry BOTH notes
+    writeLines(s"${lay.rawDir}/t2.jsonl", Seq(
+      drec("b-1", tnear), drec("b-2", garbage),
+      drec("b-3", (0 until 50).map(i => s"ok$i").mkString(" "))))
+    assert(bp.runUntilDrained() == 1)
+
+    val curatedIds = CuratedWriter.read(spark, lay.curatedDir)
+      .select("record_id").collect().map(_.getString(0)).sorted.toSeq
+    assert(curatedIds == Seq("a-1", "b-3"), s"curated: $curatedIds")
+    // quality DLQ: the garbage row with the closed-form q77 score
+    val qd = DlqWriter.read(spark, lay.qualityDlqDir)
+      .select("record_id", "quality_score_e6").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(qd == Seq(("b-2", DedupDemo.GarbageScoreE6)), s"quality DLQ: $qd")
+    // dedup DLQ: only the near-dup (the garbage row never reached the
+    // probe — quality runs first)
+    val dd = DlqWriter.read(spark, lay.dedupDlqDir)
+      .select("record_id").collect().map(_.getString(0)).toSeq
+    assert(dd == Seq("b-1"), s"dedup DLQ: $dd")
+    // one ledger slot, both notes, quality first
+    val led = Ledger(spark, lay.ledgerDir).snapshot()
+      .filter(col("s3_key").contains("t2.jsonl"))
+      .select("processing_status", "error_message").collect()
+    assert(led.length == 1 && led(0).getString(0) == Ledger.Succeeded)
+    assert(led(0).getString(1) ==
+      "quality: 1 row(s) suppressed; near-dup: 1 row(s) suppressed",
+      s"note: ${led(0).getString(1)}")
+  }
+
   test("dedup stage: one file with BOTH a suppressed row and a scrubbed row carries both notes") {
     val lay = freshLake()
     def drec(id: String, text: String): String =

@@ -154,6 +154,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(late.length == 1 && late(0).getLong(0) == hash(cSurvivor))
   }
 
+  test("quality gate in the streaming twin: garbage diverts before the probe; survivors publish and index") {
+    import graft.pipeline.{DedupDemo, DedupStage, QualityGate}
+    val lay = LakeLayout(Files.createTempDirectory("graft-stream-quality").toString)
+    def drec(id: String, text: String): String =
+      s"""{"id":"$id","event_timestamp":"2024-03-07 10:00:00.000000","MODE":"training",""" +
+        s""""metadata":{"app_version":"1.0.0","user_agent":"ua","user_id":1},""" +
+        s""""payload":{"transaction_id":"t-$id","value":2.0,"props":"$text"}}"""
+    def writeFile(name: String, lines: Seq[String]): Unit = {
+      val p = Paths.get(s"${lay.rawDir}/$name")
+      Files.createDirectories(p.getParent)
+      Files.write(p, lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8)): Unit
+    }
+    val hash = (id: String) => {
+      import spark.implicits._
+      Seq(id).toDF("i").select(xxhash64(col("i"))).collect()(0).getLong(0)
+    }
+    val stage = DedupStage(s"${lay.root}/dedup-index",
+      id = col("record_id"), text = col("payload.props"))
+    def drain(): Unit = StreamingIngest.runAvailableNow(spark, lay, Contracts.events,
+      dedup = Some(stage), quality = Some(QualityGate(col("payload.props"))))
+    val t = (0 until 50).map(i => s"sq$i").mkString(" ")
+
+    // delivery 1: a-1 clean, a-2 garbage — the gate diverts a-2 with the
+    // closed-form score; only a-1 publishes and only a-1 is indexed
+    writeFile("a.jsonl", Seq(
+      drec("a-1", t), drec("a-2", Seq.fill(25)("zz").mkString(" "))))
+    drain()
+    val curated1 = CuratedWriter.read(spark, lay.curatedDir)
+      .select("record_id").collect().map(_.getString(0)).toSeq
+    assert(curated1 == Seq("a-1"), s"curated: $curated1")
+    val qd = DlqWriter.read(spark, lay.qualityDlqDir)
+      .select("record_id", "quality_score_e6").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(qd == Seq(("a-2", DedupDemo.GarbageScoreE6)), s"quality DLQ: $qd")
+    val shingleIds = spark.read.parquet(s"${lay.root}/dedup-index/shingles")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(shingleIds == Seq(hash("a-1")), s"index must hold only the survivor: $shingleIds")
+
+    // delivery 2: a near-dup of a-1 still flags through the dedup probe
+    // (the gates compose in the ledger runner's order)
+    writeFile("b.jsonl", Seq(
+      drec("b-1", ((0 until 49).map(i => s"sq$i") :+ "flip").mkString(" "))))
+    drain()
+    val dd = DlqWriter.read(spark, lay.dedupDlqDir)
+      .select("record_id", "dup_of").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dd == Map("b-1" -> hash("a-1")), s"dedup DLQ: $dd")
+  }
+
   test("flatMapGroupsWithState closed sessions == session_window sessions minus each user's last") {
     import spark.implicits._
     val ev = graft.engine.Tables.load(spark, sf, "events")
