@@ -17,6 +17,13 @@ import graft.pipeline.LakeLayout
   *                         The reference raises this via S3 event →
   *                         Lambda → custom metric; here the DLQ *is* a
   *                         table, so the metric is a count over it.
+  *  - `dedup_dlq_activity` / `quality_dlq_activity` — the same posture
+  *                         over the ingest GATES' audit surfaces
+  *                         ([[graft.pipeline.DedupStage]] /
+  *                         [[graft.pipeline.QualityGate]]): suppressed
+  *                         rows are business-as-usual for the pipeline
+  *                         but an occurrence the operator reviews
+  *                         (q90's audit query is the drill-down).
   *  - `file_quarantine`  — quarantined source files (the condition the
   *                         DLQ alarm exists to surface, made first-class).
   *  - `ledger_backlog`   — "never drains": files still PENDING or
@@ -56,28 +63,31 @@ object Alarms {
     val observedFailures = monitor.map(_.events.count(_.event == "failure").toLong).getOrElse(0L)
     val observedSlow = monitor.map(_.events.count(e =>
       e.event != "failure" && e.duration_ms > slowActionMs).toLong).getOrElse(0L)
-    // a lake that never quarantined anything has no DLQ directory at all
-    // — that is the healthy state, not an error
-    val dlqPath = new org.apache.hadoop.fs.Path(layout.dlqDir)
-    val dlqFs = org.apache.hadoop.fs.FileSystem.get(
-      dlqPath.toUri, spark.sparkContext.hadoopConfiguration)
     // driver-known constants become local literal rows — no Spark job
     // just to emit a number the driver already holds
     def const(v: Long): DataFrame = {
       import spark.implicits._
       Seq(v).toDF("m")
     }
-    val dlqCount =
-      if (dlqFs.exists(dlqPath) && dlqFs.listStatus(dlqPath).nonEmpty)
-        DlqWriter.read(spark, layout.dlqDir).agg(count(lit(1)))
+    // a lake that never diverted anything has no DLQ directory at all —
+    // that is the healthy state, not an error (same for all three DLQs)
+    def dlqCountOf(dir: String): DataFrame = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        p.toUri, spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p) && fs.listStatus(p).nonEmpty)
+        DlqWriter.read(spark, dir).agg(count(lit(1)))
       else const(0L)
+    }
 
     val metrics = Seq(
-      "dlq_activity" -> dlqCount,
+      "dedup_dlq_activity" -> dlqCountOf(layout.dedupDlqDir),
+      "dlq_activity" -> dlqCountOf(layout.dlqDir),
       "file_quarantine" -> ledgerOf(Seq(Ledger.Quarantined)),
       "job_failure" ->
         ledgerOf(Seq(Ledger.Failed)).select(col("count(1)") + lit(observedFailures)),
       "ledger_backlog" -> ledgerOf(Seq(Ledger.Pending, Ledger.Processing)),
+      "quality_dlq_activity" -> dlqCountOf(layout.qualityDlqDir),
       "slow_actions" -> const(observedSlow))
 
     metrics.map { case (name, agg) =>

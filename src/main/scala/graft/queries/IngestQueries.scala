@@ -279,10 +279,12 @@ object IngestQueries {
                  AS BIGINT)
           FROM events) AS landing_rows""",
     "q57_monitor_alarms" ->
-      """SELECT 'dlq_activity' AS alarm, 'ALARM' AS state, CAST(12 AS BIGINT) AS metric
+      """SELECT 'dedup_dlq_activity' AS alarm, 'OK' AS state, CAST(0 AS BIGINT) AS metric
+         UNION ALL SELECT 'dlq_activity', 'ALARM', CAST(12 AS BIGINT)
          UNION ALL SELECT 'file_quarantine', 'ALARM', CAST(3 AS BIGINT)
          UNION ALL SELECT 'job_failure', 'OK', CAST(0 AS BIGINT)
          UNION ALL SELECT 'ledger_backlog', 'OK', CAST(0 AS BIGINT)
+         UNION ALL SELECT 'quality_dlq_activity', 'OK', CAST(0 AS BIGINT)
          UNION ALL SELECT 'slow_actions', 'OK', CAST(0 AS BIGINT)
          ORDER BY alarm""",
     // q90: every value is forced by DedupDemo's engineered fixture —

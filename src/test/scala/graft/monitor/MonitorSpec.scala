@@ -105,6 +105,39 @@ class MonitorSpec extends AnyFunSuite {
     assert(withMon("slow_actions") == (("ALARM", 1L)))
   }
 
+  test("gate DLQ alarms fire on a lake whose ingest ran both gates") {
+    import org.apache.spark.sql.functions.col
+    import graft.pipeline.{DedupStage, QualityGate}
+    val lay = LakeLayout(Files.createTempDirectory("graft-mon-gates").toString)
+    def write(name: String, lines: Seq[String]): Unit = {
+      val p = Paths.get(s"${lay.rawDir}/$name")
+      Files.createDirectories(p.getParent)
+      Files.write(p, lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8)): Unit
+    }
+    def rec(id: String, text: String): String =
+      s"""{"id":"$id","event_timestamp":"2024-03-07 10:00:00.000000","MODE":"training",""" +
+        s""""metadata":{"app_version":"1","user_agent":"ua","user_id":1},""" +
+        s""""payload":{"transaction_id":"t-$id","value":2.0,"props":"$text"}}"""
+    val t = (0 until 50).map(i => s"ma$i").mkString(" ")
+    val tnear = ((0 until 49).map(i => s"ma$i") :+ "flip").mkString(" ")
+    val stage = DedupStage(s"${lay.root}/dedup-index",
+      id = col("record_id"), text = col("payload.props"))
+    val bp = new BatchProcessor(spark, lay, Contracts.events,
+      dedup = Some(stage), quality = Some(QualityGate(col("payload.props"))))
+    write("t1.jsonl", Seq(rec("a-1", t)))
+    bp.runUntilDrained()
+    write("t2.jsonl", Seq(
+      rec("b-1", tnear), rec("b-2", Seq.fill(25)("zz").mkString(" "))))
+    bp.runUntilDrained()
+
+    val states = Alarms.evaluate(spark, lay).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(states("dedup_dlq_activity") == (("ALARM", 1L)), s"states: $states")
+    assert(states("quality_dlq_activity") == (("ALARM", 1L)), s"states: $states")
+    assert(states("dlq_activity") == (("OK", 0L)), s"states: $states")
+    assert(states("ledger_backlog") == (("OK", 0L)), s"states: $states")
+  }
+
   test("a fully healthy lake (no DLQ directory ever created) evaluates all-OK") {
     val lay = LakeLayout(Files.createTempDirectory("graft-mon-ok").toString)
     val p = Paths.get(s"${lay.rawDir}/good.jsonl")
