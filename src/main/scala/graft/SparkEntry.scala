@@ -58,7 +58,8 @@ object SparkEntry {
     "q86_stream_neardup" -> Seq("sneardup"),
     "q31_lang_guess" -> Seq("langmodel"),
     "q84_trained_quality" -> Seq("qualmodel"),
-    "q90_dedup_dlq_audit" -> Seq("deduplake"))
+    "q90_dedup_dlq_audit" -> Seq("deduplake"),
+    "q94_gate_alarms" -> Seq("deduplake"))
 
   /** Library-consumer cache hygiene: run `queries(name)` through
     * `action` (which must EXECUTE the frame — count/collect/write), then

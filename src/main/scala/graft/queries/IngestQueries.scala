@@ -135,6 +135,17 @@ object IngestQueries {
       graft.monitor.Alarms.evaluate(s, lay)
     }),
 
+    // M1 in its FIRING state: q57 pins the alarm set on a lake whose
+    // gates never fired (all-quiet except ingest's own DLQ); this row
+    // pins it on the dedup-demo lake where BOTH ingest gates diverted
+    // rows — the alarm counts are the same closed forms q90 audits
+    // (3 near-dup suppressions, 1 quality suppression, nothing corrupt,
+    // ledger drained). Together the two rows pin both alarm polarities.
+    "q94_gate_alarms" -> ((s, d) => {
+      val lay = DedupDemo.ensure(s, d)
+      graft.monitor.Alarms.evaluate(s, lay)
+    }),
+
     // X2/X6 audit surface (the reference's DLQ-as-audit philosophy,
     // psuedo_code.txt:195-208, applied to BOTH ingest gates): "what got
     // suppressed, why, and when" — per-tick suppression counts by
@@ -285,6 +296,17 @@ object IngestQueries {
          UNION ALL SELECT 'job_failure', 'OK', CAST(0 AS BIGINT)
          UNION ALL SELECT 'ledger_backlog', 'OK', CAST(0 AS BIGINT)
          UNION ALL SELECT 'quality_dlq_activity', 'OK', CAST(0 AS BIGINT)
+         UNION ALL SELECT 'slow_actions', 'OK', CAST(0 AS BIGINT)
+         ORDER BY alarm""",
+    // q94: the alarm set over the dedup-demo lake — the gate alarms in
+    // their firing state, counts forced by the same fixture as q90.
+    "q94_gate_alarms" ->
+      """SELECT 'dedup_dlq_activity' AS alarm, 'ALARM' AS state, CAST(3 AS BIGINT) AS metric
+         UNION ALL SELECT 'dlq_activity', 'OK', CAST(0 AS BIGINT)
+         UNION ALL SELECT 'file_quarantine', 'OK', CAST(0 AS BIGINT)
+         UNION ALL SELECT 'job_failure', 'OK', CAST(0 AS BIGINT)
+         UNION ALL SELECT 'ledger_backlog', 'OK', CAST(0 AS BIGINT)
+         UNION ALL SELECT 'quality_dlq_activity', 'ALARM', CAST(1 AS BIGINT)
          UNION ALL SELECT 'slow_actions', 'OK', CAST(0 AS BIGINT)
          ORDER BY alarm""",
     // q90: every value is forced by DedupDemo's engineered fixture —
