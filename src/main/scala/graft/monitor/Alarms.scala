@@ -38,7 +38,7 @@ import graft.pipeline.LakeLayout
   * — the DLQ count scans only DLQ files, ledger counts scan the compacted
   * current snapshot (bounded version window), driver-known constants
   * (monitor-sourced counts, the no-DLQ healthy case) are emitted as
-  * local literal rows with no job at all, and the union is 5 rows.
+  * local literal rows with no job at all, and the union is 7 rows.
   * Nothing here is per-record driver work, so the evaluation is the same
   * query at sf0.001 or 100 TB.
   *

@@ -156,17 +156,16 @@ final class BatchProcessor(
       // gate's survivors reach the (more expensive) dedup stage below.
       val (gated, qualityNotes) = (curated, quality) match {
         case (Some(df), Some(g)) =>
-          g.partition(spark, df) match {
-            case (survivors, Some(flagged0)) =>
-              val flagged = flagged0.persist()
-              DlqWriter.write(flagged, layout.qualityDlqDir, runId)
-              val notes = flagged.groupBy("source_file").count().collect()
-                .map(r => PathNorm.fromString(r.getString(0)) ->
-                  s"quality: ${r.getLong(1)} row(s) suppressed").toMap
-              flagged.unpersist()
-              (Some(survivors), notes)
-            case (survivors, None) => (Some(survivors), Map.empty[String, String])
-          }
+          val (survivors, flagged0) = g.partition(df)
+          val flagged = flagged0.persist()
+          // the per-file note collect doubles as the emptiness check —
+          // no dedicated isEmpty scan for the common no-garbage tick
+          val notes = flagged.groupBy("source_file").count().collect()
+            .map(r => PathNorm.fromString(r.getString(0)) ->
+              s"quality: ${r.getLong(1)} row(s) suppressed").toMap
+          if (notes.nonEmpty) DlqWriter.write(flagged, layout.qualityDlqDir, runId)
+          flagged.unpersist()
+          (Some(survivors), notes)
         case _ => (curated, Map.empty[String, String])
       }
 

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions.col
 import graft.queries.CurationOps
 
@@ -42,14 +42,23 @@ final case class QualityGate(
   /** Split the curated batch into (survivors, flagged). Survivors keep
     * the caller's schema exactly (the staged publish and the index
     * append downstream depend on it); the flagged frame adds
-    * [[ScoreCol]]. None = nothing flagged this tick (the common case —
-    * checked eagerly so callers skip the DLQ write entirely). */
-  def partition(s: SparkSession, curated: DataFrame): (DataFrame, Option[DataFrame]) = {
+    * [[ScoreCol]] and may be EMPTY — callers decide emptiness from work
+    * they already do (the per-file note collect in the ledger runner, a
+    * persisted isEmpty in the streaming runner) instead of this method
+    * paying an extra scoring scan of every tick for the answer.
+    *
+    * A row whose text is NULL has no score (`quality_features` is
+    * null-intolerant, so the score column is NULL): it KEEPS — the gate
+    * drops rows it judged bad, never rows it could not judge (the
+    * [[DedupStage]] posture, which never flags docs too short to
+    * shingle). Without the explicit null arm such rows would fail BOTH
+    * filters and silently vanish from the pipeline. */
+  def partition(curated: DataFrame): (DataFrame, DataFrame) = {
     val scored = CurationOps.withQualityScoreOn(curated, text)
-    val keep = scored.filter(col(ScoreCol) >= minScoreE6)
+    val keep = scored.filter(col(ScoreCol) >= minScoreE6 || col(ScoreCol).isNull)
       .drop(helperCols :+ ScoreCol: _*)
     val flagged = scored.filter(col(ScoreCol) < minScoreE6)
       .drop(helperCols: _*)
-    if (flagged.isEmpty) (keep, None) else (keep, Some(flagged))
+    (keep, flagged)
   }
 }

@@ -86,7 +86,7 @@ object ScaleProbe {
   def semantic(s: SparkSession, dir: String, tier: String): Stat = {
     val e = Tables.load(s, dir, "embeddings")
     val nIn = e.count()
-    val nEval = e.filter(col("vec_id") < 10).count()
+    val nEval = e.filter(col("vec_id") < VectorOps.NumProbes).count()
     s.catalog.clearCache()
     val (nOut, secs) = timed(VectorOps.semanticContam(e).count())
     s.catalog.clearCache()

@@ -66,7 +66,7 @@ object VectorOps {
     round(expr(s"vec_dot($a, $b) / (sqrt(vec_dot($a, $a)) * sqrt(vec_dot($b, $b)))")
       * lit(1000000.0)).cast("long")
 
-  private val NumProbes = 10
+  private[queries] val NumProbes = 10
   private val TopK = 5
   private val Tables_ = 8       // LSH tables
   private val MinBits = 4

@@ -120,9 +120,11 @@ object StreamingIngest {
       // identical — and never reach the dedup probe or the index
       val curated = quality match {
         case Some(g) =>
-          val (survivors, qFlagged) = g.partition(spark, curated0)
-          qFlagged.foreach(f =>
-            DlqWriter.write(f, layout.qualityDlqDir, runId, mode = "overwrite"))
+          val (survivors, qFlagged) = g.partition(curated0)
+          val f = qFlagged.persist()
+          if (!f.isEmpty)
+            DlqWriter.write(f, layout.qualityDlqDir, runId, mode = "overwrite")
+          f.unpersist()
           survivors
         case None => curated0
       }

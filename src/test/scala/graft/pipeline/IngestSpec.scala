@@ -172,16 +172,21 @@ class IngestSpec extends AnyFunSuite {
     writeLines(s"${lay.rawDir}/t1.jsonl", Seq(drec("a-1", t)))
     assert(bp.runUntilDrained() == 1)
     // tick 2, ONE file: b-1 near-dups a-1 (dedup window), b-2 is garbage
-    // (quality window), b-3 is clean — the file must publish b-3 only
-    // and its single ledger slot must carry BOTH notes
+    // (quality window), b-3 is clean, b-4 has NULL text (no score — the
+    // gate must KEEP what it cannot judge, not silently drop it) — the
+    // file publishes b-3 + b-4 and its single ledger slot carries BOTH
+    // notes
     writeLines(s"${lay.rawDir}/t2.jsonl", Seq(
       drec("b-1", tnear), drec("b-2", garbage),
-      drec("b-3", (0 until 50).map(i => s"ok$i").mkString(" "))))
+      drec("b-3", (0 until 50).map(i => s"ok$i").mkString(" ")),
+      s"""{"id":"b-4","event_timestamp":"2024-03-07 11:22:33.000000","MODE":"training",""" +
+        s""""metadata":{"app_version":"2.4.1","user_agent":"svc/1.0","user_id":7},""" +
+        s""""payload":{"transaction_id":"t-b4","value":9.5,"props":null}}"""))
     assert(bp.runUntilDrained() == 1)
 
     val curatedIds = CuratedWriter.read(spark, lay.curatedDir)
       .select("record_id").collect().map(_.getString(0)).sorted.toSeq
-    assert(curatedIds == Seq("a-1", "b-3"), s"curated: $curatedIds")
+    assert(curatedIds == Seq("a-1", "b-3", "b-4"), s"curated: $curatedIds")
     // quality DLQ: the garbage row with the closed-form q77 score
     val qd = DlqWriter.read(spark, lay.qualityDlqDir)
       .select("record_id", "quality_score_e6").collect()

@@ -205,7 +205,8 @@ class VectorSpec extends AnyFunSuite {
     val st = ScaleProbe.semantic(spark, sf, "spec")
     val q92 = VectorOps.defs("q92_semantic_decontam")(spark, sf).count()
     assert(st.nOutput == q92, s"probe nOutput ${st.nOutput} != q92 rows $q92")
-    assert(st.nCandidates == (st.nInput - 10) * 10,
+    assert(st.nCandidates ==
+      (st.nInput - VectorOps.NumProbes) * VectorOps.NumProbes,
       s"cosine-evaluation count must be linear in corpus: $st")
   }
 }
