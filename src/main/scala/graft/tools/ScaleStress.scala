@@ -130,6 +130,31 @@ object ScaleStress {
     // multi-tier kernel sweep + growth verdicts.
     if (args.headOption.contains("assemble")) { spark.stop(); return }
 
+    // `runMain graft.tools.ScaleStress probe <kernel...>` — run ONLY the
+    // named kernels at every tier (SCALE lines, no growth verdicts): the
+    // selective form for timing one new kernel without paying the full
+    // multi-tier sweep. Kernel names = the Stat.kernel strings.
+    if (args.headOption.contains("probe")) {
+      val wanted = args.drop(1).toSet
+      val probes: Map[String, (SparkSession, String, String) => ScaleProbe.Stat] = Map(
+        "minhash_lsh" -> (ScaleProbe.minhash _),
+        "simhash" -> (ScaleProbe.simhash _),
+        "embed_lsh" -> (ScaleProbe.embed _),
+        "components" -> (ScaleProbe.components _),
+        "decontam" -> (ScaleProbe.decontam _),
+        "span_dedup" -> (ScaleProbe.spans _),
+        "incremental" -> (ScaleProbe.incremental _),
+        "incr_spans" -> (ScaleProbe.incrementalSpans _),
+        "semantic_decontam" -> (ScaleProbe.semantic _))
+      val unknown = wanted.diff(probes.keySet)
+      require(unknown.isEmpty, s"unknown kernels: $unknown (have: ${probes.keys.mkString(",")})")
+      for ((tier, dir) <- Seq("sf0.01" -> "/root/testdata/sf0.01",
+             "sf0.1" -> sf01, "x10" -> x10, "x100" -> x100);
+           k <- wanted.toSeq.sorted)
+        println(s"SCALE ${probes(k)(spark, dir, tier).json}")
+      spark.stop(); return
+    }
+
     val stats =
       Seq("sf0.01" -> "/root/testdata/sf0.01", "sf0.1" -> sf01, "x10" -> x10)
         .flatMap { case (tier, dir) =>
