@@ -5,9 +5,13 @@ import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-provided parquet star schema (TESTDATA.md).
   *
-  * All tables are read as-is except `events`, whose `ts` column is parquet
-  * TIMESTAMP(NANOS) — Spark has no nanosecond timestamp type, so we read it
-  * via `spark.sql.legacy.parquet.nanosAsLong` and normalize to:
+  * All tables are read as-is except `events`, whose physical `ts` layout
+  * has varied across driver generations — parquet TIMESTAMP(NANOS) (no
+  * Spark type; read as BIGINT nanos via
+  * `spark.sql.legacy.parquet.nanosAsLong`) and plain timestamp[us]
+  * (read as TIMESTAMP_NTZ). The loader is SCHEMA-ADAPTIVE over the
+  * physical type and always normalizes to the same logical contract, so
+  * no query or oracle tracks the storage layout:
   *   - `ts_us`  : epoch microseconds (bigint, exact; floor(nanos/1000) ==
   *                DuckDB's `epoch_us(ts)` for positive epochs)
   *   - `ts`     : TIMESTAMP_NTZ at microsecond precision (for window()/
@@ -16,15 +20,22 @@ import org.apache.spark.sql.functions._
 object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = name match {
     case "events" =>
-      // Session builders (Verify/Bench/specs) must set
-      // spark.sql.legacy.parquet.nanosAsLong=true; setting it here as a
-      // conf mutation inside a loader would race a parallel query runner.
-      require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false").equalsIgnoreCase("true"),
-        "session must set spark.sql.legacy.parquet.nanosAsLong=true to read events.parquet")
+      // NANOS layouts need spark.sql.legacy.parquet.nanosAsLong=true; the
+      // session builders (Verify/Bench/specs) all set it. It must be a
+      // builder conf, not a mutation here — a runtime set would race a
+      // parallel query runner; it is a no-op for non-NANOS layouts.
       val raw = spark.read.parquet(s"$sfDir/events.parquet")
-      raw
-        .withColumn("ts_us", expr("ts div 1000"))
-        .withColumn("ts", timestamp_micros(col("ts_us")).cast("timestamp_ntz"))
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>   // TIMESTAMP(NANOS) as bigint
+          raw.withColumn("ts_us", expr("ts div 1000"))
+            .withColumn("ts", timestamp_micros(col("ts_us")).cast("timestamp_ntz"))
+        case _ =>                                     // timestamp[us] (NTZ or LTZ)
+          // NTZ → TIMESTAMP is instant-preserving under the pinned-UTC
+          // session TZ, so unix_micros sees the same epoch DuckDB's
+          // epoch_us(ts) computes on the raw file.
+          raw.withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+            .withColumn("ts", col("ts").cast("timestamp_ntz"))
+      }
     case _ =>
       spark.read.parquet(s"$sfDir/$name.parquet")
   }
