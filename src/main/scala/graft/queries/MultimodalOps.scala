@@ -73,6 +73,29 @@ object MultimodalOps {
       StructType(Seq(StructField("doc_id", LongType), StructField("payload", BinaryType))))
   }
 
+  /** Deterministic binary AVI corpus for the video demo: 240 payloads,
+    * id ≡ 0/1/3 (mod 4) valid 8-bit uncompressed video at 40000/33000/
+    * 20000 µs per frame with exactly 4 + id % 6 frames, frame k filled
+    * with the constant pixel 10 + id % 100 + k; id ≡ 2 is a truncated
+    * RIFF. Every frame/duration feature is a pure function of the id,
+    * so DuckDB recomputes the aggregates without parsing a byte. */
+  private def videoFixture(s: SparkSession): DataFrame = {
+    val rows = (0 until 240).map { id =>
+      val base = 10 + id % 100
+      val nf = 4 + id % 6
+      val pix = (k: Int) => base + k
+      val payload = (id % 4) match {
+        case 0 => VideoDecode.aviBytes(16, 12, 40000, nf, pix)
+        case 1 => VideoDecode.aviBytes(32, 18, 33000, nf, pix)
+        case 3 => VideoDecode.aviBytes(8, 8, 20000, nf, pix)
+        case _ => "RIFFxx".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      }
+      Row(id.toLong, payload)
+    }
+    s.createDataFrame(s.sparkContext.parallelize(rows, 4),
+      StructType(Seq(StructField("doc_id", LongType), StructField("payload", BinaryType))))
+  }
+
   val defs: Map[String, Q] = Map(
     // Per-modality corpus stats over binary payloads: row counts, byte
     // volume, fingerprint-distinct payloads (binary exact-dedup surface),
@@ -132,6 +155,25 @@ object MultimodalOps {
       byRate.join(frameAgg, Seq("rate"), "left")
         .na.fill(0L, Seq("n_frames", "sum_rms"))
         .orderBy("rate")
+    }),
+
+    // X5 video: AVI container decode + every-2nd-frame mean-luma
+    // sampling (VideoDecode), aggregated per frame rate with the
+    // corrupt group kept visible — the q58 shape over the third
+    // modality, completing X5's decode surface.
+    "q95_video_frames" -> ((s, d) => {
+      val decoded = QueryCaches.track(VideoDecode.decode(videoFixture(s)))
+      val frames = VideoDecode.sampleFrames(decoded)
+      val byRate = decoded
+        .groupBy(coalesce(col("us_per_frame").cast("string"), lit("(bad)")).as("rate"))
+        .agg(count(lit(1)).as("n"), count(col("decode_err")).as("n_err"),
+          sum(col("duration_ms")).as("sum_ms"))
+      val frameAgg = frames
+        .groupBy(col("us_per_frame").cast("string").as("rate"))
+        .agg(count(lit(1)).as("n_frames"), sum(col("frame_mean")).as("sum_mean"))
+      byRate.join(frameAgg, Seq("rate"), "left")
+        .na.fill(0L, Seq("n_frames", "sum_mean"))
+        .orderBy("rate")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -167,5 +209,24 @@ object MultimodalOps {
                   AS n_frames,
                 CAST(COALESCE(SUM(((nf + 2) // 3) * amp) FILTER (rate IS NOT NULL), 0) AS BIGINT)
                   AS sum_rms
+         FROM v GROUP BY 1 ORDER BY 1""",
+    // sampled frames k = 0,2,4,… of nf ⇒ ns = (nf+1)//2; frame k's mean
+    // is exactly base + k, so Σ means = ns·base + ns·(ns−1)
+    "q95_video_frames" ->
+      """WITH v AS (
+           SELECT range AS id,
+             CASE range % 4 WHEN 0 THEN 40000 WHEN 1 THEN 33000 WHEN 3 THEN 20000 END AS upf,
+             4 + range % 6 AS nf,
+             10 + range % 100 AS base
+           FROM range(240))
+         SELECT CASE WHEN upf IS NULL THEN '(bad)' ELSE CAST(upf AS VARCHAR) END AS rate,
+                COUNT(*) AS n,
+                CAST(SUM(CASE WHEN upf IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_err,
+                CAST(SUM(nf * upf // 1000) FILTER (upf IS NOT NULL) AS BIGINT) AS sum_ms,
+                CAST(COALESCE(SUM((nf + 1) // 2) FILTER (upf IS NOT NULL), 0) AS BIGINT)
+                  AS n_frames,
+                CAST(COALESCE(SUM((nf + 1) // 2 * base + (nf + 1) // 2 * ((nf + 1) // 2 - 1))
+                       FILTER (upf IS NOT NULL), 0) AS BIGINT)
+                  AS sum_mean
          FROM v GROUP BY 1 ORDER BY 1""")
 }

@@ -108,6 +108,55 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames((1L, 0)) == 700L && frames((2L, 3)) == 250L)
   }
 
+  // ---- video (VideoDecode) -------------------------------------------
+
+  test("AVI headers decode to exact rate/dimensions/frames/duration") {
+    val m = VideoDecode.parseAvi(VideoDecode.aviBytes(320, 240, 40000, 25, _ => 50))
+    assert(m.fmt == "avi" && m.err == null)
+    assert(m.usPerFrame == 40000 && m.width == 320 && m.height == 240)
+    assert(m.nFrames == 25L && m.durationMs == 1000L)
+  }
+
+  test("corrupt AVI payloads quarantine into err instead of throwing") {
+    assert(VideoDecode.parseAvi(null).err == "truncated")
+    assert(VideoDecode.parseAvi("RIFFxx".getBytes).err == "truncated")
+    assert(VideoDecode.parseAvi("NOTRIFFNOTAVI_".getBytes).err == "unknown_format")
+    val full = VideoDecode.aviBytes(16, 12, 40000, 3, _ => 50)
+    // header LIST present, movi LIST cut off
+    assert(VideoDecode.parseAvi(full.take(84)).err == "missing_movi")
+    // zero-µs frame rate is a bad header, not a divide crash
+    assert(VideoDecode.parseAvi(VideoDecode.aviBytes(16, 12, 0, 3, _ => 50)).err == "bad_header")
+    // chunk size near 2^31 must end the walk, not overflow the offset
+    val evil = full.clone()
+    evil(16) = 0xf0.toByte; evil(17) = 0xff.toByte
+    evil(18) = 0xff.toByte; evil(19) = 0x7f.toByte
+    assert(VideoDecode.parseAvi(evil).err != null)
+  }
+
+  test("video frame sampling emits every 2nd frame with exact mean luma") {
+    import spark.implicits._
+    // 5 frames, frame k's pixels all = 100 + 10k -> sampled k = 0, 2, 4
+    val df = Seq(
+      (1L, VideoDecode.aviBytes(16, 12, 40000, 5, k => 100 + 10 * k)),
+      (2L, "RIFFxx".getBytes)).toDF("doc_id", "payload")
+    val frames = VideoDecode.sampleFrames(VideoDecode.decode(df))
+      .select("doc_id", "frame_idx", "frame_mean").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(frames.keySet == Set((1L, 0), (1L, 2), (1L, 4)))
+    assert(frames((1L, 0)) == 100L && frames((1L, 2)) == 120L && frames((1L, 4)) == 140L)
+  }
+
+  test("q95 end-to-end: per-rate decode + frame aggregates over the 240-payload fixture") {
+    val rows = MultimodalOps.defs("q95_video_frames")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => r.getAs[String]("rate") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("n_err"), r.getAs[Long]("n_frames")))).toMap
+    assert(rows.keySet == Set("(bad)", "20000", "33000", "40000"))
+    assert(rows("(bad)") == ((60L, 60L, 0L)))
+    assert(rows("40000")._1 == 60 && rows("40000")._2 == 0)
+    assert(rows("40000")._3 > 0 && rows("33000")._3 > 0 && rows("20000")._3 > 0)
+  }
+
   test("q58 end-to-end: per-rate decode + frame aggregates over the 240-payload fixture") {
     val rows = MultimodalOps.defs("q58_audio_frames")(spark, "/root/testdata/sf0.001")
       .collect()
