@@ -96,6 +96,26 @@ object MultimodalOps {
       StructType(Seq(StructField("doc_id", LongType), StructField("payload", BinaryType))))
   }
 
+  /** Deterministic 24bpp BMP corpus for the resize demo: 200 payloads,
+    * id ≡ 0 (mod 3) oversized (40-55 × 30-37, decimated), ≡ 1 already
+    * fitting (8-16 × 6-10, pass-through at stride 1), ≡ 2 header-valid
+    * but pixel-truncated. Stored row r's pixels all equal
+    * 10 + id % 90 + r, so any decimation's pixel sum is a closed form
+    * DuckDB recomputes without parsing a byte. */
+  private def resizeFixture(s: SparkSession): DataFrame = {
+    val rows = (0 until 200).map { id =>
+      val base = 10 + id % 90
+      val payload = (id % 3) match {
+        case 0 => ImageResize.bmpPixBytes(40 + id % 16, 30 + id % 8, r => base + r)
+        case 1 => ImageResize.bmpPixBytes(8 + id % 9, 6 + id % 5, r => base + r)
+        case _ => ImageResize.bmpPixBytes(20, 20, _ => base).take(54 + 100)
+      }
+      Row(id.toLong, payload)
+    }
+    s.createDataFrame(s.sparkContext.parallelize(rows, 4),
+      StructType(Seq(StructField("doc_id", LongType), StructField("payload", BinaryType))))
+  }
+
   val defs: Map[String, Q] = Map(
     // Per-modality corpus stats over binary payloads: row counts, byte
     // volume, fingerprint-distinct payloads (binary exact-dedup surface),
@@ -174,6 +194,21 @@ object MultimodalOps {
       byRate.join(frameAgg, Seq("rate"), "left")
         .na.fill(0L, Seq("n_frames", "sum_mean"))
         .orderBy("rate")
+    }),
+
+    // X5 resize: payload-to-payload BMP thumbnail pass (ImageResize) —
+    // integer nearest-neighbor decimation into a 16×16 box, emitting a
+    // valid BMP payload + exact pixel checksum per row; aggregated per
+    // outcome with the truncated group kept visible.
+    "q96_image_resize" -> ((s, d) => {
+      ImageResize.resize(resizeFixture(s), 16, 16)
+        .groupBy(coalesce(col("resize_err"), lit("ok")).as("status"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("out_width")).as("sum_w"),
+          sum(col("out_height")).as("sum_h"),
+          sum(expr("octet_length(out_payload)")).as("sum_bytes"),
+          sum(col("sum_px")).as("sum_px"))
+        .orderBy("status")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -228,5 +263,24 @@ object MultimodalOps {
                 CAST(COALESCE(SUM((nf + 1) // 2 * base + (nf + 1) // 2 * ((nf + 1) // 2 - 1))
                        FILTER (upf IS NOT NULL), 0) AS BIGINT)
                   AS sum_mean
-         FROM v GROUP BY 1 ORDER BY 1""")
+         FROM v GROUP BY 1 ORDER BY 1""",
+    // stride s = max(ceil(w/16), ceil(h/16)); out dims = ceil-div by s;
+    // stored row j of the output samples input row j·s whose pixels all
+    // equal base + j·s, so Σ pixel bytes = ow·3·(oh·base + s·oh·(oh−1)/2)
+    "q96_image_resize" ->
+      """WITH c AS (
+           SELECT range AS id, 10 + range % 90 AS base,
+             CASE range % 3 WHEN 0 THEN 40 + range % 16 WHEN 1 THEN 8 + range % 9 END AS w,
+             CASE range % 3 WHEN 0 THEN 30 + range % 8 WHEN 1 THEN 6 + range % 5 END AS h
+           FROM range(200)),
+         g AS (SELECT *, GREATEST((w + 15) // 16, (h + 15) // 16) AS s FROM c),
+         o AS (SELECT CASE WHEN w IS NULL THEN 'truncated_pixels' ELSE 'ok' END AS status,
+                      (w + s - 1) // s AS ow, (h + s - 1) // s AS oh, s, base
+                 FROM g)
+         SELECT status, COUNT(*) AS n,
+                CAST(SUM(ow) AS BIGINT) AS sum_w,
+                CAST(SUM(oh) AS BIGINT) AS sum_h,
+                CAST(SUM(54 + oh * ((ow * 3 + 3) // 4 * 4)) AS BIGINT) AS sum_bytes,
+                CAST(SUM(ow * 3 * (oh * base + s * oh * (oh - 1) // 2)) AS BIGINT) AS sum_px
+         FROM o GROUP BY 1 ORDER BY 1""")
 }

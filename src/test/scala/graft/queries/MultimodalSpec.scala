@@ -157,6 +157,44 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows("40000")._3 > 0 && rows("33000")._3 > 0 && rows("20000")._3 > 0)
   }
 
+  // ---- resize (ImageResize) ------------------------------------------
+
+  test("BMP resize decimates to the exact fitting dimensions and round-trips through decode") {
+    // 40×30 into a 16×16 box: s = max(ceil(40/16), ceil(30/16)) = 3 -> 14×10
+    val in = ImageResize.bmpPixBytes(40, 30, r => 50 + r)
+    val r = ImageResize.resizeBmp(in, 16, 16)
+    assert(r.err == null && r.width == 14 && r.height == 10)
+    // sampled rows j·3: pixels = 50 + 3j -> Σ bytes = 14·3·Σ(50 + 3j)
+    assert(r.sumPx == 14L * 3 * ((0 until 10).map(j => 50 + 3 * j).sum))
+    // the output is itself a decodable BMP with the new dimensions
+    assert(parseHeader(r.payload) == Header("bmp", 14, 10, null))
+    // already-fitting payloads pass through at stride 1, dims unchanged
+    val small = ImageResize.resizeBmp(ImageResize.bmpPixBytes(12, 9, _ => 7), 16, 16)
+    assert(small.err == null && small.width == 12 && small.height == 9)
+    assert(small.sumPx == 12L * 3 * 9 * 7)
+  }
+
+  test("non-resizable payloads quarantine into resize_err instead of throwing") {
+    assert(ImageResize.resizeBmp(null, 16, 16).err == "empty")
+    assert(ImageResize.resizeBmp(pngBytes(64, 64), 16, 16).err == "unsupported_fmt")
+    assert(ImageResize.resizeBmp(bmpBytes(20, 20), 16, 16).err == "truncated_pixels")
+    val trunc = ImageResize.bmpPixBytes(20, 20, _ => 9).take(154)
+    assert(ImageResize.resizeBmp(trunc, 16, 16).err == "truncated_pixels")
+    val bpp8 = ImageResize.bmpPixBytes(20, 20, _ => 9)
+    bpp8(28) = 8
+    assert(ImageResize.resizeBmp(bpp8, 16, 16).err == "unsupported_bpp_8")
+  }
+
+  test("q96 end-to-end: per-outcome resize aggregates over the 200-payload fixture") {
+    val rows = MultimodalOps.defs("q96_image_resize")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => r.getAs[String]("status") ->
+        ((r.getAs[Long]("n"), r.getAs[Any]("sum_w")))).toMap
+    assert(rows.keySet == Set("ok", "truncated_pixels"))
+    assert(rows("ok")._1 == 134 && rows("truncated_pixels")._1 == 66)
+    assert(rows("truncated_pixels")._2 == null) // no dims for quarantined rows
+  }
+
   test("q58 end-to-end: per-rate decode + frame aggregates over the 240-payload fixture") {
     val rows = MultimodalOps.defs("q58_audio_frames")(spark, "/root/testdata/sf0.001")
       .collect()
