@@ -116,6 +116,36 @@ object MultimodalOps {
       StructType(Seq(StructField("doc_id", LongType), StructField("payload", BinaryType))))
   }
 
+  /** Deterministic image corpus for the perceptual near-dup demo: 60
+    * scenes × 4 variants (id = scene·4 + v) as 32×32 24bpp BMPs built
+    * from an 8×8 block pattern — block (bi,bj) is bright (200) iff bit
+    * bj of the scene's pattern byte is set, identically per block row.
+    *   v0, v1: the scene pattern (v1 is an exact perceptual dup of v0)
+    *   v2: the scene pattern with block (0,0) inverted (Hamming 1)
+    *   v3: the bit-inverted pattern (Hamming 64 — unrelated image)
+    * Cross-scene Hamming is ≥ 8 (pattern bytes differ in ≥1 bit, each
+    * replicated over 8 block rows), so the ≤3 near-dup set is exactly
+    * {(v0,v1,0), (v0,v2,1), (v1,v2,1)} per scene — a closed form.
+    * Ids 240-249 are corrupt payloads exercising the hash_err filter. */
+  private def hashFixture(s: SparkSession): DataFrame = {
+    val rows = (0 until 250).map { id =>
+      val payload = if (id >= 240) "BMx".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      else {
+        val scene = id / 4
+        val pattern = if (id % 4 == 3) scene ^ 0xff else scene
+        ImageHash.bmpGridBytes(32, 32, (r, c) => {
+          val bi = r / 4; val bj = c / 4
+          val bit = ((pattern >> bj) & 1) == 1
+          val inv = id % 4 == 2 && bi == 0 && bj == 0
+          if (bit ^ inv) 200 else 50
+        })
+      }
+      Row(id.toLong, payload)
+    }
+    s.createDataFrame(s.sparkContext.parallelize(rows, 4),
+      StructType(Seq(StructField("doc_id", LongType), StructField("payload", BinaryType))))
+  }
+
   val defs: Map[String, Q] = Map(
     // Per-modality corpus stats over binary payloads: row counts, byte
     // volume, fingerprint-distinct payloads (binary exact-dedup surface),
@@ -209,6 +239,30 @@ object MultimodalOps {
           sum(expr("octet_length(out_payload)")).as("sum_bytes"),
           sum(col("sum_px")).as("sum_px"))
         .orderBy("status")
+    }),
+
+    // X5×X2 perceptual image near-dup: block-hash64 per payload
+    // (ImageHash byte walk), then Manku multi-index over the four
+    // 16-bit pieces — a Hamming-≤3 pair must share ≥1 piece, so
+    // candidates come from an equi-join on (piece_idx, piece) buckets
+    // (q34's shape), verified by one codegen bit_count. Never all-pairs.
+    "q97_image_neardup" -> ((s, d) => {
+      val hashed = ImageHash.hash(hashFixture(s))
+        .filter(col("hash_err").isNull)
+        .select(col("doc_id"), col("img_hash"))
+      val pieces = hashed.select(col("doc_id"), col("img_hash"),
+          explode(expr("array(0, 1, 2, 3)")).as("k"))
+        .withColumn("piece", expr("shiftrightunsigned(img_hash, 16 * k) & 65535"))
+      val cand = pieces.alias("a").join(pieces.alias("b"),
+          col("a.k") === col("b.k") && col("a.piece") === col("b.piece") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          col("a.img_hash").as("ah"), col("b.img_hash").as("bh"))
+        .distinct()
+      cand.withColumn("hamming", expr("bit_count(ah ^ bh)"))
+        .filter(col("hamming") <= 3)
+        .select(col("a_id"), col("b_id"), col("hamming").cast("long").as("hamming"))
+        .orderBy("a_id", "b_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -282,5 +336,16 @@ object MultimodalOps {
                 CAST(SUM(oh) AS BIGINT) AS sum_h,
                 CAST(SUM(54 + oh * ((ow * 3 + 3) // 4 * 4)) AS BIGINT) AS sum_bytes,
                 CAST(SUM(ow * 3 * (oh * base + s * oh * (oh - 1) // 2)) AS BIGINT) AS sum_px
-         FROM o GROUP BY 1 ORDER BY 1""")
+         FROM o GROUP BY 1 ORDER BY 1""",
+    // the fixture's near-dup set is a closed form (see hashFixture):
+    // per scene exactly (v0,v1) at Hamming 0 and (v0,v2),(v1,v2) at 1
+    "q97_image_neardup" ->
+      """WITH s AS (SELECT range AS sc FROM range(60)),
+         p AS (
+           SELECT sc * 4 AS a_id, sc * 4 + 1 AS b_id, 0 AS hm FROM s
+           UNION ALL SELECT sc * 4, sc * 4 + 2, 1 FROM s
+           UNION ALL SELECT sc * 4 + 1, sc * 4 + 2, 1 FROM s)
+         SELECT CAST(a_id AS BIGINT) AS a_id, CAST(b_id AS BIGINT) AS b_id,
+                CAST(hm AS BIGINT) AS hamming
+         FROM p ORDER BY 1, 2""")
 }

@@ -195,6 +195,44 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows("truncated_pixels")._2 == null) // no dims for quarantined rows
   }
 
+  // ---- perceptual hash (ImageHash) -----------------------------------
+
+  test("block hash packs the 8x8 block pattern exactly; a one-block edit flips one bit") {
+    // pattern byte 0b10110001 replicated per block row
+    def img(invert00: Boolean) = ImageHash.bmpGridBytes(32, 32, (r, c) => {
+      val bit = ((0xb1 >> (c / 4)) & 1) == 1
+      val inv = invert00 && r / 4 == 0 && c / 4 == 0
+      if (bit ^ inv) 200 else 50
+    })
+    val (h0, e0) = ImageHash.blockHash64(img(invert00 = false))
+    assert(e0 == null)
+    val expected = (0 until 8).map(bi => 0xb1L << (8 * bi)).reduce(_ | _)
+    assert(h0 == expected)
+    val (h1, _) = ImageHash.blockHash64(img(invert00 = true))
+    assert(java.lang.Long.bitCount(h0 ^ h1) == 1 && (h0 ^ h1) == 1L)
+    // exact content copy -> identical hash
+    val (h2, _) = ImageHash.blockHash64(img(invert00 = false))
+    assert(h0 == h2)
+  }
+
+  test("non-hashable payloads quarantine into hash_err instead of throwing") {
+    assert(ImageHash.blockHash64(null)._2 == "empty")
+    assert(ImageHash.blockHash64(pngBytes(64, 64))._2 == "unsupported_fmt")
+    assert(ImageHash.blockHash64(bmpBytes(20, 20))._2 == "truncated_pixels")
+    assert(ImageHash.blockHash64("BMx".getBytes)._2 == "truncated")
+  }
+
+  test("q97 end-to-end: exactly the planted near-dup pairs at their exact Hamming distances") {
+    val rows = MultimodalOps.defs("q97_image_neardup")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) -> r.getAs[Long]("hamming"))
+    assert(rows.length == 180) // 60 scenes x 3 pairs, nothing cross-scene
+    val m = rows.toMap
+    assert(m((0L, 1L)) == 0L && m((0L, 2L)) == 1L && m((1L, 2L)) == 1L)
+    assert(m((236L, 238L)) == 1L) // last scene
+    assert(!m.keySet.exists { case (a, b) => a / 4 != b / 4 }) // no cross-scene pair
+  }
+
   test("q58 end-to-end: per-rate decode + frame aggregates over the 240-payload fixture") {
     val rows = MultimodalOps.defs("q58_audio_frames")(spark, "/root/testdata/sf0.001")
       .collect()
