@@ -242,24 +242,17 @@ object MultimodalOps {
     }),
 
     // X5×X2 perceptual image near-dup: block-hash64 per payload
-    // (ImageHash byte walk), then Manku multi-index over the four
-    // 16-bit pieces — a Hamming-≤3 pair must share ≥1 piece, so
-    // candidates come from an equi-join on (piece_idx, piece) buckets
-    // (q34's shape), verified by one codegen bit_count. Never all-pairs.
+    // (ImageHash byte walk), then EXACTLY q34's Manku block-triple
+    // multi-index — the image hash rides `DedupOps.simhashCandidates`
+    // (6 blocks, all 20 triples, ~32-bit bucket keys that outgrow any
+    // corpus; pigeonhole keeps the candidate set exact), verified by
+    // one codegen bit_count. Never all-pairs, shared scale story.
     "q97_image_neardup" -> ((s, d) => {
       val hashed = ImageHash.hash(hashFixture(s))
         .filter(col("hash_err").isNull)
-        .select(col("doc_id"), col("img_hash"))
-      val pieces = hashed.select(col("doc_id"), col("img_hash"),
-          explode(expr("array(0, 1, 2, 3)")).as("k"))
-        .withColumn("piece", expr("shiftrightunsigned(img_hash, 16 * k) & 65535"))
-      val cand = pieces.alias("a").join(pieces.alias("b"),
-          col("a.k") === col("b.k") && col("a.piece") === col("b.piece") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-          col("a.img_hash").as("ah"), col("b.img_hash").as("bh"))
-        .distinct()
-      cand.withColumn("hamming", expr("bit_count(ah ^ bh)"))
+        .select(col("doc_id"), col("img_hash").as("simhash"))
+      DedupOps.simhashCandidates(hashed)
+        .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
         .filter(col("hamming") <= 3)
         .select(col("a_id"), col("b_id"), col("hamming").cast("long").as("hamming"))
         .orderBy("a_id", "b_id")
