@@ -222,9 +222,65 @@ object ScaleProbe {
     Stat("incr_spans", tier, nIn, nc, nOut, secs)
   }
 
+  /** Deterministic per-image 64-bit pattern for the [[imagehash]]
+    * probe's synthetic corpus: scene = id >> 2 mixed through the
+    * splitmix64 finalizer (cross-scene Hamming concentrates at ~32
+    * bits, so true cross-scene pairs are negligible at any tier);
+    * variants within a scene are two exact dups, a one-block edit
+    * (Hamming 1), and the bit-inverse (Hamming 64 — unrelated), so
+    * TRUE pair mass is exactly 3 per scene — linear in corpus, the
+    * duplicate-density-preserving shape the text blow-up uses. */
+  private[queries] def imagePattern(id: Long): Long = {
+    var z = (id >> 2) + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    val base = z ^ (z >>> 31)
+    (id & 3L) match {
+      case 2L => base ^ 1L
+      case 3L => ~base
+      case _  => base
+    }
+  }
+
+  /** Perceptual image near-dup (the q97 kernel): one synthetic 32×32
+    * 24bpp BMP per document id (≈3.1 KB built and REALLY byte-walked —
+    * the hash kernel is the thing measured), then the shared
+    * block-triple multi-index + bit_count verify. Payloads never
+    * materialize: built, hashed, and dropped inside one streamed
+    * mapPartitions pass. */
+  def imagehash(s: SparkSession, dir: String, tier: String): Stat = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val ids = Tables.load(s, dir, "documents").select("doc_id")
+    val nIn = ids.count()
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("simhash", LongType)))
+    def hashed: DataFrame = ids.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val pat = imagePattern(id)
+        val b = ImageHash.bmpGridBytes(32, 32, (rr, cc) =>
+          if (((pat >>> ((rr / 4) * 8 + (cc / 4))) & 1L) == 1L) 200 else 50)
+        val (h, err) = ImageHash.blockHash64(b)
+        require(err == null && h == pat, s"self-check: hash != pattern for $id")
+        Row(id, h)
+      }
+    }(Encoders.row(schema))
+    s.catalog.clearCache()
+    val nc = DedupOps.simhashCandidates(hashed).count()
+    s.catalog.clearCache()
+    val (np, secs) = timed(
+      DedupOps.simhashCandidates(hashed)
+        .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+        .filter(col("hamming") <= 3).count())
+    s.catalog.clearCache()
+    Stat("imagehash", tier, nIn, nc, np, secs)
+  }
+
   def all(s: SparkSession, dir: String, tier: String): Seq[Stat] =
     Seq(minhash(s, dir, tier), simhash(s, dir, tier),
       embed(s, dir, tier), components(s, dir, tier), decontam(s, dir, tier),
       spans(s, dir, tier), incremental(s, dir, tier),
-      incrementalSpans(s, dir, tier), semantic(s, dir, tier))
+      incrementalSpans(s, dir, tier), semantic(s, dir, tier),
+      imagehash(s, dir, tier))
 }

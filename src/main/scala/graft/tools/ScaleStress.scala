@@ -145,7 +145,8 @@ object ScaleStress {
         "span_dedup" -> (ScaleProbe.spans _),
         "incremental" -> (ScaleProbe.incremental _),
         "incr_spans" -> (ScaleProbe.incrementalSpans _),
-        "semantic_decontam" -> (ScaleProbe.semantic _))
+        "semantic_decontam" -> (ScaleProbe.semantic _),
+        "imagehash" -> (ScaleProbe.imagehash _))
       val unknown = wanted.diff(probes.keySet)
       require(unknown.isEmpty, s"unknown kernels: $unknown (have: ${probes.keys.mkString(",")})")
       for ((tier, dir) <- Seq("sf0.01" -> "/root/testdata/sf0.01",
@@ -171,7 +172,8 @@ object ScaleStress {
           // affordable at x100 since the block-triple multi-index:
           // candidates track true pair mass, not n²/buckets
           ScaleProbe.simhash(spark, x100, "x100"),
-          ScaleProbe.semantic(spark, x100, "x100"))
+          ScaleProbe.semantic(spark, x100, "x100"),
+          ScaleProbe.imagehash(spark, x100, "x100"))
         ss.foreach(st => println(s"SCALE ${st.json}"))
         ss
       }
