@@ -177,4 +177,23 @@ object AudioDecode {
     (0 until nSamplesPerChannel * channels).foreach(_ => le16w(amplitude))
     out.toByteArray
   }
+
+  /** Mono PCM16 WAV with per-FRAME constant amplitudes: frame f's
+    * `samplesPerFrame` samples all equal `amps(f)`, so frame f's RMS is
+    * exactly `amps(f)` — the variable-amplitude fixture the audio
+    * fingerprint (q98) encodes its delta bits in. */
+  def wavBytesVar(rate: Int, amps: Seq[Int], samplesPerFrame: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def le16w(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+    def le32w(v: Int): Unit = (0 until 4).foreach(i => out.write((v >>> (8 * i)) & 0xff))
+    def tagw(s: String): Unit = out.write(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    val dataLen = amps.length * samplesPerFrame * 2
+    tagw("RIFF"); le32w(36 + dataLen); tagw("WAVE")
+    tagw("fmt "); le32w(16)
+    le16w(1); le16w(1); le32w(rate)
+    le32w(rate * 2); le16w(2); le16w(16)
+    tagw("data"); le32w(dataLen)
+    amps.foreach(a => (0 until samplesPerFrame).foreach(_ => le16w(a)))
+    out.toByteArray
+  }
 }

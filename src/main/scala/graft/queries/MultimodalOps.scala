@@ -146,6 +146,34 @@ object MultimodalOps {
       StructType(Seq(StructField("doc_id", LongType), StructField("payload", BinaryType))))
   }
 
+  /** Deterministic WAV corpus for the audio near-dup demo: 60 scenes ×
+    * 4 variants (id = scene·4 + v), 8000 Hz mono, 129 20 ms frames per
+    * payload. Frames encode a 64-bit pattern as RMS DELTAS — frame 2k
+    * has amplitude 200, frame 2k+1 has 300 if pattern bit k is set else
+    * 100 — so fingerprint bit k (rms[2k+1] > rms[2k]) EQUALS pattern
+    * bit k. Patterns are the scene byte replicated 8× (cross-scene
+    * Hamming ≥ 8); variants mirror the q97 scheme: v0/v1 exact dups,
+    * v2 one flipped bit, v3 the bit-inverse. Ids 240-249 are corrupt. */
+  private def audioNdFixture(s: SparkSession): DataFrame = {
+    val rows = (0 until 250).map { id =>
+      val payload = if (id >= 240) "RIFFxx".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      else {
+        val scene = id / 4
+        val base = if (id % 4 == 3) scene ^ 0xff else scene
+        val pattern = (0 until 8).map(bi => base.toLong << (8 * bi)).reduce(_ | _) ^
+          (if (id % 4 == 2) 1L else 0L)
+        val amps = (0 until 129).map { f =>
+          if (f % 2 == 0) 200
+          else if (((pattern >>> (f / 2)) & 1L) == 1L) 300 else 100
+        }
+        AudioDecode.wavBytesVar(8000, amps, 160)
+      }
+      Row(id.toLong, payload)
+    }
+    s.createDataFrame(s.sparkContext.parallelize(rows, 4),
+      StructType(Seq(StructField("doc_id", LongType), StructField("payload", BinaryType))))
+  }
+
   val defs: Map[String, Q] = Map(
     // Per-modality corpus stats over binary payloads: row counts, byte
     // volume, fingerprint-distinct payloads (binary exact-dedup surface),
@@ -256,6 +284,32 @@ object MultimodalOps {
         .filter(col("hamming") <= 3)
         .select(col("a_id"), col("b_id"), col("hamming").cast("long").as("hamming"))
         .orderBy("a_id", "b_id")
+    }),
+
+    // X5×X2 audio near-dup: PURE COMPOSITION of verified pieces — WAV
+    // decode → per-frame RMS (q58's sampler at every frame) → a 64-bit
+    // delta fingerprint packed in one codegen higher-order expression
+    // (bit k = rms rises across frame pair k; robust to uniform gain,
+    // the audio-fingerprint family's shape) → the SAME block-triple
+    // index + bit_count verify as q34/q97. No new byte-walk code.
+    "q98_audio_neardup" -> ((s, d) => {
+      val decoded = AudioDecode.decode(audioNdFixture(s))
+        .filter(col("decode_err").isNull)
+      val frames = AudioDecode.sampleFrames(decoded, everyNth = 1)
+      val fp = frames
+        .groupBy("doc_id")
+        .agg(array_sort(collect_list(struct(col("frame_idx"), col("frame_rms"))))
+          .as("fr"))
+        .select(col("doc_id"), expr(
+          """aggregate(sequence(0, 63), CAST(0 AS BIGINT),
+             (acc, k) -> acc | IF(fr[2*k+1].frame_rms > fr[2*k].frame_rms,
+                                  shiftleft(CAST(1 AS BIGINT), k),
+                                  CAST(0 AS BIGINT)))""").as("simhash"))
+      DedupOps.simhashCandidates(fp)
+        .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+        .filter(col("hamming") <= 3)
+        .select(col("a_id"), col("b_id"), col("hamming").cast("long").as("hamming"))
+        .orderBy("a_id", "b_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -333,6 +387,17 @@ object MultimodalOps {
     // the fixture's near-dup set is a closed form (see hashFixture):
     // per scene exactly (v0,v1) at Hamming 0 and (v0,v2),(v1,v2) at 1
     "q97_image_neardup" ->
+      """WITH s AS (SELECT range AS sc FROM range(60)),
+         p AS (
+           SELECT sc * 4 AS a_id, sc * 4 + 1 AS b_id, 0 AS hm FROM s
+           UNION ALL SELECT sc * 4, sc * 4 + 2, 1 FROM s
+           UNION ALL SELECT sc * 4 + 1, sc * 4 + 2, 1 FROM s)
+         SELECT CAST(a_id AS BIGINT) AS a_id, CAST(b_id AS BIGINT) AS b_id,
+                CAST(hm AS BIGINT) AS hamming
+         FROM p ORDER BY 1, 2""",
+    // same scene/variant scheme as q97 (see audioNdFixture): the
+    // near-dup set is the identical closed form
+    "q98_audio_neardup" ->
       """WITH s AS (SELECT range AS sc FROM range(60)),
          p AS (
            SELECT sc * 4 AS a_id, sc * 4 + 1 AS b_id, 0 AS hm FROM s

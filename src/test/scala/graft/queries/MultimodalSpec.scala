@@ -233,6 +233,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!m.keySet.exists { case (a, b) => a / 4 != b / 4 }) // no cross-scene pair
   }
 
+  test("variable-amplitude WAV frames carry their exact per-frame RMS") {
+    import spark.implicits._
+    val amps = Seq(200, 300, 200, 100, 200, 300)
+    val df = Seq((1L, AudioDecode.wavBytesVar(8000, amps, 160))).toDF("doc_id", "payload")
+    val frames = AudioDecode.sampleFrames(AudioDecode.decode(df), everyNth = 1)
+      .select("frame_idx", "frame_rms").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(frames == amps.indices.map(i => i -> amps(i).toLong).toMap)
+  }
+
+  test("q98 end-to-end: exactly the planted audio near-dup pairs at their Hamming distances") {
+    val rows = MultimodalOps.defs("q98_audio_neardup")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) -> r.getAs[Long]("hamming"))
+    assert(rows.length == 180)
+    val m = rows.toMap
+    assert(m((0L, 1L)) == 0L && m((0L, 2L)) == 1L && m((1L, 2L)) == 1L)
+    assert(!m.keySet.exists { case (a, b) => a / 4 != b / 4 })
+  }
+
   test("q58 end-to-end: per-rate decode + frame aggregates over the 240-payload fixture") {
     val rows = MultimodalOps.defs("q58_audio_frames")(spark, "/root/testdata/sf0.001")
       .collect()
