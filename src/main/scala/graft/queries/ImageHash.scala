@@ -46,9 +46,12 @@ object ImageHash {
     val h = math.abs(le32(22))
     if (w <= 0 || h == 0) return (null, "bad_dimensions")
     if (le16(26) != 1 || le16(28) != 24 || le32(30) != 0) return (null, "unsupported_encoding")
-    val stride = (w * 3 + 3) / 4 * 4
-    if (dataOff < 54 || dataOff.toLong + h.toLong * stride > b.length)
+    // stride in Long space: a crafted w near 2^31/3 must fail the
+    // length check below, not overflow into a negative stride
+    val strideL = (w.toLong * 3 + 3) / 4 * 4
+    if (dataOff < 54 || dataOff.toLong + h.toLong * strideL > b.length)
       return (null, "truncated_pixels")
+    val stride = strideL.toInt
     var hash = 0L
     var bi = 0
     while (bi < 8) {

@@ -58,9 +58,12 @@ object ImageResize {
     if (le16(b, 26) != 1) return bad("bad_planes")
     if (le16(b, 28) != 24) return bad(s"unsupported_bpp_${le16(b, 28)}")
     if (le32(b, 30) != 0) return bad("unsupported_compression")
-    val stride = (w * 3 + 3) / 4 * 4
-    if (dataOff < 54 || dataOff.toLong + h.toLong * stride > b.length)
+    // stride in Long space: a crafted w near 2^31/3 must fail the
+    // length check below, not overflow into a negative stride
+    val strideL = (w.toLong * 3 + 3) / 4 * 4
+    if (dataOff < 54 || dataOff.toLong + h.toLong * strideL > b.length)
       return bad("truncated_pixels")
+    val stride = strideL.toInt
     val s = math.max((w + maxW - 1) / maxW, (h + maxH - 1) / maxH)
     val ow = (w + s - 1) / s
     val oh = (h + s - 1) / s

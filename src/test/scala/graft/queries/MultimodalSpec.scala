@@ -183,6 +183,11 @@ class MultimodalSpec extends AnyFunSuite {
     val bpp8 = ImageResize.bmpPixBytes(20, 20, _ => 9)
     bpp8(28) = 8
     assert(ImageResize.resizeBmp(bpp8, 16, 16).err == "unsupported_bpp_8")
+    // a crafted width near 2^31/3 must fail the length check, not
+    // overflow the stride into a negative allocation
+    val evilW = bmpBytes(0x30000000, 2)
+    assert(ImageResize.resizeBmp(evilW, 16, 16).err == "truncated_pixels")
+    assert(ImageHash.blockHash64(evilW)._2 == "truncated_pixels")
   }
 
   test("q96 end-to-end: per-outcome resize aggregates over the 200-payload fixture") {
