@@ -19,7 +19,7 @@ class CacheHygieneSpec extends AnyFunSuite {
     "q49_embed_neardup", "q65_dup_groups", "q58_audio_frames",
     "q74_neardup_curation", "q75_decontaminate", "q76_span_dedup",
     "q79_incremental_dedup", "q82_indexed_dedup", "q83_appended_dedup",
-    "q88_incremental_spans", "q91_curation_recipe")
+    "q88_incremental_spans", "q91_curation_recipe", "q95_video_frames")
 
   test("runAndRelease drops every cache the query planted") {
     for (name <- planting) {
