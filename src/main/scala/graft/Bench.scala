@@ -25,7 +25,10 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default = the driver's benched configuration (local[32], the
+    // documented contract) — a 4-core default silently recorded 4-core
+    // timings for any env-less local reproduction
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     // Optional subset run (the x100 corpus-bench row): comma-separated
     // query-name prefixes, e.g. SPARK_GRAFT_BENCH_ONLY=q26,q32,q49.
