@@ -275,6 +275,11 @@ object MultimodalOps {
     // (6 blocks, all 20 triples, ~32-bit bucket keys that outgrow any
     // corpus; pigeonhole keeps the candidate set exact), verified by
     // one codegen bit_count. Never all-pairs, shared scale story.
+    // PAIR-LIST caveat (same as q34, see DedupOps.simhashCandidates'
+    // skew note): a k-image cluster of hash-identical payloads emits
+    // O(k²/2) pairs — a production boilerplate-heavy corpus composes an
+    // exact-hash min-id collapse first (the q26/q65 kernels), exactly
+    // as the text pipeline does; the fixture's clusters are size ≤ 3.
     "q97_image_neardup" -> ((s, d) => {
       val hashed = ImageHash.hash(hashFixture(s))
         .filter(col("hash_err").isNull)
@@ -292,6 +297,8 @@ object MultimodalOps {
     // (bit k = rms rises across frame pair k; robust to uniform gain,
     // the audio-fingerprint family's shape) → the SAME block-triple
     // index + bit_count verify as q34/q97. No new byte-walk code.
+    // The q97 pair-list caveat applies identically (collapse exact
+    // fingerprints first on a boilerplate-heavy corpus).
     "q98_audio_neardup" -> ((s, d) => {
       val decoded = AudioDecode.decode(audioNdFixture(s))
         .filter(col("decode_err").isNull)
