@@ -43,8 +43,11 @@ object ImageHash {
     val dataOff = le32(10)
     if (le32(14) < 40) return (null, s"unsupported_dib_${le32(14)}")
     val w = le32(18)
+    // abs(Int.MinValue) is still negative — `h <= 0` (not `h == 0`)
+    // quarantines the crafted hRaw = 0x80000000 header that would
+    // otherwise skip every block loop and silently hash to 0
     val h = math.abs(le32(22))
-    if (w <= 0 || h == 0) return (null, "bad_dimensions")
+    if (w <= 0 || h <= 0) return (null, "bad_dimensions")
     if (le16(26) != 1 || le16(28) != 24 || le32(30) != 0) return (null, "unsupported_encoding")
     // stride in Long space: a crafted w near 2^31/3 must fail the
     // length check below, not overflow into a negative stride

@@ -53,8 +53,11 @@ object ImageResize {
     if (dib < 40) return bad(s"unsupported_dib_$dib")
     val w = le32(b, 18)
     val hRaw = le32(b, 22)
+    // abs(Int.MinValue) is still negative — `h <= 0` (not `h == 0`)
+    // rejects the crafted hRaw = 0x80000000 header that would otherwise
+    // wrap the output allocation size negative
     val h = math.abs(hRaw)
-    if (w <= 0 || h == 0) return bad("bad_dimensions")
+    if (w <= 0 || h <= 0) return bad("bad_dimensions")
     if (le16(b, 26) != 1) return bad("bad_planes")
     if (le16(b, 28) != 24) return bad(s"unsupported_bpp_${le16(b, 28)}")
     if (le32(b, 30) != 0) return bad("unsupported_compression")

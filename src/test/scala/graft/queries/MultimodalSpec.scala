@@ -188,6 +188,13 @@ class MultimodalSpec extends AnyFunSuite {
     val evilW = bmpBytes(0x30000000, 2)
     assert(ImageResize.resizeBmp(evilW, 16, 16).err == "truncated_pixels")
     assert(ImageHash.blockHash64(evilW)._2 == "truncated_pixels")
+    // height = Int.MinValue survives math.abs still negative; it must
+    // quarantine as bad_dimensions, not wrap the output allocation
+    // negative (resize) or silently hash to 0 (blockhash)
+    val evilH = ImageResize.bmpPixBytes(40, 2, _ => 9)
+    evilH(22) = 0; evilH(23) = 0; evilH(24) = 0; evilH(25) = 0x80.toByte
+    assert(ImageResize.resizeBmp(evilH, 16, 16).err == "bad_dimensions")
+    assert(ImageHash.blockHash64(evilH)._2 == "bad_dimensions")
   }
 
   test("q96 end-to-end: per-outcome resize aggregates over the 200-payload fixture") {
