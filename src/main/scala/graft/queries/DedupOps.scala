@@ -574,17 +574,27 @@ object DedupOps {
     * near-dup mass; the price is a 20-way explode instead of 4-way on
     * a 16-byte frame. Same pigeonhole exactness, measured in
     * ScaleStress. */
-  private[queries] def simhashCandidates(sim: DataFrame): DataFrame = {
+  /** (doc_id, <fpCol>, combo, ck): the 20-way block-triple key explode
+    * of a (doc_id, 64-bit fingerprint) frame — the shared candidate-key
+    * builder of the Hamming-radius family. [[simhashCandidates]]
+    * self-joins it; [[FingerprintIndex.probe]] equi-joins a BROADCAST
+    * batch side against a durable index side on the same (combo, ck)
+    * keys, so both paths inherit the identical pigeonhole-exactness and
+    * bucket-size arguments. */
+  private[queries] def tripleKeyed(df: DataFrame, fpCol: String): DataFrame = {
     val comboCols = BlockTriples.zipWithIndex.map { case (t, id) =>
       val key = t.map { bi =>
         val (off, w) = SimBlocks(bi)
-        shiftright(col("simhash"), off).bitwiseAND(lit((1L << w) - 1))
+        shiftright(col(fpCol), off).bitwiseAND(lit((1L << w) - 1))
       }.reduceLeft((a, b) => shiftleft(a, 11).bitwiseOR(b)) // <= 33 bits
       struct(lit(id).as("combo"), key.as("ck"))
     }
-    val blocks = sim.select(col("doc_id"), col("simhash"),
-      explode(array(comboCols: _*)).as("x"))
-      .select(col("doc_id"), col("simhash"), col("x.combo"), col("x.ck"))
+    df.select(col("doc_id"), col(fpCol), explode(array(comboCols: _*)).as("x"))
+      .select(col("doc_id"), col(fpCol), col("x.combo"), col("x.ck"))
+  }
+
+  private[queries] def simhashCandidates(sim: DataFrame): DataFrame = {
+    val blocks = tripleKeyed(sim, "simhash")
     val a = blocks.select(col("combo"), col("ck"),
       col("doc_id").as("a_id"), col("simhash").as("ha"))
     val b = blocks.select(col("combo"), col("ck"),

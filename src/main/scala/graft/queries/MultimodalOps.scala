@@ -1,9 +1,12 @@
 package graft.queries
 
+import java.io.File
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import scala.collection.mutable
 import graft.engine.Tables
+import graft.pipeline.DemoCache
 
 /** X5: multimodal columns — image/audio/video payloads carried as opaque
   * `binary` columns with typed, queryable metadata (SURVEY.md §2.10 X5).
@@ -174,6 +177,24 @@ object MultimodalOps {
       StructType(Seq(StructField("doc_id", LongType), StructField("payload", BinaryType))))
   }
 
+  /** Build (or return) the q99 fingerprint-index root: the durable
+    * [[FingerprintIndex]] over the v0 images of [[hashFixture]] — the
+    * "already-ingested corpus" the q99 batch probes, built once per sf
+    * under [[DemoCache]] exactly like [[MinHashIndex.ensure]]. */
+  private val fpBuilt = mutable.Map.empty[String, String]
+  private def fpIndex(s: SparkSession, sfDir: String): String = synchronized {
+    fpBuilt.getOrElseUpdate(sfDir, {
+      val root = DemoCache.root(s"fpidx/${new File(sfDir).getName}")
+      DemoCache.cached(root, sfDir) {
+        FingerprintIndex.build(s, root.getPath,
+          ImageHash.hash(hashFixture(s).filter(col("doc_id") % 4 === 0))
+            .filter(col("hash_err").isNull)
+            .select(col("doc_id"), col("img_hash").as("fp")))
+      }
+      root.getPath
+    })
+  }
+
   val defs: Map[String, Q] = Map(
     // Per-modality corpus stats over binary payloads: row counts, byte
     // volume, fingerprint-distinct payloads (binary exact-dedup surface),
@@ -317,6 +338,24 @@ object MultimodalOps {
         .filter(col("hamming") <= 3)
         .select(col("a_id"), col("b_id"), col("hamming").cast("long").as("hamming"))
         .orderBy("a_id", "b_id")
+    }),
+
+    // X2×X5 at INGEST shape: probe one batch's image fingerprints
+    // against the lake's DURABLE FingerprintIndex (built once over the
+    // v0 "already-ingested" images, probed by the v1/v2/v3 arrivals) —
+    // the batch-vs-index form of q97, the plan the ingest gate
+    // (DedupStage.fingerprint) runs per tick. Batch side broadcasts,
+    // index side never shuffles; candidates are the same exact
+    // block-triple buckets; verify is one codegen bit_count. Expected:
+    // per scene, v1 matches its v0 at Hamming 0 and v2 at Hamming 1;
+    // v3 (the inverted pattern) matches nothing within 3.
+    "q99_image_fp_probe" -> ((s, d) => {
+      val root = fpIndex(s, d)
+      val batch = ImageHash.hash(hashFixture(s).filter(col("doc_id") % 4 =!= 0))
+        .filter(col("hash_err").isNull)
+        .select(col("doc_id"), col("img_hash").as("fp"))
+      FingerprintIndex.probe(s, root, batch)
+        .orderBy("new_id", "old_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -400,6 +439,16 @@ object MultimodalOps {
            UNION ALL SELECT sc * 4, sc * 4 + 2, 1 FROM s
            UNION ALL SELECT sc * 4 + 1, sc * 4 + 2, 1 FROM s)
          SELECT CAST(a_id AS BIGINT) AS a_id, CAST(b_id AS BIGINT) AS b_id,
+                CAST(hm AS BIGINT) AS hamming
+         FROM p ORDER BY 1, 2""",
+    // the fixture's probe result is a closed form (see hashFixture/
+    // fpIndex): per scene exactly v1→v0 at Hamming 0 and v2→v0 at 1
+    "q99_image_fp_probe" ->
+      """WITH s AS (SELECT range AS sc FROM range(60)),
+         p AS (
+           SELECT sc * 4 + 1 AS new_id, sc * 4 AS old_id, 0 AS hm FROM s
+           UNION ALL SELECT sc * 4 + 2, sc * 4, 1 FROM s)
+         SELECT CAST(new_id AS BIGINT) AS new_id, CAST(old_id AS BIGINT) AS old_id,
                 CAST(hm AS BIGINT) AS hamming
          FROM p ORDER BY 1, 2""",
     // same scene/variant scheme as q97 (see audioNdFixture): the

@@ -245,6 +245,53 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!m.keySet.exists { case (a, b) => a / 4 != b / 4 }) // no cross-scene pair
   }
 
+  test("FingerprintIndex lifecycle: build, probe, append-on-commit, staged replay") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-fpidx").toString
+    // fingerprints with known Hamming geometry: 0x0F vs 0x0E differ in 1
+    // bit; 0xF0F0... is far from both
+    FingerprintIndex.build(spark, root, Seq((1L, 0x0FL), (2L, 0xF0F0F0F0L)).toDF("doc_id", "fp"))
+    val p1 = FingerprintIndex.probe(spark, root, Seq((10L, 0x0EL)).toDF("doc_id", "fp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(p1.toSeq == Seq((10L, 1L, 1L)))
+    // append-on-commit: the next probe sees the appended fingerprint
+    FingerprintIndex.append(spark, root, Seq((10L, 0x0EL)).toDF("doc_id", "fp"))
+    val p2 = FingerprintIndex.probe(spark, root, Seq((11L, 0x0EL)).toDF("doc_id", "fp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._2)
+    assert(p2.toSeq == Seq((11L, 1L, 1L), (11L, 10L, 0L)))
+    // a replayed doc never suppresses itself (same keyed id dropped)
+    val p3 = FingerprintIndex.probe(spark, root, Seq((10L, 0x0EL)).toDF("doc_id", "fp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(p3.toSeq == Seq((10L, 1L, 1L))) // its own indexed entry is dropped
+    // staged append replay converges to exactly one copy of the token
+    FingerprintIndex.appendStaged(spark, root, Seq((20L, 0xFFL)).toDF("doc_id", "fp"), "t1")
+    FingerprintIndex.appendStaged(spark, root, Seq((20L, 0xFFL)).toDF("doc_id", "fp"), "t1")
+    val store = spark.read.parquet(s"$root/${FingerprintIndex.Store}")
+    assert(store.filter(col("doc_id") === 20L).count() == 1)
+    // selfEdges: the intra-batch window, a_id < b_id, exact Hamming
+    val se = FingerprintIndex.selfEdges(
+      Seq((1L, 0x0FL), (2L, 0x0EL), (3L, 0xF0F0F0F0L)).toDF("doc_id", "fp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(se.toSeq == Seq((1L, 2L, 1L)))
+    // compact preserves content
+    val before = store.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    FingerprintIndex.compact(spark, root)
+    val after = spark.read.parquet(s"$root/${FingerprintIndex.Store}")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(before.sameElements(after))
+  }
+
+  test("q99 end-to-end: batch-vs-index probe finds exactly the planted matches") {
+    val rows = MultimodalOps.defs("q99_image_fp_probe")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("old_id")) -> r.getAs[Long]("hamming"))
+    assert(rows.length == 120) // per scene: v1->v0 at 0, v2->v0 at 1
+    val m = rows.toMap
+    assert(m((1L, 0L)) == 0L && m((2L, 0L)) == 1L)
+    assert(m((237L, 236L)) == 0L && m((238L, 236L)) == 1L)
+    assert(rows.forall { case ((n, o), _) => n / 4 == o / 4 }) // no cross-scene
+  }
+
   test("variable-amplitude WAV frames carry their exact per-frame RMS") {
     import spark.implicits._
     val amps = Seq(200, 300, 200, 100, 200, 300)
