@@ -101,6 +101,8 @@ object Bench {
         pipeline.StreamDemo.ensureStreamNearDedup(spark, sfDir).count()))),
       "deduplake" -> (() => Future(step("deduplake")(
         pipeline.DedupDemo.ensure(spark, sfDir)))),
+      "fpidx" -> (() => Future(step("fpidx")(
+        queries.MultimodalOps.ensureFpIndex(spark, sfDir)))),
       "langmodel" -> (() =>
         Future(step("langmodel")(queries.LangModelStore.ensure(spark, sfDir)))),
       "qualmodel" -> (() =>

@@ -59,7 +59,8 @@ object SparkEntry {
     "q31_lang_guess" -> Seq("langmodel"),
     "q84_trained_quality" -> Seq("qualmodel"),
     "q90_dedup_dlq_audit" -> Seq("deduplake"),
-    "q94_gate_alarms" -> Seq("deduplake"))
+    "q94_gate_alarms" -> Seq("deduplake"),
+    "q99_image_fp_probe" -> Seq("fpidx"))
 
   /** Library-consumer cache hygiene: run `queries(name)` through
     * `action` (which must EXECUTE the frame — count/collect/write), then

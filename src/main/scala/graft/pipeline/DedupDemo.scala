@@ -4,7 +4,7 @@ import java.io.File
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, unbase64}
 import scala.collection.mutable
 
 /** Builds (once per JVM per scale factor) a mini-lake whose ingest runs
@@ -25,20 +25,30 @@ import scala.collection.mutable
   *     intra-batch window, reason "batch"), a-3, a-4 unique; a-5 is
   *     GARBAGE (25 identical tokens → the q77 score is the closed form
   *     [[GarbageScoreE6]] < 0) — the quality gate diverts it to the
-  *     quality DLQ before the dedup probe ever sees it.
+  *     quality DLQ before the dedup probe ever sees it. d-1 and d-2
+  *     carry IDENTICAL base64 BMP payloads under unique texts — the
+  *     FINGERPRINT intra-batch window flags one (reason "fp_batch",
+  *     sim_e6 = 1000000: Hamming 0) and the survivor's fingerprint is
+  *     indexed on commit.
   *   tick 2 (run-00003): b-1 ~ the tick-1 "aa" survivor (index probe,
   *     reason "index"); b-2 unique; b-3 = 30 fresh tokens + a 25-token
   *     run copied from a-1 — BELOW the 0.8 doc gate but every interior
   *     W=20 window is already indexed, so it publishes SCRUBBED
-  *     (ledger note "spans scrubbed: 1 row(s)").
+  *     (ledger note "spans scrubbed: 1 row(s)"). No image payloads —
+  *     the curated frame has no `payload.img` field this tick, which
+  *     also pins the gate's absent-column null path.
   *   tick 3 (run-00005): c-1 ~ b-2, a TICK-2 SURVIVOR (proves
-  *     append-on-commit feeds the audit trail too); c-2 unique.
+  *     append-on-commit feeds the audit trail too); c-2 unique; d-3's
+  *     image is the tick-1 image with ONE block inverted — the
+  *     fingerprint INDEX probe flags it (reason "fp_index", sim_e6 =
+  *     984375: Hamming 1 vs whichever of d-1/d-2 survived, identical
+  *     either way).
   *
   * Even run-ids are the drain loop's empty closing ticks. Expected lake
-  * state: 6 curated docs, 3 dedup-DLQ rows (1 batch + 2 index, all
-  * jac_e6 = 959184), 1 quality-DLQ row (a-5, score [[GarbageScoreE6]]),
-  * 3 noted ledger files (t1 carries the quality AND near-dup notes
-  * "; "-joined).
+  * state: 7 curated docs, 5 dedup-DLQ rows (1 batch + 2 index, all
+  * jac_e6 = 959184; 1 fp_batch at 1000000 + 1 fp_index at 984375),
+  * 1 quality-DLQ row (a-5, score [[GarbageScoreE6]]), 3 noted ledger
+  * files (t1 carries the quality AND near-dup notes "; "-joined).
   */
 object DedupDemo {
   private val built = mutable.Map.empty[String, LakeLayout]
@@ -59,14 +69,46 @@ object DedupDemo {
     Files.write(p, lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8)): Unit
   }
 
-  private def rec(id: String, text: String): String =
+  private def rec(id: String, text: String, img: Option[Array[Byte]] = None): String = {
+    val imgField = img.map(b =>
+      s""","img":"${java.util.Base64.getEncoder.encodeToString(b)}"""").getOrElse("")
     s"""{"id":"$id","event_timestamp":"2024-03-07 11:22:33.000000","MODE":"training",""" +
       s""""metadata":{"app_version":"2.4.1","user_agent":"svc/1.0","user_id":7},""" +
-      s""""payload":{"transaction_id":"t-$id","value":9.5,"props":"$text"}}"""
+      s""""payload":{"transaction_id":"t-$id","value":9.5,"props":"$text"$imgField}}"""
+  }
 
   private def base(p: String): String = (0 until 50).map(i => s"$p$i").mkString(" ")
   private def near(p: String, tail: String): String =
     ((0 until 49).map(i => s"$p$i") :+ tail).mkString(" ")
+
+  /** 32×32 24bpp BMP with the 8×8 block pattern 0x5A per block row;
+    * `flip00` inverts block (0,0) — exactly one fingerprint bit, so the
+    * planted image pair distances are closed forms (0 and 1). */
+  def demoImg(flip00: Boolean): Array[Byte] =
+    graft.queries.ImageHash.bmpGridBytes(32, 32, (r, c) => {
+      val bit = ((0x5a >> (c / 4)) & 1) == 1
+      val inv = flip00 && r / 4 == 0 && c / 4 == 0
+      if (bit ^ inv) 200 else 50
+    })
+
+  /** The demo's fingerprint extract: base64-decode `payload.img` (when
+    * the tick's curated schema has it — inference only sees the field
+    * on ticks whose raw JSON carries images) and block-hash it; rows
+    * without a decodable image get a null fingerprint and pass. */
+  def imageFingerprint: FingerprintGate = FingerprintGate(extract = df => {
+    val hasImg = df.schema.fields.find(_.name == "payload").exists(
+      _.dataType match {
+        case s: org.apache.spark.sql.types.StructType => s.fieldNames.contains("img")
+        case _ => false
+      })
+    if (!hasImg) df.withColumn(FingerprintGate.FpCol, lit(null).cast("long"))
+    else {
+      val withBin = df.withColumn("_fp_bytes", unbase64(col("payload.img")))
+      graft.queries.ImageHash.hash(withBin, "_fp_bytes")
+        .withColumn(FingerprintGate.FpCol, col("img_hash"))
+        .drop("_fp_bytes", "img_hash", "hash_err")
+    }
+  })
 
   /** Run (or reuse) the dedup-gated demo lake for this scale factor.
     * The fixture is scale-independent (the OPERATOR history is what q90
@@ -81,14 +123,17 @@ object DedupDemo {
         val stage = DedupStage(s"${layout.root}/dedup-index",
           id = col("record_id"), text = col("payload.props"),
           spanScrub = Some((df, c) =>
-            df.withColumn("payload", col("payload").withField("props", c))))
+            df.withColumn("payload", col("payload").withField("props", c))),
+          fingerprint = Some(imageFingerprint))
         val bp = new BatchProcessor(spark, layout, Contracts.events,
           dedup = Some(stage),
           quality = Some(QualityGate(text = col("payload.props"))))
         writeLines(s"${layout.rawDir}/t1.jsonl", Seq(
           rec("a-1", base("aa")), rec("a-2", near("aa", "x2")),
           rec("a-3", base("bb")), rec("a-4", base("cc")),
-          rec("a-5", Seq.fill(25)("zz").mkString(" "))))
+          rec("a-5", Seq.fill(25)("zz").mkString(" ")),
+          rec("d-1", base("gg"), Some(demoImg(flip00 = false))),
+          rec("d-2", base("hh"), Some(demoImg(flip00 = false)))))
         require(bp.runUntilDrained() == 1, "dedup demo tick 1 did no work")
         writeLines(s"${layout.rawDir}/t2.jsonl", Seq(
           rec("b-1", near("aa", "x3")), rec("b-2", base("dd")),
@@ -96,7 +141,8 @@ object DedupDemo {
             (0 until 25).map(i => s"aa$i")).mkString(" "))))
         require(bp.runUntilDrained() == 1, "dedup demo tick 2 did no work")
         writeLines(s"${layout.rawDir}/t3.jsonl", Seq(
-          rec("c-1", near("dd", "x9")), rec("c-2", base("ff"))))
+          rec("c-1", near("dd", "x9")), rec("c-2", base("ff")),
+          rec("d-3", base("ii"), Some(demoImg(flip00 = true)))))
         require(bp.runUntilDrained() == 1, "dedup demo tick 3 did no work")
       }
       layout

@@ -2,7 +2,37 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.queries.MinHashIndex
+import graft.queries.{FingerprintIndex, MinHashIndex}
+
+/** Multimodal fingerprint gate config for [[DedupStage]] (X2×X5 at
+  * ingest): rows whose 64-bit perceptual fingerprint near-duplicates an
+  * already-ingested payload (or a same-tick batch-mate's) divert to the
+  * dedup DLQ like text near-dups, and survivors' fingerprints are
+  * appended to the durable [[graft.queries.FingerprintIndex]] after the
+  * publish commit point — closing the window the round-11 lake left
+  * open: text was gated at ingest, pixels were not, so a LAION-shape
+  * lake re-ingested visual duplicates forever.
+  *
+  * `extract` appends [[FingerprintGate.FpCol]] (nullable long) to the
+  * curated frame — e.g. `unbase64` a payload field and run it through
+  * [[graft.queries.ImageHash.hash]]; NULL means "no fingerprintable
+  * payload" (text-only row, corrupt image, absent column) and the row
+  * passes the gate untouched. It must be TOTAL: decode failures become
+  * null fingerprints, never exceptions (the decoder family's quarantine
+  * contract). Suppressions ride the same DLQ audit columns as text
+  * flags, with `jac_e6` carrying the exact Hamming SIMILARITY
+  * ([[FingerprintIndex.simE6]]: (64−hamming)·15625) and `dup_reason`
+  * `"fp_index"` / `"fp_batch"` (q90 audits both). */
+final case class FingerprintGate(
+    extract: DataFrame => DataFrame,
+    maxHamming: Int = 3)
+
+object FingerprintGate {
+  /** The nullable-long fingerprint column [[FingerprintGate.extract]]
+    * appends. Never reaches the lake — the gate reads it off a derived
+    * projection, not the published frame. */
+  val FpCol = "_fp"
+}
 
 /** Optional near-dup gate for the ingest pipeline (SURVEY.md §2.10 X2
   * as an INGEST STAGE, not a standalone query): after segregation and
@@ -60,7 +90,14 @@ final case class DedupStage(
       * `(df, c) => df.withColumn("payload", col("payload").withField("props", c))`).
       * Rows whose text was touched are counted into the ledger note via
       * the `_scrubbed_spans` audit column (dropped before publish). */
-    spanScrub: Option[(DataFrame, Column) => DataFrame] = None) {
+    spanScrub: Option[(DataFrame, Column) => DataFrame] = None,
+    /** Optional multimodal fingerprint gate (see [[FingerprintGate]]):
+      * runs AFTER the text windows over their survivors (a row already
+      * flagged against the lake or a batch-mate is out either way), with
+      * the same two windows — batch↔index against the durable
+      * [[FingerprintIndex]] store under [[indexRoot]], then batch↔batch
+      * among the remainder — and the same append-on-commit lifecycle. */
+    fingerprint: Option[FingerprintGate] = None) {
 
   /** Audit column [[partition]] adds to survivors under [[spanScrub]]:
     * number of already-in-corpus spans removed from the row's text
@@ -111,8 +148,9 @@ final case class DedupStage(
       }
     val batchDups = intraBatchDups(s, shSurv)
     sh.unpersist()
-    val dups = indexDups.toSeq.map { case (a, b, j) => (a, b, j, "index") } ++
+    val textDups = indexDups.toSeq.map { case (a, b, j) => (a, b, j, "index") } ++
       batchDups.map { case (a, b, j) => (a, b, j, "batch") }
+    val dups = textDups ++ fingerprintDups(s, k, textDups.map(_._1).toSet)
     val (survivors0, flagged) =
       if (dups.isEmpty) (k, None)
       else {
@@ -141,10 +179,18 @@ final case class DedupStage(
     * always names a doc that IS being published, even mid-chain (C's
     * best match B may itself be flagged; C's `dup_of` is the component
     * survivor A). */
-  private def intraBatchDups(s: SparkSession, shSurv: DataFrame): Seq[(Long, Long, Long)] = {
-    val edges = MinHashIndex.selfEdges(s, shSurv, minJaccard)
+  private def intraBatchDups(s: SparkSession, shSurv: DataFrame): Seq[(Long, Long, Long)] =
+    closeEdges(MinHashIndex.selfEdges(s, shSurv, minJaccard)
       .select("a_id", "b_id", "jac_e6")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))))
+
+  /** Union-find closure of a driver-resident `(a, b, score)` edge list
+    * (bounded by the tick's duplicate pair mass): per component the
+    * MINIMUM id survives; every other member is flagged `(id, rep,
+    * best incident score)`. Shared by the text and fingerprint
+    * intra-batch windows — scores are jac_e6 / sim_e6 respectively,
+    * both "bigger = more similar". */
+  private def closeEdges(edges: Array[(Long, Long, Long)]): Seq[(Long, Long, Long)] = {
     if (edges.isEmpty) return Nil
     val parent = scala.collection.mutable.LongMap.empty[Long]
     def find(x: Long): Long = {
@@ -154,19 +200,59 @@ final case class DedupStage(
       while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
       r
     }
-    val bestJac = scala.collection.mutable.LongMap.empty[Long]
+    val best = scala.collection.mutable.LongMap.empty[Long]
     edges.foreach { case (a, b, j) =>
       parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
       val ra = find(a); val rb = find(b)
       if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
-      bestJac(a) = math.max(bestJac.getOrElse(a, Long.MinValue), j)
-      bestJac(b) = math.max(bestJac.getOrElse(b, Long.MinValue), j)
+      best(a) = math.max(best.getOrElse(a, Long.MinValue), j)
+      best(b) = math.max(best.getOrElse(b, Long.MinValue), j)
     }
     parent.keys.toSeq.flatMap { id =>
       val rep = find(id)
-      if (rep == id) None else Some((id, rep, bestJac(id)))
+      if (rep == id) None else Some((id, rep, best(id)))
     }
   }
+
+  /** The fingerprint gate's two windows over the text survivors (see
+    * [[fingerprint]]): batch↔index against the durable
+    * [[FingerprintIndex]] store (best match per row = MINIMUM Hamming,
+    * skipped on the first tick like the text probe), then batch↔batch
+    * among the remainder via [[FingerprintIndex.selfEdges]] +
+    * [[closeEdges]]. Rows in `alreadyFlagged` (text suppressions) and
+    * rows with a null fingerprint never participate. Scores are
+    * [[FingerprintIndex.simE6]] similarities so the flags ride the same
+    * `jac_e6` DLQ column as text flags. */
+  private def fingerprintDups(s: SparkSession, k: DataFrame,
+                              alreadyFlagged: Set[Long]): Seq[(Long, Long, Long, String)] =
+    fingerprint match {
+      case None => Nil
+      case Some(g) =>
+        import s.implicits._
+        val simE6 = (h: Long) => (64L - h) * 15625L
+        val kf = g.extract(k)
+          .filter(col(FingerprintGate.FpCol).isNotNull)
+          .select(col("_dedup_id").as("doc_id"), col(FingerprintGate.FpCol).as("fp"))
+        val fps = (if (alreadyFlagged.isEmpty) kf
+                   else kf.join(broadcast(alreadyFlagged.toSeq.toDF("doc_id")),
+                     Seq("doc_id"), "left_anti")).persist()
+        val idxFlags: Array[(Long, Long, Long)] =
+          if (!FingerprintIndex.storeExists(s, indexRoot)) Array.empty
+          else FingerprintIndex.probe(s, indexRoot, fps, g.maxHamming)
+            .groupBy("new_id")
+            .agg(min(struct(col("hamming"), col("old_id"))).as("m"))
+            .select(col("new_id"), col("m.old_id"), col("m.hamming"))
+            .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        val fpSurv =
+          if (idxFlags.isEmpty) fps
+          else fps.join(broadcast(idxFlags.map(_._1).toSeq.toDF("doc_id")),
+            Seq("doc_id"), "left_anti")
+        val batchFlags = closeEdges(FingerprintIndex.selfEdges(fpSurv, g.maxHamming)
+          .collect().map(r => (r.getLong(0), r.getLong(1), simE6(r.getLong(2)))))
+        fps.unpersist()
+        idxFlags.toSeq.map { case (a, b, h) => (a, b, simE6(h), "fp_index") } ++
+          batchFlags.map { case (a, b, e6) => (a, b, e6, "fp_batch") }
+    }
 
   /** Span-scrub doc-level survivors against the index's winhashes store
     * (see [[spanScrub]]): per surviving row, drop every token inside an
@@ -199,11 +285,25 @@ final case class DedupStage(
       .drop("_sp_id", "_sp", "_tk", "_keep")
   }
 
+  /** Survivors' (doc_id, fp) rows for the fingerprint-store append —
+    * re-extracted from the published frame (the extract is one cheap
+    * codegen/byte-walk pass over a batch-bounded frame; re-running it
+    * beats threading a side frame through the publish path). */
+  private def survivorFps(g: FingerprintGate, survivors: DataFrame): DataFrame =
+    g.extract(survivors.withColumn("_dedup_id", xxhash64(id)))
+      .filter(col(FingerprintGate.FpCol).isNotNull)
+      .select(col("_dedup_id").as("doc_id"), col(FingerprintGate.FpCol).as("fp"))
+
   /** Append-on-commit: index the published survivors so the NEXT tick
-    * probes against them. Call strictly after the publish commit point. */
-  def appendSurvivors(s: SparkSession, survivors: DataFrame): Unit =
+    * probes against them. Call strictly after the publish commit point.
+    * Under a [[fingerprint]] gate the survivors' fingerprints are
+    * appended to the [[FingerprintIndex]] store in the same step. */
+  def appendSurvivors(s: SparkSession, survivors: DataFrame): Unit = {
     MinHashIndex.append(s, indexRoot,
       survivors.select(xxhash64(id).as("doc_id"), text.as("text")))
+    for (g <- fingerprint)
+      FingerprintIndex.append(s, indexRoot, survivorFps(g, survivors))
+  }
 
   /** [[appendSurvivors]] for AT-LEAST-ONCE callers: the streaming twin's
     * `foreachBatch` may replay a micro-batch after a crash, so its
@@ -212,7 +312,10 @@ final case class DedupStage(
     * crashed attempt's files before moving its own, converging to
     * exactly one copy (no double-append window). */
   def appendSurvivorsStaged(s: SparkSession, survivors: DataFrame,
-                            token: String): Unit =
+                            token: String): Unit = {
     MinHashIndex.appendStaged(s, indexRoot,
       survivors.select(xxhash64(id).as("doc_id"), text.as("text")), token)
+    for (g <- fingerprint)
+      FingerprintIndex.appendStaged(s, indexRoot, survivorFps(g, survivors), token)
+  }
 }

@@ -301,7 +301,7 @@ object IngestQueries {
     // q94: the alarm set over the dedup-demo lake — the gate alarms in
     // their firing state, counts forced by the same fixture as q90.
     "q94_gate_alarms" ->
-      """SELECT 'dedup_dlq_activity' AS alarm, 'ALARM' AS state, CAST(3 AS BIGINT) AS metric
+      """SELECT 'dedup_dlq_activity' AS alarm, 'ALARM' AS state, CAST(5 AS BIGINT) AS metric
          UNION ALL SELECT 'dlq_activity', 'OK', CAST(0 AS BIGINT)
          UNION ALL SELECT 'file_quarantine', 'OK', CAST(0 AS BIGINT)
          UNION ALL SELECT 'job_failure', 'OK', CAST(0 AS BIGINT)
@@ -313,13 +313,19 @@ object IngestQueries {
     // 959184 = round(47e6/49), the Jaccard of two 50-token docs
     // differing in the last token (47 of 49 distinct 3-shingles shared);
     // the tick-1 'quality' row is the planted garbage doc the ingest
-    // quality gate diverts (score −3224999, DedupDemo.GarbageScoreE6).
+    // quality gate diverts (score −3224999, DedupDemo.GarbageScoreE6);
+    // the fingerprint-gate rows carry exact Hamming SIMILARITIES
+    // ((64−h)·15625): tick-1 'fp_batch' = the identical planted image
+    // pair (Hamming 0 → 1000000), tick-3 'fp_index' = the one-block-
+    // flipped image vs the indexed tick-1 survivor (Hamming 1 → 984375).
     "q90_dedup_dlq_audit" ->
       """SELECT 'run-00001' AS job_run_id, 'batch' AS reason,
               CAST(1 AS BIGINT) AS n, CAST(959184 AS BIGINT) AS max_jac_e6
+         UNION ALL SELECT 'run-00001', 'fp_batch', CAST(1 AS BIGINT), CAST(1000000 AS BIGINT)
          UNION ALL SELECT 'run-00001', 'quality', CAST(1 AS BIGINT), CAST(NULL AS BIGINT)
          UNION ALL SELECT 'run-00003', 'index', CAST(1 AS BIGINT), CAST(959184 AS BIGINT)
          UNION ALL SELECT 'run-00003', 'span-scrub', CAST(1 AS BIGINT), CAST(NULL AS BIGINT)
+         UNION ALL SELECT 'run-00005', 'fp_index', CAST(1 AS BIGINT), CAST(984375 AS BIGINT)
          UNION ALL SELECT 'run-00005', 'index', CAST(1 AS BIGINT), CAST(959184 AS BIGINT)
          ORDER BY job_run_id, reason""",
     "q41_catalog_pruned" ->

@@ -182,7 +182,7 @@ object MultimodalOps {
     * "already-ingested corpus" the q99 batch probes, built once per sf
     * under [[DemoCache]] exactly like [[MinHashIndex.ensure]]. */
   private val fpBuilt = mutable.Map.empty[String, String]
-  private def fpIndex(s: SparkSession, sfDir: String): String = synchronized {
+  def ensureFpIndex(s: SparkSession, sfDir: String): String = synchronized {
     fpBuilt.getOrElseUpdate(sfDir, {
       val root = DemoCache.root(s"fpidx/${new File(sfDir).getName}")
       DemoCache.cached(root, sfDir) {
@@ -350,7 +350,7 @@ object MultimodalOps {
     // per scene, v1 matches its v0 at Hamming 0 and v2 at Hamming 1;
     // v3 (the inverted pattern) matches nothing within 3.
     "q99_image_fp_probe" -> ((s, d) => {
-      val root = fpIndex(s, d)
+      val root = ensureFpIndex(s, d)
       val batch = ImageHash.hash(hashFixture(s).filter(col("doc_id") % 4 =!= 0))
         .filter(col("hash_err").isNull)
         .select(col("doc_id"), col("img_hash").as("fp"))

@@ -46,6 +46,7 @@ object DemoSnapshot {
     pipeline.DedupDemo.ensure(spark, sfDir)
     graft.queries.MinHashIndex.ensure(spark, sfDir)
     graft.queries.MinHashIndex.ensureAppended(spark, sfDir)
+    graft.queries.MultimodalOps.ensureFpIndex(spark, sfDir)
     graft.queries.LangModelStore.ensure(spark, sfDir)
     graft.queries.QualityModelStore.ensure(spark, sfDir)
     val snap = pipeline.DemoCache.writeSnapshot(new java.io.File(sfDir).getName)

@@ -154,6 +154,77 @@ class IngestSpec extends AnyFunSuite {
       s"late copy must match the indexed survivor: ${dd2.toSeq}")
   }
 
+  test("fingerprint gate: near-dup images are suppressed across ticks AND within a tick") {
+    val lay = freshLake()
+    def irec(id: String, tokPrefix: String, img: Option[Array[Byte]]): String = {
+      val imgField = img.map(b =>
+        s""","img":"${java.util.Base64.getEncoder.encodeToString(b)}"""").getOrElse("")
+      val text = (0 until 50).map(i => s"$tokPrefix$i").mkString(" ")
+      s"""{"id":"$id","event_timestamp":"2024-03-07 11:22:33.000000","MODE":"training",""" +
+        s""""metadata":{"app_version":"2.4.1","user_agent":"svc/1.0","user_id":7},""" +
+        s""""payload":{"transaction_id":"t-$id","value":9.5,"props":"$text"$imgField}}"""
+    }
+    // imgA / imgA1: Hamming 1 apart; imgB (inverted pattern): Hamming 64
+    val imgA = DedupDemo.demoImg(flip00 = false)
+    val imgA1 = DedupDemo.demoImg(flip00 = true)
+    val imgB = graft.queries.ImageHash.bmpGridBytes(32, 32, (r, c) =>
+      if (((0xa5 >> (c / 4)) & 1) == 1) 200 else 50)
+    val stage = DedupStage(s"${lay.root}/dedup-index",
+      id = col("record_id"), text = col("payload.props"),
+      fingerprint = Some(DedupDemo.imageFingerprint))
+    val bp = new BatchProcessor(spark, lay, Contracts.events, dedup = Some(stage))
+    val hash = (id: String) => {
+      import spark.implicits._
+      Seq(id).toDF("i").select(xxhash64(col("i"))).collect()(0).getLong(0)
+    }
+
+    // tick 1 (FIRST tick, no index): i-1 and i-2 carry the IDENTICAL
+    // image under unique texts — the intra-batch fingerprint window
+    // keeps exactly one; u-1 has no image and passes untouched
+    writeLines(s"${lay.rawDir}/t1.jsonl", Seq(
+      irec("i-1", "aa", Some(imgA)), irec("i-2", "bb", Some(imgA)),
+      irec("u-1", "cc", None)))
+    assert(bp.runUntilDrained() == 1)
+    val (survivor, dropped) =
+      if (hash("i-1") < hash("i-2")) ("i-1", "i-2") else ("i-2", "i-1")
+    val cur1 = CuratedWriter.read(spark, lay.curatedDir)
+      .select("record_id").collect().map(_.getString(0)).sorted.toSeq
+    assert(cur1 == Seq(survivor, "u-1").sorted, s"curated after t1: $cur1")
+    val dd1 = DlqWriter.read(spark, lay.dedupDlqDir)
+      .select("record_id", "dup_of", "jac_e6", "dup_reason").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(dd1 == Seq((dropped, hash(survivor), 1000000L, "fp_batch")), s"DLQ: $dd1")
+    // only the survivor's fingerprint was indexed (null-fp rows never are)
+    val store1 = spark.read
+      .parquet(s"${lay.root}/dedup-index/${graft.queries.FingerprintIndex.Store}")
+    assert(store1.count() == 1)
+
+    // tick 2: i-3's image is ONE block off the indexed survivor → the
+    // INDEX window flags it (the cross-tick near-dup the round-11 lake
+    // let through); i-4's image is unrelated and publishes
+    writeLines(s"${lay.rawDir}/t2.jsonl", Seq(
+      irec("i-3", "dd", Some(imgA1)), irec("i-4", "ee", Some(imgB))))
+    assert(bp.runUntilDrained() == 1)
+    val dd2 = DlqWriter.read(spark, lay.dedupDlqDir)
+      .filter(col("record_id") === "i-3")
+      .select("dup_of", "jac_e6", "dup_reason").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(dd2 == Seq((hash(survivor), 984375L, "fp_index")), s"DLQ i-3: $dd2")
+
+    // tick 3: an exact copy of i-4's image flags against i-4 — the
+    // tick-2 append-on-commit fed the index
+    writeLines(s"${lay.rawDir}/t3.jsonl", Seq(irec("i-5", "ff", Some(imgB))))
+    assert(bp.runUntilDrained() == 1)
+    val dd3 = DlqWriter.read(spark, lay.dedupDlqDir)
+      .filter(col("record_id") === "i-5")
+      .select("dup_of", "jac_e6", "dup_reason").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(dd3 == Seq((hash("i-4"), 1000000L, "fp_index")), s"DLQ i-5: $dd3")
+    val curated = CuratedWriter.read(spark, lay.curatedDir)
+      .select("record_id").collect().map(_.getString(0)).sorted.toSeq
+    assert(curated == Seq(survivor, "i-4", "u-1").sorted, s"curated: $curated")
+  }
+
   test("quality gate: garbage diverts with its exact score; a file with quality AND near-dup rows carries both notes") {
     val lay = freshLake()
     def drec(id: String, text: String): String =
