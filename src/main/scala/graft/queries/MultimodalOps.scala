@@ -195,6 +195,100 @@ object MultimodalOps {
     })
   }
 
+  /** Deterministic AVI corpus for the video near-dup demo: the q98
+    * scene/variant scheme over the THIRD modality — 60 scenes × 4
+    * variants (id = scene·4 + v), 8×8 8-bit frames, 129 frames per
+    * clip. Frames encode a 64-bit pattern as LUMA DELTAS — frame 2k has
+    * constant pixel 150, frame 2k+1 has 250 if pattern bit k is set
+    * else 50 — so fingerprint bit k (mean[2k+1] > mean[2k]) EQUALS
+    * pattern bit k. Patterns are the scene byte replicated 8×
+    * (cross-scene Hamming ≥ 8); v0/v1 exact dups, v2 one flipped bit,
+    * v3 the bit-inverse. Ids 240-249 are corrupt RIFFs. */
+  private def videoNdFixture(s: SparkSession): DataFrame = {
+    val rows = (0 until 250).map { id =>
+      val payload = if (id >= 240) "RIFFxx".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      else {
+        val scene = id / 4
+        val base = if (id % 4 == 3) scene ^ 0xff else scene
+        val pattern = (0 until 8).map(bi => base.toLong << (8 * bi)).reduce(_ | _) ^
+          (if (id % 4 == 2) 1L else 0L)
+        VideoDecode.aviBytes(8, 8, 40000, 129, k =>
+          if (k % 2 == 0) 150
+          else if (((pattern >>> (k / 2)) & 1L) == 1L) 250 else 50)
+      }
+      Row(id.toLong, payload)
+    }
+    s.createDataFrame(s.sparkContext.parallelize(rows, 4),
+      StructType(Seq(StructField("doc_id", LongType), StructField("payload", BinaryType))))
+  }
+
+  /** Verified Hamming ≤ 3 pairs for the image / audio / video near-dup
+    * fixtures — the shared q97/q98/q102 kernel bodies, split out so the
+    * pair-form queries and their CLUSTER-collapsed forms (q100/q101/
+    * q103) run the same plan up to the final shape. */
+  private def imagePairs(s: SparkSession): DataFrame = {
+    val hashed = ImageHash.hash(hashFixture(s))
+      .filter(col("hash_err").isNull)
+      .select(col("doc_id"), col("img_hash").as("simhash"))
+    DedupOps.simhashCandidates(hashed)
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= 3)
+      .select(col("a_id"), col("b_id"), col("hamming").cast("long").as("hamming"))
+  }
+
+  /** Pack a 64-bit rise/fall fingerprint from per-frame feature rows:
+    * bit k = feature[2k+1] > feature[2k] (robust to uniform gain /
+    * brightness — the delta-fingerprint family's shape), as ONE
+    * higher-order codegen expression over the collected frame array. */
+  private def deltaFingerprint(frames: DataFrame, featureCol: String): DataFrame =
+    frames
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("frame_idx"), col(featureCol))))
+        .as("fr"))
+      .select(col("doc_id"), expr(
+        s"""aggregate(sequence(0, 63), CAST(0 AS BIGINT),
+           (acc, k) -> acc | IF(fr[2*k+1].$featureCol > fr[2*k].$featureCol,
+                                shiftleft(CAST(1 AS BIGINT), k),
+                                CAST(0 AS BIGINT)))""").as("simhash"))
+
+  private def audioPairs(s: SparkSession): DataFrame = {
+    val decoded = AudioDecode.decode(audioNdFixture(s))
+      .filter(col("decode_err").isNull)
+    val fp = deltaFingerprint(
+      AudioDecode.sampleFrames(decoded, everyNth = 1), "frame_rms")
+    DedupOps.simhashCandidates(fp)
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= 3)
+      .select(col("a_id"), col("b_id"), col("hamming").cast("long").as("hamming"))
+  }
+
+  private def videoPairs(s: SparkSession): DataFrame = {
+    val decoded = VideoDecode.decode(videoNdFixture(s))
+      .filter(col("decode_err").isNull)
+    val fp = deltaFingerprint(
+      VideoDecode.sampleFrames(decoded, everyNth = 1), "frame_mean")
+    DedupOps.simhashCandidates(fp)
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= 3)
+      .select(col("a_id"), col("b_id"), col("hamming").cast("long").as("hamming"))
+  }
+
+  /** Cluster-collapse a verified pair frame: `(rep, n_members)`, rep =
+    * component-minimum doc_id — the q65 closure over multimodal edges,
+    * removing the O(k²) pair-list caveat the pair forms document (a
+    * k-payload boilerplate cluster emits k·(k−1)/2 pairs but exactly
+    * one collapsed row). Same [[DedupOps.componentLabels]] operator the
+    * text families use: driver union-find under the edge cap,
+    * distributed min-label propagation above it. */
+  private def collapsed(s: SparkSession, pairs: DataFrame): DataFrame = {
+    val edgeList = QueryCaches.track(pairs.select(
+      shiftleft(col("a_id").cast("long"), 32)
+        .bitwiseOR(col("b_id").cast("long")).as("pk")))
+    DedupOps.componentLabels(s, edgeList)
+      .groupBy(col("rep")).agg(count(lit(1)).cast("long").as("n_members"))
+      .orderBy("rep")
+  }
+
   val defs: Map[String, Q] = Map(
     // Per-modality corpus stats over binary payloads: row counts, byte
     // volume, fingerprint-distinct payloads (binary exact-dedup surface),
@@ -296,21 +390,10 @@ object MultimodalOps {
     // (6 blocks, all 20 triples, ~32-bit bucket keys that outgrow any
     // corpus; pigeonhole keeps the candidate set exact), verified by
     // one codegen bit_count. Never all-pairs, shared scale story.
-    // PAIR-LIST caveat (same as q34, see DedupOps.simhashCandidates'
-    // skew note): a k-image cluster of hash-identical payloads emits
-    // O(k²/2) pairs — a production boilerplate-heavy corpus composes an
-    // exact-hash min-id collapse first (the q26/q65 kernels), exactly
-    // as the text pipeline does; the fixture's clusters are size ≤ 3.
-    "q97_image_neardup" -> ((s, d) => {
-      val hashed = ImageHash.hash(hashFixture(s))
-        .filter(col("hash_err").isNull)
-        .select(col("doc_id"), col("img_hash").as("simhash"))
-      DedupOps.simhashCandidates(hashed)
-        .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
-        .filter(col("hamming") <= 3)
-        .select(col("a_id"), col("b_id"), col("hamming").cast("long").as("hamming"))
-        .orderBy("a_id", "b_id")
-    }),
+    // Pair form (one row per verified pair — O(k²) in a k-member
+    // cluster); the production composition is the CLUSTER-collapsed
+    // q100, which closes the same edges into (rep, n_members).
+    "q97_image_neardup" -> ((s, d) => imagePairs(s).orderBy("a_id", "b_id")),
 
     // X5×X2 audio near-dup: PURE COMPOSITION of verified pieces — WAV
     // decode → per-frame RMS (q58's sampler at every frame) → a 64-bit
@@ -318,27 +401,23 @@ object MultimodalOps {
     // (bit k = rms rises across frame pair k; robust to uniform gain,
     // the audio-fingerprint family's shape) → the SAME block-triple
     // index + bit_count verify as q34/q97. No new byte-walk code.
-    // The q97 pair-list caveat applies identically (collapse exact
-    // fingerprints first on a boilerplate-heavy corpus).
-    "q98_audio_neardup" -> ((s, d) => {
-      val decoded = AudioDecode.decode(audioNdFixture(s))
-        .filter(col("decode_err").isNull)
-      val frames = AudioDecode.sampleFrames(decoded, everyNth = 1)
-      val fp = frames
-        .groupBy("doc_id")
-        .agg(array_sort(collect_list(struct(col("frame_idx"), col("frame_rms"))))
-          .as("fr"))
-        .select(col("doc_id"), expr(
-          """aggregate(sequence(0, 63), CAST(0 AS BIGINT),
-             (acc, k) -> acc | IF(fr[2*k+1].frame_rms > fr[2*k].frame_rms,
-                                  shiftleft(CAST(1 AS BIGINT), k),
-                                  CAST(0 AS BIGINT)))""").as("simhash"))
-      DedupOps.simhashCandidates(fp)
-        .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
-        .filter(col("hamming") <= 3)
-        .select(col("a_id"), col("b_id"), col("hamming").cast("long").as("hamming"))
-        .orderBy("a_id", "b_id")
-    }),
+    // Pair form; q101 is the cluster-collapsed composition.
+    "q98_audio_neardup" -> ((s, d) => audioPairs(s).orderBy("a_id", "b_id")),
+
+    // X5×X2 completed for VIDEO: frame-luma delta fingerprint over
+    // q95's existing frame sampler (q98's exact recipe — one
+    // higher-order aggregate, zero new byte-walk code), the SAME
+    // block-triple index + bit_count verify. Pair form.
+    "q102_video_neardup" -> ((s, d) => videoPairs(s).orderBy("a_id", "b_id")),
+
+    // CLUSTER-collapsed forms of q97/q98/q102 — one row per near-dup
+    // component, (rep = min doc_id, n_members), via the shared
+    // componentLabels closure (q65's operator over multimodal edges).
+    // This is the form a curation pipeline composes: pair lists are
+    // O(k²) per k-member cluster; the collapsed form is O(k).
+    "q100_image_neardup_groups" -> ((s, d) => collapsed(s, imagePairs(s))),
+    "q101_audio_neardup_groups" -> ((s, d) => collapsed(s, audioPairs(s))),
+    "q103_video_neardup_groups" -> ((s, d) => collapsed(s, videoPairs(s))),
 
     // X2×X5 at INGEST shape: probe one batch's image fingerprints
     // against the lake's DURABLE FingerprintIndex (built once over the
@@ -461,5 +540,43 @@ object MultimodalOps {
            UNION ALL SELECT sc * 4 + 1, sc * 4 + 2, 1 FROM s)
          SELECT CAST(a_id AS BIGINT) AS a_id, CAST(b_id AS BIGINT) AS b_id,
                 CAST(hm AS BIGINT) AS hamming
-         FROM p ORDER BY 1, 2""")
+         FROM p ORDER BY 1, 2""",
+    // same scheme again over the video fixture (see videoNdFixture)
+    "q102_video_neardup" ->
+      """WITH s AS (SELECT range AS sc FROM range(60)),
+         p AS (
+           SELECT sc * 4 AS a_id, sc * 4 + 1 AS b_id, 0 AS hm FROM s
+           UNION ALL SELECT sc * 4, sc * 4 + 2, 1 FROM s
+           UNION ALL SELECT sc * 4 + 1, sc * 4 + 2, 1 FROM s)
+         SELECT CAST(a_id AS BIGINT) AS a_id, CAST(b_id AS BIGINT) AS b_id,
+                CAST(hm AS BIGINT) AS hamming
+         FROM p ORDER BY 1, 2""",
+    // collapsed forms: the oracle RECOMPUTES the transitive closure over
+    // the planted pair list (recursive CTE, q65's shape) rather than
+    // assuming cluster sizes — a closure regression shows up even though
+    // the fixture's components happen to be triangles
+    "q100_image_neardup_groups" -> GroupsOracle,
+    "q101_audio_neardup_groups" -> GroupsOracle,
+    "q103_video_neardup_groups" -> GroupsOracle)
+
+  /** Shared collapsed-form oracle for q100/q101/q103: all three fixtures
+    * plant the identical scene/variant pair structure, and the closure
+    * is recomputed from it with a recursive CTE. (`def`, not `val`: the
+    * oracles map above initializes first.) */
+  private def GroupsOracle: String =
+    """WITH RECURSIVE
+         s AS (SELECT range AS sc FROM range(60)),
+         p AS (
+           SELECT sc * 4 AS a, sc * 4 + 1 AS b FROM s
+           UNION ALL SELECT sc * 4, sc * 4 + 2 FROM s
+           UNION ALL SELECT sc * 4 + 1, sc * 4 + 2 FROM s),
+         sym AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
+         nodes AS (SELECT DISTINCT a AS id FROM sym),
+         walk(id, r) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT sy.b, w.r FROM walk w JOIN sym sy ON sy.a = w.id),
+         lab AS (SELECT id, MIN(r) AS rep FROM walk GROUP BY 1)
+       SELECT CAST(rep AS BIGINT) AS rep, COUNT(*) AS n_members
+       FROM lab GROUP BY 1 ORDER BY 1"""
 }

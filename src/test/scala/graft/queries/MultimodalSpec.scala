@@ -312,6 +312,42 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!m.keySet.exists { case (a, b) => a / 4 != b / 4 })
   }
 
+  test("q102 end-to-end: exactly the planted video near-dup pairs at their Hamming distances") {
+    val rows = MultimodalOps.defs("q102_video_neardup")(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")) -> r.getAs[Long]("hamming"))
+    assert(rows.length == 180)
+    val m = rows.toMap
+    assert(m((0L, 1L)) == 0L && m((0L, 2L)) == 1L && m((1L, 2L)) == 1L)
+    assert(m((236L, 238L)) == 1L)
+    assert(!m.keySet.exists { case (a, b) => a / 4 != b / 4 })
+  }
+
+  test("collapsed forms equal the closure of their own pair forms, per modality") {
+    import spark.implicits._
+    for ((groupsQ, pairsQ) <- Seq(
+        "q100_image_neardup_groups" -> "q97_image_neardup",
+        "q101_audio_neardup_groups" -> "q98_audio_neardup",
+        "q103_video_neardup_groups" -> "q102_video_neardup")) {
+      val pairs = MultimodalOps.defs(pairsQ)(spark, "/root/testdata/sf0.001")
+        .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      // closure by brute force over the collected pair list
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+      pairs.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+      val expected = parent.keys.groupBy(find).map { case (rep, ms) => (rep, ms.size.toLong) }
+        .toSeq.sorted
+      val got = MultimodalOps.defs(groupsQ)(spark, "/root/testdata/sf0.001")
+        .collect().map(r => (r.getAs[Long]("rep"), r.getAs[Long]("n_members"))).toSeq
+      assert(got == expected, s"$groupsQ vs closure of $pairsQ")
+      assert(got.length == 60 && got.forall(_._2 == 3L), s"$groupsQ cluster shape")
+    }
+  }
+
   test("q58 end-to-end: per-rate decode + frame aggregates over the 240-payload fixture") {
     val rows = MultimodalOps.defs("q58_audio_frames")(spark, "/root/testdata/sf0.001")
       .collect()
