@@ -586,6 +586,15 @@ object CurationOps {
     * two-phase budget windows, and an aggregate whose per-source state
     * is the selected-id list (bounded by the token budget). */
   def recipe(s: SparkSession, d: String): DataFrame = {
+    // GRAFT_DEBUG: force each cached stage boundary separately so the
+    // per-stage cost split is visible (the frames are persisted, so the
+    // forced actions are not double-charged to the final plan)
+    def dbg[A](tag: String)(f: => A): Unit =
+      if (sys.env.contains("GRAFT_DEBUG")) {
+        val t0 = System.nanoTime()
+        f
+        System.err.println(f"[q91] $tag ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
     val rw = Window.partitionBy(md5(col("text"))).orderBy("doc_id")
     val gated = QueryCaches.track(
       withQualityScore(docs(s, d).filter(col("doc_id") >= 50))
@@ -596,25 +605,39 @@ object CurationOps {
         // the md5-partition shuffle
         .select(col("doc_id"), col("source"), col("text"), col("n_tok"))
         .withColumn("rn", row_number().over(rw)))
+    dbg("gate+exact-dedup")(gated.count())
     val reps = gated.filter(col("rn") === 1).select("doc_id", "source", "text", "n_tok")
     val sh = QueryCaches.track(DedupOps.shingled(reps))
+    dbg("shingle")(sh.count())
     val benchGrams = DedupOps.shingled(docs(s, d).filter(col("doc_id") < 50))
       .select(explode(col("sh")).as("g")).distinct()
-    val contam = sh
+    // TRACKED: the contaminated-id set is tiny but costs a full
+    // gram-explode scan, and it feeds THREE consumers (the shClean
+    // anti-join — which minhashEdges' candidate + two verify branches
+    // each re-evaluate — the `clean` join, and the final accounting
+    // join); uncached it re-ran per branch and dominated the recipe's
+    // overhead over its parts (round-11 brief #4: 8.25 s vs ~3 s).
+    val contam = QueryCaches.track(sh
       .select(col("doc_id"), size(col("sh")).cast("long").as("n_grams"),
         explode(col("sh")).as("g"))
       .join(broadcast(benchGrams), Seq("g"))
       .groupBy("doc_id", "n_grams").agg(count(lit(1)).as("n_hit"))
       .filter(round(col("n_hit") * lit(1000000.0) / col("n_grams")).cast("long")
         >= RecipeContamE6)
-      .select(col("doc_id"), lit(1L).as("is_contam"))
-    val shClean = sh.join(contam.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit(1L).as("is_contam")))
+    dbg("decontam")(contam.count())
+    val shClean = sh.join(broadcast(contam.select("doc_id")), Seq("doc_id"), "left_anti")
     val packed = QueryCaches.track(DedupOps.minhashEdges(s, shClean, minJ = 0.8)
       .select(shiftleft(col("a_id"), 32).bitwiseOR(col("b_id")).as("pk")))
+    dbg("lsh-edges")(packed.count())
     val labels = DedupOps.componentLabels(s, packed)
+    dbg("closure")(labels.count())
+    // contam and labels are id-lists bounded by the contaminated /
+    // edge-touched doc counts — broadcast both joins so the reps/gated
+    // side never shuffles for them
     val clean = reps
-      .join(contam, Seq("doc_id"), "left")
-      .join(labels, Seq("doc_id"), "left")
+      .join(broadcast(contam), Seq("doc_id"), "left")
+      .join(broadcast(labels), Seq("doc_id"), "left")
       .filter(col("is_contam").isNull &&
         coalesce(col("rep"), col("doc_id")) === col("doc_id"))
       .select("doc_id", "source", "n_tok")
@@ -622,8 +645,8 @@ object CurationOps {
       .select(col("doc_id"), lit(1L).as("is_sel"),
         md5(concat(lit("epoch0:"), col("doc_id").cast("string"))).as("shuffle_key"))
     gated
-      .join(contam, Seq("doc_id"), "left")
-      .join(labels, Seq("doc_id"), "left")
+      .join(broadcast(contam), Seq("doc_id"), "left")
+      .join(broadcast(labels), Seq("doc_id"), "left")
       .join(broadcast(sel), Seq("doc_id"), "left")
       .groupBy("source")
       .agg(
