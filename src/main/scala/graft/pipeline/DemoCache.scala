@@ -34,7 +34,7 @@ import java.nio.file.{Files, StandardCopyOption}
   */
 object DemoCache {
   /** Bump on any change that alters demo-artifact content. */
-  val Version = "r12a" // dedup demo gained the image fingerprint gate + planted near-dup images (q90)
+  val Version = "r12b" // + IVF centroids/baseline moved inside cells/ (drift-retrain swap unit), stride->hash init
 
   /** All demo artifacts root here: survives `sbt clean`, git-ignored. */
   val Root: File = new File("var/demo").getAbsoluteFile

@@ -51,26 +51,81 @@ object IvfIndex {
   private def fsOf(spark: SparkSession, root: String): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Trained centroids stored beside the cells (float → exact decimal
-    * string round-trips bit-for-bit, so reloaded centroids are
-    * identical to the trained ones). */
-  def loadCentroids(spark: SparkSession, root: String): Seq[Array[Float]] = {
-    val in = fsOf(spark, root).open(new Path(root, "centroids.txt"))
-    val txt =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    txt.split("\n").toSeq.map(_.split(",").map(_.toFloat))
+  /** Trained centroids, stored INSIDE the cell store as
+    * `cells/_centroids.txt` (parquet readers skip `_`-prefixed files):
+    * quantizer and storage layout are one artifact, so [[retrain]]'s
+    * two-rename swap replaces them ATOMICALLY — a crash can never leave
+    * new centroids routing probes over an old cell layout (or vice
+    * versa), which a root-level centroids file could. Float → exact
+    * decimal string round-trips bit-for-bit, so reloaded centroids are
+    * identical to the trained ones. */
+  def loadCentroids(spark: SparkSession, root: String): Seq[Array[Float]] =
+    readMeta(spark, root, "_centroids.txt").split("\n").toSeq
+      .map(_.split(",").map(_.toFloat))
+
+  /** Build-time mean squared assignment distance (`cells/_stats.txt`) —
+    * the drift baseline [[driftRatio]] compares against. */
+  def loadBaseline(spark: SparkSession, root: String): Double =
+    readMeta(spark, root, "_stats.txt").trim.toDouble
+
+  private def readMeta(spark: SparkSession, root: String, name: String): String = {
+    val in = fsOf(spark, root).open(new Path(s"$root/cells", name))
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
   }
 
-  /** Train the coarse quantizer on `e` (vec_id, embedding) and write the
-    * index at `root`: cell-partitioned corpus under `cells/`, centroids
-    * beside it. Returns the trained centroids. */
-  def build(spark: SparkSession, root: String, e: DataFrame): Seq[Array[Float]] = {
-    graft.functions.VectorExpressions.register(spark) // cellsOf needs vec_dot
-    val dir = s"$root/cells"
-    var cents: Seq[Array[Float]] = e.filter(col("vec_id") < K)
-      .orderBy("vec_id").collect()
+  private def writeMeta(fs: FileSystem, cellsDir: Path, name: String,
+                        content: String): Unit = {
+    val out = fs.create(new Path(cellsDir, name), true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Deterministic k-means++ seeds over a bounded driver sample — the
+    * RE-train init: the 2048 vectors with the smallest xxhash64(vec_id)
+    * (one TakeOrdered scan, ~0.5 MB at 64 dims — bounded at any corpus
+    * size) are collected, then K seeds are drawn by the classic
+    * D²-weighted rule with a FIXED-seed PRNG (the sample order is
+    * deterministic, so the whole init is). D² sampling allocates seeds
+    * ∝ region mass × spread, so an appended region holding a real
+    * share of the corpus is guaranteed seeds of its own — which the
+    * lowest-id init cannot promise when appends drifted (measured: an
+    * unseeded displaced cloud left Lloyd at a distorted local optimum,
+    * two degenerate cells, −0.10 original-probe recall), and which
+    * farthest-first over-corrects (it chases spatial extremes and
+    * over-seeds whichever blob has the farthest outliers, −0.22). */
+  private def kppInit(spark: SparkSession, e: DataFrame): Seq[Array[Float]] = {
+    val sample = e.withColumn("h", xxhash64(col("vec_id")))
+      .orderBy("h", "vec_id").limit(2048).collect()
       .map(_.getAs[Seq[Float]]("embedding").toArray)
+    def d2(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val rnd = new scala.util.Random(42)
+    val seeds = scala.collection.mutable.ArrayBuffer(sample.head)
+    val minD = sample.map(d2(_, sample.head))
+    while (seeds.length < math.min(K, sample.length)) {
+      val total = minD.sum
+      var pick = rnd.nextDouble() * total
+      var i = 0
+      while (i < sample.length - 1 && pick > minD(i)) { pick -= minD(i); i += 1 }
+      seeds += sample(i)
+      var j = 0
+      while (j < sample.length) { minD(j) = math.min(minD(j), d2(sample(j), sample(i))); j += 1 }
+    }
+    seeds.toSeq
+  }
+
+  /** Lloyd iterations over `e` (vec_id, embedding) from the given
+    * seeds. Deterministic: fixed iteration count, argmax tie-broken
+    * toward the lower cell id; a cell that loses every member drops
+    * out (K shrinks), matching classic Lloyd. */
+  private def train(spark: SparkSession, e: DataFrame,
+                    init: Seq[Array[Float]]): Seq[Array[Float]] = {
+    graft.functions.VectorExpressions.register(spark) // cellsOf needs vec_dot
+    var cents: Seq[Array[Float]] = init
     for (_ <- 1 to Iterations) {
       cents = e.withColumn("cell", element_at(cellsOf(cents, 1), 1))
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
@@ -81,13 +136,50 @@ object IvfIndex {
         .orderBy("cell").collect()
         .map(_.getAs[Seq[Float]]("c").toArray)
     }
+    cents
+  }
+
+  /** Mean squared L2 distance of `e`'s vectors to their ASSIGNED (=
+    * nearest) centroid: |v − c|² = |v|² − 2·(v·c − |c|²/2), one scan,
+    * no shuffle (global avg). The quantizer-quality scalar. */
+  private def meanAssignDist(spark: SparkSession, e: DataFrame,
+                             cents: Seq[Array[Float]]): Double = {
+    graft.functions.VectorExpressions.register(spark)
+    val best = greatest(cents.map { c =>
+      val norm2 = c.map(x => x.toDouble * x.toDouble).sum
+      call_function("vec_dot", col("embedding"), typedLit(c.toSeq)) - lit(norm2 / 2)
+    }: _*)
+    e.select(avg(expr("aggregate(embedding, 0D, (a, x) -> a + CAST(x AS DOUBLE) * x)")
+      - lit(2.0) * best).as("d"))
+      .first().getDouble(0)
+  }
+
+  /** Write assignment + metadata for `e` under `dir` (the shared tail
+    * of [[build]] and [[retrain]]). */
+  private def writeIndex(spark: SparkSession, fs: FileSystem, dir: String,
+                         e: DataFrame, cents: Seq[Array[Float]]): Unit = {
     e.withColumn("cell", element_at(cellsOf(cents, 1), 1))
       .select(col("vec_id").as("b_id"), col("cell"), col("embedding").as("eb"))
       .write.mode("overwrite").partitionBy("cell").parquet(dir)
-    val out = fsOf(spark, root).create(new Path(root, "centroids.txt"), true)
-    try out.write(cents.map(_.mkString(",")).mkString("\n")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    writeMeta(fs, new Path(dir), "_centroids.txt",
+      cents.map(_.mkString(",")).mkString("\n"))
+    writeMeta(fs, new Path(dir), "_stats.txt",
+      meanAssignDist(spark, e, cents).toString)
+  }
+
+  /** Train the coarse quantizer on `e` (vec_id, embedding) and write the
+    * index at `root`: cell-partitioned corpus under `cells/` with the
+    * centroids and the drift baseline stored inside it. Returns the
+    * trained centroids. */
+  def build(spark: SparkSession, root: String, e: DataFrame): Seq[Array[Float]] = {
+    graft.functions.VectorExpressions.register(spark)
+    // build init: the K lowest-id vectors (a TakeOrdered — scales to
+    // any corpus). A fresh build samples one distribution, so simple
+    // seeds suffice; RE-trains use farthest-first (see retrain).
+    val init = e.orderBy("vec_id").limit(K).collect()
+      .map(_.getAs[Seq[Float]]("embedding").toArray).toSeq
+    val cents = train(spark, e, init)
+    writeIndex(spark, fsOf(spark, root), s"$root/cells", e, cents)
     cents
   }
 
@@ -99,12 +191,66 @@ object IvfIndex {
     * .compactStore]]'s crash-safe two-rename swap; centroids are
     * untouched, so probe routing is identical. Runs under the index's
     * single-writer discipline. */
-  def compact(spark: SparkSession, root: String): Unit =
-    graft.ingest.Staging.compactStore(fsOf(spark, root), new Path(root), "cells") { staged =>
+  def compact(spark: SparkSession, root: String): Unit = {
+    val fs = fsOf(spark, root)
+    graft.ingest.Staging.compactStore(fs, new Path(root), "cells") { staged =>
       spark.read.parquet(s"$root/cells")
         .repartition(col("cell"))
         .write.partitionBy("cell").parquet(staged.toString)
+      // the quantizer rides the store (see loadCentroids): carry the
+      // metadata files into the staged rewrite
+      writeMeta(fs, staged, "_centroids.txt", readMeta(spark, root, "_centroids.txt"))
+      writeMeta(fs, staged, "_stats.txt", readMeta(spark, root, "_stats.txt"))
     }
+  }
+
+  /** Quantizer-drift measure: current mean squared assignment distance
+    * over the WHOLE store (one scan of `cells/`, no shuffle) divided by
+    * the build-time baseline stored beside it. ≈1.0 right after a
+    * (re-)train; grows as appends drift from the trained distribution —
+    * appended vectors land in cells whose centroid no longer summarizes
+    * them, degrading probe recall with no visible failure. */
+  def driftRatio(spark: SparkSession, root: String): Double = {
+    val cents = loadCentroids(spark, root)
+    val e = spark.read.parquet(s"$root/cells")
+      .select(col("b_id").as("vec_id"), col("eb").as("embedding"))
+    meanAssignDist(spark, e, cents) / loadBaseline(spark, root)
+  }
+
+  /** Re-train the coarse quantizer over the CURRENT store contents and
+    * swap the result in via the family's crash-safe two-rename
+    * discipline ([[graft.ingest.Staging.compactStore]]): the staged dir
+    * holds the re-assigned cell partitions AND the new centroids +
+    * baseline (they live inside the store — [[loadCentroids]]), so a
+    * crash anywhere leaves either the complete old index or the
+    * complete new one, never new centroids over old cells. Row set is
+    * preserved exactly; only assignment (and therefore probe routing)
+    * changes. Single-writer, like every other index mutation. */
+  def retrain(spark: SparkSession, root: String): Unit = {
+    val fs = fsOf(spark, root)
+    val e = spark.read.parquet(s"$root/cells")
+      .select(col("b_id").as("vec_id"), col("eb").as("embedding"))
+      .persist()
+    val cents = train(spark, e, kppInit(spark, e))
+    graft.ingest.Staging.compactStore(fs, new Path(root), "cells") { staged =>
+      writeIndex(spark, fs, staged.toString, e, cents)
+    }
+    e.unpersist(): Unit
+  }
+
+  /** The drift TRIGGER (round-11 brief #5): re-train when
+    * [[driftRatio]] exceeds `threshold`, else no-op. Returns whether a
+    * re-train ran. A deployment calls this from the same maintenance
+    * slot as [[compact]] — both are single-writer store rewrites; the
+    * 1.25 default fires on genuine distribution shift (mirrored /
+    * displaced appends measure ≥2×) but not on same-distribution
+    * growth (≈1.0). */
+  def retrainIfDrifted(spark: SparkSession, root: String,
+                       threshold: Double = 1.25): Boolean = {
+    val drifted = driftRatio(spark, root) > threshold
+    if (drifted) retrain(spark, root)
+    drifted
+  }
 
   /** Insert new vectors into an EXISTING index at `root`: assign each to
     * its nearest TRAINED cell and append to that cell's partition — no
