@@ -356,4 +356,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(st.nonEmpty && st.exists(_.operatorName.toLowerCase.contains("dedupe")),
       s"expected a dedup state operator: ${st.map(_.operatorName).toSeq}")
   }
+
+  test("probeStream under a continuous trigger: pair-dedup state provably evicts") {
+    // The round-11 contract made AvailableNow the only legal drain
+    // without a watermark; this pins the CONTINUOUS side of the deal:
+    // under a ProcessingTime trigger with the event-time watermark, the
+    // emitted-edge state of dropDuplicatesWithinWatermark is REMOVED as
+    // the watermark advances — state is bounded by the dup pairs inside
+    // one watermark window, not by the run's lifetime.
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val tmp = Files.createTempDirectory("graft-contprobe").toString
+    def doc(p: String, last: String): String =
+      ((0 until 49).map(i => s"$p$i") :+ last).mkString(" ")
+    graft.queries.MinHashIndex.append(spark, s"$tmp/idx",
+      Seq((1L, doc("aa", "aa49")), (2L, doc("bb", "bb49")),
+          (3L, doc("cc", "cc49"))).toDF("doc_id", "text"))
+    // three landing files = three micro-batches (maxFilesPerTrigger=1),
+    // each one edge, event times an hour apart with a 10-minute delay —
+    // by batch 3 the 00:00 pair key is far below the watermark
+    def land(name: String, id: Long, p: String, ts: String): Unit =
+      Seq((id, doc(p, "zz"), java.sql.Timestamp.valueOf(ts)))
+        .toDF("doc_id", "text", "ts").coalesce(1).write.parquet(s"$tmp/landing/$name")
+    land("f1", 11L, "aa", "2024-01-01 00:00:00")
+    land("f2", 12L, "bb", "2024-01-01 01:00:00")
+    land("f3", 13L, "cc", "2024-01-01 02:00:00")
+    val src = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType), StructField("ts", TimestampType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$tmp/landing/*")
+    val q = graft.queries.MinHashIndex
+      .probeStream(spark, s"$tmp/idx", src, minJ = 0.8,
+        watermark = Some("ts" -> "10 minutes"))
+      .writeStream.format("memory").queryName("cont_probe").outputMode("append")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    while (spark.table("cont_probe").count() < 3 && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("cont_probe").select("new_id", "old_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows == Set((11L, 1L), (12L, 2L), (13L, 3L)), s"edges: $rows")
+    // the state-bound evidence: keys were REMOVED as the watermark
+    // advanced, and the final state holds fewer keys than were emitted
+    val progs = q.recentProgress.toSeq
+    val removed = progs.flatMap(_.stateOperators).map(_.numRowsRemoved).sum
+    assert(removed >= 1, s"no state eviction observed across ${progs.size} progresses")
+    val finalState = progs.flatMap(_.stateOperators).lastOption.map(_.numRowsTotal)
+    assert(finalState.exists(_ < 3), s"state did not stay bounded: $finalState")
+  }
 }
