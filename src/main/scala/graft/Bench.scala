@@ -199,10 +199,26 @@ object Bench {
     // shows them. total_warm_min ≈ total_warm_median on a quiet
     // machine; a large gap — or an ecores dip over a contiguous block —
     // marks the artifact as interference-contaminated.
-    println(s"""{"metric":"cold_detail","unit":"sec","cold":${jmap(_._2)}}""")
-    println(s"""{"metric":"noise_detail","unit":"sec","cores":$cpus,"warm_min":${jmap(_._4)},"ecores_median_rep":${jmap(_._5)}}""")
     val subset = only.map(p => s""","subset":"${p.mkString(",")}"""").getOrElse("")
-    println(s"""{"metric":"total_warm_median","value":$totalWarm,"unit":"sec","reps":$reps,"errors":$errs,"queries":$qs,"build_sec":${r3(buildSec)},"sf":"$sfDir"$subset,"total_cold":$totalCold,"total_warm_min":$totalMin,"total_warm_median":$totalWarm}""")
+    val lines = Seq(
+      s"""{"metric":"cold_detail","unit":"sec","cold":${jmap(_._2)}}""",
+      s"""{"metric":"noise_detail","unit":"sec","cores":$cpus,"warm_min":${jmap(_._4)},"ecores_median_rep":${jmap(_._5)}}""",
+      s"""{"metric":"total_warm_median","value":$totalWarm,"unit":"sec","reps":$reps,"errors":$errs,"queries":$qs,"build_sec":${r3(buildSec)},"sf":"$sfDir"$subset,"total_cold":$totalCold,"total_warm_min":$totalMin,"total_warm_median":$totalWarm}""")
+    lines.foreach(println)
+    // self-contained artifact: BENCH_r11's driver log truncated mid-line
+    // and dropped q01-q28 per-query medians from the parsed artifact —
+    // the same three lines land in a file so a truncated stdout tail can
+    // never lose them again (the driver's stdout contract is unchanged)
+    try {
+      val out = java.nio.file.Paths.get("var", "bench",
+        s"bench-${new java.io.File(sfDir).getName}.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, lines.mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"[bench] artifact written to $out")
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] artifact file write failed (stdout intact): $e")
+    }
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
