@@ -18,10 +18,12 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   *    EXISTS` per key inside ONE transaction — Postgres would use the
   *    reference's `ON CONFLICT (s3_key) DO NOTHING` batch verbatim.
   *  - multi-runner claim: Derby supports `FOR UPDATE` (row locks) but
-  *    not `SKIP LOCKED`; [[selectBatch]] + [[markProcessing]] run as one
-  *    serializable claim here (single-statement UPDATEs are atomic), and
-  *    a Postgres deployment appends `SKIP LOCKED` so concurrent runners
-  *    shard the backlog instead of blocking on it.
+  *    not `SKIP LOCKED`; [[claimBatch]] wins each key with an atomic
+  *    conditional UPDATE (status-guarded CAS — exactly one runner's
+  *    statement matches the row), and a Postgres deployment swaps it
+  *    for `SELECT ... FOR UPDATE SKIP LOCKED` so concurrent runners
+  *    shard the backlog instead of blocking on it. Zero double-claims
+  *    under two concurrent runners is asserted in LedgerSpec.
   *  - every mutator is a single SQL statement (or one transaction), so —
   *    unlike the parquet ledger's single-writer contract — two
   *    JdbcLedger instances CAN safely drive the same table; state lives
@@ -142,6 +144,35 @@ final class JdbcLedger(spark: SparkSession, url: String, maxRetries: Int = 3)
   private def inClause(ps: PreparedStatement, from: Int, keys: Seq[String]): Unit =
     keys.zipWithIndex.foreach { case (k, i) => ps.setString(from + i, k) }
   private def marks(n: Int): String = Seq.fill(n)("?").mkString(", ")
+
+  /** MULTI-RUNNER claim (the Derby analogue of the reference's `FOR
+    * UPDATE SKIP LOCKED`, psuedo_code.txt:170): select candidates, then
+    * win each key with a CONDITIONAL single-statement UPDATE — `WHERE
+    * processing_status` still claimable — which is atomic per statement,
+    * so exactly ONE runner's update matches each row; the loser's
+    * update touches 0 rows and it simply proceeds with the keys it won.
+    * Returns the won keys (possibly fewer than `n` when rivals claimed
+    * overlapping candidates — the backlog shards instead of blocking).
+    * A Postgres deployment replaces candidate-select + per-key CAS with
+    * `SELECT ... FOR UPDATE SKIP LOCKED` in one transaction; the
+    * interface and the zero-double-claim guarantee are identical
+    * (LedgerSpec proves it with two concurrent runners draining one
+    * Derby ledger). */
+  def claimBatch(n: Int, runId: String): Seq[String] = {
+    val candidates = selectBatch(n)
+    candidates.filter { k =>
+      val ps = conn.prepareStatement(
+        s"""UPDATE file_processing_status
+           |SET processing_status = ?, retry_count = retry_count + 1,
+           |    job_run_id = ?, updated_at = ?
+           |WHERE s3_key = ? AND processing_status IN ('$Pending', '$Failed')
+           |  AND retry_count < ?""".stripMargin)
+      ps.setString(1, Processing); ps.setString(2, runId); ps.setTimestamp(3, now())
+      ps.setString(4, k); ps.setInt(5, maxRetries)
+      val won = try ps.executeUpdate() == 1 finally ps.close()
+      won
+    }
+  }
 
   def markProcessing(keys: Seq[String], runId: String): Unit = {
     if (keys.isEmpty) return

@@ -128,6 +128,52 @@ class LedgerSpec extends AnyFunSuite {
     assert(secs < 60.0, f"50k-file drain took $secs%.1f s (budget 60 s)")
   }
 
+  test("jdbc ledger: two concurrent runners drain one backlog with zero double-claims") {
+    // the multi-runner contract claimBatch documents: every key is won
+    // by EXACTLY one runner (atomic status-guarded CAS), nothing is
+    // skipped, and both runners make progress instead of blocking
+    val dir = Files.createTempDirectory("graft-jdbc-conc").toString
+    val keys = (0 until 200).map(i => f"s3://bucket/f$i%03d.jsonl")
+    val seed = new JdbcLedger(spark, JdbcLedger.derbyUrl(dir), maxRetries = 3)
+    seed.register(keys.map(k => k -> 10L))
+    // both connections exist BEFORE work starts (construction reclaims
+    // stale PROCESSING rows; mid-drain construction would steal claims)
+    val ledgers = Seq(new JdbcLedger(spark, JdbcLedger.derbyUrl(dir), maxRetries = 3),
+      new JdbcLedger(spark, JdbcLedger.derbyUrl(dir), maxRetries = 3))
+    val claimed = Seq.fill(2)(scala.collection.mutable.ArrayBuffer.empty[String])
+    // a Phaser gates every claim round so BOTH runners issue their
+    // claims against the same candidate window simultaneously — the CAS
+    // contention is exercised every round, not only if the scheduler
+    // happens to interleave them
+    val phaser = new java.util.concurrent.Phaser(2)
+    val threads = (0 until 2).map { i =>
+      new Thread(() => {
+        val led = ledgers(i)
+        val runId = s"runner-$i"
+        var done = false
+        while (!done) {
+          phaser.arriveAndAwaitAdvance()
+          val batch = led.claimBatch(10, runId)
+          if (batch.isEmpty) { done = true; phaser.arriveAndDeregister() }
+          else {
+            claimed(i) ++= batch
+            led.markOutcome(batch.map(_ -> Ledger.Succeeded).toMap, runId)
+          }
+        }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    assert(threads.forall(!_.isAlive), "runner did not finish")
+    val (a, b) = (claimed(0).toSet, claimed(1).toSet)
+    assert((a & b).isEmpty, s"double-claimed: ${(a & b).take(5)}")
+    assert(claimed(0).size + claimed(1).size == 200,
+      s"claims must partition the backlog: ${claimed(0).size} + ${claimed(1).size}")
+    assert((a | b) == keys.toSet, "full coverage")
+    val st = statusOf(seed)
+    assert(st.values.forall(_._1 == Ledger.Succeeded), "all terminal SUCCEEDED")
+  }
+
   test("jdbc ledger drives the full batch pipeline end to end") {
     import java.nio.charset.StandardCharsets
     import graft.pipeline.{BatchProcessor, Contracts, LakeLayout}
