@@ -124,7 +124,7 @@ object DedupDemo {
           id = col("record_id"), text = col("payload.props"),
           spanScrub = Some((df, c) =>
             df.withColumn("payload", col("payload").withField("props", c))),
-          fingerprint = Some(imageFingerprint))
+          fingerprints = Seq(imageFingerprint))
         val bp = new BatchProcessor(spark, layout, Contracts.events,
           dedup = Some(stage),
           quality = Some(QualityGate(text = col("payload.props"))))

@@ -25,7 +25,21 @@ import graft.queries.{FingerprintIndex, MinHashIndex}
   * `"fp_index"` / `"fp_batch"` (q90 audits both). */
 final case class FingerprintGate(
     extract: DataFrame => DataFrame,
-    maxHamming: Int = 3)
+    maxHamming: Int = 3,
+    /** Audit/namespace tag: DLQ reasons are `"<tag>_index"` /
+      * `"<tag>_batch"` and the durable store directory is
+      * `"fps_<tag>"` (`"fp"` keeps the default `fps/` store). A
+      * MULTIMODAL lake runs one gate per modality — image and audio
+      * fingerprints are 64-bit values in DIFFERENT feature spaces, so
+      * sharing one store would let an image hash near-collide an audio
+      * fingerprint and flag a spurious cross-modality duplicate;
+      * per-gate stores keep each bucket space modality-pure. */
+    tag: String = "fp") {
+  /** Store directory under the index root (see [[graft.queries
+    * .FingerprintIndex]]). */
+  def store: String =
+    if (tag == "fp") graft.queries.FingerprintIndex.Store else s"fps_$tag"
+}
 
 object FingerprintGate {
   /** The nullable-long fingerprint column [[FingerprintGate.extract]]
@@ -91,13 +105,17 @@ final case class DedupStage(
       * Rows whose text was touched are counted into the ledger note via
       * the `_scrubbed_spans` audit column (dropped before publish). */
     spanScrub: Option[(DataFrame, Column) => DataFrame] = None,
-    /** Optional multimodal fingerprint gate (see [[FingerprintGate]]):
-      * runs AFTER the text windows over their survivors (a row already
-      * flagged against the lake or a batch-mate is out either way), with
-      * the same two windows — batch↔index against the durable
-      * [[FingerprintIndex]] store under [[indexRoot]], then batch↔batch
-      * among the remainder — and the same append-on-commit lifecycle. */
-    fingerprint: Option[FingerprintGate] = None) {
+    /** Optional multimodal fingerprint gates (see [[FingerprintGate]]),
+      * one per modality: each runs AFTER the text windows over their
+      * survivors (a row already flagged against the lake or a batch-mate
+      * is out either way), with the same two windows — batch↔index
+      * against the gate's own durable [[FingerprintIndex]] store under
+      * [[indexRoot]], then batch↔batch among the remainder — and the
+      * same append-on-commit lifecycle. Stores are per-gate
+      * ([[FingerprintGate.store]]) so modality bucket spaces never
+      * cross-collide; gates run in order, each over the previous gates'
+      * survivors. */
+    fingerprints: Seq[FingerprintGate] = Nil) {
 
   /** Audit column [[partition]] adds to survivors under [[spanScrub]]:
     * number of already-in-corpus spans removed from the row's text
@@ -150,7 +168,10 @@ final case class DedupStage(
     sh.unpersist()
     val textDups = indexDups.toSeq.map { case (a, b, j) => (a, b, j, "index") } ++
       batchDups.map { case (a, b, j) => (a, b, j, "batch") }
-    val dups = textDups ++ fingerprintDups(s, k, textDups.map(_._1).toSet)
+    // each gate sees every earlier flag (text first, then prior gates)
+    val dups = fingerprints.foldLeft(textDups) { (acc, g) =>
+      acc ++ fingerprintDups(s, k, g, acc.map(_._1).toSet)
+    }
     val (survivors0, flagged) =
       if (dups.isEmpty) (k, None)
       else {
@@ -214,45 +235,42 @@ final case class DedupStage(
     }
   }
 
-  /** The fingerprint gate's two windows over the text survivors (see
-    * [[fingerprint]]): batch↔index against the durable
-    * [[FingerprintIndex]] store (best match per row = MINIMUM Hamming,
-    * skipped on the first tick like the text probe), then batch↔batch
-    * among the remainder via [[FingerprintIndex.selfEdges]] +
-    * [[closeEdges]]. Rows in `alreadyFlagged` (text suppressions) and
-    * rows with a null fingerprint never participate. Scores are
-    * [[FingerprintIndex.simE6]] similarities so the flags ride the same
-    * `jac_e6` DLQ column as text flags. */
-  private def fingerprintDups(s: SparkSession, k: DataFrame,
-                              alreadyFlagged: Set[Long]): Seq[(Long, Long, Long, String)] =
-    fingerprint match {
-      case None => Nil
-      case Some(g) =>
-        import s.implicits._
-        val simE6 = (h: Long) => (64L - h) * 15625L
-        val kf = g.extract(k)
-          .filter(col(FingerprintGate.FpCol).isNotNull)
-          .select(col("_dedup_id").as("doc_id"), col(FingerprintGate.FpCol).as("fp"))
-        val fps = (if (alreadyFlagged.isEmpty) kf
-                   else kf.join(broadcast(alreadyFlagged.toSeq.toDF("doc_id")),
-                     Seq("doc_id"), "left_anti")).persist()
-        val idxFlags: Array[(Long, Long, Long)] =
-          if (!FingerprintIndex.storeExists(s, indexRoot)) Array.empty
-          else FingerprintIndex.probe(s, indexRoot, fps, g.maxHamming)
-            .groupBy("new_id")
-            .agg(min(struct(col("hamming"), col("old_id"))).as("m"))
-            .select(col("new_id"), col("m.old_id"), col("m.hamming"))
-            .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-        val fpSurv =
-          if (idxFlags.isEmpty) fps
-          else fps.join(broadcast(idxFlags.map(_._1).toSeq.toDF("doc_id")),
-            Seq("doc_id"), "left_anti")
-        val batchFlags = closeEdges(FingerprintIndex.selfEdges(fpSurv, g.maxHamming)
-          .collect().map(r => (r.getLong(0), r.getLong(1), simE6(r.getLong(2)))))
-        fps.unpersist()
-        idxFlags.toSeq.map { case (a, b, h) => (a, b, simE6(h), "fp_index") } ++
-          batchFlags.map { case (a, b, e6) => (a, b, e6, "fp_batch") }
-    }
+  /** One fingerprint gate's two windows over the earlier flags'
+    * survivors (see [[fingerprints]]): batch↔index against the gate's
+    * durable [[FingerprintIndex]] store (best match per row = MINIMUM
+    * Hamming, skipped on the first tick like the text probe), then
+    * batch↔batch among the remainder via [[FingerprintIndex.selfEdges]]
+    * + [[closeEdges]]. Rows in `alreadyFlagged` and rows with a null
+    * fingerprint never participate. Scores are [[FingerprintIndex
+    * .simE6]] similarities so the flags ride the same `jac_e6` DLQ
+    * column as text flags; reasons are `<tag>_index` / `<tag>_batch`. */
+  private def fingerprintDups(s: SparkSession, k: DataFrame, g: FingerprintGate,
+                              alreadyFlagged: Set[Long]): Seq[(Long, Long, Long, String)] = {
+    import s.implicits._
+    val simE6 = (h: Long) => (64L - h) * 15625L
+    val kf = g.extract(k)
+      .filter(col(FingerprintGate.FpCol).isNotNull)
+      .select(col("_dedup_id").as("doc_id"), col(FingerprintGate.FpCol).as("fp"))
+    val fps = (if (alreadyFlagged.isEmpty) kf
+               else kf.join(broadcast(alreadyFlagged.toSeq.toDF("doc_id")),
+                 Seq("doc_id"), "left_anti")).persist()
+    val idxFlags: Array[(Long, Long, Long)] =
+      if (!FingerprintIndex.storeExists(s, indexRoot, g.store)) Array.empty
+      else FingerprintIndex.probe(s, indexRoot, fps, g.maxHamming, g.store)
+        .groupBy("new_id")
+        .agg(min(struct(col("hamming"), col("old_id"))).as("m"))
+        .select(col("new_id"), col("m.old_id"), col("m.hamming"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val fpSurv =
+      if (idxFlags.isEmpty) fps
+      else fps.join(broadcast(idxFlags.map(_._1).toSeq.toDF("doc_id")),
+        Seq("doc_id"), "left_anti")
+    val batchFlags = closeEdges(FingerprintIndex.selfEdges(fpSurv, g.maxHamming)
+      .collect().map(r => (r.getLong(0), r.getLong(1), simE6(r.getLong(2)))))
+    fps.unpersist()
+    idxFlags.toSeq.map { case (a, b, h) => (a, b, simE6(h), s"${g.tag}_index") } ++
+      batchFlags.map { case (a, b, e6) => (a, b, e6, s"${g.tag}_batch") }
+  }
 
   /** Span-scrub doc-level survivors against the index's winhashes store
     * (see [[spanScrub]]): per surviving row, drop every token inside an
@@ -296,13 +314,13 @@ final case class DedupStage(
 
   /** Append-on-commit: index the published survivors so the NEXT tick
     * probes against them. Call strictly after the publish commit point.
-    * Under a [[fingerprint]] gate the survivors' fingerprints are
-    * appended to the [[FingerprintIndex]] store in the same step. */
+    * Each [[fingerprints]] gate's survivors are appended to its own
+    * [[FingerprintIndex]] store in the same step. */
   def appendSurvivors(s: SparkSession, survivors: DataFrame): Unit = {
     MinHashIndex.append(s, indexRoot,
       survivors.select(xxhash64(id).as("doc_id"), text.as("text")))
-    for (g <- fingerprint)
-      FingerprintIndex.append(s, indexRoot, survivorFps(g, survivors))
+    for (g <- fingerprints)
+      FingerprintIndex.append(s, indexRoot, survivorFps(g, survivors), g.store)
   }
 
   /** [[appendSurvivors]] for AT-LEAST-ONCE callers: the streaming twin's
@@ -315,7 +333,8 @@ final case class DedupStage(
                             token: String): Unit = {
     MinHashIndex.appendStaged(s, indexRoot,
       survivors.select(xxhash64(id).as("doc_id"), text.as("text")), token)
-    for (g <- fingerprint)
-      FingerprintIndex.appendStaged(s, indexRoot, survivorFps(g, survivors), token)
+    for (g <- fingerprints)
+      FingerprintIndex.appendStaged(s, indexRoot, survivorFps(g, survivors),
+        token, g.store)
   }
 }

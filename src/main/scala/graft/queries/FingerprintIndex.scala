@@ -53,22 +53,27 @@ object FingerprintIndex {
     new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
 
   /** Does the fingerprint store exist under `root`? The first-tick
-    * probe guard in [[graft.pipeline.DedupStage]]. */
-  def storeExists(s: SparkSession, root: String): Boolean =
-    fsOf(s, root).exists(new Path(root, Store))
+    * probe guard in [[graft.pipeline.DedupStage]]. `store` selects the
+    * per-modality namespace (see [[graft.pipeline.FingerprintGate
+    * .store]] — image and audio fingerprints live in different feature
+    * spaces and must not share one Hamming bucket space). */
+  def storeExists(s: SparkSession, root: String, store: String = Store): Boolean =
+    fsOf(s, root).exists(new Path(root, store))
 
   private def normalized(fps: DataFrame): DataFrame =
     fps.select(col("doc_id").cast("long").as("doc_id"), col("fp").cast("long").as("fp"))
 
   /** From-scratch build of the store at `root` over a (doc_id, fp)
     * frame (overwrites). */
-  def build(s: SparkSession, root: String, fps: DataFrame): Unit =
-    normalized(fps).write.mode("overwrite").parquet(s"$root/$Store")
+  def build(s: SparkSession, root: String, fps: DataFrame,
+            store: String = Store): Unit =
+    normalized(fps).write.mode("overwrite").parquet(s"$root/$store")
 
   /** Append-on-commit: add a committed batch's fingerprints. Append-only
     * (new files land beside existing ones); caller is the single writer. */
-  def append(s: SparkSession, root: String, fps: DataFrame): Unit =
-    normalized(fps).write.mode("append").parquet(s"$root/$Store")
+  def append(s: SparkSession, root: String, fps: DataFrame,
+             store: String = Store): Unit =
+    normalized(fps).write.mode("append").parquet(s"$root/$store")
 
   /** Replay-idempotent [[append]] for AT-LEAST-ONCE callers (the
     * streaming ingest twin): stage, then publish with a deterministic
@@ -77,11 +82,11 @@ object FingerprintIndex {
     * exactly one copy. The `f` prefix is disjoint from [[MinHashIndex
     * .appendStaged]]'s `b<token>-` so both indexes can share one root. */
   def appendStaged(s: SparkSession, root: String, fps: DataFrame,
-                   token: String): Unit = {
+                   token: String, store: String = Store): Unit = {
     val fs = fsOf(s, root)
-    val stage = new Path(new Path(root), s".append-fp-$token")
+    val stage = new Path(new Path(root), s".append-$store-$token")
     fs.delete(stage, true)
-    normalized(fps).write.mode("overwrite").parquet(s"${stage.toString}/$Store")
+    normalized(fps).write.mode("overwrite").parquet(s"${stage.toString}/$store")
     graft.ingest.Staging.publish(fs, stage, new Path(root), s"f$token-",
       replaceExistingPrefix = true)
     fs.delete(stage, true): Unit
@@ -96,10 +101,10 @@ object FingerprintIndex {
     * entries cannot suppress it). Exact for `maxHamming` <= 3 (the
     * block-triple pigeonhole bound). */
   def probe(s: SparkSession, root: String, fps: DataFrame,
-            maxHamming: Int = 3): DataFrame = {
+            maxHamming: Int = 3, store: String = Store): DataFrame = {
     require(maxHamming <= 3,
       s"block-triple candidates are exact only to Hamming 3 (got $maxHamming)")
-    val old = DedupOps.tripleKeyed(s.read.parquet(s"$root/$Store"), "fp")
+    val old = DedupOps.tripleKeyed(s.read.parquet(s"$root/$store"), "fp")
       .select(col("combo"), col("ck"), col("doc_id").as("old_id"), col("fp").as("hb"))
     val neu = broadcast(DedupOps.tripleKeyed(normalized(fps), "fp")
       .select(col("combo"), col("ck"), col("doc_id").as("new_id"), col("fp").as("ha")))
@@ -129,9 +134,10 @@ object FingerprintIndex {
     * `targetFiles` files, crash-safe via [[graft.ingest.Staging
     * .compactStore]]'s two-rename swap). Single-writer, like every
     * other index mutation. */
-  def compact(s: SparkSession, root: String, targetFiles: Int = 1): Unit =
-    graft.ingest.Staging.compactStore(fsOf(s, root), new Path(root), Store) { staged =>
-      s.read.parquet(s"$root/$Store").coalesce(targetFiles)
+  def compact(s: SparkSession, root: String, targetFiles: Int = 1,
+              store: String = Store): Unit =
+    graft.ingest.Staging.compactStore(fsOf(s, root), new Path(root), store) { staged =>
+      s.read.parquet(s"$root/$store").coalesce(targetFiles)
         .write.parquet(staged.toString)
     }
 }

@@ -171,7 +171,7 @@ class IngestSpec extends AnyFunSuite {
       if (((0xa5 >> (c / 4)) & 1) == 1) 200 else 50)
     val stage = DedupStage(s"${lay.root}/dedup-index",
       id = col("record_id"), text = col("payload.props"),
-      fingerprint = Some(DedupDemo.imageFingerprint))
+      fingerprints = Seq(DedupDemo.imageFingerprint))
     val bp = new BatchProcessor(spark, lay, Contracts.events, dedup = Some(stage))
     val hash = (id: String) => {
       import spark.implicits._
@@ -223,6 +223,71 @@ class IngestSpec extends AnyFunSuite {
     val curated = CuratedWriter.read(spark, lay.curatedDir)
       .select("record_id").collect().map(_.getString(0)).sorted.toSeq
     assert(curated == Seq(survivor, "i-4", "u-1").sorted, s"curated: $curated")
+  }
+
+  test("two fingerprint gates keep separate stores: equal fingerprints across modalities never cross-flag") {
+    val lay = freshLake()
+    def pat(p: Int, flip00: Boolean = false): Array[Byte] =
+      graft.queries.ImageHash.bmpGridBytes(32, 32, (r, c) => {
+        val bit = ((p >> (c / 4)) & 1) == 1
+        val inv = flip00 && r / 4 == 0 && c / 4 == 0
+        if (bit ^ inv) 200 else 50
+      })
+    def b64(b: Array[Byte]) = java.util.Base64.getEncoder.encodeToString(b)
+    def rrec(id: String, tokPrefix: String, img: Option[Array[Byte]],
+             thumb: Option[Array[Byte]]): String = {
+      val text = (0 until 50).map(i => s"$tokPrefix$i").mkString(" ")
+      val extra = img.map(b => s""","img":"${b64(b)}"""").getOrElse("") +
+        thumb.map(b => s""","thumb":"${b64(b)}"""").getOrElse("")
+      s"""{"id":"$id","event_timestamp":"2024-03-07 11:22:33.000000","MODE":"training",""" +
+        s""""metadata":{"app_version":"2.4.1","user_agent":"svc/1.0","user_id":7},""" +
+        s""""payload":{"transaction_id":"t-$id","value":9.5,"props":"$text"$extra}}"""
+    }
+    def gateOn(field: String, tag: String): FingerprintGate =
+      FingerprintGate(tag = tag, extract = df => {
+        val hasField = df.schema.fields.find(_.name == "payload").exists(
+          _.dataType match {
+            case s: org.apache.spark.sql.types.StructType => s.fieldNames.contains(field)
+            case _ => false
+          })
+        if (!hasField) df.withColumn(FingerprintGate.FpCol, lit(null).cast("long"))
+        else {
+          val withBin = df.withColumn("_fpb", unbase64(col(s"payload.$field")))
+          graft.queries.ImageHash.hash(withBin, "_fpb")
+            .withColumn(FingerprintGate.FpCol, col("img_hash"))
+            .drop("_fpb", "img_hash", "hash_err")
+        }
+      })
+    val stage = DedupStage(s"${lay.root}/dedup-index",
+      id = col("record_id"), text = col("payload.props"),
+      fingerprints = Seq(gateOn("img", "fp"), gateOn("thumb", "th")))
+    val bp = new BatchProcessor(spark, lay, Contracts.events, dedup = Some(stage))
+
+    val imgA = pat(0x5a)
+    val thumbT = pat(0x33) // Hamming 32 from imgA — unrelated content
+    writeLines(s"${lay.rawDir}/t1.jsonl", Seq(
+      rrec("r-1", "aa", Some(imgA), Some(thumbT))))
+    assert(bp.runUntilDrained() == 1)
+    // both stores exist, one fingerprint each, in their own namespaces
+    assert(spark.read.parquet(s"${lay.root}/dedup-index/fps").count() == 1)
+    assert(spark.read.parquet(s"${lay.root}/dedup-index/fps_th").count() == 1)
+
+    // tick 2: r-2's IMG near-dups the indexed img (fp_index); r-3's
+    // THUMB near-dups the indexed thumb (th_index); r-4's THUMB is
+    // byte-identical to r-1's IMG — the equal 64-bit value in the OTHER
+    // modality's store must NOT flag it
+    writeLines(s"${lay.rawDir}/t2.jsonl", Seq(
+      rrec("r-2", "bb", Some(pat(0x5a, flip00 = true)), None),
+      rrec("r-3", "cc", None, Some(pat(0x33, flip00 = true))),
+      rrec("r-4", "dd", None, Some(imgA))))
+    assert(bp.runUntilDrained() == 1)
+    val dd = DlqWriter.read(spark, lay.dedupDlqDir)
+      .select("record_id", "dup_reason").collect()
+      .map(r => (r.getString(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(dd == Seq(("r-2", "fp_index"), ("r-3", "th_index")), s"DLQ: $dd")
+    val curated = CuratedWriter.read(spark, lay.curatedDir)
+      .select("record_id").collect().map(_.getString(0)).sorted.toSeq
+    assert(curated == Seq("r-1", "r-4"), s"curated: $curated")
   }
 
   test("quality gate: garbage diverts with its exact score; a file with quality AND near-dup rows carries both notes") {
