@@ -19,14 +19,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.defs ++ EventOps.defs ++ TextOps.defs ++ DedupOps.defs ++
       VectorOps.defs ++ IngestQueries.defs ++ IngestQueries.defsBucketed ++
-      MultimodalOps.defs ++ CurationOps.defs
+      MultimodalOps.defs ++ CurationOps.defs ++ ExportOps.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ EventOps.oracles ++ TextOps.oracles ++ DedupOps.oracles ++
       VectorOps.oracles ++ IngestQueries.oracles ++ MultimodalOps.oracles ++
-      CurationOps.oracles
+      CurationOps.oracles ++ ExportOps.oracles
 
   /** Query name → the pre-buildable demo-artifact CHAINS it consumes
     * (chain names are Bench's vocabulary; Bench pre-builds exactly the

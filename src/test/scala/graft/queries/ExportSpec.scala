@@ -1,0 +1,105 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Properties of the export operators the DuckDB oracle cannot express:
+  * the two-phase rank's byte-identity with the single-window form, the
+  * physical sink's layout + read-back order, and the temperature
+  * mixture's quota arithmetic staying integer-exact and conservative.
+  */
+class ExportSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def docs = graft.engine.Tables.load(spark, sf, "documents")
+
+  test("q104 two-phase shard rank is byte-identical to the single-window form") {
+    val in = docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val two = ExportOps.shardRanked(in).select("doc_id", "shard", "rnk")
+    val one = ExportOps.shardRanked(in, singlePhase = true).select("doc_id", "shard", "rnk")
+    assert(two.exceptAll(one).isEmpty && one.exceptAll(two).isEmpty,
+      "two-phase offsets must reproduce the global per-shard rank exactly")
+  }
+
+  test("q104 ranks are a permutation of 1..n per shard and shards partition the corpus") {
+    val r = ExportOps.shardRanked(
+      docs.select(col("doc_id"), lit(1L).as("n_tok")))
+    val perShard = r.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min("rnk").as("lo"), max("rnk").as("hi"),
+        countDistinct("rnk").as("d"))
+      .collect()
+    assert(perShard.map(_.getLong(1)).sum === docs.count())
+    perShard.foreach { row =>
+      assert(row.getLong(2) === 1L && row.getLong(3) === row.getLong(1) &&
+        row.getLong(4) === row.getLong(1),
+        s"shard ${row.getString(0)}: ranks must be exactly 1..n")
+    }
+  }
+
+  test("exportShards writes one dir per shard and each shard reads back in rank order") {
+    val out = Files.createTempDirectory("graft-shards-").toString
+    try {
+      ExportOps.exportShards(spark, docs.select("doc_id", "source", "text"), out)
+      val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+        .map(_.getName).filter(_.startsWith("shard=")).sorted
+      assert(dirs.length === 16, s"expected 16 shard dirs, got ${dirs.toSeq}")
+      // read ONE physical shard back without a sort: parquet preserves
+      // row order within files, and sortWithinPartitions wrote each
+      // shard as rank-ordered files — the file set must read back with
+      // rnk non-decreasing (the property that makes the export THE
+      // training order, no shuffle on the consumer side)
+      val shard0 = spark.read.parquet(s"$out/${dirs.head}")
+        .select("rnk").collect().map(_.getLong(0))
+      assert(shard0.length > 0)
+      assert(shard0.zip(shard0.tail).forall { case (a, b) => a <= b },
+        "rows within a shard's file set must be in rank order")
+      // and the full export is lossless
+      assert(spark.read.parquet(out).count() === docs.count())
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    }
+  }
+
+  test("q105 quotas: integer-exact, sum ≤ budget, fill stops at quota per source") {
+    val rows = ExportOps.defs("q105_temperature_mixture")(spark, sf).collect()
+    val budget = ExportOps.TempBudget
+    // quotas are the floor split of the budget: Σ quota ≤ budget, and
+    // within one doc's slack of it (floor division loses < nSources)
+    val quotaSum = rows.map(_.getLong(3)).sum
+    assert(quotaSum <= budget && quotaSum > budget - rows.length,
+      s"quota split must floor-partition the budget: $quotaSum vs $budget")
+    rows.foreach { r =>
+      val (tokTotal, quota, nSel, selTok) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      // greedy fill invariant: the selection passed the quota by at most
+      // one document (the doc that crossed the line is kept, q87's
+      // semantics), and never selects more than the source has
+      assert(selTok <= tokTotal)
+      if (quota >= tokTotal) assert(selTok === tokTotal,
+        s"${r.getString(0)}: quota covers the source, everything must be selected")
+      else assert(selTok >= quota,
+        s"${r.getString(0)}: greedy fill must reach quota $quota, got $selTok")
+      // a source with any quota and any docs selects at least one doc
+      if (quota > 0 && tokTotal > 0) assert(nSel > 0)
+    }
+    // temperature flattens the mixture: the selected-token share of the
+    // largest source must not exceed its raw-token share (sqrt pulls
+    // every above-average source down toward the mean)
+    val totalTok = rows.map(_.getLong(2)).sum.toDouble
+    val biggest = rows.maxBy(_.getLong(2))
+    val rawShare = biggest.getLong(2) / totalTok
+    val quotaShare = biggest.getLong(3) / quotaSum.toDouble
+    assert(quotaShare <= rawShare + 1e-9,
+      f"sqrt temperature must flatten: biggest source raw=$rawShare%.3f quota=$quotaShare%.3f")
+  }
+
+  test("q105 is deterministic across runs") {
+    val a = ExportOps.defs("q105_temperature_mixture")(spark, sf).collect()
+    val b = ExportOps.defs("q105_temperature_mixture")(spark, sf).collect()
+    assert(a.toSeq === b.toSeq)
+  }
+}
