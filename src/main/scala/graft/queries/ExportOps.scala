@@ -19,7 +19,7 @@ import graft.engine.Tables
   *    (the per-shard analogue of q78/q91's order_md5: the compare sorts
   *    rows, so order must live in a VALUE). [[exportShards]] is the
   *    matching sink: one pass, `partitionBy(shard)`, rows pre-sorted so
-  *    each shard file IS the training order (ShardExportSpec reads a
+  *    each shard's name-ordered file set IS the training order (ExportSpec reads a
   *    shard back and asserts it).
   *  - q105 temperature mixture: per-source token quotas ∝ T_d^0.5
   *    (the multinomial temperature-sampling rebalance of XLM-R/mT5,
@@ -35,7 +35,7 @@ import graft.engine.Tables
   * refines each shard into 256 subshards whose starting offsets come
   * from a window over a bounded (shard × subshard) frame; the global
   * per-shard rank is offset + intra-subshard row_number, byte-identical
-  * to the single-window form (ShardExportSpec checks equivalence).
+  * to the single-window form (ExportSpec checks equivalence).
   */
 object ExportOps {
   private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
@@ -62,7 +62,7 @@ object ExportOps {
 
   /** (doc_id, shard, rk, n_tok, rnk): deterministic shard + global
     * per-shard rank, two-phase (see object scaladoc). `singlePhase`
-    * exists only for ShardExportSpec's equivalence check. */
+    * exists only for ExportSpec's equivalence check. */
   private[queries] def shardRanked(df: DataFrame, singlePhase: Boolean = false): DataFrame = {
     val base = df
       .withColumn("shard",
@@ -90,17 +90,33 @@ object ExportOps {
   }
 
   /** The export sink: one pass over the curated frame → parquet
-    * `outDir/shard=<h>/` with rows written in training order (the rank
-    * ASSIGNMENT is two-phase; the physical order comes from
-    * `repartition(shard) + sortWithinPartitions`, so each shard's file
-    * set reads back in rank order with no post-sort). Returns the
-    * written frame's schema for callers that audit it. */
-  def exportShards(s: SparkSession, df: DataFrame, outDir: String): Unit =
+    * `outDir/shard=<h>/` with rows written in training order. The rank
+    * ASSIGNMENT is two-phase (object scaladoc); the physical layout is
+    * a RANGE partition over `(shard, rnk)` into `numPartitions` write
+    * tasks (default: max(256, the session's shuffle parallelism) — 16×
+    * the shard count) + `sortWithinPartitions` — NOT `repartition(shard)`,
+    * which would cap the export at 16 active writers and make each
+    * shard a single-task ~6 TB sort at the 100 TB target. Under the
+    * range partition a shard's rows span several consecutive output
+    * partitions in rank order, so `partitionBy(shard)` still yields one
+    * directory per shard whose part files, taken in LEXICOGRAPHIC NAME
+    * ORDER (Spark's zero-padded part numbering follows the range
+    * order), concatenate to the exact training order — a training
+    * loader reads the file list sorted by name and never sorts rows;
+    * `rnk` is also embedded per row so any consumer can order-check or
+    * re-sort cheaply. ExportSpec asserts the name-ordered read-back and
+    * that >16 write tasks actually ran. */
+  def exportShards(s: SparkSession, df: DataFrame, outDir: String,
+                   numPartitions: Int = 0): Unit = {
+    val n =
+      if (numPartitions > 0) numPartitions
+      else math.max(256, s.conf.get("spark.sql.shuffle.partitions", "200").toInt)
     shardRanked(df.select(col("doc_id"), col("source"), col("text")))
       .select("shard", "rnk", "doc_id", "source", "text")
-      .repartition(col("shard"))
+      .repartitionByRange(n, col("shard"), col("rnk"))
       .sortWithinPartitions("shard", "rnk")
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+  }
 
   /** Greedy per-source fill to a PER-SOURCE quota in deterministic md5
     * order — q87's budgetFill generalized from one constant budget to a

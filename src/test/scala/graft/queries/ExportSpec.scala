@@ -40,23 +40,45 @@ class ExportSpec extends AnyFunSuite {
     }
   }
 
-  test("exportShards writes one dir per shard and each shard reads back in rank order") {
+  test("exportShards writes one dir per shard, each shard's name-ordered files " +
+      "concatenate to rank order, and >16 tasks wrote the export") {
     val out = Files.createTempDirectory("graft-shards-").toString
     try {
       ExportOps.exportShards(spark, docs.select("doc_id", "source", "text"), out)
       val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
         .map(_.getName).filter(_.startsWith("shard=")).sorted
       assert(dirs.length === 16, s"expected 16 shard dirs, got ${dirs.toSeq}")
-      // read ONE physical shard back without a sort: parquet preserves
-      // row order within files, and sortWithinPartitions wrote each
-      // shard as rank-ordered files — the file set must read back with
-      // rnk non-decreasing (the property that makes the export THE
-      // training order, no shuffle on the consumer side)
-      val shard0 = spark.read.parquet(s"$out/${dirs.head}")
-        .select("rnk").collect().map(_.getLong(0))
-      assert(shard0.length > 0)
-      assert(shard0.zip(shard0.tail).forall { case (a, b) => a <= b },
-        "rows within a shard's file set must be in rank order")
+      // The scale contract (round-12 finding): the physical sink must
+      // NOT serialize each shard into one writer — the range partition
+      // over (shard, rnk) spreads the export over many tasks. Part-file
+      // names embed the writing partition id; distinct ids across the
+      // export = number of tasks that produced data.
+      val partFiles = dirs.flatMap { d =>
+        new java.io.File(s"$out/$d").listFiles()
+          .filter(f => f.isFile && f.getName.startsWith("part-"))
+          .map(f => d -> f.getName)
+      }
+      val taskIds = partFiles.map(_._2.split("-")(1)).distinct
+      assert(taskIds.length > 16,
+        s"export must engage more write tasks than shards (16): got ${taskIds.length}")
+      // The consumer contract: within each shard dir, reading the part
+      // files in LEXICOGRAPHIC NAME ORDER concatenates to rank order —
+      // a training loader sorts the file list by name and never sorts
+      // rows. (Reading the whole dir in one spark.read is NOT the
+      // contract: Spark bin-packs splits by size, not name.)
+      dirs.foreach { d =>
+        val files = new java.io.File(s"$out/$d").listFiles()
+          .filter(f => f.isFile && f.getName.startsWith("part-"))
+          .map(_.getName).sorted
+        val rnks = files.flatMap { f =>
+          spark.read.parquet(s"$out/$d/$f").select("rnk").collect().map(_.getLong(0))
+        }
+        assert(rnks.length > 0, s"$d: empty shard")
+        assert(rnks.zip(rnks.tail).forall { case (a, b) => a <= b },
+          s"$d: name-ordered file set must concatenate to rank order")
+        assert(rnks.head === 1L && rnks.last === rnks.length.toLong,
+          s"$d: concatenation must be the full 1..n rank sequence")
+      }
       // and the full export is lossless
       assert(spark.read.parquet(out).count() === docs.count())
     } finally {
