@@ -98,6 +98,11 @@ final class BatchProcessor(
     // outcomes (e.g. repeated archive failures), so finalize on every
     // tick, not just the exception path.
     ledger.quarantineExhausted(runId)
+    // Index maintenance AFTER the tick's terminal ledger writes: compact
+    // any dedup-index store whose per-tick append files have outgrown
+    // the stage's threshold (DedupStage.maintain — crash-safe, and this
+    // tick is the index's single writer).
+    dedup.foreach(_.maintain(spark): Unit)
     true
   }
 

@@ -115,7 +115,19 @@ final case class DedupStage(
       * ([[FingerprintGate.store]]) so modality bucket spaces never
       * cross-collide; gates run in order, each over the previous gates'
       * survivors. */
-    fingerprints: Seq[FingerprintGate] = Nil) {
+    fingerprints: Seq[FingerprintGate] = Nil,
+    /** File-count compaction trigger for the stage's durable stores
+      * (MinHash `bands`/`shingles`/`winhashes` + one `fps_<tag>` per
+      * gate): every tick appends one small parquet file per store, so
+      * after thousands of ticks probe PLANNING pays a thousands-file
+      * listing — the degradation [[graft.queries.MinHashIndex.compact]]
+      * / [[graft.queries.FingerprintIndex.compact]] exist to undo.
+      * [[maintain]] (called by both runners after their commit point)
+      * compacts any store whose visible data-file count exceeds this.
+      * The trigger is a FILE count, not a byte size: the bounded cost
+      * is per-file open/footer/listing overhead, which is
+      * size-independent. */
+    compactThresholdFiles: Int = 256) {
 
   /** Audit column [[partition]] adds to survivors under [[spanScrub]]:
     * number of already-in-corpus spans removed from the row's text
@@ -336,5 +348,49 @@ final case class DedupStage(
     for (g <- fingerprints)
       FingerprintIndex.appendStaged(s, indexRoot, survivorFps(g, survivors),
         token, g.store)
+  }
+
+  /** The tick's index-maintenance slot: compact every durable store
+    * whose visible data-file count exceeds [[compactThresholdFiles]]
+    * (each tick's append adds one file per store; unbounded ticks would
+    * otherwise make probe planning pay an unbounded listing). Returns
+    * the compacted store names (empty = nothing was fragmented).
+    *
+    * Callers run it AFTER their commit point, under the index's
+    * single-writer discipline — in particular the streaming runner
+    * calls it only after the micro-batch's commit marker exists,
+    * because compaction renames away the `b<token>-`/`f<token>-`
+    * prefixes a replayed [[appendSurvivorsStaged]] would key its sweep
+    * on (the interleaving [[graft.queries.MinHashIndex.compact]]'s
+    * scaladoc forbids). Compaction itself is crash-safe per store via
+    * [[graft.ingest.Staging.compactStore]]'s two-rename swap, so a
+    * tick dying mid-maintenance self-heals on the next tick's call.
+    * Probe semantics are content-identical across a compaction
+    * (IngestSpec drives a post-compaction tick and asserts identical
+    * suppressions). */
+  def maintain(s: SparkSession): Seq[String] = {
+    val rootPath = new org.apache.hadoop.fs.Path(indexRoot)
+    val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    def dataFiles(store: String): Int = {
+      val p = new org.apache.hadoop.fs.Path(rootPath, store)
+      if (!fs.exists(p)) 0
+      else fs.listStatus(p).count { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+    }
+    val minhashStores = Seq("bands", "shingles", "winhashes")
+    val compactedText =
+      if (minhashStores.exists(dataFiles(_) > compactThresholdFiles)) {
+        // one fragmented store compacts the family: the three stores
+        // fragment in lockstep (every append writes all three) and
+        // MinHashIndex.compact rewrites them together
+        MinHashIndex.compact(s, indexRoot)
+        minhashStores
+      } else Nil
+    val compactedFps = fingerprints.map(_.store).distinct
+      .filter(dataFiles(_) > compactThresholdFiles)
+    compactedFps.foreach(st => FingerprintIndex.compact(s, indexRoot, store = st))
+    compactedText ++ compactedFps
   }
 }

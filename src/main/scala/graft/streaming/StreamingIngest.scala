@@ -167,5 +167,11 @@ object StreamingIngest {
     fs.mkdirs(commitMarker.getParent)
     val out = fs.create(commitMarker, true)
     out.close()
+    // Index maintenance strictly AFTER the marker: compaction renames
+    // away the b<token>-/f<token>- prefixes a replayed appendStaged
+    // would sweep on, so it must only run once this batch can no longer
+    // replay (the marker short-circuits it). Crash mid-compaction
+    // self-heals via the two-rename swap on the next batch's call.
+    dedup.foreach(_.maintain(spark): Unit)
   }
 }

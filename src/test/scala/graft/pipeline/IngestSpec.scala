@@ -225,6 +225,76 @@ class IngestSpec extends AnyFunSuite {
     assert(curated == Seq(survivor, "i-4", "u-1").sorted, s"curated: $curated")
   }
 
+  test("index maintenance: fragmented stores compact on the file-count threshold; post-compaction probes are identical") {
+    val lay = freshLake()
+    def irec(id: String, tokPrefix: String, img: Option[Array[Byte]]): String = {
+      val imgField = img.map(b =>
+        s""","img":"${java.util.Base64.getEncoder.encodeToString(b)}"""").getOrElse("")
+      val text = (0 until 50).map(i => s"$tokPrefix$i").mkString(" ")
+      s"""{"id":"$id","event_timestamp":"2024-03-07 11:22:33.000000","MODE":"training",""" +
+        s""""metadata":{"app_version":"2.4.1","user_agent":"svc/1.0","user_id":7},""" +
+        s""""payload":{"transaction_id":"t-$id","value":9.5,"props":"$text"$imgField}}"""
+    }
+    def pat(p: Int, flip00: Boolean = false): Array[Byte] =
+      graft.queries.ImageHash.bmpGridBytes(32, 32, (r, c) => {
+        val bit = ((p >> (c / 4)) & 1) == 1
+        val inv = flip00 && r / 4 == 0 && c / 4 == 0
+        if (bit ^ inv) 200 else 50
+      })
+    val stage = DedupStage(s"${lay.root}/dedup-index",
+      id = col("record_id"), text = col("payload.props"),
+      fingerprints = Seq(DedupDemo.imageFingerprint),
+      compactThresholdFiles = 2)
+    val bp = new BatchProcessor(spark, lay, Contracts.events, dedup = Some(stage))
+    def files(store: String): Int = {
+      val d = new File(s"${lay.root}/dedup-index/$store")
+      if (!d.exists) 0
+      else d.listFiles.count(f => f.isFile &&
+        !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    }
+
+    // 5 ticks, each one UNIQUE doc with a UNIQUE image: every tick
+    // appends at least one parquet file per store (bands/shingles/
+    // winhashes/fps), so un-maintained stores would hold >= 5 data
+    // files; the threshold-2 trigger must keep every listing bounded
+    val pats = Seq(0x01, 0x02, 0x04, 0x08, 0x10) // pairwise block-Hamming >= 8
+    for (k <- 1 to 5) {
+      writeLines(s"${lay.rawDir}/t$k.jsonl",
+        Seq(irec(s"d-$k", s"p${k}w", Some(pat(pats(k - 1))))))
+      assert(bp.runUntilDrained() == 1)
+    }
+    for (st <- Seq("bands", "shingles", "winhashes", "fps"))
+      assert(files(st) <= 3,
+        s"$st: ${files(st)} files after 5 ticks — compaction never fired")
+
+    // the compacted index must probe EXACTLY like the fragmented one:
+    // a text near-dup of tick-1's doc and an image near-dup of tick-1's
+    // image (Hamming 1) both flag with the same dup_of / scores the
+    // uncompacted index would produce
+    val hash = (id: String) => {
+      import spark.implicits._
+      Seq(id).toDF("i").select(xxhash64(col("i"))).collect()(0).getLong(0)
+    }
+    val t1near = ((0 until 49).map(i => s"p1w$i") :+ "changed").mkString(" ")
+    writeLines(s"${lay.rawDir}/t6.jsonl", Seq(
+      s"""{"id":"n-1","event_timestamp":"2024-03-07 11:22:33.000000","MODE":"training",""" +
+        s""""metadata":{"app_version":"2.4.1","user_agent":"svc/1.0","user_id":7},""" +
+        s""""payload":{"transaction_id":"t-n-1","value":9.5,"props":"$t1near"}}""",
+      irec("n-2", "qq", Some(pat(0x01, flip00 = true)))))
+    assert(bp.runUntilDrained() == 1)
+    val dd = DlqWriter.read(spark, lay.dedupDlqDir)
+      .select("record_id", "dup_of", "jac_e6", "dup_reason").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1).toSeq
+    assert(dd.map(x => (x._1, x._2, x._4)) ==
+      Seq(("n-1", hash("d-1"), "index"), ("n-2", hash("d-1"), "fp_index")),
+      s"post-compaction DLQ: $dd")
+    assert(dd(0)._3 >= 800000L && dd(1)._3 == 984375L, s"scores: $dd")
+    val curated = CuratedWriter.read(spark, lay.curatedDir)
+      .select("record_id").collect().map(_.getString(0)).sorted.toSeq
+    assert(curated == (1 to 5).map(k => s"d-$k"), s"curated: $curated")
+  }
+
   test("two fingerprint gates keep separate stores: equal fingerprints across modalities never cross-flag") {
     val lay = freshLake()
     def pat(p: Int, flip00: Boolean = false): Array[Byte] =
