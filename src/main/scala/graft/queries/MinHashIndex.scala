@@ -80,11 +80,17 @@ object MinHashIndex {
     * duplicate keys across files change nothing. */
   private def write(s: SparkSession, root: String, docsDf: DataFrame,
                     mode: String): Unit = {
-    val sh = DedupOps.shingled(docsDf).persist()
+    val sh = DedupOps.shingled(docsDf)
+    // the shingled frame feeds both stores; persist it unless a query
+    // closure already cached the same canonical plan this session (a
+    // second persist would only warn, and unpersisting here would evict
+    // the other owner's cache)
+    val ownCache = sh.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    if (ownCache) sh.persist()
     sh.write.mode(mode).parquet(s"$root/shingles")
     DedupOps.bandRows(s, sh)
       .write.mode(mode).parquet(s"$root/bands")
-    sh.unpersist()
+    if (ownCache) sh.unpersist()
     DedupOps.spanWindows(docsDf).select("wh").dropDuplicates("wh")
       .write.mode(mode).parquet(s"$root/winhashes")
     ()

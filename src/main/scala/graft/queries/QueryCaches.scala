@@ -1,6 +1,8 @@
 package graft.queries
 
 import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import scala.collection.mutable
 import scala.collection.mutable.ArrayBuffer
 import scala.util.DynamicVariable
 
@@ -20,11 +22,17 @@ import scala.util.DynamicVariable
   * Ownership is per-[[scoped]] call, carried in a thread-bound token
   * (not a shared index watermark): entries tracked while a scope is
   * open on the calling thread — query closures run synchronously on
-  * it — belong to that scope alone, so two concurrent `runAndRelease`
-  * calls on different threads each release exactly their own caches.
-  * Entries tracked OUTSIDE any scope (a consumer driving `defs()`
-  * directly) go to a process-lifetime list that only [[releaseAll]]
-  * drains — Bench/Verify call it between queries.
+  * it — belong to that scope alone. Across registries, ownership of one
+  * PHYSICAL cache is REFCOUNTED by canonical plan: Spark's CacheManager
+  * keys caches on the canonical plan, so when two closures track the
+  * same shingled-corpus frame (q32 then q79 in one session, or two
+  * concurrent `runAndRelease` threads), a second `persist()` would only
+  * log `Asked to cache already cached data`, and a first-releaser
+  * unpersist would evict the cache under the OTHER tracker's still-
+  * running jobs (worse, a mid-flight `InMemoryRelation` rematerializes
+  * its RDD after the eviction and the orphan is then unreachable by any
+  * plan-keyed unpersist — a leak). Refcounting gives each tracker a
+  * share and drops the cache exactly when the LAST share releases.
   *
   * Unpersist is non-blocking and an unpersisted entry is a no-op, so
   * frames already released inside an operator (e.g. the q65 edge list
@@ -38,36 +46,84 @@ object QueryCaches {
 
   private val global = ArrayBuffer.empty[Dataset[_]]
   private val current = new DynamicVariable[Option[Scope]](None)
+  /** canonical plan → (the dataset that actually holds the persist,
+    * outstanding tracker shares). */
+  private val owned = mutable.Map.empty[LogicalPlan, (Dataset[_], Int)]
 
-  /** Persist `ds` and record it for later release. */
-  def track[T](ds: Dataset[T]): ds.type = { ds.persist(); note(ds) }
+  private def keyOf(ds: Dataset[_]): LogicalPlan =
+    ds.queryExecution.analyzed.canonicalized
 
-  /** Record an already-persisted frame for later release. */
-  def note[T](ds: Dataset[T]): ds.type = synchronized {
+  private def record(ds: Dataset[_]): Unit =
     current.value match {
       case Some(sc) => sc.entries += ds
       case None     => global += ds
     }
+
+  /** Persist `ds` and record it for later release — or, if a tracker
+    * anywhere already holds the same canonical plan, take a refcount
+    * share of the existing cache instead of double-persisting. A plan
+    * cached OUTSIDE this registry (an operator's own scratch persist)
+    * is left entirely alone: no persist, no share, no release — its
+    * owner unpersists it itself. */
+  def track[T](ds: Dataset[T]): ds.type = synchronized {
+    val key = keyOf(ds)
+    owned.get(key) match {
+      case Some((holder, n)) =>
+        owned(key) = (holder, n + 1)
+        record(ds)
+      case None =>
+        if (ds.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+          ds.persist()
+          owned(key) = (ds, 1)
+          record(ds)
+        }
+    }
     ds
   }
 
+  /** Record an already-persisted frame for later release (the caller
+    * issued the `persist()` itself). Takes a refcount share like
+    * [[track]]. */
+  def note[T](ds: Dataset[T]): ds.type = synchronized {
+    val key = keyOf(ds)
+    owned(key) = owned.get(key) match {
+      case Some((holder, n)) => (holder, n + 1)
+      case None              => (ds, 1)
+    }
+    record(ds)
+    ds
+  }
+
+  /** Drop one tracker share; unpersist the physical cache only when the
+    * last share releases. */
+  private def release(ds: Dataset[_]): Unit = {
+    val key = keyOf(ds)
+    owned.get(key) match {
+      case Some((holder, n)) if n > 1 => owned(key) = (holder, n - 1)
+      case Some((holder, _)) =>
+        owned.remove(key)
+        holder.unpersist(blocking = false): Unit
+      case None => ds.unpersist(blocking = false): Unit
+    }
+  }
+
   /** Run `body` under a fresh ownership scope on this thread, then
-    * unpersist (non-blocking, newest-first — dependents before their
-    * upstream frames) exactly the frames the body tracked. Scopes on
+    * release (non-blocking, newest-first — dependents before their
+    * upstream frames) exactly the shares the body tracked. Scopes on
     * other threads are unaffected; nesting gives the innermost scope
     * ownership. */
   def scoped[A](body: => A): A = {
     val sc = new Scope
     try current.withValue(Some(sc))(body)
     finally synchronized {
-      sc.entries.reverseIterator.foreach(_.unpersist(blocking = false))
+      sc.entries.reverseIterator.foreach(release)
       sc.entries.clear()
     }
   }
 
-  /** Unpersist every frame tracked outside any scope (newest-first). */
+  /** Release every share tracked outside any scope (newest-first). */
   def releaseAll(): Unit = synchronized {
-    global.reverseIterator.foreach(_.unpersist(blocking = false))
+    global.reverseIterator.foreach(release)
     global.clear()
   }
 }

@@ -58,4 +58,32 @@ class CacheHygieneSpec extends AnyFunSuite {
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(leaked.isEmpty, s"concurrent calls leaked persisted RDDs: $leaked")
   }
+
+  test("track is idempotent on an already-cached plan: no double-persist, no ownership steal") {
+    // Spark's CacheManager keys on the canonical plan, so two queries
+    // tracking the same shingled frame used to double-persist (the
+    // `Asked to cache already cached data` warnings in the test log)
+    // AND let the second tracker's release evict a cache it never
+    // planted. track() must reuse an already-cached plan untouched.
+    import spark.implicits._
+    val a = Seq(101, 102, 103).toDF("hyg").filter($"hyg" > 101)
+    QueryCaches.track(a)
+    a.count()
+    assert(a.storageLevel.useMemory)
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    QueryCaches.scoped {
+      // same canonical plan, different Dataset object — the q32-then-q79
+      // shape; the scope must NOT re-persist or adopt it
+      val b = Seq(101, 102, 103).toDF("hyg").filter($"hyg" > 101)
+      QueryCaches.track(b)
+      assert(b.count() == 2)
+    }
+    // scope closed: the pre-existing cache survives (ownership stayed
+    // with the original tracker) and no new RDD was pinned
+    assert(a.storageLevel.useMemory, "scope evicted a cache it never planted")
+    assert(spark.sparkContext.getPersistentRDDs.keySet == cachedBefore,
+      "re-tracking an already-cached plan pinned a new RDD")
+    QueryCaches.releaseAll()
+    assert(!a.storageLevel.useMemory, "releaseAll must drop the original tracker's cache")
+  }
 }
