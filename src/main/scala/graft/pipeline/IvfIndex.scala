@@ -68,6 +68,15 @@ object IvfIndex {
   def loadBaseline(spark: SparkSession, root: String): Double =
     readMeta(spark, root, "_stats.txt").trim.toDouble
 
+  /** Incremental drift accumulator riding the store (`cells/_drift.txt`,
+    * maintained by [[append]]/[[appendStaged]], reset by every
+    * (re-)train): trained row count, Σ squared assignment distance of
+    * all appended-since-train rows, their count, and the last staged
+    * append's token (the replay guard). Lets a STREAMING maintenance
+    * slot check drift per micro-batch at O(batch) instead of re-scanning
+    * the whole store ([[driftRatioIncremental]]). */
+  private val DriftMeta = "_drift.txt"
+
   private def readMeta(spark: SparkSession, root: String, name: String): String = {
     val in = fsOf(spark, root).open(new Path(s"$root/cells", name))
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -144,14 +153,25 @@ object IvfIndex {
     * no shuffle (global avg). The quantizer-quality scalar. */
   private def meanAssignDist(spark: SparkSession, e: DataFrame,
                              cents: Seq[Array[Float]]): Double = {
+    val (s, n) = sumCountAssignDist(spark, e, cents)
+    s / n
+  }
+
+  /** (Σ squared assignment distance, row count) over `e` — the same
+    * scan as [[meanAssignDist]] kept un-divided so [[append]] can fold
+    * a batch into the incremental drift accumulator. */
+  private def sumCountAssignDist(spark: SparkSession, e: DataFrame,
+                                 cents: Seq[Array[Float]]): (Double, Long) = {
     graft.functions.VectorExpressions.register(spark)
     val best = greatest(cents.map { c =>
       val norm2 = c.map(x => x.toDouble * x.toDouble).sum
       call_function("vec_dot", col("embedding"), typedLit(c.toSeq)) - lit(norm2 / 2)
     }: _*)
-    e.select(avg(expr("aggregate(embedding, 0D, (a, x) -> a + CAST(x AS DOUBLE) * x)")
-      - lit(2.0) * best).as("d"))
-      .first().getDouble(0)
+    val r = e.select(
+      sum(expr("aggregate(embedding, 0D, (a, x) -> a + CAST(x AS DOUBLE) * x)")
+        - lit(2.0) * best).as("s"),
+      count(lit(1)).as("n")).first()
+    if (r.isNullAt(0)) (0.0, 0L) else (r.getDouble(0), r.getLong(1))
   }
 
   /** Write assignment + metadata for `e` under `dir` (the shared tail
@@ -163,8 +183,11 @@ object IvfIndex {
       .write.mode("overwrite").partitionBy("cell").parquet(dir)
     writeMeta(fs, new Path(dir), "_centroids.txt",
       cents.map(_.mkString(",")).mkString("\n"))
-    writeMeta(fs, new Path(dir), "_stats.txt",
-      meanAssignDist(spark, e, cents).toString)
+    val (s, n) = sumCountAssignDist(spark, e, cents)
+    writeMeta(fs, new Path(dir), "_stats.txt", (s / n).toString)
+    // incremental drift accumulator (see driftRatioIncremental):
+    // "trained-row-count appended-sumD2 appended-count last-append-token"
+    writeMeta(fs, new Path(dir), DriftMeta, s"$n 0.0 0 -")
   }
 
   /** Train the coarse quantizer on `e` (vec_id, embedding) and write the
@@ -201,6 +224,8 @@ object IvfIndex {
       // metadata files into the staged rewrite
       writeMeta(fs, staged, "_centroids.txt", readMeta(spark, root, "_centroids.txt"))
       writeMeta(fs, staged, "_stats.txt", readMeta(spark, root, "_stats.txt"))
+      if (fs.exists(new Path(s"$root/cells", DriftMeta)))
+        writeMeta(fs, staged, DriftMeta, readMeta(spark, root, DriftMeta))
     }
   }
 
@@ -215,6 +240,42 @@ object IvfIndex {
     val e = spark.read.parquet(s"$root/cells")
       .select(col("b_id").as("vec_id"), col("eb").as("embedding"))
     meanAssignDist(spark, e, cents) / loadBaseline(spark, root)
+  }
+
+  /** [[driftRatio]] from the `_drift.txt` accumulator — O(1), no store
+    * scan: current store-wide mean assignment distance is the weighted
+    * mean of the trained rows (baseline · n_train — assignments are a
+    * pure function of the frozen centroids, so the build-time scan
+    * stays exact) and the appended rows' accumulated Σd². Identical to
+    * the full-scan value up to float addition order. None when the
+    * store predates the accumulator (fall back to the scan). */
+  def driftRatioIncremental(spark: SparkSession, root: String): Option[Double] = {
+    val fs = fsOf(spark, root)
+    if (!fs.exists(new Path(s"$root/cells", DriftMeta))) return None
+    val parts = readMeta(spark, root, DriftMeta).trim.split("\\s+")
+    val (nTrain, sumApp, nApp) = (parts(0).toLong, parts(1).toDouble, parts(2).toLong)
+    val baseline = loadBaseline(spark, root)
+    if (nTrain + nApp == 0) return Some(1.0)
+    Some(((baseline * nTrain + sumApp) / (nTrain + nApp)) / baseline)
+  }
+
+  /** Fold one appended batch's (Σd², count) into the accumulator.
+    * `token` guards at-least-once replays: a staged re-append of the
+    * SAME token must not double-count (the crashed attempt may already
+    * have accumulated). Ordering — publish, then accumulate-and-stamp —
+    * makes every crash point converge: before the stamp the replay
+    * re-accumulates over swept (replaced, not duplicated) files; after
+    * it, the replay skips. A crash between a plain append and its
+    * accumulate under-counts drift, which only DELAYS the re-train
+    * trigger — the safe direction. */
+  private def accumulateDrift(spark: SparkSession, fs: FileSystem, root: String,
+                              batchSum: Double, batchN: Long,
+                              token: String): Unit = {
+    if (!fs.exists(new Path(s"$root/cells", DriftMeta))) return // legacy store
+    val parts = readMeta(spark, root, DriftMeta).trim.split("\\s+")
+    if (parts.length > 3 && parts(3) == token && token != "-") return // replay
+    writeMeta(fs, new Path(s"$root/cells"), DriftMeta,
+      s"${parts(0)} ${parts(1).toDouble + batchSum} ${parts(2).toLong + batchN} $token")
   }
 
   /** Re-train the coarse quantizer over the CURRENT store contents and
@@ -247,7 +308,11 @@ object IvfIndex {
     * growth (≈1.0). */
   def retrainIfDrifted(spark: SparkSession, root: String,
                        threshold: Double = 1.25): Boolean = {
-    val drifted = driftRatio(spark, root) > threshold
+    // the O(1) accumulator when the store maintains it (equal to the
+    // full scan up to float addition order); the scan for legacy stores
+    val ratio = driftRatioIncremental(spark, root)
+      .getOrElse(driftRatio(spark, root))
+    val drifted = ratio > threshold
     if (drifted) retrain(spark, root)
     drifted
   }
@@ -267,10 +332,69 @@ object IvfIndex {
   def append(spark: SparkSession, root: String, vecs: DataFrame): Unit = {
     graft.functions.VectorExpressions.register(spark) // cellsOf needs vec_dot
     val cents = loadCentroids(spark, root)
-    vecs.withColumn("cell", element_at(cellsOf(cents, 1), 1))
+    val v = vecs.persist()
+    v.withColumn("cell", element_at(cellsOf(cents, 1), 1))
       .select(col("vec_id").as("b_id"), col("cell"), col("embedding").as("eb"))
       .write.mode("append").partitionBy("cell")
       .parquet(s"$root/cells")
+    val (s, n) = sumCountAssignDist(spark, v, cents)
+    v.unpersist()
+    accumulateDrift(spark, fsOf(spark, root), root, s, n, "-")
+  }
+
+  /** Replay-idempotent [[append]] for AT-LEAST-ONCE callers (the
+    * streaming maintenance path, [[appendStream]]): the batch's cell
+    * files stage first and publish with a deterministic `v<token>-`
+    * prefix sweeping any files a crashed attempt of the same token
+    * already moved ([[graft.ingest.Staging.publish]] with
+    * `replaceExistingPrefix`), and the drift accumulator is stamped
+    * with the token so a replay never double-counts. Single-writer like
+    * every other index mutation. */
+  def appendStaged(spark: SparkSession, root: String, vecs: DataFrame,
+                   token: String): Unit = {
+    graft.functions.VectorExpressions.register(spark)
+    val fs = fsOf(spark, root)
+    val cents = loadCentroids(spark, root)
+    val stage = new Path(new Path(root), s".append-cells-$token")
+    fs.delete(stage, true)
+    val v = vecs.persist()
+    v.withColumn("cell", element_at(cellsOf(cents, 1), 1))
+      .select(col("vec_id").as("b_id"), col("cell"), col("embedding").as("eb"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"${stage.toString}/cells")
+    graft.ingest.Staging.publish(fs, stage, new Path(root), s"v$token-",
+      replaceExistingPrefix = true)
+    fs.delete(stage, true)
+    val (s, n) = sumCountAssignDist(spark, v, cents)
+    v.unpersist()
+    accumulateDrift(spark, fs, root, s, n, token)
+  }
+
+  /** The STREAMING maintenance path (round-12 brief #6): drain a
+    * streaming `(vec_id, embedding)` source into the index —
+    * [[appendStaged]] per micro-batch (replay-idempotent), then the
+    * drift check in the SAME single-writer slot, so a continuously-fed
+    * index re-trains itself when appended mass has drifted instead of
+    * silently degrading recall between batch-side maintenance windows.
+    * The per-batch check reads the O(1) accumulator
+    * ([[driftRatioIncremental]]) — no per-tick store scan — and a fired
+    * re-train resets it, so one drift episode triggers exactly one
+    * re-train. Returns the number of re-trains the drain performed.
+    * Blocks until the AvailableNow drain finishes. */
+  def appendStream(spark: SparkSession, root: String, vecs: DataFrame,
+                   checkpoint: String, driftThreshold: Double = 1.25): Int = {
+    val retrains = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendStaged(spark, root, batch, f"ivf$batchId%05d")
+        if (retrainIfDrifted(spark, root, driftThreshold))
+          retrains.incrementAndGet(): Unit
+      }
+      .start()
+    q.awaitTermination()
+    retrains.get
   }
 
   /** Build (or return) the index for this corpus: (centroids,

@@ -309,4 +309,122 @@ class VectorSpec extends AnyFunSuite {
       (st.nInput - VectorOps.NumProbes) * VectorOps.NumProbes,
       s"cosine-evaluation count must be linear in corpus: $st")
   }
+
+  // shared clustered fixture for the streaming-drift tests: 12 original
+  // clusters (center k = 0.5 on dims 4k..4k+3) and 4 DRIFTED clusters at
+  // negated centers — 16 blobs total, matching K, so a re-train CAN
+  // cover every blob (with more blobs than centroids some pair stays
+  // merged forever and every later append of the merged blob re-fires
+  // the trigger — chronic drift the trigger is not meant to solve)
+  private def clusteredFixture() = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rnd = new scala.util.Random(7)
+    def member(cluster: Int, neg: Boolean): Array[Float] = {
+      val v = Array.fill(64)((rnd.nextDouble() * 0.1 - 0.05).toFloat)
+      val s = if (neg) -0.5f else 0.5f
+      (0 until 4).foreach(i => v(cluster * 4 + i) += s)
+      v
+    }
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    def frame(rows: Seq[Row]) =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 4), schema)
+    val orig = frame((0 until 640).map(i =>
+      Row(i.toLong, member(i % 12, neg = false).toSeq)))
+    val drifted = (0 until 160).map(i =>
+      Row(1000000L + i, member(i % 4, neg = true).toSeq))
+    (schema, frame _, orig, drifted)
+  }
+
+  test("appendStaged replays to exactly one copy: rows and drift accumulator unchanged") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    import graft.pipeline.IvfIndex
+    val (_, frame, orig, drifted) = clusteredFixture()
+    val root = Files.createTempDirectory("graft-ivf-staged").toFile
+    IvfIndex.build(spark, root.getPath, orig)
+    IvfIndex.appendStaged(spark, root.getPath, frame(drifted.take(40)), "tok1")
+    def rows() = spark.read.parquet(new java.io.File(root, "cells").getPath)
+      .select("b_id").collect().map(_.getLong(0)).sorted.toSeq
+    def ratio() = IvfIndex.driftRatioIncremental(spark, root.getPath).get
+    val (rows1, ratio1) = (rows(), ratio())
+    assert(rows1.distinct.size == 680, s"expected 680 distinct rows: ${rows1.size}")
+    // an at-least-once caller re-delivers the same token: the sweep
+    // replaces the first attempt's files and the accumulator stamp
+    // skips the double-count
+    IvfIndex.appendStaged(spark, root.getPath, frame(drifted.take(40)), "tok1")
+    assert(rows() == rows1, "replay duplicated index rows")
+    assert(ratio() == ratio1, "replay double-counted the drift accumulator")
+    // the incremental ratio equals the full-scan definition
+    val full = IvfIndex.driftRatio(spark, root.getPath)
+    assert(math.abs(ratio1 - full) / full < 1e-6,
+      s"incremental $ratio1 vs full-scan $full")
+  }
+
+  test("streamed appends past the drift threshold trigger exactly one re-train; recall restored") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import graft.pipeline.IvfIndex
+    val (schema, frame, orig, drifted) = clusteredFixture()
+    val root = Files.createTempDirectory("graft-ivf-stream").toFile
+    IvfIndex.build(spark, root.getPath, orig)
+    val cellsDir = new java.io.File(root, "cells").getPath
+    // 4 files → 4 micro-batches under maxFilesPerTrigger=1: the first
+    // delivers the whole drifted region (it crosses the 1.25 threshold
+    // and the slot re-trains ONCE — the accumulator resets and the
+    // re-trained quantizer now covers the negated clusters); the later
+    // ticks append HEALTHY same-distribution rows, which must measure
+    // ~1.0 against the new baseline and must NOT re-fire — the
+    // exactly-one contract is the reset + coverage, not luck
+    import org.apache.spark.sql.Row
+    val fresh = (0 until 120).map(i =>
+      Row(2000000L + i, {
+        val rnd2 = new scala.util.Random(1000 + i)
+        val v = Array.fill(64)((rnd2.nextDouble() * 0.1 - 0.05).toFloat)
+        v((i % 12) * 4) += 0.5f; v((i % 12) * 4 + 1) += 0.5f
+        v((i % 12) * 4 + 2) += 0.5f; v((i % 12) * 4 + 3) += 0.5f
+        v.toSeq
+      }))
+    val srcDir = Files.createTempDirectory("graft-ivf-src").toString
+    val chunks = Seq(drifted, fresh.slice(0, 40), fresh.slice(40, 80), fresh.slice(80, 120))
+    chunks.foreach { rows =>
+      frame(rows).coalesce(1).write.mode("append").parquet(srcDir)
+      Thread.sleep(30) // distinct mtimes: the file source drains oldest-first
+    }
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val ckpt = Files.createTempDirectory("graft-ivf-ckpt").toString
+    val retrains = IvfIndex.appendStream(spark, root.getPath, stream, ckpt)
+    assert(retrains == 1, s"expected exactly one re-train, got $retrains")
+    // drained lossless, quantizer healthy after the episode
+    assert(spark.read.parquet(cellsDir).count() == 920)
+    assert(IvfIndex.driftRatio(spark, root.getPath) <= 1.25,
+      s"post-drain ratio: ${IvfIndex.driftRatio(spark, root.getPath)}")
+    // recall over the drifted region is back at build quality: the
+    // re-trained centroids route the negated clusters (the batch drift
+    // test's recall harness, nprobe=4)
+    graft.functions.VectorExpressions.register(spark)
+    val cents = IvfIndex.loadCentroids(spark, root.getPath)
+    val corpus = spark.read.parquet(cellsDir)
+    val probesDf = frame(drifted.take(10))
+    def rank(df: org.apache.spark.sql.DataFrame, a: String, ea: String): Set[(Long, Long)] = df
+      .filter(col(a) =!= col("b_id"))
+      .withColumn("cos_e6", expr(
+        s"CAST(ROUND(vec_dot($ea, eb) * 1000000 / " +
+          s"(sqrt(vec_dot($ea, $ea)) * sqrt(vec_dot(eb, eb)))) AS BIGINT)"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(a).orderBy(col("cos_e6").desc, col("b_id"))))
+      .filter(col("rnk") <= 10)
+      .select(a, "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ex = rank(probesDf.join(corpus.select("b_id", "eb"),
+      col("vec_id") =!= col("b_id")), "vec_id", "embedding")
+    val probed = probesDf
+      .withColumn("cell", explode(IvfIndex.cellsOf(cents, 4)))
+      .select(col("vec_id").as("a_id"), col("cell"), col("embedding").as("ea"))
+    val got = rank(broadcast(probed).join(corpus, Seq("cell")), "a_id", "ea")
+    val recall = (ex & got).size.toDouble / ex.size
+    assert(recall >= 0.9, s"drifted-probe recall after streamed re-train: $recall")
+  }
 }
