@@ -174,6 +174,44 @@ class LedgerSpec extends AnyFunSuite {
     assert(st.values.forall(_._1 == Ledger.Succeeded), "all terminal SUCCEEDED")
   }
 
+  test("ledger dialects: the executed SQL is engine-neutral; the Postgres strategy is the reference's") {
+    // this sandbox ships exactly one JDBC engine (Derby), so the
+    // not-Derby-bound claim is proven structurally: everything the suite
+    // executes — including the two-drainer race above — goes through
+    // LedgerDialect.Ansi, whose statements contain no engine-specific
+    // syntax; the Postgres strategy (psuedo_code.txt:170 /
+    // sudo_code.txt:25-49) is real selectable code whose SQL shapes are
+    // pinned here.
+    assert(LedgerDialect.forUrl(JdbcLedger.derbyUrl("/tmp/x")) eq LedgerDialect.Ansi)
+    assert(LedgerDialect.forUrl("jdbc:postgresql://db:5432/lake") eq LedgerDialect.Postgres)
+    // ANSI dialect: no Derby-isms (the old SYSIBM.SYSDUMMY1 dummy-table
+    // dance), no Postgres-isms — every mainstream engine parses it
+    val ansiSql = LedgerDialect.Ansi.insertIgnoreSql.toUpperCase
+    assert(!ansiSql.contains("SYSIBM") && !ansiSql.contains("DUAL") &&
+      !ansiSql.contains("ON CONFLICT"), s"engine-specific token in: $ansiSql")
+    // Postgres dialect: the reference's deployment verbatim
+    assert(LedgerDialect.Postgres.insertIgnoreSql.contains("ON CONFLICT (s3_key) DO NOTHING"))
+    assert(LedgerDialect.Postgres.claimSelectSql.contains("FOR UPDATE SKIP LOCKED"))
+    assert(LedgerDialect.Postgres.claimSelectSql.contains("ORDER BY created_at, s3_key"),
+      "the SKIP LOCKED claim must keep the oldest-first contract")
+  }
+
+  test("jdbc ledger registration + claim run under an explicitly selected dialect") {
+    // the dialect parameter is honored end to end: drive a register →
+    // claim → outcome cycle with the Ansi dialect passed EXPLICITLY
+    // (not via URL inference) and check the lifecycle is intact
+    val dir = Files.createTempDirectory("graft-jdbc-dialect").toString
+    val led = new JdbcLedger(spark, JdbcLedger.derbyUrl(dir), maxRetries = 3,
+      dialect = LedgerDialect.Ansi)
+    assert(led.register(Seq("a.jsonl" -> 1L, "b.jsonl" -> 2L)) == 2)
+    assert(led.register(Seq("a.jsonl" -> 1L, "c.jsonl" -> 3L)) == 1, "conflict-ignore")
+    val won = led.claimBatch(10, "runner-d")
+    assert(won.sorted == Seq("a.jsonl", "b.jsonl", "c.jsonl"))
+    led.markOutcome(won.map(_ -> Ledger.Succeeded).toMap, "runner-d")
+    val st = statusOf(led)
+    assert(st.values.forall(_._1 == Ledger.Succeeded))
+  }
+
   test("jdbc ledger drives the full batch pipeline end to end") {
     import java.nio.charset.StandardCharsets
     import graft.pipeline.{BatchProcessor, Contracts, LakeLayout}
