@@ -101,6 +101,8 @@ object Bench {
         pipeline.StreamDemo.ensureStreamNearDedup(spark, sfDir).count()))),
       "deduplake" -> (() => Future(step("deduplake")(
         pipeline.DedupDemo.ensure(spark, sfDir)))),
+      "mgatelake" -> (() => Future(step("mgatelake")(
+        pipeline.DedupDemo.ensureMultiGate(spark, sfDir)))),
       "fpidx" -> (() => Future(step("fpidx")(
         queries.MultimodalOps.ensureFpIndex(spark, sfDir)))),
       "langmodel" -> (() =>

@@ -110,6 +110,47 @@ object DedupDemo {
     }
   })
 
+  /** The multi-gate demo's AUDIO fingerprint gate (tag `au`, store
+    * `fps_au`): base64-decode `payload.wav`, parse the WAV container,
+    * sample EVERY 20 ms frame, and pack the q98 RMS-delta fingerprint
+    * (bit k = rms rises across frame pair k). The per-doc fingerprint
+    * is computed by the q98 kernel verbatim (decode → frame sample →
+    * one codegen higher-order aggregate) and joined back by the gate's
+    * keyed id, so rows without a decodable WAV get a null fingerprint
+    * and pass — the gate family's total-function contract. */
+  def audioFingerprint: FingerprintGate = FingerprintGate(tag = "au", extract = df => {
+    val hasWav = df.schema.fields.find(_.name == "payload").exists(
+      _.dataType match {
+        case s: org.apache.spark.sql.types.StructType => s.fieldNames.contains("wav")
+        case _ => false
+      })
+    if (!hasWav) df.withColumn(FingerprintGate.FpCol, lit(null).cast("long"))
+    else {
+      val bin = df
+        .select(col("_dedup_id").as("doc_id"), unbase64(col("payload.wav")).as("payload"))
+        .filter(col("payload").isNotNull)
+      val decoded = graft.queries.AudioDecode.decode(bin)
+        .filter(col("decode_err").isNull)
+      val fp = graft.queries.MultimodalOps.deltaFingerprint(
+        graft.queries.AudioDecode.sampleFrames(decoded, everyNth = 1), "frame_rms")
+        .select(col("doc_id").as("_fp_au_id"), col("simhash").as(FingerprintGate.FpCol))
+      df.join(org.apache.spark.sql.functions.broadcast(fp),
+        col("_dedup_id") === col("_fp_au_id"), "left").drop("_fp_au_id")
+    }
+  })
+
+  /** PCM16 WAV whose RMS-delta fingerprint IS `pattern`: frame 2k has
+    * amplitude 200, frame 2k+1 has 300 if pattern bit k is set else 100
+    * (the q98 fixture's construction) — so planted Hamming distances
+    * are closed forms: equal patterns → 0, `pattern ^ 1` → 1. */
+  def demoWav(pattern: Long): Array[Byte] = {
+    val amps = (0 until 129).map { f =>
+      if (f % 2 == 0) 200
+      else if (((pattern >>> (f / 2)) & 1L) == 1L) 300 else 100
+    }
+    graft.queries.AudioDecode.wavBytesVar(8000, amps, 160)
+  }
+
   /** Run (or reuse) the dedup-gated demo lake for this scale factor.
     * The fixture is scale-independent (the OPERATOR history is what q90
     * audits), but artifacts are cached per sf like every other demo so
@@ -144,6 +185,79 @@ object DedupDemo {
           rec("c-1", near("dd", "x9")), rec("c-2", base("ff")),
           rec("d-3", base("ii"), Some(demoImg(flip00 = true)))))
         require(bp.runUntilDrained() == 1, "dedup demo tick 3 did no work")
+      }
+      layout
+    })
+  }
+
+  private val builtMg = mutable.Map.empty[String, LakeLayout]
+
+  /** Record with BOTH optional payload modalities (base64 BMP under
+    * `payload.img`, base64 WAV under `payload.wav`). */
+  private def recMm(id: String, text: String, img: Option[Array[Byte]] = None,
+                    wav: Option[Array[Byte]] = None): String = {
+    def b64(b: Array[Byte]) = java.util.Base64.getEncoder.encodeToString(b)
+    val extra = img.map(b => s""","img":"${b64(b)}"""").getOrElse("") +
+      wav.map(b => s""","wav":"${b64(b)}"""").getOrElse("")
+    s"""{"id":"$id","event_timestamp":"2024-03-07 11:22:33.000000","MODE":"training",""" +
+      s""""metadata":{"app_version":"2.4.1","user_agent":"svc/1.0","user_id":7},""" +
+      s""""payload":{"transaction_id":"t-$id","value":9.5,"props":"$text"$extra}}"""
+  }
+
+  /** The audio fingerprint pattern of the planted WAV pair: any fixed
+    * 64-bit value works; `^ 1` is its Hamming-1 neighbor. */
+  private val WavPattern = 0x5a5a5a5a5a5a5a5aL
+
+  /** The q106 lake: EVERY ingest gate in ONE drain — quality, text
+    * near-dup, image fingerprint AND audio fingerprint (one namespaced
+    * store per modality) — over a planted multi-modality landing zone
+    * where each gate's suppression is a closed form, and each gate
+    * exercises BOTH of its windows across the two ticks:
+    *
+    *   tick 1 (run-00001): three DISJOINT same-tick pairs — t-1 ~ t-2
+    *     (near-texts, no payloads → ONE survives, reason "batch",
+    *     jac_e6 [[PairJacE6]]), i-1 ~ i-2 (unique texts, IDENTICAL
+    *     images → "fp_batch", 1000000), u-1 ~ u-2 (unique texts,
+    *     IDENTICAL audio → "au_batch", 1000000); g-1 is the garbage doc
+    *     (quality DLQ, score [[GarbageScoreE6]]). Pairs are disjoint so
+    *     every closed form is independent of WHICH clique member
+    *     survives. Survivors' text signatures + per-modality
+    *     fingerprints index on commit.
+    *   tick 2 (run-00003): one INDEX-window hit per gate — t-3 near
+    *     the tick-1 text survivor ("index", [[PairJacE6]]), i-3 the
+    *     tick-1 image with one block inverted ("fp_index", 984375),
+    *     u-3 the tick-1 audio with fingerprint bit 0 flipped
+    *     ("au_index", 984375).
+    *
+    * Lake state: 3 curated docs (one survivor per tick-1 pair... plus
+    * none from tick 2), 6 dedup-DLQ rows across 6 distinct reasons,
+    * 1 quality-DLQ row — q106 audits the whole history with every
+    * value literal-pinned. */
+  def ensureMultiGate(spark: SparkSession, sfDir: String): LakeLayout = synchronized {
+    builtMg.getOrElseUpdate(sfDir, {
+      val sfName = new File(sfDir).getName
+      val root = DemoCache.root(s"multigatelake/$sfName")
+      val layout = LakeLayout(root.getPath)
+      DemoCache.cached(root, sfDir) {
+        val stage = DedupStage(s"${layout.root}/dedup-index",
+          id = col("record_id"), text = col("payload.props"),
+          fingerprints = Seq(imageFingerprint, audioFingerprint))
+        val bp = new BatchProcessor(spark, layout, Contracts.events,
+          dedup = Some(stage),
+          quality = Some(QualityGate(text = col("payload.props"))))
+        writeLines(s"${layout.rawDir}/t1.jsonl", Seq(
+          recMm("t-1", base("aa")), recMm("t-2", near("aa", "x2")),
+          recMm("i-1", base("bb"), img = Some(demoImg(flip00 = false))),
+          recMm("i-2", base("cc"), img = Some(demoImg(flip00 = false))),
+          recMm("u-1", base("dd"), wav = Some(demoWav(WavPattern))),
+          recMm("u-2", base("ee"), wav = Some(demoWav(WavPattern))),
+          recMm("g-1", Seq.fill(25)("zz").mkString(" "))))
+        require(bp.runUntilDrained() == 1, "multi-gate demo tick 1 did no work")
+        writeLines(s"${layout.rawDir}/t2.jsonl", Seq(
+          recMm("t-3", near("aa", "x3")),
+          recMm("i-3", base("gg"), img = Some(demoImg(flip00 = true))),
+          recMm("u-3", base("hh"), wav = Some(demoWav(WavPattern ^ 1L)))))
+        require(bp.runUntilDrained() == 1, "multi-gate demo tick 2 did no work")
       }
       layout
     })

@@ -180,6 +180,31 @@ object IngestQueries {
       dlq.unionByName(qual).unionByName(scrubs).orderBy("job_run_id", "reason")
     }),
 
+    // The FULL multi-gate drill (round-12 brief #5): quality + text
+    // near-dup + image fingerprint + audio fingerprint in ONE drain
+    // over DedupDemo.ensureMultiGate's planted multi-modality lake —
+    // every gate exercises BOTH its windows (same-tick pair in tick 1,
+    // index hit in tick 2), each suppression's score is a closed form
+    // pinned literally in the oracle, and the `curated` row audits the
+    // published lake itself (3 survivors). The q90 audit shape extended
+    // to the per-modality reason namespaces (fp_* image, au_* audio).
+    "q106_multigate_audit" -> ((s, d) => {
+      val lay = DedupDemo.ensureMultiGate(s, d)
+      val dlq = DlqWriter.read(s, lay.dedupDlqDir)
+        .groupBy(col("job_run_id"), col("dup_reason").as("reason"))
+        .agg(count(lit(1)).as("n"), max(col("jac_e6")).as("max_jac_e6"))
+      val qual = DlqWriter.read(s, lay.qualityDlqDir)
+        .groupBy(col("job_run_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("job_run_id"), lit("quality").as("reason"), col("n"),
+          lit(null).cast("long").as("max_jac_e6"))
+      val curated = CuratedWriter.read(s, lay.curatedDir)
+        .agg(count(lit(1)).as("n"))
+        .select(lit("lake").as("job_run_id"), lit("curated").as("reason"),
+          col("n"), lit(null).cast("long").as("max_jac_e6"))
+      dlq.unionByName(qual).unionByName(curated).orderBy("job_run_id", "reason")
+    }),
+
     // S9/P9/S10: the catalog consumption path — saveAsTable'd curated
     // lake read back via spark.table with partition-pruning filters.
     "q41_catalog_pruned" -> ((s, d) => {
@@ -327,6 +352,21 @@ object IngestQueries {
          UNION ALL SELECT 'run-00003', 'span-scrub', CAST(1 AS BIGINT), CAST(NULL AS BIGINT)
          UNION ALL SELECT 'run-00005', 'fp_index', CAST(1 AS BIGINT), CAST(984375 AS BIGINT)
          UNION ALL SELECT 'run-00005', 'index', CAST(1 AS BIGINT), CAST(959184 AS BIGINT)
+         ORDER BY job_run_id, reason""",
+    // q106: every value forced by ensureMultiGate's engineered fixture —
+    // three disjoint tick-1 pairs (text 959184 / image 1000000 / audio
+    // 1000000), the garbage doc, three tick-2 index hits (959184 /
+    // 984375 / 984375), and the 3-doc published lake
+    "q106_multigate_audit" ->
+      """SELECT 'lake' AS job_run_id, 'curated' AS reason,
+              CAST(3 AS BIGINT) AS n, CAST(NULL AS BIGINT) AS max_jac_e6
+         UNION ALL SELECT 'run-00001', 'au_batch', CAST(1 AS BIGINT), CAST(1000000 AS BIGINT)
+         UNION ALL SELECT 'run-00001', 'batch', CAST(1 AS BIGINT), CAST(959184 AS BIGINT)
+         UNION ALL SELECT 'run-00001', 'fp_batch', CAST(1 AS BIGINT), CAST(1000000 AS BIGINT)
+         UNION ALL SELECT 'run-00001', 'quality', CAST(1 AS BIGINT), CAST(NULL AS BIGINT)
+         UNION ALL SELECT 'run-00003', 'au_index', CAST(1 AS BIGINT), CAST(984375 AS BIGINT)
+         UNION ALL SELECT 'run-00003', 'fp_index', CAST(1 AS BIGINT), CAST(984375 AS BIGINT)
+         UNION ALL SELECT 'run-00003', 'index', CAST(1 AS BIGINT), CAST(959184 AS BIGINT)
          ORDER BY job_run_id, reason""",
     "q41_catalog_pruned" ->
       """SELECT CAST(day(ts) AS INT) AS day, COUNT(*) AS n,

@@ -240,7 +240,7 @@ object MultimodalOps {
     * bit k = feature[2k+1] > feature[2k] (robust to uniform gain /
     * brightness — the delta-fingerprint family's shape), as ONE
     * higher-order codegen expression over the collected frame array. */
-  private def deltaFingerprint(frames: DataFrame, featureCol: String): DataFrame =
+  private[graft] def deltaFingerprint(frames: DataFrame, featureCol: String): DataFrame =
     frames
       .groupBy("doc_id")
       .agg(array_sort(collect_list(struct(col("frame_idx"), col(featureCol))))

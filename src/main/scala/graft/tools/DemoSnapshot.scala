@@ -44,6 +44,7 @@ object DemoSnapshot {
     pipeline.StreamDemo.ensureStreamNearDedup(spark, sfDir).count()
     pipeline.IvfIndex.ensure(spark, sfDir)
     pipeline.DedupDemo.ensure(spark, sfDir)
+    pipeline.DedupDemo.ensureMultiGate(spark, sfDir)
     graft.queries.MinHashIndex.ensure(spark, sfDir)
     graft.queries.MinHashIndex.ensureAppended(spark, sfDir)
     graft.queries.MultimodalOps.ensureFpIndex(spark, sfDir)
