@@ -354,6 +354,17 @@ object IvfIndex {
                    token: String): Unit = {
     graft.functions.VectorExpressions.register(spark)
     val fs = fsOf(spark, root)
+    // Token-stamp short-circuit: the accumulator stamp is written
+    // strictly AFTER the publish, so a matching stamp proves the whole
+    // append (files + accounting) completed — the replay is a no-op.
+    // This is stronger than the prefix sweep alone: once stamped, even
+    // a compaction that renamed the token's prefixes away (making the
+    // sweep blind) cannot lead to a double-append, which is what makes
+    // compaction safe in the streaming maintenance slot below.
+    if (fs.exists(new Path(s"$root/cells", DriftMeta))) {
+      val parts = readMeta(spark, root, DriftMeta).trim.split("\\s+")
+      if (parts.length > 3 && parts(3) == token) return
+    }
     val cents = loadCentroids(spark, root)
     val stage = new Path(new Path(root), s".append-cells-$token")
     fs.delete(stage, true)
@@ -382,19 +393,57 @@ object IvfIndex {
     * re-train. Returns the number of re-trains the drain performed.
     * Blocks until the AvailableNow drain finishes. */
   def appendStream(spark: SparkSession, root: String, vecs: DataFrame,
-                   checkpoint: String, driftThreshold: Double = 1.25): Int = {
+                   checkpoint: String, driftThreshold: Double = 1.25,
+                   compactThresholdFiles: Int = 256): Int = {
     val retrains = new java.util.concurrent.atomic.AtomicInteger(0)
     val q = vecs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        appendStaged(spark, root, batch, f"ivf$batchId%05d")
+        val token = f"ivf$batchId%05d"
+        appendStaged(spark, root, batch, token)
+        // maintenance in the same single-writer slot, AFTER the token
+        // stamp (appendStaged wrote it with the accumulator) so a
+        // replay of this batch short-circuits instead of relying on
+        // the prefix sweep the compaction below would blind
         if (retrainIfDrifted(spark, root, driftThreshold))
           retrains.incrementAndGet(): Unit
+        else {
+          compactIfFragmented(spark, root, compactThresholdFiles)
+          ()
+        }
       }
       .start()
     q.awaitTermination()
     retrains.get
+  }
+
+  /** File-count compaction trigger for the cell store (the
+    * [[graft.pipeline.DedupStage.maintain]] discipline applied to the
+    * IVF index): every append lands one small file per touched cell
+    * partition, so an unbounded stream of micro-batches makes probe
+    * planning pay an unbounded listing. Compacts when the store's
+    * visible data-file count exceeds `threshold`; returns whether it
+    * fired. ONLY safe for callers whose appends are token-stamped
+    * ([[appendStaged]]) or who cannot replay — compaction renames away
+    * staged prefixes, and the stamp (not the sweep) is what keeps a
+    * post-compaction replay idempotent; the guard below therefore
+    * requires the accumulator meta to exist. */
+  def compactIfFragmented(spark: SparkSession, root: String,
+                          threshold: Int = 256): Boolean = {
+    val fs = fsOf(spark, root)
+    if (!fs.exists(new Path(s"$root/cells", DriftMeta))) return false
+    def count(dir: Path): Int = {
+      val st = fs.listStatus(dir)
+      st.count { s =>
+        val n = s.getPath.getName
+        s.isFile && !n.startsWith("_") && !n.startsWith(".")
+      } + st.filter(s => s.isDirectory && !s.getPath.getName.startsWith("."))
+        .map(s => count(s.getPath)).sum
+    }
+    val fragmented = count(new Path(s"$root/cells")) > threshold
+    if (fragmented) compact(spark, root)
+    fragmented
   }
 
   /** Build (or return) the index for this corpus: (centroids,

@@ -360,6 +360,14 @@ class VectorSpec extends AnyFunSuite {
     val full = IvfIndex.driftRatio(spark, root.getPath)
     assert(math.abs(ratio1 - full) / full < 1e-6,
       s"incremental $ratio1 vs full-scan $full")
+    // the hard case the token stamp exists for: compaction renames the
+    // staged prefixes away, so a post-compaction replay cannot rely on
+    // the sweep — the stamp must short-circuit it entirely
+    assert(IvfIndex.compactIfFragmented(spark, root.getPath, threshold = 1),
+      "fragmented store must trip the compaction trigger")
+    IvfIndex.appendStaged(spark, root.getPath, frame(drifted.take(40)), "tok1")
+    assert(rows() == rows1, "post-compaction replay duplicated index rows")
+    assert(ratio() == ratio1, "post-compaction replay touched the accumulator")
   }
 
   test("streamed appends past the drift threshold trigger exactly one re-train; recall restored") {
@@ -396,10 +404,23 @@ class VectorSpec extends AnyFunSuite {
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
     val ckpt = Files.createTempDirectory("graft-ivf-ckpt").toString
-    val retrains = IvfIndex.appendStream(spark, root.getPath, stream, ckpt)
+    val retrains = IvfIndex.appendStream(spark, root.getPath, stream, ckpt,
+      compactThresholdFiles = 20)
     assert(retrains == 1, s"expected exactly one re-train, got $retrains")
     // drained lossless, quantizer healthy after the episode
     assert(spark.read.parquet(cellsDir).count() == 920)
+    // the maintenance slot kept the cell store's listing bounded: the
+    // re-train rewrite + three appended micro-batches would otherwise
+    // accumulate well past the threshold
+    def cellFiles(d: java.io.File): Int = {
+      val kids = Option(d.listFiles()).toSeq.flatten
+      kids.count(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".")) +
+        kids.filter(f => f.isDirectory && !f.getName.startsWith("."))
+          .map(cellFiles).sum
+    }
+    val nFiles = cellFiles(new java.io.File(cellsDir))
+    assert(nFiles <= 40, s"cell store not compacted: $nFiles files")
     assert(IvfIndex.driftRatio(spark, root.getPath) <= 1.25,
       s"post-drain ratio: ${IvfIndex.driftRatio(spark, root.getPath)}")
     // recall over the drifted region is back at build quality: the
