@@ -211,9 +211,12 @@ object Bench {
     // and dropped q01-q28 per-query medians from the parsed artifact —
     // the same three lines land in a file so a truncated stdout tail can
     // never lose them again (the driver's stdout contract is unchanged)
+    // Subset runs (SPARK_GRAFT_BENCH_ONLY) land in a "-subset" sibling so
+    // a dev-loop measurement can never clobber the last full-sweep artifact.
     try {
+      val tag = if (only.isDefined) "-subset" else ""
       val out = java.nio.file.Paths.get("var", "bench",
-        s"bench-${new java.io.File(sfDir).getName}.json")
+        s"bench-${new java.io.File(sfDir).getName}$tag.json")
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out, lines.mkString("", "\n", "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
