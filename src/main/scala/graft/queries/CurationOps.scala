@@ -264,6 +264,47 @@ object CurationOps {
         .orderBy("doc_id")
     }),
 
+    // Top-n-gram concentration (the other half of the Gopher repetition
+    // family next to q71): the fraction of a doc's characters covered by
+    // its single most frequent word 2-/3-gram. q71 measures how many
+    // grams REPEAT; this measures how much of the doc ONE gram dominates
+    // — boilerplate headers and keyword-stuffed spam score high here
+    // while staying under q71's duplicate-fraction radar. Per-row column
+    // algebra only (the per-doc mode runs inside higher-order functions
+    // over the token array), so it composes into any scan at any scale.
+    // All outputs are INTEGERS — chars-covered numerator and n_chars
+    // denominator ship separately, and the Gopher-style gates (top
+    // 2-gram > 20%, top 3-gram > 18% of chars) are integer cross
+    // products — so the oracle compare is exact with no float rounding.
+    // Gram ties break to the lexicographically greatest gram in both
+    // engines (array_max / list max over ASCII strings).
+    "q107_top_ngram_chars" -> ((s, d) => {
+      docs(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 3)
+        .withColumn("g2", expr(
+          "transform(sequence(0, size(toks)-2), i -> concat_ws(' ', toks[i], toks[i+1]))"))
+        .withColumn("g3", expr(
+          "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
+        .withColumn("top2_cnt", expr(
+          "array_max(transform(array_distinct(g2), x -> size(filter(g2, y -> y = x))))").cast("long"))
+        .withColumn("top2_gram", expr(
+          "array_max(filter(array_distinct(g2), x -> size(filter(g2, y -> y = x)) = top2_cnt))"))
+        .withColumn("top3_cnt", expr(
+          "array_max(transform(array_distinct(g3), x -> size(filter(g3, y -> y = x))))").cast("long"))
+        .withColumn("top3_gram", expr(
+          "array_max(filter(array_distinct(g3), x -> size(filter(g3, y -> y = x)) = top3_cnt))"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .withColumn("chars_top2", col("top2_cnt") * length(col("top2_gram")))
+        .withColumn("chars_top3", col("top3_cnt") * length(col("top3_gram")))
+        .select(col("doc_id"), col("top2_cnt"), col("top2_gram"),
+          col("chars_top2"), col("top3_cnt"), col("chars_top3"), col("n_chars"),
+          when(col("chars_top2") * 5 > col("n_chars") ||
+               col("chars_top3") * 50 > col("n_chars") * 9, 1L).otherwise(0L)
+            .as("flagged"))
+        .orderBy("doc_id")
+    }),
+
     // Deterministic training-order shuffle: the pipeline's LAST stage
     // materializes the corpus in a seed-keyed pseudorandom order, so a
     // training run is reproducible doc-for-doc and the stream is
@@ -847,6 +888,44 @@ object CurationOps {
            FROM g)
          SELECT doc_id, dup2_e6, dup3_e6,
                 CAST(CASE WHEN dup2_e6 > 50000 THEN 1 ELSE 0 END AS BIGINT) AS flagged
+         FROM r ORDER BY doc_id""",
+    "q107_top_ngram_chars" ->
+      """WITH t AS (
+           SELECT doc_id, text, string_split(text, ' ') AS tk FROM documents
+           WHERE len(string_split(text, ' ')) >= 3),
+         g AS (
+           SELECT doc_id, text,
+                  [tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))] AS g2,
+                  [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                   FOR i IN range(1, len(tk) - 1)] AS g3
+           FROM t),
+         m AS (
+           SELECT doc_id, text, g2, g3,
+                  list_aggregate(list_transform(list_distinct(g2),
+                    x -> len(list_filter(g2, y -> y = x))), 'max') AS top2_cnt,
+                  list_aggregate(list_transform(list_distinct(g3),
+                    x -> len(list_filter(g3, y -> y = x))), 'max') AS top3_cnt
+           FROM g),
+         r AS (
+           SELECT doc_id,
+                  CAST(top2_cnt AS BIGINT) AS top2_cnt,
+                  list_aggregate(list_filter(list_distinct(g2),
+                    x -> len(list_filter(g2, y -> y = x)) = top2_cnt), 'max')
+                    AS top2_gram,
+                  CAST(top3_cnt AS BIGINT) AS top3_cnt,
+                  list_aggregate(list_filter(list_distinct(g3),
+                    x -> len(list_filter(g3, y -> y = x)) = top3_cnt), 'max')
+                    AS top3_gram,
+                  CAST(len(text) AS BIGINT) AS n_chars
+           FROM m)
+         SELECT doc_id, top2_cnt, top2_gram,
+                top2_cnt * len(top2_gram) AS chars_top2,
+                top3_cnt,
+                top3_cnt * len(top3_gram) AS chars_top3,
+                n_chars,
+                CAST(CASE WHEN top2_cnt * len(top2_gram) * 5 > n_chars
+                            OR top3_cnt * len(top3_gram) * 50 > n_chars * 9
+                          THEN 1 ELSE 0 END AS BIGINT) AS flagged
          FROM r ORDER BY doc_id""",
     "q78_train_order" ->
       """SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5('epoch0:' || CAST(doc_id AS VARCHAR)))

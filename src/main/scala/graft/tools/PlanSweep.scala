@@ -28,7 +28,8 @@ object PlanSweep {
         val cart = plan.contains("CartesianProduct")
         val bnlj = plan.contains("BroadcastNestedLoopJoin")
         val bhj = plan.contains("BroadcastHashJoin")
-        println(s"[plansweep] $name cartesian=$cart bnlj=$bnlj bhj=$bhj")
+        val nex = "(?<!Broadcast)Exchange".r.findAllIn(plan).size
+        println(s"[plansweep] $name cartesian=$cart bnlj=$bnlj bhj=$bhj shuffles=$nex")
       } catch {
         case e: Throwable =>
           println(s"[plansweep] $name ERROR ${e.getClass.getSimpleName}: ${e.getMessage}")

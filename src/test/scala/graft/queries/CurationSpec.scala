@@ -471,6 +471,38 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("q107 top-gram concentration: planted repetition measured exactly, ties break high") {
+    import spark.implicits._
+    import java.nio.file.Files
+    // doc 0: "spam ham" * 4 — 7 bigrams ("spam ham" x4, "ham spam" x3),
+    // 6 trigrams in a 3-3 TIE ("spam ham spam" vs "ham spam ham", max
+    // picks the s-prefixed one). n_chars = 35, chars_top2 = 4*8 = 32,
+    // 32*5 > 35 -> flagged. doc 1: 50 all-distinct tokens -> every gram
+    // count 1, nothing near the 20%/18% gates. doc 2: "a b c d" — all
+    // bigram counts tie at 1, the mode must break to "c d" (lexicographic
+    // max), pinning the cross-engine tie rule the oracle relies on.
+    val rows = Seq(
+      (0L, Seq.fill(4)("spam ham").mkString(" ")),
+      (1L, (0 until 50).map(i => s"d1t$i").mkString(" ")),
+      (2L, "a b c d"))
+    val dir = Files.createTempDirectory("graft-q107").toString
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = CurationOps.defs("q107_top_ngram_chars")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val d0 = out(0L)
+    assert(d0.getLong(1) === 4L && d0.getString(2) === "spam ham")
+    assert(d0.getLong(3) === 32L, "chars_top2 = cnt * len(gram)")
+    assert(d0.getLong(4) === 3L && d0.getLong(5) === 39L,
+      "trigram tie must resolve to 'spam ham spam' (13 chars * 3)")
+    assert(d0.getLong(6) === 35L && d0.getLong(7) === 1L)
+    val d1 = out(1L)
+    assert(d1.getLong(1) === 1L && d1.getLong(4) === 1L && d1.getLong(7) === 0L)
+    assert(out(2L).getString(2) === "c d", "all-tied bigrams break to the max")
+  }
+
   test("q78 train order: deterministic, dense ranks, order decorrelated from doc_id") {
     val a = CurationOps.defs("q78_train_order")(spark, sf).collect()
     val b = CurationOps.defs("q78_train_order")(spark, sf).collect()

@@ -82,6 +82,25 @@ class PlanContractSpec extends AnyFunSuite {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  /** Queries whose SURVEY row claims "scan-only / no shuffle before the
+    * final sort": per-row column algebra that composes into any scan at
+    * any scale. Their plans must show at most ONE non-broadcast
+    * exchange — the output sort's range partition — or the claim is
+    * broken and the 100 TB cost model with it. */
+  private val scanShaped = Seq(
+    "q02_filter_project", "q06_forecast_revenue", "q29_quality_scores",
+    "q30_fingerprints", "q53_regex_tokens", "q54_winnow_fingerprints",
+    "q71_repetition_ngrams", "q77_quality_scorer", "q78_train_order",
+    "q92_semantic_decontam", "q93_gate_calibration", "q107_top_ngram_chars")
+
+  test("scan-shaped queries shuffle at most once (the output sort)") {
+    val offenders = scanShaped.flatMap { name =>
+      val n = "(?<!Broadcast)Exchange".r.findAllIn(planOf(name)).size
+      if (n > 1) Some(s"$name plans $n shuffles") else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("the BNLJ whitelist is tight: every entry still plans one") {
     // a whitelist entry whose query no longer plans a BNLJ is stale —
     // prune it so contract 2 stays a real gate, not a grandfather list
