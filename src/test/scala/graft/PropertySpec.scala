@@ -87,6 +87,39 @@ class PropertySpec extends AnyFunSuite {
     assert(meanErr < 0.08, s"mean |err| $meanErr")
   }
 
+  test("q107 top-gram mode matches a first-principles recount, ties included") {
+    import spark.implicits._
+    // Small alphabet forces heavy gram repetition AND frequent count
+    // ties, exercising exactly the cross-engine tie rule the oracle
+    // depends on (max count, then lexicographically greatest gram).
+    val docGen = for {
+      n <- Gen.chooseNum(3, 24)
+      toks <- Gen.listOfN(n, Gen.oneOf("aa", "bb", "cc", "d"))
+    } yield toks
+    val docs = sample(docGen, 120, seed = 41L)
+    val df = docs.zipWithIndex
+      .map { case (toks, i) => (i.toLong, toks.mkString(" ")) }
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = Files.createTempDirectory("graft-q107-prop").toString
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.queries.CurationOps.defs("q107_top_ngram_chars")(spark, dir)
+      .select("doc_id", "top2_cnt", "top2_gram", "chars_top2", "n_chars")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getLong(3))).toMap
+    def expected(toks: Seq[String]): (Long, String, Long) = {
+      val g2 = toks.sliding(2).map(_.mkString(" ")).toSeq
+      val byCnt = g2.groupBy(identity).view.mapValues(_.size).toMap
+      val topCnt = byCnt.values.max
+      val topGram = byCnt.collect { case (g, c) if c == topCnt => g }.max
+      (topCnt.toLong, topGram, topCnt.toLong * topGram.length)
+    }
+    docs.zipWithIndex.foreach { case (toks, i) =>
+      assert(got(i.toLong) === expected(toks),
+        s"doc $i (${toks.mkString(" ")}): expression and recount disagree")
+    }
+  }
+
   test("media decoders are total: random and mutated payloads never throw") {
     val rnd = new scala.util.Random(42)
     // pure-random byte arrays of many sizes
