@@ -28,6 +28,21 @@ object Staging {
   private def visible(name: String): Boolean =
     !name.startsWith("_") && !name.startsWith(".")
 
+  /** Count the visible data files under `dir` (recursing through
+    * visible subdirectories — partitioned stores keep files one level
+    * down). THE definition of "data file" for every file-count
+    * compaction trigger (`DedupStage.maintain`,
+    * `IvfIndex.compactIfFragmented`): marker/CRC names (`_*`, `.*`)
+    * never count, and a change to the rule lands everywhere at once. */
+  def countDataFiles(fs: FileSystem, dir: Path): Int =
+    if (!fs.exists(dir)) 0
+    else {
+      val st = fs.listStatus(dir)
+      st.count(s => s.isFile && visible(s.getPath.getName)) +
+        st.filter(s => s.isDirectory && visible(s.getPath.getName))
+          .map(s => countDataFiles(fs, s.getPath)).sum
+    }
+
   /** Compact-swap discipline shared by the durable-index compactions
     * (`MinHashIndex.compact`, `IvfIndex.compact`): `write` rewrites the
     * store into a hidden staging dir beside it, then two renames swap

@@ -32,10 +32,14 @@ sealed trait LedgerDialect {
   /** One-key conflict-ignoring INSERT for [[JdbcLedger.register]];
     * executed per key inside one transaction. */
   def insertIgnoreSql: String
-  /** Bind the insert's parameters (dialects differ in arity: the ANSI
-    * NOT-EXISTS form re-binds the key in the guard). */
+  /** Bind the insert's parameters (dialects may differ in arity if a
+    * form re-binds the key in a guard). */
   def bindInsertIgnore(ps: PreparedStatement, key: String, size: Long,
                        status: String, ts: Timestamp): Unit
+  /** Execute one bound conflict-ignoring insert, returning rows
+    * inserted (0 when the key already exists). Dialects without a
+    * native upsert tolerate the duplicate-key violation here. */
+  def executeInsertIgnore(ps: PreparedStatement): Int = ps.executeUpdate()
   /** Claim up to `n` claimable keys for `runId`, atomically vs rival
     * runners on the same table. `candidates` runs the shared oldest-
     * first selection (used by strategies that claim by CAS rather than
@@ -53,20 +57,38 @@ object LedgerDialect {
     if (url.startsWith("jdbc:postgresql")) Postgres else Ansi
 
   /** Engine-neutral ANSI SQL — runs unchanged on every mainstream
-    * engine (executed against Derby in this sandbox's specs). */
+    * engine (executed against Derby in this sandbox's specs). The
+    * conflict-ignore is a PLAIN insert with the duplicate-key violation
+    * (SQLState class 23) tolerated per statement: `VALUES`-in-FROM and
+    * `INSERT ... SELECT ... WHERE NOT EXISTS` dummy-table forms all
+    * need engine-specific spellings somewhere (Derby `VALUES 1`, MySQL
+    * `VALUES ROW(1)`, Oracle `DUAL`), while the UNIQUE(s3_key)
+    * constraint + a statement-level catch is portable everywhere and
+    * is also the only race-free form without a native upsert — two
+    * concurrent registrars both passing a NOT-EXISTS guard would still
+    * collide on the constraint. */
   object Ansi extends LedgerDialect {
     val name = "ansi"
     val insertIgnoreSql: String =
       """INSERT INTO file_processing_status
         |  (s3_key, file_size, processing_status, retry_count, created_at, updated_at)
-        |SELECT ?, ?, ?, 0, ?, ? FROM (VALUES 1) AS d(x)
-        |WHERE NOT EXISTS
-        |  (SELECT 1 FROM file_processing_status WHERE s3_key = ?)""".stripMargin
+        |VALUES (?, ?, ?, 0, ?, ?)""".stripMargin
     def bindInsertIgnore(ps: PreparedStatement, key: String, size: Long,
                          status: String, ts: Timestamp): Unit = {
       ps.setString(1, key); ps.setLong(2, size); ps.setString(3, status)
-      ps.setTimestamp(4, ts); ps.setTimestamp(5, ts); ps.setString(6, key)
+      ps.setTimestamp(4, ts); ps.setTimestamp(5, ts)
     }
+    override def executeInsertIgnore(ps: PreparedStatement): Int =
+      try ps.executeUpdate()
+      catch {
+        // SQLState class 23 = integrity-constraint violation (the
+        // UNIQUE(s3_key) hit): the key is already registered — the
+        // exact outcome a conflict-ignoring insert wants. Engines roll
+        // back only the failed STATEMENT, so the surrounding register
+        // transaction continues.
+        case e: java.sql.SQLException
+          if Option(e.getSQLState).exists(_.startsWith("23")) => 0
+      }
     /** Status-guarded CAS: select candidates without locks, then win
       * each key with a conditional UPDATE — atomic per statement, so
       * exactly ONE runner's update matches a row; losers get 0 rows and
@@ -244,7 +266,7 @@ final class JdbcLedger(spark: SparkSession, url: String, maxRetries: Int = 3,
       var inserted = 0L
       files.foreach { case (k, sz) =>
         dia.bindInsertIgnore(ps, k, sz, Pending, ts)
-        inserted += ps.executeUpdate()
+        inserted += dia.executeInsertIgnore(ps)
       }
       ps.close()
       conn.commit()

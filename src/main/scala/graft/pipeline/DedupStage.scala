@@ -371,14 +371,9 @@ final case class DedupStage(
   def maintain(s: SparkSession): Seq[String] = {
     val rootPath = new org.apache.hadoop.fs.Path(indexRoot)
     val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-    def dataFiles(store: String): Int = {
-      val p = new org.apache.hadoop.fs.Path(rootPath, store)
-      if (!fs.exists(p)) 0
-      else fs.listStatus(p).count { st =>
-        val n = st.getPath.getName
-        st.isFile && !n.startsWith("_") && !n.startsWith(".")
-      }
-    }
+    def dataFiles(store: String): Int =
+      graft.ingest.Staging.countDataFiles(fs,
+        new org.apache.hadoop.fs.Path(rootPath, store))
     val minhashStores = Seq("bands", "shingles", "winhashes")
     val compactedText =
       if (minhashStores.exists(dataFiles(_) > compactThresholdFiles)) {

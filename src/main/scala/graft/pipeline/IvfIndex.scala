@@ -143,7 +143,7 @@ object IvfIndex {
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cell"), expr("transform(pm, p -> cast(p.m as float))").as("c"))
         .orderBy("cell").collect()
-        .map(_.getAs[Seq[Float]]("c").toArray)
+        .map(_.getAs[Seq[Float]]("c").toArray).toIndexedSeq
     }
     cents
   }
@@ -175,9 +175,16 @@ object IvfIndex {
   }
 
   /** Write assignment + metadata for `e` under `dir` (the shared tail
-    * of [[build]] and [[retrain]]). */
+    * of [[build]] and [[retrain]]). `lastToken` seeds the accumulator's
+    * replay-guard slot: a fresh [[build]] has no append history ("-"),
+    * but [[retrain]] MUST carry the previous stamp forward — the
+    * re-train that fires inside a streaming batch rewrites every cell
+    * file (blinding the prefix sweep), so the token stamp is the only
+    * thing standing between a crash-replay of that batch and a
+    * double-append. */
   private def writeIndex(spark: SparkSession, fs: FileSystem, dir: String,
-                         e: DataFrame, cents: Seq[Array[Float]]): Unit = {
+                         e: DataFrame, cents: Seq[Array[Float]],
+                         lastToken: String = "-"): Unit = {
     e.withColumn("cell", element_at(cellsOf(cents, 1), 1))
       .select(col("vec_id").as("b_id"), col("cell"), col("embedding").as("eb"))
       .write.mode("overwrite").partitionBy("cell").parquet(dir)
@@ -187,7 +194,7 @@ object IvfIndex {
     writeMeta(fs, new Path(dir), "_stats.txt", (s / n).toString)
     // incremental drift accumulator (see driftRatioIncremental):
     // "trained-row-count appended-sumD2 appended-count last-append-token"
-    writeMeta(fs, new Path(dir), DriftMeta, s"$n 0.0 0 -")
+    writeMeta(fs, new Path(dir), DriftMeta, s"$n 0.0 0 $lastToken")
   }
 
   /** Train the coarse quantizer on `e` (vec_id, embedding) and write the
@@ -289,12 +296,22 @@ object IvfIndex {
     * changes. Single-writer, like every other index mutation. */
   def retrain(spark: SparkSession, root: String): Unit = {
     val fs = fsOf(spark, root)
+    // carry the last append's replay token into the new baseline: the
+    // rows of the append that TRIGGERED this re-train are inside the
+    // retrained store, so a crash-replay of that batch must keep
+    // short-circuiting on the stamp (the re-train renamed every cell
+    // file, so the v<token>- prefix sweep can no longer catch it)
+    val prevToken =
+      if (fs.exists(new Path(s"$root/cells", DriftMeta))) {
+        val parts = readMeta(spark, root, DriftMeta).trim.split("\\s+")
+        if (parts.length > 3) parts(3) else "-"
+      } else "-"
     val e = spark.read.parquet(s"$root/cells")
       .select(col("b_id").as("vec_id"), col("eb").as("embedding"))
       .persist()
     val cents = train(spark, e, kppInit(spark, e))
     graft.ingest.Staging.compactStore(fs, new Path(root), "cells") { staged =>
-      writeIndex(spark, fs, staged.toString, e, cents)
+      writeIndex(spark, fs, staged.toString, e, cents, prevToken)
     }
     e.unpersist(): Unit
   }
@@ -400,7 +417,16 @@ object IvfIndex {
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val token = f"ivf$batchId%05d"
+        // the replay token must identify the batch across RESTARTS of
+        // this drain (same checkpoint → same batchId → same token) but
+        // never collide with a DIFFERENT drain: a fresh checkpoint also
+        // starts at batchId 0, and a bare "ivf00000" token would make
+        // its first batch look like a replay of the previous drain's —
+        // silently dropping it. Scope the token by the checkpoint path.
+        val ckptTag = java.security.MessageDigest.getInstance("MD5")
+          .digest(checkpoint.getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString
+        val token = f"ivf$ckptTag-$batchId%05d"
         appendStaged(spark, root, batch, token)
         // maintenance in the same single-writer slot, AFTER the token
         // stamp (appendStaged wrote it with the accumulator) so a
@@ -433,15 +459,8 @@ object IvfIndex {
                           threshold: Int = 256): Boolean = {
     val fs = fsOf(spark, root)
     if (!fs.exists(new Path(s"$root/cells", DriftMeta))) return false
-    def count(dir: Path): Int = {
-      val st = fs.listStatus(dir)
-      st.count { s =>
-        val n = s.getPath.getName
-        s.isFile && !n.startsWith("_") && !n.startsWith(".")
-      } + st.filter(s => s.isDirectory && !s.getPath.getName.startsWith("."))
-        .map(s => count(s.getPath)).sum
-    }
-    val fragmented = count(new Path(s"$root/cells")) > threshold
+    val fragmented = graft.ingest.Staging.countDataFiles(
+      fs, new Path(s"$root/cells")) > threshold
     if (fragmented) compact(spark, root)
     fragmented
   }

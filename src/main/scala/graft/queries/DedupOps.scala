@@ -81,7 +81,9 @@ object DedupOps {
     * min-label propagation (rep ← min(rep, neighbors' reps) until
     * fixpoint — the GraphX-CC construction as DataFrame passes) whose
     * per-round shuffle is proportional to the duplicate subgraph.
-    * `edgeList` is unpersisted once labels are materialized. Both paths
+    * `edgeList`'s tracker share is released (via
+    * [[QueryCaches.earlyRelease]] — refcount-safe under a concurrent
+    * tracker of the same plan) once labels are materialized. Both paths
     * produce identical labels (asserted in DedupSpec, which forces the
     * distributed path with `driverCap = 0`). */
   def componentLabels(s: SparkSession, edgeList: DataFrame,
@@ -103,7 +105,7 @@ object DedupOps {
       }
       import s.implicits._
       val packed: Array[Long] = edgeList.as[Long].collect() // primitive
-      edgeList.unpersist()
+      QueryCaches.earlyRelease(edgeList)
       packed.foreach { pk =>
         val a = pk >>> 32; val b = pk & 0xFFFFFFFFL
         parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
@@ -154,7 +156,7 @@ object DedupOps {
       // frames won't be touched again — release their cached blocks so
       // repeated invocations in one session don't accumulate storage
       sym.unpersist()
-      edgeList.unpersist()
+      QueryCaches.earlyRelease(edgeList)
       QueryCaches.note(lab)
     }
   }

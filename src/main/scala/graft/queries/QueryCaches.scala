@@ -107,6 +107,26 @@ object QueryCaches {
     }
   }
 
+  /** Release a tracked frame EARLY, from inside the operator that is
+    * done with it (the q65 edge list after the driver union-find has
+    * collected it): drops this tracker's share through the refcount —
+    * never the raw `unpersist()` the refcount exists to prevent, which
+    * would evict the physical cache under a concurrent tracker of the
+    * same canonical plan — and un-records the frame so the enclosing
+    * scope's end (or [[releaseAll]]) cannot double-decrement. A frame
+    * that was never tracked is simply unpersisted (the operator's own
+    * scratch frame). */
+  def earlyRelease(ds: Dataset[_]): Unit = synchronized {
+    val inScope = current.value.exists(_.entries.exists(_ eq ds))
+    if (inScope) {
+      current.value.foreach(sc => sc.entries.filterInPlace(_ ne ds))
+      release(ds)
+    } else if (global.exists(_ eq ds)) {
+      global.filterInPlace(_ ne ds)
+      release(ds)
+    } else ds.unpersist(blocking = false): Unit
+  }
+
   /** Run `body` under a fresh ownership scope on this thread, then
     * release (non-blocking, newest-first — dependents before their
     * upstream frames) exactly the shares the body tracked. Scopes on

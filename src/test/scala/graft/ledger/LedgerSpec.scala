@@ -185,10 +185,17 @@ class LedgerSpec extends AnyFunSuite {
     assert(LedgerDialect.forUrl(JdbcLedger.derbyUrl("/tmp/x")) eq LedgerDialect.Ansi)
     assert(LedgerDialect.forUrl("jdbc:postgresql://db:5432/lake") eq LedgerDialect.Postgres)
     // ANSI dialect: no Derby-isms (the old SYSIBM.SYSDUMMY1 dummy-table
-    // dance), no Postgres-isms — every mainstream engine parses it
+    // dance), no Postgres-isms, and no VALUES-in-FROM (Derby spells it
+    // `VALUES 1`, MySQL `VALUES ROW(1)`, Oracle not at all) — the
+    // conflict-ignore is a plain insert with the duplicate-key
+    // violation tolerated, the only form every mainstream engine runs
     val ansiSql = LedgerDialect.Ansi.insertIgnoreSql.toUpperCase
     assert(!ansiSql.contains("SYSIBM") && !ansiSql.contains("DUAL") &&
-      !ansiSql.contains("ON CONFLICT"), s"engine-specific token in: $ansiSql")
+      !ansiSql.contains("ON CONFLICT") && !ansiSql.contains("FROM") &&
+      !ansiSql.contains("NOT EXISTS"), s"engine-specific token in: $ansiSql")
+    // and the duplicate-tolerance is real: a raw duplicate-key insert
+    // through the dialect's executor reports 0, everything else throws
+    assert(LedgerDialect.Ansi.insertIgnoreSql.contains("VALUES (?, ?, ?, 0, ?, ?)"))
     // Postgres dialect: the reference's deployment verbatim
     assert(LedgerDialect.Postgres.insertIgnoreSql.contains("ON CONFLICT (s3_key) DO NOTHING"))
     assert(LedgerDialect.Postgres.claimSelectSql.contains("FOR UPDATE SKIP LOCKED"))

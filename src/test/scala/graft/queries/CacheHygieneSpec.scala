@@ -59,6 +59,25 @@ class CacheHygieneSpec extends AnyFunSuite {
     assert(leaked.isEmpty, s"concurrent calls leaked persisted RDDs: $leaked")
   }
 
+  test("an operator's early release cannot evict a concurrent tracker's cache") {
+    // Two q65 runs share the edge list's physical cache by canonical
+    // plan; each componentLabels releases it when its union-find has
+    // collected. A raw unpersist there would evict the cache under the
+    // OTHER thread's still-running collect (the refcount-bypass hole):
+    // routed through QueryCaches.earlyRelease, the share accounting
+    // holds — both runs complete, agree, and leave no orphaned RDDs.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val runs = Future.sequence(Seq.fill(2)(
+      Future(SparkEntry.runAndRelease(spark, sf, "q65_dup_groups")(_.count()))))
+    val counts = Await.result(runs, 5.minutes)
+    assert(counts.distinct.size == 1, s"concurrent q65 runs disagree: $counts")
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"concurrent q65 leaked persisted RDDs: $leaked")
+  }
+
   test("track is idempotent on an already-cached plan: no double-persist, no ownership steal") {
     // Spark's CacheManager keys on the canonical plan, so two queries
     // tracking the same shingled frame used to double-persist (the

@@ -370,6 +370,50 @@ class VectorSpec extends AnyFunSuite {
     assert(ratio() == ratio1, "post-compaction replay touched the accumulator")
   }
 
+  test("retrain preserves the replay token: the triggering batch's replay still short-circuits") {
+    import java.nio.file.Files
+    import graft.pipeline.IvfIndex
+    // The crash window the token exists for: a streaming batch appends
+    // under token T, the SAME slot re-trains (rewriting every cell
+    // file, so the v<T>- prefix sweep goes blind), then the process
+    // dies before the checkpoint commits — the restart re-delivers the
+    // batch with token T. The re-trained store must still recognize T.
+    val (_, frame, orig, drifted) = clusteredFixture()
+    val root = Files.createTempDirectory("graft-ivf-retok").toFile
+    IvfIndex.build(spark, root.getPath, orig)
+    IvfIndex.appendStaged(spark, root.getPath, frame(drifted), "tokT")
+    assert(IvfIndex.retrainIfDrifted(spark, root.getPath), "fixture must drift")
+    def rows() = spark.read.parquet(new java.io.File(root, "cells").getPath)
+      .select("b_id").collect().map(_.getLong(0)).sorted.toSeq
+    val after = rows()
+    assert(after.distinct.size === after.size, "retrain must not duplicate rows")
+    IvfIndex.appendStaged(spark, root.getPath, frame(drifted), "tokT")
+    assert(rows() == after, "post-retrain replay of the triggering token double-appended")
+  }
+
+  test("a fresh-checkpoint drain is not mistaken for the previous drain's replay") {
+    import java.nio.file.Files
+    import graft.pipeline.IvfIndex
+    // Both drains start at batchId 0; if the replay token were derived
+    // from the batchId alone, drain 2's first batch would match drain
+    // 1's stamp and be silently dropped. The token is checkpoint-scoped.
+    val (schema, frame, orig, drifted) = clusteredFixture()
+    val root = Files.createTempDirectory("graft-ivf-2drains").toFile
+    IvfIndex.build(spark, root.getPath, orig)
+    def drain(rows: Seq[org.apache.spark.sql.Row]): Unit = {
+      val src = Files.createTempDirectory("graft-ivf-2src").toString
+      frame(rows).coalesce(1).write.mode("overwrite").parquet(src)
+      val ckpt = Files.createTempDirectory("graft-ivf-2ckpt").toString
+      IvfIndex.appendStream(spark, root.getPath,
+        spark.readStream.schema(schema).parquet(src), ckpt,
+        driftThreshold = 1e9, compactThresholdFiles = 1000000): Unit
+    }
+    drain(drifted.take(20))
+    drain(drifted.slice(20, 50))
+    val n = spark.read.parquet(new java.io.File(root, "cells").getPath).count()
+    assert(n === 640 + 50, s"second drain's batch was dropped: $n rows")
+  }
+
   test("streamed appends past the drift threshold trigger exactly one re-train; recall restored") {
     import java.nio.file.Files
     import org.apache.spark.sql.functions._
