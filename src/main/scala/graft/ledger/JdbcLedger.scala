@@ -36,10 +36,19 @@ sealed trait LedgerDialect {
     * form re-binds the key in a guard). */
   def bindInsertIgnore(ps: PreparedStatement, key: String, size: Long,
                        status: String, ts: Timestamp): Unit
-  /** Execute one bound conflict-ignoring insert, returning rows
-    * inserted (0 when the key already exists). Dialects without a
-    * native upsert tolerate the duplicate-key violation here. */
-  def executeInsertIgnore(ps: PreparedStatement): Int = ps.executeUpdate()
+  /** Per-register-batch executor: prepares the dialect's statements
+    * once, then registers one key per `apply`, returning rows inserted
+    * (0 = already registered). Default = the prepared
+    * [[insertIgnoreSql]] run as-is (engines with a native upsert). */
+  def insertIgnorer(conn: Connection): LedgerDialect.InsertIgnorer =
+    new LedgerDialect.InsertIgnorer {
+      private val ps = conn.prepareStatement(insertIgnoreSql)
+      def apply(key: String, size: Long, status: String, ts: Timestamp): Int = {
+        bindInsertIgnore(ps, key, size, status, ts)
+        ps.executeUpdate()
+      }
+      def close(): Unit = ps.close()
+    }
   /** Claim up to `n` claimable keys for `runId`, atomically vs rival
     * runners on the same table. `candidates` runs the shared oldest-
     * first selection (used by strategies that claim by CAS rather than
@@ -51,6 +60,12 @@ sealed trait LedgerDialect {
 object LedgerDialect {
   import Ledger._
 
+  /** One register-batch's key inserter; see [[LedgerDialect.insertIgnorer]]. */
+  trait InsertIgnorer extends AutoCloseable {
+    def apply(key: String, size: Long, status: String, ts: Timestamp): Int
+    def close(): Unit
+  }
+
   /** Pick the dialect from the JDBC URL: engine-specific strategy when
     * one exists, the ANSI forms otherwise. */
   def forUrl(url: String): LedgerDialect =
@@ -58,36 +73,56 @@ object LedgerDialect {
 
   /** Engine-neutral ANSI SQL — runs unchanged on every mainstream
     * engine (executed against Derby in this sandbox's specs). The
-    * conflict-ignore is a PLAIN insert with the duplicate-key violation
-    * (SQLState class 23) tolerated per statement: `VALUES`-in-FROM and
-    * `INSERT ... SELECT ... WHERE NOT EXISTS` dummy-table forms all
-    * need engine-specific spellings somewhere (Derby `VALUES 1`, MySQL
-    * `VALUES ROW(1)`, Oracle `DUAL`), while the UNIQUE(s3_key)
-    * constraint + a statement-level catch is portable everywhere and
-    * is also the only race-free form without a native upsert — two
-    * concurrent registrars both passing a NOT-EXISTS guard would still
-    * collide on the constraint. */
+    * conflict-ignore is a prepared existence CHECK + a PLAIN insert,
+    * with the duplicate-key violation tolerated as the RACE backstop:
+    * `VALUES`-in-FROM and `INSERT ... SELECT ... WHERE NOT EXISTS`
+    * dummy-table forms all need engine-specific spellings somewhere
+    * (Derby `VALUES 1`, MySQL `VALUES ROW(1)`, Oracle `DUAL`), while a
+    * real-table SELECT and a plain INSERT parse everywhere. The check
+    * makes re-registering an already-listed lake (the every-tick common
+    * case) exception-free — essential on engines with
+    * transaction-poisoning semantics (the PostgreSQL family aborts the
+    * whole transaction on any statement error), where the backstop
+    * catch still leaves the rare true race to surface as a thrown,
+    * retried register rather than a silent loss. Only SQLStates that
+    * can mean duplicate-key are swallowed (23505 everywhere, 23000 on
+    * engines that report only the generic class) — with the key
+    * null-checked up front, a swallowed state after a negative
+    * existence check can only be the unique constraint. */
   object Ansi extends LedgerDialect {
     val name = "ansi"
     val insertIgnoreSql: String =
       """INSERT INTO file_processing_status
         |  (s3_key, file_size, processing_status, retry_count, created_at, updated_at)
         |VALUES (?, ?, ?, 0, ?, ?)""".stripMargin
+    val checkSql: String =
+      "SELECT 1 FROM file_processing_status WHERE s3_key = ?"
+    private val DupStates = Set("23505", "23000")
     def bindInsertIgnore(ps: PreparedStatement, key: String, size: Long,
                          status: String, ts: Timestamp): Unit = {
       ps.setString(1, key); ps.setLong(2, size); ps.setString(3, status)
       ps.setTimestamp(4, ts); ps.setTimestamp(5, ts)
     }
-    override def executeInsertIgnore(ps: PreparedStatement): Int =
-      try ps.executeUpdate()
-      catch {
-        // SQLState class 23 = integrity-constraint violation (the
-        // UNIQUE(s3_key) hit): the key is already registered — the
-        // exact outcome a conflict-ignoring insert wants. Engines roll
-        // back only the failed STATEMENT, so the surrounding register
-        // transaction continues.
-        case e: java.sql.SQLException
-          if Option(e.getSQLState).exists(_.startsWith("23")) => 0
+    override def insertIgnorer(conn: Connection): LedgerDialect.InsertIgnorer =
+      new LedgerDialect.InsertIgnorer {
+        private val check = conn.prepareStatement(checkSql)
+        private val ins = conn.prepareStatement(insertIgnoreSql)
+        def apply(key: String, size: Long, status: String, ts: Timestamp): Int = {
+          require(key != null, "ledger key must not be null")
+          check.setString(1, key)
+          val rs = check.executeQuery()
+          val exists = try rs.next() finally rs.close()
+          if (exists) 0
+          else {
+            bindInsertIgnore(ins, key, size, status, ts)
+            try ins.executeUpdate()
+            catch {
+              case e: java.sql.SQLException
+                if Option(e.getSQLState).exists(DupStates.contains) => 0
+            }
+          }
+        }
+        def close(): Unit = { check.close(); ins.close() }
       }
     /** Status-guarded CAS: select candidates without locks, then win
       * each key with a conditional UPDATE — atomic per statement, so
@@ -261,14 +296,11 @@ final class JdbcLedger(spark: SparkSession, url: String, maxRetries: Int = 3,
     // NOTHING under the Postgres dialect)
     conn.setAutoCommit(false)
     try {
-      val ps = conn.prepareStatement(dia.insertIgnoreSql)
+      val ins = dia.insertIgnorer(conn)
       val ts = now()
       var inserted = 0L
-      files.foreach { case (k, sz) =>
-        dia.bindInsertIgnore(ps, k, sz, Pending, ts)
-        inserted += dia.executeInsertIgnore(ps)
-      }
-      ps.close()
+      try files.foreach { case (k, sz) => inserted += ins(k, sz, Pending, ts) }
+      finally ins.close()
       conn.commit()
       inserted
     } catch {

@@ -413,19 +413,22 @@ object IvfIndex {
                    checkpoint: String, driftThreshold: Double = 1.25,
                    compactThresholdFiles: Int = 256): Int = {
     val retrains = new java.util.concurrent.atomic.AtomicInteger(0)
+    val fs = fsOf(spark, root)
+    // Legacy stores (pre-accumulator) have nowhere to hold the replay
+    // stamp, so their appends would rely on the prefix sweep alone —
+    // which a mid-drain re-train blinds. Seed the accumulator once
+    // before the drain: the store's current rows count as trained mass
+    // (under-counting any pre-existing drift, which only DELAYS the
+    // first trigger — the safe direction, see accumulateDrift).
+    if (!fs.exists(new Path(s"$root/cells", DriftMeta))) {
+      val n = spark.read.parquet(s"$root/cells").count()
+      writeMeta(fs, new Path(s"$root/cells"), DriftMeta, s"$n 0.0 0 -")
+    }
+    val ckptTag = checkpointTag(spark, checkpoint)
     val q = vecs.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // the replay token must identify the batch across RESTARTS of
-        // this drain (same checkpoint → same batchId → same token) but
-        // never collide with a DIFFERENT drain: a fresh checkpoint also
-        // starts at batchId 0, and a bare "ivf00000" token would make
-        // its first batch look like a replay of the previous drain's —
-        // silently dropping it. Scope the token by the checkpoint path.
-        val ckptTag = java.security.MessageDigest.getInstance("MD5")
-          .digest(checkpoint.getBytes("UTF-8"))
-          .take(4).map("%02x".format(_)).mkString
         val token = f"ivf$ckptTag-$batchId%05d"
         appendStaged(spark, root, batch, token)
         // maintenance in the same single-writer slot, AFTER the token
@@ -442,6 +445,26 @@ object IvfIndex {
       .start()
     q.awaitTermination()
     retrains.get
+  }
+
+  /** Checkpoint identity for a drain's replay tokens: stable across
+    * RESTARTS (same checkpoint → same tag, so a re-delivered batchId
+    * rebuilds the same token and the stamp short-circuits it) and
+    * distinct across DRAINS (a fresh checkpoint also starts at batchId
+    * 0; without the tag its first batch would look like a replay of
+    * the previous drain's and be silently dropped). The path is fully
+    * QUALIFIED first so equivalent spellings of the same location
+    * ("/x" vs "file:///x" — Spark resolves both to one checkpoint and
+    * re-delivers the same batch) hash identically; MurmurHash3 is
+    * JVM-stable and avoids MessageDigest's FIPS-mode sensitivities.
+    * Computed once per drain, not per micro-batch. */
+  private[graft] def checkpointTag(spark: SparkSession,
+                                   checkpoint: String): String = {
+    val p = new Path(checkpoint)
+    val qualified =
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .makeQualified(p).toString
+    f"${scala.util.hashing.MurmurHash3.stringHash(qualified) & 0xFFFFFFFFL}%08x"
   }
 
   /** File-count compaction trigger for the cell store (the

@@ -109,22 +109,28 @@ object QueryCaches {
 
   /** Release a tracked frame EARLY, from inside the operator that is
     * done with it (the q65 edge list after the driver union-find has
-    * collected it): drops this tracker's share through the refcount —
-    * never the raw `unpersist()` the refcount exists to prevent, which
-    * would evict the physical cache under a concurrent tracker of the
-    * same canonical plan — and un-records the frame so the enclosing
-    * scope's end (or [[releaseAll]]) cannot double-decrement. A frame
-    * that was never tracked is simply unpersisted (the operator's own
-    * scratch frame). */
+    * collected it): drops the instance's tracker shares through the
+    * refcount — never the raw `unpersist()` the refcount exists to
+    * prevent, which would evict the physical cache under a concurrent
+    * tracker of the same canonical plan — and un-records the frame so
+    * the enclosing scope's end (or [[releaseAll]]) cannot
+    * double-decrement. One release per removed record, so an instance
+    * tracked twice drops both shares (no stranded refcount). Must be
+    * called from the thread/scope that tracked the frame — the repo's
+    * operators receive the tracked reference from the caller's own
+    * scope; a frame recorded in a scope this thread cannot see falls
+    * through to the raw-unpersist branch. A frame that was never
+    * tracked is simply unpersisted (the operator's own scratch). */
   def earlyRelease(ds: Dataset[_]): Unit = synchronized {
-    val inScope = current.value.exists(_.entries.exists(_ eq ds))
-    if (inScope) {
-      current.value.foreach(sc => sc.entries.filterInPlace(_ ne ds))
-      release(ds)
-    } else if (global.exists(_ eq ds)) {
-      global.filterInPlace(_ ne ds)
-      release(ds)
-    } else ds.unpersist(blocking = false): Unit
+    def removeAll(buf: ArrayBuffer[Dataset[_]]): Int = {
+      val n = buf.count(_ eq ds)
+      if (n > 0) buf.filterInPlace(_ ne ds)
+      n
+    }
+    val removed =
+      current.value.map(sc => removeAll(sc.entries)).getOrElse(0) + removeAll(global)
+    if (removed > 0) (1 to removed).foreach(_ => release(ds))
+    else ds.unpersist(blocking = false): Unit
   }
 
   /** Run `body` under a fresh ownership scope on this thread, then

@@ -193,14 +193,34 @@ class LedgerSpec extends AnyFunSuite {
     assert(!ansiSql.contains("SYSIBM") && !ansiSql.contains("DUAL") &&
       !ansiSql.contains("ON CONFLICT") && !ansiSql.contains("FROM") &&
       !ansiSql.contains("NOT EXISTS"), s"engine-specific token in: $ansiSql")
-    // and the duplicate-tolerance is real: a raw duplicate-key insert
-    // through the dialect's executor reports 0, everything else throws
     assert(LedgerDialect.Ansi.insertIgnoreSql.contains("VALUES (?, ?, ?, 0, ?, ?)"))
     // Postgres dialect: the reference's deployment verbatim
     assert(LedgerDialect.Postgres.insertIgnoreSql.contains("ON CONFLICT (s3_key) DO NOTHING"))
     assert(LedgerDialect.Postgres.claimSelectSql.contains("FOR UPDATE SKIP LOCKED"))
     assert(LedgerDialect.Postgres.claimSelectSql.contains("ORDER BY created_at, s3_key"),
       "the SKIP LOCKED claim must keep the oldest-first contract")
+  }
+
+  test("ansi insert-ignorer: duplicate reports 0, null key rejected, real errors propagate") {
+    // executor-level contract (not just SQL-string pinning): the
+    // conflict-ignore must swallow ONLY already-registered keys —
+    // every other failure must surface, because a swallowed genuine
+    // error silently unregisters a file forever
+    val dir = Files.createTempDirectory("graft-jdbc-ign").toString
+    val led = new JdbcLedger(spark, JdbcLedger.derbyUrl(dir), maxRetries = 3,
+      dialect = LedgerDialect.Ansi)
+    assert(led.register(Seq("x.jsonl" -> 1L)) == 1)
+    assert(led.register(Seq("x.jsonl" -> 1L)) == 0, "duplicate must report 0 rows")
+    intercept[IllegalArgumentException] {
+      led.register(Seq((null: String) -> 1L))
+    }
+    // a genuinely different statement failure (value too long for the
+    // VARCHAR(1024) column, SQLState class 22) must propagate — the
+    // catch is duplicate-states only, never a blanket swallow
+    val huge = "k" * 5000
+    intercept[java.sql.SQLException] { led.register(Seq(huge -> 1L)) }
+    // and the failed batch rolled back: the ledger is unchanged
+    assert(statusOf(led).keySet == Set("x.jsonl"))
   }
 
   test("jdbc ledger registration + claim run under an explicitly selected dialect") {

@@ -59,6 +59,28 @@ class CacheHygieneSpec extends AnyFunSuite {
     assert(leaked.isEmpty, s"concurrent calls leaked persisted RDDs: $leaked")
   }
 
+  test("earlyRelease drops one share per removed record: a double-tracked frame fully releases") {
+    // track() twice on one instance takes two refcount shares and two
+    // records; earlyRelease must release once per removed record or the
+    // cache strands at refcount 1 with no record left to ever drop it
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val f = Seq(1L, 2L, 3L).toDF("x").filter(col("x") > 1)
+    QueryCaches.track(f)
+    QueryCaches.track(f)
+    f.count()
+    QueryCaches.earlyRelease(f)
+    // non-blocking unpersist: poll briefly for the blocks to drop
+    val deadline = System.nanoTime() + 10_000_000_000L
+    while (spark.sparkContext.getPersistentRDDs.keySet.diff(before).nonEmpty &&
+           System.nanoTime() < deadline) Thread.sleep(50)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"double-tracked frame left a stranded cache: $leaked")
+    QueryCaches.releaseAll() // no-op: the records were consumed by earlyRelease
+  }
+
   test("an operator's early release cannot evict a concurrent tracker's cache") {
     // Two q65 runs share the edge list's physical cache by canonical
     // plan; each componentLabels releases it when its union-find has

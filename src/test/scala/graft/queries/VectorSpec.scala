@@ -391,6 +391,46 @@ class VectorSpec extends AnyFunSuite {
     assert(rows() == after, "post-retrain replay of the triggering token double-appended")
   }
 
+  test("checkpoint tags: equivalent spellings agree, distinct checkpoints differ") {
+    import graft.pipeline.IvfIndex
+    // a crashed drain restarted with "file:///x" instead of "/x" resumes
+    // the SAME Spark checkpoint (same re-delivered batchIds) — the
+    // replay token must match or the re-delivery double-appends
+    val a = IvfIndex.checkpointTag(spark, "/tmp/graft-tag-ckpt")
+    val b = IvfIndex.checkpointTag(spark, "file:///tmp/graft-tag-ckpt")
+    assert(a === b, "equivalent checkpoint spellings must produce one tag")
+    val c = IvfIndex.checkpointTag(spark, "/tmp/graft-tag-ckpt-other")
+    assert(a !== c, "distinct checkpoints must produce distinct tags")
+  }
+
+  test("a legacy store gains the accumulator on its first streamed drain") {
+    import java.nio.file.Files
+    import graft.pipeline.IvfIndex
+    // pre-accumulator stores have nowhere to hold the replay stamp —
+    // appendStream must seed _drift.txt before draining so its batches
+    // get the same crash-replay protection as new stores
+    val (schema, frame, orig, drifted) = clusteredFixture()
+    val root = Files.createTempDirectory("graft-ivf-legacy").toFile
+    IvfIndex.build(spark, root.getPath, orig)
+    val driftFile = new java.io.File(new java.io.File(root, "cells"), "_drift.txt")
+    assert(driftFile.delete(), "fixture: simulate a pre-accumulator store")
+    val src = Files.createTempDirectory("graft-ivf-legacy-src").toString
+    frame(drifted.take(30)).coalesce(1).write.mode("overwrite").parquet(src)
+    val ckpt = Files.createTempDirectory("graft-ivf-legacy-ckpt").toString
+    IvfIndex.appendStream(spark, root.getPath,
+      spark.readStream.schema(schema).parquet(src), ckpt,
+      driftThreshold = 1e9, compactThresholdFiles = 1000000): Unit
+    assert(spark.read.parquet(new java.io.File(root, "cells").getPath)
+      .count() === 640 + 30)
+    // the seeded accumulator carries the drain's stamp: a replayed
+    // batch would now short-circuit instead of double-appending
+    val meta = new String(java.nio.file.Files.readAllBytes(driftFile.toPath)).trim
+    val parts = meta.split("\\s+")
+    assert(parts(0).toLong === 640L, s"seeded trained-count wrong: $meta")
+    assert(parts(2).toLong === 30L && parts(3) != "-",
+      s"drain must accumulate + stamp on the seeded meta: $meta")
+  }
+
   test("a fresh-checkpoint drain is not mistaken for the previous drain's replay") {
     import java.nio.file.Files
     import graft.pipeline.IvfIndex
