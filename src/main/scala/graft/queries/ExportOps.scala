@@ -116,6 +116,61 @@ object ExportOps {
       .repartitionByRange(n, col("shard"), col("rnk"))
       .sortWithinPartitions("shard", "rnk")
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    writeManifest(s, outDir)
+  }
+
+  /** Loader-side validation manifest for an exported shard tree:
+    * `outDir/_manifest.json` lists, per shard, the part files in
+    * lexicographic (= rank) order with each file's row count and
+    * `[lo, hi]` rank interval, plus the shard totals and the q104
+    * rank-weighted checksum — a training loader asserts "every file
+    * present, nothing truncated, order intact" from one small file
+    * before an epoch instead of discovering a hole mid-run, and the
+    * checksum cross-checks against the q104 audit row doc-for-doc.
+    * Generation is ONE distributed scan of the written export grouped
+    * by physical file — only one row per part file reaches the driver,
+    * bounded by the writer task count at any corpus size — and FAILS
+    * if the layout breaks the read-back contract (each shard's
+    * name-ordered file intervals must tile 1..n with no gap or
+    * overlap), so a sink regression surfaces at write time, not in a
+    * consumer. */
+  def writeManifest(s: SparkSession, outDir: String): Unit = {
+    val perFile = s.read.parquet(outDir)
+      .groupBy(col("shard").cast("string").as("shard"),
+        regexp_extract(input_file_name(), "[^/]+$", 0).as("file"))
+      .agg(count(lit(1)).as("n"), min("rnk").as("lo"), max("rnk").as("hi"),
+        sum(pmod(pmod(col("rnk"), lit(ChkMod)) * pmod(col("doc_id"), lit(ChkMod)),
+          lit(ChkMod))).as("chk"))
+      .collect()
+    val shardsJson = perFile.groupBy(_.getString(0)).toSeq.sortBy(_._1)
+      .map { case (shard, rows) =>
+        val files = rows.sortBy(_.getString(1))
+        var expect = 1L
+        files.foreach { r =>
+          val (lo, hi, cnt) = (r.getLong(3), r.getLong(4), r.getLong(2))
+          require(lo == expect && hi - lo + 1 == cnt,
+            s"export layout broken: shard $shard file ${r.getString(1)} " +
+              s"covers [$lo,$hi] with $cnt rows, expected a dense interval " +
+              s"starting at $expect — name order no longer tiles rank order")
+          expect = hi + 1
+        }
+        val fileJson = files.map(r =>
+          s"""{"file":"${r.getString(1)}","n":${r.getLong(2)},""" +
+            s""""lo":${r.getLong(3)},"hi":${r.getLong(4)}}""").mkString("[", ",", "]")
+        val orderSum = files.map(_.getLong(5)).sum
+        (files.map(_.getLong(2)).sum,
+          s"""{"shard":"$shard","n":${files.map(_.getLong(2)).sum},""" +
+            s""""order_sum":$orderSum,"files":$fileJson}""")
+      }
+    val json =
+      s"""{"n_total":${shardsJson.map(_._1).sum},""" +
+        s""""n_shards":${shardsJson.size},""" +
+        s""""shards":${shardsJson.map(_._2).mkString("[", ",", "]")}}"""
+    val p = new org.apache.hadoop.fs.Path(outDir, "_manifest.json")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** Greedy per-source fill to a PER-SOURCE quota in deterministic md5

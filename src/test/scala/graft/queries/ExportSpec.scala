@@ -81,6 +81,36 @@ class ExportSpec extends AnyFunSuite {
       }
       // and the full export is lossless
       assert(spark.read.parquet(out).count() === docs.count())
+      // The manifest (written by the sink) must agree with an
+      // independent recount of the physical tree: totals, per-shard
+      // file lists in name order, per-file row counts, and the
+      // order_sum cross-checked against the q104 audit query itself.
+      val mf = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(out, "_manifest.json")), "UTF-8")
+      val m = spark.read.option("multiLine", true)
+        .json(spark.createDataset(Seq(mf))(org.apache.spark.sql.Encoders.STRING))
+      val head = m.select("n_total", "n_shards").collect().head
+      assert(head.getLong(0) === docs.count() && head.getLong(1) === 16L)
+      val shardRows = m.select(explode(col("shards")).as("s"))
+        .select(col("s.shard"), col("s.n"), col("s.order_sum"), col("s.files"))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2),
+            r.getSeq[org.apache.spark.sql.Row](3).map(_.getAs[String]("file"))))
+        .toMap
+      val audit = ExportOps.defs("q104_shard_export")(spark, sf)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+      dirs.foreach { d =>
+        val shard = d.stripPrefix("shard=")
+        val actualFiles = new java.io.File(s"$out/$d").listFiles()
+          .filter(f => f.isFile && f.getName.startsWith("part-"))
+          .map(_.getName).sorted.toSeq
+        val (mn, mChk, mFiles) = shardRows(shard)
+        assert(mFiles == actualFiles, s"$d: manifest file list diverges")
+        assert(mn === spark.read.parquet(s"$out/$d").count(), s"$d: manifest count")
+        val (an, aChk) = audit(shard)
+        assert(mn === an && mChk === aChk,
+          s"$d: manifest (n=$mn, chk=$mChk) disagrees with the q104 audit ($an, $aChk)")
+      }
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
     }
