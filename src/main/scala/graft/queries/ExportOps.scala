@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -119,58 +119,79 @@ object ExportOps {
     writeManifest(s, outDir)
   }
 
+  /** The q104 rank-weighted checksum term, shared by the audit query
+    * and the export manifest — ONE definition, so the manifest's
+    * `order_sum` is bit-identical to the audit row's by construction. */
+  private def chkTerm(rnk: Column, docId: Column): Column =
+    pmod(pmod(rnk, lit(ChkMod)) * pmod(docId, lit(ChkMod)), lit(ChkMod))
+
   /** Loader-side validation manifest for an exported shard tree:
-    * `outDir/_manifest.json` lists, per shard, the part files in
-    * lexicographic (= rank) order with each file's row count and
-    * `[lo, hi]` rank interval, plus the shard totals and the q104
-    * rank-weighted checksum — a training loader asserts "every file
-    * present, nothing truncated, order intact" from one small file
+    * `outDir/_manifest.json` lists, per shard, the part files IN RANK
+    * ORDER with each file's row count and `[lo, hi]` rank interval,
+    * plus the shard totals and the q104 rank-weighted checksum. The
+    * manifest's file order is the loader contract (below 100k write
+    * tasks it coincides with lexicographic part-file name order, but
+    * the manifest stays correct when Spark's part numbering outgrows
+    * its zero padding); a loader asserts "every file present, nothing
+    * truncated, ranks tile 1..n, checksum matches" from one small file
     * before an epoch instead of discovering a hole mid-run, and the
     * checksum cross-checks against the q104 audit row doc-for-doc.
-    * Generation is ONE distributed scan of the written export grouped
-    * by physical file — only one row per part file reaches the driver,
-    * bounded by the writer task count at any corpus size — and FAILS
-    * if the layout breaks the read-back contract (each shard's
-    * name-ordered file intervals must tile 1..n with no gap or
-    * overlap), so a sink regression surfaces at write time, not in a
-    * consumer. */
+    * What the manifest does NOT certify is INTRA-file physical row
+    * order (its statistics are order-invariant aggregates) — that is
+    * the embedded `rnk` column's job, and ExportSpec's read-back test
+    * pins it at the sink level. Generation is ONE distributed scan of
+    * the written export grouped by physical file — only one row per
+    * part file reaches the driver, bounded by the writer task count at
+    * any corpus size — and FAILS if the rank intervals stop tiling
+    * 1..n densely (gap, overlap, or a duplicate-plus-missing pair
+    * inside one file), so a sink layout regression surfaces at write
+    * time, not in a consumer. */
   def writeManifest(s: SparkSession, outDir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(outDir, "_manifest.json")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    def put(json: String): Unit = {
+      val out = fs.create(p, true)
+      try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    // an empty selection writes an empty (but valid) export tree: no
+    // part files means nothing to scan — emit the empty manifest
+    // instead of letting schema inference throw
+    val anyData = fs.exists(new org.apache.hadoop.fs.Path(outDir)) &&
+      graft.ingest.Staging.countDataFiles(fs,
+        new org.apache.hadoop.fs.Path(outDir)) > 0
+    if (!anyData) { put("""{"n_total":0,"n_shards":0,"shards":[]}"""); return }
     val perFile = s.read.parquet(outDir)
       .groupBy(col("shard").cast("string").as("shard"),
         regexp_extract(input_file_name(), "[^/]+$", 0).as("file"))
       .agg(count(lit(1)).as("n"), min("rnk").as("lo"), max("rnk").as("hi"),
-        sum(pmod(pmod(col("rnk"), lit(ChkMod)) * pmod(col("doc_id"), lit(ChkMod)),
-          lit(ChkMod))).as("chk"))
+        countDistinct("rnk").as("nd"),
+        sum(chkTerm(col("rnk"), col("doc_id"))).as("chk"))
       .collect()
     val shardsJson = perFile.groupBy(_.getString(0)).toSeq.sortBy(_._1)
       .map { case (shard, rows) =>
-        val files = rows.sortBy(_.getString(1))
+        // rank order, NOT name order: rank intervals are the contract,
+        // and lo-order survives part numbers outgrowing their padding
+        val files = rows.sortBy(_.getLong(3))
         var expect = 1L
         files.foreach { r =>
-          val (lo, hi, cnt) = (r.getLong(3), r.getLong(4), r.getLong(2))
-          require(lo == expect && hi - lo + 1 == cnt,
+          val (lo, hi, cnt, nd) = (r.getLong(3), r.getLong(4), r.getLong(2), r.getLong(5))
+          require(lo == expect && hi - lo + 1 == cnt && nd == cnt,
             s"export layout broken: shard $shard file ${r.getString(1)} " +
-              s"covers [$lo,$hi] with $cnt rows, expected a dense interval " +
-              s"starting at $expect — name order no longer tiles rank order")
+              s"covers [$lo,$hi] with $cnt rows ($nd distinct ranks), " +
+              s"expected a dense duplicate-free interval starting at $expect")
           expect = hi + 1
         }
         val fileJson = files.map(r =>
           s"""{"file":"${r.getString(1)}","n":${r.getLong(2)},""" +
             s""""lo":${r.getLong(3)},"hi":${r.getLong(4)}}""").mkString("[", ",", "]")
-        val orderSum = files.map(_.getLong(5)).sum
-        (files.map(_.getLong(2)).sum,
-          s"""{"shard":"$shard","n":${files.map(_.getLong(2)).sum},""" +
-            s""""order_sum":$orderSum,"files":$fileJson}""")
+        val orderSum = files.map(_.getLong(6)).sum
+        val n = files.map(_.getLong(2)).sum
+        (n, s"""{"shard":"$shard","n":$n,"order_sum":$orderSum,"files":$fileJson}""")
       }
-    val json =
-      s"""{"n_total":${shardsJson.map(_._1).sum},""" +
-        s""""n_shards":${shardsJson.size},""" +
-        s""""shards":${shardsJson.map(_._2).mkString("[", ",", "]")}}"""
-    val p = new org.apache.hadoop.fs.Path(outDir, "_manifest.json")
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    put(s"""{"n_total":${shardsJson.map(_._1).sum},""" +
+      s""""n_shards":${shardsJson.size},""" +
+      s""""shards":${shardsJson.map(_._2).mkString("[", ",", "]")}}""")
   }
 
   /** Greedy per-source fill to a PER-SOURCE quota in deterministic md5
@@ -207,8 +228,7 @@ object ExportOps {
         .groupBy("shard")
         .agg(count(lit(1)).as("n_seqs"),
           sum("n_tok").as("n_tokens"),
-          sum(pmod(pmod(col("rnk"), lit(ChkMod)) * pmod(col("doc_id"), lit(ChkMod)),
-            lit(ChkMod))).as("order_sum"),
+          sum(chkTerm(col("rnk"), col("doc_id"))).as("order_sum"),
           min_by(col("doc_id"), col("rk")).as("first_doc"))
         .orderBy("shard")
     }),

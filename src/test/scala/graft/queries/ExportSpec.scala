@@ -116,6 +116,19 @@ class ExportSpec extends AnyFunSuite {
     }
   }
 
+  test("exporting an empty selection writes a valid empty manifest, not a crash") {
+    val out = Files.createTempDirectory("graft-shards-empty-").toString
+    try {
+      ExportOps.exportShards(spark,
+        docs.select("doc_id", "source", "text").filter(lit(false)), out)
+      val mf = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(out, "_manifest.json")), "UTF-8")
+      assert(mf.contains("\"n_total\":0") && mf.contains("\"shards\":[]"), mf)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    }
+  }
+
   test("q105 quotas: integer-exact, sum ≤ budget, fill stops at quota per source") {
     val rows = ExportOps.defs("q105_temperature_mixture")(spark, sf).collect()
     val budget = ExportOps.TempBudget
