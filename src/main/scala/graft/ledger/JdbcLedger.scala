@@ -118,7 +118,17 @@ object LedgerDialect {
             try ins.executeUpdate()
             catch {
               case e: java.sql.SQLException
-                if Option(e.getSQLState).exists(DupStates.contains) => 0
+                  if Option(e.getSQLState).exists(DupStates.contains) =>
+                // 23000 is the GENERIC integrity-violation class — on
+                // engines that report NOT NULL/CHECK/FK failures under
+                // it too, swallowing unconditionally would count a real
+                // constraint failure as "already registered" and the
+                // file would never enter the ledger. Re-check: only if
+                // the key is now present was this a true duplicate race.
+                check.setString(1, key)
+                val rs2 = check.executeQuery()
+                val nowThere = try rs2.next() finally rs2.close()
+                if (nowThere) 0 else throw e
             }
           }
         }

@@ -281,8 +281,16 @@ object IvfIndex {
     if (!fs.exists(new Path(s"$root/cells", DriftMeta))) return // legacy store
     val parts = readMeta(spark, root, DriftMeta).trim.split("\\s+")
     if (parts.length > 3 && parts(3) == token && token != "-") return // replay
+    // A plain append (token "-") must PRESERVE a previously stored
+    // staged-append stamp: if a streaming drain crashed after
+    // appendStaged + retrain (the re-train renamed every cell file, so
+    // the v<token>- prefix sweep is blind) and a batch append ran before
+    // the drain restarted, overwriting the stamp would let the
+    // re-delivered micro-batch re-append — the exact double-append the
+    // stamp exists to prevent.
+    val kept = if (token == "-" && parts.length > 3) parts(3) else token
     writeMeta(fs, new Path(s"$root/cells"), DriftMeta,
-      s"${parts(0)} ${parts(1).toDouble + batchSum} ${parts(2).toLong + batchN} $token")
+      s"${parts(0)} ${parts(1).toDouble + batchSum} ${parts(2).toLong + batchN} $kept")
   }
 
   /** Re-train the coarse quantizer over the CURRENT store contents and
@@ -378,6 +386,10 @@ object IvfIndex {
     // a compaction that renamed the token's prefixes away (making the
     // sweep blind) cannot lead to a double-append, which is what makes
     // compaction safe in the streaming maintenance slot below.
+    // The "-" sentinel is reserved for plain appends and seeded stores —
+    // it must never match the stamp (a seeded store's stamp IS "-"),
+    // or a caller passing the sentinel would silently drop the append.
+    require(token != "-", "appendStaged token must not be the '-' sentinel")
     if (fs.exists(new Path(s"$root/cells", DriftMeta))) {
       val parts = readMeta(spark, root, DriftMeta).trim.split("\\s+")
       if (parts.length > 3 && parts(3) == token) return

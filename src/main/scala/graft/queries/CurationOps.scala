@@ -272,6 +272,11 @@ object CurationOps {
     // while staying under q71's duplicate-fraction radar. Per-row column
     // algebra only (the per-doc mode runs inside higher-order functions
     // over the token array), so it composes into any scan at any scale.
+    // The per-doc mode is a single pass over the SORTED gram array —
+    // sort, then one `aggregate` counting run lengths — O(L log L) per
+    // document, so an MB-scale web doc costs a sort, not the O(L²)
+    // lambda storm a distinct×filter count would (at 150k tokens that
+    // is ~10¹⁰ evaluations on one row — a straggler-task cost bomb).
     // All outputs are INTEGERS — chars-covered numerator and n_chars
     // denominator ship separately, and the Gopher-style gates (top
     // 2-gram > 20%, top 3-gram > 18% of chars) are integer cross
@@ -279,6 +284,23 @@ object CurationOps {
     // Gram ties break to the lexicographically greatest gram in both
     // engines (array_max / list max over ASCII strings).
     "q107_top_ngram_chars" -> ((s, d) => {
+      // Run-length mode over the sorted grams: equal grams are adjacent
+      // after array_sort, so one aggregate pass tracks the current run
+      // and the best-so-far. `run >= bc` (not `>`) encodes the tie rule:
+      // the array is ascending, so a later run of equal count replaces
+      // the best with the lexicographically GREATER gram — identical to
+      // the oracle's max-over-ties.
+      def topGram(g: String): String =
+        s"""aggregate(array_sort($g),
+           |  named_struct('prev', cast(null as string), 'run', 0L,
+           |               'bc', 0L, 'bg', cast(null as string)),
+           |  (a, x) -> named_struct(
+           |    'prev', x,
+           |    'run', if(x <=> a.prev, a.run + 1L, 1L),
+           |    'bc', if(if(x <=> a.prev, a.run + 1L, 1L) >= a.bc,
+           |             if(x <=> a.prev, a.run + 1L, 1L), a.bc),
+           |    'bg', if(if(x <=> a.prev, a.run + 1L, 1L) >= a.bc, x, a.bg)),
+           |  a -> named_struct('cnt', a.bc, 'gram', a.bg))""".stripMargin
       docs(s, d)
         .withColumn("toks", split(col("text"), " "))
         .filter(size(col("toks")) >= 3)
@@ -286,14 +308,12 @@ object CurationOps {
           "transform(sequence(0, size(toks)-2), i -> concat_ws(' ', toks[i], toks[i+1]))"))
         .withColumn("g3", expr(
           "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
-        .withColumn("top2_cnt", expr(
-          "array_max(transform(array_distinct(g2), x -> size(filter(g2, y -> y = x))))").cast("long"))
-        .withColumn("top2_gram", expr(
-          "array_max(filter(array_distinct(g2), x -> size(filter(g2, y -> y = x)) = top2_cnt))"))
-        .withColumn("top3_cnt", expr(
-          "array_max(transform(array_distinct(g3), x -> size(filter(g3, y -> y = x))))").cast("long"))
-        .withColumn("top3_gram", expr(
-          "array_max(filter(array_distinct(g3), x -> size(filter(g3, y -> y = x)) = top3_cnt))"))
+        .withColumn("t2", expr(topGram("g2")))
+        .withColumn("t3", expr(topGram("g3")))
+        .withColumn("top2_cnt", col("t2.cnt"))
+        .withColumn("top2_gram", col("t2.gram"))
+        .withColumn("top3_cnt", col("t3.cnt"))
+        .withColumn("top3_gram", col("t3.gram"))
         .withColumn("n_chars", length(col("text")).cast("long"))
         .withColumn("chars_top2", col("top2_cnt") * length(col("top2_gram")))
         .withColumn("chars_top3", col("top3_cnt") * length(col("top3_gram")))

@@ -130,7 +130,15 @@ object QueryCaches {
     val removed =
       current.value.map(sc => removeAll(sc.entries)).getOrElse(0) + removeAll(global)
     if (removed > 0) (1 to removed).foreach(_ => release(ds))
-    else ds.unpersist(blocking = false): Unit
+    // Never raw-unpersist a plan some tracker still refcounts: a
+    // bare-persisted frame whose canonical plan matches a tracked frame
+    // shares ONE physical cache (Spark keys caches on the plan) — the
+    // bare persist was a no-op on the already-cached plan, so this
+    // caller holds no share, and a raw unpersist would evict the cache
+    // under the tracker's running jobs and strand its owned entry.
+    // No-op and let the share-holders release it; only a genuinely
+    // untracked plan is unpersisted directly.
+    else if (!owned.contains(keyOf(ds))) ds.unpersist(blocking = false): Unit
   }
 
   /** Run `body` under a fresh ownership scope on this thread, then

@@ -120,6 +120,32 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("q107 long-doc guard: a 50k-token mostly-unique doc completes in bounded time") {
+    import spark.implicits._
+    // ~50k DISTINCT grams is the adversarial shape for any
+    // distinct×filter counting (O(L²) ≈ 2.5e9 lambda evals — minutes on
+    // one row); the shipped single-pass sorted run-length mode is
+    // O(L log L) and finishes in seconds. Plant one gram 50 times so
+    // the answer is a closed form, not just "it returned".
+    val toks = (0 until 50000).map { i =>
+      if (i % 1000 == 0) "p" else if (i % 1000 == 1) "q" else s"t$i"
+    }
+    val df = Seq((0L, toks.mkString(" ")))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = Files.createTempDirectory("graft-q107-long").toString
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val t0 = System.nanoTime()
+    val row = graft.queries.CurationOps.defs("q107_top_ngram_chars")(spark, dir)
+      .select("top2_cnt", "top2_gram", "chars_top2")
+      .collect().head
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(row.getLong(0) === 50L && row.getString(1) === "p q" &&
+      row.getLong(2) === 150L, s"unexpected mode: $row")
+    assert(secs < 30.0, f"50k-token doc took $secs%.1f s — per-row mode is not O(L log L)")
+  }
+
   test("media decoders are total: random and mutated payloads never throw") {
     val rnd = new scala.util.Random(42)
     // pure-random byte arrays of many sizes

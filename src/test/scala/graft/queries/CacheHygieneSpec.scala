@@ -100,6 +100,27 @@ class CacheHygieneSpec extends AnyFunSuite {
     assert(leaked.isEmpty, s"concurrent q65 leaked persisted RDDs: $leaked")
   }
 
+  test("earlyRelease of an untracked same-plan frame cannot evict a tracker's cache") {
+    // A bare-persisted frame whose canonical plan matches a tracked
+    // frame shares ONE physical cache (Spark keys on the plan) — its
+    // persist() was a no-op, so it holds no share. earlyRelease of that
+    // instance must neither raw-unpersist the shared cache nor steal a
+    // share: the tracker's cache survives until the tracker releases.
+    import spark.implicits._
+    val a = Seq(201, 202, 203).toDF("hyg2").filter($"hyg2" > 201)
+    QueryCaches.track(a)
+    a.count()
+    assert(a.storageLevel.useMemory)
+    val b = Seq(201, 202, 203).toDF("hyg2").filter($"hyg2" > 201)
+    b.persist() // no-op: plan already cached
+    b.count()
+    QueryCaches.earlyRelease(b)
+    assert(a.storageLevel.useMemory,
+      "untracked earlyRelease evicted the tracker's shared cache")
+    QueryCaches.releaseAll()
+    assert(!a.storageLevel.useMemory, "the tracker's own release must still drop it")
+  }
+
   test("track is idempotent on an already-cached plan: no double-persist, no ownership steal") {
     // Spark's CacheManager keys on the canonical plan, so two queries
     // tracking the same shingled frame used to double-persist (the

@@ -391,6 +391,45 @@ class VectorSpec extends AnyFunSuite {
     assert(rows() == after, "post-retrain replay of the triggering token double-appended")
   }
 
+  test("a plain batch append between crash and replay preserves the staged stamp") {
+    import java.nio.file.Files
+    import graft.pipeline.IvfIndex
+    // The interleaving the stamp-preservation exists for: a streaming
+    // drain appends under token T and re-trains (blinding the prefix
+    // sweep), the process dies before the checkpoint commits, and a
+    // BATCH IvfIndex.append runs before the drain restarts. The plain
+    // append must not erase T's stamp, or the re-delivered micro-batch
+    // re-appends — the exact double-append the stamp prevents.
+    val (_, frame, orig, drifted) = clusteredFixture()
+    val root = Files.createTempDirectory("graft-ivf-interleave").toFile
+    IvfIndex.build(spark, root.getPath, orig)
+    IvfIndex.appendStaged(spark, root.getPath, frame(drifted), "tokT")
+    assert(IvfIndex.retrainIfDrifted(spark, root.getPath), "fixture must drift")
+    val batch = (0 until 20).map(i => org.apache.spark.sql.Row(
+      2000000L + i, drifted(i).getSeq[Float](1)))
+    IvfIndex.append(spark, root.getPath, frame(batch))
+    def rows() = spark.read.parquet(new java.io.File(root, "cells").getPath)
+      .select("b_id").collect().map(_.getLong(0)).sorted.toSeq
+    val after = rows()
+    assert(after.distinct.size === after.size, "batch append must not duplicate rows")
+    IvfIndex.appendStaged(spark, root.getPath, frame(drifted), "tokT")
+    assert(rows() == after,
+      "replay after an interleaved batch append double-appended: the plain append erased the stamp")
+  }
+
+  test("appendStaged rejects the '-' sentinel token") {
+    import java.nio.file.Files
+    import graft.pipeline.IvfIndex
+    // "-" is the seeded/plain-append stamp; a caller passing it would
+    // silently match a seeded store's stamp and drop the whole append.
+    val (_, frame, orig, drifted) = clusteredFixture()
+    val root = Files.createTempDirectory("graft-ivf-sentinel").toFile
+    IvfIndex.build(spark, root.getPath, orig)
+    intercept[IllegalArgumentException] {
+      IvfIndex.appendStaged(spark, root.getPath, frame(drifted.take(4)), "-")
+    }
+  }
+
   test("checkpoint tags: equivalent spellings agree, distinct checkpoints differ") {
     import graft.pipeline.IvfIndex
     // a crashed drain restarted with "file:///x" instead of "/x" resumes
