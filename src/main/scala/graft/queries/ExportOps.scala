@@ -132,10 +132,11 @@ object ExportOps {
     * manifest's file order is the loader contract (below 100k write
     * tasks it coincides with lexicographic part-file name order, but
     * the manifest stays correct when Spark's part numbering outgrows
-    * its zero padding); a loader asserts "every file present, nothing
-    * truncated, ranks tile 1..n, checksum matches" from one small file
-    * before an epoch instead of discovering a hole mid-run, and the
-    * checksum cross-checks against the q104 audit row doc-for-doc.
+    * its zero padding); [[readShards]] is the executable loader half —
+    * it asserts "every file present, nothing truncated, ranks tile
+    * 1..n, checksum matches" before an epoch instead of discovering a
+    * hole mid-run, and the checksum cross-checks against the q104 audit
+    * row doc-for-doc.
     * What the manifest does NOT certify is INTRA-file physical row
     * order (its statistics are order-invariant aggregates) — that is
     * the embedded `rnk` column's job, and ExportSpec's read-back test
@@ -161,13 +162,7 @@ object ExportOps {
       graft.ingest.Staging.countDataFiles(fs,
         new org.apache.hadoop.fs.Path(outDir)) > 0
     if (!anyData) { put("""{"n_total":0,"n_shards":0,"shards":[]}"""); return }
-    val perFile = s.read.parquet(outDir)
-      .groupBy(col("shard").cast("string").as("shard"),
-        regexp_extract(input_file_name(), "[^/]+$", 0).as("file"))
-      .agg(count(lit(1)).as("n"), min("rnk").as("lo"), max("rnk").as("hi"),
-        countDistinct("rnk").as("nd"),
-        sum(chkTerm(col("rnk"), col("doc_id"))).as("chk"))
-      .collect()
+    val perFile = perFileStats(s, outDir)
     val shardsJson = perFile.groupBy(_.getString(0)).toSeq.sortBy(_._1)
       .map { case (shard, rows) =>
         // rank order, NOT name order: rank intervals are the contract,
@@ -192,6 +187,180 @@ object ExportOps {
     put(s"""{"n_total":${shardsJson.map(_._1).sum},""" +
       s""""n_shards":${shardsJson.size},""" +
       s""""shards":${shardsJson.map(_._2).mkString("[", ",", "]")}}""")
+  }
+
+  /** ONE distributed scan of an export tree grouped by physical part
+    * file — the shared recount behind [[writeManifest]] (produces the
+    * manifest) and [[readShards]]' deep validation (re-derives the same
+    * rows independently and compares). One row per part file reaches
+    * the driver, bounded by the writer task count at any corpus size. */
+  private def perFileStats(s: SparkSession, outDir: String) =
+    s.read.parquet(outDir)
+      .groupBy(col("shard").cast("string").as("shard"),
+        regexp_extract(input_file_name(), "[^/]+$", 0).as("file"))
+      .agg(count(lit(1)).as("n"), min("rnk").as("lo"), max("rnk").as("hi"),
+        countDistinct("rnk").as("nd"),
+        sum(chkTerm(col("rnk"), col("doc_id"))).as("chk"))
+      .collect()
+
+  /** One manifest file entry: where the loader expects `n` rows
+    * covering ranks `[lo, hi]` of `shard`. `pos` is the entry's LISTED
+    * position — the manifest's file order IS the loader contract, so
+    * validation walks entries in listed order (a swapped pair must fail
+    * loudly, not be silently repaired by re-sorting). */
+  final case class ManifestEntry(shard: String, pos: Int, file: String,
+                                 n: Long, lo: Long, hi: Long)
+
+  /** Parsed `_manifest.json`: total rows, per-shard (n, order_sum), and
+    * every file entry in listed order. Driver-side and bounded — the
+    * manifest has one entry per writer task, never per row. */
+  final case class Manifest(nTotal: Long, shards: Seq[(String, Long, Long)],
+                            files: Seq[ManifestEntry])
+
+  /** Parse `outDir/_manifest.json`. Fails loudly when absent — an
+    * export without its manifest is an incomplete export. */
+  def readManifest(s: SparkSession, outDir: String): Manifest = {
+    val p = new org.apache.hadoop.fs.Path(outDir, "_manifest.json")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"no _manifest.json under $outDir — not a completed export")
+    val in = fs.open(p)
+    val json = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 65536, false)
+      bos.toString(java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+    import scala.jdk.CollectionConverters._
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    val shardNodes = root.get("shards").elements().asScala.toSeq
+    val shards = shardNodes.map(sh =>
+      (sh.get("shard").asText(), sh.get("n").asLong(), sh.get("order_sum").asLong()))
+    val files = shardNodes.flatMap { sh =>
+      sh.get("files").elements().asScala.toSeq.zipWithIndex.map { case (f, i) =>
+        ManifestEntry(sh.get("shard").asText(), i, f.get("file").asText(),
+          f.get("n").asLong(), f.get("lo").asLong(), f.get("hi").asLong())
+      }
+    }
+    Manifest(root.get("n_total").asLong(), shards, files)
+  }
+
+  /** The loader contract, executable (the read-side twin of
+    * [[exportShards]]/[[writeManifest]]): validate an export tree
+    * against its `_manifest.json` and return the shard frame. EVERY
+    * check runs before any row is served:
+    *
+    *  1. structural — per shard, the listed entries tile ranks `1..n`
+    *     densely in LISTED order (gap, overlap, or a swapped pair of
+    *     manifest entries fails here, in the listed-order walk — never
+    *     silently repaired by re-sorting on `lo`), and per-shard /
+    *     grand totals are internally consistent;
+    *  2. presence — the disk's part-file set per shard EQUALS the
+    *     manifest's (a deleted file AND an unlisted stray both fail);
+    *  3. deep (default on) — ONE distributed scan grouped by physical
+    *     file ([[perFileStats]], the writer's own recount re-derived
+    *     independently) must reproduce every entry's row count and rank
+    *     interval (a truncated or substituted file fails here) and every
+    *     shard's rank-weighted checksum (any doc_id↔rank reassignment
+    *     fails, cross-checkable against the q104 audit row). Deep costs
+    *     one export scan — run it once per epoch or after transport;
+    *     `deep = false` keeps checks 1-2 for cheap per-run preflight.
+    *
+    * The returned frame carries `(shard, rnk, doc_id, source, text)` —
+    * training order lives in the `rnk` VALUE (the q78/q104 convention),
+    * so no global sort is forced on a 100 TB read just to certify
+    * order; a sequential consumer that wants physical streaming order
+    * takes [[orderedFiles]] and reads file-by-file (each file is
+    * internally rank-sorted by the sink and validation proved the files
+    * tile, so concatenation in manifest order IS the training order). */
+  def readShards(s: SparkSession, outDir: String, deep: Boolean = true): DataFrame = {
+    val m = readManifest(s, outDir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("shard", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("rnk", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    // 1. structural: listed-order dense tiling + consistent totals
+    m.files.groupBy(_.shard).foreach { case (shard, entries) =>
+      var expect = 1L
+      entries.sortBy(_.pos).foreach { e =>
+        require(e.lo == expect && e.hi - e.lo + 1 == e.n,
+          s"manifest of $outDir is not a dense rank tiling: shard $shard " +
+            s"entry #${e.pos} (${e.file}) claims [${e.lo},${e.hi}] n=${e.n}, " +
+            s"expected an interval starting at $expect — entries out of order or overlapping")
+        expect = e.hi + 1
+      }
+      val shardN = m.shards.find(_._1 == shard).map(_._2)
+        .getOrElse(sys.error(s"manifest shard list missing $shard"))
+      require(expect - 1 == shardN,
+        s"manifest shard $shard total $shardN != tiled file rows ${expect - 1}")
+    }
+    require(m.shards.map(_._2).sum == m.nTotal,
+      s"manifest n_total ${m.nTotal} != per-shard sum ${m.shards.map(_._2).sum}")
+    if (m.nTotal == 0) {
+      require(m.files.isEmpty, "empty manifest lists files")
+      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+    // 2. presence: disk part-file set per shard == manifest's set
+    val root = new org.apache.hadoop.fs.Path(outDir)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val onDisk: Map[String, Set[String]] = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("shard="))
+      .map { st =>
+        val shard = st.getPath.getName.stripPrefix("shard=")
+        val parts = fs.listStatus(st.getPath).toSeq.map(_.getPath.getName)
+          .filterNot(n => n.startsWith("_") || n.startsWith(".")).toSet
+        shard -> parts
+      }.toMap
+    val listed = m.files.groupBy(_.shard).view.mapValues(_.map(_.file).toSet).toMap
+    (listed.keySet ++ onDisk.keySet).toSeq.sorted.foreach { shard =>
+      val want = listed.getOrElse(shard, Set.empty)
+      val have = onDisk.getOrElse(shard, Set.empty)
+      require(want == have,
+        s"export $outDir shard $shard does not match its manifest: " +
+          s"missing on disk = ${(want -- have).toSeq.sorted.mkString(",")} " +
+          s"unlisted on disk = ${(have -- want).toSeq.sorted.mkString(",")}")
+    }
+    // 3. deep: independent recount must reproduce every entry + checksum
+    if (deep) {
+      val actual = perFileStats(s, outDir)
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+      m.files.foreach { e =>
+        val (n, lo, hi, nd, _) = actual.getOrElse((e.shard, e.file),
+          sys.error(s"listed file ${e.shard}/${e.file} yielded no rows on rescan"))
+        require(n == e.n && lo == e.lo && hi == e.hi && nd == n,
+          s"export file ${e.shard}/${e.file} does not match its manifest entry: " +
+            s"disk has $n rows ($nd distinct ranks) over [$lo,$hi], " +
+            s"manifest claims ${e.n} over [${e.lo},${e.hi}] — truncated or substituted")
+      }
+      val chkByShard = actual.toSeq.groupBy(_._1._1)
+        .view.mapValues(_.map(_._2._5).sum).toMap
+      m.shards.foreach { case (shard, _, orderSum) =>
+        val got = chkByShard.getOrElse(shard, 0L)
+        require(got == orderSum,
+          s"export shard $shard checksum $got != manifest order_sum $orderSum — " +
+            "doc/rank content changed under an intact file layout")
+      }
+    }
+    s.read.parquet(outDir)
+      .select(col("shard").cast("string").as("shard"), col("rnk"),
+        col("doc_id"), col("source"), col("text"))
+  }
+
+  /** Per-shard ABSOLUTE part-file paths in training order, validated
+    * (presence + structural always; `deep` as in [[readShards]]) — the
+    * entry point for a sequential training loader that streams files
+    * instead of running a Spark job: each file is internally
+    * rank-sorted by the sink, and validation proved the files tile
+    * `1..n` densely in this order, so concatenating them IS the
+    * training order with no sort at any scale. */
+  def orderedFiles(s: SparkSession, outDir: String,
+                   deep: Boolean = false): Seq[(String, Seq[String])] = {
+    readShards(s, outDir, deep) // validation only; the frame is lazy and unused
+    val m = readManifest(s, outDir)
+    m.files.groupBy(_.shard).toSeq.sortBy(_._1).map { case (shard, entries) =>
+      shard -> entries.sortBy(_.pos).map(e => s"$outDir/shard=$shard/${e.file}")
+    }
   }
 
   /** Greedy per-source fill to a PER-SOURCE quota in deterministic md5

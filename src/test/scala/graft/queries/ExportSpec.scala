@@ -129,6 +129,120 @@ class ExportSpec extends AnyFunSuite {
     }
   }
 
+  test("readShards round-trips a multi-file export and validates before serving") {
+    val out = Files.createTempDirectory("graft-reader-").toString
+    try {
+      ExportOps.exportShards(spark, docs.select("doc_id", "source", "text"), out)
+      // deep round-trip: every row back, ranks intact
+      val back = ExportOps.readShards(spark, out, deep = true)
+      assert(back.count() === docs.count())
+      assert(back.select("doc_id").exceptAll(docs.select("doc_id")).isEmpty,
+        "reader must serve exactly the exported doc set")
+      // orderedFiles: per shard, the validated paths concatenate to 1..n
+      val files = ExportOps.orderedFiles(spark, out)
+      assert(files.map(_._1).sorted === files.map(_._1),
+        "shards must list in sorted order")
+      files.foreach { case (shard, paths) =>
+        assert(paths.nonEmpty, s"shard $shard has no files")
+        val rnks = paths.flatMap(p =>
+          spark.read.parquet(p).select("rnk").collect().map(_.getLong(0)))
+        assert(rnks === (1L to rnks.length.toLong),
+          s"shard $shard: manifest-ordered files must concatenate to ranks 1..n")
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    }
+  }
+
+  test("readShards round-trips an empty export") {
+    val out = Files.createTempDirectory("graft-reader-empty-").toString
+    try {
+      ExportOps.exportShards(spark,
+        docs.select("doc_id", "source", "text").filter(lit(false)), out)
+      val back = ExportOps.readShards(spark, out, deep = true)
+      assert(back.count() === 0L)
+      assert(back.columns.toSeq === Seq("shard", "rnk", "doc_id", "source", "text"))
+      assert(ExportOps.orderedFiles(spark, out).isEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    }
+  }
+
+  test("readShards fails loudly on every tamper class before serving a row") {
+    val out = Files.createTempDirectory("graft-tamper-").toString
+    try {
+      ExportOps.exportShards(spark, docs.select("doc_id", "source", "text"), out)
+      val shardDirs = new java.io.File(out).listFiles()
+        .filter(d => d.isDirectory && d.getName.startsWith("shard=")).sortBy(_.getName)
+      // pick a shard with ≥2 part files so an entry swap is possible
+      val multi = shardDirs.find(
+        _.listFiles().count(f => f.isFile && f.getName.startsWith("part-")) >= 2)
+        .getOrElse(fail("fixture needs a shard with >=2 part files"))
+      val victim = multi.listFiles()
+        .filter(f => f.isFile && f.getName.startsWith("part-")).minBy(_.getName)
+      val manifestPath = java.nio.file.Paths.get(out, "_manifest.json")
+      val goodManifest = java.nio.file.Files.readAllBytes(manifestPath)
+      val goodVictim = java.nio.file.Files.readAllBytes(victim.toPath)
+
+      // 1. DELETED part file → presence check (shallow is enough)
+      assert(victim.delete())
+      val eDel = intercept[IllegalArgumentException] {
+        ExportOps.readShards(spark, out, deep = false)
+      }
+      assert(eDel.getMessage.contains("missing on disk"), eDel.getMessage)
+      java.nio.file.Files.write(victim.toPath, goodVictim)
+
+      // 2. TRUNCATED file (valid parquet, fewer rows) → deep recount.
+      //    Rewrite the victim in place with its first row dropped.
+      val rows = spark.read.parquet(victim.getPath)
+      val tmp = Files.createTempDirectory("graft-trunc-").toString
+      rows.orderBy("rnk").limit((rows.count() - 1).toInt)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val rewritten = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-")).get
+      java.nio.file.Files.copy(rewritten.toPath, victim.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // drop the stale Hadoop .crc sidecar: the local ChecksumFileSystem
+      // would otherwise fail the read on CRC before the manifest check
+      // runs (a real tamperer does not leave a matching checksum behind)
+      val crc = new java.io.File(victim.getParentFile, s".${victim.getName}.crc")
+      if (crc.exists()) assert(crc.delete())
+      val eTrunc = intercept[IllegalArgumentException] {
+        ExportOps.readShards(spark, out, deep = true)
+      }
+      assert(eTrunc.getMessage.contains("truncated or substituted"), eTrunc.getMessage)
+      // ...and shallow validation alone must NOT catch it (file present,
+      // manifest intact) — deep is what certifies content
+      ExportOps.readShards(spark, out, deep = false)
+      java.nio.file.Files.write(victim.toPath, goodVictim)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+
+      // 3. SWAPPED manifest entries → structural listed-order walk,
+      //    before any filesystem or scan work
+      val mf = new String(goodManifest, "UTF-8")
+      val m = ExportOps.readManifest(spark, out)
+      val swapIn = m.files.filter(_.shard == multi.getName.stripPrefix("shard="))
+        .sortBy(_.pos).take(2)
+      val Seq(a, b) = swapIn.map(e => s"""{"file":"${e.file}","n":${e.n},"lo":${e.lo},"hi":${e.hi}}""")
+      val swapped = mf.replace(a, " PLACEHOLDER ")
+        .replace(b, a).replace(" PLACEHOLDER ", b)
+      assert(swapped != mf, "swap fixture must change the manifest")
+      java.nio.file.Files.write(manifestPath, swapped.getBytes("UTF-8"))
+      val mfCrc = new java.io.File(new java.io.File(out), "._manifest.json.crc")
+      if (mfCrc.exists()) assert(mfCrc.delete())
+      val eSwap = intercept[IllegalArgumentException] {
+        ExportOps.readShards(spark, out, deep = false)
+      }
+      assert(eSwap.getMessage.contains("not a dense rank tiling"), eSwap.getMessage)
+      java.nio.file.Files.write(manifestPath, goodManifest)
+
+      // restored export validates clean again
+      assert(ExportOps.readShards(spark, out, deep = true).count() === docs.count())
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    }
+  }
+
   test("q105 quotas: integer-exact, sum ≤ budget, fill stops at quota per source") {
     val rows = ExportOps.defs("q105_temperature_mixture")(spark, sf).collect()
     val budget = ExportOps.TempBudget
