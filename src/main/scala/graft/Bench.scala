@@ -202,10 +202,27 @@ object Bench {
     // machine; a large gap — or an ecores dip over a contiguous block —
     // marks the artifact as interference-contaminated.
     val subset = only.map(p => s""","subset":"${p.mkString(",")}"""").getOrElse("")
+    // Machine-checkable noise control (round-14 brief #2): three
+    // TPC-H-shaped queries whose code has not changed since round 7,
+    // with their r12 clean-room sf0.1 warm medians pinned as the
+    // baseline. control_ratio = (this run's control sum) / 0.945 — ≈1.0
+    // on a quiet machine; a uniform elevation (r13 measured 1.27 on
+    // these untouched queries) marks the artifact as
+    // environment-inflated, and a reader divides it out before calling
+    // any cross-round delta a regression (README §bench). Only defined
+    // for sf0.1 runs that executed all three controls; -1 otherwise.
+    val controlBase = Map(
+      "q48_bucketed_join" -> 0.239, "q50_small_qty_revenue" -> 0.401,
+      "q59_salted_join" -> 0.305)
+    val ctrl = results.filter(t => controlBase.contains(t._1) && t._3 >= 0)
+    val controlRatio =
+      if (new java.io.File(sfDir).getName == "sf0.1" && ctrl.size == controlBase.size)
+        r3(ctrl.map(_._3).sum / controlBase.values.sum)
+      else -1.0
     val lines = Seq(
       s"""{"metric":"cold_detail","unit":"sec","cold":${jmap(_._2)}}""",
       s"""{"metric":"noise_detail","unit":"sec","cores":$cpus,"warm_min":${jmap(_._4)},"ecores_median_rep":${jmap(_._5)}}""",
-      s"""{"metric":"total_warm_median","value":$totalWarm,"unit":"sec","reps":$reps,"errors":$errs,"queries":$qs,"build_sec":${r3(buildSec)},"sf":"$sfDir"$subset,"total_cold":$totalCold,"total_warm_min":$totalMin,"total_warm_median":$totalWarm}""")
+      s"""{"metric":"total_warm_median","value":$totalWarm,"unit":"sec","reps":$reps,"errors":$errs,"queries":$qs,"build_sec":${r3(buildSec)},"sf":"$sfDir"$subset,"control_ratio":$controlRatio,"total_cold":$totalCold,"total_warm_min":$totalMin,"total_warm_median":$totalWarm}""")
     lines.foreach(println)
     // self-contained artifact: BENCH_r11's driver log truncated mid-line
     // and dropped q01-q28 per-query medians from the parsed artifact —

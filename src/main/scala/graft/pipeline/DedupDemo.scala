@@ -151,6 +151,47 @@ object DedupDemo {
     graft.queries.AudioDecode.wavBytesVar(8000, amps, 160)
   }
 
+  /** The multi-gate demo's VIDEO fingerprint gate (tag `vi`, store
+    * `fps_vi`) — the third modality of the X5 gate matrix:
+    * base64-decode `payload.avi`, parse the AVI container, sample EVERY
+    * '00db' frame, and pack the q102 frame-mean delta fingerprint
+    * (bit k = mean luma rises across frame pair k). Same shape as
+    * [[audioFingerprint]]: the per-doc fingerprint is the q102 kernel
+    * verbatim (decode → frame sample → one codegen higher-order
+    * aggregate) joined back by the gate's keyed id; rows without a
+    * decodable AVI get a null fingerprint and pass — the gate family's
+    * total-function contract. */
+  def videoFingerprint: FingerprintGate = FingerprintGate(tag = "vi", extract = df => {
+    val hasAvi = df.schema.fields.find(_.name == "payload").exists(
+      _.dataType match {
+        case s: org.apache.spark.sql.types.StructType => s.fieldNames.contains("avi")
+        case _ => false
+      })
+    if (!hasAvi) df.withColumn(FingerprintGate.FpCol, lit(null).cast("long"))
+    else {
+      val bin = df
+        .select(col("_dedup_id").as("doc_id"), unbase64(col("payload.avi")).as("payload"))
+        .filter(col("payload").isNotNull)
+      val decoded = graft.queries.VideoDecode.decode(bin)
+        .filter(col("decode_err").isNull)
+      val fp = graft.queries.MultimodalOps.deltaFingerprint(
+        graft.queries.VideoDecode.sampleFrames(decoded, everyNth = 1), "frame_mean")
+        .select(col("doc_id").as("_fp_vi_id"), col("simhash").as(FingerprintGate.FpCol))
+      df.join(org.apache.spark.sql.functions.broadcast(fp),
+        col("_dedup_id") === col("_fp_vi_id"), "left").drop("_fp_vi_id")
+    }
+  })
+
+  /** 8×8 AVI whose frame-mean delta fingerprint IS `pattern`: frame 2k
+    * is the constant pixel 100, frame 2k+1 is 200 if pattern bit k is
+    * set else 50 ([[graft.queries.VideoDecode.aviBytes]] frames have
+    * exact constant means) — so planted Hamming distances are closed
+    * forms: equal patterns → 0, `pattern ^ 1` → 1. */
+  def demoAvi(pattern: Long): Array[Byte] =
+    graft.queries.VideoDecode.aviBytes(8, 8, 40000, 129, k =>
+      if (k % 2 == 0) 100
+      else if (((pattern >>> (k / 2)) & 1L) == 1L) 200 else 50)
+
   /** Run (or reuse) the dedup-gated demo lake for this scale factor.
     * The fixture is scale-independent (the OPERATOR history is what q90
     * audits), but artifacts are cached per sf like every other demo so
@@ -192,13 +233,16 @@ object DedupDemo {
 
   private val builtMg = mutable.Map.empty[String, LakeLayout]
 
-  /** Record with BOTH optional payload modalities (base64 BMP under
-    * `payload.img`, base64 WAV under `payload.wav`). */
+  /** Record with any of the optional payload modalities (base64 BMP
+    * under `payload.img`, base64 WAV under `payload.wav`, base64 AVI
+    * under `payload.avi`). */
   private def recMm(id: String, text: String, img: Option[Array[Byte]] = None,
-                    wav: Option[Array[Byte]] = None): String = {
+                    wav: Option[Array[Byte]] = None,
+                    avi: Option[Array[Byte]] = None): String = {
     def b64(b: Array[Byte]) = java.util.Base64.getEncoder.encodeToString(b)
     val extra = img.map(b => s""","img":"${b64(b)}"""").getOrElse("") +
-      wav.map(b => s""","wav":"${b64(b)}"""").getOrElse("")
+      wav.map(b => s""","wav":"${b64(b)}"""").getOrElse("") +
+      avi.map(b => s""","avi":"${b64(b)}"""").getOrElse("")
     s"""{"id":"$id","event_timestamp":"2024-03-07 11:22:33.000000","MODE":"training",""" +
       s""""metadata":{"app_version":"2.4.1","user_agent":"svc/1.0","user_id":7},""" +
       s""""payload":{"transaction_id":"t-$id","value":9.5,"props":"$text"$extra}}"""
@@ -208,29 +252,35 @@ object DedupDemo {
     * 64-bit value works; `^ 1` is its Hamming-1 neighbor. */
   private val WavPattern = 0x5a5a5a5a5a5a5a5aL
 
+  /** The video fingerprint pattern of the planted AVI pair (same role
+    * as [[WavPattern]], distinct value so the spaces never collide). */
+  private val AviPattern = 0x3c3c3c3c3c3c3c3cL
+
   /** The q106 lake: EVERY ingest gate in ONE drain — quality, text
-    * near-dup, image fingerprint AND audio fingerprint (one namespaced
+    * near-dup, image, audio AND video fingerprints (one namespaced
     * store per modality) — over a planted multi-modality landing zone
     * where each gate's suppression is a closed form, and each gate
     * exercises BOTH of its windows across the two ticks:
     *
-    *   tick 1 (run-00001): three DISJOINT same-tick pairs — t-1 ~ t-2
+    *   tick 1 (run-00001): four DISJOINT same-tick pairs — t-1 ~ t-2
     *     (near-texts, no payloads → ONE survives, reason "batch",
     *     jac_e6 [[PairJacE6]]), i-1 ~ i-2 (unique texts, IDENTICAL
     *     images → "fp_batch", 1000000), u-1 ~ u-2 (unique texts,
-    *     IDENTICAL audio → "au_batch", 1000000); g-1 is the garbage doc
-    *     (quality DLQ, score [[GarbageScoreE6]]). Pairs are disjoint so
-    *     every closed form is independent of WHICH clique member
-    *     survives. Survivors' text signatures + per-modality
+    *     IDENTICAL audio → "au_batch", 1000000), v-1 ~ v-2 (unique
+    *     texts, IDENTICAL video → "vi_batch", 1000000); g-1 is the
+    *     garbage doc (quality DLQ, score [[GarbageScoreE6]]). Pairs are
+    *     disjoint so every closed form is independent of WHICH clique
+    *     member survives. Survivors' text signatures + per-modality
     *     fingerprints index on commit.
     *   tick 2 (run-00003): one INDEX-window hit per gate — t-3 near
     *     the tick-1 text survivor ("index", [[PairJacE6]]), i-3 the
     *     tick-1 image with one block inverted ("fp_index", 984375),
     *     u-3 the tick-1 audio with fingerprint bit 0 flipped
-    *     ("au_index", 984375).
+    *     ("au_index", 984375), v-3 the tick-1 clip with fingerprint
+    *     bit 0 flipped ("vi_index", 984375).
     *
-    * Lake state: 3 curated docs (one survivor per tick-1 pair... plus
-    * none from tick 2), 6 dedup-DLQ rows across 6 distinct reasons,
+    * Lake state: 4 curated docs (one survivor per tick-1 pair... plus
+    * none from tick 2), 8 dedup-DLQ rows across 8 distinct reasons,
     * 1 quality-DLQ row — q106 audits the whole history with every
     * value literal-pinned. */
   def ensureMultiGate(spark: SparkSession, sfDir: String): LakeLayout = synchronized {
@@ -241,7 +291,7 @@ object DedupDemo {
       DemoCache.cached(root, sfDir) {
         val stage = DedupStage(s"${layout.root}/dedup-index",
           id = col("record_id"), text = col("payload.props"),
-          fingerprints = Seq(imageFingerprint, audioFingerprint))
+          fingerprints = Seq(imageFingerprint, audioFingerprint, videoFingerprint))
         val bp = new BatchProcessor(spark, layout, Contracts.events,
           dedup = Some(stage),
           quality = Some(QualityGate(text = col("payload.props"))))
@@ -251,12 +301,15 @@ object DedupDemo {
           recMm("i-2", base("cc"), img = Some(demoImg(flip00 = false))),
           recMm("u-1", base("dd"), wav = Some(demoWav(WavPattern))),
           recMm("u-2", base("ee"), wav = Some(demoWav(WavPattern))),
+          recMm("v-1", base("ff"), avi = Some(demoAvi(AviPattern))),
+          recMm("v-2", base("ii"), avi = Some(demoAvi(AviPattern))),
           recMm("g-1", Seq.fill(25)("zz").mkString(" "))))
         require(bp.runUntilDrained() == 1, "multi-gate demo tick 1 did no work")
         writeLines(s"${layout.rawDir}/t2.jsonl", Seq(
           recMm("t-3", near("aa", "x3")),
           recMm("i-3", base("gg"), img = Some(demoImg(flip00 = true))),
-          recMm("u-3", base("hh"), wav = Some(demoWav(WavPattern ^ 1L)))))
+          recMm("u-3", base("hh"), wav = Some(demoWav(WavPattern ^ 1L))),
+          recMm("v-3", base("jj"), avi = Some(demoAvi(AviPattern ^ 1L)))))
         require(bp.runUntilDrained() == 1, "multi-gate demo tick 2 did no work")
       }
       layout

@@ -1,8 +1,8 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions.col
-import graft.queries.CurationOps
+import org.apache.spark.sql.functions.{col, round}
+import graft.queries.{CurationOps, QualityModel}
 
 /** Optional quality gate for the ingest pipeline (SURVEY.md §2.10 X6 as
   * an INGEST STAGE): the C4/CCNet-style "filter at ingestion" pass.
@@ -21,6 +21,14 @@ import graft.queries.CurationOps
   * offline before turning it on at ingest (q93's calibration sweep),
   * and the ingest decision is bit-identical to the offline answer.
   *
+  * The SCORER is a seam: by default the fixed-weight q77 formula (a
+  * closed form, which keeps the q90/q106 fixtures oracle-exact); pass a
+  * TRAINED [[graft.queries.QualityModel]] (the q84 logistic, via
+  * [[QualityGate.trained]]) to gate on the learned margin instead. Both
+  * scorers read the same codegen feature struct, so swapping them
+  * changes only the final column expression — still one byte walk per
+  * row, still whole-stage codegen, no UDF either way.
+  *
   * Composition with [[DedupStage]] (both runners wire quality FIRST):
   * quality-flagged rows never reach the dedup probe, never enter the
   * signature index, and never publish — the lake and its index only
@@ -31,8 +39,16 @@ final case class QualityGate(
       * `col("payload.props")`). */
     text: Column,
     /** Keep threshold (e6 units): `quality_score_e6 >= minScoreE6`
-      * publishes. The default is the q70/q77 gate setting. */
-    minScoreE6: Long = CurationOps.QualityMinE6) {
+      * publishes. The default is the q70/q77 gate setting; under a
+      * trained [[scorer]] the score is the logistic margin ×1e6, whose
+      * natural threshold is 0 (the decision boundary —
+      * [[QualityGate.trained]]'s default). */
+    minScoreE6: Long = CurationOps.QualityMinE6,
+    /** When set, score with the TRAINED q84 model instead of the fixed
+      * q77 weights: [[ScoreCol]] becomes `round(margin · 1e6)` over the
+      * same feature columns. The DLQ audit column keeps its name — a
+      * consumer reads "the gate's score in e6 units" either way. */
+    scorer: Option[QualityModel] = None) {
 
   /** Audit column the flagged frame carries into the quality DLQ. */
   val ScoreCol = "quality_score_e6"
@@ -48,17 +64,32 @@ final case class QualityGate(
     * paying an extra scoring scan of every tick for the answer.
     *
     * A row whose text is NULL has no score (`quality_features` is
-    * null-intolerant, so the score column is NULL): it KEEPS — the gate
-    * drops rows it judged bad, never rows it could not judge (the
-    * [[DedupStage]] posture, which never flags docs too short to
-    * shingle). Without the explicit null arm such rows would fail BOTH
-    * filters and silently vanish from the pipeline. */
+    * null-intolerant, so the score column is NULL — under a trained
+    * scorer the null features null out the margin the same way): it
+    * KEEPS — the gate drops rows it judged bad, never rows it could not
+    * judge (the [[DedupStage]] posture, which never flags docs too
+    * short to shingle). Without the explicit null arm such rows would
+    * fail BOTH filters and silently vanish from the pipeline. */
   def partition(curated: DataFrame): (DataFrame, DataFrame) = {
-    val scored = CurationOps.withQualityScoreOn(curated, text)
+    val base = CurationOps.withQualityScoreOn(curated, text)
+    val scored = scorer match {
+      case Some(m) => base.withColumn(ScoreCol, round(m.scoreCol * 1e6).cast("long"))
+      case None => base
+    }
     val keep = scored.filter(col(ScoreCol) >= minScoreE6 || col(ScoreCol).isNull)
       .drop(helperCols :+ ScoreCol: _*)
     val flagged = scored.filter(col(ScoreCol) < minScoreE6)
       .drop(helperCols: _*)
     (keep, flagged)
   }
+}
+
+object QualityGate {
+  /** Gate on the TRAINED q84 logistic ([[graft.queries
+    * .QualityModelStore]]): keep iff the margin (×1e6) clears
+    * `minMarginE6` — default 0, the decision boundary. The fixed-weight
+    * default gate stays the zero-argument path so existing fixtures'
+    * closed-form scores are untouched. */
+  def trained(text: Column, model: QualityModel, minMarginE6: Long = 0L): QualityGate =
+    QualityGate(text, minMarginE6, Some(model))
 }

@@ -180,14 +180,15 @@ object IngestQueries {
       dlq.unionByName(qual).unionByName(scrubs).orderBy("job_run_id", "reason")
     }),
 
-    // The FULL multi-gate drill (round-12 brief #5): quality + text
-    // near-dup + image fingerprint + audio fingerprint in ONE drain
-    // over DedupDemo.ensureMultiGate's planted multi-modality lake —
-    // every gate exercises BOTH its windows (same-tick pair in tick 1,
-    // index hit in tick 2), each suppression's score is a closed form
-    // pinned literally in the oracle, and the `curated` row audits the
-    // published lake itself (3 survivors). The q90 audit shape extended
-    // to the per-modality reason namespaces (fp_* image, au_* audio).
+    // The FULL multi-gate drill (round-12 brief #5, video gate added in
+    // round 14): quality + text near-dup + image + audio + video
+    // fingerprints in ONE drain over DedupDemo.ensureMultiGate's
+    // planted multi-modality lake — every gate exercises BOTH its
+    // windows (same-tick pair in tick 1, index hit in tick 2), each
+    // suppression's score is a closed form pinned literally in the
+    // oracle, and the `curated` row audits the published lake itself
+    // (4 survivors). The q90 audit shape extended to the per-modality
+    // reason namespaces (fp_* image, au_* audio, vi_* video).
     "q106_multigate_audit" -> ((s, d) => {
       val lay = DedupDemo.ensureMultiGate(s, d)
       val dlq = DlqWriter.read(s, lay.dedupDlqDir)
@@ -354,19 +355,21 @@ object IngestQueries {
          UNION ALL SELECT 'run-00005', 'index', CAST(1 AS BIGINT), CAST(959184 AS BIGINT)
          ORDER BY job_run_id, reason""",
     // q106: every value forced by ensureMultiGate's engineered fixture —
-    // three disjoint tick-1 pairs (text 959184 / image 1000000 / audio
-    // 1000000), the garbage doc, three tick-2 index hits (959184 /
-    // 984375 / 984375), and the 3-doc published lake
+    // four disjoint tick-1 pairs (text 959184 / image 1000000 / audio
+    // 1000000 / video 1000000), the garbage doc, four tick-2 index hits
+    // (959184 / 984375 / 984375 / 984375), and the 4-doc published lake
     "q106_multigate_audit" ->
       """SELECT 'lake' AS job_run_id, 'curated' AS reason,
-              CAST(3 AS BIGINT) AS n, CAST(NULL AS BIGINT) AS max_jac_e6
+              CAST(4 AS BIGINT) AS n, CAST(NULL AS BIGINT) AS max_jac_e6
          UNION ALL SELECT 'run-00001', 'au_batch', CAST(1 AS BIGINT), CAST(1000000 AS BIGINT)
          UNION ALL SELECT 'run-00001', 'batch', CAST(1 AS BIGINT), CAST(959184 AS BIGINT)
          UNION ALL SELECT 'run-00001', 'fp_batch', CAST(1 AS BIGINT), CAST(1000000 AS BIGINT)
          UNION ALL SELECT 'run-00001', 'quality', CAST(1 AS BIGINT), CAST(NULL AS BIGINT)
+         UNION ALL SELECT 'run-00001', 'vi_batch', CAST(1 AS BIGINT), CAST(1000000 AS BIGINT)
          UNION ALL SELECT 'run-00003', 'au_index', CAST(1 AS BIGINT), CAST(984375 AS BIGINT)
          UNION ALL SELECT 'run-00003', 'fp_index', CAST(1 AS BIGINT), CAST(984375 AS BIGINT)
          UNION ALL SELECT 'run-00003', 'index', CAST(1 AS BIGINT), CAST(959184 AS BIGINT)
+         UNION ALL SELECT 'run-00003', 'vi_index', CAST(1 AS BIGINT), CAST(984375 AS BIGINT)
          ORDER BY job_run_id, reason""",
     "q41_catalog_pruned" ->
       """SELECT CAST(day(ts) AS INT) AS day, COUNT(*) AS n,

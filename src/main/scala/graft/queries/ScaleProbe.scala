@@ -277,6 +277,30 @@ object ScaleProbe {
     Stat("imagehash", tier, nIn, nc, np, secs)
   }
 
+  /** The [[ExportOps.exportShards]] SINK end-to-end at tier scale —
+    * shard assignment, two-phase ranking, the ≥256-task range-partition
+    * write, and the validation manifest — then the full
+    * [[ExportOps.readShards]] loader validation (structural + presence
+    * + deep recount) over what was written. `secs` times the SINK (the
+    * round-12 16-writer fix's measured row); `n_candidates` reports the
+    * PART-FILE count the manifest lists (the writer parallelism that
+    * fix bought — must be ≫16); `n_output` the manifest's exported row
+    * total, which the deep validation re-proves equals the input.
+    * Writes under `var/scale/export-<tier>/` (left in place; reruns
+    * overwrite). */
+  def exportSink(s: SparkSession, dir: String, tier: String): Stat = {
+    val docs = Tables.load(s, dir, "documents").select("doc_id", "source", "text")
+    val nIn = docs.count()
+    s.catalog.clearCache()
+    val out = s"var/scale/export-$tier"
+    val (_, secs) = timed(ExportOps.exportShards(s, docs, out))
+    val m = ExportOps.readManifest(s, out)
+    require(m.nTotal == nIn, s"export lost rows: wrote ${m.nTotal} of $nIn")
+    ExportOps.readShards(s, out, deep = true).count(): Unit
+    s.catalog.clearCache()
+    Stat("export_shards", tier, nIn, m.files.size.toLong, m.nTotal, secs)
+  }
+
   def all(s: SparkSession, dir: String, tier: String): Seq[Stat] =
     Seq(minhash(s, dir, tier), simhash(s, dir, tier),
       embed(s, dir, tier), components(s, dir, tier), decontam(s, dir, tier),

@@ -146,7 +146,8 @@ object ScaleStress {
         "incremental" -> (ScaleProbe.incremental _),
         "incr_spans" -> (ScaleProbe.incrementalSpans _),
         "semantic_decontam" -> (ScaleProbe.semantic _),
-        "imagehash" -> (ScaleProbe.imagehash _))
+        "imagehash" -> (ScaleProbe.imagehash _),
+        "export_shards" -> (ScaleProbe.exportSink _))
       val unknown = wanted.diff(probes.keySet)
       require(unknown.isEmpty, s"unknown kernels: $unknown (have: ${probes.keys.mkString(",")})")
       for ((tier, dir) <- Seq("sf0.01" -> "/root/testdata/sf0.01",

@@ -225,6 +225,77 @@ class IngestSpec extends AnyFunSuite {
     assert(curated == Seq(survivor, "i-4", "u-1").sorted, s"curated: $curated")
   }
 
+  test("video fingerprint gate: near-dup clips are suppressed across ticks AND within a tick") {
+    val lay = freshLake()
+    def vrec(id: String, tokPrefix: String, avi: Option[Array[Byte]]): String = {
+      val aviField = avi.map(b =>
+        s""","avi":"${java.util.Base64.getEncoder.encodeToString(b)}"""").getOrElse("")
+      val text = (0 until 50).map(i => s"$tokPrefix$i").mkString(" ")
+      s"""{"id":"$id","event_timestamp":"2024-03-07 11:22:33.000000","MODE":"training",""" +
+        s""""metadata":{"app_version":"2.4.1","user_agent":"svc/1.0","user_id":7},""" +
+        s""""payload":{"transaction_id":"t-$id","value":9.5,"props":"$text"$aviField}}"""
+    }
+    // clipA / clipA1: Hamming 1 apart; clipB (inverted pattern): Hamming 64
+    val pat = 0x0f0f0f0f0f0f0f0fL
+    val clipA = DedupDemo.demoAvi(pat)
+    val clipA1 = DedupDemo.demoAvi(pat ^ 1L)
+    val clipB = DedupDemo.demoAvi(~pat)
+    val stage = DedupStage(s"${lay.root}/dedup-index",
+      id = col("record_id"), text = col("payload.props"),
+      fingerprints = Seq(DedupDemo.videoFingerprint))
+    val bp = new BatchProcessor(spark, lay, Contracts.events, dedup = Some(stage))
+    val hash = (id: String) => {
+      import spark.implicits._
+      Seq(id).toDF("i").select(xxhash64(col("i"))).collect()(0).getLong(0)
+    }
+
+    // tick 1 (FIRST tick, no index): v-1 and v-2 carry the IDENTICAL
+    // clip under unique texts — the intra-batch video window keeps
+    // exactly one; u-1 has no clip and passes untouched
+    writeLines(s"${lay.rawDir}/t1.jsonl", Seq(
+      vrec("v-1", "aa", Some(clipA)), vrec("v-2", "bb", Some(clipA)),
+      vrec("u-1", "cc", None)))
+    assert(bp.runUntilDrained() == 1)
+    val (survivor, dropped) =
+      if (hash("v-1") < hash("v-2")) ("v-1", "v-2") else ("v-2", "v-1")
+    val cur1 = CuratedWriter.read(spark, lay.curatedDir)
+      .select("record_id").collect().map(_.getString(0)).sorted.toSeq
+    assert(cur1 == Seq(survivor, "u-1").sorted, s"curated after t1: $cur1")
+    val dd1 = DlqWriter.read(spark, lay.dedupDlqDir)
+      .select("record_id", "dup_of", "jac_e6", "dup_reason").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(dd1 == Seq((dropped, hash(survivor), 1000000L, "vi_batch")), s"DLQ: $dd1")
+    // only the survivor's fingerprint was indexed, in the gate's OWN
+    // namespaced store (null-fp rows never are)
+    val store1 = spark.read.parquet(s"${lay.root}/dedup-index/fps_vi")
+    assert(store1.count() == 1)
+
+    // tick 2: v-3's clip is ONE fingerprint bit off the indexed
+    // survivor → the INDEX window flags it; v-4's clip is unrelated
+    // and publishes
+    writeLines(s"${lay.rawDir}/t2.jsonl", Seq(
+      vrec("v-3", "dd", Some(clipA1)), vrec("v-4", "ee", Some(clipB))))
+    assert(bp.runUntilDrained() == 1)
+    val dd2 = DlqWriter.read(spark, lay.dedupDlqDir)
+      .filter(col("record_id") === "v-3")
+      .select("dup_of", "jac_e6", "dup_reason").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(dd2 == Seq((hash(survivor), 984375L, "vi_index")), s"DLQ v-3: $dd2")
+
+    // tick 3: an exact copy of v-4's clip flags against v-4 — the
+    // tick-2 append-on-commit fed the index
+    writeLines(s"${lay.rawDir}/t3.jsonl", Seq(vrec("v-5", "ff", Some(clipB))))
+    assert(bp.runUntilDrained() == 1)
+    val dd3 = DlqWriter.read(spark, lay.dedupDlqDir)
+      .filter(col("record_id") === "v-5")
+      .select("dup_of", "jac_e6", "dup_reason").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(dd3 == Seq((hash("v-4"), 1000000L, "vi_index")), s"DLQ v-5: $dd3")
+    val curated = CuratedWriter.read(spark, lay.curatedDir)
+      .select("record_id").collect().map(_.getString(0)).sorted.toSeq
+    assert(curated == Seq(survivor, "v-4", "u-1").sorted, s"curated: $curated")
+  }
+
   test("index maintenance: fragmented stores compact on the file-count threshold; post-compaction probes are identical") {
     val lay = freshLake()
     def irec(id: String, tokPrefix: String, img: Option[Array[Byte]]): String = {
@@ -411,6 +482,59 @@ class IngestSpec extends AnyFunSuite {
     assert(led(0).getString(1) ==
       "quality: 1 row(s) suppressed; near-dup: 1 row(s) suppressed",
       s"note: ${led(0).getString(1)}")
+  }
+
+  test("quality gate: the TRAINED q84 scorer plugs in at ingest and suppresses the garbage doc") {
+    import spark.implicits._
+    val lay = freshLake()
+    def drec(id: String, text: String): String =
+      s"""{"id":"$id","event_timestamp":"2024-03-07 11:22:33.000000","MODE":"training",""" +
+        s""""metadata":{"app_version":"2.4.1","user_agent":"svc/1.0","user_id":7},""" +
+        s""""payload":{"transaction_id":"t-$id","value":9.5,"props":"$text"}}"""
+    // train on the CurationSpec-shape corpus: weak labels from the fixed
+    // gate, natural docs vs repetition-heavy garbage
+    val clean = (0 until 60).map { i =>
+      val words = (0 until 40).map(j => s"word${(i * 7 + j * 3) % 97}")
+      (i.toLong, s"the quick item ${words.take(20).mkString(" ")} and a " +
+        s"detail of ${words.drop(20).mkString(" ")} in the set")
+    }
+    val garbage =
+      (60 until 70).map(i => (i.toLong, Seq.fill(30)(s"blob$i blob$i").mkString(" "))) ++
+      (70 until 80).map(i => (i.toLong, Seq.fill(40)(s"zqxj${i}wvkpt${i}mmmm").mkString(" ")))
+    val model = graft.queries.QualityModelStore.trainOn(
+      (clean ++ garbage).toDF("doc_id", "text"))
+
+    val bp = new BatchProcessor(spark, lay, Contracts.events,
+      quality = Some(QualityGate.trained(col("payload.props"), model)))
+    // g-1 is the q90/q106 planted garbage doc; c-1 is natural text with
+    // stopwords — the trained margin must separate them at the 0 boundary
+    writeLines(s"${lay.rawDir}/t1.jsonl", Seq(
+      drec("c-1", "the quick brown fox jumps over a lazy dog and then " +
+        "walks back to the start of the field for another run at it"),
+      drec("g-1", Seq.fill(25)("zz").mkString(" "))))
+    assert(bp.runUntilDrained() == 1)
+
+    val curatedIds = CuratedWriter.read(spark, lay.curatedDir)
+      .select("record_id").collect().map(_.getString(0)).toSeq
+    assert(curatedIds == Seq("c-1"), s"curated: $curatedIds")
+    // the DLQ audit column carries the TRAINED margin (×1e6): negative
+    // for the suppressed doc, and equal to an offline re-score of the
+    // same text — the ingest decision is bit-identical to the offline one
+    val qd = DlqWriter.read(spark, lay.qualityDlqDir)
+      .select("record_id", "quality_score_e6").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(qd.map(_._1) == Seq("g-1") && qd(0)._2 < 0L, s"quality DLQ: $qd")
+    val offline = graft.queries.CurationOps.withQualityScore(
+        Seq((1L, Seq.fill(25)("zz").mkString(" "))).toDF("doc_id", "text"))
+      .select(org.apache.spark.sql.functions.round(model.scoreCol * 1e6).cast("long"))
+      .first().getLong(0)
+    assert(qd(0)._2 == offline, s"ingest score ${qd(0)._2} != offline $offline")
+    // ledger note: same suppression accounting as the fixed gate
+    val led = Ledger(spark, lay.ledgerDir).snapshot()
+      .filter(col("s3_key").contains("t1.jsonl"))
+      .select("error_message").collect()
+    assert(led.length == 1 && led(0).getString(0) == "quality: 1 row(s) suppressed",
+      s"note: ${led.map(_.getString(0)).toSeq}")
   }
 
   test("dedup stage: one file with BOTH a suppressed row and a scrubbed row carries both notes") {
