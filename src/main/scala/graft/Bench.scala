@@ -105,6 +105,8 @@ object Bench {
         pipeline.DedupDemo.ensureMultiGate(spark, sfDir)))),
       "fpidx" -> (() => Future(step("fpidx")(
         queries.MultimodalOps.ensureFpIndex(spark, sfDir)))),
+      "export" -> (() => Future(step("export")(
+        queries.ExportOps.ensureExport(spark, sfDir)))),
       "langmodel" -> (() =>
         Future(step("langmodel")(queries.LangModelStore.ensure(spark, sfDir)))),
       "qualmodel" -> (() =>

@@ -61,6 +61,7 @@ object SparkEntry {
     "q90_dedup_dlq_audit" -> Seq("deduplake"),
     "q94_gate_alarms" -> Seq("deduplake"),
     "q106_multigate_audit" -> Seq("mgatelake"),
+    "q108_export_roundtrip" -> Seq("export"),
     "q99_image_fp_probe" -> Seq("fpidx"))
 
   /** Library-consumer cache hygiene: run `queries(name)` through

@@ -115,6 +115,8 @@ object DemoCache {
     val subs = (Seq(s"ingest/$sfName", s"stream/$sfName", s"stream/$sfName-dedup",
       s"stream/$sfName-memo", s"stream/$sfName-neardup", s"ivf/$sfName",
       s"langmodel/$sfName", s"qualmodel/$sfName", s"deduplake/$sfName",
+      s"multigatelake/$sfName", s"fpidx/$sfName", s"export/$sfName",
+      s"fixtures/$sfName",
       s"minhash/$sfName", s"minhash_app/$sfName") ++
       children("spark-warehouse") ++ children("spark-warehouse/_graft_memo"))
       .filter(s => new File(Root, s).exists())

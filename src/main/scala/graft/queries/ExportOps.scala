@@ -363,6 +363,26 @@ object ExportOps {
     }
   }
 
+  private val builtExports = scala.collection.mutable.Map.empty[String, String]
+
+  /** Build (once per JVM per sf; durable across JVMs under
+    * [[graft.pipeline.DemoCache]], like the MinHash/IVF stores) the
+    * q108 export tree: the documents corpus through the [[exportShards]]
+    * sink into `var/demo/export/<sf>/shards`. Bench pre-builds it
+    * outside the timing loop, so q108 times the LOADER
+    * ([[readShards]]), not the one-time sink run. */
+  def ensureExport(s: SparkSession, d: String): String = synchronized {
+    builtExports.getOrElseUpdate(d, {
+      val root = graft.pipeline.DemoCache.root(
+        s"export/${new java.io.File(d).getName}")
+      val dir = new java.io.File(root, "shards").getPath
+      graft.pipeline.DemoCache.cached(root, d) {
+        exportShards(s, docs(s, d).select(col("doc_id"), col("source"), col("text")), dir)
+      }
+      dir
+    })
+  }
+
   /** Greedy per-source fill to a PER-SOURCE quota in deterministic md5
     * order — q87's budgetFill generalized from one constant budget to a
     * (source, quota) frame (broadcast: one row per source). Same
@@ -399,6 +419,30 @@ object ExportOps {
           sum("n_tok").as("n_tokens"),
           sum(chkTerm(col("rnk"), col("doc_id"))).as("order_sum"),
           min_by(col("doc_id"), col("rk")).as("first_doc"))
+        .orderBy("shard")
+    }),
+
+    // The export LOADER on the oracle surface (round-14: the read-side
+    // twin of q104): a real exported shard tree (built once, DemoCache'd)
+    // is read back through readShards with FULL validation — structural
+    // tiling, disk-vs-manifest presence, the deep per-file recount and
+    // checksum — and the returned frame is re-aggregated per shard:
+    // n_docs and max_rnk from the FRAME (the parquet the sink physically
+    // wrote), order_sum from the MANIFEST. The oracle recomputes all
+    // three from the raw documents table — so the row only matches if
+    // sink, manifest, and loader all agree with the logical shard/rank
+    // spec doc-for-doc. max_rnk == n_docs is the dense-rank invariant,
+    // cross-checked by both engines from different evidence.
+    "q108_export_roundtrip" -> ((s, d) => {
+      val dir = ensureExport(s, d)
+      val m = readManifest(s, dir)
+      import s.implicits._
+      val manifest = m.shards.toDF("shard", "n_manifest", "order_sum")
+      readShards(s, dir, deep = true)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), max("rnk").as("max_rnk"))
+        .join(broadcast(manifest), Seq("shard"))
+        .select(col("shard"), col("n_docs"), col("max_rnk"), col("order_sum"))
         .orderBy("shard")
     }),
 
@@ -443,6 +487,23 @@ object ExportOps {
                  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
                  CAST(SUM(((rnk % $ChkMod) * (doc_id % $ChkMod)) % $ChkMod) AS BIGINT) AS order_sum,
                  MIN_BY(doc_id, rk) AS first_doc
+          FROM r GROUP BY 1 ORDER BY 1""",
+    // q108: the same base/rank CTEs as q104 — the oracle knows nothing
+    // of the export tree; Spark's row comes from the written parquet +
+    // manifest, DuckDB's from first principles on documents
+    "q108_export_roundtrip" ->
+      s"""WITH base AS (
+            SELECT doc_id,
+              substr(md5('$ShardSalt' || CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+              md5('$OrderSalt' || CAST(doc_id AS VARCHAR)) AS rk
+            FROM documents),
+          r AS (
+            SELECT *, CAST(ROW_NUMBER() OVER (
+              PARTITION BY shard ORDER BY rk, doc_id) AS BIGINT) AS rnk
+            FROM base)
+          SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(MAX(rnk) AS BIGINT) AS max_rnk,
+                 CAST(SUM(((rnk % $ChkMod) * (doc_id % $ChkMod)) % $ChkMod) AS BIGINT) AS order_sum
           FROM r GROUP BY 1 ORDER BY 1""",
     "q105_temperature_mixture" ->
       s"""WITH base AS (

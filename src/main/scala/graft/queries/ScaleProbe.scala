@@ -306,5 +306,5 @@ object ScaleProbe {
       embed(s, dir, tier), components(s, dir, tier), decontam(s, dir, tier),
       spans(s, dir, tier), incremental(s, dir, tier),
       incrementalSpans(s, dir, tier), semantic(s, dir, tier),
-      imagehash(s, dir, tier))
+      imagehash(s, dir, tier), exportSink(s, dir, tier))
 }

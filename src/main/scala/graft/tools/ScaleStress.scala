@@ -174,7 +174,8 @@ object ScaleStress {
           // candidates track true pair mass, not n²/buckets
           ScaleProbe.simhash(spark, x100, "x100"),
           ScaleProbe.semantic(spark, x100, "x100"),
-          ScaleProbe.imagehash(spark, x100, "x100"))
+          ScaleProbe.imagehash(spark, x100, "x100"),
+          ScaleProbe.exportSink(spark, x100, "x100"))
         ss.foreach(st => println(s"SCALE ${st.json}"))
         ss
       }
