@@ -361,4 +361,19 @@ object Contracts {
       StructField("transaction_id", StringType),
       StructField("value", DoubleType),
       StructField("props", StringType))))))
+
+  /** [[events]] with extra DECLARED payload fields. The batch runner
+    * infers undeclared payload columns per tick (two-pass inference, so
+    * a base64 `img`/`wav`/`avi` appears when the tick's files carry
+    * one), but the STREAMING twin runs on a static schema — Structured
+    * Streaming cannot re-infer per micro-batch — so a multimodal stream
+    * must DECLARE its payload columns for the fingerprint gates to see
+    * them. StreamingSpec's video-gate test is the executable form of
+    * this posture. */
+  def eventsWithPayload(extra: (String, DataType)*): StructType = {
+    val pIdx = events.fieldIndex("payload")
+    val p = events(pIdx).dataType.asInstanceOf[StructType]
+    val p2 = extra.foldLeft(p)((acc, f) => acc.add(f._1, f._2))
+    StructType(events.updated(pIdx, events(pIdx).copy(dataType = p2)))
+  }
 }

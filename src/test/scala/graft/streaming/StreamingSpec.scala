@@ -154,6 +154,88 @@ class StreamingSpec extends AnyFunSuite {
     assert(late.length == 1 && late(0).getLong(0) == hash(cSurvivor))
   }
 
+  test("video fingerprint gate in the streaming twin: near-dup clips suppressed across deliveries; crash replay never double-appends the store") {
+    import graft.pipeline.{DedupDemo, DedupStage}
+    val lay = LakeLayout(Files.createTempDirectory("graft-stream-vi-gate").toString)
+    def vrec(id: String, tokPrefix: String, avi: Array[Byte]): String = {
+      val text = (0 until 50).map(i => s"$tokPrefix$i").mkString(" ")
+      val a = java.util.Base64.getEncoder.encodeToString(avi)
+      s"""{"id":"$id","event_timestamp":"2024-03-07 10:00:00.000000","MODE":"training",""" +
+        s""""metadata":{"app_version":"1.0.0","user_agent":"ua","user_id":1},""" +
+        s""""payload":{"transaction_id":"t-$id","value":2.0,"props":"$text","avi":"$a"}}"""
+    }
+    def writeFile(name: String, lines: Seq[String]): Unit = {
+      val p = Paths.get(s"${lay.rawDir}/$name")
+      Files.createDirectories(p.getParent)
+      Files.write(p, lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8)): Unit
+    }
+    val hash = (id: String) => {
+      import spark.implicits._
+      Seq(id).toDF("i").select(xxhash64(col("i"))).collect()(0).getLong(0)
+    }
+    val pat = 0x5aa5c33c0ff0e11eL
+    val qat = 0x1234fedc5678ba98L
+    val stage = DedupStage(s"${lay.root}/dedup-index",
+      id = col("record_id"), text = col("payload.props"),
+      fingerprints = Seq(DedupDemo.videoFingerprint))
+    // the streaming twin runs on a STATIC schema (no per-tick inference,
+    // unlike the ledger runner) — a multimodal stream must DECLARE its
+    // payload columns for the gate's extract to see them
+    val contract = Contracts.eventsWithPayload(
+      "avi" -> org.apache.spark.sql.types.StringType)
+    def drain(): Unit =
+      StreamingIngest.runAvailableNow(spark, lay, contract, dedup = Some(stage))
+
+    // delivery 1: v-1 / v-2 carry UNRELATED clips; the batch crashes
+    // AFTER publish + staged fingerprint append, BEFORE the commit
+    // marker — the replay must not double-append fps_vi
+    writeFile("a.jsonl", Seq(
+      vrec("v-1", "va", DedupDemo.demoAvi(pat)),
+      vrec("v-2", "vb", DedupDemo.demoAvi(~pat))))
+    Files.createDirectories(Paths.get(lay.root))
+    Files.write(Paths.get(s"${lay.root}/stream-commits"),
+      "blocker".getBytes(StandardCharsets.UTF_8))
+    intercept[Exception] { drain() }
+    Files.delete(Paths.get(s"${lay.root}/stream-commits"))
+    drain() // replay: the probe sees the crashed attempt's own fps and
+    // self-filters; the staged append's replay token sweeps its files
+    assert(CuratedWriter.read(spark, lay.curatedDir).count() == 2)
+    val fpRows = spark.read.parquet(s"${lay.root}/dedup-index/fps_vi")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(fpRows.sorted == Seq(hash("v-1"), hash("v-2")).sorted,
+      s"replay double-appended fps_vi: $fpRows")
+
+    // delivery 2: v-3's clip is one bit off v-1's (INDEX window, via the
+    // replayed store); w-1 ~ w-2 carry the identical clip (intra-batch)
+    writeFile("b.jsonl", Seq(
+      vrec("v-3", "vc", DedupDemo.demoAvi(pat ^ 1L)),
+      vrec("w-1", "vd", DedupDemo.demoAvi(qat)),
+      vrec("w-2", "ve", DedupDemo.demoAvi(qat))))
+    drain()
+    val (wSurvivor, wDropped) =
+      if (hash("w-1") < hash("w-2")) ("w-1", "w-2") else ("w-2", "w-1")
+    val dd = DlqWriter.read(spark, lay.dedupDlqDir)
+      .select("record_id", "dup_of", "jac_e6", "dup_reason").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+      .sortBy(_._1)
+    assert(dd == Seq(
+      ("v-3", hash("v-1"), 984375L, "vi_index"),
+      (wDropped, hash(wSurvivor), 1000000L, "vi_batch")), s"dedup DLQ: $dd")
+
+    // delivery 3: an exact copy of the w-survivor's clip flags against
+    // it — the staged append-on-commit fed the store
+    writeFile("c.jsonl", Seq(vrec("w-3", "vf", DedupDemo.demoAvi(qat))))
+    drain()
+    val late = DlqWriter.read(spark, lay.dedupDlqDir)
+      .filter(col("record_id") === "w-3")
+      .select("dup_of", "dup_reason").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(late == Seq((hash(wSurvivor), "vi_index")), s"late copy: $late")
+    val curated = CuratedWriter.read(spark, lay.curatedDir)
+      .select("record_id").collect().map(_.getString(0)).sorted.toSeq
+    assert(curated == Seq("v-1", "v-2", wSurvivor).sorted, s"curated: $curated")
+  }
+
   test("quality gate in the streaming twin: garbage diverts before the probe; survivors publish and index") {
     import graft.pipeline.{DedupDemo, DedupStage, QualityGate}
     val lay = LakeLayout(Files.createTempDirectory("graft-stream-quality").toString)
