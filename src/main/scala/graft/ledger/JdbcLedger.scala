@@ -128,10 +128,23 @@ object LedgerDialect {
           if (exists) 0
           else {
             bindInsertIgnore(ins, key, size, status, ts)
-            try ins.executeUpdate()
-            catch {
+            // Savepoint the insert so the dup-state re-check below runs
+            // in a HEALTHY transaction: the PostgreSQL family aborts the
+            // WHOLE transaction on any statement error, and a SELECT
+            // issued inside the aborted transaction would itself throw
+            // (25P02), masking the real cause. Engines without
+            // savepoints (none are in the poisoning family) re-check
+            // directly, as before.
+            val sp = try Some(conn.setSavepoint())
+              catch { case _: java.sql.SQLFeatureNotSupportedException => None }
+            try {
+              val n = ins.executeUpdate()
+              sp.foreach(conn.releaseSavepoint)
+              n
+            } catch {
               case e: java.sql.SQLException
                   if Option(e.getSQLState).exists(DupStates.contains) =>
+                sp.foreach(conn.rollback) // heal the txn before the re-check
                 // 23000 is the GENERIC integrity-violation class — on
                 // engines that report NOT NULL/CHECK/FK failures under
                 // it too, swallowing unconditionally would count a real

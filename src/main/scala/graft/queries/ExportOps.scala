@@ -273,34 +273,56 @@ object ExportOps {
     * tile, so concatenation in manifest order IS the training order). */
   def readShards(s: SparkSession, outDir: String, deep: Boolean = true): DataFrame = {
     val m = readManifest(s, outDir)
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("shard", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("rnk", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
-    // 1. structural: listed-order dense tiling + consistent totals
-    m.files.groupBy(_.shard).foreach { case (shard, entries) =>
+    validateExport(s, outDir, m, deep)
+    if (m.nTotal == 0) {
+      // presence above proved the tree holds no part files, so there is
+      // nothing to scan — hand back an empty frame with the contract
+      // schema rather than asking parquet to infer one from zero files
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("shard", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("rnk", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+    s.read.parquet(outDir)
+      .select(col("shard").cast("string").as("shard"), col("rnk"),
+        col("doc_id"), col("source"), col("text"))
+  }
+
+  /** Checks 1-3 of the loader contract over an already-parsed manifest
+    * (shared by [[readShards]] and [[orderedFiles]] so the manifest is
+    * opened and parsed once per preflight). */
+  private def validateExport(s: SparkSession, outDir: String, m: Manifest,
+                             deep: Boolean): Unit = {
+    // 1. structural: walk the SHARD list (not groups derived from the
+    //    file entries) so a shard whose files array was dropped from
+    //    the manifest still fails its tiling check instead of being
+    //    silently skipped; then listed-order dense tiling per shard
+    val byShard = m.files.groupBy(_.shard)
+    val unknown = byShard.keySet -- m.shards.map(_._1).toSet
+    require(unknown.isEmpty,
+      s"manifest of $outDir lists files for shards absent from its shard " +
+        s"list: ${unknown.toSeq.sorted.mkString(",")}")
+    m.shards.foreach { case (shard, shardN, _) =>
       var expect = 1L
-      entries.sortBy(_.pos).foreach { e =>
+      byShard.getOrElse(shard, Seq.empty).sortBy(_.pos).foreach { e =>
         require(e.lo == expect && e.hi - e.lo + 1 == e.n,
           s"manifest of $outDir is not a dense rank tiling: shard $shard " +
             s"entry #${e.pos} (${e.file}) claims [${e.lo},${e.hi}] n=${e.n}, " +
             s"expected an interval starting at $expect — entries out of order or overlapping")
         expect = e.hi + 1
       }
-      val shardN = m.shards.find(_._1 == shard).map(_._2)
-        .getOrElse(sys.error(s"manifest shard list missing $shard"))
       require(expect - 1 == shardN,
         s"manifest shard $shard total $shardN != tiled file rows ${expect - 1}")
     }
     require(m.shards.map(_._2).sum == m.nTotal,
       s"manifest n_total ${m.nTotal} != per-shard sum ${m.shards.map(_._2).sum}")
-    if (m.nTotal == 0) {
-      require(m.files.isEmpty, "empty manifest lists files")
-      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    }
-    // 2. presence: disk part-file set per shard == manifest's set
+    // 2. presence: disk part-file set per shard == manifest's set. Runs
+    //    for the EMPTY manifest too — a stale {"n_total":0} manifest
+    //    sitting over real shard dirs (a crashed re-export) must fail
+    //    here, not validate clean and serve zero rows
     val root = new org.apache.hadoop.fs.Path(outDir)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     val onDisk: Map[String, Set[String]] = fs.listStatus(root).toSeq
@@ -311,8 +333,8 @@ object ExportOps {
           .filterNot(n => n.startsWith("_") || n.startsWith(".")).toSet
         shard -> parts
       }.toMap
-    val listed = m.files.groupBy(_.shard).view.mapValues(_.map(_.file).toSet).toMap
-    (listed.keySet ++ onDisk.keySet).toSeq.sorted.foreach { shard =>
+    val listed = byShard.view.mapValues(_.map(_.file).toSet).toMap
+    (m.shards.map(_._1) ++ listed.keySet ++ onDisk.keySet).distinct.sorted.foreach { shard =>
       val want = listed.getOrElse(shard, Set.empty)
       val have = onDisk.getOrElse(shard, Set.empty)
       require(want == have,
@@ -321,7 +343,8 @@ object ExportOps {
           s"unlisted on disk = ${(have -- want).toSeq.sorted.mkString(",")}")
     }
     // 3. deep: independent recount must reproduce every entry + checksum
-    if (deep) {
+    //    (vacuous for an empty export — presence proved no part files)
+    if (deep && m.nTotal > 0) {
       val actual = perFileStats(s, outDir)
         .map(r => (r.getString(0), r.getString(1)) ->
           (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
@@ -342,9 +365,6 @@ object ExportOps {
             "doc/rank content changed under an intact file layout")
       }
     }
-    s.read.parquet(outDir)
-      .select(col("shard").cast("string").as("shard"), col("rnk"),
-        col("doc_id"), col("source"), col("text"))
   }
 
   /** Per-shard ABSOLUTE part-file paths in training order, validated
@@ -356,8 +376,8 @@ object ExportOps {
     * training order with no sort at any scale. */
   def orderedFiles(s: SparkSession, outDir: String,
                    deep: Boolean = false): Seq[(String, Seq[String])] = {
-    readShards(s, outDir, deep) // validation only; the frame is lazy and unused
     val m = readManifest(s, outDir)
+    validateExport(s, outDir, m, deep)
     m.files.groupBy(_.shard).toSeq.sortBy(_._1).map { case (shard, entries) =>
       shard -> entries.sortBy(_.pos).map(e => s"$outDir/shard=$shard/${e.file}")
     }

@@ -118,9 +118,11 @@ object QueryCaches {
     * tracked twice drops both shares (no stranded refcount). Must be
     * called from the thread/scope that tracked the frame — the repo's
     * operators receive the tracked reference from the caller's own
-    * scope; a frame recorded in a scope this thread cannot see falls
-    * through to the raw-unpersist branch. A frame that was never
-    * tracked is simply unpersisted (the operator's own scratch). */
+    * scope; a frame recorded in a scope this thread cannot see is a
+    * NO-OP here (its canonical plan is still refcounted in `owned`, so
+    * the owning scope releases the shares — never a raw unpersist out
+    * from under it). Only a plan no tracker refcounts at all is
+    * unpersisted directly (the operator's own scratch). */
   def earlyRelease(ds: Dataset[_]): Unit = synchronized {
     def removeAll(buf: ArrayBuffer[Dataset[_]]): Int = {
       val n = buf.count(_ eq ds)

@@ -236,6 +236,44 @@ class ExportSpec extends AnyFunSuite {
       assert(eSwap.getMessage.contains("not a dense rank tiling"), eSwap.getMessage)
       java.nio.file.Files.write(manifestPath, goodManifest)
 
+      // 4. STALE EMPTY MANIFEST over a real tree (a crashed re-export
+      //    left {"n_total":0} behind) → presence check must fail even
+      //    shallow, never validate clean and serve zero rows
+      java.nio.file.Files.write(manifestPath,
+        """{"n_total":0,"shards":[]}""".getBytes("UTF-8"))
+      if (mfCrc.exists()) assert(mfCrc.delete())
+      val eStale = intercept[IllegalArgumentException] {
+        ExportOps.readShards(spark, out, deep = false)
+      }
+      assert(eStale.getMessage.contains("unlisted on disk"), eStale.getMessage)
+      java.nio.file.Files.write(manifestPath, goodManifest)
+
+      // 5. DROPPED FILES ARRAY: a shard keeps its {"n":...} entry but
+      //    loses its files list → the shard-walk structural check fails
+      //    (0 tiled rows != n), instead of the shard being skipped
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val tree = mapper.readTree(goodManifest)
+      val shardArr = tree.get("shards")
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+      val victimShard = multi.getName.stripPrefix("shard=")
+      (0 until shardArr.size()).foreach { i =>
+        val node = shardArr.get(i)
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        if (node.get("shard").asText() == victimShard) {
+          node.set[com.fasterxml.jackson.databind.JsonNode](
+            "files", mapper.createArrayNode())
+          ()
+        }
+      }
+      java.nio.file.Files.write(manifestPath,
+        mapper.writeValueAsBytes(tree))
+      if (mfCrc.exists()) assert(mfCrc.delete())
+      val eDropped = intercept[IllegalArgumentException] {
+        ExportOps.readShards(spark, out, deep = false)
+      }
+      assert(eDropped.getMessage.contains("tiled file rows"), eDropped.getMessage)
+      java.nio.file.Files.write(manifestPath, goodManifest)
+
       // restored export validates clean again
       assert(ExportOps.readShards(spark, out, deep = true).count() === docs.count())
     } finally {
