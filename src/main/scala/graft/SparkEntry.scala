@@ -41,6 +41,7 @@ object SparkEntry {
     "q39_ingest_pruned" -> Seq("ingest"),
     "q40_ledger_audit" -> Seq("ingest"),
     "q41_catalog_pruned" -> Seq("ingest"),
+    "q109_rollup_stats" -> Seq("ingest"),
     "q48_bucketed_join" -> Seq("ingest"),
     "q52_dpp_pruned" -> Seq("ingest"),
     "q55_catalog_evolution" -> Seq("ingest"),

@@ -1,0 +1,161 @@
+package graft.ingest
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incrementally-maintained partition statistics for the curated lake —
+  * the "daily stats without a 100 TB rescan" operator. Consumers ask
+  * "how many rows / how much value / how many distinct users landed per
+  * (year, month, day, mode)?" constantly (monitoring, billing, recipe
+  * sizing); recomputing that from the lake scans everything, so the
+  * ingest runners fold the answer forward instead: every published
+  * batch also publishes its PARTIAL aggregate, and the reader merges
+  * partials — cost proportional to the metadata (one row per file ×
+  * partition, the same order as the ledger itself), never the data.
+  *
+  * Partial granularity is (source_file, year, month, day, mode), one
+  * row per combination, because the FILE is this pipeline's unit of
+  * exactly-once (all-or-nothing quarantine, curated markers): whatever
+  * path a file's rows took into the lake, its partial rows are a pure
+  * function of the file, so the reader can collapse accidental twins
+  * (a replayed publish, a crashed compaction) by keying on the file —
+  * [[stats]] is correct under every duplication the runners can
+  * produce, without coordination.
+  *
+  * Exactly-once posture per runner:
+  *  - ledger runner: partials are written INTO the batch's staging dir
+  *    (`_rollup/`, invisible to [[Staging.publish]]'s data-file walk)
+  *    BEFORE the atomic `.ready` commit, and moved into
+  *    `rollup/<token>/` by the (idempotent, resumable) publish step —
+  *    so a batch's partials are published iff its rows are, and a
+  *    marker-excluded retry (whose curated frame no longer carries the
+  *    already-published files) can never lose them;
+  *  - streaming runner: partials land at `rollup/b<batchId>/` with
+  *    overwrite semantics before the commit marker — a replay rewrites
+  *    the same dir with identical content (micro-batch determinism,
+  *    the DLQ posture).
+  *
+  * Mergeable aggregates only: counts and integer-exact value sums add,
+  * min/max timestamps min/max, and distinct users travel as HLL
+  * sketches (register-wise max is associative + commutative, so the
+  * merged sketch is BYTE-IDENTICAL in estimate to a whole-lake sketch —
+  * asserted in RollupSpec). Nothing in a partial needs revisiting once
+  * written.
+  *
+  * [[compact]] (maintenance-slot, single-writer per lake like the
+  * index compactions) bounds the batch-dir count: merged output renames
+  * IN before sources delete, so a crash only ever leaves duplicates —
+  * which the per-file read-side collapse absorbs — never a gap.
+  */
+object Rollup {
+  /** Partition-stat partials of one published batch: one row per
+    * (source_file, year, month, day, mode). `value_e6` is the
+    * integer-exact scaled sum (the repo's e6 oracle convention);
+    * `users_hll` an HLL sketch of `user_id`. */
+  def partials(curated: DataFrame): DataFrame =
+    curated
+      .groupBy(col("source_file"), col("year"), col("month"), col("day"), col("mode"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("value")).as("n_value"),
+        sum(round(col("value") * lit(1000000)).cast("long")).as("value_e6"),
+        min(col("event_time_utc")).as("min_ts"),
+        max(col("event_time_utc")).as("max_ts"),
+        hll_sketch_agg(col("user_id")).as("users_hll"))
+
+  /** Write one batch's partials under `dir` (one small file — the row
+    * count is bounded by files-in-batch × partitions-per-file). */
+  def writePartials(curated: DataFrame, dir: String): Unit =
+    partials(curated).coalesce(1).write.mode("overwrite").parquet(dir)
+
+  private def hasData(s: SparkSession, dir: String): Boolean = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    Staging.countDataFiles(fs, p) > 0
+  }
+
+  /** All partial rows currently published, collapsed to ONE row per
+    * (source_file, year, month, day, mode) — the dedupe that makes
+    * every duplication mode harmless (identical twins, so `first` of
+    * each stat is exact). */
+  private def filePartials(s: SparkSession, rollupDir: String): DataFrame = {
+    val raw = s.read.option("recursiveFileLookup", "true").parquet(rollupDir)
+    raw.groupBy("source_file", "year", "month", "day", "mode")
+      .agg(
+        first("n_rows").as("n_rows"),
+        first("n_value").as("n_value"),
+        first("value_e6").as("value_e6"),
+        first("min_ts").as("min_ts"),
+        first("max_ts").as("max_ts"),
+        first("users_hll").as("users_hll"))
+  }
+
+  /** Merged per-partition statistics: (year, month, day, mode, n_files,
+    * n_rows, n_value, value_e6, min_ts, max_ts, n_users_est). Cost is
+    * one scan of the partial rows — metadata-sized at any lake size.
+    * Empty/absent rollup dir → empty frame. */
+  def stats(s: SparkSession, rollupDir: String): DataFrame = {
+    if (!hasData(s, rollupDir))
+      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "year INT, month INT, day INT, mode STRING, n_files BIGINT, " +
+            "n_rows BIGINT, n_value BIGINT, value_e6 BIGINT, " +
+            "min_ts TIMESTAMP, max_ts TIMESTAMP, n_users_est BIGINT, " +
+            "users_hll BINARY"))
+    filePartials(s, rollupDir)
+      .groupBy("year", "month", "day", "mode")
+      .agg(
+        count(lit(1)).as("n_files"),
+        sum("n_rows").as("n_rows"),
+        sum("n_value").as("n_value"),
+        sum("value_e6").as("value_e6"),
+        min("min_ts").as("min_ts"),
+        max("max_ts").as("max_ts"),
+        hll_union_agg(col("users_hll")).as("users_hll"))
+      // the merged sketch stays a column so consumers can fold FURTHER
+      // (month/global reach) without revisiting partials
+      .withColumn("n_users_est",
+        coalesce(hll_sketch_estimate(col("users_hll")), lit(0L)))
+  }
+
+  /** Maintenance: when more than `maxBatchDirs` batch dirs have
+    * accumulated, fold them into one `merged-*` dir. Safe order —
+    * write merged (hidden tmp), rename IN, delete sources: a crash
+    * leaves source+merged twins that [[stats]]' per-file collapse
+    * absorbs, and the next compaction sweeps them. Batches published
+    * concurrently with the fold are untouched (not in the listed set).
+    * Returns true when a fold ran. Caller is the lake's single
+    * maintenance writer (the tick/micro-batch loop). */
+  def compact(s: SparkSession, rollupDir: String, maxBatchDirs: Int = 16): Boolean = {
+    val root = new Path(rollupDir)
+    val fs: FileSystem = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return false
+    val dirs = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && !st.getPath.getName.startsWith(".") &&
+        !st.getPath.getName.startsWith("_"))
+      .map(_.getPath)
+    if (dirs.size <= maxBatchDirs) return false
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new Path(root, s".compact-$token")
+    fs.delete(tmp, true)
+    // collapse to one row per (file, partition) so twins from earlier
+    // crashes fold away instead of accumulating across compactions
+    val merged = s.read.option("recursiveFileLookup", "true")
+      .parquet(dirs.map(_.toString): _*)
+      .groupBy("source_file", "year", "month", "day", "mode")
+      .agg(
+        first("n_rows").as("n_rows"),
+        first("n_value").as("n_value"),
+        first("value_e6").as("value_e6"),
+        first("min_ts").as("min_ts"),
+        first("max_ts").as("max_ts"),
+        first("users_hll").as("users_hll"))
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val live = new Path(root, s"merged-$token")
+    if (!fs.rename(tmp, live))
+      throw new java.io.IOException(s"rollup compaction rename failed: $tmp -> $live")
+    dirs.foreach(d => fs.delete(d, true): Unit)
+    true
+  }
+}

@@ -16,6 +16,7 @@ final case class LakeLayout(root: String) {
   val dedupDlqDir = s"$root/dedup-dlq"
   val qualityDlqDir = s"$root/quality-dlq"
   val ledgerDir = s"$root/ledger"
+  val rollupDir = s"$root/rollup"
 }
 
 /** §3.1: `JsonToParquetBatchProcessor` — the reference's core ETL job
@@ -101,8 +102,10 @@ final class BatchProcessor(
     // Index maintenance AFTER the tick's terminal ledger writes: compact
     // any dedup-index store whose per-tick append files have outgrown
     // the stage's threshold (DedupStage.maintain — crash-safe, and this
-    // tick is the index's single writer).
+    // tick is the index's single writer), and fold accumulated rollup
+    // batch dirs (crash leaves only absorbable twins, never a gap).
     dedup.foreach(_.maintain(spark): Unit)
+    Rollup.compact(spark, layout.rollupDir): Unit
     true
   }
 
@@ -277,6 +280,16 @@ final class BatchProcessor(
     val token = s"$runId-${java.util.UUID.randomUUID().toString.take(8)}"
     val stage = new org.apache.hadoop.fs.Path(stagingRoot, token)
     curated.foreach(df => CuratedWriter.append(df, stage.toString))
+    // Rollup partials ride the SAME atomic commit as the rows they
+    // summarize (written pre-commit, published by publishReady) — a
+    // post-commit append would under-count forever after a crash,
+    // because the curated markers exclude the files from re-curation.
+    // Computed from the staged parquet (partition dirs restore the
+    // y/m/d/mode columns), not the curated frame, so the batch's
+    // upstream plan is not executed a second time.
+    if (curated.isDefined && Staging.countDataFiles(fs, stage) > 0)
+      Rollup.writePartials(spark.read.parquet(stage.toString),
+        new org.apache.hadoop.fs.Path(stage, "_rollup").toString)
     writeManifest(stage, files)
     val ready = new org.apache.hadoop.fs.Path(stagingRoot, s"$token.ready")
     if (!fs.rename(stage, ready))
@@ -302,6 +315,17 @@ final class BatchProcessor(
   private def publishReady(ready: org.apache.hadoop.fs.Path): Unit = {
     val prefix = ready.getName.stripSuffix(".ready") + "-"
     Staging.publish(fs, ready, new org.apache.hadoop.fs.Path(layout.curatedDir), prefix)
+    // rollup partials: one dir rename per batch, idempotent on resume
+    // (source consumed by the rename; a re-run finds it gone and skips)
+    val stagedRollup = new org.apache.hadoop.fs.Path(ready, "_rollup")
+    if (fs.exists(stagedRollup)) {
+      val dest = new org.apache.hadoop.fs.Path(layout.rollupDir,
+        ready.getName.stripSuffix(".ready"))
+      fs.mkdirs(dest.getParent)
+      if (fs.exists(dest)) fs.delete(stagedRollup, true)
+      else if (!fs.rename(stagedRollup, dest))
+        throw new java.io.IOException(s"rollup publish failed: $stagedRollup -> $dest")
+    }
     // markers AFTER the rows are live: a marker must never exist for rows
     // that aren't in the lake (that ordering could lose data; this one
     // can only retrigger an idempotent publish)

@@ -34,7 +34,7 @@ import java.nio.file.{Files, StandardCopyOption}
   */
 object DemoCache {
   /** Bump on any change that alters demo-artifact content. */
-  val Version = "r14a" // + video fingerprint gate in the multigatelake demo (q106)
+  val Version = "r14b" // + rollup partials published by both ingest runners (q109)
 
   /** All demo artifacts root here: survives `sbt clean`, git-ignored. */
   val Root: File = new File("var/demo").getAbsoluteFile

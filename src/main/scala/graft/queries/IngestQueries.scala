@@ -206,6 +206,24 @@ object IngestQueries {
       dlq.unionByName(qual).unionByName(curated).orderBy("job_run_id", "reason")
     }),
 
+    // S6→rollup: incrementally-maintained partition statistics — every
+    // published batch also published its partial aggregate (atomically
+    // with the rows it summarizes, graft.ingest.Rollup), and this query
+    // merges the partials at METADATA cost: one row per file×partition,
+    // never a lake scan. The oracle recomputes the same statistics from
+    // the ORIGINAL events table (the q39 convention), so a divergence
+    // anywhere in the fold-forward chain — a lost batch, a double
+    // count, a compaction gap — turns this row red. n_files counts the
+    // distinct raw files contributing to each partition (good shards
+    // are event_id%4; the drift file adds day-25/synthetic).
+    "q109_rollup_stats" -> ((s, d) => {
+      val lay = IngestDemo.ensure(s, d)
+      graft.ingest.Rollup.stats(s, lay.rollupDir)
+        .select(col("year"), col("month"), col("day"), col("mode"),
+          col("n_files"), col("n_rows"), col("n_value"), col("value_e6"))
+        .orderBy("year", "month", "day", "mode")
+    }),
+
     // S9/P9/S10: the catalog consumption path — saveAsTable'd curated
     // lake read back via spark.table with partition-pruning filters.
     "q41_catalog_pruned" -> ((s, d) => {
@@ -274,6 +292,22 @@ object IngestQueries {
          FROM events
          WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-13'
          GROUP BY 1 ORDER BY 1""",
+    "q109_rollup_stats" ->
+      """WITH base AS (
+           SELECT year(ts) AS y, month(ts) AS m, day(ts) AS d,
+                  event_type AS mode, event_id % 4 AS shard, value FROM events),
+         agg AS (
+           SELECT y, m, d, mode, COUNT(DISTINCT shard) AS n_files,
+                  COUNT(*) AS n_rows, COUNT(value) AS n_value,
+                  SUM(CAST(ROUND(value*1000000) AS BIGINT)) AS value_e6
+           FROM base GROUP BY 1, 2, 3, 4
+           UNION ALL
+           SELECT 2024, 1, 25, 'synthetic', 1, 4, 4, 9000000)
+         SELECT CAST(y AS INT) AS year, CAST(m AS INT) AS month,
+                CAST(d AS INT) AS day, mode,
+                CAST(n_files AS BIGINT) AS n_files, CAST(n_rows AS BIGINT) AS n_rows,
+                CAST(n_value AS BIGINT) AS n_value, CAST(value_e6 AS BIGINT) AS value_e6
+         FROM agg ORDER BY 1, 2, 3, 4""",
     "q40_ledger_audit" ->
       """SELECT 'QUARANTINED' AS processing_status, CAST(3 AS BIGINT) AS n_files,
               CAST(3 AS BIGINT) AS n_retries, CAST(3 AS BIGINT) AS n_stamped,

@@ -155,6 +155,12 @@ object StreamingIngest {
       Staging.publish(fs, stage, new org.apache.hadoop.fs.Path(layout.curatedDir),
         prefix = s"b$runId-", replaceExistingPrefix = true)
       fs.delete(stage, true)
+      // rollup partials, batch-id-keyed like the DLQs: a replay rewrites
+      // the same dir with identical content (micro-batch determinism),
+      // so after any crash/replay sequence exactly one copy remains;
+      // ordering before the commit marker means a committed batch is
+      // always counted
+      graft.ingest.Rollup.writePartials(pub, s"${layout.rollupDir}/b$runId")
       // survivors' signatures enter the index through the staged,
       // prefix-swept path, so a crash ANYWHERE in this method replays
       // to exactly one copy of the batch's index rows; ordering before
@@ -172,6 +178,11 @@ object StreamingIngest {
     // would sweep on, so it must only run once this batch can no longer
     // replay (the marker short-circuits it). Crash mid-compaction
     // self-heals via the two-rename swap on the next batch's call.
+    // Rollup folding is marker-safe for the same reason: a replayed
+    // batch would overwrite its b<id> dir, so fold only after the
+    // marker guarantees no replay — and its crash mode is absorbable
+    // twins, not gaps.
     dedup.foreach(_.maintain(spark): Unit)
+    graft.ingest.Rollup.compact(spark, layout.rollupDir): Unit
   }
 }
