@@ -28,6 +28,13 @@ import graft.pipeline.LakeLayout
   *                         DLQ alarm exists to surface, made first-class).
   *  - `ledger_backlog`   — "never drains": files still PENDING or
   *                         PROCESSING after the drain loop.
+  *  - `data_freshness`   — the "data stopped arriving" custom alarm: a
+  *                         mode whose newest event time lags the lake's
+  *                         global newest by more than `staleDays`.
+  *                         Computed from the incrementally-maintained
+  *                         rollup partials ([[graft.ingest.Rollup]]),
+  *                         so the check is metadata-cost at any lake
+  *                         size — monitoring never rescans the lake.
   *  - `slow_actions`     — the "Custom Alarms (runs too long)" item:
   *                         monitor-observed actions exceeding
   *                         `slowActionMs` (0 without a monitor, so the
@@ -38,7 +45,8 @@ import graft.pipeline.LakeLayout
   * — the DLQ count scans only DLQ files, ledger counts scan the compacted
   * current snapshot (bounded version window), driver-known constants
   * (monitor-sourced counts, the no-DLQ healthy case) are emitted as
-  * local literal rows with no job at all, and the union is 7 rows.
+  * local literal rows with no job at all, the freshness check reads
+  * rollup partials (metadata-sized), and the union is 8 rows.
   * Nothing here is per-record driver work, so the evaluation is the same
   * query at sf0.001 or 100 TB.
   *
@@ -50,10 +58,20 @@ object Alarms {
 
   /** (alarm, state, metric) — state is ALARM iff metric > threshold
     * (every threshold is 0, matching the reference's "any occurrence
-    * alarms" posture). Ordered by alarm name. */
+    * alarms" posture). Ordered by alarm name.
+    *
+    * `data_freshness` is the rollup-backed staleness check: the metric
+    * counts modes whose newest event time lags the lake-global newest
+    * by more than `staleDays` — "a source went quiet" surfaced without
+    * a lake scan (it reads [[graft.ingest.Rollup.stats]], metadata-
+    * sized) and without a wall clock (lag is measured against the
+    * lake's own maximum, so a drained demo lake evaluates identically
+    * forever — the property that keeps this row on the oracle
+    * surface). */
   def evaluate(spark: SparkSession, layout: LakeLayout,
                monitor: Option[GraftMonitor] = None,
-               slowActionMs: Long = 15 * 60 * 1000L): DataFrame = {
+               slowActionMs: Long = 15 * 60 * 1000L,
+               staleDays: Int = 7): DataFrame = {
     // read-only ledger view: evaluation must not reclaim in-flight work
     // or prune versions under a live writer (monitoring runs CONCURRENT
     // with the pipeline — that is its point)
@@ -80,7 +98,26 @@ object Alarms {
       else const(0L)
     }
 
+    // staleness from the rollup partials: per-mode newest event time vs
+    // the lake-global newest, entirely join-free — the per-mode maxima
+    // are collapsed into ONE aggregate row (collect_list is bounded by
+    // mode cardinality, the same order as a partition listing), so no
+    // window, no cartesian, no second scan. An absent/empty rollup dir
+    // (a lake whose runners predate rollups, or an empty lake) reports
+    // 0 = healthy-unknown rather than inventing staleness.
+    val freshness: DataFrame = {
+      val st = graft.ingest.Rollup.stats(spark, layout.rollupDir)
+      st.groupBy("mode")
+        .agg(max(unix_timestamp(col("max_ts"))).as("mode_max"))
+        .agg(max(col("mode_max")).as("g"), collect_list(col("mode_max")).as("ms"))
+        .select(coalesce(
+          size(filter(col("ms"),
+            m => m < col("g") - lit(staleDays * 86400L))).cast("long"),
+          lit(0L)).as("m"))
+    }
+
     val metrics = Seq(
+      "data_freshness" -> freshness,
       "dedup_dlq_activity" -> dlqCountOf(layout.dedupDlqDir),
       "dlq_activity" -> dlqCountOf(layout.dlqDir),
       "file_quarantine" -> ledgerOf(Seq(Ledger.Quarantined)),

@@ -127,9 +127,12 @@ object IngestQueries {
     // CloudWatch alarm set evaluated as a declarative query over the
     // drained demo lake — DLQ activity (12 records) and file quarantine
     // (3 files) ALARM; job failure and ledger backlog are OK because the
-    // drain loop ran every file to a terminal state. Listener-sourced
-    // failure events are exercised in MonitorSpec (nondeterministic
-    // timings stay out of the oracle surface).
+    // drain loop ran every file to a terminal state; data_freshness is
+    // OK because even the synthetic drift mode (day 25) lags the lake's
+    // newest event (Jan 30) by under the 7-day threshold — at every sf,
+    // since real modes lag by hours. Listener-sourced failure events and
+    // the freshness FIRING polarity are exercised in MonitorSpec
+    // (nondeterministic timings stay out of the oracle surface).
     "q57_monitor_alarms" -> ((s, d) => {
       val lay = IngestDemo.ensure(s, d)
       graft.monitor.Alarms.evaluate(s, lay)
@@ -350,7 +353,8 @@ object IngestQueries {
                  AS BIGINT)
           FROM events) AS landing_rows""",
     "q57_monitor_alarms" ->
-      """SELECT 'dedup_dlq_activity' AS alarm, 'OK' AS state, CAST(0 AS BIGINT) AS metric
+      """SELECT 'data_freshness' AS alarm, 'OK' AS state, CAST(0 AS BIGINT) AS metric
+         UNION ALL SELECT 'dedup_dlq_activity', 'OK', CAST(0 AS BIGINT)
          UNION ALL SELECT 'dlq_activity', 'ALARM', CAST(12 AS BIGINT)
          UNION ALL SELECT 'file_quarantine', 'ALARM', CAST(3 AS BIGINT)
          UNION ALL SELECT 'job_failure', 'OK', CAST(0 AS BIGINT)
@@ -361,7 +365,8 @@ object IngestQueries {
     // q94: the alarm set over the dedup-demo lake — the gate alarms in
     // their firing state, counts forced by the same fixture as q90.
     "q94_gate_alarms" ->
-      """SELECT 'dedup_dlq_activity' AS alarm, 'ALARM' AS state, CAST(5 AS BIGINT) AS metric
+      """SELECT 'data_freshness' AS alarm, 'OK' AS state, CAST(0 AS BIGINT) AS metric
+         UNION ALL SELECT 'dedup_dlq_activity', 'ALARM', CAST(5 AS BIGINT)
          UNION ALL SELECT 'dlq_activity', 'OK', CAST(0 AS BIGINT)
          UNION ALL SELECT 'file_quarantine', 'OK', CAST(0 AS BIGINT)
          UNION ALL SELECT 'job_failure', 'OK', CAST(0 AS BIGINT)

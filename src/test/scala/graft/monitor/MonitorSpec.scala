@@ -152,6 +152,38 @@ class MonitorSpec extends AnyFunSuite {
     assert(states.values.forall(_ == "OK"), s"expected all OK, got $states")
   }
 
+  test("data_freshness fires when a mode's newest event lags the lake beyond staleDays") {
+    val lay = LakeLayout(Files.createTempDirectory("graft-mon-fresh").toString)
+    def write(name: String, lines: Seq[String]): Unit = {
+      val p = Paths.get(s"${lay.rawDir}/$name")
+      Files.createDirectories(p.getParent)
+      Files.write(p, lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8)): Unit
+    }
+    def rec(id: String, mode: String, ts: String): String =
+      s"""{"id":"$id","event_timestamp":"$ts","MODE":"$mode",""" +
+        s""""metadata":{"app_version":"1","user_agent":"ua","user_id":1},""" +
+        s""""payload":{"transaction_id":"t-$id","value":2.0,"props":"{}"}}"""
+    // 'archive' went quiet 16 days before the lake's newest event
+    write("old.jsonl", Seq(rec("o-1", "archive", "2024-02-20 10:00:00.000000")))
+    write("new.jsonl", Seq(rec("n-1", "training", "2024-03-07 10:00:00.000000"),
+      rec("n-2", "archive", "2024-02-20 11:00:00.000000")))
+    new BatchProcessor(spark, lay, Contracts.events).runUntilDrained()
+
+    def states(staleDays: Int) =
+      Alarms.evaluate(spark, lay, staleDays = staleDays).collect()
+        .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(states(7)("data_freshness") == (("ALARM", 1L)))
+    // the same lake under a looser threshold is healthy — lag is
+    // measured against the lake's own maximum, never a wall clock
+    assert(states(30)("data_freshness") == (("OK", 0L)))
+
+    // metadata posture: the check reads rollup partials only, so it
+    // still evaluates after the curated rows themselves are gone
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(lay.curatedDir), true)
+    assert(states(7)("data_freshness") == (("ALARM", 1L)))
+  }
+
   test("alarm evaluation is read-only: in-flight PROCESSING rows are not reclaimed") {
     val lay = LakeLayout(Files.createTempDirectory("graft-mon-ro").toString)
     val led = graft.ledger.Ledger(spark, lay.ledgerDir)
