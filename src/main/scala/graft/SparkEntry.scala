@@ -42,6 +42,7 @@ object SparkEntry {
     "q40_ledger_audit" -> Seq("ingest"),
     "q41_catalog_pruned" -> Seq("ingest"),
     "q109_rollup_stats" -> Seq("ingest"),
+    "q110_rollup_reconcile" -> Seq("ingest"),
     "q48_bucketed_join" -> Seq("ingest"),
     "q52_dpp_pruned" -> Seq("ingest"),
     "q55_catalog_evolution" -> Seq("ingest"),

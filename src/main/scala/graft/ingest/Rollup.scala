@@ -119,6 +119,95 @@ object Rollup {
         coalesce(hll_sketch_estimate(col("users_hll")), lit(0L)))
   }
 
+  /** The auditor for the fold-forward chain — the query you run RARELY,
+    * because it pays the one full lake scan the rollup exists to avoid,
+    * to certify that the incremental statistics still equal reality.
+    *
+    * Both sides aggregate to (year, month, mode) plus one global row
+    * (GROUPING SETS), then full-outer-join null-safely so a partition
+    * present on only ONE side (a lost batch, a phantom partial)
+    * surfaces as a mismatch row instead of silently dropping. The
+    * rollup side folds the per-file partials directly: distinct files
+    * via countDistinct(source_file) (per-day n_files cannot be summed
+    * upward — one file spans many days), user reach via
+    * `hll_union_agg` over the per-partial sketches — the "fold
+    * further" path, month and global reach from the same sketches the
+    * daily stats carry.
+    *
+    * Output carries the EXACT lake-side statistics plus match flags
+    * (the q44 convention: engine-specific estimates never reach the
+    * hash compare — `reach_ok` asserts the folded HLL estimate lands
+    * within `reachTolPct` of the exact distinct count, integer
+    * arithmetic only). Any flag at 0 means the fold-forward chain
+    * diverged from the lake.
+    *
+    * Scale shape: the exact side is one scan + one shuffled aggregate
+    * (what any direct query would pay); the rollup side is
+    * metadata-sized; the join is aggregate×aggregate (bounded by
+    * partition count), so reconciliation costs one lake scan — the
+    * floor for an exactness audit. */
+  def reconcile(s: SparkSession, curatedDir: String, rollupDir: String,
+                reachTolPct: Int = 5): DataFrame = {
+    val grain = Seq(col("year"), col("month"), col("mode"))
+    val sets = Seq(grain, Seq.empty[org.apache.spark.sql.Column])
+
+    // a lake with no partials at all (pre-rollup runners) must AUDIT as
+    // divergent — every lake-side row flagged — not throw on the read
+    val parts =
+      if (hasData(s, rollupDir)) filePartials(s, rollupDir)
+      else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "source_file STRING, year INT, month INT, day INT, mode STRING, " +
+            "n_rows BIGINT, n_value BIGINT, value_e6 BIGINT, " +
+            "min_ts TIMESTAMP, max_ts TIMESTAMP, users_hll BINARY"))
+
+    val folded = parts
+      .groupingSets(sets, grain: _*)
+      .agg(
+        sum("n_rows").as("r_rows"),
+        sum("n_value").as("r_value"),
+        sum("value_e6").as("r_value_e6"),
+        countDistinct(col("source_file")).as("r_files"),
+        coalesce(hll_sketch_estimate(hll_union_agg(col("users_hll"))), lit(0L))
+          .as("r_users_est"))
+
+    val exact = s.read.parquet(curatedDir)
+      .groupingSets(sets, grain: _*)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("value")).as("n_value"),
+        sum(round(col("value") * lit(1000000)).cast("long")).as("value_e6"),
+        countDistinct(col("source_file")).as("n_files"),
+        countDistinct(col("user_id")).as("n_users"))
+
+    val joined = exact.join(folded,
+      exact("year") <=> folded("year") &&
+        exact("month") <=> folded("month") &&
+        exact("mode") <=> folded("mode"),
+      "full_outer")
+
+    def flag(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(c, lit(1)).otherwise(lit(0)).cast("int")
+
+    joined.select(
+      coalesce(exact("year"), folded("year"), lit(0)).cast("int").as("year"),
+      coalesce(exact("month"), folded("month"), lit(0)).cast("int").as("month"),
+      coalesce(exact("mode"), folded("mode"), lit("ALL")).as("mode"),
+      coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+      coalesce(col("n_value"), lit(0L)).as("n_value"),
+      coalesce(col("value_e6"), lit(0L)).as("value_e6"),
+      coalesce(col("n_files"), lit(0L)).as("n_files"),
+      coalesce(col("n_users"), lit(0L)).as("n_users"),
+      flag(col("n_rows") <=> col("r_rows")).as("rows_match"),
+      flag(col("n_value") <=> col("r_value")).as("value_match"),
+      flag(col("value_e6") <=> col("r_value_e6")).as("value_e6_match"),
+      flag(col("n_files") <=> col("r_files")).as("files_match"),
+      // |est − exact|·100 ≤ exact·tol, all longs — no float compare
+      flag(col("r_users_est").isNotNull && col("n_users").isNotNull &&
+        abs(col("r_users_est") - col("n_users")) * lit(100L) <=
+          col("n_users") * lit(reachTolPct.toLong)).as("reach_ok"))
+  }
+
   /** Maintenance: when more than `maxBatchDirs` batch dirs have
     * accumulated, fold them into one `merged-*` dir. Safe order —
     * write merged (hidden tmp), rename IN, delete sources: a crash

@@ -227,6 +227,24 @@ object IngestQueries {
         .orderBy("year", "month", "day", "mode")
     }),
 
+    // The q109 chain's AUDITOR: reconcile the incrementally-maintained
+    // rollup against an exact lake recompute at month + global grain
+    // (graft.ingest.Rollup.reconcile — the one query that pays a lake
+    // scan, run rarely to certify the fold-forward chain). Every match
+    // flag must be 1: the exact side and the metadata side agree on
+    // rows/values/files, and the month/global HLL fold (sketches merged
+    // ACROSS the daily partials — the "fold further" path) estimates
+    // within 5% of the exact distinct-user count (q44's convention:
+    // engine-specific estimates never reach the hash compare). The
+    // oracle recomputes the exact side from the original events table
+    // with all flags literal 1 — a lost batch, a phantom partial, or a
+    // degraded sketch turns this row red.
+    "q110_rollup_reconcile" -> ((s, d) => {
+      val lay = IngestDemo.ensure(s, d)
+      graft.ingest.Rollup.reconcile(s, lay.curatedDir, lay.rollupDir)
+        .orderBy("year", "month", "mode")
+    }),
+
     // S9/P9/S10: the catalog consumption path — saveAsTable'd curated
     // lake read back via spark.table with partition-pruning filters.
     "q41_catalog_pruned" -> ((s, d) => {
@@ -311,6 +329,24 @@ object IngestQueries {
                 CAST(n_files AS BIGINT) AS n_files, CAST(n_rows AS BIGINT) AS n_rows,
                 CAST(n_value AS BIGINT) AS n_value, CAST(value_e6 AS BIGINT) AS value_e6
          FROM agg ORDER BY 1, 2, 3, 4""",
+    "q110_rollup_reconcile" ->
+      """WITH base AS (
+           SELECT year(ts) AS y, month(ts) AS m, event_type AS mode,
+                  CAST(event_id % 4 AS VARCHAR) AS f, value, user_id FROM events
+           UNION ALL
+           SELECT 2024, 1, 'synthetic', 'drift', 2.25, 1 FROM range(4))
+         SELECT CAST(COALESCE(y, 0) AS INT) AS year,
+                CAST(COALESCE(m, 0) AS INT) AS month,
+                COALESCE(mode, 'ALL') AS mode,
+                COUNT(*) AS n_rows, COUNT(value) AS n_value,
+                CAST(SUM(CAST(ROUND(value*1000000) AS BIGINT)) AS BIGINT) AS value_e6,
+                COUNT(DISTINCT f) AS n_files,
+                COUNT(DISTINCT user_id) AS n_users,
+                CAST(1 AS INT) AS rows_match, CAST(1 AS INT) AS value_match,
+                CAST(1 AS INT) AS value_e6_match, CAST(1 AS INT) AS files_match,
+                CAST(1 AS INT) AS reach_ok
+         FROM base GROUP BY GROUPING SETS ((y, m, mode), ())
+         ORDER BY 1, 2, 3""",
     "q40_ledger_audit" ->
       """SELECT 'QUARANTINED' AS processing_status, CAST(3 AS BIGINT) AS n_files,
               CAST(3 AS BIGINT) AS n_retries, CAST(3 AS BIGINT) AS n_stamped,

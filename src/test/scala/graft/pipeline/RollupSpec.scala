@@ -167,6 +167,82 @@ class RollupSpec extends AnyFunSuite {
     assertStatsMatch(lay, "streaming second drain")
   }
 
+  test("reconcile certifies a drained lake and flags a tampered partial, on both grains") {
+    val lay = drainedLake()
+    val flagCols = Seq("rows_match", "value_match", "value_e6_match",
+      "files_match", "reach_ok")
+    def flags() = Rollup.reconcile(spark, lay.curatedDir, lay.rollupDir)
+      .orderBy("year", "month", "mode").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2)) ->
+        flagCols.zipWithIndex.map { case (c, i) => c -> r.getInt(8 + i) }.toMap)
+      .toMap
+
+    val clean = flags()
+    // month rows for both modes plus the global row, every flag green
+    assert(clean.keySet == Set((0, 0, "ALL"), (2024, 3, "training"), (2024, 3, "eval")),
+      s"unexpected grains: ${clean.keySet}")
+    assert(clean.values.forall(_.values.forall(_ == 1)), s"clean lake not green: $clean")
+
+    // tamper: rewrite one partial's n_rows (+1) — the audit must flag
+    // the victim partition's row count at month AND global grain while
+    // the untouched stats stay green
+    val victimDir = new File(lay.rollupDir).listFiles()
+      .filter(_.isDirectory).minBy(_.getName)
+    val rows = spark.read.parquet(victimDir.toString)
+    val mode = rows.orderBy("source_file", "year", "month", "day", "mode")
+      .select("mode").collect().head.getString(0)
+    val tampered = rows.withColumn("n_rows",
+      when(col("mode") === mode, col("n_rows") + 1L).otherwise(col("n_rows")))
+    val tmp = new File(victimDir.getParentFile, ".tamper")
+    tampered.write.mode("overwrite").parquet(tmp.toString)
+    def deleteRec(f: File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(deleteRec)
+      f.delete(): Unit
+    }
+    deleteRec(victimDir)
+    assert(tmp.renameTo(victimDir))
+
+    val dirty = flags()
+    assert(dirty((2024, 3, mode))("rows_match") == 0, s"month grain missed the tamper: $dirty")
+    assert(dirty((0, 0, "ALL"))("rows_match") == 0, s"global grain missed the tamper: $dirty")
+    // the untampered statistics are still certified
+    assert(dirty((2024, 3, mode))("value_e6_match") == 1)
+    assert(dirty.filter { case (k, _) => k._3 != mode && k._3 != "ALL" }
+      .values.forall(_.values.forall(_ == 1)), s"innocent rows flagged: $dirty")
+  }
+
+  test("reconcile surfaces a lost batch as a one-sided mismatch, not a dropped row") {
+    val lay = drainedLake()
+    // delete one batch's partials wholesale — the lake has rows the
+    // rollup never saw; the full-outer join must keep the partition
+    // visible with its exact stats and flags at 0
+    val victim = new File(lay.rollupDir).listFiles().filter(_.isDirectory).minBy(_.getName)
+    def deleteRec(f: File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(deleteRec)
+      f.delete(): Unit
+    }
+    deleteRec(victim)
+    val out = Rollup.reconcile(spark, lay.curatedDir, lay.rollupDir)
+      .orderBy("year", "month", "mode").collect()
+    assert(out.exists(r => r.getInt(8) == 0), s"lost batch not flagged: ${out.toSeq}")
+    // exact lake-side stats still reported on every row (never nulled)
+    assert(out.forall(r => r.getLong(3) > 0L), s"exact stats dropped: ${out.toSeq}")
+  }
+
+  test("reconcile on a lake with no rollup at all audits divergent instead of throwing") {
+    val lay = drainedLake()
+    def deleteRec(f: File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(deleteRec)
+      f.delete(): Unit
+    }
+    deleteRec(new File(lay.rollupDir))
+    val out = Rollup.reconcile(spark, lay.curatedDir, lay.rollupDir)
+      .orderBy("year", "month", "mode").collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getInt(8) == 0), s"missing rollup not flagged: ${out.toSeq}")
+    assert(out.forall(r => r.getLong(3) > 0L), "exact stats must still report")
+  }
+
   test("HLL user sketches merge losslessly and estimate accurately at spread cardinality") {
     val lay = freshLake()
     // 40 rows, 25 distinct users, spread over 4 files × 2 partitions
