@@ -47,6 +47,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         s"$name expects ${expected.mkString(" or ")} argument(s), got ${exprs.length}")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // the engine's one optimizer rule: partition-grain aggregates over a
+    // rollup-maintained lake are served from the metadata-sized partials
+    // (see plans/RollupMetadataAggregate for the exact servable surface)
+    ext.injectOptimizerRule(graft.plans.RollupMetadataAggregate.apply)
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatVectorDot].getName, "vec_dot"),

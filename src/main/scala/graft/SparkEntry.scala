@@ -43,6 +43,7 @@ object SparkEntry {
     "q41_catalog_pruned" -> Seq("ingest"),
     "q109_rollup_stats" -> Seq("ingest"),
     "q110_rollup_reconcile" -> Seq("ingest"),
+    "q111_metadata_agg" -> Seq("ingest"),
     "q48_bucketed_join" -> Seq("ingest"),
     "q52_dpp_pruned" -> Seq("ingest"),
     "q55_catalog_evolution" -> Seq("ingest"),

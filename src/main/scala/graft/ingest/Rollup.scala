@@ -69,7 +69,7 @@ object Rollup {
   def writePartials(curated: DataFrame, dir: String): Unit =
     partials(curated).coalesce(1).write.mode("overwrite").parquet(dir)
 
-  private def hasData(s: SparkSession, dir: String): Boolean = {
+  private[graft] def hasData(s: SparkSession, dir: String): Boolean = {
     val p = new Path(dir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     Staging.countDataFiles(fs, p) > 0
@@ -79,7 +79,7 @@ object Rollup {
     * (source_file, year, month, day, mode) — the dedupe that makes
     * every duplication mode harmless (identical twins, so `first` of
     * each stat is exact). */
-  private def filePartials(s: SparkSession, rollupDir: String): DataFrame = {
+  private[graft] def filePartials(s: SparkSession, rollupDir: String): DataFrame = {
     val raw = s.read.option("recursiveFileLookup", "true").parquet(rollupDir)
     raw.groupBy("source_file", "year", "month", "day", "mode")
       .agg(

@@ -245,6 +245,34 @@ object IngestQueries {
         .orderBy("year", "month", "mode")
     }),
 
+    // The rollup chain's CONSUMPTION payoff: a plain partition-grain
+    // aggregate a user would write against the lake — row counts, value
+    // null-counts and time bounds per (year, month, day, mode) over a
+    // date window. Under a session carrying GraftExtensions (Verify and
+    // Bench both do), plans/RollupMetadataAggregate answers it from the
+    // q109 partials: the optimized plan scans `rollup/` (metadata-sized
+    // at any lake size), never `curated/` — RollupRewriteSpec asserts
+    // the swap; THIS query's oracle proves the served answer equals an
+    // exact recompute from the original events; q110 is the standing
+    // auditor of that equivalence. Timestamps leave as epoch micros so
+    // the hash compare is integer-exact (the q46 convention). The day
+    // window keeps the drift-file synthetic rows (day 25) out, so the
+    // oracle is a pure events recompute.
+    "q111_metadata_agg" -> ((s, d) => {
+      val lay = IngestDemo.ensure(s, d)
+      CuratedWriter.read(s, lay.curatedDir)
+        .filter(col("year") === 2024 && col("month") === 1 && col("day").between(5, 20))
+        .groupBy("year", "month", "day", "mode")
+        .agg(count(lit(1)).as("n_rows"), count(col("value")).as("n_value"),
+          min(col("event_time_utc")).as("first_ts"),
+          max(col("event_time_utc")).as("last_ts"))
+        .select(col("year"), col("month"), col("day"), col("mode"),
+          col("n_rows"), col("n_value"),
+          unix_micros(col("first_ts")).as("first_us"),
+          unix_micros(col("last_ts")).as("last_us"))
+        .orderBy("year", "month", "day", "mode")
+    }),
+
     // S9/P9/S10: the catalog consumption path — saveAsTable'd curated
     // lake read back via spark.table with partition-pruning filters.
     "q41_catalog_pruned" -> ((s, d) => {
@@ -347,6 +375,14 @@ object IngestQueries {
                 CAST(1 AS INT) AS reach_ok
          FROM base GROUP BY GROUPING SETS ((y, m, mode), ())
          ORDER BY 1, 2, 3""",
+    "q111_metadata_agg" ->
+      """SELECT CAST(year(ts) AS INT) AS year, CAST(month(ts) AS INT) AS month,
+              CAST(day(ts) AS INT) AS day, event_type AS mode,
+              COUNT(*) AS n_rows, COUNT(value) AS n_value,
+              epoch_us(MIN(ts)) AS first_us, epoch_us(MAX(ts)) AS last_us
+         FROM events
+         WHERE year(ts) = 2024 AND month(ts) = 1 AND day(ts) BETWEEN 5 AND 20
+         GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""",
     "q40_ledger_audit" ->
       """SELECT 'QUARANTINED' AS processing_status, CAST(3 AS BIGINT) AS n_files,
               CAST(3 AS BIGINT) AS n_retries, CAST(3 AS BIGINT) AS n_stamped,

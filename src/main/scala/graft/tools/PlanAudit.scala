@@ -13,6 +13,9 @@ object PlanAudit {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.warehouse.dir", "var/demo/spark-warehouse")
+      // same extensions as Verify/Bench so audited plans are the
+      // production plans (incl. the rollup metadata-aggregate rewrite)
+      .config("spark.sql.extensions", classOf[graft.GraftExtensions].getName)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -1,0 +1,165 @@
+package graft.pipeline
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.ingest._
+import graft.plans.RollupMetadataAggregate
+
+/** [[graft.plans.RollupMetadataAggregate]]: a servable partition-grain
+  * aggregate over a rollup-maintained lake must be answered from the
+  * metadata partials — same rows, rollup scan instead of lake scan —
+  * and every non-servable shape must leave the plan untouched. */
+class RollupRewriteSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def writeLines(path: String, lines: Seq[String]): Unit = {
+    val p = Paths.get(path)
+    Files.createDirectories(p.getParent)
+    Files.write(p, lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8)): Unit
+  }
+
+  private def rec(id: String, ts: String, mode: String, user: Long, value: Double): String =
+    s"""{"id":"$id","event_timestamp":"$ts","MODE":"$mode",""" +
+      s""""metadata":{"app_version":"2.4.1","user_agent":"svc/1.0","user_id":$user},""" +
+      s""""payload":{"transaction_id":"t-$id","value":$value,"props":"{\\"k\\":1}"}}"""
+
+  /** 3-tick drained lake, 3 partitions (the RollupSpec fixture). */
+  private def drainedLake(): LakeLayout = {
+    val lay = LakeLayout(Files.createTempDirectory("graft-rrw").toString)
+    writeLines(s"${lay.rawDir}/a.jsonl", Seq(
+      rec("a-1", "2024-03-07 10:00:00.000000", "training", 1L, 1.25),
+      rec("a-2", "2024-03-07 11:00:00.000000", "training", 2L, 2.5)))
+    writeLines(s"${lay.rawDir}/b.jsonl", Seq(
+      rec("b-1", "2024-03-07 12:00:00.000000", "training", 1L, 0.75),
+      rec("b-2", "2024-03-08 09:00:00.000000", "eval", 3L, 4.0)))
+    writeLines(s"${lay.rawDir}/c.jsonl", Seq(
+      rec("c-1", "2024-03-08 10:30:00.000000", "eval", 3L, 1.0)))
+    writeLines(s"${lay.rawDir}/d.jsonl", Seq(
+      rec("d-1", "2024-03-09 08:00:00.000000", "training", 4L, 10.125)))
+    new BatchProcessor(spark, lay, Contracts.events, batchSize = 2).runUntilDrained()
+    lay
+  }
+
+  /** Second session over the shared context carrying the extension
+    * (the GraftExtensionsSpec pattern — `spark.sql.extensions` is a
+    * static conf, `withExtensions` is the in-JVM equivalent). */
+  private def withExtendedSession[T](f: SparkSession => T): T = {
+    val base = TestSpark.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try f(SparkSession.builder()
+      .withExtensions(new graft.GraftExtensions().apply(_))
+      .getOrCreate())
+    finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
+  /** Root paths of every parquet relation left in the optimized plan. */
+  private def scanRoots(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString)
+        case _ => Seq.empty
+      }
+    }.flatten
+
+  private def assertServed(df: DataFrame): Unit = {
+    val roots = scanRoots(df)
+    assert(roots.exists(_.contains("/rollup")), s"not rewritten, scans: $roots")
+    assert(!roots.exists(_.contains("/curated")), s"lake scan survived: $roots")
+  }
+
+  private def assertUntouched(df: DataFrame): Unit = {
+    val roots = scanRoots(df)
+    assert(roots.exists(_.contains("/curated")), s"lake scan missing: $roots")
+    assert(!roots.exists(_.contains("/rollup")), s"unexpected rewrite: $roots")
+  }
+
+  private def servable(s: SparkSession, lay: LakeLayout): DataFrame =
+    CuratedWriter.read(s, lay.curatedDir)
+      .filter(col("year") === 2024 && col("day").between(7, 8))
+      .groupBy("year", "month", "day", "mode")
+      .agg(count(lit(1)).as("n_rows"), count(col("value")).as("n_value"),
+        min(col("event_time_utc")).as("first_ts"),
+        max(col("event_time_utc")).as("last_ts"))
+      .orderBy("year", "month", "day", "mode")
+
+  test("servable aggregate is served from the rollup and matches the lake answer") {
+    val lay = drainedLake()
+    val want = servable(spark, lay).collect().toSeq
+    assert(want.nonEmpty)
+    withExtendedSession { s =>
+      val df = servable(s, lay)
+      assertServed(df)
+      assert(df.collect().toSeq == want, "rewritten answer != lake answer")
+    }
+  }
+
+  test("global ungrouped count rewrites, and an empty selection still returns 0") {
+    val lay = drainedLake()
+    withExtendedSession { s =>
+      val all = CuratedWriter.read(s, lay.curatedDir).agg(count(lit(1)).as("n"))
+      assertServed(all)
+      assert(all.collect().head.getLong(0) == 6L)
+
+      val none = CuratedWriter.read(s, lay.curatedDir)
+        .filter(col("year") === 1999).agg(count(lit(1)).as("n"))
+      assertServed(none)
+      assert(none.collect().head.getLong(0) == 0L, "empty selection must count 0, not null")
+    }
+  }
+
+  test("distinct partition values are served from metadata") {
+    val lay = drainedLake()
+    withExtendedSession { s =>
+      val df = CuratedWriter.read(s, lay.curatedDir)
+        .select("year", "month", "day", "mode").distinct()
+      assertServed(df)
+      assert(df.count() == 3L)
+    }
+  }
+
+  test("non-servable shapes keep the lake scan") {
+    val lay = drainedLake()
+    withExtendedSession { s =>
+      def lake = CuratedWriter.read(s, lay.curatedDir)
+      // a sum at a rounding scale the partials don't carry
+      assertUntouched(lake.groupBy("mode")
+        .agg(sum(round(col("value") * 100).cast("long")).as("c")))
+      // grouping by a non-partition column
+      assertUntouched(lake.groupBy("mode", "user_id").agg(count(lit(1)).as("n")))
+      // a filter on a data column
+      assertUntouched(lake.filter(col("value") > 1.0)
+        .groupBy("mode").agg(count(lit(1)).as("n")))
+      // DISTINCT aggregate
+      assertUntouched(lake.groupBy("mode")
+        .agg(countDistinct(col("source_file")).as("nf")))
+      // count of a column the partials don't null-count
+      assertUntouched(lake.groupBy("mode").agg(count(col("user_id")).as("n")))
+    }
+  }
+
+  test("a lake without a rollup store, and a disabled conf, are left untouched") {
+    val lay = drainedLake()
+    withExtendedSession { s =>
+      s.conf.set(RollupMetadataAggregate.EnabledKey, "false")
+      try assertUntouched(servable(s, lay))
+      finally s.conf.unset(RollupMetadataAggregate.EnabledKey)
+
+      def deleteRec(f: File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(deleteRec)
+        f.delete(): Unit
+      }
+      deleteRec(new File(lay.rollupDir))
+      assertUntouched(servable(s, lay))
+    }
+  }
+}
