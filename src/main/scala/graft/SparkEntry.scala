@@ -44,6 +44,7 @@ object SparkEntry {
     "q109_rollup_stats" -> Seq("ingest"),
     "q110_rollup_reconcile" -> Seq("ingest"),
     "q111_metadata_agg" -> Seq("ingest"),
+    "q112_metadata_value" -> Seq("ingest"),
     "q48_bucketed_join" -> Seq("ingest"),
     "q52_dpp_pruned" -> Seq("ingest"),
     "q55_catalog_evolution" -> Seq("ingest"),

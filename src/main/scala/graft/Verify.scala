@@ -23,7 +23,17 @@ object Verify {
     // q38-q41/q45-q48/q51/q52/q55 don't pay full construction per round
     pipeline.DemoCache.primeFromSnapshot(sfDir): Unit
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Subset runs (dev/smoke.sh's pre-snapshot gate): comma-separated
+    // query-name prefixes, e.g. SPARK_GRAFT_VERIFY_ONLY=q111,q112.
+    // Unset (the driver's path) dumps every registered query.
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val selected = only match {
+      case Some(prefixes) =>
+        SparkEntry.queries.filter { case (n, _) => prefixes.exists(n.startsWith) }
+      case None => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -80,7 +80,17 @@ object Rollup {
     * every duplication mode harmless (identical twins, so `first` of
     * each stat is exact). */
   private[graft] def filePartials(s: SparkSession, rollupDir: String): DataFrame = {
-    val raw = s.read.option("recursiveFileLookup", "true").parquet(rollupDir)
+    // Readers run CONCURRENT with the pipeline (alarms, rewritten user
+    // queries in other sessions) while [[compact]] deletes source batch
+    // dirs after its merged rename — a listed file can vanish before
+    // the scan reaches it. ignoreMissingFiles (scoped to this read, not
+    // session-wide) turns that race into a skipped file; the rows it
+    // carried are never lost because the merged dir duplicates them and
+    // the per-file collapse below absorbs the duplication.
+    val raw = s.read
+      .option("recursiveFileLookup", "true")
+      .option("ignoreMissingFiles", "true")
+      .parquet(rollupDir)
     raw.groupBy("source_file", "year", "month", "day", "mode")
       .agg(
         first("n_rows").as("n_rows"),
@@ -101,8 +111,12 @@ object Rollup {
         org.apache.spark.sql.types.StructType.fromDDL(
           "year INT, month INT, day INT, mode STRING, n_files BIGINT, " +
             "n_rows BIGINT, n_value BIGINT, value_e6 BIGINT, " +
-            "min_ts TIMESTAMP, max_ts TIMESTAMP, n_users_est BIGINT, " +
-            "users_hll BINARY"))
+            // users_hll BEFORE n_users_est — the computed branch appends
+            // n_users_est last (withColumn), and positional consumers
+            // (union-by-position) must see one column order from both;
+            // NTZ timestamps match the curated contract (Segregator)
+            "min_ts TIMESTAMP_NTZ, max_ts TIMESTAMP_NTZ, users_hll BINARY, " +
+            "n_users_est BIGINT"))
     filePartials(s, rollupDir)
       .groupBy("year", "month", "day", "mode")
       .agg(
@@ -159,7 +173,7 @@ object Rollup {
         org.apache.spark.sql.types.StructType.fromDDL(
           "source_file STRING, year INT, month INT, day INT, mode STRING, " +
             "n_rows BIGINT, n_value BIGINT, value_e6 BIGINT, " +
-            "min_ts TIMESTAMP, max_ts TIMESTAMP, users_hll BINARY"))
+            "min_ts TIMESTAMP_NTZ, max_ts TIMESTAMP_NTZ, users_hll BINARY"))
 
     val folded = parts
       .groupingSets(sets, grain: _*)

@@ -135,8 +135,14 @@ object LedgerDialect {
             // (25P02), masking the real cause. Engines without
             // savepoints (none are in the poisoning family) re-check
             // directly, as before.
+            // Catch the whole SQLException family, not just
+            // SQLFeatureNotSupportedException: many drivers signal
+            // missing savepoint support with a plain SQLException, and
+            // the savepoint is strictly an optional enhancement — a
+            // failed setSavepoint must degrade to the direct re-check
+            // path, never fail the registration outright.
             val sp = try Some(conn.setSavepoint())
-              catch { case _: java.sql.SQLFeatureNotSupportedException => None }
+              catch { case _: java.sql.SQLException => None }
             try {
               val n = ins.executeUpdate()
               sp.foreach(conn.releaseSavepoint)

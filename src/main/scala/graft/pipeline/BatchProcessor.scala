@@ -286,9 +286,19 @@ final class BatchProcessor(
     // because the curated markers exclude the files from re-curation.
     // Computed from the staged parquet (partition dirs restore the
     // y/m/d/mode columns), not the curated frame, so the batch's
-    // upstream plan is not executed a second time.
+    // upstream plan is not executed a second time. Partition-value type
+    // INFERENCE on the staged read can disagree with the curated
+    // contract (a numeric-looking MODE would infer int where the
+    // streaming runner writes string), so the columns are pinned to the
+    // contract types before the partials are published — the shared
+    // rollup store must stay single-typed across both runners.
     if (curated.isDefined && Staging.countDataFiles(fs, stage) > 0)
-      Rollup.writePartials(spark.read.parquet(stage.toString),
+      Rollup.writePartials(
+        spark.read.parquet(stage.toString)
+          .withColumn("year", col("year").cast("int"))
+          .withColumn("month", col("month").cast("int"))
+          .withColumn("day", col("day").cast("int"))
+          .withColumn("mode", col("mode").cast("string")),
         new org.apache.hadoop.fs.Path(stage, "_rollup").toString)
     writeManifest(stage, files)
     val ready = new org.apache.hadoop.fs.Path(stagingRoot, s"$token.ready")

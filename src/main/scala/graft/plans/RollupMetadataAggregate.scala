@@ -3,12 +3,12 @@ package graft.plans
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, HllSketchAgg, HllUnionAgg, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.planning.PhysicalOperation
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.{IntegerType, StringType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
 
 /** Serve partition-grain aggregates over the curated lake from the
   * q109 rollup partials instead of the lake itself — the engine's one
@@ -46,10 +46,17 @@ import org.apache.spark.sql.types.{IntegerType, StringType}
   *  - every grouping expression is a bare partition-column attribute;
   *  - every aggregate is one of `count(1)`/`count(*)` (= Σ n_rows),
   *    `count(value)` (= Σ n_value), `min(event_time_utc)` (= min of
-  *    per-file minima), `max(event_time_utc)` — no DISTINCT, no FILTER
-  *    clause. Anything else (a `sum(value)` at a different rounding
-  *    scale, a non-partition grouping, `countDistinct`) leaves the plan
-  *    untouched.
+  *    per-file minima), `max(event_time_utc)`,
+  *    `sum(round(value*1e6)::long)` (= Σ value_e6, the repo's
+  *    integer-exact e6 convention — exact because integer addition is
+  *    associative), or `hll_sketch_estimate(hll_sketch_agg(user_id))`
+  *    (= estimate of the register-wise-max union of stored sketches,
+  *    grouped aggregates only) — no DISTINCT, no FILTER clause.
+  *    Deterministic scalar wrappers around served aggregates
+  *    (`unix_micros(min(...))`, count arithmetic) are rebuilt
+  *    unchanged. Anything else (a raw fp `sum(value)`, a sum at a
+  *    different rounding scale, a non-partition grouping,
+  *    `countDistinct`, the raw sketch bytes) leaves the plan untouched.
   *
   * Counts wrap in `coalesce(sum, 0)` so a global aggregate over an
   * empty selection still returns 0 like `count` does. The replacement
@@ -115,6 +122,38 @@ case class RollupMetadataAggregate(session: SparkSession) extends Rule[LogicalPl
       graft.ingest.Rollup.filePartials(session, rollupDir).queryExecution.analyzed
     val pAttr: Map[String, Attribute] = partials.output.map(a => a.name -> a).toMap
 
+    // name-matched column reference, looking through analyzer casts
+    def isCol(e: Expression, name: String): Boolean = e match {
+      case a: AttributeReference => a.name == name
+      case c: Cast => isCol(c.child, name)
+      case _ => false
+    }
+    // the e6 scale literal in whatever numeric shape analysis left it
+    def isMillion(e: Expression): Boolean = e match {
+      case Literal(v: Double, _) => v == 1e6
+      case Literal(v: Int, _) => v == 1000000
+      case Literal(v: Long, _) => v == 1000000L
+      case c: Cast => isMillion(c.child)
+      case _ => false
+    }
+    // the repo's integer-exact value convention, exactly as
+    // Rollup.partials computes value_e6: round(value * 1e6)::long
+    def isE6Sum(e: Expression): Boolean = e match {
+      case c: Cast if c.dataType == LongType =>
+        c.child match {
+          case r: Round if r.scale.foldable &&
+              Option(r.scale.eval()).exists(_.toString == "0") =>
+            r.child match {
+              case m: Multiply =>
+                (isCol(m.left, "value") && isMillion(m.right)) ||
+                  (isCol(m.right, "value") && isMillion(m.left))
+              case _ => false
+            }
+          case _ => false
+        }
+      case _ => false
+    }
+
     def servedAgg(fn: Expression): Option[Expression] = fn match {
       case Count(Seq(Literal(1, _))) =>
         Some(Coalesce(Seq(Sum(pAttr("n_rows")).toAggregateExpression(), Literal(0L))))
@@ -124,17 +163,63 @@ case class RollupMetadataAggregate(session: SparkSession) extends Rule[LogicalPl
         Some(Min(pAttr("min_ts")).toAggregateExpression())
       case Max(a: AttributeReference) if a.name == "event_time_utc" =>
         Some(Max(pAttr("max_ts")).toAggregateExpression())
+      // sum(round(value*1e6)::long) = Σ value_e6 — integer addition is
+      // associative, so the fold is EXACT (a raw double sum(value) is
+      // declined on purpose: fp addition is order-dependent and the
+      // partials deliberately store only the exact scaled form)
+      case s: Sum if isE6Sum(s.child) =>
+        Some(Sum(pAttr("value_e6")).toAggregateExpression())
       case _ => None
+    }
+
+    // Serve an entire result expression: grouping attrs transpose onto
+    // the partials, recognized aggregates fold from stored partials,
+    // and any DETERMINISTIC scalar wrapper (unix_micros(min(...)),
+    // hll_sketch_estimate(...), count arithmetic) is rebuilt unchanged
+    // around the served children. Anything unrecognized declines the
+    // whole rewrite.
+    def rewriteExpr(e: Expression): Option[Expression] = e match {
+      case a: AttributeReference =>
+        if (groupNames.contains(a.name)) Some(pAttr(a.name)) else None
+      // distinct-user reach: hll_sketch_estimate(hll_sketch_agg(user_id))
+      // is served from the stored sketches via register-wise-max union —
+      // ESTIMATE-identical (RollupSpec asserts it), which is why only the
+      // estimate shape is served: the raw sketch BYTES may differ between
+      // a direct sketch and a union of partial sketches, so a query
+      // returning the binary sketch itself is declined by the generic
+      // cases below (HllSketchAgg never appears in servedAgg). Grouped
+      // aggregates only: on a global aggregate over zero rows a direct
+      // sketch yields estimate 0 while a union over no partial rows is
+      // NULL, and the swap must never be observable.
+      case est: HllSketchEstimate if agg.groupingExpressions.nonEmpty =>
+        est.child match {
+          case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
+            ae.aggregateFunction match {
+              case h: HllSketchAgg if isCol(h.left, "user_id") &&
+                  h.lgConfigK == new HllSketchAgg(h.left).lgConfigK =>
+                Some(new HllSketchEstimate(
+                  new HllUnionAgg(pAttr("users_hll")).toAggregateExpression()))
+              case _ => None
+            }
+          case _ =>
+            val kid = rewriteExpr(est.child)
+            kid.map(k => est.withNewChildren(Seq(k)))
+        }
+      case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
+        servedAgg(ae.aggregateFunction)
+      case _: AggregateExpression => None
+      case e if !e.deterministic => None
+      case e =>
+        val kids = e.children.map(rewriteExpr)
+        if (kids.exists(_.isEmpty)) None
+        else Some(e.withNewChildren(kids.map(_.get)))
     }
 
     val newResult: Seq[NamedExpression] = agg.aggregateExpressions.map {
       case a: AttributeReference if groupNames.contains(a.name) =>
         Alias(pAttr(a.name), a.name)(exprId = a.exprId)
-      case al @ Alias(a: AttributeReference, name) if groupNames.contains(a.name) =>
-        Alias(pAttr(a.name), name)(exprId = al.exprId)
-      case al @ Alias(ae: AggregateExpression, name)
-          if !ae.isDistinct && ae.filter.isEmpty =>
-        val served = servedAgg(ae.aggregateFunction).getOrElse(return None)
+      case al @ Alias(child, name) =>
+        val served = rewriteExpr(child).getOrElse(return None)
         // exact type equality keeps the swap invisible to parents
         if (served.dataType != al.dataType) return None
         Alias(served, name)(exprId = al.exprId)
@@ -149,12 +234,20 @@ case class RollupMetadataAggregate(session: SparkSession) extends Rule[LogicalPl
     Some(Aggregate(groupNames.map(pAttr(_)), newResult, filtered, None))
   }
 
-  /** The relation qualifies iff it is a single-root parquet scan with
-    * the curated-lake schema and a sibling `rollup/` directory that
-    * actually holds partials; returns that directory. */
+  /** The relation qualifies iff it is a single-root parquet scan of a
+    * directory NAMED `curated` — the `LakeLayout` identity invariant,
+    * the only directory the runners publish partials for — with the
+    * curated-lake schema and a sibling `rollup/` directory that
+    * actually holds partials; returns that directory. The name pin
+    * matters: schema shape alone would also match any lake-shaped
+    * parquet COPY placed under the lake root (a `curated-sample/`, a
+    * debug snapshot), and serving whole-lake statistics for a sample is
+    * an exact-looking wrong answer with no error. */
   private def servableLakeRollup(rel: LogicalRelation): Option[String] =
     rel.relation match {
       case fs: HadoopFsRelation if fs.location.rootPaths.lengthCompare(1) == 0 =>
+        val root = fs.location.rootPaths.head
+        if (root.getName != "curated") return None
         val names = rel.schema.fields.map(f => f.name -> f.dataType).toMap
         val lakeShaped =
           names.get("year").contains(IntegerType) &&
@@ -163,7 +256,6 @@ case class RollupMetadataAggregate(session: SparkSession) extends Rule[LogicalPl
             names.get("mode").contains(StringType) &&
             names.contains("event_time_utc") && names.contains("value")
         if (!lakeShaped) return None
-        val root = fs.location.rootPaths.head
         Option(root.getParent).map(new Path(_, "rollup").toString)
           .filter(graft.ingest.Rollup.hasData(session, _))
       case _ => None

@@ -268,9 +268,41 @@ object IngestQueries {
           max(col("event_time_utc")).as("last_ts"))
         .select(col("year"), col("month"), col("day"), col("mode"),
           col("n_rows"), col("n_value"),
-          unix_micros(col("first_ts")).as("first_us"),
-          unix_micros(col("last_ts")).as("last_us"))
+          unix_micros(col("first_ts").cast("timestamp")).as("first_us"),
+          unix_micros(col("last_ts").cast("timestamp")).as("last_us"))
         .orderBy("year", "month", "day", "mode")
+    }),
+
+    // The WIDENED servable surface of the rollup rewrite: month-grain
+    // value totals via the integer-exact e6 convention (= Σ value_e6 of
+    // the stored partials — exact, integer addition is associative) and
+    // distinct-user reach via hll_sketch_estimate(hll_sketch_agg(...))
+    // (= estimate of the register-wise-max union of stored sketches).
+    // The served side never scans the lake under GraftExtensions; the
+    // exact side (countDistinct — deliberately NOT servable) always
+    // does, and the q44 convention keeps the engine-specific estimate
+    // out of the hash compare: only the ±5% reach_ok flag is emitted.
+    "q112_metadata_value" -> ((s, d) => {
+      val lay = IngestDemo.ensure(s, d)
+      val window = col("year") === 2024 && col("month") === 1 &&
+        col("day").between(5, 20)
+      val served = CuratedWriter.read(s, lay.curatedDir)
+        .filter(window)
+        .groupBy("year", "month", "mode")
+        .agg(count(lit(1)).as("n_rows"), count(col("value")).as("n_value"),
+          sum(round(col("value") * lit(1000000)).cast("long")).as("value_e6"),
+          hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("users_est"))
+      val exact = CuratedWriter.read(s, lay.curatedDir)
+        .filter(window)
+        .groupBy("year", "month", "mode")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+      served.join(exact, Seq("year", "month", "mode"))
+        .select(col("year"), col("month"), col("mode"),
+          col("n_rows"), col("n_value"), col("value_e6"),
+          when(abs(col("users_est") - col("n_users")) * lit(100L) <=
+            col("n_users") * lit(5L), lit(1)).otherwise(lit(0))
+            .cast("int").as("reach_ok"))
+        .orderBy("year", "month", "mode")
     }),
 
     // S9/P9/S10: the catalog consumption path — saveAsTable'd curated
@@ -383,6 +415,15 @@ object IngestQueries {
          FROM events
          WHERE year(ts) = 2024 AND month(ts) = 1 AND day(ts) BETWEEN 5 AND 20
          GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""",
+    "q112_metadata_value" ->
+      """SELECT CAST(year(ts) AS INT) AS year, CAST(month(ts) AS INT) AS month,
+              event_type AS mode,
+              COUNT(*) AS n_rows, COUNT(value) AS n_value,
+              CAST(SUM(CAST(ROUND(value*1000000) AS BIGINT)) AS BIGINT) AS value_e6,
+              CAST(1 AS INT) AS reach_ok
+         FROM events
+         WHERE year(ts) = 2024 AND month(ts) = 1 AND day(ts) BETWEEN 5 AND 20
+         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
     "q40_ledger_audit" ->
       """SELECT 'QUARANTINED' AS processing_status, CAST(3 AS BIGINT) AS n_files,
               CAST(3 AS BIGINT) AS n_retries, CAST(3 AS BIGINT) AS n_stamped,

@@ -92,6 +92,83 @@ class RollupRewriteSpec extends AnyFunSuite {
         max(col("event_time_utc")).as("last_ts"))
       .orderBy("year", "month", "day", "mode")
 
+  // ---- the REGISTERED contract queries, not paraphrases: round-14's
+  // q111 failed analysis on its FIRST execution anywhere because the
+  // spec tested a same-shaped rebuild instead of the query itself.
+  // These run SparkEntry.queries verbatim under the extended session.
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("the registered q111_metadata_agg executes, is served from rollup, matches direct") {
+    val want = graft.SparkEntry.queries("q111_metadata_agg")(spark, sfDir).collect().toSeq
+    assert(want.nonEmpty)
+    withExtendedSession { s =>
+      val df = graft.SparkEntry.queries("q111_metadata_agg")(s, sfDir)
+      assertServed(df)
+      assert(df.collect().toSeq == want, "served q111 != direct q111")
+    }
+  }
+
+  test("the registered q112_metadata_value serves its metadata side, matches direct") {
+    val want = graft.SparkEntry.queries("q112_metadata_value")(spark, sfDir).collect().toSeq
+    assert(want.nonEmpty)
+    withExtendedSession { s =>
+      val df = graft.SparkEntry.queries("q112_metadata_value")(s, sfDir)
+      val roots = scanRoots(df)
+      assert(roots.exists(_.contains("/rollup")), s"served side not rewritten: $roots")
+      assert(roots.count(_.contains("/curated")) == 1,
+        s"exactly one lake scan (the exact countDistinct side) expected: $roots")
+      assert(df.collect().toSeq == want, "served q112 != direct q112")
+    }
+  }
+
+  test("e6 value sums and grouped HLL reach are served; raw sketch and global reach are not") {
+    val lay = drainedLake()
+    withExtendedSession { s =>
+      def lake = CuratedWriter.read(s, lay.curatedDir)
+      val e6 = lake.groupBy("mode")
+        .agg(sum(round(col("value") * lit(1000000)).cast("long")).as("value_e6"))
+        .orderBy("mode")
+      assertServed(e6)
+      assert(e6.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+        Seq(("eval", 5000000L), ("training", 14625000L)))
+
+      val reach = lake.groupBy("mode")
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est"))
+        .orderBy("mode")
+      assertServed(reach)
+      assert(reach.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+        Seq(("eval", 1L), ("training", 3L)))
+
+      // raw sketch BYTES may differ between a direct sketch and a union
+      // of partials — only the estimate shape is servable
+      assertUntouched(lake.groupBy("mode")
+        .agg(hll_sketch_agg(col("user_id")).as("sk")))
+      // global reach: empty selection yields 0 direct but NULL from a
+      // union over no partial rows — the swap would be observable
+      assertUntouched(lake
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est")))
+    }
+  }
+
+  test("a lake-shaped parquet copy beside the lake is never served whole-lake statistics") {
+    val lay = drainedLake()
+    // exact curated schema (year/month/day/mode restored as data
+    // columns), placed under the lake root where the rollup sibling
+    // exists — only the `curated` name pin keeps this from being
+    // served the WHOLE lake's statistics
+    val sampleDir = s"${lay.root}/curated-sample"
+    CuratedWriter.read(spark, lay.curatedDir).limit(2).write.parquet(sampleDir)
+    withExtendedSession { s =>
+      val df = s.read.parquet(sampleDir)
+        .groupBy("mode").agg(count(lit(1)).as("n"))
+      val roots = scanRoots(df)
+      assert(!roots.exists(_.contains("/rollup")),
+        s"sample dir served whole-lake statistics: $roots")
+      assert(df.collect().map(_.getLong(1)).sum == 2L)
+    }
+  }
+
   test("servable aggregate is served from the rollup and matches the lake answer") {
     val lay = drainedLake()
     val want = servable(spark, lay).collect().toSeq
