@@ -45,6 +45,7 @@ object SparkEntry {
     "q110_rollup_reconcile" -> Seq("ingest"),
     "q111_metadata_agg" -> Seq("ingest"),
     "q112_metadata_value" -> Seq("ingest"),
+    "q113_metadata_global" -> Seq("ingest"),
     "q48_bucketed_join" -> Seq("ingest"),
     "q52_dpp_pruned" -> Seq("ingest"),
     "q55_catalog_evolution" -> Seq("ingest"),

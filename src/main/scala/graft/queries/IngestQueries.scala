@@ -305,6 +305,24 @@ object IngestQueries {
         .orderBy("year", "month", "mode")
     }),
 
+    // The rewrite's GLOBAL branch on the oracle surface: an ungrouped
+    // whole-window rollcall ("how much landed this month?") — the shape
+    // every dashboard headline tile asks. Served from the partials like
+    // q111, but through the rule's empty-grouping path, whose count
+    // fold must coalesce to 0 over an empty selection (Sum over no rows
+    // is NULL where Count is 0 — the branch RollupRewriteSpec pins);
+    // HLL reach is deliberately absent (global reach is the one shape
+    // the rule declines: estimate-0 vs union-NULL would be observable).
+    "q113_metadata_global" -> ((s, d) => {
+      val lay = IngestDemo.ensure(s, d)
+      CuratedWriter.read(s, lay.curatedDir)
+        .filter(col("year") === 2024 && col("month") === 1 && col("day").between(5, 20))
+        .agg(count(lit(1)).as("n_rows"), count(col("value")).as("n_value"),
+          sum(round(col("value") * lit(1000000)).cast("long")).as("value_e6"),
+          unix_micros(min(col("event_time_utc")).cast("timestamp")).as("first_us"),
+          unix_micros(max(col("event_time_utc")).cast("timestamp")).as("last_us"))
+    }),
+
     // S9/P9/S10: the catalog consumption path — saveAsTable'd curated
     // lake read back via spark.table with partition-pruning filters.
     "q41_catalog_pruned" -> ((s, d) => {
@@ -424,6 +442,12 @@ object IngestQueries {
          FROM events
          WHERE year(ts) = 2024 AND month(ts) = 1 AND day(ts) BETWEEN 5 AND 20
          GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "q113_metadata_global" ->
+      """SELECT COUNT(*) AS n_rows, COUNT(value) AS n_value,
+              CAST(SUM(CAST(ROUND(value*1000000) AS BIGINT)) AS BIGINT) AS value_e6,
+              epoch_us(MIN(ts)) AS first_us, epoch_us(MAX(ts)) AS last_us
+         FROM events
+         WHERE year(ts) = 2024 AND month(ts) = 1 AND day(ts) BETWEEN 5 AND 20""",
     "q40_ledger_audit" ->
       """SELECT 'QUARANTINED' AS processing_status, CAST(3 AS BIGINT) AS n_files,
               CAST(3 AS BIGINT) AS n_retries, CAST(3 AS BIGINT) AS n_stamped,

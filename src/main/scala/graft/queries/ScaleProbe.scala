@@ -307,4 +307,107 @@ object ScaleProbe {
       spans(s, dir, tier), incremental(s, dir, tier),
       incrementalSpans(s, dir, tier), semantic(s, dir, tier),
       imagehash(s, dir, tier), exportSink(s, dir, tier))
+
+  /** The incremental-rollup family (q109/q110/q111) across LAKE tiers:
+    * a synthetic curated lake replicated `copies`× from the sf0.1
+    * events table (per-copy day-grained files, per-copy-shifted user
+    * ids — distinct-user mass grows with the lake like a real one's
+    * would), with partials published for every file. Three stats per
+    * tier, measuring the X7 scale claim directly:
+    *
+    *  - `rollup_stats` — the q109 metadata fold. `n_candidates` = the
+    *    partial rows scanned (files × partitions touched), the ONLY
+    *    thing its cost may track;
+    *  - `rollup_serve` — a q111-shaped partition-grain aggregate
+    *    (counts, time bounds, e6 value sum over a day window) routed
+    *    through [[graft.plans.RollupMetadataAggregate]]. The kernel
+    *    REQUIRES the optimized plan to scan the partial store — a tier
+    *    where the rewrite silently declined would otherwise time a
+    *    lake scan and flatter nothing — and row-compares the served
+    *    answer against the direct lake recompute with the rule
+    *    disabled (untimed), so the flat line is also a PROVEN-exact
+    *    line at every tier;
+    *  - `rollup_reconcile` — the q110 auditor, the family's one
+    *    deliberate lake scan (`n_candidates` = lake rows). The kernel
+    *    requires every audit flag to be 1: the fold-forward chain must
+    *    equal reality at every tier, else the timing is meaningless.
+    *
+    * Expected growth: stats/serve ∝ partial rows (metadata — ×copies
+    * but kilobyte-scale), reconcile ∝ lake rows (linear, the floor for
+    * an exactness audit). Lakes build once under
+    * `var/scale/rollup/<tier>/` (marker-memoized like the blow-ups). */
+  def rollupFamily(s: SparkSession, tier: String, copies: Int): Seq[Stat] = {
+    import graft.ingest.Rollup
+    val root = s"var/scale/rollup/$tier"
+    val curatedDir = s"$root/curated"
+    val rollupDir = s"$root/rollup"
+    val ok = new java.io.File(s"$root/_OK")
+    if (!ok.exists) {
+      val ev = Tables.load(s, "/root/testdata/sf0.1", "events")
+      // day-grained files like a real ingest's (a file covers one day,
+      // two files per (copy, day)) so partial rows per file stay at the
+      // modes-per-day cardinality instead of every partition at once
+      ev.withColumn("cp", explode(sequence(lit(0), lit(copies - 1))))
+        .select(
+          concat(lit("scale-"), col("cp"), lit("-"),
+            date_format(col("ts"), "yyyyMMdd"), lit("-f"),
+            pmod(col("event_id"), lit(2))).as("source_file"),
+          (col("user_id") + col("cp") * lit(1000000L)).as("user_id"),
+          col("ts").as("event_time_utc"),
+          col("value"),
+          year(col("ts")).as("year"), month(col("ts")).as("month"),
+          dayofmonth(col("ts")).as("day"), col("event_type").as("mode"))
+        .write.mode("overwrite")
+        .partitionBy("year", "month", "day", "mode").parquet(curatedDir)
+      Rollup.partials(s.read.parquet(curatedDir))
+        .repartition(math.min(copies, 32))
+        .write.mode("overwrite").parquet(s"$rollupDir/b0")
+      ok.createNewFile(): Unit
+    }
+    val nIn = s.read.parquet(curatedDir).count()
+    val nPartials = Rollup.filePartials(s, rollupDir).count()
+    s.catalog.clearCache()
+    val (nStats, statsSecs) = timed(Rollup.stats(s, rollupDir).count())
+    s.catalog.clearCache()
+
+    def serveQ() = s.read.parquet(curatedDir)
+      .filter(col("year") === 2024 && col("month") === 1 &&
+        col("day").between(5, 20))
+      .groupBy("year", "month", "day", "mode")
+      .agg(count(lit(1)).as("n_rows"), count(col("value")).as("n_value"),
+        min(col("event_time_utc")).as("first_ts"),
+        max(col("event_time_utc")).as("last_ts"),
+        sum(round(col("value") * lit(1000000)).cast("long")).as("value_e6"))
+    val served = serveQ()
+    val scansPartials = served.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.exists(_.toString.contains("/rollup"))
+          case _ => false
+        }
+    }
+    require(scansPartials == Seq(true),
+      s"rollup_serve($tier): rewrite did not fire (plan scans: $scansPartials)")
+    val (nServe, serveSecs) = timed(served.count())
+    s.conf.set(graft.plans.RollupMetadataAggregate.EnabledKey, "false")
+    val direct =
+      try serveQ().collect().map(_.toSeq).sortBy(_.mkString("|"))
+      finally s.conf.set(graft.plans.RollupMetadataAggregate.EnabledKey, "true")
+    val servedRows = served.collect().map(_.toSeq).sortBy(_.mkString("|"))
+    require(servedRows.sameElements(direct),
+      s"rollup_serve($tier): served answer diverges from the lake recompute")
+    s.catalog.clearCache()
+
+    val (nRec, recSecs) = timed(Rollup.reconcile(s, curatedDir, rollupDir).count())
+    val bad = Rollup.reconcile(s, curatedDir, rollupDir)
+      .filter(col("rows_match") =!= 1 || col("value_match") =!= 1 ||
+        col("value_e6_match") =!= 1 || col("files_match") =!= 1 ||
+        col("reach_ok") =!= 1).count()
+    require(bad == 0, s"rollup_reconcile($tier): $bad divergent audit rows")
+    s.catalog.clearCache()
+    Seq(Stat("rollup_stats", tier, nIn, nPartials, nStats, statsSecs),
+      Stat("rollup_serve", tier, nIn, nPartials, nServe, serveSecs),
+      Stat("rollup_reconcile", tier, nIn, nIn, nRec, recSecs))
+  }
 }

@@ -39,6 +39,10 @@ import graft.queries.ScaleProbe
 object ScaleStress {
   private val IdOffset = 10000000L // 100 copies * 1e7 < 2^32: packed-pair-safe
 
+  /** Lake-replication tiers for the rollup family (×1/×10/×100 of the
+    * sf0.1 events table as a curated lake — 100k/1M/10M rows). */
+  private val RollupTiers = Seq("lake1" -> 1, "lake10" -> 10, "lake100" -> 100)
+
   private def ensureBlowup(spark: SparkSession, src: String, out: String,
                            copies: Int, withEmbeddings: Boolean): Unit = {
     val ok = new java.io.File(s"$out/_OK")
@@ -104,6 +108,9 @@ object ScaleStress {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the rollup_serve kernel measures the RollupMetadataAggregate
+      // rewrite, which only exists under the extensions
+      .config("spark.sql.extensions", classOf[graft.GraftExtensions].getName)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -135,7 +142,15 @@ object ScaleStress {
     // selective form for timing one new kernel without paying the full
     // multi-tier sweep. Kernel names = the Stat.kernel strings.
     if (args.headOption.contains("probe")) {
-      val wanted = args.drop(1).toSet
+      val wanted0 = args.drop(1).toSet
+      // the rollup family runs on its own LAKE-replication tier axis
+      // (lake1/lake10/lake100), not the document tiers below
+      if (wanted0.contains("rollup"))
+        for ((tier, copies) <- RollupTiers;
+             st <- ScaleProbe.rollupFamily(spark, tier, copies))
+          println(s"SCALE ${st.json}")
+      val wanted = wanted0 - "rollup"
+      if (wanted.isEmpty && wanted0.contains("rollup")) { spark.stop(); return }
       val probes: Map[String, (SparkSession, String, String) => ScaleProbe.Stat] = Map(
         "minhash_lsh" -> (ScaleProbe.minhash _),
         "simhash" -> (ScaleProbe.simhash _),
@@ -180,13 +195,24 @@ object ScaleStress {
         ss
       }
 
+    // the rollup family's lake-tier ladder (its kernels carry their own
+    // exactness requires; a rewrite that declines or an audit flag at 0
+    // aborts the sweep rather than printing a flattering number)
+    val rollupStats = RollupTiers.flatMap { case (tier, copies) =>
+      val ss = ScaleProbe.rollupFamily(spark, tier, copies)
+      ss.foreach(st => println(s"SCALE ${st.json}"))
+      ss
+    }
+
     // growth verdicts between consecutive tiers (each ~10× the last,
     // x10 -> x100 also structure-preserving); kernels not run at a tier
     // (vector kernels at x100) simply have no verdict row there
     var failed = false
-    for (Seq(lo, hi) <- Seq("sf0.01", "sf0.1", "x10", "x100").sliding(2)) {
-      val a = stats.filter(_.tier == lo)
-      val b = stats.filter(_.tier == hi)
+    val allStats = stats ++ rollupStats
+    for (Seq(lo, hi) <- (Seq("sf0.01", "sf0.1", "x10", "x100").sliding(2) ++
+           RollupTiers.map(_._1).sliding(2)).toSeq) {
+      val a = allStats.filter(_.tier == lo)
+      val b = allStats.filter(_.tier == hi)
       for (sa <- a; sb <- b if sa.kernel == sb.kernel) {
         val inRatio = sb.nInput.toDouble / sa.nInput
         val outRatio = sb.nOutput.toDouble / math.max(1, sa.nOutput)

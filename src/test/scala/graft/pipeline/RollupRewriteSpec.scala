@@ -122,6 +122,16 @@ class RollupRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("the registered q113_metadata_global serves the global branch, matches direct") {
+    val want = graft.SparkEntry.queries("q113_metadata_global")(spark, sfDir).collect().toSeq
+    assert(want.nonEmpty)
+    withExtendedSession { s =>
+      val df = graft.SparkEntry.queries("q113_metadata_global")(s, sfDir)
+      assertServed(df)
+      assert(df.collect().toSeq == want, "served q113 != direct q113")
+    }
+  }
+
   test("e6 value sums and grouped HLL reach are served; raw sketch and global reach are not") {
     val lay = drainedLake()
     withExtendedSession { s =>
