@@ -47,10 +47,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         s"$name expects ${expected.mkString(" or ")} argument(s), got ${exprs.length}")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
-    // the engine's one optimizer rule: partition-grain aggregates over a
-    // rollup-maintained lake are served from the metadata-sized partials
-    // (see plans/RollupMetadataAggregate for the exact servable surface)
+    // the engine's two optimizer rules over the rollup partial store:
+    // partition-grain aggregates over a rollup-maintained lake are
+    // SERVED from the metadata-sized partials (RollupMetadataAggregate,
+    // see its scaladoc for the exact servable surface), and event-time
+    // range filters SKIP partitions via the partials' zone bounds
+    // (RollupPartitionSkip — lakehouse data skipping from statistics
+    // the pipeline maintains exactly)
     ext.injectOptimizerRule(graft.plans.RollupMetadataAggregate.apply)
+    ext.injectOptimizerRule(graft.plans.RollupPartitionSkip.apply)
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[FloatVectorDot].getName, "vec_dot"),

@@ -46,6 +46,7 @@ object SparkEntry {
     "q111_metadata_agg" -> Seq("ingest"),
     "q112_metadata_value" -> Seq("ingest"),
     "q113_metadata_global" -> Seq("ingest"),
+    "q114_timerange_skip" -> Seq("ingest"),
     "q48_bucketed_join" -> Seq("ingest"),
     "q52_dpp_pruned" -> Seq("ingest"),
     "q55_catalog_evolution" -> Seq("ingest"),

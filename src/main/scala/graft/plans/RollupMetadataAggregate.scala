@@ -99,7 +99,8 @@ case class RollupMetadataAggregate(session: SparkSession) extends Rule[LogicalPl
   private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
     val (projects, filters, rollupDir) = agg.child match {
       case PhysicalOperation(p, f, rel: LogicalRelation) =>
-        val dir = servableLakeRollup(rel).getOrElse(return None)
+        val dir = RollupMetadataAggregate.servableLakeRollup(session, rel)
+          .getOrElse(return None)
         (p, f, dir)
       case _ => return None
     }
@@ -234,6 +235,15 @@ case class RollupMetadataAggregate(session: SparkSession) extends Rule[LogicalPl
     Some(Aggregate(groupNames.map(pAttr(_)), newResult, filtered, None))
   }
 
+}
+
+object RollupMetadataAggregate {
+  /** Session conf killing the rewrite (default on): set to `false` for
+    * lakes whose history predates the rollup protocol. */
+  val EnabledKey = "spark.graft.rollup.metadataAgg"
+
+  private val PartitionCols = Set("year", "month", "day", "mode")
+
   /** The relation qualifies iff it is a single-root parquet scan of a
     * directory NAMED `curated` — the `LakeLayout` identity invariant,
     * the only directory the runners publish partials for — with the
@@ -242,8 +252,10 @@ case class RollupMetadataAggregate(session: SparkSession) extends Rule[LogicalPl
     * matters: schema shape alone would also match any lake-shaped
     * parquet COPY placed under the lake root (a `curated-sample/`, a
     * debug snapshot), and serving whole-lake statistics for a sample is
-    * an exact-looking wrong answer with no error. */
-  private def servableLakeRollup(rel: LogicalRelation): Option[String] =
+    * an exact-looking wrong answer with no error. Shared with
+    * [[RollupPartitionSkip]] — one lake-identity test for both rules. */
+  private[plans] def servableLakeRollup(session: SparkSession,
+                                        rel: LogicalRelation): Option[String] =
     rel.relation match {
       case fs: HadoopFsRelation if fs.location.rootPaths.lengthCompare(1) == 0 =>
         val root = fs.location.rootPaths.head
@@ -260,12 +272,4 @@ case class RollupMetadataAggregate(session: SparkSession) extends Rule[LogicalPl
           .filter(graft.ingest.Rollup.hasData(session, _))
       case _ => None
     }
-}
-
-object RollupMetadataAggregate {
-  /** Session conf killing the rewrite (default on): set to `false` for
-    * lakes whose history predates the rollup protocol. */
-  val EnabledKey = "spark.graft.rollup.metadataAgg"
-
-  private val PartitionCols = Set("year", "month", "day", "mode")
 }

@@ -323,6 +323,29 @@ object IngestQueries {
           unix_micros(max(col("event_time_utc")).cast("timestamp")).as("last_us"))
     }),
 
+    // The SECOND rollup payoff on the oracle surface: an EVENT-TIME
+    // range query (the shape partition pruning cannot touch — the
+    // predicate is on a data column, not year/month/day). Under
+    // GraftExtensions, plans/RollupPartitionSkip folds the partials'
+    // per-partition min/max into a zone predicate and the scan reads
+    // only the overlapping partitions (RollupSkipSpec asserts the
+    // pruning); this query's oracle proves the skipped answer equals
+    // the events recompute. The aggregate itself is deliberately NOT
+    // servable (the filter references event_time_utc), so q114
+    // exercises the skip rule in isolation from the serve rule.
+    "q114_timerange_skip" -> ((s, d) => {
+      val lay = IngestDemo.ensure(s, d)
+      CuratedWriter.read(s, lay.curatedDir)
+        .filter(col("event_time_utc") >= lit("2024-01-10 00:00:00").cast("timestamp_ntz") &&
+          col("event_time_utc") < lit("2024-01-12 00:00:00").cast("timestamp_ntz"))
+        .groupBy("mode")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(round(col("value") * lit(1000000)).cast("long")).as("value_e6"),
+          unix_micros(min(col("event_time_utc")).cast("timestamp")).as("first_us"),
+          unix_micros(max(col("event_time_utc")).cast("timestamp")).as("last_us"))
+        .orderBy("mode")
+    }),
+
     // S9/P9/S10: the catalog consumption path — saveAsTable'd curated
     // lake read back via spark.table with partition-pruning filters.
     "q41_catalog_pruned" -> ((s, d) => {
@@ -448,6 +471,14 @@ object IngestQueries {
               epoch_us(MIN(ts)) AS first_us, epoch_us(MAX(ts)) AS last_us
          FROM events
          WHERE year(ts) = 2024 AND month(ts) = 1 AND day(ts) BETWEEN 5 AND 20""",
+    "q114_timerange_skip" ->
+      """SELECT event_type AS mode, COUNT(*) AS n_rows,
+              CAST(SUM(CAST(ROUND(value*1000000) AS BIGINT)) AS BIGINT) AS value_e6,
+              epoch_us(MIN(ts)) AS first_us, epoch_us(MAX(ts)) AS last_us
+         FROM events
+         WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+           AND ts < TIMESTAMP '2024-01-12 00:00:00'
+         GROUP BY 1 ORDER BY 1""",
     "q40_ledger_audit" ->
       """SELECT 'QUARANTINED' AS processing_status, CAST(3 AS BIGINT) AS n_files,
               CAST(3 AS BIGINT) AS n_retries, CAST(3 AS BIGINT) AS n_stamped,

@@ -1,0 +1,212 @@
+package graft.pipeline
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.ingest.Rollup
+import graft.plans.RollupPartitionSkip
+
+/** [[graft.plans.RollupPartitionSkip]]: an event-time range filter over
+  * a rollup-maintained lake must pick up a partition-struct IN zone
+  * predicate folded from the partials' min/max bounds — fewer
+  * partitions scanned, identical rows — and every shape outside the
+  * contract (no literal bounds, disabled conf, foreign lake) must
+  * leave the plan untouched. */
+class RollupSkipSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** A curated lake written directly at partition grain (3 days × 2
+    * modes, one file per partition via one source_file each) with its
+    * partials published — the minimal fixture for zone tests. Day 9
+    * carries ONLY null event times (its zone bounds are null). */
+  private def syntheticLake(): String = {
+    val root = Files.createTempDirectory("graft-skip").toString
+    val rows = Seq(
+      // (source_file, user, ts, value, y, m, d, mode)
+      ("f-a", 1L, "2024-03-07 10:00:00", 1.25, 2024, 3, 7, "training"),
+      ("f-a", 2L, "2024-03-07 11:00:00", 2.5, 2024, 3, 7, "training"),
+      ("f-b", 1L, "2024-03-07 12:30:00", 0.75, 2024, 3, 7, "eval"),
+      ("f-c", 3L, "2024-03-08 09:00:00", 4.0, 2024, 3, 8, "training"),
+      ("f-c", 3L, "2024-03-08 10:30:00", 1.0, 2024, 3, 8, "eval"),
+      ("f-d", 4L, null, 10.125, 2024, 3, 9, "training"))
+    import spark.implicits._
+    rows.toDF("source_file", "user_id", "ts_s", "value", "year", "month", "day", "mode")
+      .withColumn("event_time_utc", col("ts_s").cast("timestamp_ntz"))
+      .drop("ts_s")
+      .write.partitionBy("year", "month", "day", "mode")
+      .parquet(s"$root/curated")
+    Rollup.writePartials(spark.read.parquet(s"$root/curated"), s"$root/rollup/b0")
+    RollupPartitionSkip.clearCache()
+    root
+  }
+
+  private def lake(s: SparkSession, root: String): DataFrame =
+    s.read.parquet(s"$root/curated")
+
+  private def withExtendedSession[T](f: SparkSession => T): T = {
+    val base = TestSpark.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try f(SparkSession.builder()
+      .withExtensions(new graft.GraftExtensions().apply(_))
+      .getOrCreate())
+    finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
+  /** The zone predicates (our IN-over-partition-struct) found among the
+    * scan's partition filters, and the scanned partition count. */
+  private def zoneScan(df: DataFrame): (Seq[String], Int) = {
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, s"no parquet scan:\n${df.queryExecution.sparkPlan}")
+    val zones = scans.flatMap(_.partitionFilters).map(_.toString)
+      .filter(s => s.contains("named_struct") || s.contains("struct"))
+    (zones, scans.map(_.selectedPartitions.partitionCount).sum)
+  }
+
+  // the REGISTERED contract query, not a paraphrase (the q111 lesson)
+  test("the registered q114_timerange_skip executes, is zone-pruned, matches direct") {
+    val sfDir = "/root/testdata/sf0.001"
+    val want = graft.SparkEntry.queries("q114_timerange_skip")(spark, sfDir)
+      .collect().toSeq
+    assert(want.nonEmpty)
+    withExtendedSession { s =>
+      val df = graft.SparkEntry.queries("q114_timerange_skip")(s, sfDir)
+      val (zones, _) = zoneScan(df)
+      assert(zones.nonEmpty, "q114's scan carries no zone predicate")
+      assert(df.collect().toSeq == want, "zone-pruned q114 != direct q114")
+    }
+  }
+
+  test("a day window scans only the zone-qualifying partitions, rows unchanged") {
+    val root = syntheticLake()
+    val lo = lit("2024-03-08 00:00:00").cast("timestamp_ntz")
+    val hi = lit("2024-03-09 00:00:00").cast("timestamp_ntz")
+    def q(s: SparkSession) = lake(s, root)
+      .filter(col("event_time_utc") >= lo && col("event_time_utc") < hi)
+      .select("source_file", "user_id", "value", "day", "mode")
+    val want = q(spark).collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(want.length == 2)
+    withExtendedSession { s =>
+      val df = q(s)
+      val (zones, nParts) = zoneScan(df)
+      assert(zones.nonEmpty, "no zone predicate among partition filters")
+      // 5 partitions total; only day 8's two qualify (day 7 out of
+      // window, day 9's bounds are NULL — all-null event times)
+      assert(nParts == 2, s"expected 2 scanned partitions, got $nParts")
+      assert(df.collect().map(_.toSeq).sortBy(_.mkString("|")).sameElements(want))
+    }
+  }
+
+  test("extra conjuncts ride along unchanged; one-sided bounds still prune") {
+    val root = syntheticLake()
+    def q(s: SparkSession) = lake(s, root)
+      .filter(col("event_time_utc") >= lit("2024-03-08 00:00:00").cast("timestamp_ntz") &&
+        col("mode") === "training" && col("value") > lit(2.0))
+      .select("source_file", "user_id", "value")
+    val want = q(spark).collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(want.length == 1) // f-c 4.0 (day 9's null ts fails the range)
+    withExtendedSession { s =>
+      val df = q(s)
+      val (zones, nParts) = zoneScan(df)
+      assert(zones.nonEmpty, "no zone predicate for a one-sided bound")
+      // day 7 (both modes) is zone-skipped; day 9 is null-zone-skipped;
+      // mode=training partition filter intersects what remains
+      assert(nParts == 1, s"expected 1 scanned partition, got $nParts")
+      assert(df.collect().map(_.toSeq).sortBy(_.mkString("|")).sameElements(want))
+    }
+  }
+
+  test("an unsatisfiable window collapses to an empty scan without a fold") {
+    val root = syntheticLake()
+    withExtendedSession { s =>
+      val df = lake(s, root)
+        .filter(col("event_time_utc") >= lit("2024-03-09 00:00:00").cast("timestamp_ntz") &&
+          col("event_time_utc") <= lit("2024-03-07 00:00:00").cast("timestamp_ntz"))
+      assert(df.count() == 0)
+      val scans = df.queryExecution.sparkPlan.collect {
+        case f: FileSourceScanExec => f
+      }
+      assert(scans.isEmpty || scans.forall(_.selectedPartitions.partitionCount == 0),
+        s"inverted window still scans:\n${df.queryExecution.sparkPlan}")
+    }
+  }
+
+  test("the optimized plan carries exactly one zone conjunct (fixpoint, not accretion)") {
+    val root = syntheticLake()
+    withExtendedSession { s =>
+      val df = lake(s, root)
+        .filter(col("event_time_utc") >= lit("2024-03-08 00:00:00").cast("timestamp_ntz"))
+      val conds = df.queryExecution.optimizedPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }
+      val nZone = conds.flatMap(c => c.collect {
+        case i: org.apache.spark.sql.catalyst.expressions.In => i
+        case i: org.apache.spark.sql.catalyst.expressions.InSet => i
+      }).size
+      assert(nZone == 1, s"expected exactly one zone IN, got $nZone in $conds")
+      assert(df.count() == 2) // day 8's two rows; the null day adds nothing
+    }
+  }
+
+  test("no literal bound, a disabled conf, and a rollup-less lake are untouched") {
+    val root = syntheticLake()
+    withExtendedSession { s =>
+      // no literal bounds: a null test constrains no range
+      val noLit = lake(s, root).filter(col("event_time_utc").isNotNull)
+      val (z1, _) = zoneScan(noLit)
+      assert(z1.isEmpty, s"zone predicate without a literal bound: $z1")
+
+      // disabled conf
+      s.conf.set(RollupPartitionSkip.EnabledKey, "false")
+      try {
+        val off = lake(s, root)
+          .filter(col("event_time_utc") >= lit("2024-03-08 00:00:00").cast("timestamp_ntz"))
+        val (z2, n2) = zoneScan(off)
+        assert(z2.isEmpty, s"zone predicate under disabled conf: $z2")
+        assert(n2 == 5)
+      } finally s.conf.set(RollupPartitionSkip.EnabledKey, "true")
+
+      // a lake with no rollup sibling: same data, no partials
+      val bare = Files.createTempDirectory("graft-skip-bare").toString
+      lake(s, root).write.partitionBy("year", "month", "day", "mode")
+        .parquet(s"$bare/curated")
+      val noStore = s.read.parquet(s"$bare/curated")
+        .filter(col("event_time_utc") >= lit("2024-03-08 00:00:00").cast("timestamp_ntz"))
+      val (z3, _) = zoneScan(noStore)
+      assert(z3.isEmpty, s"zone predicate without a partial store: $z3")
+    }
+  }
+
+  test("a freshly published batch invalidates the zone cache") {
+    val root = syntheticLake()
+    val win = (df: DataFrame) => df
+      .filter(col("event_time_utc") >= lit("2024-03-10 00:00:00").cast("timestamp_ntz"))
+    withExtendedSession { s =>
+      assert(win(lake(s, root)).count() == 0) // nothing on/after day 10 yet
+      // a new batch lands day 10 rows WITH its partials (the runners'
+      // atomic-publish contract); the listing signature changes, the
+      // cached zone set must not serve the stale answer
+      import s.implicits._
+      val extra = Seq(("f-e", 9L, "2024-03-10 12:00:00", 7.0, 2024, 3, 10, "training"))
+        .toDF("source_file", "user_id", "ts_s", "value", "year", "month", "day", "mode")
+        .withColumn("event_time_utc", col("ts_s").cast("timestamp_ntz"))
+        .drop("ts_s")
+      extra.write.mode("append")
+        .partitionBy("year", "month", "day", "mode").parquet(s"$root/curated")
+      Rollup.writePartials(
+        s.read.parquet(s"$root/curated").filter(col("day") === 10),
+        s"$root/rollup/b1")
+      assert(win(lake(s, root)).count() == 1,
+        "stale zone cache hid a freshly published batch")
+    }
+  }
+}
