@@ -408,6 +408,135 @@ object ScaleProbe {
     s.catalog.clearCache()
     Seq(Stat("rollup_stats", tier, nIn, nPartials, nStats, statsSecs),
       Stat("rollup_serve", tier, nIn, nPartials, nServe, serveSecs),
-      Stat("rollup_reconcile", tier, nIn, nIn, nRec, recSecs))
+      Stat("rollup_reconcile", tier, nIn, nIn, nRec, recSecs)) ++
+      rollupSkip(s, tier, copies)
+  }
+
+  /** The zone-map pruning payoff ([[graft.plans.RollupPartitionSkip]],
+    * q114) across lake tiers whose PARTITION COUNT grows with the tier
+    * — the axis the [[rollupFamily]] lake deliberately holds fixed.
+    * Copy k shifts the sf0.1 events by k months, so `lake100` spans
+    * ~8 years of day-grain partitions (~15k leaves) while a user's
+    * two-day event-time window stays the same size. Two stats per
+    * tier over the SAME query:
+    *
+    *  - `rollup_skip` — the window aggregate with the rule on.
+    *    `n_candidates` = partitions actually scanned, which must stay
+    *    FLAT across tiers (the window qualifies the same ~10
+    *    day×mode zones no matter how much history surrounds it); the
+    *    timing is end-to-end cold including the zone fold (the fold
+    *    cache is cleared first), so the flat line carries the rule's
+    *    own metadata cost honestly;
+    *  - `rollup_fullscan` — the identical query with the rule off:
+    *    every partition is listed and read (`n_candidates` = all of
+    *    them, linear in the tier), the 100 TB failure mode the rule
+    *    exists to delete.
+    *
+    * A third stat isolates the term neither query owns:
+    *
+    *  - `rollup_discovery` — building the relation's file index from a
+    *    cold FileStatusCache (`n_candidates` = leaf partitions
+    *    discovered). On a bare parquet directory this is linear in the
+    *    partition count and is paid BEFORE any pruning can happen; it
+    *    is the term a catalog deletes (a metastore-backed read defers
+    *    listing to `CatalogFileIndex`, and the zone predicate this
+    *    rule conjoins reaches `PruneFileSourcePartitions`, so only the
+    *    qualifying partitions are ever listed — RollupSkipSpec proves
+    *    the composition on a catalog-backed lake). The skip/fullscan
+    *    timings below therefore run on an already-resolved relation —
+    *    the steady state of any service that queries a lake more than
+    *    once — so they measure the work the rule actually changes:
+    *    zone fold + planning + scan.
+    *
+    * The kernel REQUIRES the two answers row-equal (the skip is only a
+    * rewrite if it changes nothing but the partitions touched) and the
+    * skip side strictly fewer partitions. Lakes build once under
+    * `var/scale/rollupskip/<tier>/` (marker-memoized). */
+  def rollupSkip(s: SparkSession, tier: String, copies: Int): Seq[Stat] = {
+    import graft.ingest.Rollup
+    val root = s"var/scale/rollupskip/$tier"
+    val curatedDir = s"$root/curated"
+    val rollupDir = s"$root/rollup"
+    val ok = new java.io.File(s"$root/_OK")
+    if (!ok.exists) {
+      val ev = Tables.load(s, "/root/testdata/sf0.1", "events")
+      ev.withColumn("cp", explode(sequence(lit(0), lit(copies - 1))))
+        .withColumn("sts", expr("timestampadd(MONTH, cp, ts)"))
+        .select(
+          concat(lit("scale-"), col("cp"), lit("-"),
+            date_format(col("sts"), "yyyyMMdd"), lit("-f"),
+            pmod(col("event_id"), lit(2))).as("source_file"),
+          col("user_id"),
+          col("sts").cast("timestamp_ntz").as("event_time_utc"),
+          col("value"),
+          year(col("sts")).as("year"), month(col("sts")).as("month"),
+          dayofmonth(col("sts")).as("day"), col("event_type").as("mode"))
+        // one writer per month: each task owns ~150 leaf dirs instead
+        // of every task spraying files into all of them
+        .repartition(math.max(copies, 8), col("year"), col("month"))
+        .write.mode("overwrite")
+        .partitionBy("year", "month", "day", "mode").parquet(curatedDir)
+      Rollup.partials(s.read.parquet(curatedDir))
+        .repartition(math.min(copies, 32))
+        .write.mode("overwrite").parquet(s"$rollupDir/b0")
+      ok.createNewFile(): Unit
+    }
+    // discovery from a cold FileStatusCache: the linear pre-pruning
+    // term a catalog deletes (`read.parquet` builds the InMemoryFileIndex
+    // eagerly — listing + partition inference + schema, no data read)
+    org.apache.spark.sql.execution.datasources.FileStatusCache
+      .resetForTesting()
+    val (nTotalParts, discoverySecs) = timed {
+      s.read.parquet(curatedDir).queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation.asInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+            .location.asInstanceOf[
+              org.apache.spark.sql.execution.datasources.InMemoryFileIndex]
+            .partitionSpec().partitions.size.toLong
+      }.sum
+    }
+    val nIn = s.read.parquet(curatedDir).count()
+
+    // ONE resolved relation for both timed queries — each q() shares
+    // its file index, so the timings measure fold + planning + scan,
+    // not re-listing
+    val base = s.read.parquet(curatedDir)
+    def q() = base
+      .filter(col("event_time_utc") >= lit("2024-01-10 00:00:00").cast("timestamp_ntz") &&
+        col("event_time_utc") < lit("2024-01-12 00:00:00").cast("timestamp_ntz"))
+      .groupBy("mode")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(round(col("value") * lit(1000000)).cast("long")).as("value_e6"))
+    def scannedPartitions(df: DataFrame): Long =
+      df.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.partitionCount.toLong
+      }.sum
+
+    graft.plans.RollupPartitionSkip.clearCache()
+    s.catalog.clearCache()
+    val partsOn = scannedPartitions(q())
+    // timed pass re-plans from a cleared fold cache: the flat number
+    // includes the zone fold, not just the pruned scan
+    graft.plans.RollupPartitionSkip.clearCache()
+    val (rowsOn, onSecs) =
+      timed(q().collect().map(_.toSeq).sortBy(_.mkString("|")))
+    s.conf.set(graft.plans.RollupPartitionSkip.EnabledKey, "false")
+    val (rowsOff, offSecs, partsOff) =
+      try {
+        s.catalog.clearCache()
+        val po = scannedPartitions(q())
+        val (r, t) = timed(q().collect().map(_.toSeq).sortBy(_.mkString("|")))
+        (r, t, po)
+      } finally s.conf.set(graft.plans.RollupPartitionSkip.EnabledKey, "true")
+    require(rowsOn.sameElements(rowsOff),
+      s"rollup_skip($tier): pruned answer diverges from the full scan")
+    require(partsOn < partsOff,
+      s"rollup_skip($tier): no pruning ($partsOn vs $partsOff partitions)")
+    s.catalog.clearCache()
+    Seq(Stat("rollup_discovery", tier, nIn, nTotalParts, nTotalParts, discoverySecs),
+      Stat("rollup_skip", tier, nIn, partsOn, rowsOn.length, onSecs),
+      Stat("rollup_fullscan", tier, nIn, partsOff, rowsOff.length, offSecs))
   }
 }

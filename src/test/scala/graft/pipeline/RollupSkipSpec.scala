@@ -186,6 +186,55 @@ class RollupSkipSpec extends AnyFunSuite {
     }
   }
 
+  test("catalog-backed lake: the zone predicate prunes the metastore listing itself") {
+    // On a bare parquet directory, discovery (listing every partition
+    // dir) happens BEFORE pruning can bite. The scale path is a
+    // catalog table over the same location: reads resolve to a
+    // deferred CatalogFileIndex, the zone IN conjunct reaches
+    // PruneFileSourcePartitions, and only qualifying partitions are
+    // ever listed. This test pins that composition: after optimization
+    // the relation's file index must no longer be the CatalogFileIndex
+    // (it was pruned and materialized) and must hold only day-8 files.
+    val root = syntheticLake()
+    withExtendedSession { s =>
+      s.sql("DROP TABLE IF EXISTS zone_cat")
+      s.sql(
+        s"""CREATE TABLE zone_cat
+           |  (source_file STRING, user_id BIGINT, value DOUBLE,
+           |   event_time_utc TIMESTAMP_NTZ,
+           |   year INT, month INT, day INT, mode STRING)
+           |USING parquet PARTITIONED BY (year, month, day, mode)
+           |LOCATION '$root/curated'""".stripMargin)
+      try {
+        s.sql("MSCK REPAIR TABLE zone_cat")
+        val df = s.table("zone_cat")
+          .filter(col("event_time_utc") >= lit("2024-03-08 00:00:00").cast("timestamp_ntz") &&
+            col("event_time_utc") < lit("2024-03-09 00:00:00").cast("timestamp_ntz"))
+          .select("source_file", "user_id", "value", "day", "mode")
+        val locations = df.queryExecution.optimizedPlan.collect {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+            l.relation.asInstanceOf[
+              org.apache.spark.sql.execution.datasources.HadoopFsRelation].location
+        }
+        assert(locations.size == 1)
+        assert(!locations.head.isInstanceOf[
+          org.apache.spark.sql.execution.datasources.CatalogFileIndex],
+          "zone predicate never reached PruneFileSourcePartitions — " +
+            "the catalog listing was not pruned")
+        val listed = locations.head.inputFiles
+        assert(listed.nonEmpty && listed.forall(_.contains("day=8")),
+          s"pruned catalog listing still holds non-qualifying files: ${listed.toSeq}")
+        val got = df.collect().map(_.toSeq).sortBy(_.mkString("|"))
+        val want = lake(s, root)
+          .filter(col("event_time_utc") >= lit("2024-03-08 00:00:00").cast("timestamp_ntz") &&
+            col("event_time_utc") < lit("2024-03-09 00:00:00").cast("timestamp_ntz"))
+          .select("source_file", "user_id", "value", "day", "mode")
+          .collect().map(_.toSeq).sortBy(_.mkString("|"))
+        assert(got.length == 2 && got.sameElements(want))
+      } finally s.sql("DROP TABLE IF EXISTS zone_cat")
+    }
+  }
+
   test("a freshly published batch invalidates the zone cache") {
     val root = syntheticLake()
     val win = (df: DataFrame) => df
