@@ -90,6 +90,8 @@ object Bench {
         step("sjoin")(pipeline.StreamDemo.ensureStreamJoin(spark, sfDir).count())
         step("sdedup")(pipeline.StreamDemo.ensureStreamDedup(spark, sfDir).count())
       }),
+      "compactlake" -> (() => Future(step("compactlake")(
+        pipeline.IngestDemo.ensureCompacted(spark, sfDir)))),
       "ivf" -> (() => Future(step("ivf")(pipeline.IvfIndex.ensure(spark, sfDir)))),
       "embedtables" -> (() => Future(
         step("embedtables")(queries.EmbedTableStore.ensure(spark, sfDir)))),

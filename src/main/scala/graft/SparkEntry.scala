@@ -47,6 +47,8 @@ object SparkEntry {
     "q112_metadata_value" -> Seq("ingest"),
     "q113_metadata_global" -> Seq("ingest"),
     "q114_timerange_skip" -> Seq("ingest"),
+    "q115_compacted_lake" -> Seq("compactlake"),
+    "q116_layout_audit" -> Seq("compactlake"),
     "q48_bucketed_join" -> Seq("ingest"),
     "q52_dpp_pruned" -> Seq("ingest"),
     "q55_catalog_evolution" -> Seq("ingest"),

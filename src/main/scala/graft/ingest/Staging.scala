@@ -94,8 +94,18 @@ object Staging {
   /** Publish `stagedRoot`'s data files into `liveRoot`. Returns the
     * number of files moved (0 on a fully-resumed publish). */
   def publish(fs: FileSystem, stagedRoot: Path, liveRoot: Path, prefix: String,
-              replaceExistingPrefix: Boolean = false): Int = {
+              replaceExistingPrefix: Boolean = false): Int =
+    publishTracked(fs, stagedRoot, liveRoot, prefix, replaceExistingPrefix)._1
+
+  /** [[publish]], also returning the distinct destination directories
+    * files landed in — the partition dirs this publish TOUCHED, which is
+    * exactly the candidate set a per-tick small-file compaction needs
+    * (`Compactor.maintainTouched`): O(touched) maintenance instead of an
+    * O(lake) listing walk. */
+  def publishTracked(fs: FileSystem, stagedRoot: Path, liveRoot: Path, prefix: String,
+                     replaceExistingPrefix: Boolean = false): (Int, Seq[Path]) = {
     var moved = 0
+    val touched = ArrayBuffer.empty[Path]
     leaves(fs, stagedRoot).foreach { case (rel, files) =>
       val dest = rel.foldLeft(liveRoot)(new Path(_, _))
       fs.mkdirs(dest)
@@ -103,6 +113,7 @@ object Staging {
         fs.listStatus(dest).toSeq
           .filter(s => s.isFile && s.getPath.getName.startsWith(prefix))
           .foreach(s => fs.delete(s.getPath, false): Unit)
+      if (files.nonEmpty) touched += dest
       files.foreach { f =>
         val to = new Path(dest, prefix + f.getName)
         if (!fs.rename(f, to))
@@ -110,6 +121,6 @@ object Staging {
         moved += 1
       }
     }
-    moved
+    (moved, touched.toSeq)
   }
 }

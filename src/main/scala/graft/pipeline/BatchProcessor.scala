@@ -68,10 +68,15 @@ final class BatchProcessor(
     maxRetries: Int = 3,
     ledgerFactory: (SparkSession, String, Int) => Ledger = Ledger(_, _, _),
     dedup: Option[DedupStage] = None,
-    quality: Option[QualityGate] = None) {
+    quality: Option[QualityGate] = None,
+    lakeCompaction: Option[Compactor.TickConfig] = None) {
 
   val ledger: Ledger = ledgerFactory(spark, layout.ledgerDir, maxRetries)
   private var runCounter = 0
+  // partition dirs this tick's publishes moved files into — the
+  // candidate set for the maintenance slot's O(touched) compaction
+  private val touchedPartitions =
+    scala.collection.mutable.LinkedHashSet.empty[String]
   private val stagingRoot = new org.apache.hadoop.fs.Path(s"${layout.root}/curated-staging")
   private val fs = org.apache.hadoop.fs.FileSystem.get(
     new org.apache.hadoop.fs.Path(layout.root).toUri, spark.sparkContext.hadoopConfiguration)
@@ -106,6 +111,15 @@ final class BatchProcessor(
     // batch dirs (crash leaves only absorbable twins, never a gap).
     dedup.foreach(_.maintain(spark): Unit)
     Rollup.compact(spark, layout.rollupDir): Unit
+    // Lake small-file maintenance, scoped to the partitions this tick's
+    // publishes touched — O(touched), never an O(lake) walk. Runs under
+    // the tick's single-writer ownership of the lake; a crash mid-swap
+    // is healed from the swap journal before the next tick's pass.
+    lakeCompaction.foreach { cfg =>
+      val touched = touchedPartitions.toSeq.map(new org.apache.hadoop.fs.Path(_))
+      touchedPartitions.clear()
+      Compactor.maintainTouched(spark, layout.curatedDir, touched, cfg): Unit
+    }
     true
   }
 
@@ -324,7 +338,9 @@ final class BatchProcessor(
 
   private def publishReady(ready: org.apache.hadoop.fs.Path): Unit = {
     val prefix = ready.getName.stripSuffix(".ready") + "-"
-    Staging.publish(fs, ready, new org.apache.hadoop.fs.Path(layout.curatedDir), prefix)
+    val (_, touched) = Staging.publishTracked(
+      fs, ready, new org.apache.hadoop.fs.Path(layout.curatedDir), prefix)
+    if (lakeCompaction.isDefined) touchedPartitions ++= touched.map(_.toString)
     // rollup partials: one dir rename per batch, idempotent on resume
     // (source consumed by the rename; a re-run finds it gone and skips)
     val stagedRollup = new org.apache.hadoop.fs.Path(ready, "_rollup")

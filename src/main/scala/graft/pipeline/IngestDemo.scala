@@ -41,6 +41,85 @@ object IngestDemo {
     })
   }
 
+  private val builtCompact = mutable.Map.empty[String, LakeLayout]
+
+  /** A second demo lake drained with the tick-slot LAKE COMPACTION
+    * enabled (`Compactor.maintainTouched` via `lakeCompaction`), for
+    * q115: raw shards are keyed by (day, event_id parity) so every
+    * curated partition receives exactly TWO single-file appends across
+    * two ticks — the second trips the 1-file threshold and the slot
+    * rewrites the partition, sorted by event time, while ingest keeps
+    * running. The build REQUIRES the post-drain invariants that make
+    * compaction safe to interleave with ingest: every leaf holds
+    * exactly one data file (the rewrite actually ran, everywhere) and
+    * `Rollup.reconcile` is all-green (the partials published before
+    * the rewrites still exactly describe the rewritten lake — rollup
+    * identity is row content, not file layout). q115's oracle then
+    * proves the compacted lake's rows equal a recompute from the
+    * original events, so a row lost or doubled by any swap turns the
+    * driver row red. */
+  def ensureCompacted(spark: SparkSession, sfDir: String): LakeLayout = synchronized {
+    builtCompact.getOrElseUpdate(sfDir, {
+      import org.apache.spark.sql.functions._
+      val sfName = new File(sfDir).getName
+      val root = DemoCache.root(s"ingest-compact/$sfName")
+      val layout = LakeLayout(root.getPath)
+      DemoCache.cached(root, sfDir) {
+        val ev = graft.engine.Tables.load(spark, sfDir, "events")
+          .filter(year(col("ts")) === 2024 && month(col("ts")) === 1 &&
+            dayofmonth(col("ts")).between(10, 16))
+        ev.withColumn("shard", concat(lit("d"), dayofmonth(col("ts")),
+            lit("p"), pmod(col("event_id"), lit(2))))
+          .select(col("shard"), to_json(struct(
+            concat(lit("e-"), col("event_id")).as("id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("event_timestamp"),
+            col("event_type").as("MODE"),
+            struct(
+              concat(lit("1."), pmod(col("user_id"), lit(5)), lit(".0")).as("app_version"),
+              concat(lit("ua-"), pmod(col("user_id"), lit(7))).as("user_agent"),
+              col("user_id").as("user_id")).as("metadata"),
+            struct(
+              concat(lit("t-"), col("event_id")).as("transaction_id"),
+              col("value").as("value"),
+              col("props").as("props")).as("payload"))).as("value"))
+          // one text file per (day, parity) shard: repartition by the
+          // shard key gives each dir exactly one writing task
+          .repartition(col("shard"))
+          .write.mode("overwrite").partitionBy("shard")
+          .text(s"${layout.rawDir}/good")
+        val bp = new BatchProcessor(spark, layout, Contracts.events, batchSize = 1,
+          lakeCompaction = Some(graft.ingest.Compactor.TickConfig(
+            maxFilesPerPartition = 1, sortCol = Some("event_time_utc"))))
+        bp.runUntilDrained()
+        // every leaf must be exactly one file: proof the slot compacted
+        // each partition after its second append
+        val leaves = mutable.ArrayBuffer.empty[File]
+        def walk(d: File): Unit = {
+          val kids = Option(d.listFiles()).toSeq.flatten
+          val subs = kids.filter(f => f.isDirectory &&
+            !f.getName.startsWith("_") && !f.getName.startsWith("."))
+          if (subs.isEmpty) leaves += d else subs.foreach(walk)
+        }
+        walk(new File(layout.curatedDir))
+        leaves.foreach { leaf =>
+          val n = Option(leaf.listFiles()).toSeq.flatten.count(f =>
+            f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+          require(n == 1, s"compaction demo: leaf $leaf holds $n files, expected 1")
+        }
+        require(leaves.nonEmpty, "compaction demo: empty curated lake")
+        // the rollup chain must survive the rewrites exactly
+        val flags = graft.ingest.Rollup
+          .reconcile(spark, layout.curatedDir, layout.rollupDir)
+          .select("rows_match", "value_match", "value_e6_match", "files_match", "reach_ok")
+          .collect()
+        require(flags.nonEmpty &&
+          flags.forall(r => (0 until 5).forall(i => r.getInt(i) == 1)),
+          "compaction demo: rollup reconcile diverged after lake compaction")
+      }
+      layout
+    })
+  }
+
   /** Tiny day-dimension parquet for the dynamic-partition-pruning demo
     * (q52): day 1..31 with a peak flag on days 10 and 20. Written as a
     * real file scan (a LocalRelation would constant-fold and bypass DPP). */

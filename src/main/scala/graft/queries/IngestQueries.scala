@@ -346,6 +346,57 @@ object IngestQueries {
         .orderBy("mode")
     }),
 
+    // Lake small-file MAINTENANCE, end-to-end on the oracle surface:
+    // IngestDemo.ensureCompacted drains a lake whose every partition
+    // receives two single-file appends with the tick-slot compaction
+    // enabled (Compactor.maintainTouched — O(touched partitions) per
+    // tick, event-time-sorted rewrites, journaled crash-safe swaps), so
+    // by drain end every leaf has been rewritten down to one file while
+    // ingest kept running (the fixture REQUIREs it, plus an all-green
+    // Rollup.reconcile across the rewrites). This query recomputes
+    // partition-grain statistics from the COMPACTED files; the oracle
+    // recomputes them from the original events — a row lost, doubled,
+    // or value-mangled by any interleaved swap turns the row red.
+    "q115_compacted_lake" -> ((s, d) => {
+      val lay = IngestDemo.ensureCompacted(s, d)
+      CuratedWriter.read(s, lay.curatedDir)
+        .groupBy("day", "mode")
+        .agg(count(lit(1)).as("n_rows"), count(col("value")).as("n_value"),
+          sum(round(col("value") * lit(1000000)).cast("long")).as("value_e6"),
+          unix_micros(min(col("event_time_utc")).cast("timestamp")).as("first_us"),
+          unix_micros(max(col("event_time_utc")).cast("timestamp")).as("last_us"))
+        .select(col("day").cast("int").as("day"), col("mode"), col("n_rows"),
+          col("n_value"), col("value_e6"), col("first_us"), col("last_us"))
+        .orderBy("day", "mode")
+    }),
+
+    // The q115 lake's PHYSICAL LAYOUT invariants, pinned by the oracle
+    // as literals: after maintenance every (day, mode) partition is
+    // exactly ONE file (n_files via count(distinct _metadata.file_path)
+    // must equal the oracle's literal 1) and each file is internally
+    // SORTED by event time (sorted_ok: a lag() over _metadata.row_index
+    // per file — parquet row position, so the check sees the file's
+    // byte order, not an incidental scan order — must equal the
+    // oracle's literal 1). This makes the compactor's two layout
+    // promises — merged files, range-tiled row groups — driver-checked
+    // facts rather than spec-only assertions.
+    "q116_layout_audit" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val lay = IngestDemo.ensureCompacted(s, d)
+      val w = Window.partitionBy("fp").orderBy("ri")
+      CuratedWriter.read(s, lay.curatedDir)
+        .select(col("day"), col("mode"), col("event_time_utc"),
+          col("_metadata.file_path").as("fp"), col("_metadata.row_index").as("ri"))
+        .withColumn("prev", lag(col("event_time_utc"), 1).over(w))
+        .groupBy(col("day").cast("int").as("day"), col("mode"))
+        .agg(countDistinct(col("fp")).as("n_files"),
+          min(when(col("prev").isNull ||
+            col("prev") <= col("event_time_utc"), 1).otherwise(0))
+            .cast("int").as("sorted_ok"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("day", "mode")
+    }),
+
     // S9/P9/S10: the catalog consumption path — saveAsTable'd curated
     // lake read back via spark.table with partition-pruning filters.
     "q41_catalog_pruned" -> ((s, d) => {
@@ -479,6 +530,21 @@ object IngestQueries {
          WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
            AND ts < TIMESTAMP '2024-01-12 00:00:00'
          GROUP BY 1 ORDER BY 1""",
+    "q115_compacted_lake" ->
+      """SELECT CAST(day(ts) AS INT) AS day, event_type AS mode,
+              COUNT(*) AS n_rows, COUNT(value) AS n_value,
+              CAST(SUM(CAST(ROUND(value*1000000) AS BIGINT)) AS BIGINT) AS value_e6,
+              epoch_us(MIN(ts)) AS first_us, epoch_us(MAX(ts)) AS last_us
+         FROM events
+         WHERE year(ts) = 2024 AND month(ts) = 1 AND day(ts) BETWEEN 10 AND 16
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q116_layout_audit" ->
+      """SELECT CAST(day(ts) AS INT) AS day, event_type AS mode,
+              CAST(1 AS BIGINT) AS n_files, CAST(1 AS INT) AS sorted_ok,
+              COUNT(*) AS n_rows
+         FROM events
+         WHERE year(ts) = 2024 AND month(ts) = 1 AND day(ts) BETWEEN 10 AND 16
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "q40_ledger_audit" ->
       """SELECT 'QUARANTINED' AS processing_status, CAST(3 AS BIGINT) AS n_files,
               CAST(3 AS BIGINT) AS n_retries, CAST(3 AS BIGINT) AS n_stamped,

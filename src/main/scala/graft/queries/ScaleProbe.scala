@@ -539,4 +539,101 @@ object ScaleProbe {
       Stat("rollup_skip", tier, nIn, partsOn, rowsOn.length, onSecs),
       Stat("rollup_fullscan", tier, nIn, partsOff, rowsOff.length, offSecs))
   }
+
+  /** The small-file problem and its fix ([[graft.ingest.Compactor]],
+    * q115) along the FRAGMENTATION axis: identical data (one month of
+    * sf0.1 events, ~150 day×mode leaves), written as `frag` files per
+    * leaf — the state a tick-appending pipeline without maintenance
+    * reaches after `frag` ticks. Three stats per tier:
+    *
+    *  - `compact_scan_frag` — a full-lake aggregate on the fragmented
+    *    lake, cold file index (`n_candidates` = data files). The rows
+    *    never change across tiers; only the file count does, so the
+    *    slope of this line is pure per-file overhead (listing, footer
+    *    reads, per-split scheduling) — the cost a 100 TB lake pays
+    *    FOREVER on every query if nobody compacts.
+    *  - `compact_rewrite` — the standalone Compactor job, event-time-
+    *    sorted rewrites (`n_candidates` = files before, `n_output` =
+    *    files after). Bytes are constant across tiers, so this should
+    *    stay ~flat: compaction cost tracks data size, not fragment
+    *    count — paid once, deleting the scan penalty permanently.
+    *  - `compact_scan_tight` — the same aggregate after, cold index,
+    *    REQUIRED row-equal to the fragmented answer.
+    *
+    * Lakes build once under `var/scale/compact/<tier>/`
+    * (marker-memoized); the rewrite mutates them, so the `_OK` marker
+    * is written only after the full triple completes and a re-run
+    * rebuilds from scratch. */
+  def lakeCompact(s: SparkSession, tier: String, frag: Int): Seq[Stat] = {
+    import graft.ingest.Compactor
+    val root = s"var/scale/compact/$tier"
+    val lakeDir = s"$root/curated"
+    val ok = new java.io.File(s"$root/_OK")
+    // the triple is one atomic experiment: never resume a half-run
+    if (ok.exists) DemoLikeDelete.deleteRec(new java.io.File(root))
+    val ev = Tables.load(s, "/root/testdata/sf0.1", "events")
+      .filter(year(col("ts")) === 2024 && month(col("ts")) === 1)
+      .select(
+        concat(lit("t-"), col("event_id")).as("txn"),
+        col("user_id"),
+        col("ts").cast("timestamp_ntz").as("event_time_utc"),
+        col("value"),
+        year(col("ts")).as("year"), month(col("ts")).as("month"),
+        dayofmonth(col("ts")).as("day"), col("event_type").as("mode"))
+      .persist()
+    // one append per fragment slice: each lands exactly one file per
+    // touched leaf, the shape `frag` maintenance-free ticks produce
+    (0 until frag).foreach { k =>
+      ev.filter(pmod(col("user_id"), lit(frag)) === k)
+        .repartition(col("year"), col("month"))
+        .write.mode("append")
+        .partitionBy("year", "month", "day", "mode").parquet(lakeDir)
+    }
+    val nIn = ev.count()
+    ev.unpersist()
+
+    def countFiles(dir: java.io.File): Long = {
+      val kids = Option(dir.listFiles()).toSeq.flatten
+      kids.count(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".")).toLong +
+        kids.filter(f => f.isDirectory && !f.getName.startsWith("_") &&
+          !f.getName.startsWith(".")).map(countFiles).sum
+    }
+    def scan() = {
+      org.apache.spark.sql.execution.datasources.FileStatusCache.resetForTesting()
+      s.catalog.clearCache()
+      timed {
+        s.read.parquet(lakeDir).groupBy("mode")
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value") * lit(1000000)).cast("long")).as("value_e6"))
+          .collect().map(_.toSeq).sortBy(_.mkString("|"))
+      }
+    }
+
+    val filesBefore = countFiles(new java.io.File(lakeDir))
+    val (rowsFrag, fragSecs) = scan()
+    val (report, rewriteSecs) = timed {
+      Compactor.compact(s, lakeDir, maxFilesPerPartition = 1,
+        parallelism = 8, sortCol = Some("event_time_utc"))
+    }
+    require(report.filesAfter < report.filesBefore,
+      s"lake_compact($tier): no files merged ($report)")
+    val filesAfter = countFiles(new java.io.File(lakeDir))
+    val (rowsTight, tightSecs) = scan()
+    require(rowsFrag.length == rowsTight.length &&
+      rowsFrag.zip(rowsTight).forall { case (a, b) => a == b },
+      s"lake_compact($tier): compacted answer diverges from the fragmented one")
+    ok.getParentFile.mkdirs()
+    ok.createNewFile(): Unit
+    Seq(Stat("compact_scan_frag", tier, nIn, filesBefore, rowsFrag.length, fragSecs),
+      Stat("compact_rewrite", tier, nIn, filesBefore, filesAfter, rewriteSecs),
+      Stat("compact_scan_tight", tier, nIn, filesAfter, rowsTight.length, tightSecs))
+  }
+
+  private object DemoLikeDelete {
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(deleteRec)
+      f.delete(): Unit
+    }
+  }
 }

@@ -64,7 +64,9 @@ object StreamingIngest {
   def runAvailableNow(spark: SparkSession, layout: LakeLayout, contract: StructType,
                       maxFilesPerTrigger: Option[Int] = None,
                       dedup: Option[DedupStage] = None,
-                      quality: Option[QualityGate] = None): Unit = {
+                      quality: Option[QualityGate] = None,
+                      lakeCompaction: Option[graft.ingest.Compactor.TickConfig] = None
+                     ): Unit = {
     val schema =
       if (contract.fieldNames.contains(CorruptCol)) contract
       else contract.add(CorruptCol, StringType, nullable = true)
@@ -82,7 +84,8 @@ object StreamingIngest {
       .option("checkpointLocation", s"${layout.root}/checkpoint")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processMicroBatch(spark, batch.persist(), layout, s"stream-$batchId", dedup, quality)
+        processMicroBatch(spark, batch.persist(), layout, s"stream-$batchId",
+          dedup, quality, lakeCompaction)
         batch.unpersist()
         ()
       }
@@ -97,13 +100,19 @@ object StreamingIngest {
   private def processMicroBatch(spark: SparkSession, raw: DataFrame,
                                 layout: LakeLayout, runId: String,
                                 dedup: Option[DedupStage],
-                                quality: Option[QualityGate]): Unit = {
+                                quality: Option[QualityGate],
+                                lakeCompaction: Option[graft.ingest.Compactor.TickConfig]
+                               ): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new org.apache.hadoop.fs.Path(layout.root).toUri,
       spark.sparkContext.hadoopConfiguration)
     val commitMarker = new org.apache.hadoop.fs.Path(
       s"${layout.root}/stream-commits/$runId")
     if (fs.exists(commitMarker)) return // replay of a fully published batch
+    // partition dirs this batch's publish touches — the post-marker
+    // lake-compaction slot's O(touched) candidate set
+    val touched = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.hadoop.fs.Path]
 
     val quarFiles = Segregator.fileDispositions(raw, "event_timestamp", "MODE")
       .filter(col("n_corrupt") + col("n_datebad") > 0)
@@ -152,8 +161,10 @@ object StreamingIngest {
         .write.mode("overwrite")
         .partitionBy(CuratedWriter.PartitionCols: _*)
         .parquet(stage.toString)
-      Staging.publish(fs, stage, new org.apache.hadoop.fs.Path(layout.curatedDir),
+      val (_, touchedDirs) = Staging.publishTracked(fs, stage,
+        new org.apache.hadoop.fs.Path(layout.curatedDir),
         prefix = s"b$runId-", replaceExistingPrefix = true)
+      touched ++= touchedDirs
       fs.delete(stage, true)
       // rollup partials, batch-id-keyed like the DLQs: a replay rewrites
       // the same dir with identical content (micro-batch determinism),
@@ -184,5 +195,12 @@ object StreamingIngest {
     // twins, not gaps.
     dedup.foreach(_.maintain(spark): Unit)
     graft.ingest.Rollup.compact(spark, layout.rollupDir): Unit
+    // Lake small-file maintenance, also strictly AFTER the marker: the
+    // rewrite renames away the b<runId>- prefixes a replayed publish
+    // would sweep on (replaceExistingPrefix), so it must only run once
+    // this batch can no longer replay. Scoped to the partitions this
+    // batch touched — O(touched), never an O(lake) walk.
+    lakeCompaction.foreach(cfg => graft.ingest.Compactor
+      .maintainTouched(spark, layout.curatedDir, touched.toSeq, cfg): Unit)
   }
 }

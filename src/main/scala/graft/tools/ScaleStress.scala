@@ -42,6 +42,9 @@ object ScaleStress {
   /** Lake-replication tiers for the rollup family (×1/×10/×100 of the
     * sf0.1 events table as a curated lake — 100k/1M/10M rows). */
   private val RollupTiers = Seq("lake1" -> 1, "lake10" -> 10, "lake100" -> 100)
+  // fragmentation axis: same data, 4/16/64 files per partition — the
+  // state 4/16/64 maintenance-free ingest ticks leave behind
+  private val CompactTiers = Seq("frag4" -> 4, "frag16" -> 16, "frag64" -> 64)
 
   private def ensureBlowup(spark: SparkSession, src: String, out: String,
                            copies: Int, withEmbeddings: Boolean): Unit = {
@@ -149,8 +152,15 @@ object ScaleStress {
         for ((tier, copies) <- RollupTiers;
              st <- ScaleProbe.rollupFamily(spark, tier, copies))
           println(s"SCALE ${st.json}")
-      val wanted = wanted0 - "rollup"
-      if (wanted.isEmpty && wanted0.contains("rollup")) { spark.stop(); return }
+      // the compaction family runs on the FRAGMENTATION tier axis
+      if (wanted0.contains("compact"))
+        for ((tier, frag) <- CompactTiers;
+             st <- ScaleProbe.lakeCompact(spark, tier, frag))
+          println(s"SCALE ${st.json}")
+      val wanted = wanted0 - "rollup" - "compact"
+      if (wanted.isEmpty && wanted0.subsetOf(Set("rollup", "compact"))) {
+        spark.stop(); return
+      }
       val probes: Map[String, (SparkSession, String, String) => ScaleProbe.Stat] = Map(
         "minhash_lsh" -> (ScaleProbe.minhash _),
         "simhash" -> (ScaleProbe.simhash _),
@@ -202,6 +212,16 @@ object ScaleStress {
       val ss = ScaleProbe.rollupFamily(spark, tier, copies)
       ss.foreach(st => println(s"SCALE ${st.json}"))
       ss
+    }
+
+    // the compaction family's fragmentation ladder (row-equality and
+    // files-merged requires live inside the kernel); its frag* tier
+    // names are outside every verdict window on purpose — the axis
+    // varies FILE COUNT at constant data, so candidate-growth bounds
+    // keyed to input growth don't apply
+    CompactTiers.foreach { case (tier, frag) =>
+      ScaleProbe.lakeCompact(spark, tier, frag)
+        .foreach(st => println(s"SCALE ${st.json}"))
     }
 
     // growth verdicts between consecutive tiers (each ~10× the last,

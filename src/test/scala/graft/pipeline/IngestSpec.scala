@@ -884,6 +884,129 @@ class IngestSpec extends AnyFunSuite {
       .collect().map(_.toString).sorted.toSeq == beforeRows)
   }
 
+  test("sorted compaction range-tiles output files by event time") {
+    import graft.ingest.Compactor
+    val lay = freshLake()
+    // six single-record appends into one partition with interleaved
+    // event times — the unsorted lake's files each span random times
+    val hours = Seq("09", "03", "11", "01", "07", "05")
+    hours.zipWithIndex.foreach { case (h, i) =>
+      writeLines(s"${lay.rawDir}/s$i.jsonl",
+        Seq(rec(s"s-$i", ts = s"2024-03-07 $h:00:00.000000")))
+      new BatchProcessor(spark, lay, Contracts.events, batchSize = 1).runUntilDrained(): Unit
+    }
+    val leaf = s"${lay.curatedDir}/year=2024/month=3/day=7/mode=training"
+    val bytes = new File(leaf).listFiles().filter(_.isFile)
+      .filterNot(f => f.getName.startsWith("_") || f.getName.startsWith("."))
+      .map(_.length).sum
+    val before = CuratedWriter.read(spark, lay.curatedDir)
+      .collect().map(_.toString).sorted.toSeq
+    // target a third of the bytes so the rewrite must produce >1 file —
+    // range-tiling is only observable across file boundaries
+    val report = Compactor.compact(spark, lay.curatedDir, maxFilesPerPartition = 1,
+      targetBytesPerFile = math.max(1L, bytes / 3), sortCol = Some("event_time_utc"))
+    assert(report.partitionsCompacted == 1)
+    val after = CuratedWriter.read(spark, lay.curatedDir)
+    assert(after.collect().map(_.toString).sorted.toSeq == before)
+    // per-file time ranges must be disjoint: each output file owns a
+    // contiguous slice, so parquet row-group min/max stats can answer a
+    // time predicate with zero decoded pages in non-matching files
+    val ranges = after
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("event_time_utc").cast("string")).as("lo"),
+        max(col("event_time_utc").cast("string")).as("hi"))
+      .collect().map(r => (r.getString(1), r.getString(2))).sortBy(_._1)
+    assert(ranges.length > 1, s"rewrite produced one file; can't observe tiling")
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) =>
+        assert(hi <= lo, s"overlapping file time ranges: ${ranges.toSeq}")
+      case _ =>
+    }
+  }
+
+  test("tick-slot compaction keeps touched partitions tight and never walks the rest") {
+    import graft.ingest.Compactor
+    val lay = freshLake()
+    val cfg = Compactor.TickConfig(maxFilesPerPartition = 1)
+    // tick 1 creates the day-7 partition
+    writeLines(s"${lay.rawDir}/a.jsonl", Seq(rec("a-1")))
+    new BatchProcessor(spark, lay, Contracts.events, batchSize = 1,
+      lakeCompaction = Some(cfg)).runUntilDrained(): Unit
+    // fragment day-7 BEHIND the pipeline's back (same schema, so reads
+    // stay clean): it is now oversized but no future tick touches it
+    val frozen = s"${lay.curatedDir}/year=2024/month=3/day=7/mode=training"
+    val rows = spark.read.parquet(frozen).collect()
+    val schema = spark.read.parquet(frozen).schema
+    (1 to 3).foreach { _ =>
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+        .coalesce(1).write.mode("append").parquet(frozen)
+    }
+    def nFiles(dir: String) = new File(dir).listFiles().filter(_.isFile)
+      .count(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    val frozenFiles = nFiles(frozen)
+    assert(frozenFiles >= 4)
+    // ticks 2..4 append to day-8 only; the slot compacts day-8 each
+    // tick (touched) and must never rewrite day-7 (untouched)
+    (1 to 3).foreach { i =>
+      writeLines(s"${lay.rawDir}/b$i.jsonl",
+        Seq(rec(s"b-$i", ts = "2024-03-08 10:00:00.000000")))
+      new BatchProcessor(spark, lay, Contracts.events, batchSize = 1,
+        lakeCompaction = Some(cfg)).runUntilDrained(): Unit
+    }
+    val touched = s"${lay.curatedDir}/year=2024/month=3/day=8/mode=training"
+    assert(nFiles(touched) == 1,
+      s"touched partition not kept tight: ${nFiles(touched)} files")
+    assert(nFiles(frozen) == frozenFiles,
+      "tick-slot compaction rewrote a partition no tick touched")
+    // the compacted lake still reconciles exactly against its partials
+    // (the planted duplicate rows in day-7 are invisible to the partials,
+    // so restrict the audit to what the pipeline actually published)
+    val audit = graft.ingest.Rollup.reconcile(spark, lay.curatedDir, lay.rollupDir)
+      .filter(col("mode").isin("ALL", "training"))
+      .select("rows_match", "value_match", "value_e6_match", "files_match", "reach_ok")
+      .collect()
+    assert(audit.nonEmpty)
+    // day-7 carries planted rows (flagged by design); day-8's published
+    // rows must stay exact through three compaction passes
+    val day8 = graft.ingest.Rollup.stats(spark, lay.rollupDir)
+      .filter(col("day") === 8).select("n_rows").collect()
+    assert(day8.map(_.getLong(0)).sum == 3L)
+    assert(spark.read.parquet(touched).count() == 3L)
+  }
+
+  test("journal recovery heals a crashed tick-slot swap without a lake walk") {
+    import graft.ingest.Compactor
+    import org.apache.hadoop.fs.Path
+    val lay = freshLake()
+    writeLines(s"${lay.rawDir}/j.jsonl", Seq(rec("j-1")))
+    new BatchProcessor(spark, lay, Contracts.events, batchSize = 1).runUntilDrained(): Unit
+    val before = CuratedWriter.read(spark, lay.curatedDir)
+      .collect().map(_.toString).sorted.toSeq
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI("file:///"), spark.sparkContext.hadoopConfiguration)
+    val root = fs.makeQualified(new Path(lay.curatedDir))
+    val leaf = new Path(root, "year=2024/month=3/day=7/mode=training")
+    // simulate death between the swap renames: journal entry present,
+    // live dir hidden under .old- (readers are blind to the partition)
+    val entryDir = new Path(root, "_compactions")
+    fs.mkdirs(entryDir)
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest("year=2024/month=3/day=7/mode=training"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    val out = fs.create(new Path(entryDir, digest), true)
+    out.write("year=2024/month=3/day=7/mode=training"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)); out.close()
+    assert(fs.rename(leaf, new Path(leaf.getParent, ".old-mode=training")))
+    // an EMPTY touched set still heals: recovery reads the journal dir,
+    // not the lake tree
+    val report = Compactor.maintainTouched(spark, lay.curatedDir, Seq.empty)
+    assert(report.recovered == 1)
+    assert(fs.listStatus(entryDir).isEmpty, "journal entry not consumed")
+    assert(CuratedWriter.read(spark, lay.curatedDir)
+      .collect().map(_.toString).sorted.toSeq == before)
+  }
+
   test("schema merge: contract wins conflicts, inferred-only fields are kept") {
     val contract = StructType(Seq(
       StructField("a", StringType),

@@ -50,6 +50,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(curated.filter(col("record_id") === "c-1").count() == 1)
   }
 
+  test("lake compaction in the streaming slot keeps touched partitions tight across batches") {
+    val lay = LakeLayout(Files.createTempDirectory("graft-stream-compact").toString)
+    def writeFile(name: String, lines: Seq[String]): Unit = {
+      val p = Paths.get(s"${lay.rawDir}/$name")
+      Files.createDirectories(p.getParent)
+      Files.write(p, lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8)): Unit
+    }
+    val cfg = graft.ingest.Compactor.TickConfig(
+      maxFilesPerPartition = 1, sortCol = Some("event_time_utc"))
+    // three drains into the same partition: each batch appends one file,
+    // and the post-marker slot compacts the touched leaf back to one
+    (1 to 3).foreach { i =>
+      writeFile(s"f$i.jsonl", Seq(rec(s"r-$i", s"2024-03-07 1$i:00:00.000000")))
+      StreamingIngest.runAvailableNow(spark, lay, Contracts.events,
+        lakeCompaction = Some(cfg))
+    }
+    val leaf = new java.io.File(
+      s"${lay.curatedDir}/year=2024/month=3/day=7/mode=training")
+    val nFiles = Option(leaf.listFiles()).toSeq.flatten.count(f =>
+      f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(nFiles == 1, s"streaming slot left $nFiles files in the touched leaf")
+    val curated = CuratedWriter.read(spark, lay.curatedDir)
+    assert(curated.count() == 3)
+    assert(curated.select("record_id").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("r-1", "r-2", "r-3"))
+    // the rollup chain survives the rewrites exactly
+    val flags = graft.ingest.Rollup.reconcile(spark, lay.curatedDir, lay.rollupDir)
+      .select("rows_match", "value_match", "value_e6_match", "files_match", "reach_ok")
+      .collect()
+    assert(flags.nonEmpty && flags.forall(r => (0 until 5).forall(i => r.getInt(i) == 1)))
+  }
+
   test("a micro-batch replayed after a mid-publish crash does not duplicate curated rows") {
     val lay = LakeLayout(Files.createTempDirectory("graft-stream-replay").toString)
     def writeFile(name: String, lines: Seq[String]): Unit = {
