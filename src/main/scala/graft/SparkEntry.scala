@@ -49,6 +49,7 @@ object SparkEntry {
     "q114_timerange_skip" -> Seq("ingest"),
     "q115_compacted_lake" -> Seq("compactlake"),
     "q116_layout_audit" -> Seq("compactlake"),
+    "q117_heavy_hitters" -> Seq("ingest"),
     "q48_bucketed_join" -> Seq("ingest"),
     "q52_dpp_pruned" -> Seq("ingest"),
     "q55_catalog_evolution" -> Seq("ingest"),

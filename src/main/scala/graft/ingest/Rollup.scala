@@ -37,11 +37,18 @@ import org.apache.spark.sql.functions._
   *    the DLQ posture).
   *
   * Mergeable aggregates only: counts and integer-exact value sums add,
-  * min/max timestamps min/max, and distinct users travel as HLL
-  * sketches (register-wise max is associative + commutative, so the
-  * merged sketch is BYTE-IDENTICAL in estimate to a whole-lake sketch —
-  * asserted in RollupSpec). Nothing in a partial needs revisiting once
-  * written.
+  * min/max timestamps min/max, distinct users travel as HLL sketches
+  * (register-wise max is associative + commutative, so the merged
+  * sketch is BYTE-IDENTICAL in estimate to a whole-lake sketch —
+  * asserted in RollupSpec), and per-user event counts travel as
+  * frequent-items sketches (`approx_top_k_accumulate`/`_combine` —
+  * DataSketches ItemsSketch, whose merge is associative), so "who are
+  * this month's heavy hitters" is also a metadata fold (q117). The
+  * frequency sketch is EXACT while the distinct-user count stays under
+  * ~¾ of [[TopKCapacity]] — true at every demo scale, asserted by
+  * q117's oracle — and degrades to guaranteed-error-bounded estimates
+  * beyond it (the HLL ±tol posture). Nothing in a partial needs
+  * revisiting once written.
   *
   * [[compact]] (maintenance-slot, single-writer per lake like the
   * index compactions) bounds the batch-dir count: merged output renames
@@ -49,10 +56,47 @@ import org.apache.spark.sql.functions._
   * which the per-file read-side collapse absorbs — never a gap.
   */
 object Rollup {
+  /** Frequent-items sketch capacity (`maxItemsTracked`). Per-user counts
+    * fold EXACTLY while the merged distinct-user count stays under
+    * ~0.75×this; beyond it the sketch guarantees bounded-error
+    * estimates. Sized for the demo/bench scales (≤1,500 distinct users
+    * per month) with ~2.7× headroom; a production lake tracking more
+    * users gets the documented approximate regime, like the HLL reach. */
+  val TopKCapacity = 4096
+
+  /** The `top_users` column's type — needed to backfill partials
+    * written before the column existed (see [[filePartials]]). */
+  private val TopKTypeDdl =
+    "STRUCT<sketch: BINARY, maxItemsTracked: INT, itemDataType: BIGINT, " +
+      "itemDataTypeDDL: STRING>"
+
+  /** A VALID empty frequency sketch, as a literal column. Pre-sketch
+    * partials are backfilled with this rather than null because
+    * `approx_top_k_combine` neither skips null inputs nor serializes a
+    * buffer that received zero inputs (its item type is uninitialized) —
+    * an empty sketch merges as a no-op through every fold. The
+    * serialized bytes come from running an empty accumulate once per
+    * JVM (never hand-pinned: they belong to the DataSketches wire
+    * format, which the engine version owns). */
+  @volatile private var emptyTopKBytes: Array[Byte] = _
+  private def emptyTopK(s: SparkSession): org.apache.spark.sql.Column = {
+    if (emptyTopKBytes == null)
+      emptyTopKBytes = s.sql(
+        s"""SELECT approx_top_k_accumulate(u, $TopKCapacity)
+           |FROM (SELECT CAST(id AS BIGINT) AS u FROM range(0))""".stripMargin)
+        .collect()(0).getStruct(0).getAs[Array[Byte]]("sketch")
+    struct(
+      lit(emptyTopKBytes).as("sketch"),
+      lit(TopKCapacity).as("maxItemsTracked"),
+      lit(null).cast("bigint").as("itemDataType"),
+      lit("item BIGINT NOT NULL").as("itemDataTypeDDL"))
+  }
+
   /** Partition-stat partials of one published batch: one row per
     * (source_file, year, month, day, mode). `value_e6` is the
     * integer-exact scaled sum (the repo's e6 oracle convention);
-    * `users_hll` an HLL sketch of `user_id`. */
+    * `users_hll` an HLL sketch of `user_id`; `top_users` a
+    * frequent-items sketch of per-user event counts. */
   def partials(curated: DataFrame): DataFrame =
     curated
       .groupBy(col("source_file"), col("year"), col("month"), col("day"), col("mode"))
@@ -62,7 +106,8 @@ object Rollup {
         sum(round(col("value") * lit(1000000)).cast("long")).as("value_e6"),
         min(col("event_time_utc")).as("min_ts"),
         max(col("event_time_utc")).as("max_ts"),
-        hll_sketch_agg(col("user_id")).as("users_hll"))
+        hll_sketch_agg(col("user_id")).as("users_hll"),
+        expr(s"approx_top_k_accumulate(user_id, $TopKCapacity)").as("top_users"))
 
   /** Write one batch's partials under `dir` (one small file — the row
     * count is bounded by files-in-batch × partitions-per-file). */
@@ -87,10 +132,20 @@ object Rollup {
     // session-wide) turns that race into a skipped file; the rows it
     // carried are never lost because the merged dir duplicates them and
     // the per-file collapse below absorbs the duplication.
-    val raw = s.read
+    val raw0 = s.read
       .option("recursiveFileLookup", "true")
       .option("ignoreMissingFiles", "true")
+      // batch dirs can span schema generations (top_users added later);
+      // a single-footer read would drop the newer column
+      .option("mergeSchema", "true")
       .parquet(rollupDir)
+    // a store written before top_users existed reads without the column
+    // (or, mixed-generation, with nulls for the old files): backfill
+    // with a valid EMPTY sketch so the fold sees only mergeable values
+    val raw =
+      if (raw0.columns.contains("top_users"))
+        raw0.withColumn("top_users", coalesce(col("top_users"), emptyTopK(s)))
+      else raw0.withColumn("top_users", emptyTopK(s))
     raw.groupBy("source_file", "year", "month", "day", "mode")
       .agg(
         first("n_rows").as("n_rows"),
@@ -98,7 +153,8 @@ object Rollup {
         first("value_e6").as("value_e6"),
         first("min_ts").as("min_ts"),
         first("max_ts").as("max_ts"),
-        first("users_hll").as("users_hll"))
+        first("users_hll").as("users_hll"),
+        first("top_users").as("top_users"))
   }
 
   /** Merged per-partition statistics: (year, month, day, mode, n_files,
@@ -111,11 +167,13 @@ object Rollup {
         org.apache.spark.sql.types.StructType.fromDDL(
           "year INT, month INT, day INT, mode STRING, n_files BIGINT, " +
             "n_rows BIGINT, n_value BIGINT, value_e6 BIGINT, " +
-            // users_hll BEFORE n_users_est — the computed branch appends
-            // n_users_est last (withColumn), and positional consumers
-            // (union-by-position) must see one column order from both;
-            // NTZ timestamps match the curated contract (Segregator)
+            // users_hll/top_users BEFORE n_users_est — the computed
+            // branch appends n_users_est last (withColumn), and
+            // positional consumers (union-by-position) must see one
+            // column order from both; NTZ timestamps match the curated
+            // contract (Segregator)
             "min_ts TIMESTAMP_NTZ, max_ts TIMESTAMP_NTZ, users_hll BINARY, " +
+            s"top_users $TopKTypeDdl, " +
             "n_users_est BIGINT"))
     filePartials(s, rollupDir)
       .groupBy("year", "month", "day", "mode")
@@ -126,9 +184,14 @@ object Rollup {
         sum("value_e6").as("value_e6"),
         min("min_ts").as("min_ts"),
         max("max_ts").as("max_ts"),
-        hll_union_agg(col("users_hll")).as("users_hll"))
-      // the merged sketch stays a column so consumers can fold FURTHER
-      // (month/global reach) without revisiting partials
+        hll_union_agg(col("users_hll")).as("users_hll"),
+        // FILTER: ApproxTopKCombine NPEs on null inputs (it does not
+        // skip them like most aggregates), and a pre-sketch store's
+        // backfilled partials are all-null
+        expr("approx_top_k_combine(top_users) FILTER (WHERE top_users IS NOT NULL)")
+          .as("top_users"))
+      // the merged sketches stay columns so consumers can fold FURTHER
+      // (month/global reach, heavy hitters) without revisiting partials
       .withColumn("n_users_est",
         coalesce(hll_sketch_estimate(col("users_hll")), lit(0L)))
   }
@@ -173,7 +236,8 @@ object Rollup {
         org.apache.spark.sql.types.StructType.fromDDL(
           "source_file STRING, year INT, month INT, day INT, mode STRING, " +
             "n_rows BIGINT, n_value BIGINT, value_e6 BIGINT, " +
-            "min_ts TIMESTAMP_NTZ, max_ts TIMESTAMP_NTZ, users_hll BINARY"))
+            "min_ts TIMESTAMP_NTZ, max_ts TIMESTAMP_NTZ, users_hll BINARY, " +
+            s"top_users $TopKTypeDdl"))
 
     val folded = parts
       .groupingSets(sets, grain: _*)
@@ -244,8 +308,14 @@ object Rollup {
     fs.delete(tmp, true)
     // collapse to one row per (file, partition) so twins from earlier
     // crashes fold away instead of accumulating across compactions
-    val merged = s.read.option("recursiveFileLookup", "true")
+    val raw0 = s.read.option("recursiveFileLookup", "true")
+      .option("mergeSchema", "true")
       .parquet(dirs.map(_.toString): _*)
+    val raw =
+      if (raw0.columns.contains("top_users"))
+        raw0.withColumn("top_users", coalesce(col("top_users"), emptyTopK(s)))
+      else raw0.withColumn("top_users", emptyTopK(s))
+    val merged = raw
       .groupBy("source_file", "year", "month", "day", "mode")
       .agg(
         first("n_rows").as("n_rows"),
@@ -253,7 +323,8 @@ object Rollup {
         first("value_e6").as("value_e6"),
         first("min_ts").as("min_ts"),
         first("max_ts").as("max_ts"),
-        first("users_hll").as("users_hll"))
+        first("users_hll").as("users_hll"),
+        first("top_users").as("top_users"))
     merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     val live = new Path(root, s"merged-$token")
     if (!fs.rename(tmp, live))

@@ -34,7 +34,7 @@ import java.nio.file.{Files, StandardCopyOption}
   */
 object DemoCache {
   /** Bump on any change that alters demo-artifact content. */
-  val Version = "r14b" // + rollup partials published by both ingest runners (q109)
+  val Version = "r15a" // + top_users frequency sketch in the rollup partials (q117)
 
   /** All demo artifacts root here: survives `sbt clean`, git-ignored. */
   val Root: File = new File("var/demo").getAbsoluteFile

@@ -58,6 +58,16 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
   *    different rounding scale, a non-partition grouping,
   *    `countDistinct`, the raw sketch bytes) leaves the plan untouched.
   *
+  * `approx_top_k(user_id, k)` is DELIBERATELY unservable even though
+  * the partials carry frequency sketches: the HLL serve is legal
+  * because a union of partial HLLs is ESTIMATE-IDENTICAL to a direct
+  * sketch by construction (register-wise max), but a merge of
+  * frequency sketches only equals a direct sketch while both sides
+  * stay under their (different) capacities — beyond that the swap
+  * would be observable, violating this rule's exactness contract.
+  * Heavy-hitter consumers use the reader-side fold (q117's shape) and
+  * accept its documented error envelope explicitly.
+  *
   * Counts wrap in `coalesce(sum, 0)` so a global aggregate over an
   * empty selection still returns 0 like `count` does. The replacement
   * re-aliases its outputs under the ORIGINAL expression IDs, so parent

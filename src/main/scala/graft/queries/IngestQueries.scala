@@ -370,6 +370,34 @@ object IngestQueries {
         .orderBy("day", "mode")
     }),
 
+    // HEAVY HITTERS at metadata cost: per-user event counts travel in
+    // the rollup partials as frequent-items sketches
+    // (approx_top_k_accumulate at file×partition grain), so "which
+    // users sent ≥80 events this month" folds from the partial store —
+    // never a lake scan, the q109 posture extended from reach to
+    // frequency. At demo scale the merged sketch is EXACT (distinct
+    // users ≪ the sketch capacity, Rollup.TopKCapacity scaladoc), so
+    // the oracle is a plain exact recompute from the original events —
+    // any eviction, merge error, or lost partial turns the row red. At
+    // production cardinalities the same fold degrades to
+    // guaranteed-error-bounded estimates (the HLL reach posture).
+    // Threshold 80 ≈ 1.2× the generator's ~67 events/user mean, which
+    // is scale-invariant, so the result is a non-empty upper tail at
+    // every sf.
+    "q117_heavy_hitters" -> ((s, d) => {
+      val lay = IngestDemo.ensure(s, d)
+      graft.ingest.Rollup.stats(s, lay.rollupDir)
+        .filter(col("mode") =!= "synthetic")
+        .agg(expr("approx_top_k_combine(top_users) FILTER (WHERE top_users IS NOT NULL)")
+          .as("sk"))
+        .select(explode(
+          expr(s"approx_top_k_estimate(sk, ${graft.ingest.Rollup.TopKCapacity})")).as("e"))
+        .select(col("e.item").cast("long").as("user_id"),
+          col("e.count").cast("long").as("n_events"))
+        .filter(col("n_events") >= 80)
+        .orderBy(desc("n_events"), col("user_id"))
+    }),
+
     // The q115 lake's PHYSICAL LAYOUT invariants, pinned by the oracle
     // as literals: after maintenance every (day, mode) partition is
     // exactly ONE file (n_files via count(distinct _metadata.file_path)
@@ -545,6 +573,12 @@ object IngestQueries {
          FROM events
          WHERE year(ts) = 2024 AND month(ts) = 1 AND day(ts) BETWEEN 10 AND 16
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q117_heavy_hitters" ->
+      """SELECT user_id, COUNT(*) AS n_events
+         FROM events
+         WHERE year(ts) = 2024 AND month(ts) = 1
+         GROUP BY 1 HAVING COUNT(*) >= 80
+         ORDER BY n_events DESC, user_id""",
     "q40_ledger_audit" ->
       """SELECT 'QUARANTINED' AS processing_status, CAST(3 AS BIGINT) AS n_files,
               CAST(3 AS BIGINT) AS n_retries, CAST(3 AS BIGINT) AS n_stamped,

@@ -231,6 +231,13 @@ class RollupRewriteSpec extends AnyFunSuite {
         .agg(countDistinct(col("source_file")).as("nf")))
       // count of a column the partials don't null-count
       assertUntouched(lake.groupBy("mode").agg(count(col("user_id")).as("n")))
+      // approx_top_k: deliberately unservable even though the partials
+      // carry frequency sketches — a merge of partial sketches only
+      // equals a direct sketch while both stay under their (different)
+      // capacities, so the swap could be observable (unlike the HLL
+      // union, which is estimate-identical by construction)
+      assertUntouched(lake.groupBy("mode")
+        .agg(expr("approx_top_k(user_id, 5)").as("tk")))
     }
   }
 

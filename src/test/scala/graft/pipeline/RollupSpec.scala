@@ -268,4 +268,69 @@ class RollupSpec extends AnyFunSuite {
     assert(math.abs(got - exact).toDouble / exact <= 0.05,
       s"HLL estimate $got too far from exact $exact")
   }
+
+  test("top_users frequency sketches fold to EXACT per-user counts below capacity") {
+    val lay = freshLake()
+    // 40 rows / 25 users spread over 4 files × 2 partitions: every user
+    // well under TopKCapacity, so the fold must be exact, not bounded
+    (0 until 4).foreach { f =>
+      writeLines(s"${lay.rawDir}/u$f.jsonl", (0 until 10).map { i =>
+        val user = (f * 10 + i) % 25
+        val mode = if (i % 2 == 0) "training" else "eval"
+        rec(s"u$f-$i", s"2024-03-0${f + 1} 0$i:00:00.000000", mode, user.toLong, 1.0)
+      })
+    }
+    new BatchProcessor(spark, lay, Contracts.events, batchSize = 2).runUntilDrained()
+    def asMap(df: DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val folded = asMap(Rollup.stats(spark, lay.rollupDir)
+      .agg(expr("approx_top_k_combine(top_users) FILTER (WHERE top_users IS NOT NULL)").as("sk"))
+      .select(explode(
+        expr(s"approx_top_k_estimate(sk, ${Rollup.TopKCapacity})")).as("e"))
+      .select(col("e.item").cast("long"), col("e.count").cast("long")))
+    val exactCounts = asMap(CuratedWriter.read(spark, lay.curatedDir)
+      .groupBy("user_id").agg(count(lit(1))))
+    assert(folded == exactCounts,
+      s"folded frequency sketch diverged from exact counts: $folded vs $exactCounts")
+    // per-mode fold from the SAME per-partition sketches (fold-further)
+    val trainFolded = asMap(Rollup.stats(spark, lay.rollupDir)
+      .filter(col("mode") === "training")
+      .agg(expr("approx_top_k_combine(top_users) FILTER (WHERE top_users IS NOT NULL)").as("sk"))
+      .select(explode(
+        expr(s"approx_top_k_estimate(sk, ${Rollup.TopKCapacity})")).as("e"))
+      .select(col("e.item").cast("long"), col("e.count").cast("long")))
+    val trainExact = asMap(CuratedWriter.read(spark, lay.curatedDir)
+      .filter(col("mode") === "training")
+      .groupBy("user_id").agg(count(lit(1))))
+    assert(trainFolded == trainExact)
+  }
+
+  test("a pre-sketch rollup store (no top_users column) still folds: stats and reconcile green") {
+    val lay = drainedLake()
+    // rewrite every batch dir WITHOUT the top_users column — the store
+    // layout a pre-upgrade pipeline left behind
+    val dirs = new File(lay.rollupDir).listFiles().filter(_.isDirectory)
+    dirs.foreach { d =>
+      val stripped = spark.read.parquet(d.toString).drop("top_users")
+      val tmp = new File(d.getParentFile, s".legacy-${d.getName}")
+      stripped.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      def deleteRec(f: File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(deleteRec)
+        f.delete(): Unit
+      }
+      deleteRec(d)
+      assert(tmp.renameTo(d))
+    }
+    assertStatsMatch(lay, "legacy store")
+    val flags = Rollup.reconcile(spark, lay.curatedDir, lay.rollupDir)
+      .select("rows_match", "value_match", "value_e6_match", "files_match", "reach_ok")
+      .collect()
+    assert(flags.nonEmpty && flags.forall(r => (0 until 5).forall(i => r.getInt(i) == 1)))
+    // the heavy-hitters fold on a legacy store degrades to empty, not an error
+    val hh = Rollup.stats(spark, lay.rollupDir)
+      .agg(expr("approx_top_k_combine(top_users) FILTER (WHERE top_users IS NOT NULL)").as("sk"))
+      .select(explode(
+        expr(s"approx_top_k_estimate(sk, ${Rollup.TopKCapacity})")).as("e"))
+    assert(hh.collect().isEmpty)
+  }
 }
