@@ -165,6 +165,20 @@ class RollupSpec extends AnyFunSuite {
     graft.streaming.StreamingIngest.runAvailableNow(spark, lay, Contracts.events,
       maxFilesPerTrigger = Some(1))
     assertStatsMatch(lay, "streaming second drain")
+    // the streaming-published frequency sketches fold exactly too: the
+    // q117 shape works unchanged on a lake the streaming runner wrote
+    val folded = Rollup.stats(spark, lay.rollupDir)
+      .agg(expr("approx_top_k_combine(top_users) FILTER (WHERE top_users IS NOT NULL)")
+        .as("sk"))
+      .select(explode(
+        expr(s"approx_top_k_estimate(sk, ${Rollup.TopKCapacity})")).as("e"))
+      .select(col("e.item").cast("long"), col("e.count").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exactCounts = CuratedWriter.read(spark, lay.curatedDir)
+      .groupBy("user_id").agg(count(lit(1)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(folded == exactCounts,
+      s"streaming-published sketches diverged: $folded vs $exactCounts")
   }
 
   test("reconcile certifies a drained lake and flags a tampered partial, on both grains") {
