@@ -64,20 +64,36 @@ object Rollup {
     * users gets the documented approximate regime, like the HLL reach. */
   val TopKCapacity = 4096
 
-  /** The `top_users` column's type — needed to backfill partials
-    * written before the column existed (see [[filePartials]]). */
-  private val TopKTypeDdl =
-    "STRUCT<sketch: BINARY, maxItemsTracked: INT, itemDataType: BIGINT, " +
-      "itemDataTypeDDL: STRING>"
+  /** The STORED form of the frequency sketch is the bare serialized
+    * BINARY — not the engine's 4-field sketch struct — for the same
+    * reason `users_hll` is stored as bytes: a bare binary keeps every
+    * fold stage hash-aggregable and shuffle rows minimal, while the
+    * struct's other three fields are derivable repo constants
+    * ([[TopKCapacity]] and the bigint item type). [[topKStructSql]]
+    * rebuilds the engine struct transiently at each fold site. */
+  private def topKStructSql(c: String): String =
+    s"struct($c AS sketch, CAST($TopKCapacity AS INT) AS maxItemsTracked, " +
+      "CAST(NULL AS BIGINT) AS itemDataType, " +
+      "'item BIGINT NOT NULL' AS itemDataTypeDDL)"
 
-  /** A VALID empty frequency sketch, as a literal column. Pre-sketch
-    * partials are backfilled with this rather than null because
-    * `approx_top_k_combine` neither skips null inputs nor serializes a
-    * buffer that received zero inputs (its item type is uninitialized) —
-    * an empty sketch merges as a no-op through every fold. The
-    * serialized bytes come from running an empty accumulate once per
-    * JVM (never hand-pinned: they belong to the DataSketches wire
-    * format, which the engine version owns). */
+  /** Merge a BINARY sketch column into one combined sketch, as BINARY.
+    * The FILTER guards nulls: `approx_top_k_combine` neither skips null
+    * inputs nor serializes a buffer that received zero inputs. */
+  def topKCombine(c: String): org.apache.spark.sql.Column =
+    expr(s"approx_top_k_combine(${topKStructSql(c)}) " +
+      s"FILTER (WHERE $c IS NOT NULL)").getField("sketch")
+
+  /** (item, count) rows of a combined BINARY sketch column — exact
+    * below capacity, bounded-error beyond (scaladoc above). */
+  def topKEstimate(c: String): org.apache.spark.sql.Column =
+    expr(s"approx_top_k_estimate(${topKStructSql(c)}, $TopKCapacity)")
+
+  /** A VALID empty frequency sketch's bytes, as a literal column.
+    * Pre-sketch partials are backfilled with this rather than null so
+    * no fold group can end up with zero combine inputs — an empty
+    * sketch merges as a no-op. The bytes come from running an empty
+    * accumulate once per JVM (never hand-pinned: they belong to the
+    * DataSketches wire format, which the engine version owns). */
   @volatile private var emptyTopKBytes: Array[Byte] = _
   private def emptyTopK(s: SparkSession): org.apache.spark.sql.Column = {
     if (emptyTopKBytes == null)
@@ -85,12 +101,19 @@ object Rollup {
         s"""SELECT approx_top_k_accumulate(u, $TopKCapacity)
            |FROM (SELECT CAST(id AS BIGINT) AS u FROM range(0))""".stripMargin)
         .collect()(0).getStruct(0).getAs[Array[Byte]]("sketch")
-    struct(
-      lit(emptyTopKBytes).as("sketch"),
-      lit(TopKCapacity).as("maxItemsTracked"),
-      lit(null).cast("bigint").as("itemDataType"),
-      lit("item BIGINT NOT NULL").as("itemDataTypeDDL"))
+    lit(emptyTopKBytes)
   }
+
+  /** See the generation-tolerance note in [[filePartials]]. */
+  private def normalizeTopK(s: SparkSession, raw: DataFrame): DataFrame =
+    raw.schema.find(_.name == "top_users") match {
+      case None => raw.withColumn("top_users", emptyTopK(s))
+      case Some(f) if f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] =>
+        raw.withColumn("top_users",
+          coalesce(col("top_users.sketch"), emptyTopK(s)))
+      case _ =>
+        raw.withColumn("top_users", coalesce(col("top_users"), emptyTopK(s)))
+    }
 
   /** Partition-stat partials of one published batch: one row per
     * (source_file, year, month, day, mode). `value_e6` is the
@@ -107,7 +130,7 @@ object Rollup {
         min(col("event_time_utc")).as("min_ts"),
         max(col("event_time_utc")).as("max_ts"),
         hll_sketch_agg(col("user_id")).as("users_hll"),
-        expr(s"approx_top_k_accumulate(user_id, $TopKCapacity)").as("top_users"))
+        expr(s"approx_top_k_accumulate(user_id, $TopKCapacity).sketch").as("top_users"))
 
   /** Write one batch's partials under `dir` (one small file — the row
     * count is bounded by files-in-batch × partitions-per-file). */
@@ -139,13 +162,12 @@ object Rollup {
       // a single-footer read would drop the newer column
       .option("mergeSchema", "true")
       .parquet(rollupDir)
-    // a store written before top_users existed reads without the column
-    // (or, mixed-generation, with nulls for the old files): backfill
-    // with a valid EMPTY sketch so the fold sees only mergeable values
-    val raw =
-      if (raw0.columns.contains("top_users"))
-        raw0.withColumn("top_users", coalesce(col("top_users"), emptyTopK(s)))
-      else raw0.withColumn("top_users", emptyTopK(s))
+    // Generation tolerance, one expression per store vintage: absent
+    // column (pre-sketch store) backfills a valid EMPTY sketch so the
+    // fold sees only mergeable values; a struct-typed column (the
+    // short-lived generation that stored the engine's 4-field sketch
+    // struct) narrows to its bytes; the current form is the bare BINARY.
+    val raw = normalizeTopK(s, raw0)
     raw.groupBy("source_file", "year", "month", "day", "mode")
       .agg(
         first("n_rows").as("n_rows"),
@@ -173,7 +195,7 @@ object Rollup {
             // column order from both; NTZ timestamps match the curated
             // contract (Segregator)
             "min_ts TIMESTAMP_NTZ, max_ts TIMESTAMP_NTZ, users_hll BINARY, " +
-            s"top_users $TopKTypeDdl, " +
+            "top_users BINARY, " +
             "n_users_est BIGINT"))
     filePartials(s, rollupDir)
       .groupBy("year", "month", "day", "mode")
@@ -185,11 +207,7 @@ object Rollup {
         min("min_ts").as("min_ts"),
         max("max_ts").as("max_ts"),
         hll_union_agg(col("users_hll")).as("users_hll"),
-        // FILTER: ApproxTopKCombine NPEs on null inputs (it does not
-        // skip them like most aggregates), and a pre-sketch store's
-        // backfilled partials are all-null
-        expr("approx_top_k_combine(top_users) FILTER (WHERE top_users IS NOT NULL)")
-          .as("top_users"))
+        topKCombine("top_users").as("top_users"))
       // the merged sketches stay columns so consumers can fold FURTHER
       // (month/global reach, heavy hitters) without revisiting partials
       .withColumn("n_users_est",
@@ -237,7 +255,7 @@ object Rollup {
           "source_file STRING, year INT, month INT, day INT, mode STRING, " +
             "n_rows BIGINT, n_value BIGINT, value_e6 BIGINT, " +
             "min_ts TIMESTAMP_NTZ, max_ts TIMESTAMP_NTZ, users_hll BINARY, " +
-            s"top_users $TopKTypeDdl"))
+            "top_users BINARY"))
 
     val folded = parts
       .groupingSets(sets, grain: _*)
@@ -311,10 +329,7 @@ object Rollup {
     val raw0 = s.read.option("recursiveFileLookup", "true")
       .option("mergeSchema", "true")
       .parquet(dirs.map(_.toString): _*)
-    val raw =
-      if (raw0.columns.contains("top_users"))
-        raw0.withColumn("top_users", coalesce(col("top_users"), emptyTopK(s)))
-      else raw0.withColumn("top_users", emptyTopK(s))
+    val raw = normalizeTopK(s, raw0)
     val merged = raw
       .groupBy("source_file", "year", "month", "day", "mode")
       .agg(

@@ -34,7 +34,7 @@ import java.nio.file.{Files, StandardCopyOption}
   */
 object DemoCache {
   /** Bump on any change that alters demo-artifact content. */
-  val Version = "r15a" // + top_users frequency sketch in the rollup partials (q117)
+  val Version = "r15b" // top_users stored as bare sketch BYTES (hash-aggregable fold)
 
   /** All demo artifacts root here: survives `sbt clean`, git-ignored. */
   val Root: File = new File("var/demo").getAbsoluteFile

@@ -388,10 +388,8 @@ object IngestQueries {
       val lay = IngestDemo.ensure(s, d)
       graft.ingest.Rollup.stats(s, lay.rollupDir)
         .filter(col("mode") =!= "synthetic")
-        .agg(expr("approx_top_k_combine(top_users) FILTER (WHERE top_users IS NOT NULL)")
-          .as("sk"))
-        .select(explode(
-          expr(s"approx_top_k_estimate(sk, ${graft.ingest.Rollup.TopKCapacity})")).as("e"))
+        .agg(graft.ingest.Rollup.topKCombine("top_users").as("sk"))
+        .select(explode(graft.ingest.Rollup.topKEstimate("sk")).as("e"))
         .select(col("e.item").cast("long").as("user_id"),
           col("e.count").cast("long").as("n_events"))
         .filter(col("n_events") >= 80)

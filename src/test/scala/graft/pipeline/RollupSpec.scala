@@ -168,10 +168,8 @@ class RollupSpec extends AnyFunSuite {
     // the streaming-published frequency sketches fold exactly too: the
     // q117 shape works unchanged on a lake the streaming runner wrote
     val folded = Rollup.stats(spark, lay.rollupDir)
-      .agg(expr("approx_top_k_combine(top_users) FILTER (WHERE top_users IS NOT NULL)")
-        .as("sk"))
-      .select(explode(
-        expr(s"approx_top_k_estimate(sk, ${Rollup.TopKCapacity})")).as("e"))
+      .agg(Rollup.topKCombine("top_users").as("sk"))
+      .select(explode(Rollup.topKEstimate("sk")).as("e"))
       .select(col("e.item").cast("long"), col("e.count").cast("long"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val exactCounts = CuratedWriter.read(spark, lay.curatedDir)
@@ -298,9 +296,8 @@ class RollupSpec extends AnyFunSuite {
     def asMap(df: DataFrame): Map[Long, Long] =
       df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val folded = asMap(Rollup.stats(spark, lay.rollupDir)
-      .agg(expr("approx_top_k_combine(top_users) FILTER (WHERE top_users IS NOT NULL)").as("sk"))
-      .select(explode(
-        expr(s"approx_top_k_estimate(sk, ${Rollup.TopKCapacity})")).as("e"))
+      .agg(Rollup.topKCombine("top_users").as("sk"))
+      .select(explode(Rollup.topKEstimate("sk")).as("e"))
       .select(col("e.item").cast("long"), col("e.count").cast("long")))
     val exactCounts = asMap(CuratedWriter.read(spark, lay.curatedDir)
       .groupBy("user_id").agg(count(lit(1))))
@@ -309,9 +306,8 @@ class RollupSpec extends AnyFunSuite {
     // per-mode fold from the SAME per-partition sketches (fold-further)
     val trainFolded = asMap(Rollup.stats(spark, lay.rollupDir)
       .filter(col("mode") === "training")
-      .agg(expr("approx_top_k_combine(top_users) FILTER (WHERE top_users IS NOT NULL)").as("sk"))
-      .select(explode(
-        expr(s"approx_top_k_estimate(sk, ${Rollup.TopKCapacity})")).as("e"))
+      .agg(Rollup.topKCombine("top_users").as("sk"))
+      .select(explode(Rollup.topKEstimate("sk")).as("e"))
       .select(col("e.item").cast("long"), col("e.count").cast("long")))
     val trainExact = asMap(CuratedWriter.read(spark, lay.curatedDir)
       .filter(col("mode") === "training")
@@ -342,9 +338,8 @@ class RollupSpec extends AnyFunSuite {
     assert(flags.nonEmpty && flags.forall(r => (0 until 5).forall(i => r.getInt(i) == 1)))
     // the heavy-hitters fold on a legacy store degrades to empty, not an error
     val hh = Rollup.stats(spark, lay.rollupDir)
-      .agg(expr("approx_top_k_combine(top_users) FILTER (WHERE top_users IS NOT NULL)").as("sk"))
-      .select(explode(
-        expr(s"approx_top_k_estimate(sk, ${Rollup.TopKCapacity})")).as("e"))
+      .agg(Rollup.topKCombine("top_users").as("sk"))
+      .select(explode(Rollup.topKEstimate("sk")).as("e"))
     assert(hh.collect().isEmpty)
   }
 }
