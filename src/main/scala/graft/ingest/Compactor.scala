@@ -66,6 +66,23 @@ object Compactor {
       sortCol: Option[String] = Some("event_time_utc"),
       parallelism: Int = 4)
 
+  /** Persist a tick's maintenance report under `reportDir` — the audit
+    * surface `Alarms.compaction_recovery` consumes. EVENT-only: a tick
+    * that neither rewrote nor recovered anything writes no file, so the
+    * healthy-idle steady state accretes nothing (this module exists to
+    * fight small files, not mint them). One tiny JSON file per
+    * eventful tick, named by run id (idempotent under replay). */
+  def logReport(fs: FileSystem, reportDir: Path, runId: String, r: Report): Unit = {
+    if (r.partitionsCompacted == 0 && r.recovered == 0) return
+    fs.mkdirs(reportDir)
+    val out = fs.create(new Path(reportDir, s"$runId.json"), true)
+    try out.write(
+      (s"""{"run_id":"$runId","partitions_compacted":${r.partitionsCompacted},""" +
+        s""""files_before":${r.filesBefore},"files_after":${r.filesAfter},""" +
+        s""""recovered":${r.recovered}}""").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   private def isHidden(name: String): Boolean =
     name.startsWith("_") || name.startsWith(".")
 

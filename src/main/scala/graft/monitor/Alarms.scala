@@ -40,6 +40,12 @@ import graft.pipeline.LakeLayout
   *                         `slowActionMs` (0 without a monitor, so the
   *                         oracle surface stays deterministic; the
   *                         monitor-fed path is spec-covered).
+  *  - `compaction_recovery` — swap-journal healings reported by the
+  *                         lake-compaction maintenance slot
+  *                         ([[graft.ingest.Compactor.logReport]]): the
+  *                         lake self-healed, but a maintenance tick
+  *                         crashed mid-swap — an occurrence the
+  *                         operator reviews.
   *
   * Scale shape: each metric is an aggregate the engine already optimizes
   * — the DLQ count scans only DLQ files, ledger counts scan the compacted
@@ -116,7 +122,27 @@ object Alarms {
           lit(0L)).as("m"))
     }
 
+    // swap-journal healings from the lake-compaction audit reports
+    // (Compactor.logReport — event-only files, so the healthy lake has
+    // no directory at all): any recovery means a maintenance tick
+    // crashed mid-swap recently — the lake self-healed, but the
+    // operator should know the crashes are happening
+    val compactionRecovery: DataFrame = {
+      val dir = s"${layout.root}/maintenance/compaction"
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        p.toUri, spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p) && fs.listStatus(p).nonEmpty)
+        spark.read
+          .schema("run_id STRING, partitions_compacted LONG, files_before LONG, " +
+            "files_after LONG, recovered LONG")
+          .json(dir)
+          .agg(coalesce(sum(col("recovered")), lit(0L)))
+      else const(0L)
+    }
+
     val metrics = Seq(
+      "compaction_recovery" -> compactionRecovery,
       "data_freshness" -> freshness,
       "dedup_dlq_activity" -> dlqCountOf(layout.dedupDlqDir),
       "dlq_activity" -> dlqCountOf(layout.dlqDir),

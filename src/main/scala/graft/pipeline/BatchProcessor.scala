@@ -118,7 +118,11 @@ final class BatchProcessor(
     lakeCompaction.foreach { cfg =>
       val touched = touchedPartitions.toSeq.map(new org.apache.hadoop.fs.Path(_))
       touchedPartitions.clear()
-      Compactor.maintainTouched(spark, layout.curatedDir, touched, cfg): Unit
+      val report = Compactor.maintainTouched(spark, layout.curatedDir, touched, cfg)
+      // audit surface for Alarms.compaction_recovery (event-only)
+      Compactor.logReport(fs,
+        new org.apache.hadoop.fs.Path(s"${layout.root}/maintenance/compaction"),
+        runId, report)
     }
     true
   }

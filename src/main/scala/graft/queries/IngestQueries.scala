@@ -619,7 +619,8 @@ object IngestQueries {
                  AS BIGINT)
           FROM events) AS landing_rows""",
     "q57_monitor_alarms" ->
-      """SELECT 'data_freshness' AS alarm, 'OK' AS state, CAST(0 AS BIGINT) AS metric
+      """SELECT 'compaction_recovery' AS alarm, 'OK' AS state, CAST(0 AS BIGINT) AS metric
+         UNION ALL SELECT 'data_freshness', 'OK', CAST(0 AS BIGINT)
          UNION ALL SELECT 'dedup_dlq_activity', 'OK', CAST(0 AS BIGINT)
          UNION ALL SELECT 'dlq_activity', 'ALARM', CAST(12 AS BIGINT)
          UNION ALL SELECT 'file_quarantine', 'ALARM', CAST(3 AS BIGINT)
@@ -631,7 +632,8 @@ object IngestQueries {
     // q94: the alarm set over the dedup-demo lake — the gate alarms in
     // their firing state, counts forced by the same fixture as q90.
     "q94_gate_alarms" ->
-      """SELECT 'data_freshness' AS alarm, 'OK' AS state, CAST(0 AS BIGINT) AS metric
+      """SELECT 'compaction_recovery' AS alarm, 'OK' AS state, CAST(0 AS BIGINT) AS metric
+         UNION ALL SELECT 'data_freshness', 'OK', CAST(0 AS BIGINT)
          UNION ALL SELECT 'dedup_dlq_activity', 'ALARM', CAST(5 AS BIGINT)
          UNION ALL SELECT 'dlq_activity', 'OK', CAST(0 AS BIGINT)
          UNION ALL SELECT 'file_quarantine', 'OK', CAST(0 AS BIGINT)

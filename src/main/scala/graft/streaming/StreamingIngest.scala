@@ -200,7 +200,14 @@ object StreamingIngest {
     // would sweep on (replaceExistingPrefix), so it must only run once
     // this batch can no longer replay. Scoped to the partitions this
     // batch touched — O(touched), never an O(lake) walk.
-    lakeCompaction.foreach(cfg => graft.ingest.Compactor
-      .maintainTouched(spark, layout.curatedDir, touched.toSeq, cfg): Unit)
+    lakeCompaction.foreach { cfg =>
+      val report = graft.ingest.Compactor
+        .maintainTouched(spark, layout.curatedDir, touched.toSeq, cfg)
+      // audit surface for Alarms.compaction_recovery (event-only;
+      // run-id-named so a replayed batch overwrites, never duplicates)
+      graft.ingest.Compactor.logReport(fs,
+        new org.apache.hadoop.fs.Path(s"${layout.root}/maintenance/compaction"),
+        runId, report)
+    }
   }
 }

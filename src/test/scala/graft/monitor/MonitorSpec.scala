@@ -152,6 +152,44 @@ class MonitorSpec extends AnyFunSuite {
     assert(states.values.forall(_ == "OK"), s"expected all OK, got $states")
   }
 
+  test("compaction_recovery fires on a journal-healed swap and only then") {
+    val lay = LakeLayout(Files.createTempDirectory("graft-mon-compact").toString)
+    val p = Paths.get(s"${lay.rawDir}/good.jsonl")
+    Files.createDirectories(p.getParent)
+    val rec = s"""{"id":"g","event_timestamp":"2024-03-07 10:00:00.000000","MODE":"training",""" +
+      s""""metadata":{"app_version":"1","user_agent":"ua","user_id":1},""" +
+      s""""payload":{"transaction_id":"t","value":2.0,"props":"{}"}}"""
+    Files.write(p, (rec + "\n").getBytes(StandardCharsets.UTF_8)): Unit
+    // a compacting drain with nothing oversized: no report files at all
+    // (event-only logging), alarm OK
+    new BatchProcessor(spark, lay, Contracts.events,
+      lakeCompaction = Some(graft.ingest.Compactor.TickConfig())).runUntilDrained()
+    def state() = Alarms.evaluate(spark, lay).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(state()("compaction_recovery") == (("OK", 0L)))
+    assert(!new java.io.File(s"${lay.root}/maintenance/compaction").exists,
+      "idle maintenance must not mint report files")
+    // a healed swap (journal entry + hidden leaf, the crash artifact)
+    // surfaces through the report the next tick writes
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI("file:///"), spark.sparkContext.hadoopConfiguration)
+    val root = fs.makeQualified(new org.apache.hadoop.fs.Path(lay.curatedDir))
+    val relLeaf = "year=2024/month=3/day=7/mode=training"
+    val leaf = new org.apache.hadoop.fs.Path(root, relLeaf)
+    val entryDir = new org.apache.hadoop.fs.Path(root, "_compactions")
+    fs.mkdirs(entryDir)
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(relLeaf.getBytes(StandardCharsets.UTF_8)).map("%02x".format(_)).mkString
+    val out = fs.create(new org.apache.hadoop.fs.Path(entryDir, digest), true)
+    out.write(relLeaf.getBytes(StandardCharsets.UTF_8)); out.close()
+    assert(fs.rename(leaf, new org.apache.hadoop.fs.Path(leaf.getParent, ".old-mode=training")))
+    val report = graft.ingest.Compactor.maintainTouched(spark, lay.curatedDir, Seq.empty)
+    graft.ingest.Compactor.logReport(fs,
+      new org.apache.hadoop.fs.Path(s"${lay.root}/maintenance/compaction"),
+      "run-heal", report)
+    assert(state()("compaction_recovery") == (("ALARM", 1L)))
+  }
+
   test("data_freshness fires when a mode's newest event lags the lake beyond staleDays") {
     val lay = LakeLayout(Files.createTempDirectory("graft-mon-fresh").toString)
     def write(name: String, lines: Seq[String]): Unit = {
