@@ -357,16 +357,23 @@ object IngestQueries {
     // partition-grain statistics from the COMPACTED files; the oracle
     // recomputes them from the original events — a row lost, doubled,
     // or value-mangled by any interleaved swap turns the row red.
+    // n_src (distinct ORIGIN files still named by every row) pins that
+    // per-row lineage survived the rewrites — and, because countDistinct
+    // is one of RollupMetadataAggregate's documented declines, it also
+    // guarantees this query really SCANS the compacted files rather
+    // than being served from the rollup partials (which would verify
+    // the metadata, not the data, defeating the point).
     "q115_compacted_lake" -> ((s, d) => {
       val lay = IngestDemo.ensureCompacted(s, d)
       CuratedWriter.read(s, lay.curatedDir)
         .groupBy("day", "mode")
         .agg(count(lit(1)).as("n_rows"), count(col("value")).as("n_value"),
+          countDistinct(col("source_file")).as("n_src"),
           sum(round(col("value") * lit(1000000)).cast("long")).as("value_e6"),
           unix_micros(min(col("event_time_utc")).cast("timestamp")).as("first_us"),
           unix_micros(max(col("event_time_utc")).cast("timestamp")).as("last_us"))
         .select(col("day").cast("int").as("day"), col("mode"), col("n_rows"),
-          col("n_value"), col("value_e6"), col("first_us"), col("last_us"))
+          col("n_value"), col("n_src"), col("value_e6"), col("first_us"), col("last_us"))
         .orderBy("day", "mode")
     }),
 
@@ -559,6 +566,7 @@ object IngestQueries {
     "q115_compacted_lake" ->
       """SELECT CAST(day(ts) AS INT) AS day, event_type AS mode,
               COUNT(*) AS n_rows, COUNT(value) AS n_value,
+              COUNT(DISTINCT event_id % 2) AS n_src,
               CAST(SUM(CAST(ROUND(value*1000000) AS BIGINT)) AS BIGINT) AS value_e6,
               epoch_us(MIN(ts)) AS first_us, epoch_us(MAX(ts)) AS last_us
          FROM events

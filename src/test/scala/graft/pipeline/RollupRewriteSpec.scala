@@ -109,6 +109,20 @@ class RollupRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("the registered q115_compacted_lake SCANS the compacted files, never the partials") {
+    // q115 proves the compacted DATA is exact — an answer served from
+    // the rollup partials would verify the metadata instead, silently.
+    // Its countDistinct(source_file) is a documented decline, so the
+    // optimized plan must keep the curated scan.
+    withExtendedSession { s =>
+      val df = graft.SparkEntry.queries("q115_compacted_lake")(s, sfDir)
+      val roots = scanRoots(df)
+      assert(roots.exists(_.contains("/curated")) && !roots.exists(_.contains("/rollup")),
+        s"q115 must read the lake, got scans: $roots")
+      assert(df.collect().nonEmpty)
+    }
+  }
+
   test("the registered q112_metadata_value serves its metadata side, matches direct") {
     val want = graft.SparkEntry.queries("q112_metadata_value")(spark, sfDir).collect().toSeq
     assert(want.nonEmpty)
