@@ -1,5 +1,6 @@
 package graft.ingest
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
@@ -16,6 +17,20 @@ import org.apache.spark.sql.functions.col
   * the write so each task owns whole partitions (bounded file counts, no
   * 32-tasks × 150-partitions small-file explosion); `maxRecordsPerFile`
   * caps individual files so one hot day/mode still splits.
+  *
+  * Read: union-of-schemas consumption scan. For a lake that has EVER
+  * been compacted ([[LakeSnapshot.hasSwapHistory]]) the read pins the
+  * SNAPSHOT file listing — explicit live paths resolved through each
+  * leaf's swap-meta, with `basePath` preserving partition discovery —
+  * so a concurrent [[Compactor]] swap can neither drop the reader's
+  * files from under a planned scan (retired files survive one
+  * maintenance cycle at their original paths) nor double-serve a
+  * half-swapped leaf (the commit is one atomic meta create; a listing
+  * sees old-set or new-set, never a mix). Never-compacted lakes keep
+  * the plain directory read — byte-identical plans and behavior to a
+  * vanilla parquet scan. The pinned listing costs one recursive walk,
+  * the same order of driver metadata work Spark's own InMemoryFileIndex
+  * pays for the directory read it replaces.
   */
 object CuratedWriter {
   val PartitionCols: Seq[String] = Seq("year", "month", "day", "mode")
@@ -30,7 +45,20 @@ object CuratedWriter {
       .partitionBy(PartitionCols: _*)
       .parquet(lakeDir)
 
-  /** Consumption-side scan with union-of-schemas across appends. */
-  def read(spark: SparkSession, lakeDir: String): DataFrame =
-    spark.read.option("mergeSchema", "true").parquet(lakeDir)
+  /** Consumption-side scan with union-of-schemas across appends and
+    * snapshot isolation across compaction swaps (object scaladoc). */
+  def read(spark: SparkSession, lakeDir: String): DataFrame = {
+    val raw = new Path(lakeDir)
+    val fs = FileSystem.get(raw.toUri, spark.sparkContext.hadoopConfiguration)
+    val root = fs.makeQualified(raw)
+    if (!LakeSnapshot.hasSwapHistory(fs, root))
+      return spark.read.option("mergeSchema", "true").parquet(lakeDir)
+    val live = LakeSnapshot.liveFiles(fs, root)
+    if (live.isEmpty) // degenerate (emptied lake): keep plain-read semantics
+      return spark.read.option("mergeSchema", "true").parquet(lakeDir)
+    spark.read
+      .option("mergeSchema", "true")
+      .option("basePath", root.toString)
+      .parquet(live.map(_.getPath.toString): _*)
+  }
 }

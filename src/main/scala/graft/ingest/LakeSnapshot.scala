@@ -1,0 +1,169 @@
+package graft.ingest
+
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import scala.collection.mutable.ArrayBuffer
+
+/** Snapshot semantics for the curated lake under in-place compaction —
+  * the metadata that lets [[Compactor]] swap a partition's files WITHOUT
+  * ever renaming or immediately deleting a live data file, so a reader
+  * that planned its scan before a swap still finds every pinned file
+  * after it (the concurrent-analytics posture: rollup-serve / zone-skip
+  * sessions run cross-session with the maintenance ticks).
+  *
+  * Per-leaf state, all hidden from plain directory listings:
+  *
+  *  - compaction output lands in the leaf under GENERATION names
+  *    (`sw<g>-<file>`); a generation is INVISIBLE until committed, so a
+  *    crash mid-move leaves only ignorable strays;
+  *  - the commit point is one atomic create of a new swap-meta version
+  *    (`.swapmeta-<v>.json`: `{"committed": g, "retired": [names]}`) —
+  *    a snapshot listing that sees the old version serves the old file
+  *    set (still fully on disk), one that sees the new version serves
+  *    generation g and excludes the retired names (also still on disk);
+  *    either way the set is exact, never mixed;
+  *  - retired files stay at their original paths until the NEXT
+  *    maintenance invocation deletes them ([[Compactor]]'s retire
+  *    journal), so any reader pinned within one maintenance cycle reads
+  *    a consistent (at worst one-swap-stale) snapshot.
+  *
+  * [[liveFiles]] is the read-side contract: the data files a consumer
+  * should scan right now. [[CuratedWriter.read]] pins this listing and
+  * hands Spark explicit paths (with `basePath` preserving partition
+  * discovery), which is exactly the file-pinning Spark's own
+  * InMemoryFileIndex performs — made swap-aware. Lakes that were never
+  * compacted have no swap metadata and keep the plain directory-read
+  * path, byte-for-byte today's behavior.
+  *
+  * At 100 TB this is the Iceberg/Delta manifest move expressed with the
+  * statistics this pipeline already owns: one tiny metadata file per
+  * COMPACTED leaf (only leaves that ever swapped carry one), read during
+  * the same listing walk any parquet scan already pays. Plain external
+  * `spark.read.parquet(lake)` remains exact whenever no swap is pending
+  * (steady state); during a swap's grace window only snapshot-pinned
+  * reads are contractual — the same caveat every manifest-based table
+  * format carries.
+  */
+object LakeSnapshot {
+  /** Hidden per-leaf swap-meta name prefix; full name
+    * `.swapmeta-<%09d version>.json`. */
+  val MetaPrefix = ".swapmeta-"
+
+  private val SwPat = java.util.regex.Pattern.compile("^sw(\\d+)-")
+
+  /** Generation of a compaction-output name (`sw<g>-...`), if any. */
+  def swGen(name: String): Option[Int] = {
+    val m = SwPat.matcher(name)
+    if (m.find()) Some(m.group(1).toInt) else None
+  }
+
+  final case class Meta(version: Int, committed: Int, retired: Set[String])
+  val EmptyMeta: Meta = Meta(0, 0, Set.empty)
+
+  private def visible(name: String): Boolean =
+    !name.startsWith("_") && !name.startsWith(".")
+
+  private def metaVersion(name: String): Option[Int] =
+    if (name.startsWith(MetaPrefix) && name.endsWith(".json"))
+      scala.util.Try(name.stripPrefix(MetaPrefix).stripSuffix(".json").toInt).toOption
+    else None
+
+  /** Parse the newest swap-meta under `leaf` (EmptyMeta when the leaf
+    * was never compacted). Retries a bounded number of times on the
+    * one benign race: the maintenance writer garbage-collecting an old
+    * meta version between this reader's listing and its open. */
+  def readMeta(fs: FileSystem, leaf: Path): Meta = {
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      val versions =
+        if (!fs.exists(leaf)) Seq.empty
+        else fs.listStatus(leaf).toSeq
+          .flatMap(s => metaVersion(s.getPath.getName).map(_ -> s.getPath))
+      if (versions.isEmpty) return EmptyMeta
+      val (v, p) = versions.maxBy(_._1)
+      try {
+        val in = fs.open(p)
+        val json =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+        import scala.jdk.CollectionConverters._
+        return Meta(v, root.get("committed").asInt(),
+          root.get("retired").elements().asScala.map(_.asText()).toSet)
+      } catch {
+        case e: java.io.FileNotFoundException =>
+          if (attempts >= 3) throw e // not the GC race — surface it
+      }
+    }
+    EmptyMeta // unreachable
+  }
+
+  /** Write the next swap-meta version atomically (a create of a fresh
+    * name IS the atomic commit — no rename-over needed) and
+    * garbage-collect versions older than the previous one (keeping one
+    * back version bounds the reader race [[readMeta]] retries over).
+    * Caller is the lake's single maintenance writer. */
+  def writeMeta(fs: FileSystem, leaf: Path, committed: Int,
+                retired: Set[String]): Meta = {
+    val prev = readMeta(fs, leaf)
+    val v = prev.version + 1
+    val p = new Path(leaf, f"$MetaPrefix$v%09d.json")
+    val json = retired.toSeq.sorted
+      .map(n => "\"" + n.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      .mkString(s"""{"committed":$committed,"retired":[""", ",", "]}")
+    val out = fs.create(p, false)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.listStatus(leaf).toSeq
+      .flatMap(s => metaVersion(s.getPath.getName).map(_ -> s.getPath))
+      .filter(_._1 < v - 1)
+      .foreach { case (_, old) => fs.delete(old, false): Unit }
+    Meta(v, committed, retired)
+  }
+
+  /** The live data files among `statuses` (one leaf's listing) under
+    * `meta`: visible files, minus uncommitted compaction generations,
+    * minus retired-pending names. */
+  def liveData(statuses: Seq[FileStatus], meta: Meta): Seq[FileStatus] =
+    statuses.filter { s =>
+      val n = s.getPath.getName
+      s.isFile && visible(n) && !meta.retired.contains(n) &&
+        swGen(n).forall(_ <= meta.committed)
+    }
+
+  /** Live data files of one leaf, meta-aware. */
+  def liveData(fs: FileSystem, leaf: Path): Seq[FileStatus] =
+    if (!fs.exists(leaf)) Seq.empty
+    else liveData(fs.listStatus(leaf).toSeq, readMeta(fs, leaf))
+
+  /** Every live data file under `root` — one recursive walk (the same
+    * listing any directory scan pays), resolving each leaf's swap-meta
+    * on the way. This listing IS the snapshot: the returned files are
+    * immutable once written and survive at least one maintenance cycle
+    * after retirement, so a scan planned over it stays readable across
+    * a concurrent swap. */
+  def liveFiles(fs: FileSystem, root: Path): Seq[FileStatus] = {
+    val out = ArrayBuffer.empty[FileStatus]
+    def walk(dir: Path): Unit = {
+      val st = fs.listStatus(dir).toSeq
+      val files = st.filter(s => s.isFile && visible(s.getPath.getName))
+      if (files.nonEmpty) {
+        val meta =
+          if (st.exists(s => metaVersion(s.getPath.getName).isDefined))
+            readMeta(fs, dir)
+          else EmptyMeta
+        out ++= liveData(files, meta)
+      }
+      st.filter(s => s.isDirectory && visible(s.getPath.getName))
+        .foreach(s => walk(s.getPath))
+    }
+    if (fs.exists(root)) walk(root)
+    out.toSeq
+  }
+
+  /** Has this lake ever started a compaction swap? (The journal dir is
+    * created before the first swap and never removed.) Lakes without
+    * history keep the plain directory-read path. */
+  def hasSwapHistory(fs: FileSystem, root: Path): Boolean =
+    fs.exists(new Path(root, "_compactions"))
+}

@@ -104,6 +104,43 @@ object Rollup {
     lit(emptyTopKBytes)
   }
 
+  /** Read + generation-normalize a set of partial paths. Fast path: one
+    * mergeSchema read over everything. A store that MIXES top_users
+    * generations across batch dirs (struct-generation dirs beside
+    * bare-BINARY dirs) cannot parquet-merge at all — struct vs binary is
+    * an incompatible merge, a hard read error — so on failure the read
+    * falls back to per-top-level-dir reads, normalizes EACH dir to the
+    * bare-BINARY form, and unions by name: graceful degradation instead
+    * of requiring a compaction run after the generation upgrade. The
+    * fallback costs one schema inference per batch dir — bounded by
+    * [[compact]]'s `maxBatchDirs`, metadata-sized. */
+  private def readNormalized(s: SparkSession, paths: Seq[String],
+                             ignoreMissing: Boolean): DataFrame = {
+    def rd(ps: Seq[String]) = {
+      var r = s.read
+        .option("recursiveFileLookup", "true")
+        .option("mergeSchema", "true")
+      if (ignoreMissing) r = r.option("ignoreMissingFiles", "true")
+      r.parquet(ps: _*)
+    }
+    try normalizeTopK(s, rd(paths))
+    catch {
+      case scala.util.control.NonFatal(_) =>
+        val units = paths.flatMap { p =>
+          val root = new Path(p)
+          val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (!fs.exists(root)) Seq.empty
+          else if (fs.getFileStatus(root).isFile) Seq(p)
+          else fs.listStatus(root).toSeq
+            .filter(st => !st.getPath.getName.startsWith(".") &&
+              !st.getPath.getName.startsWith("_"))
+            .map(_.getPath.toString)
+        }
+        units.map(u => normalizeTopK(s, rd(Seq(u))))
+          .reduce(_.unionByName(_, allowMissingColumns = true))
+    }
+  }
+
   /** See the generation-tolerance note in [[filePartials]]. */
   private def normalizeTopK(s: SparkSession, raw: DataFrame): DataFrame =
     raw.schema.find(_.name == "top_users") match {
@@ -155,19 +192,14 @@ object Rollup {
     // session-wide) turns that race into a skipped file; the rows it
     // carried are never lost because the merged dir duplicates them and
     // the per-file collapse below absorbs the duplication.
-    val raw0 = s.read
-      .option("recursiveFileLookup", "true")
-      .option("ignoreMissingFiles", "true")
-      // batch dirs can span schema generations (top_users added later);
-      // a single-footer read would drop the newer column
-      .option("mergeSchema", "true")
-      .parquet(rollupDir)
     // Generation tolerance, one expression per store vintage: absent
     // column (pre-sketch store) backfills a valid EMPTY sketch so the
     // fold sees only mergeable values; a struct-typed column (the
     // short-lived generation that stored the engine's 4-field sketch
     // struct) narrows to its bytes; the current form is the bare BINARY.
-    val raw = normalizeTopK(s, raw0)
+    // Mixed-generation stores that defeat one mergeSchema read fall
+    // back to a per-dir normalize + union (readNormalized).
+    val raw = readNormalized(s, Seq(rollupDir), ignoreMissing = true)
     raw.groupBy("source_file", "year", "month", "day", "mode")
       .agg(
         first("n_rows").as("n_rows"),
@@ -267,7 +299,11 @@ object Rollup {
         coalesce(hll_sketch_estimate(hll_union_agg(col("users_hll"))), lit(0L))
           .as("r_users_est"))
 
-    val exact = s.read.parquet(curatedDir)
+    // snapshot read, not a plain directory scan: under the compactor's
+    // deferred-deletion grace window a plain read would double-count
+    // retired-but-present twins — the exact side must audit the lake's
+    // LIVE rows (CuratedWriter.read resolves each leaf's swap-meta)
+    val exact = CuratedWriter.read(s, curatedDir)
       .groupingSets(sets, grain: _*)
       .agg(
         count(lit(1)).as("n_rows"),
@@ -325,11 +361,9 @@ object Rollup {
     val tmp = new Path(root, s".compact-$token")
     fs.delete(tmp, true)
     // collapse to one row per (file, partition) so twins from earlier
-    // crashes fold away instead of accumulating across compactions
-    val raw0 = s.read.option("recursiveFileLookup", "true")
-      .option("mergeSchema", "true")
-      .parquet(dirs.map(_.toString): _*)
-    val raw = normalizeTopK(s, raw0)
+    // crashes fold away instead of accumulating across compactions;
+    // per-dir normalize fallback for mixed-generation stores
+    val raw = readNormalized(s, dirs.map(_.toString), ignoreMissing = false)
     val merged = raw
       .groupBy("source_file", "year", "month", "day", "mode")
       .agg(

@@ -46,13 +46,28 @@ import graft.pipeline.LakeLayout
   *                         lake self-healed, but a maintenance tick
   *                         crashed mid-swap — an occurrence the
   *                         operator reviews.
+  *  - `sketch_saturation` — the q117 exactness boundary, observed: the
+  *                         heavy-hitter frequency sketches fold EXACTLY
+  *                         only while a fold group's distinct-user
+  *                         count stays under ~¾ of
+  *                         [[graft.ingest.Rollup.TopKCapacity]]; beyond
+  *                         it they silently degrade to bounded-error
+  *                         estimates. The metric counts fold groups
+  *                         (month grain + the global fold, the q117
+  *                         shape) whose HLL distinct-user estimate has
+  *                         crossed the boundary — "your heavy hitters
+  *                         just became approximate" surfaces as an
+  *                         occurrence instead of a silent regime
+  *                         change. Metadata-cost like freshness: reads
+  *                         rollup partials only.
   *
   * Scale shape: each metric is an aggregate the engine already optimizes
   * — the DLQ count scans only DLQ files, ledger counts scan the compacted
   * current snapshot (bounded version window), driver-known constants
   * (monitor-sourced counts, the no-DLQ healthy case) are emitted as
-  * local literal rows with no job at all, the freshness check reads
-  * rollup partials (metadata-sized), and the union is 8 rows.
+  * local literal rows with no job at all, the freshness and saturation
+  * checks read rollup partials (metadata-sized), and the union is 10
+  * rows.
   * Nothing here is per-record driver work, so the evaluation is the same
   * query at sf0.001 or 100 TB.
   *
@@ -122,6 +137,24 @@ object Alarms {
           lit(0L)).as("m"))
     }
 
+    // frequency-sketch saturation from the same partials: per fold
+    // group (month grain via GROUPING SETS, plus the global fold),
+    // union the stored HLL sketches and compare the distinct-user
+    // estimate against the exactness boundary. The HLL estimate is the
+    // right instrument: it is the count of DISTINCT tracked items — the
+    // quantity the frequency sketch's exact/approximate regime is
+    // defined over — and it travels in the same partial rows, so the
+    // check is one metadata-sized fold, no lake scan, no sketch decode.
+    val saturation: DataFrame = {
+      val boundary = (graft.ingest.Rollup.TopKCapacity * 3L) / 4L
+      val grain = Seq(col("year"), col("month"))
+      graft.ingest.Rollup.stats(spark, layout.rollupDir)
+        .groupingSets(Seq(grain, Seq.empty), grain: _*)
+        .agg(coalesce(
+          hll_sketch_estimate(hll_union_agg(col("users_hll"))), lit(0L)).as("est"))
+        .agg(coalesce(sum(when(col("est") >= boundary, 1L).otherwise(0L)), lit(0L)))
+    }
+
     // swap-journal healings from the lake-compaction audit reports
     // (Compactor.logReport — event-only files, so the healthy lake has
     // no directory at all): any recovery means a maintenance tick
@@ -151,6 +184,7 @@ object Alarms {
         ledgerOf(Seq(Ledger.Failed)).select(col("count(1)") + lit(observedFailures)),
       "ledger_backlog" -> ledgerOf(Seq(Ledger.Pending, Ledger.Processing)),
       "quality_dlq_activity" -> dlqCountOf(layout.qualityDlqDir),
+      "sketch_saturation" -> saturation,
       "slow_actions" -> const(observedSlow))
 
     metrics.map { case (name, agg) =>

@@ -73,6 +73,10 @@ final class BatchProcessor(
 
   val ledger: Ledger = ledgerFactory(spark, layout.ledgerDir, maxRetries)
   private var runCounter = 0
+  // per-instance token: run-%05d counters restart at run-00001 on every
+  // pipeline restart, so anything FILED by runId (the compaction audit
+  // reports) must carry this to stay unique across incarnations
+  private val instanceToken = java.util.UUID.randomUUID().toString.take(8)
   // partition dirs this tick's publishes moved files into — the
   // candidate set for the maintenance slot's O(touched) compaction
   private val touchedPartitions =
@@ -117,12 +121,17 @@ final class BatchProcessor(
     // is healed from the swap journal before the next tick's pass.
     lakeCompaction.foreach { cfg =>
       val touched = touchedPartitions.toSeq.map(new org.apache.hadoop.fs.Path(_))
-      touchedPartitions.clear()
       val report = Compactor.maintainTouched(spark, layout.curatedDir, touched, cfg)
-      // audit surface for Alarms.compaction_recovery (event-only)
+      // candidate set is consumed only once maintenance RETURNED — a
+      // transient maintainTouched failure leaves the touched leaves in
+      // the set for the next tick instead of stranding them fragmented
+      touchedPartitions.clear()
+      // audit surface for Alarms.compaction_recovery (event-only); the
+      // instance token keeps a restarted pipeline's run-00001 report
+      // from overwriting an earlier incarnation's healed-swap audit row
       Compactor.logReport(fs,
         new org.apache.hadoop.fs.Path(s"${layout.root}/maintenance/compaction"),
-        runId, report)
+        s"$runId-$instanceToken", report)
     }
     true
   }

@@ -91,6 +91,11 @@ object IngestDemo {
           lakeCompaction = Some(graft.ingest.Compactor.TickConfig(
             maxFilesPerPartition = 1, sortCol = Some("event_time_utc"))))
         bp.runUntilDrained()
+        // the drain's final swaps leave their replaced files pending
+        // deletion (the reader-safe grace cycle); this lake is a frozen
+        // fixture with no future ticks, so run the deferred deletion
+        // explicitly before pinning the physical-layout invariants
+        graft.ingest.Compactor.sweepRetired(spark, layout.curatedDir): Unit
         // every leaf must be exactly one file: proof the slot compacted
         // each partition after its second append
         val leaves = mutable.ArrayBuffer.empty[File]
@@ -107,6 +112,25 @@ object IngestDemo {
           require(n == 1, s"compaction demo: leaf $leaf holds $n files, expected 1")
         }
         require(leaves.nonEmpty, "compaction demo: empty curated lake")
+        // q116's sorted_ok=1 is a data-dependent outcome of "every cell
+        // got appends from both parities" — ENFORCE the guarantee it
+        // pins at build time instead of trusting the generator: every
+        // (day, mode) leaf's single file must be internally event-time
+        // sorted (parquet row order via _metadata.row_index, the same
+        // evidence q116 reads), so a parity-starved never-compacted cell
+        // fails the build here, not the oracle later
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("fp").orderBy("ri")
+        val unsorted = graft.ingest.CuratedWriter.read(spark, layout.curatedDir)
+          .select(col("event_time_utc"),
+            col("_metadata.file_path").as("fp"), col("_metadata.row_index").as("ri"))
+          .withColumn("prev",
+            org.apache.spark.sql.functions.lag(col("event_time_utc"), 1)
+              .over(w))
+          .filter(col("prev").isNotNull && col("prev") > col("event_time_utc"))
+          .count()
+        require(unsorted == 0,
+          s"compaction demo: $unsorted out-of-order rows — a leaf escaped the sorting rewrite")
         // the rollup chain must survive the rewrites exactly
         val flags = graft.ingest.Rollup
           .reconcile(spark, layout.curatedDir, layout.rollupDir)

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.planning.PhysicalOperation
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, TimestampNTZType}
 
 /** Serve partition-grain aggregates over the curated lake from the
   * q109 rollup partials instead of the lake itself — the engine's one
@@ -254,21 +254,37 @@ object RollupMetadataAggregate {
 
   private val PartitionCols = Set("year", "month", "day", "mode")
 
-  /** The relation qualifies iff it is a single-root parquet scan of a
-    * directory NAMED `curated` — the `LakeLayout` identity invariant,
-    * the only directory the runners publish partials for — with the
-    * curated-lake schema and a sibling `rollup/` directory that
-    * actually holds partials; returns that directory. The name pin
-    * matters: schema shape alone would also match any lake-shaped
-    * parquet COPY placed under the lake root (a `curated-sample/`, a
-    * debug snapshot), and serving whole-lake statistics for a sample is
-    * an exact-looking wrong answer with no error. Shared with
-    * [[RollupPartitionSkip]] — one lake-identity test for both rules. */
+  /** The relation qualifies iff it is a parquet scan of a directory
+    * NAMED `curated` — the `LakeLayout` identity invariant, the only
+    * directory the runners publish partials for — with the curated-lake
+    * schema and a sibling `rollup/` directory that actually holds
+    * partials; returns that directory. Two scan shapes qualify: the
+    * plain single-root directory read, and [[graft.ingest.CuratedWriter.read]]'s
+    * snapshot-pinned listing (explicit live files under a `basePath` —
+    * the compacted-lake consumption path), recognized by the basePath
+    * option with every root under it. The name pin matters: schema
+    * shape alone would also match any lake-shaped parquet COPY placed
+    * under the lake root (a `curated-sample/`, a debug snapshot), and
+    * serving whole-lake statistics for a sample is an exact-looking
+    * wrong answer with no error. `event_time_utc` is pinned to
+    * TIMESTAMP_NTZ — the curated contract (Segregator) — so a foreign
+    * zoned-timestamp lake can never be zone-pruned against
+    * offset-shifted NTZ bounds or served NTZ-typed partial minima.
+    * Shared with [[RollupPartitionSkip]] — one lake-identity test for
+    * both rules. */
   private[plans] def servableLakeRollup(session: SparkSession,
                                         rel: LogicalRelation): Option[String] =
     rel.relation match {
-      case fs: HadoopFsRelation if fs.location.rootPaths.lengthCompare(1) == 0 =>
-        val root = fs.location.rootPaths.head
+      case fs: HadoopFsRelation =>
+        val root = fs.location.rootPaths match {
+          case Seq(single) => single
+          case many =>
+            val base = fs.options.get("basePath").map(new Path(_))
+              .getOrElse(return None)
+            val prefix = base.toString.stripSuffix("/") + "/"
+            if (!many.forall(_.toString.startsWith(prefix))) return None
+            base
+        }
         if (root.getName != "curated") return None
         val names = rel.schema.fields.map(f => f.name -> f.dataType).toMap
         val lakeShaped =
@@ -276,7 +292,8 @@ object RollupMetadataAggregate {
             names.get("month").contains(IntegerType) &&
             names.get("day").contains(IntegerType) &&
             names.get("mode").contains(StringType) &&
-            names.contains("event_time_utc") && names.contains("value")
+            names.get("event_time_utc").contains(TimestampNTZType) &&
+            names.contains("value")
         if (!lakeShaped) return None
         Option(root.getParent).map(new Path(_, "rollup").toString)
           .filter(graft.ingest.Rollup.hasData(session, _))

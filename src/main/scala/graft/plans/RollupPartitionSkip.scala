@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.planning.PhysicalOperation
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
-import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.TimestampNTZType
 
 /** Zone-map partition skipping from the rollup's time bounds — the
   * engine's second custom `Rule[LogicalPlan]`, and the *pruning* payoff
@@ -115,9 +115,13 @@ case class RollupPartitionSkip(session: SparkSession) extends Rule[LogicalPlan] 
     var hi = Option.empty[Long]
     def tightenLo(v: Long): Unit = lo = Some(lo.fold(v)(math.max(_, v)))
     def tightenHi(v: Long): Unit = hi = Some(hi.fold(v)(math.min(_, v)))
+    // NTZ literals only: the lake contract pins event_time_utc to
+    // TIMESTAMP_NTZ (servableLakeRollup), so a comparison against a
+    // zoned TimestampType literal can only arise through a cast around
+    // the column — which defeats the zone map honestly (decline rather
+    // than risk offset-shifted bounds in a non-UTC session)
     def tsMicros(e: Expression): Option[Long] = e match {
       case Literal(v: Long, TimestampNTZType) => Some(v)
-      case Literal(v: Long, TimestampType) => Some(v) // session TZ pinned UTC
       case _ => None
     }
     def isEventTs(e: Expression): Boolean = e match {

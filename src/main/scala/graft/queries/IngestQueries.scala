@@ -635,6 +635,7 @@ object IngestQueries {
          UNION ALL SELECT 'job_failure', 'OK', CAST(0 AS BIGINT)
          UNION ALL SELECT 'ledger_backlog', 'OK', CAST(0 AS BIGINT)
          UNION ALL SELECT 'quality_dlq_activity', 'OK', CAST(0 AS BIGINT)
+         UNION ALL SELECT 'sketch_saturation', 'OK', CAST(0 AS BIGINT)
          UNION ALL SELECT 'slow_actions', 'OK', CAST(0 AS BIGINT)
          ORDER BY alarm""",
     // q94: the alarm set over the dedup-demo lake — the gate alarms in
@@ -648,6 +649,7 @@ object IngestQueries {
          UNION ALL SELECT 'job_failure', 'OK', CAST(0 AS BIGINT)
          UNION ALL SELECT 'ledger_backlog', 'OK', CAST(0 AS BIGINT)
          UNION ALL SELECT 'quality_dlq_activity', 'ALARM', CAST(1 AS BIGINT)
+         UNION ALL SELECT 'sketch_saturation', 'OK', CAST(0 AS BIGINT)
          UNION ALL SELECT 'slow_actions', 'OK', CAST(0 AS BIGINT)
          ORDER BY alarm""",
     // q90: every value is forced by DedupDemo's engineered fixture —

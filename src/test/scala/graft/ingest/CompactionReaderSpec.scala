@@ -1,0 +1,170 @@
+package graft.ingest
+
+import java.io.File
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** The reader-safe swap contract ([[Compactor]] round-16 protocol):
+  * lake compaction must be invisible to CONCURRENT CROSS-SESSION readers
+  * — the production posture every rollup-serve / zone-skip session
+  * assumes. The first test is the exact hazard round 15's verdict
+  * flagged: under the old protocol (rename leaf aside, delete replaced
+  * files immediately) a reader that planned its scan before a
+  * maintenance tick's swap threw FileNotFoundException when it executed
+  * after it — and `ignoreMissingFiles` would have silently dropped its
+  * rows instead. Under deferred deletion the pinned snapshot stays fully
+  * readable for one maintenance cycle, and only the NEXT invocation
+  * deletes the retired files.
+  */
+class CompactionReaderSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def nVisible(dir: String): Int =
+    Option(new File(dir).listFiles()).toSeq.flatten
+      .count(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+
+  private def freshLake(): (String, String, String) = {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-reader-safe").toString
+    val lake = s"$root/curated"
+    // two single-file appends per partition → both leaves oversized at
+    // maxFilesPerPartition = 1
+    (1 to 2).foreach { i =>
+      Seq((s"r-$i-a", 7, "training", i * 1.0), (s"r-$i-b", 8, "training", i * 2.0))
+        .toDF("record_id", "day", "mode", "value")
+        .repartition(col("day"))
+        .write.mode("append").partitionBy("day", "mode").parquet(lake)
+    }
+    (lake, s"$lake/day=7/mode=training", s"$lake/day=8/mode=training")
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.select("record_id", "day", "mode", "value")
+      .collect().map(_.toString).sorted.toSeq
+
+  test("a scan planned before the swap executes exactly after it (two sessions)") {
+    val (lake, leaf7, leaf8) = freshLake()
+    val want = rows(CuratedWriter.read(spark, lake))
+    assert(want.size == 4)
+
+    // SESSION B (the concurrent analytics session): create the scan —
+    // Spark pins the file listing at DataFrame creation — but do NOT
+    // execute yet. Under the pre-round-16 swap this exact ordering threw
+    // FileNotFoundException at collect time.
+    val s2 = spark.newSession()
+    val plannedPreSwap = CuratedWriter.read(s2, lake)
+
+    // SESSION A (the maintenance tick): swap both leaves
+    val report = Compactor.maintainTouched(spark, lake,
+      Seq(new Path(leaf7), new Path(leaf8)),
+      Compactor.TickConfig(maxFilesPerPartition = 1, sortCol = None))
+    assert(report.partitionsCompacted == 2)
+
+    // the pre-swap-planned reader executes AFTER the swap: its pinned
+    // files were retired, not deleted — same rows, no exception
+    assert(rows(plannedPreSwap) == want,
+      "pre-swap-planned reader lost or duplicated rows across the swap")
+    // a FRESH reader sees the compacted snapshot: same rows, one live
+    // file per leaf, even though the retired files are still on disk
+    val fresh = CuratedWriter.read(s2, lake)
+    assert(rows(fresh) == want)
+    assert(nVisible(leaf7) > 1, "retired files deleted before the grace cycle")
+    val nLiveFiles = fresh.select(countDistinct(col("_metadata.file_path")))
+      .collect()(0).getLong(0)
+    assert(nLiveFiles == 2, s"fresh snapshot reads $nLiveFiles files, expected 2")
+
+    // the NEXT maintenance invocation performs the deferred deletion
+    assert(Compactor.sweepRetired(spark, lake) > 0)
+    assert(nVisible(leaf7) == 1 && nVisible(leaf8) == 1)
+    assert(rows(CuratedWriter.read(spark, lake)) == want)
+  }
+
+  test("a snapshot pinned between two swaps survives the second swap") {
+    val (lake, leaf7, leaf8) = freshLake()
+    val want4 = rows(CuratedWriter.read(spark, lake))
+    val cfg = Compactor.TickConfig(maxFilesPerPartition = 1, sortCol = None)
+    val touched = Seq(new Path(leaf7), new Path(leaf8))
+    assert(Compactor.maintainTouched(spark, lake, touched, cfg).partitionsCompacted == 2)
+
+    // pin a snapshot of generation 1 (the compacted lake)
+    val s2 = spark.newSession()
+    val pinnedGen1 = CuratedWriter.read(s2, lake)
+
+    // another append + a second swap retires generation 1's files
+    import spark.implicits._
+    Seq(("r-3-a", 7, "training", 9.0), ("r-3-b", 8, "training", 9.5))
+      .toDF("record_id", "day", "mode", "value")
+      .repartition(col("day"))
+      .write.mode("append").partitionBy("day", "mode").parquet(lake)
+    assert(Compactor.maintainTouched(spark, lake, touched, cfg).partitionsCompacted == 2)
+
+    // the pinned gen-1 snapshot still reads exactly its four rows
+    assert(rows(pinnedGen1) == want4,
+      "gen-1 snapshot broken by the second swap")
+    // the fresh snapshot reads all six
+    assert(rows(CuratedWriter.read(s2, lake)).size == 6)
+    // deferred deletions drain over the following invocations
+    Compactor.sweepRetired(spark, lake): Unit
+    Compactor.sweepRetired(spark, lake): Unit
+    assert(nVisible(leaf7) == 1 && nVisible(leaf8) == 1)
+    assert(rows(CuratedWriter.read(spark, lake)).size == 6)
+  }
+
+  test("snapshot listing never serves a half-committed generation or retired twins") {
+    import LakeSnapshot._
+    val dir = Files.createTempDirectory("graft-lakesnap").toString
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI("file:///"), spark.sparkContext.hadoopConfiguration)
+    val leaf = fs.makeQualified(new Path(dir))
+    def touch(name: String): Unit = {
+      val out = fs.create(new Path(leaf, name), true); out.close()
+    }
+    // gen-1 committed with "old-a" retired-pending; gen-2 moved in but
+    // NOT committed (crash before the meta create)
+    Seq("old-a", "sw1-part-0", "sw2-part-0", "sw2-part-1").foreach(touch)
+    writeMeta(fs, leaf, committed = 1, retired = Set("old-a")): Unit
+    val live = liveData(fs, leaf).map(_.getPath.getName).sorted
+    assert(live == Seq("sw1-part-0"),
+      s"snapshot must serve exactly the committed generation, got $live")
+    // commit gen 2: the uncommitted strays become live, gen 1 retires
+    writeMeta(fs, leaf, committed = 2,
+      retired = Set("old-a", "sw1-part-0")): Unit
+    val live2 = liveData(fs, leaf).map(_.getPath.getName).sorted
+    assert(live2 == Seq("sw2-part-0", "sw2-part-1"))
+  }
+
+  test("journal recovery deletes a crashed tick's uncommitted generation strays") {
+    val (lake, leaf7, _) = freshLake()
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI("file:///"), spark.sparkContext.hadoopConfiguration)
+    val root = fs.makeQualified(new Path(lake))
+    val leaf = fs.makeQualified(new Path(leaf7))
+    val want = rows(CuratedWriter.read(spark, lake))
+    // simulate death mid-move: journal entry present, uncommitted sw
+    // strays in the leaf (no swap-meta was ever committed)
+    val entryDir = new Path(root, "_compactions")
+    fs.mkdirs(entryDir)
+    val rel = "day=7/mode=training"
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(rel.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    val out = fs.create(new Path(entryDir, digest), true)
+    out.write(rel.getBytes(java.nio.charset.StandardCharsets.UTF_8)); out.close()
+    Seq("sw1-stray-0.parquet", "sw1-stray-1.parquet").foreach { n =>
+      val o = fs.create(new Path(leaf, n), true); o.close()
+    }
+    // rows are unaffected even BEFORE recovery: uncommitted generations
+    // are invisible to snapshot listings
+    assert(rows(CuratedWriter.read(spark, lake)) == want)
+    val report = Compactor.maintainTouched(spark, lake, Seq.empty,
+      Compactor.TickConfig(maxFilesPerPartition = 1, sortCol = None))
+    assert(report.recovered == 1)
+    assert(fs.listStatus(entryDir).isEmpty, "journal entry not consumed")
+    assert(!fs.exists(new Path(leaf, "sw1-stray-0.parquet")))
+    assert(rows(CuratedWriter.read(spark, lake)) == want)
+  }
+}

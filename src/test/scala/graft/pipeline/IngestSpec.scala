@@ -839,6 +839,12 @@ class IngestSpec extends AnyFunSuite {
     val report = Compactor.compact(spark, lakeDir, maxFilesPerPartition = 1, parallelism = 4)
     assert(report.partitionsCompacted == 6)
     assert(report.filesAfter < report.filesBefore)
+    // snapshot read: the replaced files are retired-pending (deferred
+    // deletion), live rows must be exactly the originals
+    assert(CuratedWriter.read(spark, lakeDir).collect().map(_.toString).sorted.toSeq == before)
+    // the NEXT maintenance invocation physically deletes the retired
+    // files; after it, even a plain directory read is exact again
+    assert(Compactor.sweepRetired(spark, lakeDir) > 0)
     assert(spark.read.parquet(lakeDir).collect().map(_.toString).sorted.toSeq == before)
   }
 
@@ -953,6 +959,9 @@ class IngestSpec extends AnyFunSuite {
       new BatchProcessor(spark, lay, Contracts.events, batchSize = 1,
         lakeCompaction = Some(cfg)).runUntilDrained(): Unit
     }
+    // clear the final tick's deferred deletions so the physical
+    // file-count asserts below see the steady-state layout
+    Compactor.sweepRetired(spark, lay.curatedDir): Unit
     val touched = s"${lay.curatedDir}/year=2024/month=3/day=8/mode=training"
     assert(nFiles(touched) == 1,
       s"touched partition not kept tight: ${nFiles(touched)} files")
