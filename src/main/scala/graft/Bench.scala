@@ -109,6 +109,8 @@ object Bench {
         queries.MultimodalOps.ensureFpIndex(spark, sfDir)))),
       "export" -> (() => Future(step("export")(
         queries.ExportOps.ensureExport(spark, sfDir)))),
+      "exportappend" -> (() => Future(step("exportappend")(
+        queries.ExportOps.ensureAppendExport(spark, sfDir)))),
       "langmodel" -> (() =>
         Future(step("langmodel")(queries.LangModelStore.ensure(spark, sfDir)))),
       "qualmodel" -> (() =>

@@ -71,6 +71,7 @@ object SparkEntry {
     "q94_gate_alarms" -> Seq("deduplake"),
     "q106_multigate_audit" -> Seq("mgatelake"),
     "q108_export_roundtrip" -> Seq("export"),
+    "q118_export_append" -> Seq("exportappend"),
     "q99_image_fp_probe" -> Seq("fpidx"))
 
   /** Library-consumer cache hygiene: run `queries(name)` through

@@ -319,4 +319,88 @@ class ExportSpec extends AnyFunSuite {
     val b = ExportOps.defs("q105_temperature_mixture")(spark, sf).collect()
     assert(a.toSeq === b.toSeq)
   }
+
+  test("exportShardsAppend extends ranks doc-for-doc to the canonical incremental order") {
+    val out = Files.createTempDirectory("graft-append-").toString
+    try {
+      val all = docs.select(col("doc_id"), col("source"), col("text"))
+      ExportOps.exportShards(spark, all.filter(pmod(col("doc_id"), lit(3)) =!= 0), out)
+      ExportOps.exportShardsAppend(spark, all.filter(pmod(col("doc_id"), lit(3)) === 0), out)
+      // the appended tree validates under the FULL loader contract
+      // (tiling, presence, deep recount, checksums) — the dense-rank
+      // guarantee holds ACROSS the append boundary
+      val back = ExportOps.readShards(spark, out, deep = true)
+        .select("shard", "rnk", "doc_id")
+      // expected: generation-major (base first), md5-minor — the order a
+      // full re-export with a generation-aware sort key would produce
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("shard").orderBy("gen", "rk", "doc_id")
+      val expected = all
+        .withColumn("gen", when(pmod(col("doc_id"), lit(3)) === 0, 1).otherwise(0))
+        .withColumn("shard",
+          substring(md5(concat(lit("graft104s:"), col("doc_id").cast("string"))), 1, 1))
+        .withColumn("rk", md5(concat(lit("graft104o:"), col("doc_id").cast("string"))))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .select("shard", "rnk", "doc_id")
+      assert(back.exceptAll(expected).isEmpty && expected.exceptAll(back).isEmpty,
+        "appended export diverges from the canonical incremental ranking")
+      // a second append stacks a THIRD generation on the same tree —
+      // manifest extension composes
+      import spark.implicits._
+      val extra = Seq((900001L, "web", "alpha beta gamma")).toDF("doc_id", "source", "text")
+      ExportOps.exportShardsAppend(spark, extra, out)
+      val back2 = ExportOps.readShards(spark, out, deep = true)
+      assert(back2.count() === all.count() + 1)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    }
+  }
+
+  test("exportShardsAppend refuses a stale or tampered manifest before writing anything") {
+    val out = Files.createTempDirectory("graft-append-stale-").toString
+    try {
+      val all = docs.select(col("doc_id"), col("source"), col("text"))
+      ExportOps.exportShards(spark, all.filter(pmod(col("doc_id"), lit(3)) =!= 0), out)
+      val manifestPath = java.nio.file.Paths.get(out, "_manifest.json")
+      val staleManifest = java.nio.file.Files.readAllBytes(manifestPath)
+      // manual NIO writes below bypass Hadoop's local-FS checksum layer;
+      // drop the stale .crc sidecar so the read sees the doctored bytes
+      def unCrc(): Unit =
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(out, "._manifest.json.crc")): Unit
+      ExportOps.exportShardsAppend(spark, all.filter(pmod(col("doc_id"), lit(3)) === 0), out)
+      val nFiles = new java.io.File(out).listFiles()
+        .filter(d => d.isDirectory && d.getName.startsWith("shard="))
+        .map(_.listFiles().count(_.isFile)).sum
+
+      // STALE manifest (a crashed earlier append, an operator rollback):
+      // the tree carries files the manifest never heard of — the append
+      // must die in preflight, not mint overlapping ranks on top
+      java.nio.file.Files.write(manifestPath, staleManifest)
+      unCrc()
+      import spark.implicits._
+      val more = Seq((900002L, "web", "delta epsilon")).toDF("doc_id", "source", "text")
+      val eStale = intercept[IllegalArgumentException] {
+        ExportOps.exportShardsAppend(spark, more, out)
+      }
+      assert(eStale.getMessage.contains("unlisted on disk"), eStale.getMessage)
+      // preflight failure wrote NOTHING: file count unchanged
+      val nAfter = new java.io.File(out).listFiles()
+        .filter(d => d.isDirectory && d.getName.startsWith("shard="))
+        .map(_.listFiles().count(_.isFile)).sum
+      assert(nAfter === nFiles, "failed append must not touch the tree")
+
+      // TAMPERED totals (manifest edited by hand): structural check
+      val doctored = new String(staleManifest, "UTF-8")
+        .replaceFirst(""""n_total":(\d+)""", """"n_total":999999""")
+      java.nio.file.Files.write(manifestPath, doctored.getBytes("UTF-8"))
+      unCrc()
+      val eTamper = intercept[IllegalArgumentException] {
+        ExportOps.exportShardsAppend(spark, more, out)
+      }
+      assert(eTamper.getMessage.contains("n_total"), eTamper.getMessage)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    }
+  }
 }
