@@ -50,6 +50,7 @@ object SparkEntry {
     "q115_compacted_lake" -> Seq("compactlake"),
     "q116_layout_audit" -> Seq("compactlake"),
     "q117_heavy_hitters" -> Seq("ingest"),
+    "q119_valuerange_skip" -> Seq("ingest"),
     "q48_bucketed_join" -> Seq("ingest"),
     "q52_dpp_pruned" -> Seq("ingest"),
     "q55_catalog_evolution" -> Seq("ingest"),

@@ -17,6 +17,7 @@ final case class LakeLayout(root: String) {
   val qualityDlqDir = s"$root/quality-dlq"
   val ledgerDir = s"$root/ledger"
   val rollupDir = s"$root/rollup"
+  val fileBoundsDir = s"$root/filebounds"
 }
 
 /** §3.1: `JsonToParquetBatchProcessor` — the reference's core ETL job
@@ -115,6 +116,7 @@ final class BatchProcessor(
     // batch dirs (crash leaves only absorbable twins, never a gap).
     dedup.foreach(_.maintain(spark): Unit)
     Rollup.compact(spark, layout.rollupDir): Unit
+    FileBounds.compact(spark, layout.fileBoundsDir): Unit
     // Lake small-file maintenance, scoped to the partitions this tick's
     // publishes touched — O(touched), never an O(lake) walk. Runs under
     // the tick's single-writer ownership of the lake; a crash mid-swap
@@ -319,14 +321,20 @@ final class BatchProcessor(
     // streaming runner writes string), so the columns are pinned to the
     // contract types before the partials are published — the shared
     // rollup store must stay single-typed across both runners.
-    if (curated.isDefined && Staging.countDataFiles(fs, stage) > 0)
-      Rollup.writePartials(
-        spark.read.parquet(stage.toString)
-          .withColumn("year", col("year").cast("int"))
-          .withColumn("month", col("month").cast("int"))
-          .withColumn("day", col("day").cast("int"))
-          .withColumn("mode", col("mode").cast("string")),
+    if (curated.isDefined && Staging.countDataFiles(fs, stage) > 0) {
+      val stagedDf = spark.read.parquet(stage.toString)
+        .withColumn("year", col("year").cast("int"))
+        .withColumn("month", col("month").cast("int"))
+        .withColumn("day", col("day").cast("int"))
+        .withColumn("mode", col("mode").cast("string"))
+      Rollup.writePartials(stagedDf,
         new org.apache.hadoop.fs.Path(stage, "_rollup").toString)
+      // per-data-file zone statistics, keyed by the FINAL published
+      // names (publishReady's prefix is the token, known here) — same
+      // atomic commit as the rows and the partials (FileBounds scaladoc)
+      FileBounds.writeStaged(stagedDf, s"$token-",
+        new org.apache.hadoop.fs.Path(stage, "_filebounds").toString)
+    }
     writeManifest(stage, files)
     val ready = new org.apache.hadoop.fs.Path(stagingRoot, s"$token.ready")
     if (!fs.rename(stage, ready))
@@ -354,16 +362,20 @@ final class BatchProcessor(
     val (_, touched) = Staging.publishTracked(
       fs, ready, new org.apache.hadoop.fs.Path(layout.curatedDir), prefix)
     if (lakeCompaction.isDefined) touchedPartitions ++= touched.map(_.toString)
-    // rollup partials: one dir rename per batch, idempotent on resume
-    // (source consumed by the rename; a re-run finds it gone and skips)
-    val stagedRollup = new org.apache.hadoop.fs.Path(ready, "_rollup")
-    if (fs.exists(stagedRollup)) {
-      val dest = new org.apache.hadoop.fs.Path(layout.rollupDir,
-        ready.getName.stripSuffix(".ready"))
-      fs.mkdirs(dest.getParent)
-      if (fs.exists(dest)) fs.delete(stagedRollup, true)
-      else if (!fs.rename(stagedRollup, dest))
-        throw new java.io.IOException(s"rollup publish failed: $stagedRollup -> $dest")
+    // rollup partials + file bounds: one dir rename each per batch,
+    // idempotent on resume (source consumed by the rename; a re-run
+    // finds it gone and skips)
+    for ((stagedName, destRoot) <- Seq(
+        "_rollup" -> layout.rollupDir, "_filebounds" -> layout.fileBoundsDir)) {
+      val staged = new org.apache.hadoop.fs.Path(ready, stagedName)
+      if (fs.exists(staged)) {
+        val dest = new org.apache.hadoop.fs.Path(destRoot,
+          ready.getName.stripSuffix(".ready"))
+        fs.mkdirs(dest.getParent)
+        if (fs.exists(dest)) fs.delete(staged, true)
+        else if (!fs.rename(staged, dest))
+          throw new java.io.IOException(s"sidecar publish failed: $staged -> $dest")
+      }
     }
     // markers AFTER the rows are live: a marker must never exist for rows
     // that aren't in the lake (that ordering could lose data; this one

@@ -34,7 +34,7 @@ import java.nio.file.{Files, StandardCopyOption}
   */
 object DemoCache {
   /** Bump on any change that alters demo-artifact content. */
-  val Version = "r15b" // top_users stored as bare sketch BYTES (hash-aggregable fold)
+  val Version = "r16a" // filebounds sidecar published with every batch; reader-safe compaction
 
   /** All demo artifacts root here: survives `sbt clean`, git-ignored. */
   val Root: File = new File("var/demo").getAbsoluteFile
@@ -116,6 +116,7 @@ object DemoCache {
       s"stream/$sfName-memo", s"stream/$sfName-neardup", s"ivf/$sfName",
       s"langmodel/$sfName", s"qualmodel/$sfName", s"deduplake/$sfName",
       s"multigatelake/$sfName", s"fpidx/$sfName", s"export/$sfName",
+      s"exportappend/$sfName", s"ingest-compact/$sfName",
       s"fixtures/$sfName",
       s"minhash/$sfName", s"minhash_app/$sfName") ++
       children("spark-warehouse") ++ children("spark-warehouse/_graft_memo"))

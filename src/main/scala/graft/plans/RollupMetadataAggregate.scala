@@ -58,15 +58,25 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType, TimestampN
   *    different rounding scale, a non-partition grouping,
   *    `countDistinct`, the raw sketch bytes) leaves the plan untouched.
   *
-  * `approx_top_k(user_id, k)` is DELIBERATELY unservable even though
-  * the partials carry frequency sketches: the HLL serve is legal
-  * because a union of partial HLLs is ESTIMATE-IDENTICAL to a direct
-  * sketch by construction (register-wise max), but a merge of
-  * frequency sketches only equals a direct sketch while both sides
-  * stay under their (different) capacities — beyond that the swap
-  * would be observable, violating this rule's exactness contract.
-  * Heavy-hitter consumers use the reader-side fold (q117's shape) and
-  * accept its documented error envelope explicitly.
+  * `approx_top_k(user_id, k)` is unservable BY DEFAULT even though the
+  * partials carry frequency sketches: the HLL serve is legal because a
+  * union of partial HLLs is ESTIMATE-IDENTICAL to a direct sketch by
+  * construction (register-wise max), but a merge of frequency sketches
+  * only equals a direct sketch while both sides stay under their
+  * (different) capacities — beyond that the swap would be observable,
+  * violating this rule's exactness contract. Heavy-hitter consumers
+  * use the reader-side fold (q117's shape) and accept its documented
+  * error envelope explicitly — or OPT IN to the served form with
+  * `spark.graft.rollup.approxServe=true` ([[RollupMetadataAggregate.ApproxServeKey]]):
+  * grouped `approx_top_k(user_id, k)` with foldable
+  * `k ≤ Rollup.TopKCapacity` is then answered by combining the stored
+  * sketches (metadata cost), EXACT below ~¾ of `Rollup.TopKCapacity`
+  * distinct users per group and error-bounded by the DataSketches
+  * guarantee beyond — the same envelope q117 documents, and the
+  * `sketch_saturation` alarm is the boundary's observer. The flag is
+  * the user's explicit acceptance that the answer may differ from the
+  * direct scan's in the saturated regime; the default keeps the rule
+  * exactness-only.
   *
   * Counts wrap in `coalesce(sum, 0)` so a global aggregate over an
   * empty selection still returns 0 like `count` does. The replacement
@@ -166,6 +176,26 @@ case class RollupMetadataAggregate(session: SparkSession) extends Rule[LogicalPl
     }
 
     def servedAgg(fn: Expression): Option[Expression] = fn match {
+      // opt-in approximate serve (object scaladoc): grouped
+      // approx_top_k(user_id, k) from the stored frequency sketches.
+      // Grouped only — a global aggregate over an empty selection
+      // returns an empty array from a direct sketch but a null/absent
+      // state from a combine over zero partial rows, and even the
+      // opted-in swap must not change the EMPTY answer's shape.
+      case t: aggregate.ApproxTopK
+          if conf.getConfString(ApproxServeKey, "false").toBoolean &&
+            agg.groupingExpressions.nonEmpty &&
+            isCol(t.expr, "user_id") && t.k.foldable &&
+            Option(t.k.eval()).exists(_.asInstanceOf[Int] <=
+              graft.ingest.Rollup.TopKCapacity) =>
+        val cap = Literal(graft.ingest.Rollup.TopKCapacity)
+        val state = CreateNamedStruct(Seq(
+          Literal("sketch"), pAttr("top_users"),
+          Literal("maxItemsTracked"), cap,
+          Literal("itemDataType"), Literal.create(null, LongType),
+          Literal("itemDataTypeDDL"), Literal("item BIGINT NOT NULL")))
+        Some(new ApproxTopKEstimate(
+          new aggregate.ApproxTopKCombine(state, cap).toAggregateExpression(), t.k))
       case Count(Seq(Literal(1, _))) =>
         Some(Coalesce(Seq(Sum(pAttr("n_rows")).toAggregateExpression(), Literal(0L))))
       case Count(Seq(a: AttributeReference)) if a.name == "value" =>
@@ -251,6 +281,12 @@ object RollupMetadataAggregate {
   /** Session conf killing the rewrite (default on): set to `false` for
     * lakes whose history predates the rollup protocol. */
   val EnabledKey = "spark.graft.rollup.metadataAgg"
+
+  /** Opt-in (default OFF): serve grouped `approx_top_k(user_id, k)`
+    * from the stored frequency sketches — metadata cost, exact below
+    * ~¾ of `Rollup.TopKCapacity` distinct users per group,
+    * DataSketches-error-bounded beyond (object scaladoc). */
+  val ApproxServeKey = "spark.graft.rollup.approxServe"
 
   private val PartitionCols = Set("year", "month", "day", "mode")
 

@@ -403,6 +403,29 @@ object IngestQueries {
         .orderBy(desc("n_events"), col("user_id"))
     }),
 
+    // VALUE-range zone maps on the oracle surface (round 16): a value
+    // predicate is invisible to the date partitioning AND to the
+    // event-time zones — the FileBounds sidecar's per-file value
+    // min/max, folded to partition grain under the coverage proof
+    // (Σ bounds rows ≡ Σ partial rows), prunes it instead
+    // (plans/RollupPartitionSkip move 2; RollupSkipSpec asserts the
+    // pruning on a crafted lake — at demo scale the near-uniform value
+    // distribution keeps most partitions qualifying, which is honest:
+    // zone maps pay off exactly when data clusters). This query's
+    // oracle proves the value-zoned answer equals the events recompute;
+    // extremes leave as e6 ints (integer-exact cross-engine).
+    "q119_valuerange_skip" -> ((s, d) => {
+      val lay = IngestDemo.ensure(s, d)
+      CuratedWriter.read(s, lay.curatedDir)
+        .filter(col("value") >= lit(300.0))
+        .groupBy("mode")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(round(col("value") * lit(1000000)).cast("long")).as("value_e6"),
+          round(min(col("value")) * lit(1000000)).cast("long").as("min_v_e6"),
+          round(max(col("value")) * lit(1000000)).cast("long").as("max_v_e6"))
+        .orderBy("mode")
+    }),
+
     // The q115 lake's PHYSICAL LAYOUT invariants, pinned by the oracle
     // as literals: after maintenance every (day, mode) partition is
     // exactly ONE file (n_files via count(distinct _metadata.file_path)
@@ -572,6 +595,13 @@ object IngestQueries {
          FROM events
          WHERE year(ts) = 2024 AND month(ts) = 1 AND day(ts) BETWEEN 10 AND 16
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q119_valuerange_skip" ->
+      """SELECT event_type AS mode, COUNT(*) AS n_rows,
+              CAST(SUM(CAST(ROUND(value*1000000) AS BIGINT)) AS BIGINT) AS value_e6,
+              CAST(ROUND(MIN(value)*1000000) AS BIGINT) AS min_v_e6,
+              CAST(ROUND(MAX(value)*1000000) AS BIGINT) AS max_v_e6
+         FROM events WHERE value >= 300.0
+         GROUP BY 1 ORDER BY 1""",
     "q116_layout_audit" ->
       """SELECT CAST(day(ts) AS INT) AS day, event_type AS mode,
               CAST(1 AS BIGINT) AS n_files, CAST(1 AS INT) AS sorted_ok,

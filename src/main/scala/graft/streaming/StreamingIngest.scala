@@ -161,6 +161,19 @@ object StreamingIngest {
         .write.mode("overwrite")
         .partitionBy(CuratedWriter.PartitionCols: _*)
         .parquet(stage.toString)
+      // per-data-file zone statistics, computed from the staged files
+      // BEFORE publish consumes them, keyed by their published names
+      // (the deterministic b<id>- prefix); batch-id-keyed overwrite like
+      // the DLQs/partials, so a replay converges to one copy. Guard: a
+      // fully-gated batch stages zero data files — nothing to bound.
+      if (Staging.countDataFiles(fs, stage) > 0)
+      graft.ingest.FileBounds.writeStaged(
+        spark.read.parquet(stage.toString)
+          .withColumn("year", col("year").cast("int"))
+          .withColumn("month", col("month").cast("int"))
+          .withColumn("day", col("day").cast("int"))
+          .withColumn("mode", col("mode").cast("string")),
+        s"b$runId-", s"${layout.fileBoundsDir}/b$runId")
       val (_, touchedDirs) = Staging.publishTracked(fs, stage,
         new org.apache.hadoop.fs.Path(layout.curatedDir),
         prefix = s"b$runId-", replaceExistingPrefix = true)
@@ -195,6 +208,7 @@ object StreamingIngest {
     // twins, not gaps.
     dedup.foreach(_.maintain(spark): Unit)
     graft.ingest.Rollup.compact(spark, layout.rollupDir): Unit
+    graft.ingest.FileBounds.compact(spark, layout.fileBoundsDir): Unit
     // Lake small-file maintenance, also strictly AFTER the marker: the
     // rewrite renames away the b<runId>- prefixes a replayed publish
     // would sweep on (replaceExistingPrefix), so it must only run once

@@ -255,6 +255,44 @@ class RollupRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("approx_top_k serves from the stored sketches ONLY under the explicit opt-in flag") {
+    val lay = drainedLake()
+    def q(s: SparkSession) = CuratedWriter.read(s, lay.curatedDir)
+      .groupBy("year", "month", "mode")
+      .agg(expr("approx_top_k(user_id, 3)").as("top"))
+    // tie-stable normalization: the sketch orders equal-count items
+    // arbitrarily, so compare the (group, item, count) SET, not the
+    // array order
+    def norm(df: DataFrame): Seq[String] = df
+      .select(col("year"), col("month"), col("mode"), explode(col("top")).as("e"))
+      .select(col("year"), col("month"), col("mode"),
+        col("e.item").cast("long"), col("e.count").cast("long"))
+      .collect().map(_.toString).sorted.toSeq
+    val want = norm(q(spark)) // ground truth, no extensions
+    withExtendedSession { s =>
+      // default OFF: the exactness contract holds, plan untouched
+      assertUntouched(q(s))
+      s.conf.set(RollupMetadataAggregate.ApproxServeKey, "true")
+      try {
+        val served = q(s)
+        assertServed(served)
+        // at this cardinality (≪ capacity) the served sketch fold is
+        // EXACT, so the opted-in answer equals the direct one
+        assert(norm(served) == want, "served approx_top_k != direct at sub-capacity scale")
+        // the opt-in never loosens the other guards: k above the stored
+        // capacity cannot be served (the stored sketches only track
+        // TopKCapacity items)
+        assertUntouched(CuratedWriter.read(s, lay.curatedDir)
+          .groupBy("mode")
+          .agg(expr(s"approx_top_k(user_id, ${graft.ingest.Rollup.TopKCapacity * 2})")
+            .as("tk")))
+        // global (ungrouped) stays declined — empty-selection shape
+        assertUntouched(CuratedWriter.read(s, lay.curatedDir)
+          .agg(expr("approx_top_k(user_id, 3)").as("tk")))
+      } finally s.conf.unset(RollupMetadataAggregate.ApproxServeKey)
+    }
+  }
+
   test("a lake without a rollup store, and a disabled conf, are left untouched") {
     val lay = drainedLake()
     withExtendedSession { s =>

@@ -235,6 +235,130 @@ class RollupSkipSpec extends AnyFunSuite {
     }
   }
 
+  /** Per-file bounds for a hand-built lake: compute from the real files
+    * (exact names via `_metadata`), optionally dropping some rows to
+    * simulate files the sidecar doesn't know (compaction output,
+    * pre-upgrade appends). */
+  private def publishBounds(root: String,
+                            dropRow: org.apache.spark.sql.Row => Boolean = _ => false)
+      : Unit = {
+    import spark.implicits._
+    val b = graft.ingest.FileBounds.compute(
+      spark.read.parquet(s"$root/curated")
+        .select(col("event_time_utc"), col("value"), col("_metadata"),
+          col("year"), col("month"), col("day"), col("mode")), "")
+    val keptRows = b.collect().filterNot(dropRow).toSeq
+    val schema = b.schema
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(keptRows, 1), schema)
+      .write.mode("overwrite").parquet(s"$root/filebounds/b0")
+    RollupPartitionSkip.clearCache()
+  }
+
+  test("value-range zones prune covered partitions and never touch uncovered ones") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-vskip").toString
+    // three partitions with DISJOINT value ranges; day 9 will be left
+    // UNCOVERED by the bounds sidecar (simulating pre-upgrade history)
+    val rows = Seq(
+      ("f-a", 1L, "2024-03-07 10:00:00", 1.0, 2024, 3, 7, "training"),
+      ("f-a", 2L, "2024-03-07 11:00:00", 2.0, 2024, 3, 7, "training"),
+      ("f-b", 3L, "2024-03-08 09:00:00", 100.0, 2024, 3, 8, "training"),
+      ("f-b", 3L, "2024-03-08 10:30:00", 200.0, 2024, 3, 8, "training"),
+      ("f-c", 4L, "2024-03-09 09:00:00", 5.0, 2024, 3, 9, "training"),
+      ("f-c", 4L, "2024-03-09 10:00:00", 6.0, 2024, 3, 9, "training"))
+    rows.toDF("source_file", "user_id", "ts_s", "value", "year", "month", "day", "mode")
+      .withColumn("event_time_utc", col("ts_s").cast("timestamp_ntz"))
+      .drop("ts_s")
+      .write.partitionBy("year", "month", "day", "mode").parquet(s"$root/curated")
+    Rollup.writePartials(spark.read.parquet(s"$root/curated"), s"$root/rollup/b0")
+    publishBounds(root, dropRow = _.getAs[Int]("day") == 9)
+
+    def q(s: SparkSession) = lake(s, root)
+      .filter(col("value") >= lit(50.0))
+      .select("source_file", "user_id", "value", "day")
+    val want = q(spark).collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(want.length == 2) // day 8's two rows
+    withExtendedSession { s =>
+      val df = q(s)
+      val (zones, nParts) = zoneScan(df)
+      assert(zones.nonEmpty, "no zone predicate for a pure value window")
+      // day 7 value-skipped (covered, [1,2] misses >=50); day 8 kept;
+      // day 9 kept DESPITE [5,6] missing the window — it is uncovered,
+      // and an uncovered partition must never be value-skipped
+      assert(nParts == 2, s"expected 2 scanned partitions, got $nParts")
+      assert(df.collect().map(_.toSeq).sortBy(_.mkString("|")).sameElements(want))
+    }
+  }
+
+  test("file-grain zones drop an uncompacted file the window misses, keep unknown files") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-fskip").toString
+    val lakeDir = s"$root/curated"
+    def writeRows(rs: Seq[(String, Long, String, Double)]): Unit =
+      rs.toDF("source_file", "user_id", "ts_s", "value")
+        .withColumn("event_time_utc", col("ts_s").cast("timestamp_ntz"))
+        .drop("ts_s")
+        .withColumn("year", lit(2024)).withColumn("month", lit(3))
+        .withColumn("day", lit(7)).withColumn("mode", lit("training"))
+        .coalesce(1)
+        .write.mode("append").partitionBy("year", "month", "day", "mode")
+        .parquet(lakeDir)
+    // three files in ONE partition: a morning append, an evening append,
+    // and a file spanning both (standing in for a compacted rewrite the
+    // sidecar doesn't know)
+    writeRows(Seq(("f-m", 1L, "2024-03-07 08:00:00", 1.0),
+      ("f-m", 2L, "2024-03-07 09:00:00", 2.0)))
+    writeRows(Seq(("f-e", 3L, "2024-03-07 18:00:00", 3.0),
+      ("f-e", 4L, "2024-03-07 19:00:00", 4.0)))
+    writeRows(Seq(("f-x", 5L, "2024-03-07 08:30:00", 5.0),
+      ("f-x", 6L, "2024-03-07 18:30:00", 6.0)))
+    Rollup.writePartials(spark.read.parquet(lakeDir), s"$root/rollup/b0")
+    // bounds for the morning and evening files only — the spanning file
+    // has no row, like compaction output
+    publishBounds(root, dropRow = r => {
+      val mn = r.getAs[java.time.LocalDateTime]("min_ts")
+      val mx = r.getAs[java.time.LocalDateTime]("max_ts")
+      mn.getHour < 12 && mx.getHour > 12
+    })
+
+    def q(s: SparkSession) = lake(s, root)
+      .filter(col("event_time_utc") >= lit("2024-03-07 07:00:00").cast("timestamp_ntz") &&
+        col("event_time_utc") < lit("2024-03-07 10:00:00").cast("timestamp_ntz"))
+      .select("source_file", "user_id", "value")
+    val want = q(spark).collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(want.length == 3) // f-m's two + f-x's morning row
+    withExtendedSession { s =>
+      val df = q(s)
+      val locations = df.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation.asInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation].location
+      }
+      assert(locations.size == 1)
+      val listed = locations.head.inputFiles
+      // files-read < files-present: the evening file is zone-dropped,
+      // the morning file and the UNKNOWN spanning file are read
+      assert(listed.length == 2,
+        s"expected 2 of 3 files in the pruned listing: ${listed.toSeq}")
+      assert(df.collect().map(_.toSeq).sortBy(_.mkString("|")).sameElements(want),
+        "file-grain pruning changed the answer")
+      // fixpoint: the swapped relation is never re-swapped, the plan is
+      // stable under a second optimization
+      assert(df.queryExecution.optimizedPlan.sameResult(df.queryExecution.optimizedPlan))
+    }
+  }
+
+  test("the registered q119_valuerange_skip executes and matches its direct run") {
+    val sfDir = "/root/testdata/sf0.001"
+    val want = graft.SparkEntry.queries("q119_valuerange_skip")(spark, sfDir)
+      .collect().toSeq
+    withExtendedSession { s =>
+      val df = graft.SparkEntry.queries("q119_valuerange_skip")(s, sfDir)
+      assert(df.collect().toSeq == want, "value-zoned q119 != direct q119")
+    }
+  }
+
   test("a freshly published batch invalidates the zone cache") {
     val root = syntheticLake()
     val win = (df: DataFrame) => df

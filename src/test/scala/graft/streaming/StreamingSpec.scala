@@ -66,6 +66,10 @@ class StreamingSpec extends AnyFunSuite {
       StreamingIngest.runAvailableNow(spark, lay, Contracts.events,
         lakeCompaction = Some(cfg))
     }
+    // the final batch's replaced files are retired-pending (deferred
+    // deletion, the reader-safe grace cycle) — run the deferred
+    // deletion before pinning the steady-state physical layout
+    graft.ingest.Compactor.sweepRetired(spark, lay.curatedDir): Unit
     val leaf = new java.io.File(
       s"${lay.curatedDir}/year=2024/month=3/day=7/mode=training")
     val nFiles = Option(leaf.listFiles()).toSeq.flatten.count(f =>
