@@ -52,6 +52,7 @@ object DemoSnapshot {
     graft.queries.LangModelStore.ensure(spark, sfDir)
     graft.queries.QualityModelStore.ensure(spark, sfDir)
     graft.queries.ExportOps.ensureExport(spark, sfDir)
+    graft.queries.ExportOps.ensureAppendExport(spark, sfDir)
     val snap = pipeline.DemoCache.writeSnapshot(new java.io.File(sfDir).getName)
     println(s"[demo-snapshot] wrote $snap (${snap.length() / 1024 / 1024} MB)")
     spark.stop()
