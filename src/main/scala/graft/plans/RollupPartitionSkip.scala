@@ -100,6 +100,15 @@ case class RollupPartitionSkip(session: SparkSession) extends Rule[LogicalPlan] 
     }
   }
 
+  private def dbg[T](tag: String)(b: => T): T =
+    if (!sys.env.contains("GRAFT_RULE_DEBUG")) b
+    else {
+      val t0 = System.nanoTime()
+      val r = b
+      System.err.println(f"[skip-rule] $tag ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      r
+    }
+
   private def rewrite(f: Filter): Option[Filter] = {
     val (rel, rollupDir) = f.child match {
       case PhysicalOperation(projects, _, r: LogicalRelation)
@@ -189,7 +198,8 @@ case class RollupPartitionSkip(session: SparkSession) extends Rule[LogicalPlan] 
     }
     val fold =
       if (tsInverted || vInverted) Folded(Seq.empty, Long.MaxValue, Set.empty)
-      else foldZones(session, rollupDir, lo, hi, vlo, vhi).getOrElse(return None)
+      else dbg("foldZones")(
+        foldZones(session, rollupDir, lo, hi, vlo, vhi).getOrElse(return None))
 
     val inPredOpt =
       if (fold.zones.size.toLong >= fold.total) None
@@ -206,31 +216,55 @@ case class RollupPartitionSkip(session: SparkSession) extends Rule[LogicalPlan] 
       }
 
     // FILE-grain: swap the relation's listing for the kept subset. Only
-    // for concrete in-memory listings (a CatalogFileIndex's deferred
-    // listing is the partition-IN pred's job, not ours to materialize),
-    // and never twice (ZonePrunedFileIndex is the fixpoint marker).
+    // for concrete already-materialized listings (a CatalogFileIndex's
+    // deferred listing is the partition-IN pred's job, not ours to
+    // materialize), and never twice (ZonePrunedFileIndex is the
+    // fixpoint marker). The swap constructs the pruned index from the
+    // FileStatuses the original index already holds — ZERO filesystem
+    // calls, no re-listing job (an InMemoryFileIndex over thousands of
+    // explicit paths would re-stat every one). When the partition
+    // IN-pred is also added, non-qualifying partitions are dropped from
+    // the index wholesale (their rows cannot pass the conjunct), so the
+    // pruned index is bounded by the qualifying-partition file count.
     val hfs = rel.relation.asInstanceOf[HadoopFsRelation]
     val newRelOpt =
-      if (fold.drop.isEmpty || !hfs.location.isInstanceOf[InMemoryFileIndex] ||
+      if (fold.drop.isEmpty ||
+          !hfs.location.isInstanceOf[
+            org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex] ||
           hfs.location.isInstanceOf[ZonePrunedFileIndex]) None
-      else {
+      else dbg("file-grain swap") {
         val ps = hfs.partitionSchema
         val idx = PartitionColsOrdered.map(ps.fieldIndex)
-        val kept = scala.collection.mutable.ArrayBuffer.empty[Path]
+        val zoneSet = fold.zones.toSet
         var dropped = 0
+        val keptDirs = scala.collection.mutable.ArrayBuffer.empty[
+          (org.apache.spark.sql.execution.datasources.PartitionPath,
+            Array[org.apache.hadoop.fs.FileStatus])]
         hfs.location.listFiles(Nil, Nil).foreach { pd =>
           val key = (pd.values.getInt(idx(0)), pd.values.getInt(idx(1)),
             pd.values.getInt(idx(2)), pd.values.getUTF8String(idx(3)).toString)
-          pd.files.foreach { st =>
-            if (fold.drop.contains((key, st.getPath.getName))) dropped += 1
-            else kept += st.getPath
+          if (inPredOpt.isDefined && !zoneSet.contains(key)) {
+            dropped += pd.files.size // whole partition outside the IN-pred
+          } else {
+            val kept = pd.files.collect {
+              case st if !fold.drop.contains((key, st.getPath.getName)) =>
+                st.fileStatus
+            }
+            dropped += pd.files.size - kept.size
+            if (kept.nonEmpty)
+              keptDirs += ((org.apache.spark.sql.execution.datasources
+                .PartitionPath(pd.values, kept.head.getPath.getParent),
+                kept.toArray))
           }
         }
         if (dropped == 0) None
         else {
           val base = new Path(new Path(rollupDir).getParent, "curated")
           val fs = base.getFileSystem(session.sparkContext.hadoopConfiguration)
-          val pruned = new ZonePrunedFileIndex(session, kept.toSeq, fs.makeQualified(base))
+          val spec = org.apache.spark.sql.execution.datasources.PartitionSpec(
+            ps, keptDirs.map(_._1).toSeq)
+          val pruned = new ZonePrunedFileIndex(session, fs.makeQualified(base),
+            spec, keptDirs.map(t => t._1.path -> t._2).toMap)
           Some(rel.copy(relation = hfs.copy(location = pruned)(session)))
         }
       }
@@ -269,16 +303,36 @@ case class RollupPartitionSkip(session: SparkSession) extends Rule[LogicalPlan] 
   }
 }
 
-/** The file-grain swap's marker + mechanism: a plain `InMemoryFileIndex`
-  * over the zone-kept files with `basePath` preserving partition
-  * discovery — exactly the index Spark builds for an explicit-path
-  * read, so scan planning, partition pruning and `_metadata` behave
-  * identically. Its concrete type doubles as the rule's fixpoint
-  * marker (a relation is never swapped twice). */
-private[plans] class ZonePrunedFileIndex(session: SparkSession,
-                                         keptFiles: Seq[Path], basePath: Path)
-  extends InMemoryFileIndex(session, keptFiles,
-    Map("basePath" -> basePath.toString), None)
+/** The file-grain swap's marker + mechanism: a
+  * `PartitioningAwareFileIndex` over the zone-kept files, constructed
+  * ENTIRELY from the FileStatuses and partition values the original
+  * index already resolved — zero filesystem calls, so the swap costs
+  * driver-memory bookkeeping, never a re-listing job. Partition-filter
+  * pruning, `_metadata`, and scan planning behave exactly as on the
+  * index it replaces (all inherited from the same base class Spark's
+  * own indexes share). Its concrete type doubles as the rule's
+  * fixpoint marker (a relation is never swapped twice), and its single
+  * root path keeps the lake-identity test intact. */
+private[plans] class ZonePrunedFileIndex(
+    session: SparkSession, lakeRoot: Path,
+    spec: org.apache.spark.sql.execution.datasources.PartitionSpec,
+    dirFiles: Map[Path, Array[org.apache.hadoop.fs.FileStatus]])
+  extends org.apache.spark.sql.execution.datasources.PartitioningAwareFileIndex(
+    session, Map.empty, None) {
+  override def rootPaths: Seq[Path] = Seq(lakeRoot)
+  override def partitionSpec(): org.apache.spark.sql.execution.datasources.PartitionSpec =
+    spec
+  override protected val leafFiles
+      : scala.collection.mutable.LinkedHashMap[Path, org.apache.hadoop.fs.FileStatus] = {
+    val m = scala.collection.mutable.LinkedHashMap
+      .empty[Path, org.apache.hadoop.fs.FileStatus]
+    dirFiles.valuesIterator.flatten.foreach(st => m += st.getPath -> st)
+    m
+  }
+  override protected val leafDirToChildrenFiles
+      : Map[Path, Array[org.apache.hadoop.fs.FileStatus]] = dirFiles
+  override def refresh(): Unit = ()
+}
 
 object RollupPartitionSkip {
   /** Session conf killing the rewrite (default on): set to `false` for

@@ -540,6 +540,110 @@ object ScaleProbe {
       Stat("rollup_fullscan", tier, nIn, partsOff, rowsOff.length, offSecs))
   }
 
+  /** FILE-grain zone skipping ([[graft.plans.RollupPartitionSkip]] move
+    * 3, the round-16 FileBounds payoff) along the FILES-PER-PARTITION
+    * axis: identical data (one month of sf0.1 events, ~150 day×mode
+    * leaves), written as `bands` hour-band appends per partition — the
+    * shape `bands` maintenance-free ticks of an hourly feed produce,
+    * each file covering a disjoint 24/bands-hour slice, with the
+    * FileBounds sidecar recording every file's time bounds. A TWO-HOUR
+    * event-time window on one day then needs only the 1-4 files whose
+    * band intersects it:
+    *
+    *  - `fileskip_on` — rule on. `n_candidates` = files the scan
+    *    actually READ (the executed plan's numFiles metric): partition
+    *    zones cut the lake to the one day's leaves, file-grain zones
+    *    cut those leaves to the intersecting bands — files-read tracks
+    *    the WINDOW share (2h/24h × bands per leaf), not the lake's
+    *    file count;
+    *  - `fileskip_off` — identical query, rule off: an event-time
+    *    predicate prunes nothing, every file in every partition is
+    *    read — linear in `bands` at constant data.
+    *
+    * The kernel REQUIRES the answers row-equal and strictly fewer files
+    * read with the rule on. Like the fragmentation ladder, the `fN`
+    * tier names sit outside the growth-verdict windows on purpose: the
+    * axis varies file count at constant data. */
+  def fileSkip(s: SparkSession, tier: String, bands: Int): Seq[Stat] = {
+    import graft.ingest.{FileBounds, Rollup}
+    val root = s"var/scale/fileskip/$tier"
+    val curatedDir = s"$root/curated"
+    val ok = new java.io.File(s"$root/_OK")
+    if (!ok.exists) {
+      DemoLikeDelete.deleteRec(new java.io.File(root))
+      val ev = Tables.load(s, "/root/testdata/sf0.1", "events")
+        .filter(year(col("ts")) === 2024 && month(col("ts")) === 1)
+        .select(
+          // raw-file lineage at the band grain — the shape an hourly
+          // feed's ticks produce (one upstream file per day per band),
+          // so the partial store stays ledger-sized, not row-sized
+          concat(lit("d"), dayofmonth(col("ts")), lit("-b"),
+            floor((hour(col("ts")) * 60 + minute(col("ts"))) * bands / 1440))
+            .as("source_file"),
+          col("user_id"),
+          col("ts").cast("timestamp_ntz").as("event_time_utc"),
+          col("value"),
+          year(col("ts")).as("year"), month(col("ts")).as("month"),
+          dayofmonth(col("ts")).as("day"), col("event_type").as("mode"))
+        .persist()
+      // one append per hour band: each lands exactly one file per
+      // touched leaf (one task owns each partition)
+      (0 until bands).foreach { b =>
+        ev.filter(floor((hour(col("event_time_utc")) * 60 +
+            minute(col("event_time_utc"))) * bands / 1440) === b)
+          .repartition(col("year"), col("month"), col("day"), col("mode"))
+          .write.mode("append")
+          .partitionBy("year", "month", "day", "mode").parquet(curatedDir)
+      }
+      ev.unpersist()
+      val lakeWithMeta = s.read.parquet(curatedDir)
+        .select(col("event_time_utc"), col("value"), col("_metadata"),
+          col("year"), col("month"), col("day"), col("mode"))
+      Rollup.partials(s.read.parquet(curatedDir))
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/rollup/b0")
+      FileBounds.compute(lakeWithMeta, "")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/filebounds/b0")
+      ok.createNewFile(): Unit
+    }
+    val nIn = s.read.parquet(curatedDir).count()
+    def q() = s.read.parquet(curatedDir)
+      .filter(col("event_time_utc") >= lit("2024-01-10 10:00:00").cast("timestamp_ntz") &&
+        col("event_time_utc") < lit("2024-01-10 12:00:00").cast("timestamp_ntz"))
+      .groupBy("mode")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(round(col("value") * lit(1000000)).cast("long")).as("value_e6"))
+    def run(): (Seq[Seq[Any]], Double, Long) = {
+      // cold fold once (the rollup_skip ladder already prices the cold
+      // fold term honestly), then time the STEADY STATE a repeated
+      // window hits — fold cached per (store signature, window), the
+      // posture of any service that queries a lake more than once
+      graft.plans.RollupPartitionSkip.clearCache()
+      s.catalog.clearCache()
+      q().collect()
+      s.catalog.clearCache()
+      val df = q()
+      val (rows, secs) = timed(df.collect().map(_.toSeq).sortBy(_.mkString("|")))
+      // files the scan will actually read: partition pruning AND the
+      // file-grain listing swap both land in selectedPartitions
+      val nFiles = df.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.totalNumberOfFiles
+      }.sum
+      (rows.toSeq, secs, nFiles)
+    }
+    val (rowsOn, onSecs, filesOn) = run()
+    s.conf.set(graft.plans.RollupPartitionSkip.EnabledKey, "false")
+    val (rowsOff, offSecs, filesOff) =
+      try run()
+      finally s.conf.set(graft.plans.RollupPartitionSkip.EnabledKey, "true")
+    require(rowsOn == rowsOff,
+      s"file_skip($tier): pruned answer diverges from the full scan")
+    require(filesOn < filesOff,
+      s"file_skip($tier): no file pruning ($filesOn vs $filesOff files)")
+    Seq(Stat("fileskip_on", tier, nIn, filesOn, rowsOn.length, onSecs),
+      Stat("fileskip_off", tier, nIn, filesOff, rowsOff.length, offSecs))
+  }
+
   /** The small-file problem and its fix ([[graft.ingest.Compactor]],
     * q115) along the FRAGMENTATION axis: identical data (one month of
     * sf0.1 events, ~150 day×mode leaves), written as `frag` files per
@@ -613,8 +717,14 @@ object ScaleProbe {
     val filesBefore = countFiles(new java.io.File(lakeDir))
     val (rowsFrag, fragSecs) = scan()
     val (report, rewriteSecs) = timed {
-      Compactor.compact(s, lakeDir, maxFilesPerPartition = 1,
+      val r = Compactor.compact(s, lakeDir, maxFilesPerPartition = 1,
         parallelism = 8, sortCol = Some("event_time_utc"))
+      // the reader-safe swap defers old-file deletion to the NEXT
+      // maintenance invocation; this kernel measures the steady state,
+      // so run the deferred deletion inside the maintenance timing —
+      // the total cost a production lake pays across the two ticks
+      Compactor.sweepRetired(s, lakeDir): Unit
+      r
     }
     require(report.filesAfter < report.filesBefore,
       s"lake_compact($tier): no files merged ($report)")

@@ -45,6 +45,7 @@ object ScaleStress {
   // fragmentation axis: same data, 4/16/64 files per partition — the
   // state 4/16/64 maintenance-free ingest ticks leave behind
   private val CompactTiers = Seq("frag4" -> 4, "frag16" -> 16, "frag64" -> 64)
+  private val FileSkipTiers = Seq("f4" -> 4, "f12" -> 12, "f48" -> 48)
 
   private def ensureBlowup(spark: SparkSession, src: String, out: String,
                            copies: Int, withEmbeddings: Boolean): Unit = {
@@ -157,8 +158,13 @@ object ScaleStress {
         for ((tier, frag) <- CompactTiers;
              st <- ScaleProbe.lakeCompact(spark, tier, frag))
           println(s"SCALE ${st.json}")
-      val wanted = wanted0 - "rollup" - "compact"
-      if (wanted.isEmpty && wanted0.subsetOf(Set("rollup", "compact"))) {
+      // file-grain zone skipping runs on the FILES-PER-PARTITION axis
+      if (wanted0.contains("fileskip"))
+        for ((tier, bands) <- FileSkipTiers;
+             st <- ScaleProbe.fileSkip(spark, tier, bands))
+          println(s"SCALE ${st.json}")
+      val wanted = wanted0 - "rollup" - "compact" - "fileskip"
+      if (wanted.isEmpty && wanted0.subsetOf(Set("rollup", "compact", "fileskip"))) {
         spark.stop(); return
       }
       val probes: Map[String, (SparkSession, String, String) => ScaleProbe.Stat] = Map(
@@ -221,6 +227,15 @@ object ScaleStress {
     // keyed to input growth don't apply
     CompactTiers.foreach { case (tier, frag) =>
       ScaleProbe.lakeCompact(spark, tier, frag)
+        .foreach(st => println(s"SCALE ${st.json}"))
+    }
+
+    // file-grain zone skipping along the FILES-PER-PARTITION axis (same
+    // outside-the-verdict-window posture as the fragmentation ladder:
+    // the axis varies file count at constant data; the kernel carries
+    // its own row-equality + fewer-files requires)
+    FileSkipTiers.foreach { case (tier, bands) =>
+      ScaleProbe.fileSkip(spark, tier, bands)
         .foreach(st => println(s"SCALE ${st.json}"))
     }
 
