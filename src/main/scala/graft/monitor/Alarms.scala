@@ -119,6 +119,13 @@ object Alarms {
       else const(0L)
     }
 
+    // the two rollup-backed metrics (freshness, saturation) share ONE
+    // materialized fold of the partial store — localCheckpoint is eager
+    // and partition-count-sized, so both branches read a tiny cached
+    // frame instead of re-folding the partials per metric
+    val rollupStats =
+      graft.ingest.Rollup.stats(spark, layout.rollupDir).localCheckpoint(true)
+
     // staleness from the rollup partials: per-mode newest event time vs
     // the lake-global newest, entirely join-free — the per-mode maxima
     // are collapsed into ONE aggregate row (collect_list is bounded by
@@ -127,7 +134,7 @@ object Alarms {
     // (a lake whose runners predate rollups, or an empty lake) reports
     // 0 = healthy-unknown rather than inventing staleness.
     val freshness: DataFrame = {
-      val st = graft.ingest.Rollup.stats(spark, layout.rollupDir)
+      val st = rollupStats
       st.groupBy("mode")
         .agg(max(unix_timestamp(col("max_ts"))).as("mode_max"))
         .agg(max(col("mode_max")).as("g"), collect_list(col("mode_max")).as("ms"))
@@ -148,7 +155,7 @@ object Alarms {
     val saturation: DataFrame = {
       val boundary = (graft.ingest.Rollup.TopKCapacity * 3L) / 4L
       val grain = Seq(col("year"), col("month"))
-      graft.ingest.Rollup.stats(spark, layout.rollupDir)
+      rollupStats
         .groupingSets(Seq(grain, Seq.empty), grain: _*)
         .agg(coalesce(
           hll_sketch_estimate(hll_union_agg(col("users_hll"))), lit(0L)).as("est"))

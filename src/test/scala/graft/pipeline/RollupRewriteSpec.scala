@@ -255,6 +255,31 @@ class RollupRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("the serve rule fires on a compacted lake's snapshot-pinned read") {
+    val lay = drainedLake()
+    // compact the lake so CuratedWriter.read takes the PINNED-LISTING
+    // path (explicit file roots + basePath) — the round-16 consumption
+    // shape; the lake-identity test must recognize it or every
+    // compacted lake silently loses the metadata serve
+    val report = graft.ingest.Compactor.compact(spark, lay.curatedDir,
+      maxFilesPerPartition = 0, sortCol = Some("event_time_utc"))
+    assert(report.partitionsCompacted > 0, s"fixture never compacted: $report")
+    val want = servable(spark, lay).collect().toSeq
+    withExtendedSession { s =>
+      val df = servable(s, lay)
+      // the relation really is the pinned shape (multiple file roots)
+      val multiRoot = df.queryExecution.analyzed.collect {
+        case l: LogicalRelation => l.relation match {
+          case fs: HadoopFsRelation => fs.location.rootPaths.size
+          case _ => 0
+        }
+      }.sum
+      assert(multiRoot > 1, "fixture regression: read was not pinned-listing")
+      assertServed(df)
+      assert(df.collect().toSeq == want, "served answer diverges on the pinned read")
+    }
+  }
+
   test("approx_top_k serves from the stored sketches ONLY under the explicit opt-in flag") {
     val lay = drainedLake()
     def q(s: SparkSession) = CuratedWriter.read(s, lay.curatedDir)

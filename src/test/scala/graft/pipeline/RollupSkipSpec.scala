@@ -349,6 +349,40 @@ class RollupSkipSpec extends AnyFunSuite {
     }
   }
 
+  test("zone pruning fires on a compacted lake's snapshot-pinned read") {
+    val root = syntheticLake()
+    // fragment day 8 with a second append, then compact: the lake now
+    // has swap history and CuratedWriter.read takes the pinned-listing
+    // path — the zone rule must keep pruning it
+    import spark.implicits._
+    Seq(("f-e", 5L, "2024-03-08 20:00:00", 3.0, 2024, 3, 8, "training"))
+      .toDF("source_file", "user_id", "ts_s", "value", "year", "month", "day", "mode")
+      .withColumn("event_time_utc", col("ts_s").cast("timestamp_ntz"))
+      .drop("ts_s")
+      .write.mode("append").partitionBy("year", "month", "day", "mode")
+      .parquet(s"$root/curated")
+    Rollup.writePartials(
+      spark.read.parquet(s"$root/curated")
+        .filter(col("day") === 8 && col("user_id") === 5), s"$root/rollup/b1")
+    val report = graft.ingest.Compactor.compact(spark, s"$root/curated",
+      maxFilesPerPartition = 0, sortCol = Some("event_time_utc"))
+    assert(report.partitionsCompacted > 0)
+    RollupPartitionSkip.clearCache()
+    def q(s: SparkSession) = graft.ingest.CuratedWriter.read(s, s"$root/curated")
+      .filter(col("event_time_utc") >= lit("2024-03-08 00:00:00").cast("timestamp_ntz") &&
+        col("event_time_utc") < lit("2024-03-09 00:00:00").cast("timestamp_ntz"))
+      .select("source_file", "user_id", "value", "day", "mode")
+    val want = q(spark).collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(want.length == 3)
+    withExtendedSession { s =>
+      val df = q(s)
+      val (zones, nParts) = zoneScan(df)
+      assert(zones.nonEmpty, "no zone predicate on the pinned-listing read")
+      assert(nParts == 2, s"expected 2 scanned partitions, got $nParts")
+      assert(df.collect().map(_.toSeq).sortBy(_.mkString("|")).sameElements(want))
+    }
+  }
+
   test("the registered q119_valuerange_skip executes and matches its direct run") {
     val sfDir = "/root/testdata/sf0.001"
     val want = graft.SparkEntry.queries("q119_valuerange_skip")(spark, sfDir)
