@@ -152,6 +152,14 @@ object Rollup {
         raw.withColumn("top_users", coalesce(col("top_users"), emptyTopK(s)))
     }
 
+  /** The lake's file-lineage column, synthesized per PHYSICAL file for
+    * foreign lakes that never carried one — the key [[backfill]] and
+    * [[reconcile]] collapse/count on must be the SAME on both sides. */
+  private def lineageOf(lake: DataFrame): DataFrame =
+    if (lake.columns.contains("source_file")) lake
+    else lake.withColumn("source_file",
+      regexp_extract(col("_metadata.file_path"), "[^/]+$", 0))
+
   /** Partition-stat partials of one published batch: one row per
     * (source_file, year, month, day, mode). `value_e6` is the
     * integer-exact scaled sum (the repo's e6 oracle convention);
@@ -302,8 +310,10 @@ object Rollup {
     // snapshot read, not a plain directory scan: under the compactor's
     // deferred-deletion grace window a plain read would double-count
     // retired-but-present twins — the exact side must audit the lake's
-    // LIVE rows (CuratedWriter.read resolves each leaf's swap-meta)
-    val exact = CuratedWriter.read(s, curatedDir)
+    // LIVE rows (CuratedWriter.read resolves each leaf's swap-meta).
+    // Lineage is synthesized for foreign lakes so a BACKFILLED store
+    // audits against the same per-file key it was derived with.
+    val exact = lineageOf(CuratedWriter.read(s, curatedDir))
       .groupingSets(sets, grain: _*)
       .agg(
         count(lit(1)).as("n_rows"),
@@ -338,6 +348,47 @@ object Rollup {
       flag(col("r_users_est").isNotNull && col("n_users").isNotNull &&
         abs(col("r_users_est") - col("n_users")) * lit(100L) <=
           col("n_users") * lit(reachTolPct.toLong)).as("reach_ok"))
+  }
+
+  /** MIGRATION: backfill the statistics stores for a lake whose history
+    * predates the rollup protocol — the documented alternative to
+    * disabling the serve/skip rules
+    * (`spark.graft.rollup.{metadataAgg,partitionSkip}=false`). One lake
+    * scan computes BOTH sidecars from the rows themselves:
+    *
+    *  - rollup partials at (source_file, partition) grain — from the
+    *    lake's own lineage column when present, else per PHYSICAL FILE
+    *    (`_metadata.file_path`), which preserves the per-file
+    *    twin-collapse contract for foreign lakes that never carried
+    *    lineage;
+    *  - file bounds at (data_file, partition) grain, keyed by the
+    *    CURRENT physical file names — exactly what the file-grain skip
+    *    rule matches against the listing.
+    *
+    * Overwrites both stores wholesale into single `backfill-<token>`
+    * batch dirs (prior partial dirs, if any, are REPLACED — a backfill
+    * is a statement that the stores should equal the lake as scanned,
+    * and merging with unknown-provenance history could double-count).
+    * Run it under the lake's single-maintenance-writer discipline with
+    * no concurrent publishes (a migration, not a tick), then audit with
+    * [[reconcile]] — RollupSpec's backfill case requires all-green
+    * flags and both rules firing afterwards. Cost: one full lake scan —
+    * the floor for deriving statistics a lake never maintained. */
+  def backfill(s: SparkSession, curatedDir: String, rollupDir: String,
+               fileBoundsDir: String): Unit = {
+    val lake = CuratedWriter.read(s, curatedDir)
+    val withLineage = lineageOf(lake)
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    for (dir <- Seq(rollupDir, fileBoundsDir)) {
+      val p = new Path(dir)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true): Unit
+    }
+    writePartials(withLineage, s"$rollupDir/backfill-$token")
+    FileBounds.writeStaged(
+      lake.select(col("event_time_utc"), col("value"), col("_metadata"),
+        col("year"), col("month"), col("day"), col("mode")),
+      prefix = "", dir = s"$fileBoundsDir/backfill-$token")
   }
 
   /** Maintenance: when more than `maxBatchDirs` batch dirs have

@@ -393,6 +393,61 @@ class RollupSkipSpec extends AnyFunSuite {
     }
   }
 
+  test("a pre-rollup lake backfills its stores in one scan; rules fire, reconcile green") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-backfill").toString
+    // a lake with NO lineage column and NO statistics stores — foreign
+    // history the rules would otherwise require disabling for
+    Seq(
+      (1L, "2024-03-07 10:00:00", 1.25, 2024, 3, 7, "training"),
+      (2L, "2024-03-07 11:00:00", 2.5, 2024, 3, 7, "training"),
+      (3L, "2024-03-08 09:00:00", 4.0, 2024, 3, 8, "training"),
+      (3L, "2024-03-08 10:30:00", 1.0, 2024, 3, 8, "eval"))
+      .toDF("user_id", "ts_s", "value", "year", "month", "day", "mode")
+      .withColumn("event_time_utc", col("ts_s").cast("timestamp_ntz"))
+      .drop("ts_s")
+      .write.partitionBy("year", "month", "day", "mode").parquet(s"$root/curated")
+    // no stores yet: the zone rule stays silent
+    RollupPartitionSkip.clearCache()
+    withExtendedSession { s =>
+      val (z0, _) = zoneScan(lake(s, root)
+        .filter(col("event_time_utc") >= lit("2024-03-08 00:00:00").cast("timestamp_ntz")))
+      assert(z0.isEmpty, "zone predicate on a store-less lake")
+    }
+    Rollup.backfill(spark, s"$root/curated", s"$root/rollup", s"$root/filebounds")
+    RollupPartitionSkip.clearCache()
+    // the backfilled partials equal the lake exactly (synthesized
+    // per-physical-file lineage preserves the twin-collapse key)
+    val flags = Rollup.reconcile(spark, s"$root/curated", s"$root/rollup")
+      .select("rows_match", "value_match", "value_e6_match", "files_match", "reach_ok")
+      .collect()
+    assert(flags.nonEmpty &&
+      flags.forall(r => (0 until 5).forall(i => r.getInt(i) == 1)),
+      "backfilled partials diverge from the lake")
+    withExtendedSession { s =>
+      // zone skip prunes off the backfilled bounds
+      val df = lake(s, root)
+        .filter(col("event_time_utc") >= lit("2024-03-08 00:00:00").cast("timestamp_ntz"))
+        .select("user_id", "value", "day", "mode")
+      val (zones, nParts) = zoneScan(df)
+      assert(zones.nonEmpty && nParts == 2, s"no pruning after backfill ($nParts)")
+      assert(df.count() == 2)
+      // the serve rule answers from the backfilled partials
+      val served = lake(s, root)
+        .groupBy("year", "month", "day", "mode")
+        .agg(count(lit(1)).as("n_rows"), count(col("value")).as("n_value"))
+      val roots = served.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation.asInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+            .location.rootPaths.map(_.toString)
+      }.flatten
+      assert(roots.exists(_.contains("/rollup")) && !roots.exists(_.contains("/curated")),
+        s"serve rule not firing after backfill: $roots")
+      assert(served.collect().map(_.getLong(4)).sum == 4L)
+    }
+  }
+
   test("a freshly published batch invalidates the zone cache") {
     val root = syntheticLake()
     val win = (df: DataFrame) => df
