@@ -824,6 +824,62 @@ class IngestSpec extends AnyFunSuite {
       new File(s"${lay.root}/curated-staging").listFiles().isEmpty)
   }
 
+  test("runner-published file bounds key the LIVE file names, and file-grain skip fires end-to-end") {
+    import graft.ingest.FileBounds
+    val lay = freshLake()
+    // three single-file ticks into ONE partition, disjoint time bands —
+    // the shape an hourly feed produces; batchSize=1 → one published
+    // file per tick, each with its own bounds row
+    Seq(("a", "08"), ("b", "13"), ("c", "19")).foreach { case (n, h) =>
+      writeLines(s"${lay.rawDir}/$n.jsonl", Seq(
+        rec(s"$n-1", ts = s"2024-03-07 $h:00:00.000000"),
+        rec(s"$n-2", ts = s"2024-03-07 $h:30:00.000000")))
+    }
+    new BatchProcessor(spark, lay, Contracts.events, batchSize = 1).runUntilDrained()
+    // 1. store ↔ lake NAME AGREEMENT: every bounds row names a live
+    //    file, every live data file has a bounds row (a prefix drift in
+    //    stagePublish would silently kill file-grain skipping — the
+    //    drop set just never matches)
+    val bounds = FileBounds.all(spark, lay.fileBoundsDir).collect()
+      .map(r => r.getString(0) -> r.getLong(5)).toMap
+    val liveNames = CuratedWriter.read(spark, lay.curatedDir)
+      .select(org.apache.spark.sql.functions
+        .regexp_extract(col("_metadata.file_path"), "[^/]+$", 0).as("f"))
+      .groupBy("f").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bounds.keySet == liveNames.keySet,
+      s"bounds names != live names: ${bounds.keySet} vs ${liveNames.keySet}")
+    liveNames.foreach { case (f, n) =>
+      assert(bounds(f) == n, s"bounds row count for $f: ${bounds(f)} != $n")
+    }
+    // 2. end-to-end: a narrow window under the extended session reads
+    //    FEWER files than the partition holds — the runner-written
+    //    bounds drive real listing pruning
+    val base = TestSpark.spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val s = org.apache.spark.sql.SparkSession.builder()
+        .withExtensions(new graft.GraftExtensions().apply(_)).getOrCreate()
+      graft.plans.RollupPartitionSkip.clearCache()
+      val df = CuratedWriter.read(s, lay.curatedDir)
+        .filter(col("event_time_utc") >= lit("2024-03-07 12:00:00").cast("timestamp_ntz") &&
+          col("event_time_utc") < lit("2024-03-07 14:00:00").cast("timestamp_ntz"))
+        .select("record_id")
+      val listed = df.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation.asInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+            .location.inputFiles
+      }.flatten
+      assert(listed.length == 1,
+        s"expected 1 of 3 files in the pruned listing: ${listed.toSeq}")
+      assert(df.collect().map(_.getString(0)).sorted.toSeq == Seq("b-1", "b-2"))
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(base)
+      org.apache.spark.sql.SparkSession.setActiveSession(base)
+    }
+  }
+
   test("compaction rewrites many partitions concurrently, preserving all rows") {
     import graft.ingest.Compactor
     import spark.implicits._
