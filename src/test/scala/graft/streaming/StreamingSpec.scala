@@ -48,6 +48,18 @@ class StreamingSpec extends AnyFunSuite {
     val curated = CuratedWriter.read(spark, lay.curatedDir)
     assert(curated.count() == 3)
     assert(curated.filter(col("record_id") === "c-1").count() == 1)
+
+    // the streaming runner's file-bounds sidecar keys the LIVE published
+    // names (the b<batchId>- prefix survives the publish rename) with
+    // exact per-file row counts — the name contract the file-grain skip
+    // rule matches against, proven on this runner's output too
+    val bounds = graft.ingest.FileBounds.all(spark, lay.fileBoundsDir)
+      .collect().map(r => r.getString(0) -> r.getLong(5)).toMap
+    val liveNames = curated
+      .select(regexp_extract(col("_metadata.file_path"), "[^/]+$", 0).as("f"))
+      .groupBy("f").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bounds == liveNames,
+      s"streaming bounds != live names: $bounds vs $liveNames")
   }
 
   test("lake compaction in the streaming slot keeps touched partitions tight across batches") {
