@@ -183,7 +183,12 @@ object Compactor {
   }
 
   /** One retire entry: `<clock>|<leaf rel path>` on line 1, retired file
-    * names on the following lines. Named uniquely per (leaf, clock). */
+    * names on the following lines. Named uniquely per WRITE (the uuid
+    * tail): a (leaf, clock) pair is NOT unique — healLeaf's re-journal
+    * of a crashed commit and a same-invocation compactLeaf on the same
+    * leaf both land at the same clock, and a shared name would silently
+    * overwrite the first entry's names, leaking those files forever.
+    * retireSweep already folds multiple entries per leaf idempotently. */
   private def writeRetireEntry(fs: FileSystem, root: Path, clock: Long,
                                leaf: Path, names: Seq[String]): Unit = {
     if (names.isEmpty) return
@@ -191,7 +196,8 @@ object Compactor {
     val digest = java.security.MessageDigest.getInstance("SHA-256")
       .digest(rel.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString.take(16)
-    val entry = new Path(retireDir(root), f"c$clock%012d-$digest")
+    val unique = java.util.UUID.randomUUID().toString.take(8)
+    val entry = new Path(retireDir(root), f"c$clock%012d-$digest-$unique")
     fs.mkdirs(entry.getParent)
     val out = fs.create(entry, true)
     try out.write((s"$clock|$rel\n" + names.mkString("\n"))
@@ -220,16 +226,28 @@ object Compactor {
         if (clock <= myClock - graceCycles && safeRel(rel.drop(1))) {
           val leaf = new Path(root, rel.drop(1))
           val names = lines.drop(1).filter(_.nonEmpty)
-          names.foreach { n =>
-            if (!isHidden(n) && fs.delete(new Path(leaf, n), false)) deleted += 1
+          // local FS delete returns false on FAILURE (not just absence);
+          // a name may only leave meta.retired once its file is
+          // confirmed gone — a still-present file dropped from the
+          // retired set would re-enter the live snapshot and double-
+          // count its rows. Failed names stay in the journal for retry.
+          val gone = names.filter { n =>
+            if (isHidden(n)) true // never ours to delete; don't block the entry
+            else {
+              val p = new Path(leaf, n)
+              if (fs.delete(p, false)) { deleted += 1; true }
+              else !fs.exists(p)
+            }
           }
           if (fs.exists(leaf)) {
             val meta = LakeSnapshot.readMeta(fs, leaf)
-            if (meta.version > 0 && (meta.retired -- names) != meta.retired)
+            if (meta.version > 0 && (meta.retired -- gone) != meta.retired)
               LakeSnapshot.writeMeta(fs, leaf, meta.committed,
-                meta.retired -- names): Unit
+                meta.retired -- gone): Unit
           }
-          fs.delete(st.getPath, false): Unit
+          if (gone.size == names.size) fs.delete(st.getPath, false): Unit
+          // else: entry stays; the next sweep retries the failed names
+          // (idempotent — re-deleting a now-gone name is a no-op).
         }
       }
     deleted
@@ -257,10 +275,12 @@ object Compactor {
       if (fs.delete(old, true)) healed = 1
       if (fs.delete(tmp, true)) healed = 1
       val meta = LakeSnapshot.readMeta(fs, leaf)
-      // uncommitted generation strays from a crash mid-move
+      // uncommitted generation strays from a crash mid-move, plus any
+      // swap-meta temp orphaned between its create and its commit rename
       fs.listStatus(leaf).toSeq.filter(_.isFile).foreach { st =>
         val n = st.getPath.getName
-        if (LakeSnapshot.swGen(n).exists(_ > meta.committed)) {
+        if (LakeSnapshot.swGen(n).exists(_ > meta.committed) ||
+            n.startsWith(".swaptmp-")) {
           fs.delete(st.getPath, false)
           healed = 1
         }
@@ -298,8 +318,15 @@ object Compactor {
   }
 
   /** Heal exactly the leaves named in the swap journal — the O(pending)
-    * recovery for the ingest-tick path. Returns healed count. */
-  def recoverJournal(fs: FileSystem, root: Path, clock: Long = Long.MaxValue - 1): Int = {
+    * recovery for the ingest-tick path. Returns healed count.
+    *
+    * `clock` is REQUIRED (no default): heal-path re-journaled retire
+    * entries are stamped with it, and a sentinel like Long.MaxValue
+    * would make them never due for deletion (`clock <= myClock -
+    * graceCycles` could never hold) — a silent permanent leak.
+    * Standalone callers should go through [[compact]] /
+    * [[maintainTouched]], which bump the real per-lake clock first. */
+  def recoverJournal(fs: FileSystem, root: Path, clock: Long): Int = {
     val dir = journalDir(root)
     if (!fs.exists(dir)) return 0
     var healed = 0

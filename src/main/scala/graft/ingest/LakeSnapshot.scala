@@ -69,8 +69,12 @@ object LakeSnapshot {
 
   /** Parse the newest swap-meta under `leaf` (EmptyMeta when the leaf
     * was never compacted). Retries a bounded number of times on the
-    * one benign race: the maintenance writer garbage-collecting an old
-    * meta version between this reader's listing and its open. */
+    * two benign races: the maintenance writer garbage-collecting an old
+    * meta version between this reader's listing and its open (FNF), and
+    * — belt-and-braces, [[writeMeta]]'s rename should make it
+    * unobservable — a torn/empty read of a version mid-publish (parse
+    * failure). A meta that stays unreadable past the retries is real
+    * corruption and surfaces as the error it is. */
   def readMeta(fs: FileSystem, leaf: Path): Meta = {
     var attempts = 0
     while (true) {
@@ -91,18 +95,28 @@ object LakeSnapshot {
         return Meta(v, root.get("committed").asInt(),
           root.get("retired").elements().asScala.map(_.asText()).toSet)
       } catch {
-        case e: java.io.FileNotFoundException =>
-          if (attempts >= 3) throw e // not the GC race — surface it
+        case scala.util.control.NonFatal(e) =>
+          if (attempts >= 3) throw e // not a benign race — surface it
+          Thread.sleep(5L * attempts) // let the racing writer finish
       }
     }
     EmptyMeta // unreachable
   }
 
-  /** Write the next swap-meta version atomically (a create of a fresh
-    * name IS the atomic commit — no rename-over needed) and
-    * garbage-collect versions older than the previous one (keeping one
-    * back version bounds the reader race [[readMeta]] retries over).
-    * Caller is the lake's single maintenance writer. */
+  /** Write the next swap-meta version atomically and garbage-collect
+    * versions older than the previous one (keeping one back version
+    * bounds the reader race [[readMeta]] retries over). Caller is the
+    * lake's single maintenance writer.
+    *
+    * The commit is a write to a hidden TEMP name followed by a rename
+    * into the versioned name: a bare `fs.create` + write + close is NOT
+    * atomic on HDFS/local FS (the new file is visible zero-length /
+    * partial before close, and a concurrent reader listing at that
+    * instant would parse garbage), while a same-directory rename is
+    * atomic on both — the versioned name either doesn't exist yet or
+    * holds complete bytes. [[readMeta]]'s bounded parse-failure retry
+    * is the second line of defense for filesystems without that rename
+    * guarantee. */
   def writeMeta(fs: FileSystem, leaf: Path, committed: Int,
                 retired: Set[String]): Meta = {
     val prev = readMeta(fs, leaf)
@@ -111,9 +125,15 @@ object LakeSnapshot {
     val json = retired.toSeq.sorted
       .map(n => "\"" + n.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
       .mkString(s"""{"committed":$committed,"retired":[""", ",", "]}")
-    val out = fs.create(p, false)
+    val tmp = new Path(leaf,
+      s".swaptmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    if (!fs.rename(tmp, p)) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(s"swap-meta commit rename failed: $tmp -> $p")
+    }
     fs.listStatus(leaf).toSeq
       .flatMap(s => metaVersion(s.getPath.getName).map(_ -> s.getPath))
       .filter(_._1 < v - 1)

@@ -125,7 +125,7 @@ object Rollup {
     }
     try normalizeTopK(s, rd(paths))
     catch {
-      case scala.util.control.NonFatal(_) =>
+      case scala.util.control.NonFatal(e) =>
         val units = paths.flatMap { p =>
           val root = new Path(p)
           val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -136,6 +136,12 @@ object Rollup {
               !st.getPath.getName.startsWith("_"))
             .map(_.getPath.toString)
         }
+        // the fallback exists for ONE failure mode — the struct-vs-
+        // binary schema-merge incompatibility across generation dirs.
+        // With no per-dir units to retry (every path absent/empty) the
+        // original error was something else entirely; masking it behind
+        // an empty .reduce crash would bury a genuine read failure.
+        if (units.isEmpty) throw e
         units.map(u => normalizeTopK(s, rd(Seq(u))))
           .reduce(_.unionByName(_, allowMissingColumns = true))
     }

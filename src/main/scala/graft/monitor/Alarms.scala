@@ -97,8 +97,18 @@ object Alarms {
     // or prune versions under a live writer (monitoring runs CONCURRENT
     // with the pipeline — that is its point)
     val led = Ledger.readOnlySnapshot(spark, layout.ledgerDir)
-    val ledgerOf = (statuses: Seq[String]) =>
-      led.filter(col("processing_status").isin(statuses: _*)).agg(count(lit(1)))
+    // ONE pass over the (already-checkpointed) ledger snapshot computes
+    // all three ledger metrics — the old shape re-aggregated the
+    // snapshot once per alarm, three stage trees where one suffices
+    // (q57 cost audit, round-16 verdict "What's wrong #1")
+    val ledgerCounts = led.agg(
+      coalesce(sum(when(col("processing_status") === Ledger.Quarantined, 1L)
+        .otherwise(0L)), lit(0L)).as("file_quarantine"),
+      coalesce(sum(when(col("processing_status") === Ledger.Failed, 1L)
+        .otherwise(0L)), lit(0L)).as("job_failure"),
+      coalesce(sum(when(col("processing_status")
+        .isin(Ledger.Pending, Ledger.Processing), 1L)
+        .otherwise(0L)), lit(0L)).as("ledger_backlog"))
     val observedFailures = monitor.map(_.events.count(_.event == "failure").toLong).getOrElse(0L)
     val observedSlow = monitor.map(_.events.count(e =>
       e.event != "failure" && e.duration_ms > slowActionMs).toLong).getOrElse(0L)
@@ -109,13 +119,18 @@ object Alarms {
       Seq(v).toDF("m")
     }
     // a lake that never diverted anything has no DLQ directory at all —
-    // that is the healthy state, not an error (same for all three DLQs)
+    // that is the healthy state, not an error (same for all three DLQs).
+    // The count read carries an EXPLICIT one-column schema: the alarm
+    // needs row counts only, and a schema-less spark.read.json would
+    // spend a whole extra Spark job per DLQ dir inferring fields the
+    // count never looks at (every DLQ line is a Spark-written JSON
+    // object, so lines == records under PERMISSIVE parsing).
     def dlqCountOf(dir: String): DataFrame = {
       val p = new org.apache.hadoop.fs.Path(dir)
       val fs = org.apache.hadoop.fs.FileSystem.get(
         p.toUri, spark.sparkContext.hadoopConfiguration)
       if (fs.exists(p) && fs.listStatus(p).nonEmpty)
-        DlqWriter.read(spark, dir).agg(count(lit(1)))
+        spark.read.schema("job_run_id STRING").json(s"$dir/*").agg(count(lit(1)))
       else const(0L)
     }
 
@@ -181,24 +196,30 @@ object Alarms {
       else const(0L)
     }
 
-    val metrics = Seq(
+    // single-metric branches; the three ledger alarms arrive as ONE
+    // stacked branch off the shared single-pass aggregate above
+    val singles = Seq(
       "compaction_recovery" -> compactionRecovery,
       "data_freshness" -> freshness,
       "dedup_dlq_activity" -> dlqCountOf(layout.dedupDlqDir),
       "dlq_activity" -> dlqCountOf(layout.dlqDir),
-      "file_quarantine" -> ledgerOf(Seq(Ledger.Quarantined)),
-      "job_failure" ->
-        ledgerOf(Seq(Ledger.Failed)).select(col("count(1)") + lit(observedFailures)),
-      "ledger_backlog" -> ledgerOf(Seq(Ledger.Pending, Ledger.Processing)),
       "quality_dlq_activity" -> dlqCountOf(layout.qualityDlqDir),
       "sketch_saturation" -> saturation,
       "slow_actions" -> const(observedSlow))
+      .map { case (name, agg) =>
+        agg.select(lit(name).as("alarm"),
+          col(agg.columns.head).cast("long").as("metric"))
+      }
+    val ledgerRows = ledgerCounts.selectExpr(
+      "stack(3, 'file_quarantine', file_quarantine, " +
+        s"'job_failure', job_failure + ${observedFailures}L, " +
+        "'ledger_backlog', ledger_backlog) AS (alarm, metric)")
+      .select(col("alarm"), col("metric").cast("long").as("metric"))
 
-    metrics.map { case (name, agg) =>
-      agg.select(
-        lit(name).as("alarm"),
-        when(col(agg.columns.head) > 0, "ALARM").otherwise("OK").as("state"),
-        col(agg.columns.head).cast("long").as("metric"))
-    }.reduce(_.unionAll(_)).orderBy("alarm")
+    (singles :+ ledgerRows).reduce(_.unionAll(_))
+      .select(col("alarm"),
+        when(col("metric") > 0, "ALARM").otherwise("OK").as("state"),
+        col("metric"))
+      .orderBy("alarm")
   }
 }

@@ -246,6 +246,55 @@ class MonitorSpec extends AnyFunSuite {
     assert(states(7)("data_freshness") == (("ALARM", 1L)))
   }
 
+  test("alarm evaluation stays within its Spark-job budget as alarms accrete") {
+    // a lake where every branch is live: drained ledger, ingest DLQ,
+    // quarantined file, rollup partials — the q57 shape
+    val lay = LakeLayout(Files.createTempDirectory("graft-mon-jobs").toString)
+    def write(name: String, lines: Seq[String]): Unit = {
+      val p = Paths.get(s"${lay.rawDir}/$name")
+      Files.createDirectories(p.getParent)
+      Files.write(p, lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8)): Unit
+    }
+    def rec(id: String): String =
+      s"""{"id":"$id","event_timestamp":"2024-03-07 10:00:00.000000","MODE":"training",""" +
+        s""""metadata":{"app_version":"1","user_agent":"ua","user_id":1},""" +
+        s""""payload":{"transaction_id":"t-$id","value":2.0,"props":"{}"}}"""
+    write("good.jsonl", Seq(rec("g-1"), rec("g-2")))
+    write("bad.jsonl", Seq(rec("b-1"), """{"broken"""))
+    new BatchProcessor(spark, lay, Contracts.events).runUntilDrained()
+
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val counter = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(): Unit
+      }
+    }
+    // settle the listener bus before arming the counter
+    Thread.sleep(300)
+    spark.sparkContext.addSparkListener(counter)
+    try {
+      val states = Alarms.evaluate(spark, lay).collect()
+      assert(states.length == 10)
+      // async bus: wait until the count stops moving
+      var last = -1
+      while (jobs.get() != last) { last = jobs.get(); Thread.sleep(300) }
+      // The budget is the alarm-fold contract (round-16 verdict, q57):
+      // alarm evaluation is ~O(1) JOBS, not O(alarms) — one eager
+      // ledger snapshot, one eager rollup fold, and the single final
+      // union action (whose AQE stage materializations dominate this
+      // count). Measured 16 on this fixture; 20 leaves headroom for
+      // scheduler jitter while still catching the failure mode this
+      // pins — a new alarm branch re-scanning a source per metric
+      // (schema inference, per-alarm re-aggregation) blows well past
+      // it. If this trips after adding an alarm, fold its metric into
+      // an existing shared snapshot instead of raising the budget.
+      assert(jobs.get() <= 20,
+        s"Alarms.evaluate spent ${jobs.get()} Spark jobs (budget 20) — " +
+          "a new alarm branch is probably re-scanning a source per metric")
+    } finally spark.sparkContext.removeSparkListener(counter)
+  }
+
   test("alarm evaluation is read-only: in-flight PROCESSING rows are not reclaimed") {
     val lay = LakeLayout(Files.createTempDirectory("graft-mon-ro").toString)
     val led = graft.ledger.Ledger(spark, lay.ledgerDir)
