@@ -314,6 +314,10 @@ object Compactor {
         }
       }
     }
+    // a healed leaf's symlink manifest may be one snapshot stale
+    // (crash between meta commit and refresh) — bring it current
+    if (healed > 0 && fs.exists(leaf) && LakeSnapshot.hasSymlinks(fs, root))
+      LakeSnapshot.writeSymlinkManifest(fs, root, leaf)
     if (healed > 0) 1 else 0
   }
 
@@ -386,6 +390,11 @@ object Compactor {
     // deletes them after graceCycles (readers pinned pre-commit keep
     // reading their snapshot until then)
     writeRetireEntry(fs, root, clock, leaf, liveNames)
+    // external consumers: swap the leaf's symlink manifest right after
+    // the commit (atomic per leaf; a crash in between leaves it one
+    // snapshot stale but fully readable — LakeSnapshot scaladoc)
+    if (LakeSnapshot.hasSymlinks(fs, root))
+      LakeSnapshot.writeSymlinkManifest(fs, root, leaf)
     fs.delete(tmp, true)
     fs.delete(entry, false)
     (live.size, moved.size, 1)
@@ -471,6 +480,12 @@ object Compactor {
     val results = runPool(leaves, cfg.parallelism)(
       compactLeaf(spark, fs, root, _, cfg.maxFilesPerPartition,
         cfg.targetBytesPerFile, cfg.sortCol, clock))
+    // symlink-opted lakes: refresh EVERY touched leaf's manifest (the
+    // tick's publish just appended files there; rewritten leaves were
+    // already refreshed at their commit) so external snapshots stay
+    // tick-fresh
+    if (LakeSnapshot.hasSymlinks(fs, root))
+      leaves.foreach(LakeSnapshot.writeSymlinkManifest(fs, root, _))
     Report(
       results.map(_._3).sum,
       results.map(_._1).sum,

@@ -16,9 +16,13 @@ import org.apache.spark.sql.functions._
   *    — compacted files get the same effect from their sorted row
   *    groups, so with this the WHOLE partition prunes, not just its
   *    compacted head ([[graft.plans.RollupPartitionSkip]]).
-  *  - VALUE-column zone maps: `min_val`/`max_val` fold to partition
-  *    grain, so a `value`-range predicate prunes partitions the
-  *    event-time zones cannot.
+  *  - COLUMN zone maps: `min_val`/`max_val` (legacy names) plus a
+  *    `nn_/min_/max_<col>` triplet for EVERY numeric/timestamp curated
+  *    column ([[boundsColumns]], schema-driven — round 17) fold to
+  *    partition grain, so a range predicate on any such column prunes
+  *    partitions the event-time zones cannot — including columns added
+  *    after the lake's history began (per-column coverage fails open
+  *    for pre-upgrade files).
   *
   * One row per (data_file, year, month, day, mode), where `data_file`
   * is the file's FINAL published basename (the publish prefix is known
@@ -46,23 +50,73 @@ import org.apache.spark.sql.functions._
   * dirs in the maintenance slot.
   */
 object FileBounds {
+  /** The partition key every bounds row carries. */
+  val PartCols: Seq[String] = Seq("year", "month", "day", "mode")
+
+  /** The two LEGACY bounds columns, stored under their round-16 names
+    * (`min_ts`/`max_ts`, `min_val`/`max_val`) with the legacy trust
+    * rule: every bounds row tracks them, a NULL min/max means the
+    * file's column is all-null. Kept verbatim so pre-generalization
+    * stores stay readable without migration. */
+  val TsCol = "event_time_utc"
+  val ValCol = "value"
+
+  /** Storage names for a GENERIC bounds column `c`. `nn_<c>` — the
+    * file's non-null count of `c` — is what disambiguates the two
+    * meanings a NULL `min_<c>` could have after a schema-evolving
+    * mergeSchema read: `nn_<c>` NULL = this bounds row predates column
+    * `c` (UNKNOWN, never skippable on `c`); `nn_<c>` = 0 = the file's
+    * `c` is all-null (KNOWN, skippable under any range predicate on
+    * `c`). The legacy pair predates the disambiguator and keeps its
+    * always-tracked rule instead. */
+  def nnCol(c: String): String = s"nn_$c"
+  def minCol(c: String): String = s"min_$c"
+  def maxCol(c: String): String = s"max_$c"
+
+  private def isSupported(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+         org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType |
+         org.apache.spark.sql.types.TimestampNTZType => true
+    case _ => false
+  }
+
+  /** The columns of `schema` that get GENERIC per-file bounds: every
+    * top-level numeric/timestamp column that is not a partition column
+    * and not one of the legacy pair. Schema-driven, so a curated column
+    * added last quarter starts accruing bounds with the next published
+    * batch — no config, no migration (its pre-upgrade files are simply
+    * UNKNOWN for it, which fails open to no skipping; [[graft.ingest.Rollup.backfill]]
+    * rewrites the store when retroactive coverage is wanted). */
+  def boundsColumns(schema: org.apache.spark.sql.types.StructType): Seq[String] =
+    schema.fields.toSeq
+      .filter(f => !PartCols.contains(f.name) && f.name != TsCol && f.name != ValCol &&
+        !f.name.startsWith("_") && isSupported(f.dataType))
+      .map(_.name)
+
   /** Bounds of one staged batch, keyed by FINAL published file name
     * (`prefix` + staged basename — the rename `Staging.publishTracked`
     * will perform). `staged` must carry the curated columns plus
     * `_metadata` (i.e. be a read OF the staged parquet, not the
-    * upstream frame). */
-  def compute(staged: DataFrame, prefix: String): DataFrame =
+    * upstream frame). Tracks the legacy pair plus every
+    * [[boundsColumns]] column of the staged schema. */
+  def compute(staged: DataFrame, prefix: String): DataFrame = {
+    val generic = boundsColumns(staged.schema).flatMap(c => Seq(
+      count(col(c)).as(nnCol(c)),
+      min(col(c)).as(minCol(c)),
+      max(col(c)).as(maxCol(c))))
+    val aggs = Seq(
+      count(lit(1)).as("n_rows"),
+      min(col(TsCol)).as("min_ts"),
+      max(col(TsCol)).as("max_ts"),
+      min(col(ValCol)).as("min_val"),
+      max(col(ValCol)).as("max_val")) ++ generic
     staged
       .groupBy(
         concat(lit(prefix),
           regexp_extract(col("_metadata.file_path"), "[^/]+$", 0)).as("data_file"),
         col("year"), col("month"), col("day"), col("mode"))
-      .agg(
-        count(lit(1)).as("n_rows"),
-        min(col("event_time_utc")).as("min_ts"),
-        max(col("event_time_utc")).as("max_ts"),
-        min(col("value")).as("min_val"),
-        max(col("value")).as("max_val"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
 
   /** Write one batch's bounds under `dir` (one small file — row count
     * bounded by files-written × partitions-per-file). */
@@ -75,22 +129,31 @@ object FileBounds {
     Staging.countDataFiles(fs, p) > 0
   }
 
+  /** One `first()` per non-key column, derived from the frame's own
+    * (merged) schema — the twin-collapse aggregation shared by [[all]]
+    * and [[compact]]. Works over any column generation: a batch dir
+    * that predates a generic column contributes nulls for it. */
+  private def collapseTwins(raw: DataFrame): DataFrame = {
+    val keys = "data_file" +: PartCols
+    val aggs = raw.columns.toSeq.filterNot(keys.contains)
+      .map(c => first(col(c)).as(c))
+    raw.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** All bounds rows currently published, collapsed to ONE row per
     * (data_file, partition) — same duplication-absorbing posture as
     * `Rollup.filePartials` (a replayed publish or a crashed [[compact]]
-    * leaves identical twins). */
+    * leaves identical twins). mergeSchema: batch dirs written before a
+    * curated column existed lack its bounds triplet — the merged read
+    * surfaces those rows with NULL `nn_<c>` (= unknown), exactly the
+    * fail-open the trust contract needs. */
   def all(s: SparkSession, dir: String): DataFrame =
-    s.read
-      .option("recursiveFileLookup", "true")
-      .option("ignoreMissingFiles", "true") // racing [[compact]]'s source deletes
-      .parquet(dir)
-      .groupBy("data_file", "year", "month", "day", "mode")
-      .agg(
-        first("n_rows").as("n_rows"),
-        first("min_ts").as("min_ts"),
-        first("max_ts").as("max_ts"),
-        first("min_val").as("min_val"),
-        first("max_val").as("max_val"))
+    collapseTwins(
+      s.read
+        .option("recursiveFileLookup", "true")
+        .option("mergeSchema", "true")
+        .option("ignoreMissingFiles", "true") // racing [[compact]]'s source deletes
+        .parquet(dir))
 
   /** Maintenance: fold accumulated batch dirs (same slot, same
     * single-maintenance-writer discipline, and same crash posture as
@@ -108,15 +171,10 @@ object FileBounds {
     val token = java.util.UUID.randomUUID().toString.take(8)
     val tmp = new Path(root, s".compact-$token")
     fs.delete(tmp, true)
-    s.read.option("recursiveFileLookup", "true")
-      .parquet(dirs.map(_.toString): _*)
-      .groupBy("data_file", "year", "month", "day", "mode")
-      .agg(
-        first("n_rows").as("n_rows"),
-        first("min_ts").as("min_ts"),
-        first("max_ts").as("max_ts"),
-        first("min_val").as("min_val"),
-        first("max_val").as("max_val"))
+    collapseTwins(
+      s.read.option("recursiveFileLookup", "true")
+        .option("mergeSchema", "true") // mixed column generations fold fine
+        .parquet(dirs.map(_.toString): _*))
       .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     val live = new Path(root, s"merged-$token")
     if (!fs.rename(tmp, live))
@@ -125,35 +183,69 @@ object FileBounds {
     true
   }
 
-  /** The partition-grain VALUE zone fold with its coverage proof: per
-    * (year, month, day, mode), the folded min/max of `value` plus
-    * `covered` — whether the bounds rows account for EXACTLY the
-    * partition's row count as recorded by the rollup partials. Only a
-    * covered partition may be value-skipped; an uncovered one (partial
-    * upgrade, foreign writes) is simply not prunable on value. */
-  def partitionValueZones(s: SparkSession, fileBoundsDir: String,
-                          rollupDir: String): DataFrame = {
+  /** The partition-grain zone fold with its PER-COLUMN coverage proof,
+    * for the legacy `value` column plus any subset of the store's
+    * generic bounds columns. Per (year, month, day, mode):
+    *
+    *  - `vmin`/`vmax`/`covered` — the legacy value zones: `covered`
+    *    iff the bounds rows account for EXACTLY the partition's row
+    *    count as recorded by the rollup partials (every bounds row
+    *    tracks `value` by the legacy rule, so row coverage IS column
+    *    coverage);
+    *  - per generic `c`: `zmin_<c>`/`zmax_<c>`/`covered_<c>` — here
+    *    coverage counts only rows that KNOW `c` (`nn_<c>` non-null),
+    *    so a partition with any pre-`c` file is uncovered FOR `c`
+    *    while staying covered for columns those files do track.
+    *
+    * Only a covered partition may be skipped on that column; an
+    * uncovered one (partial upgrade, foreign writes) is simply not
+    * prunable on it. One aggregate over the store regardless of how
+    * many columns are asked for. */
+  def partitionZones(s: SparkSession, fileBoundsDir: String,
+                     rollupDir: String, generics: Seq[String] = Seq.empty): DataFrame = {
     val pRows = Rollup.filePartials(s, rollupDir)
       .groupBy("year", "month", "day", "mode")
       .agg(sum("n_rows").as("p_rows"))
+    val gAggs = generics.flatMap(c => Seq(
+      sum(when(col(nnCol(c)).isNotNull, col("n_rows"))).as(s"b_rows_$c"),
+      min(minCol(c)).as(s"zmin_$c"), max(maxCol(c)).as(s"zmax_$c")))
+    val aggs = Seq(sum("n_rows").as("b_rows"),
+      min("min_val").as("vmin"), max("max_val").as("vmax")) ++ gAggs
     val b = all(s, fileBoundsDir)
       .groupBy("year", "month", "day", "mode")
-      .agg(sum("n_rows").as("b_rows"),
-        min("min_val").as("vmin"), max("max_val").as("vmax"))
+      .agg(aggs.head, aggs.tail: _*)
+    val out = Seq(col("year"), col("month"), col("day"), col("mode"),
+      col("vmin"), col("vmax"),
+      (col("b_rows") <=> col("p_rows")).as("covered")) ++
+      generics.flatMap(c => Seq(col(s"zmin_$c"), col(s"zmax_$c"),
+        (col(s"b_rows_$c") <=> col("p_rows")).as(s"covered_$c")))
     pRows.join(b, Seq("year", "month", "day", "mode"), "left")
-      .select(col("year"), col("month"), col("day"), col("mode"),
-        col("vmin"), col("vmax"),
-        (col("b_rows") <=> col("p_rows")).as("covered"))
+      .select(out: _*)
   }
+
+  /** The legacy value-only fold, kept as the documented entry point for
+    * value-zone consumers and specs. */
+  def partitionValueZones(s: SparkSession, fileBoundsDir: String,
+                          rollupDir: String): DataFrame =
+    partitionZones(s, fileBoundsDir, rollupDir)
 
   /** Convenience for callers building zone predicates. */
   def intersects(mn: Column, mx: Column,
-                 lo: Option[(Double, Boolean)], hi: Option[(Double, Boolean)]): Column = {
+                 lo: Option[(Double, Boolean)], hi: Option[(Double, Boolean)]): Column =
+    intersectsLits(mn, mx,
+      lo.map { case (v, i) => (lit(v), i) }, hi.map { case (v, i) => (lit(v), i) })
+
+  /** Zone-intersection predicate against arbitrary typed literal
+    * bounds (the generalized form: callers hand the literal Columns so
+    * the comparison stays same-typed with the stored min/max — no
+    * widening to double, no precision cliff for long columns). */
+  def intersectsLits(mn: Column, mx: Column,
+                     lo: Option[(Column, Boolean)], hi: Option[(Column, Boolean)]): Column = {
     val loOk = lo.map { case (v, incl) =>
-      if (incl) mx >= lit(v) else mx > lit(v)
+      if (incl) mx >= v else mx > v
     }
     val hiOk = hi.map { case (v, incl) =>
-      if (incl) mn <= lit(v) else mn < lit(v)
+      if (incl) mn <= v else mn < v
     }
     (loOk.toSeq ++ hiOk.toSeq).reduceOption(_ && _).getOrElse(lit(true))
   }

@@ -186,4 +186,100 @@ object LakeSnapshot {
     * history keep the plain directory-read path. */
   def hasSwapHistory(fs: FileSystem, root: Path): Boolean =
     fs.exists(new Path(root, "_compactions"))
+
+  // ---- external snapshot manifests (the symlink-manifest move) ---------
+
+  /** EXTERNAL engines (the reference's Athena-style consumption,
+    * diagram_1.txt:98-101) can't run [[liveFiles]]; during a swap's
+    * grace window their plain directory read is non-contractual. The
+    * symlink tree extends the snapshot contract to them: one tiny text
+    * file per leaf under `<root>/_symlinks/` (hidden from parquet
+    * discovery), listing the leaf's LIVE data-file paths one per line —
+    * the Delta `symlink_format_manifest` move expressed from metadata
+    * this lake already owns.
+    *
+    * Consistency: each leaf's manifest is replaced by ATOMIC RENAME
+    * immediately after that leaf's swap-meta commit, so an external
+    * reader resolving the manifest sees the pre-swap file list (all
+    * still on disk for ≥ one maintenance cycle — deferred deletion) or
+    * the post-swap list, never a mix; either resolves to the same rows.
+    * A crash between meta commit and manifest refresh leaves the
+    * manifest one snapshot stale — still fully readable, healed by the
+    * next maintenance pass over the leaf (the same one-cycle staleness
+    * the pinned-listing contract already grants).
+    *
+    * Opt-in per lake: [[publishSymlinks]] seeds the tree once; from
+    * then on the maintenance slot refreshes touched leaves
+    * ([[Compactor]]), so freshness is tick-granular. Lakes that never
+    * opted in pay nothing. */
+  val SymlinkDir = "_symlinks"
+
+  private def leafDigest(root: Path, leaf: Path): String = {
+    val rel = root.toUri.relativize(leaf.toUri).getPath
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(rel.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(16)
+  }
+
+  def hasSymlinks(fs: FileSystem, root: Path): Boolean =
+    fs.exists(new Path(root, SymlinkDir))
+
+  /** Write (atomic replace) one leaf's symlink manifest from its
+    * CURRENT meta-aware live set; removes the entry when the leaf holds
+    * no live files. */
+  def writeSymlinkManifest(fs: FileSystem, root: Path, leaf: Path): Unit = {
+    val dir = new Path(root, SymlinkDir)
+    val entry = new Path(dir, leafDigest(root, leaf) + ".txt")
+    val live = liveData(fs, leaf)
+    if (live.isEmpty) { fs.delete(entry, false); return }
+    fs.mkdirs(dir)
+    val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(live.map(_.getPath.toString).sorted.mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(entry, false) // local FS refuses rename-over
+    if (!fs.rename(tmp, entry)) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(s"symlink manifest rename failed: $tmp -> $entry")
+    }
+  }
+
+  /** Seed (or fully refresh) the symlink tree: one manifest per leaf
+    * holding data files. One recursive walk — the same listing any full
+    * scan pays; per-leaf writes are independent, so this can also run
+    * partition-parallel in a migration job. Returns leaves published. */
+  def publishSymlinks(fs: FileSystem, root: Path): Int = {
+    var n = 0
+    def walk(dir: Path): Unit = {
+      val st = fs.listStatus(dir).toSeq
+      if (st.exists(s => s.isFile && visible(s.getPath.getName))) {
+        writeSymlinkManifest(fs, root, dir); n += 1
+      }
+      st.filter(s => s.isDirectory && visible(s.getPath.getName))
+        .foreach(s => walk(s.getPath))
+    }
+    if (fs.exists(root)) walk(root)
+    n
+  }
+
+  /** The external consumer's read half: every path listed by the
+    * symlink tree — `spark.read.parquet(paths: _*)` (with `basePath` =
+    * the lake root for partition discovery) over these is the
+    * snapshot-exact read an engine without this library performs by
+    * globbing the `.txt` manifests under `_symlinks/` and reading the
+    * listed locations. */
+  def symlinkSnapshotPaths(fs: FileSystem, root: Path): Seq[String] = {
+    val dir = new Path(root, SymlinkDir)
+    if (!fs.exists(dir)) return Seq.empty
+    fs.listStatus(dir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".txt") &&
+        !s.getPath.getName.startsWith("."))
+      .flatMap { s =>
+        val in = fs.open(s.getPath)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+        finally in.close()
+      }
+      .filter(_.nonEmpty)
+  }
 }

@@ -391,9 +391,13 @@ object Rollup {
       if (fs.exists(p)) fs.delete(p, true): Unit
     }
     writePartials(withLineage, s"$rollupDir/backfill-$token")
+    // the FULL curated schema rides into the bounds compute, so the
+    // backfilled store carries the generic per-column triplets for
+    // every numeric/timestamp column the lake holds TODAY — a migrated
+    // lake is immediately skippable on the same columns a graft-written
+    // one is (FileBounds.boundsColumns)
     FileBounds.writeStaged(
-      lake.select(col("event_time_utc"), col("value"), col("_metadata"),
-        col("year"), col("month"), col("day"), col("mode")),
+      lake.select(col("*"), col("_metadata")),
       prefix = "", dir = s"$fileBoundsDir/backfill-$token")
   }
 

@@ -23,12 +23,18 @@ import org.apache.spark.sql.types.{DoubleType, TimestampNTZType}
   *    `struct(year, month, day, mode) IN (qualifying...)` predicate
   *    turns into a partition filter at scan planning — non-qualifying
   *    directories are never listed.
-  * 2. PARTITION-grain VALUE zones (round 16). The [[graft.ingest.FileBounds]]
-  *    sidecar carries per-data-file `min_val`/`max_val`; folded to
-  *    partition grain they prune `value`-range predicates the same way
-  *    — but only for partitions the sidecar provably COVERS (Σ bounds
-  *    rows == Σ partial rows; see FileBounds scaladoc for why coverage
-  *    survives compaction and fails safe on partial upgrades).
+  * 2. PARTITION-grain COLUMN zones (round 16 for `value`, generalized
+  *    round 17 to every bounds column). The [[graft.ingest.FileBounds]]
+  *    sidecar carries per-data-file min/max for `value` AND for every
+  *    numeric/timestamp curated column (`nn_/min_/max_<col>` triplets,
+  *    schema-driven — FileBounds.boundsColumns); folded to partition
+  *    grain they prune range predicates on those columns the same way
+  *    — but only for partitions the sidecar provably COVERS FOR THAT
+  *    COLUMN (legacy: Σ bounds rows == Σ partial rows; generic: the Σ
+  *    runs over rows that KNOW the column, so a pre-upgrade file makes
+  *    its partition uncovered for new columns while staying covered for
+  *    old ones; see FileBounds scaladoc for why coverage survives
+  *    compaction and fails safe on partial upgrades).
   * 3. FILE-grain zones (round 16). Inside qualifying partitions, a
   *    listed file whose recorded `[min_ts, max_ts]`/`[min_val,
   *    max_val]` cannot intersect the window is dropped from the scan's
@@ -128,78 +134,83 @@ case class RollupPartitionSkip(session: SparkSession) extends Rule[LogicalPlan] 
     // already rewritten (our own output shape): fixpoint reached
     if (conjuncts.exists(isZonePredicate)) return None
 
-    // the tightest [lo, hi] micros window implied by top-level conjuncts
-    var lo = Option.empty[Long]
-    var hi = Option.empty[Long]
-    def tightenLo(v: Long): Unit = lo = Some(lo.fold(v)(math.max(_, v)))
-    def tightenHi(v: Long): Unit = hi = Some(hi.fold(v)(math.min(_, v)))
-    // NTZ literals only: the lake contract pins event_time_utc to
-    // TIMESTAMP_NTZ (servableLakeRollup), so a comparison against a
-    // zoned TimestampType literal can only arise through a cast around
-    // the column — which defeats the zone map honestly (decline rather
-    // than risk offset-shifted bounds in a non-UTC session)
-    def tsMicros(e: Expression): Option[Long] = e match {
-      case Literal(v: Long, TimestampNTZType) => Some(v)
+    // the tightest per-COLUMN [lo, hi] windows implied by top-level
+    // conjuncts, for every supported column the filter's child exposes
+    // (timestamp_ntz + the numeric types the bounds sidecar tracks).
+    // A comparison qualifies only when the literal's type EQUALS the
+    // column's (coercion has already run, so a same-typed literal is
+    // what an honest range predicate looks like; a cast AROUND the
+    // column defeats the zone map and the rule declines rather than
+    // guesses — same posture for NTZ-vs-zoned timestamps as round 15).
+    val colTypes: Map[String, org.apache.spark.sql.types.DataType] =
+      f.child.output.collect {
+        case a: AttributeReference if !PartitionColsOrdered.contains(a.name) &&
+            supportedType(a.dataType) => a.name -> a.dataType
+      }.toMap
+    val wins = scala.collection.mutable.Map.empty[String, Win]
+    def tighten(name: String, v: Any, incl: Boolean, isLo: Boolean): Unit = {
+      val dt = colTypes(name)
+      val ord = ordOf(dt)
+      val w = wins.getOrElse(name, Win(dt, None, None))
+      val cur = if (isLo) w.lo else w.hi
+      val chosen = cur match {
+        case None => (v, incl)
+        case Some((cv, ci)) =>
+          val c = ord.compare(v, cv)
+          if ((isLo && c > 0) || (!isLo && c < 0)) (v, incl)
+          else if (c == 0) (cv, ci && incl) // same bound: exclusive is stricter
+          else (cv, ci)
+      }
+      wins(name) = if (isLo) w.copy(lo = Some(chosen)) else w.copy(hi = Some(chosen))
+    }
+    def litFor(a: AttributeReference, e: Expression): Option[Any] = e match {
+      case Literal(v, dt) if v != null && colTypes.get(a.name).contains(dt) &&
+          dt == a.dataType => Some(v)
       case _ => None
     }
-    def isCol(e: Expression, name: String): Boolean = e match {
-      case a: AttributeReference => a.name == name
-      case _ => false
-    }
-    // the tightest value window, as (bound, inclusive) pairs — doubles
-    // have no ±1 trick, so exclusivity travels explicitly
-    var vlo = Option.empty[(Double, Boolean)]
-    var vhi = Option.empty[(Double, Boolean)]
-    def dbl(e: Expression): Option[Double] = e match {
-      case Literal(v: Double, DoubleType) => Some(v)
-      case _ => None
-    }
-    def tightenVlo(v: Double, incl: Boolean): Unit = vlo = Some(vlo match {
-      case Some((c, ci)) if c > v || (c == v && !ci) => (c, ci)
-      case _ => (v, incl)
-    })
-    def tightenVhi(v: Double, incl: Boolean): Unit = vhi = Some(vhi match {
-      case Some((c, ci)) if c < v || (c == v && !ci) => (c, ci)
-      case _ => (v, incl)
-    })
     conjuncts.foreach {
-      case GreaterThanOrEqual(c, l) if isCol(c, TsCol) => tsMicros(l).foreach(tightenLo)
-      case GreaterThan(c, l) if isCol(c, TsCol) => tsMicros(l).foreach(v => tightenLo(v + 1))
-      case LessThanOrEqual(c, l) if isCol(c, TsCol) => tsMicros(l).foreach(tightenHi)
-      case LessThan(c, l) if isCol(c, TsCol) => tsMicros(l).foreach(v => tightenHi(v - 1))
-      case EqualTo(c, l) if isCol(c, TsCol) =>
-        tsMicros(l).foreach { v => tightenLo(v); tightenHi(v) }
-      case EqualTo(l, c) if isCol(c, TsCol) =>
-        tsMicros(l).foreach { v => tightenLo(v); tightenHi(v) }
-      case GreaterThanOrEqual(l, c) if isCol(c, TsCol) => tsMicros(l).foreach(tightenHi)
-      case GreaterThan(l, c) if isCol(c, TsCol) => tsMicros(l).foreach(v => tightenHi(v - 1))
-      case LessThanOrEqual(l, c) if isCol(c, TsCol) => tsMicros(l).foreach(tightenLo)
-      case LessThan(l, c) if isCol(c, TsCol) => tsMicros(l).foreach(v => tightenLo(v + 1))
-
-      case GreaterThanOrEqual(c, l) if isCol(c, ValCol) => dbl(l).foreach(tightenVlo(_, true))
-      case GreaterThan(c, l) if isCol(c, ValCol) => dbl(l).foreach(tightenVlo(_, false))
-      case LessThanOrEqual(c, l) if isCol(c, ValCol) => dbl(l).foreach(tightenVhi(_, true))
-      case LessThan(c, l) if isCol(c, ValCol) => dbl(l).foreach(tightenVhi(_, false))
-      case EqualTo(c, l) if isCol(c, ValCol) =>
-        dbl(l).foreach { v => tightenVlo(v, true); tightenVhi(v, true) }
-      case EqualTo(l, c) if isCol(c, ValCol) =>
-        dbl(l).foreach { v => tightenVlo(v, true); tightenVhi(v, true) }
-      case GreaterThanOrEqual(l, c) if isCol(c, ValCol) => dbl(l).foreach(tightenVhi(_, true))
-      case GreaterThan(l, c) if isCol(c, ValCol) => dbl(l).foreach(tightenVhi(_, false))
-      case LessThanOrEqual(l, c) if isCol(c, ValCol) => dbl(l).foreach(tightenVlo(_, true))
-      case LessThan(l, c) if isCol(c, ValCol) => dbl(l).foreach(tightenVlo(_, false))
+      case GreaterThanOrEqual(a: AttributeReference, l) =>
+        litFor(a, l).foreach(tighten(a.name, _, incl = true, isLo = true))
+      case GreaterThan(a: AttributeReference, l) =>
+        litFor(a, l).foreach(tighten(a.name, _, incl = false, isLo = true))
+      case LessThanOrEqual(a: AttributeReference, l) =>
+        litFor(a, l).foreach(tighten(a.name, _, incl = true, isLo = false))
+      case LessThan(a: AttributeReference, l) =>
+        litFor(a, l).foreach(tighten(a.name, _, incl = false, isLo = false))
+      case EqualTo(a: AttributeReference, l) =>
+        litFor(a, l).foreach { v =>
+          tighten(a.name, v, incl = true, isLo = true)
+          tighten(a.name, v, incl = true, isLo = false)
+        }
+      case EqualTo(l, a: AttributeReference) =>
+        litFor(a, l).foreach { v =>
+          tighten(a.name, v, incl = true, isLo = true)
+          tighten(a.name, v, incl = true, isLo = false)
+        }
+      case GreaterThanOrEqual(l, a: AttributeReference) =>
+        litFor(a, l).foreach(tighten(a.name, _, incl = true, isLo = false))
+      case GreaterThan(l, a: AttributeReference) =>
+        litFor(a, l).foreach(tighten(a.name, _, incl = false, isLo = false))
+      case LessThanOrEqual(l, a: AttributeReference) =>
+        litFor(a, l).foreach(tighten(a.name, _, incl = true, isLo = true))
+      case LessThan(l, a: AttributeReference) =>
+        litFor(a, l).foreach(tighten(a.name, _, incl = false, isLo = true))
       case _ => ()
     }
-    if (lo.isEmpty && hi.isEmpty && vlo.isEmpty && vhi.isEmpty) return None
+    if (wins.isEmpty) return None
 
-    val tsInverted = lo.zip(hi).exists { case (l, h) => l > h }
-    val vInverted = vlo.zip(vhi).exists { case ((a, ai), (b, bi)) =>
-      a > b || (a == b && !(ai && bi))
+    // any column with an unsatisfiable window makes the whole condition
+    // unsatisfiable — empty scan, no fold needed
+    val inverted = wins.values.exists { w =>
+      w.lo.zip(w.hi).exists { case ((a, ai), (b, bi)) =>
+        val c = ordOf(w.dt).compare(a, b)
+        c > 0 || (c == 0 && !(ai && bi))
+      }
     }
     val fold =
-      if (tsInverted || vInverted) Folded(Seq.empty, Long.MaxValue, Set.empty)
+      if (inverted) Folded(Seq.empty, Long.MaxValue, Set.empty)
       else dbg("foldZones")(
-        foldZones(session, rollupDir, lo, hi, vlo, vhi).getOrElse(return None))
+        foldZones(session, rollupDir, wins.toMap).getOrElse(return None))
 
     val inPredOpt =
       if (fold.zones.size.toLong >= fold.total) None
@@ -350,23 +361,70 @@ object RollupPartitionSkip {
   val MaxDropFiles = 10000
 
   private val PartitionColsOrdered = Seq("year", "month", "day", "mode")
-  private val TsCol = "event_time_utc"
-  private val ValCol = "value"
+  private val TsCol = graft.ingest.FileBounds.TsCol
+  private val ValCol = graft.ingest.FileBounds.ValCol
+
+  /** One column's extracted range window: typed literal bounds (values
+    * are the Catalyst literal values of `dt`) with inclusivity. */
+  private[plans] final case class Win(
+      dt: org.apache.spark.sql.types.DataType,
+      lo: Option[(Any, Boolean)], hi: Option[(Any, Boolean)])
+
+  /** The types a zone window can be extracted for: the timestamp lake
+    * contract plus the numeric types [[graft.ingest.FileBounds]]
+    * tracks. Every one has an exact Scala ordering ([[ordOf]]) and an
+    * exact same-typed literal ([[litOf]]) — no widening to double, so
+    * long columns never hit a precision cliff. */
+  private def supportedType(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case TimestampNTZType | DoubleType |
+         org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.FloatType => true
+    case _ => false
+  }
+
+  private def ordOf(dt: org.apache.spark.sql.types.DataType): Ordering[Any] = (dt match {
+    case TimestampNTZType | org.apache.spark.sql.types.LongType =>
+      Ordering.Long.on[Any](_.asInstanceOf[Long])
+    case org.apache.spark.sql.types.IntegerType => Ordering.Int.on[Any](_.asInstanceOf[Int])
+    case DoubleType => Ordering.Double.TotalOrdering.on[Any](_.asInstanceOf[Double])
+    case org.apache.spark.sql.types.FloatType =>
+      Ordering.Float.TotalOrdering.on[Any](_.asInstanceOf[Float])
+    case other => throw new IllegalStateException(s"unsupported zone type $other")
+  })
+
+  private def litOf(v: Any, dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.Column = dt match {
+    case TimestampNTZType => ntzLit(v.asInstanceOf[Long])
+    case _ => org.apache.spark.sql.functions.lit(v) // Int/Long/Double/Float round-trip
+  }
+
+  private def loLits(w: Win): Option[(org.apache.spark.sql.Column, Boolean)] =
+    w.lo.map { case (v, i) => (litOf(v, w.dt), i) }
+  private def hiLits(w: Win): Option[(org.apache.spark.sql.Column, Boolean)] =
+    w.hi.map { case (v, i) => (litOf(v, w.dt), i) }
 
   private[plans] final case class Folded(
       zones: Seq[(Int, Int, Int, String)], total: Long,
       drop: Set[((Int, Int, Int, String), String)])
 
-  /** (partials sig, bounds sig, lo, hi, vlo, vhi) → fold. The signature
-    * folds every store file's (path, length, mtime), so a newly
-    * published batch invalidates exactly the affected store's entries.
-    * Bounded at [[CacheMax]] entries (cleared wholesale past it — one
-    * fold per distinct (store state, window) is already the steady
-    * state). */
-  private val cache = new java.util.concurrent.ConcurrentHashMap[
-    (String, String, Option[Long], Option[Long],
-      Option[(Double, Boolean)], Option[(Double, Boolean)]), Folded]()
-  private val CacheMax = 64
+  /** (partials sig, bounds sig, windows) → fold. The signature folds
+    * every store file's (path, length, mtime), so a newly published
+    * batch invalidates exactly the affected store's entries. Bounded at
+    * [[CacheMax]] entries with LRU eviction (access-ordered
+    * LinkedHashMap): a busy multi-lake session evicts the coldest
+    * (lake, window) fold, never every lake's folds at once. */
+  private type CacheKey = (String, String, Map[String, Win])
+  private val cache: java.util.Map[CacheKey, Folded] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[CacheKey, Folded](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[CacheKey, Folded]): Boolean = size() > CacheMax
+      })
+  private[graft] var CacheMax = 64
+
+  /** Count of ACTUAL folds run (cache misses) — observable by specs
+    * pinning the LRU contract. */
+  private[graft] val foldCount = new java.util.concurrent.atomic.AtomicLong
 
   private[graft] def clearCache(): Unit = cache.clear()
 
@@ -391,46 +449,66 @@ object RollupPartitionSkip {
       LocalDateTime.ofEpochSecond(Math.floorDiv(v, 1000000L),
         (Math.floorMod(v, 1000000L) * 1000L).toInt, ZoneOffset.UTC))
 
-  /** One metadata-sized fold: qualifying partition zones (time ∩
-    * covered-value), the total partition count, and the per-file drop
-    * set inside qualifying partitions. None (decline) when more than
-    * [[MaxInLiterals]] partitions qualify. NULL-bounded partitions and
-    * files (all-null column) never intersect a range window on that
-    * column and are skipped under it — the comparison's null semantics
-    * for the partition fold, an explicit coalesce for the file filter. */
+  /** One metadata-sized fold: qualifying partition zones (event-time ∩
+    * every covered bounds column with a window), the total partition
+    * count, and the per-file drop set inside qualifying partitions.
+    * None (decline) when more than [[MaxInLiterals]] partitions qualify
+    * or when no window is serviceable by any store. NULL-bounded
+    * partitions and files (all-null column) never intersect a range
+    * window on that column and are skipped under it — the comparison's
+    * null semantics for the partition fold, an explicit coalesce for
+    * the file filter. Generic columns additionally distinguish UNKNOWN
+    * (`nn_<c>` NULL after a schema-evolving merge: the row predates the
+    * column — never skippable) from known-all-null (`nn_<c>` = 0 —
+    * skippable), per FileBounds' trust contract. */
   private def foldZones(s: SparkSession, rollupDir: String,
-                        lo: Option[Long], hi: Option[Long],
-                        vlo: Option[(Double, Boolean)], vhi: Option[(Double, Boolean)])
-      : Option[Folded] = {
+                        wins: Map[String, Win]): Option[Folded] = {
     import org.apache.spark.sql.functions._
     val fbDir = new Path(new Path(rollupDir).getParent, "filebounds").toString
     val fbSig = listingSignature(s, fbDir)
-    val key = (listingSignature(s, rollupDir), fbSig, lo, hi, vlo, vhi)
+    val key = (listingSignature(s, rollupDir), fbSig, wins)
     val folded = cache.get(key) match {
       case null =>
+        foldCount.incrementAndGet(): Unit
         val haveFb = fbSig != "absent" &&
           graft.ingest.FileBounds.hasData(s, fbDir)
+        val fbAll = if (haveFb) Some(graft.ingest.FileBounds.all(s, fbDir)) else None
+        // which windows can any store actually service?
+        val tsWin = wins.get(TsCol) // partials track event time for every lake
+        val valWin = wins.get(ValCol).filter(_ => haveFb)
+        val genWins = wins.filter { case (c, _) =>
+          c != TsCol && c != ValCol && fbAll.exists { df =>
+            val cols = df.columns.toSet
+            cols.contains(graft.ingest.FileBounds.nnCol(c)) &&
+              cols.contains(graft.ingest.FileBounds.minCol(c))
+          }
+        }
+        if (tsWin.isEmpty && valWin.isEmpty && genWins.isEmpty) return None
         val tsBounds = graft.ingest.Rollup.filePartials(s, rollupDir)
           .groupBy("year", "month", "day", "mode")
-          .agg(min("min_ts").as("zmin"), max("max_ts").as("zmax"))
-        val tsKeep = Seq(
-          lo.map(v => col("zmax") >= ntzLit(v)),
-          hi.map(v => col("zmin") <= ntzLit(v))).flatten
-          .reduceOption(_ && _).getOrElse(lit(true))
-        val wantValue = vlo.isDefined || vhi.isDefined
+          .agg(min("min_ts").as("pzmin"), max("max_ts").as("pzmax"))
+        val tsKeep = tsWin.map(w => graft.ingest.FileBounds.intersectsLits(
+          col("pzmin"), col("pzmax"), loLits(w), hiLits(w))).getOrElse(lit(true))
         val bounds =
-          if (!wantValue || !haveFb) tsBounds.withColumn("keep", tsKeep)
+          if (valWin.isEmpty && genWins.isEmpty) tsBounds.withColumn("keep", tsKeep)
           else {
-            // value zones apply only where the sidecar COVERS the
-            // partition (FileBounds.partitionValueZones) — an uncovered
-            // partition keeps its time-only verdict
+            // per-column zones apply only where the sidecar COVERS the
+            // partition FOR THAT COLUMN (FileBounds.partitionZones) —
+            // an uncovered partition keeps its other columns' verdict
             val vz = graft.ingest.FileBounds
-              .partitionValueZones(s, fbDir, rollupDir)
-            val vKeep = !coalesce(col("covered"), lit(false)) ||
-              coalesce(graft.ingest.FileBounds.intersects(
-                col("vmin"), col("vmax"), vlo, vhi), lit(false))
+              .partitionZones(s, fbDir, rollupDir, genWins.keys.toSeq.sorted)
+            val vKeep = valWin.map { w =>
+              !coalesce(col("covered"), lit(false)) ||
+                coalesce(graft.ingest.FileBounds.intersectsLits(
+                  col("vmin"), col("vmax"), loLits(w), hiLits(w)), lit(false))
+            }.getOrElse(lit(true))
+            val gKeep = genWins.toSeq.sortBy(_._1).map { case (c, w) =>
+              !coalesce(col(s"covered_$c"), lit(false)) ||
+                coalesce(graft.ingest.FileBounds.intersectsLits(
+                  col(s"zmin_$c"), col(s"zmax_$c"), loLits(w), hiLits(w)), lit(false))
+            }.reduceOption(_ && _).getOrElse(lit(true))
             tsBounds.join(vz, Seq("year", "month", "day", "mode"), "left")
-              .withColumn("keep", tsKeep && vKeep)
+              .withColumn("keep", tsKeep && vKeep && gKeep)
           }
         val persisted = bounds.persist()
         try {
@@ -446,15 +524,26 @@ object RollupPartitionSkip {
             else {
               import s.implicits._
               val zdf = broadcast(rows.toDF("year", "month", "day", "mode"))
-              val fIntersect = Seq(
-                lo.map(v => col("max_ts") >= ntzLit(v)),
-                hi.map(v => col("min_ts") <= ntzLit(v))).flatten
-                .reduceOption(_ && _).getOrElse(lit(true)) &&
-                graft.ingest.FileBounds.intersects(
-                  col("min_val"), col("max_val"), vlo, vhi)
-              graft.ingest.FileBounds.all(s, fbDir)
+              // legacy pair: every bounds row tracks them; NULL bounds =
+              // all-null column = cannot satisfy a range = droppable
+              val legacyKeep = coalesce(
+                tsWin.map(w => graft.ingest.FileBounds.intersectsLits(
+                  col("min_ts"), col("max_ts"), loLits(w), hiLits(w)))
+                  .getOrElse(lit(true)) &&
+                valWin.map(w => graft.ingest.FileBounds.intersectsLits(
+                  col("min_val"), col("max_val"), loLits(w), hiLits(w)))
+                  .getOrElse(lit(true)), lit(false))
+              // generic columns: UNKNOWN rows (nn_<c> NULL) always keep
+              val genKeep = genWins.toSeq.sortBy(_._1).map { case (c, w) =>
+                col(graft.ingest.FileBounds.nnCol(c)).isNull ||
+                  coalesce(graft.ingest.FileBounds.intersectsLits(
+                    col(graft.ingest.FileBounds.minCol(c)),
+                    col(graft.ingest.FileBounds.maxCol(c)),
+                    loLits(w), hiLits(w)), lit(false))
+              }.reduceOption(_ && _).getOrElse(lit(true))
+              fbAll.get
                 .join(zdf, Seq("year", "month", "day", "mode"))
-                .filter(!coalesce(fIntersect, lit(false)))
+                .filter(!(legacyKeep && genKeep))
                 .select("year", "month", "day", "mode", "data_file")
                 .limit(MaxDropFiles)
                 .collect()
@@ -463,7 +552,6 @@ object RollupPartitionSkip {
                 .toSet
             }
           val result = Folded(rows, nTotal, drop)
-          if (cache.size >= CacheMax) cache.clear()
           cache.put(key, result)
           result
         } finally persisted.unpersist(): Unit

@@ -182,15 +182,13 @@ object ExportOps {
     // data, the same evidence grain the manifest carries
     val newStats = perFileStats(s, tmp.toString)
     // move the new files into the live shard dirs under the append token
-    newStats.foreach { r =>
+    newStats.map(_.getString(0)).distinct.foreach(shard =>
+      fs.mkdirs(new org.apache.hadoop.fs.Path(root, s"shard=$shard")): Unit)
+    parallelRenames(fs, newStats.toSeq.map { r =>
       val (shard, file) = (r.getString(0), r.getString(1))
-      val dest = new org.apache.hadoop.fs.Path(root, s"shard=$shard")
-      fs.mkdirs(dest)
-      val from = new org.apache.hadoop.fs.Path(tmp, s"shard=$shard/$file")
-      val to = new org.apache.hadoop.fs.Path(dest, s"a$token-$file")
-      if (!fs.rename(from, to))
-        throw new java.io.IOException(s"append move failed: $from -> $to")
-    }
+      (new org.apache.hadoop.fs.Path(tmp, s"shard=$shard/$file"),
+        new org.apache.hadoop.fs.Path(root, s"shard=$shard/a$token-$file"))
+    })
     fs.delete(tmp, true)
     // extend the manifest: old entries stay verbatim, each shard's new
     // entries follow in rank order, totals and checksums add
@@ -222,8 +220,13 @@ object ExportOps {
   }
 
   /** Render + write `_manifest.json` from explicit per-shard data —
-    * shared by [[writeManifest]] (full recount) and
-    * [[exportShardsAppend]] (old entries + new-file recount). */
+    * shared by [[writeManifest]] (full recount), [[exportShardsAppend]]
+    * (old entries + new-file recount) and [[compactShards]] (old
+    * entries with merged intervals substituted). The write goes through
+    * a hidden temp + rename — the manifest is the export's COMMIT
+    * POINTER (append and compaction both swap it as their last step),
+    * so a reader must see the old complete bytes or the new complete
+    * bytes, never a truncation. */
   private def putManifest(fs: org.apache.hadoop.fs.FileSystem,
                           root: org.apache.hadoop.fs.Path,
                           shards: Seq[(String, Long, Long, Seq[(String, Long, Long, Long)])])
@@ -237,9 +240,207 @@ object ExportOps {
     val json = s"""{"n_total":${shards.map(_._2).sum},""" +
       s""""n_shards":${shards.size},""" +
       s""""shards":${shardsJson.mkString("[", ",", "]")}}"""
-    val out = fs.create(new org.apache.hadoop.fs.Path(root, "_manifest.json"), true)
+    val tmp = new org.apache.hadoop.fs.Path(root,
+      s"._manifest-${java.util.UUID.randomUUID().toString.take(8)}")
+    fs.mkdirs(root)
+    val out = fs.create(tmp, true)
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    val live = new org.apache.hadoop.fs.Path(root, "_manifest.json")
+    fs.delete(live, false) // local RawLocalFileSystem refuses rename-over
+    if (!fs.rename(tmp, live)) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(s"manifest commit rename failed: $tmp -> $live")
+    }
+  }
+
+  /** Bounded-parallel file moves: object-store latency × hundreds of
+    * part files makes a serial driver rename loop seconds per tick, and
+    * renames on independent files don't order-depend. Rethrows the
+    * first failure. */
+  private def parallelRenames(fs: org.apache.hadoop.fs.FileSystem,
+                              moves: Seq[(org.apache.hadoop.fs.Path, org.apache.hadoop.fs.Path)],
+                              parallelism: Int = 16): Unit = {
+    if (moves.isEmpty) return
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(parallelism, moves.size)))
+    try {
+      import scala.jdk.CollectionConverters._
+      val tasks: Seq[java.util.concurrent.Callable[Unit]] = moves.map {
+        case (from, to) => (() => {
+          if (!fs.rename(from, to))
+            throw new java.io.IOException(s"move failed: $from -> $to")
+        }): java.util.concurrent.Callable[Unit]
+      }
+      pool.invokeAll(tasks.asJava).asScala.foreach(_.get()): Unit // rethrows
+    } finally pool.shutdown()
+  }
+
+  /** Maintenance report of one [[compactShards]] run. */
+  final case class ShardCompactionReport(shardsCompacted: Int,
+                                         filesBefore: Int, filesAfter: Int)
+
+  /** EXPORT-TREE compaction — the maintenance the weekly append path
+    * ([[exportShardsAppend]]) makes necessary: every tick adds
+    * `a<token>-` part files to each shard dir forever, and the
+    * training-data artifact decays into a small-file swamp exactly like
+    * the lake did before its compactor. Per SHARD whose manifest lists
+    * more than `maxFilesPerShard` files: merge the shard's
+    * rank-contiguous files into ceil(bytes/targetBytes) new files and
+    * substitute the merged rank intervals into the manifest — the
+    * rank-interval contract is exactly what makes a manifest-preserving
+    * merge well-defined (rows are already globally rank-ordered, so a
+    * range repartition over (shard, rnk) re-tiles each shard densely).
+    *
+    * Content is untouched: per compacted shard the merged files'
+    * recounted totals AND rank-weighted checksum must equal the old
+    * manifest's (required, not assumed) — so `readShards` returns
+    * byte-identical rows and q104/q108/q118's audit checksums survive
+    * verbatim. Untouched shards keep their manifest entries verbatim.
+    *
+    * Crash posture (the lake compactor's two-rename discipline, with
+    * the manifest as the single commit pointer): merged files are
+    * written to a hidden staging dir, moved in under a `c<token>-`
+    * prefix (unlisted strays — a concurrent reader's presence check
+    * fails LOUDLY, same documented posture as a mid-append crash), then
+    * ONE atomic manifest swap commits, then the replaced files are
+    * deleted. A crash before the swap leaves strays; after it, leftover
+    * replaced files; [[recoverExport]] heals both states from the
+    * manifest alone. Runs under the export's single-maintenance-writer
+    * discipline (the same tick slot that appends). */
+  def compactShards(s: SparkSession, outDir: String,
+                    maxFilesPerShard: Int = 8,
+                    targetBytesPerFile: Long = 128L * 1024 * 1024,
+                    deep: Boolean = false): ShardCompactionReport = {
+    val m = readManifest(s, outDir)
+    validateExport(s, outDir, m, deep)
+    val byShard = m.files.groupBy(_.shard)
+    val big = m.shards.filter { case (shard, _, _) =>
+      byShard.getOrElse(shard, Seq.empty).size > maxFilesPerShard
+    }.map(_._1)
+    if (big.isEmpty) return ShardCompactionReport(0, 0, 0)
+    val root = new org.apache.hadoop.fs.Path(outDir)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val bytesOf: Map[String, Long] = big.map { sh =>
+      sh -> fs.listStatus(new org.apache.hadoop.fs.Path(root, s"shard=$sh")).toSeq
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+        .map(_.getLen).sum
+    }.toMap
+    val tmp = new org.apache.hadoop.fs.Path(root, s".compact-$token")
+    fs.delete(tmp, true)
+    // one rewrite JOB per oversized shard (a bounded driver pool drives
+    // them concurrently — Spark schedules jobs from multiple threads
+    // natively, the Compactor's own pattern): per-shard range
+    // partitioning aligns every output-file boundary to the shard by
+    // construction, so a shard comes out with EXACTLY
+    // ceil(bytes/target) files and one pass converges (a single
+    // all-shards range partition would sample (shard, rnk) boundaries
+    // and could split a shard across extra files, re-tripping the
+    // threshold forever)
+    locally {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.max(1, math.min(4, big.size)))
+      try {
+        import scala.jdk.CollectionConverters._
+        val tasks: Seq[java.util.concurrent.Callable[Unit]] = big.map { sh =>
+          (() => {
+            val k = math.max(1L,
+              math.ceil(bytesOf(sh).toDouble / targetBytesPerFile).toLong).toInt
+            s.read.parquet(s"$outDir/shard=$sh")
+              .repartitionByRange(k, col("rnk"))
+              .sortWithinPartitions("rnk")
+              .write.mode("overwrite").parquet(s"$tmp/shard=$sh")
+          }): java.util.concurrent.Callable[Unit]
+        }
+        pool.invokeAll(tasks.asJava).asScala.foreach(_.get()): Unit // rethrows
+      } finally pool.shutdown()
+    }
+    val merged = perFileStats(s, tmp.toString)
+    parallelRenames(fs, merged.toSeq.map { r =>
+      val (shard, file) = (r.getString(0), r.getString(1))
+      (new org.apache.hadoop.fs.Path(tmp, s"shard=$shard/$file"),
+        new org.apache.hadoop.fs.Path(root, s"shard=$shard/c$token-$file"))
+    })
+    // substitute the merged intervals; require exact content identity
+    // (totals + checksum) before committing anything
+    val mergedByShard = merged.groupBy(_.getString(0))
+    val oldTotals = m.shards.map(t => t._1 -> ((t._2, t._3))).toMap
+    val replaced = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val shards = m.shards.map { case (shard, n, orderSum) =>
+      if (!big.contains(shard))
+        (shard, n, orderSum, byShard.getOrElse(shard, Seq.empty).sortBy(_.pos)
+          .map(e => (e.file, e.n, e.lo, e.hi)))
+      else {
+        val rows = mergedByShard.getOrElse(shard, Array.empty[org.apache.spark.sql.Row])
+          .sortBy(_.getLong(3))
+        var expect = 1L
+        rows.foreach { r =>
+          val (lo, hi, cnt, nd) = (r.getLong(3), r.getLong(4), r.getLong(2), r.getLong(5))
+          require(lo == expect && hi - lo + 1 == cnt && nd == cnt,
+            s"shard compaction broke the rank tiling: shard $shard file " +
+              s"c$token-${r.getString(1)} covers [$lo,$hi] with $cnt rows")
+          expect = hi + 1
+        }
+        val (oldN, oldSum) = oldTotals(shard)
+        require(rows.map(_.getLong(2)).sum == oldN &&
+          rows.map(_.getLong(6)).sum == oldSum,
+          s"shard compaction changed shard $shard content: " +
+            s"rows ${rows.map(_.getLong(2)).sum}/$oldN " +
+            s"checksum ${rows.map(_.getLong(6)).sum}/$oldSum")
+        byShard.getOrElse(shard, Seq.empty).foreach(e => replaced += shard -> e.file)
+        (shard, n, orderSum,
+          rows.map(r => (s"c$token-${r.getString(1)}", r.getLong(2),
+            r.getLong(3), r.getLong(4))).toSeq)
+      }
+    }
+    putManifest(fs, root, shards) // THE commit
+    replaced.foreach { case (shard, f) =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, s"shard=$shard/$f"), false): Unit
+    }
+    fs.delete(tmp, true)
+    ShardCompactionReport(big.size, replaced.size,
+      merged.length + (m.files.size - replaced.size))
+  }
+
+  /** Heal an export tree after a crashed [[exportShardsAppend]] or
+    * [[compactShards]], from the manifest alone. The manifest is the
+    * commit pointer, so the live file set is exactly what it lists:
+    * when every LISTED file is present, any unlisted data file is a
+    * pre-commit stray (crashed append) or a post-commit leftover
+    * (crashed compaction's replaced files) and is deleted; when a
+    * listed file is MISSING the tree lost committed data — that is not
+    * healable here and fails loudly. Returns files deleted; the healed
+    * tree re-validates. */
+  def recoverExport(s: SparkSession, outDir: String): Int = {
+    val m = readManifest(s, outDir)
+    val root = new org.apache.hadoop.fs.Path(outDir)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val listed = m.files.groupBy(_.shard).view.mapValues(_.map(_.file).toSet).toMap
+    var deleted = 0
+    fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("shard="))
+      .foreach { st =>
+        val shard = st.getPath.getName.stripPrefix("shard=")
+        val want = listed.getOrElse(shard, Set.empty)
+        val have = fs.listStatus(st.getPath).toSeq.map(_.getPath.getName)
+          .filterNot(n => n.startsWith("_") || n.startsWith(".")).toSet
+        val missing = want -- have
+        require(missing.isEmpty,
+          s"export $outDir shard $shard lost committed files: " +
+            s"${missing.toSeq.sorted.mkString(",")} — not recoverable by stray deletion")
+        (have -- want).foreach { stray =>
+          if (fs.delete(new org.apache.hadoop.fs.Path(st.getPath, stray), false))
+            deleted += 1
+        }
+      }
+    // a crashed compaction can also leave its hidden staging dir
+    fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && (st.getPath.getName.startsWith(".compact-") ||
+        st.getPath.getName.startsWith(".append-")))
+      .foreach(st => fs.delete(st.getPath, true): Unit)
+    deleted
   }
 
   /** Loader-side validation manifest for an exported shard tree:

@@ -426,6 +426,28 @@ object IngestQueries {
         .orderBy("mode")
     }),
 
+    // GENERALIZED zone maps (round 17): the bounds sidecar is no longer
+    // two hardcoded columns — FileBounds.boundsColumns gives every
+    // numeric/timestamp curated column a per-file (nn_, min_, max_)
+    // triplet, schema-driven, so "filter on a column added last
+    // quarter" prunes like the originals do. This query range-filters
+    // user_id — a column the round-16 store knew nothing about — and
+    // its oracle proves the generically-zoned answer equals the events
+    // recompute (RollupSkipSpec asserts the actual partition/file
+    // pruning on crafted lakes with disjoint per-partition user ranges,
+    // plus the fail-open on mixed-generation stores).
+    "q120_colrange_skip" -> ((s, d) => {
+      val lay = IngestDemo.ensure(s, d)
+      CuratedWriter.read(s, lay.curatedDir)
+        .filter(col("user_id") >= lit(3L) && col("user_id") < lit(10L))
+        .groupBy("mode")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(round(col("value") * lit(1000000)).cast("long")).as("value_e6"),
+          min(col("user_id")).as("min_uid"),
+          max(col("user_id")).as("max_uid"))
+        .orderBy("mode")
+    }),
+
     // The q115 lake's PHYSICAL LAYOUT invariants, pinned by the oracle
     // as literals: after maintenance every (day, mode) partition is
     // exactly ONE file (n_files via count(distinct _metadata.file_path)
@@ -601,6 +623,12 @@ object IngestQueries {
               CAST(ROUND(MIN(value)*1000000) AS BIGINT) AS min_v_e6,
               CAST(ROUND(MAX(value)*1000000) AS BIGINT) AS max_v_e6
          FROM events WHERE value >= 300.0
+         GROUP BY 1 ORDER BY 1""",
+    "q120_colrange_skip" ->
+      """SELECT event_type AS mode, COUNT(*) AS n_rows,
+              CAST(SUM(CAST(ROUND(value*1000000) AS BIGINT)) AS BIGINT) AS value_e6,
+              MIN(user_id) AS min_uid, MAX(user_id) AS max_uid
+         FROM events WHERE user_id >= 3 AND user_id < 10
          GROUP BY 1 ORDER BY 1""",
     "q116_layout_audit" ->
       """SELECT CAST(day(ts) AS INT) AS day, event_type AS mode,

@@ -301,6 +301,48 @@ object ScaleProbe {
     Stat("export_shards", tier, nIn, m.files.size.toLong, m.nTotal, secs)
   }
 
+  /** Export-tree MAINTENANCE (the round-17 shard compactor + the
+    * parallel-rename append) on a FILES-PER-SHARD axis at FIXED corpus
+    * size — the state `slices` maintenance-free weekly append ticks
+    * leave behind. Builds a base export plus (slices-2) appends of
+    * equal doc_id-mod slices, then measures:
+    *
+    *  - `export_append` — the LAST append tick's wall, with the tree
+    *    already holding the accumulated file mass (`n_candidates` =
+    *    part files BEFORE that append): at fixed per-tick data this
+    *    must hold ~flat as the axis grows, or appends degrade with tree
+    *    age (the serial-rename failure mode the bounded pool fixes);
+    *  - `export_compact` — ONE compactShards pass over the accreted
+    *    tree (`n_candidates` = files before, `n_output` = files after),
+    *    REQUIRED to shrink the file count and to re-validate under the
+    *    full deep loader contract (rank tiling + per-shard checksums
+    *    unchanged — content identity, not just row counts).
+    *
+    * Rebuilds fresh per run under `var/scale/exportmaint-<tier>/`. */
+  def exportMaintenance(s: SparkSession, dir: String, tier: String,
+                        slices: Int): Seq[Stat] = {
+    val docs = Tables.load(s, dir, "documents").select("doc_id", "source", "text")
+    val nIn = docs.count()
+    val out = s"var/scale/exportmaint-$tier"
+    graft.pipeline.DemoCache.deleteRec(new java.io.File(out))
+    def slice(i: Int) = docs.filter(pmod(col("doc_id"), lit(slices)) === i)
+    ExportOps.exportShards(s, slice(0), out)
+    (1 until slices - 1).foreach(i => ExportOps.exportShardsAppend(s, slice(i), out))
+    val beforeAppend = ExportOps.readManifest(s, out).files.size
+    val (_, appendSecs) = timed(ExportOps.exportShardsAppend(s, slice(slices - 1), out))
+    val before = ExportOps.readManifest(s, out).files.size
+    val (rep, secs) = timed(ExportOps.compactShards(s, out, maxFilesPerShard = 8))
+    val after = ExportOps.readManifest(s, out).files.size
+    require(rep.shardsCompacted > 0 && after < before,
+      s"export compaction did not shrink the tree ($before -> $after)")
+    ExportOps.readShards(s, out, deep = true).count(): Unit
+    s.catalog.clearCache()
+    Seq(
+      Stat("export_append", tier, nIn / slices, beforeAppend.toLong,
+        ExportOps.readManifest(s, out).nTotal, appendSecs),
+      Stat("export_compact", tier, nIn, before.toLong, after.toLong, secs))
+  }
+
   def all(s: SparkSession, dir: String, tier: String): Seq[Stat] =
     Seq(minhash(s, dir, tier), simhash(s, dir, tier),
       embed(s, dir, tier), components(s, dir, tier), decontam(s, dir, tier),

@@ -46,6 +46,9 @@ object ScaleStress {
   // state 4/16/64 maintenance-free ingest ticks leave behind
   private val CompactTiers = Seq("frag4" -> 4, "frag16" -> 16, "frag64" -> 64)
   private val FileSkipTiers = Seq("f4" -> 4, "f12" -> 12, "f48" -> 48)
+  // append-tick axis for export-tree maintenance: 4/16/64 generations
+  // of weekly appends at fixed corpus size (files-per-shard grows ~axis)
+  private val ExportMaintTiers = Seq("a4" -> 4, "a16" -> 16, "a64" -> 64)
 
   private def ensureBlowup(spark: SparkSession, src: String, out: String,
                            copies: Int, withEmbeddings: Boolean): Unit = {
@@ -163,8 +166,14 @@ object ScaleStress {
         for ((tier, bands) <- FileSkipTiers;
              st <- ScaleProbe.fileSkip(spark, tier, bands))
           println(s"SCALE ${st.json}")
-      val wanted = wanted0 - "rollup" - "compact" - "fileskip"
-      if (wanted.isEmpty && wanted0.subsetOf(Set("rollup", "compact", "fileskip"))) {
+      // export maintenance runs on the FILES-PER-SHARD (append-tick) axis
+      if (wanted0.contains("exportmaint"))
+        for ((tier, slices) <- ExportMaintTiers;
+             st <- ScaleProbe.exportMaintenance(spark, sf01, tier, slices))
+          println(s"SCALE ${st.json}")
+      val wanted = wanted0 - "rollup" - "compact" - "fileskip" - "exportmaint"
+      if (wanted.isEmpty &&
+          wanted0.subsetOf(Set("rollup", "compact", "fileskip", "exportmaint"))) {
         spark.stop(); return
       }
       val probes: Map[String, (SparkSession, String, String) => ScaleProbe.Stat] = Map(

@@ -167,4 +167,54 @@ class CompactionReaderSpec extends AnyFunSuite {
     assert(!fs.exists(new Path(leaf, "sw1-stray-0.parquet")))
     assert(rows(CuratedWriter.read(spark, lake)) == want)
   }
+
+  test("external symlink manifests: a plain read over the listed paths is row-identical across a swap") {
+    val (lake, leaf7, leaf8) = freshLake()
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI("file:///"), spark.sparkContext.hadoopConfiguration)
+    val root = fs.makeQualified(new Path(lake))
+    val want = rows(CuratedWriter.read(spark, lake))
+    // opt the lake in: one manifest per leaf
+    assert(LakeSnapshot.publishSymlinks(fs, root) == 2)
+    // the EXTERNAL consumer's read: plain spark.read over the listed
+    // paths (no LakeSnapshot code at scan time) — this is what an
+    // Athena-style engine resolves from _symlinks/*.txt
+    def externalRead(paths: Seq[String]) = rows(
+      spark.read.option("basePath", lake).parquet(paths: _*))
+    val preSwapPaths = LakeSnapshot.symlinkSnapshotPaths(fs, root)
+    assert(preSwapPaths.size == 4) // two single-file appends per leaf
+    assert(externalRead(preSwapPaths) == want)
+
+    // the maintenance tick swaps both leaves CONCURRENTLY with the
+    // external consumer holding the pre-swap manifest
+    val report = Compactor.maintainTouched(spark, lake,
+      Seq(new Path(leaf7), new Path(leaf8)),
+      Compactor.TickConfig(maxFilesPerPartition = 1, sortCol = None))
+    assert(report.partitionsCompacted == 2)
+
+    // 1) the consumer still holding the PRE-swap manifest reads its
+    //    exact snapshot — the listed files were retired, not deleted
+    assert(externalRead(preSwapPaths) == want,
+      "pre-swap manifest paths broken by the swap")
+    // 2) a consumer re-resolving the manifest gets the post-swap list
+    //    (refreshed at the commit), row-identical, compacted layout
+    val postSwapPaths = LakeSnapshot.symlinkSnapshotPaths(fs, root)
+    assert(postSwapPaths.size == 2, s"post-swap manifests list $postSwapPaths")
+    assert(postSwapPaths.toSet.intersect(preSwapPaths.toSet).isEmpty)
+    assert(externalRead(postSwapPaths) == want,
+      "post-swap manifest paths diverge from the lake")
+
+    // an append tick refreshes the touched leaf's manifest even when
+    // nothing is rewritten — external snapshots stay tick-fresh
+    import spark.implicits._
+    Seq(("r-9-a", 7, "training", 42.0))
+      .toDF("record_id", "day", "mode", "value")
+      .repartition(col("day"))
+      .write.mode("append").partitionBy("day", "mode").parquet(lake)
+    Compactor.maintainTouched(spark, lake, Seq(new Path(leaf7)),
+      Compactor.TickConfig(maxFilesPerPartition = 99, sortCol = None)): Unit
+    val fresh = LakeSnapshot.symlinkSnapshotPaths(fs, root)
+    assert(externalRead(fresh).size == want.size + 1,
+      "appended row missing from the refreshed external snapshot")
+  }
 }

@@ -240,18 +240,23 @@ class RollupSkipSpec extends AnyFunSuite {
     * simulate files the sidecar doesn't know (compaction output,
     * pre-upgrade appends). */
   private def publishBounds(root: String,
-                            dropRow: org.apache.spark.sql.Row => Boolean = _ => false)
+                            dropRow: org.apache.spark.sql.Row => Boolean = _ => false,
+                            legacyOnly: Boolean = false,
+                            batch: String = "b0")
       : Unit = {
-    import spark.implicits._
-    val b = graft.ingest.FileBounds.compute(
-      spark.read.parquet(s"$root/curated")
-        .select(col("event_time_utc"), col("value"), col("_metadata"),
-          col("year"), col("month"), col("day"), col("mode")), "")
+    val lake = spark.read.parquet(s"$root/curated")
+    // legacyOnly reproduces a round-16 store: bounds computed from the
+    // two original columns alone, no generic triplets
+    val fed =
+      if (legacyOnly) lake.select(col("event_time_utc"), col("value"),
+        col("_metadata"), col("year"), col("month"), col("day"), col("mode"))
+      else lake.select(col("*"), col("_metadata"))
+    val b = graft.ingest.FileBounds.compute(fed, "")
     val keptRows = b.collect().filterNot(dropRow).toSeq
     val schema = b.schema
     spark.createDataFrame(
       spark.sparkContext.parallelize(keptRows, 1), schema)
-      .write.mode("overwrite").parquet(s"$root/filebounds/b0")
+      .write.mode("overwrite").parquet(s"$root/filebounds/$batch")
     RollupPartitionSkip.clearCache()
   }
 
@@ -424,6 +429,11 @@ class RollupSkipSpec extends AnyFunSuite {
     assert(flags.nonEmpty &&
       flags.forall(r => (0 until 5).forall(i => r.getInt(i) == 1)),
       "backfilled partials diverge from the lake")
+    // the backfilled store carries the generalized triplets for the
+    // lake's own numeric columns (boundsColumns over the full schema)
+    val bcols = graft.ingest.FileBounds.all(spark, s"$root/filebounds").columns.toSet
+    assert(Set("nn_user_id", "min_user_id", "max_user_id").subsetOf(bcols),
+      s"backfill produced no generic user_id triplet: $bcols")
     withExtendedSession { s =>
       // zone skip prunes off the backfilled bounds
       val df = lake(s, root)
@@ -432,6 +442,14 @@ class RollupSkipSpec extends AnyFunSuite {
       val (zones, nParts) = zoneScan(df)
       assert(zones.nonEmpty && nParts == 2, s"no pruning after backfill ($nParts)")
       assert(df.count() == 2)
+      // ... and on the generic column: day 7 (users 1-2) prunes under a
+      // user_id window only the day-8 partitions satisfy
+      val du = lake(s, root)
+        .filter(col("user_id") >= lit(3L))
+        .select("user_id", "day", "mode")
+      val (zu, nu) = zoneScan(du)
+      assert(zu.nonEmpty && nu == 2, s"no generic-column pruning after backfill ($nu)")
+      assert(du.count() == 2)
       // the serve rule answers from the backfilled partials
       val served = lake(s, root)
         .groupBy("year", "month", "day", "mode")
@@ -445,6 +463,164 @@ class RollupSkipSpec extends AnyFunSuite {
       assert(roots.exists(_.contains("/rollup")) && !roots.exists(_.contains("/curated")),
         s"serve rule not firing after backfill: $roots")
       assert(served.collect().map(_.getLong(4)).sum == 4L)
+    }
+  }
+
+  /** A lake whose partitions have DISJOINT user_id ranges — the
+    * third-column fixture for the generalized (schema-driven) zones.
+    * day 7: users 1-2, day 8: users 100-200, day 9: users 5000+. */
+  private def userLake(): String = {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-uskip").toString
+    val rows = Seq(
+      ("f-a", 1L, "2024-03-07 10:00:00", 1.0, 2024, 3, 7, "training"),
+      ("f-a", 2L, "2024-03-07 11:00:00", 2.0, 2024, 3, 7, "training"),
+      ("f-b", 100L, "2024-03-08 09:00:00", 3.0, 2024, 3, 8, "training"),
+      ("f-b", 200L, "2024-03-08 10:30:00", 4.0, 2024, 3, 8, "training"),
+      ("f-c", 5000L, "2024-03-09 09:00:00", 5.0, 2024, 3, 9, "training"),
+      ("f-c", 5001L, "2024-03-09 10:00:00", 6.0, 2024, 3, 9, "training"))
+    rows.toDF("source_file", "user_id", "ts_s", "value", "year", "month", "day", "mode")
+      .withColumn("event_time_utc", col("ts_s").cast("timestamp_ntz"))
+      .drop("ts_s")
+      .write.partitionBy("year", "month", "day", "mode").parquet(s"$root/curated")
+    Rollup.writePartials(spark.read.parquet(s"$root/curated"), s"$root/rollup/b0")
+    root
+  }
+
+  test("a generic column's range prunes covered partitions under the per-column proof") {
+    val root = userLake()
+    publishBounds(root)
+    // the store self-describes the generalized triplet
+    val cols = graft.ingest.FileBounds.all(spark, s"$root/filebounds").columns.toSet
+    assert(Set("nn_user_id", "min_user_id", "max_user_id").subsetOf(cols),
+      s"no generic user_id triplet in the store: $cols")
+    def q(s: SparkSession) = lake(s, root)
+      .filter(col("user_id") >= lit(50L) && col("user_id") <= lit(400L))
+      .select("source_file", "user_id", "value", "day")
+    val want = q(spark).collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(want.length == 2) // day 8's two rows
+    withExtendedSession { s =>
+      val df = q(s)
+      val (zones, nParts) = zoneScan(df)
+      assert(zones.nonEmpty, "no zone predicate for a generic-column window")
+      // day 7 ([1,2]) and day 9 ([5000,5001]) miss [50,400]: both are
+      // covered for user_id, both prune; only day 8 scans
+      assert(nParts == 1, s"expected 1 scanned partition, got $nParts")
+      assert(df.collect().map(_.toSeq).sortBy(_.mkString("|")).sameElements(want))
+    }
+  }
+
+  test("a mixed-generation store fails open per column: legacy rows are UNKNOWN for user_id") {
+    val root = userLake()
+    // day 7's bounds predate the generalization (legacy two-column
+    // rows); day 8/9's carry the user_id triplet — the upgraded-lake
+    // shape after the generalization ships mid-history
+    publishBounds(root, dropRow = _.getAs[Int]("day") != 7,
+      legacyOnly = true, batch = "b0")
+    publishBounds(root, dropRow = _.getAs[Int]("day") == 7, batch = "b1")
+    def q(s: SparkSession) = lake(s, root)
+      .filter(col("user_id") >= lit(50000L)) // beyond every partition's range
+      .select("source_file", "user_id", "day")
+    assert(q(spark).collect().isEmpty)
+    withExtendedSession { s =>
+      val df = q(s)
+      val (zones, nParts) = zoneScan(df)
+      assert(zones.nonEmpty, "no zone predicate over the mixed-generation store")
+      // day 8/9 are covered-for-user_id and prune; day 7's legacy rows
+      // are UNKNOWN for user_id (null nn_user_id after the merged read),
+      // so it MUST be kept despite its rows also missing the window —
+      // skipping on unknown bounds would be a wrong-results bug
+      assert(nParts == 1, s"expected exactly day 7 kept, got $nParts")
+      assert(df.collect().isEmpty)
+    }
+  }
+
+  test("file-grain drops apply to generic columns; UNKNOWN files are kept") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-ufskip").toString
+    val lakeDir = s"$root/curated"
+    def writeRows(rs: Seq[(String, Long, String, Double)]): Unit =
+      rs.toDF("source_file", "user_id", "ts_s", "value")
+        .withColumn("event_time_utc", col("ts_s").cast("timestamp_ntz"))
+        .drop("ts_s")
+        .withColumn("year", lit(2024)).withColumn("month", lit(3))
+        .withColumn("day", lit(7)).withColumn("mode", lit("training"))
+        .coalesce(1)
+        .write.mode("append").partitionBy("year", "month", "day", "mode")
+        .parquet(lakeDir)
+    // one partition, three files with disjoint user ranges; the third
+    // file's bounds row is DROPPED (simulating compaction output the
+    // sidecar doesn't know)
+    writeRows(Seq(("f-lo", 1L, "2024-03-07 08:00:00", 1.0),
+      ("f-lo", 2L, "2024-03-07 09:00:00", 2.0)))
+    writeRows(Seq(("f-hi", 900L, "2024-03-07 18:00:00", 3.0),
+      ("f-hi", 901L, "2024-03-07 19:00:00", 4.0)))
+    writeRows(Seq(("f-un", 450L, "2024-03-07 12:00:00", 5.0)))
+    Rollup.writePartials(spark.read.parquet(lakeDir), s"$root/rollup/b0")
+    publishBounds(root, dropRow = _.getAs[Long]("min_user_id") == 450L)
+    def q(s: SparkSession) = lake(s, root)
+      .filter(col("user_id") >= lit(400L) && col("user_id") < lit(500L))
+      .select("source_file", "user_id")
+    val want = q(spark).collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(want.length == 1) // f-un's row
+    withExtendedSession { s =>
+      val df = q(s)
+      val locations = df.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation.asInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation].location
+      }
+      assert(locations.size == 1)
+      val listed = locations.head.inputFiles
+      // f-lo and f-hi are user-zone-dropped; the UNKNOWN file is read
+      assert(listed.length == 1,
+        s"expected 1 of 3 files in the pruned listing: ${listed.toSeq}")
+      assert(df.collect().map(_.toSeq).sortBy(_.mkString("|")).sameElements(want),
+        "generic file-grain pruning changed the answer")
+    }
+  }
+
+  test("the registered q120_colrange_skip executes and matches its direct run") {
+    val sfDir = "/root/testdata/sf0.001"
+    val want = graft.SparkEntry.queries("q120_colrange_skip")(spark, sfDir)
+      .collect().toSeq
+    assert(want.nonEmpty)
+    withExtendedSession { s =>
+      val df = graft.SparkEntry.queries("q120_colrange_skip")(s, sfDir)
+      assert(df.collect().toSeq == want, "generically-zoned q120 != direct q120")
+    }
+  }
+
+  test("the zone-fold cache is LRU: a busy session evicts the coldest fold, not every fold") {
+    val root = userLake()
+    publishBounds(root)
+    val savedMax = RollupPartitionSkip.CacheMax
+    RollupPartitionSkip.CacheMax = 2
+    try {
+      RollupPartitionSkip.clearCache()
+      def runWin(s: SparkSession, lo: Long): Unit = {
+        lake(s, root).filter(col("user_id") >= lit(lo)).count(): Unit
+      }
+      withExtendedSession { s =>
+        val n0 = RollupPartitionSkip.foldCount.get()
+        runWin(s, 50L) // fold A
+        assert(RollupPartitionSkip.foldCount.get() == n0 + 1)
+        runWin(s, 60L) // fold B — cache now full at CacheMax=2
+        assert(RollupPartitionSkip.foldCount.get() == n0 + 2)
+        runWin(s, 50L) // A again: must HIT (and refresh A's recency)
+        assert(RollupPartitionSkip.foldCount.get() == n0 + 2,
+          "cache miss on a window that was folded two queries ago")
+        runWin(s, 70L) // fold C — evicts the LRU entry (B), not A
+        assert(RollupPartitionSkip.foldCount.get() == n0 + 3)
+        runWin(s, 50L) // A must still be warm after the eviction
+        assert(RollupPartitionSkip.foldCount.get() == n0 + 3,
+          "inserting past capacity evicted the HOT fold — LRU broken")
+        runWin(s, 60L) // B was the evictee: refolds
+        assert(RollupPartitionSkip.foldCount.get() == n0 + 4)
+      }
+    } finally {
+      RollupPartitionSkip.CacheMax = savedMax
+      RollupPartitionSkip.clearCache()
     }
   }
 

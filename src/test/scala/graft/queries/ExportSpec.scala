@@ -356,6 +356,83 @@ class ExportSpec extends AnyFunSuite {
     }
   }
 
+  test("compactShards merges appended files per shard; rows, ranks and checksums identical") {
+    val out = Files.createTempDirectory("graft-shardcompact-").toString
+    try {
+      val all = docs.select(col("doc_id"), col("source"), col("text"))
+      // a base export plus three weekly appends: every shard accretes
+      // a<token>- files, the decay compactShards exists to reverse
+      ExportOps.exportShards(spark, all.filter(pmod(col("doc_id"), lit(5)) === 0), out)
+      (1 to 3).foreach(i => ExportOps.exportShardsAppend(spark,
+        all.filter(pmod(col("doc_id"), lit(5)) === i), out))
+      def shardFiles(): Int = new java.io.File(out).listFiles()
+        .filter(d => d.isDirectory && d.getName.startsWith("shard="))
+        .map(_.listFiles().count(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))).sum
+      val mBefore = ExportOps.readManifest(spark, out)
+      val before = ExportOps.readShards(spark, out, deep = true)
+        .collect().map(_.toSeq).sortBy(_.mkString("|"))
+      val filesBefore = shardFiles()
+
+      val report = ExportOps.compactShards(spark, out, maxFilesPerShard = 2)
+      assert(report.shardsCompacted > 0, "nothing compacted on a 4-generation tree")
+      assert(shardFiles() < filesBefore,
+        s"compaction did not reduce the file count ($filesBefore -> ${shardFiles()})")
+      // the FULL loader contract re-validates (tiling, presence, deep
+      // recount, per-shard checksums) and the rows come back identical
+      // — ranks included, so the training order is untouched
+      val after = ExportOps.readShards(spark, out, deep = true)
+        .collect().map(_.toSeq).sortBy(_.mkString("|"))
+      assert(after.sameElements(before), "compaction changed the served rows")
+      val mAfter = ExportOps.readManifest(spark, out)
+      assert(mAfter.nTotal == mBefore.nTotal &&
+        mAfter.shards.sortBy(_._1) == mBefore.shards.sortBy(_._1),
+        "compaction changed shard totals or order checksums")
+      // idempotent: everything now fits the threshold
+      assert(ExportOps.compactShards(spark, out, maxFilesPerShard = 2)
+        .shardsCompacted == 0)
+      // the tree keeps accepting appends afterwards — manifest
+      // extension and interval substitution compose
+      ExportOps.exportShardsAppend(spark,
+        all.filter(pmod(col("doc_id"), lit(5)) === 4), out)
+      assert(ExportOps.readShards(spark, out, deep = true).count() == all.count())
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    }
+  }
+
+  test("recoverExport heals crash strays from the manifest alone; lost files fail loudly") {
+    val out = Files.createTempDirectory("graft-recover-").toString
+    try {
+      val all = docs.select(col("doc_id"), col("source"), col("text"))
+      ExportOps.exportShards(spark, all, out)
+      // a crashed append/compaction leaves moved-in files the manifest
+      // never committed: plant one and watch validation fail loudly
+      val shardDir = new java.io.File(out).listFiles()
+        .filter(d => d.isDirectory && d.getName.startsWith("shard=")).head
+      val part = shardDir.listFiles().filter(f => f.isFile &&
+        !f.getName.startsWith("_") && !f.getName.startsWith(".")).head
+      val stray = new java.io.File(shardDir, s"aDEAD-${part.getName}")
+      java.nio.file.Files.copy(part.toPath, stray.toPath)
+      val e = intercept[IllegalArgumentException] {
+        ExportOps.readShards(spark, out, deep = false).count()
+      }
+      assert(e.getMessage.contains("unlisted on disk"), e.getMessage)
+      assert(ExportOps.recoverExport(spark, out) == 1)
+      assert(!stray.exists)
+      assert(ExportOps.readShards(spark, out, deep = true).count() == all.count())
+      // a LISTED file gone missing is committed data loss — recovery
+      // must refuse, not silently shrink the corpus
+      assert(part.delete())
+      val eLost = intercept[IllegalArgumentException] {
+        ExportOps.recoverExport(spark, out)
+      }
+      assert(eLost.getMessage.contains("lost committed files"), eLost.getMessage)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    }
+  }
+
   test("exportShardsAppend refuses a stale or tampered manifest before writing anything") {
     val out = Files.createTempDirectory("graft-append-stale-").toString
     try {
