@@ -195,6 +195,29 @@ case class RollupPartitionSkip(session: SparkSession) extends Rule[LogicalPlan] 
         litFor(a, l).foreach(tighten(a.name, _, incl = true, isLo = true))
       case LessThan(l, a: AttributeReference) =>
         litFor(a, l).foreach(tighten(a.name, _, incl = false, isLo = true))
+      // membership lists imply the [min, max] envelope (null elements
+      // never satisfy an IN, so dropping them only loosens the window —
+      // sound). InSet is the same predicate after OptimizeIn; its
+      // values are already internal-typed like Literal values. The
+      // fixpoint guard above only matches In/InSet over OUR partition
+      // struct, so a plain column membership reaches here.
+      case In(a: AttributeReference, elems) if colTypes.contains(a.name) &&
+          elems.forall(_.isInstanceOf[Literal]) =>
+        val vs = elems.collect {
+          case Literal(v, dt) if v != null && dt == a.dataType => v
+        }
+        if (vs.nonEmpty) {
+          val ord = ordOf(a.dataType)
+          tighten(a.name, vs.min(ord), incl = true, isLo = true)
+          tighten(a.name, vs.max(ord), incl = true, isLo = false)
+        }
+      case InSet(a: AttributeReference, set) if colTypes.contains(a.name) =>
+        val vs = set.toSeq.filter(_ != null)
+        if (vs.nonEmpty) {
+          val ord = ordOf(a.dataType)
+          tighten(a.name, vs.min(ord), incl = true, isLo = true)
+          tighten(a.name, vs.max(ord), incl = true, isLo = false)
+        }
       case _ => ()
     }
     if (wins.isEmpty) return None

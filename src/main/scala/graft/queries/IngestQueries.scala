@@ -448,6 +448,42 @@ object IngestQueries {
         .orderBy("mode")
     }),
 
+    // EXTERNAL snapshot consumption (round 17): the reference's
+    // consumption layer is Athena reading the lake directly
+    // (diagram_1.txt:98-101) — an engine that cannot run this library's
+    // snapshot-pinned reads. LakeSnapshot.publishSymlinks opts the lake
+    // into per-leaf symlink manifests (the Delta symlink_format_manifest
+    // move), and THIS query reads the lake exactly as that external
+    // engine would: resolve the `_symlinks/` listings, then a PLAIN
+    // spark.read.parquet over the listed paths (basePath for partition
+    // discovery — no LakeSnapshot code at scan time). The oracle proves
+    // the externally-resolved snapshot equals the events recompute;
+    // CompactionReaderSpec proves the same read stays row-identical
+    // ACROSS a concurrent swap (old manifests resolve to retired-not-
+    // deleted files, refreshed manifests to the compacted generation).
+    // The publish guard re-seeds the tree when the workspace moved
+    // (manifest paths are absolute, the snapshot convention) — one lake
+    // walk, once per workspace.
+    "q121_external_snapshot" -> ((s, d) => {
+      val lay = IngestDemo.ensure(s, d)
+      val root0 = new org.apache.hadoop.fs.Path(lay.curatedDir)
+      val fs = root0.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val root = fs.makeQualified(root0)
+      val stale = {
+        val ps = graft.ingest.LakeSnapshot.symlinkSnapshotPaths(fs, root)
+        ps.isEmpty || !fs.exists(new org.apache.hadoop.fs.Path(ps.head))
+      }
+      if (stale) graft.ingest.LakeSnapshot.publishSymlinks(fs, root): Unit
+      val paths = graft.ingest.LakeSnapshot.symlinkSnapshotPaths(fs, root)
+      s.read.option("basePath", lay.curatedDir).parquet(paths: _*)
+        .filter(col("event_time_utc") >= lit("2024-01-15 00:00:00").cast("timestamp_ntz") &&
+          col("mode") =!= "synthetic")
+        .groupBy("mode")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(round(col("value") * lit(1000000)).cast("long")).as("value_e6"))
+        .orderBy("mode")
+    }),
+
     // The q115 lake's PHYSICAL LAYOUT invariants, pinned by the oracle
     // as literals: after maintenance every (day, mode) partition is
     // exactly ONE file (n_files via count(distinct _metadata.file_path)
@@ -629,6 +665,11 @@ object IngestQueries {
               CAST(SUM(CAST(ROUND(value*1000000) AS BIGINT)) AS BIGINT) AS value_e6,
               MIN(user_id) AS min_uid, MAX(user_id) AS max_uid
          FROM events WHERE user_id >= 3 AND user_id < 10
+         GROUP BY 1 ORDER BY 1""",
+    "q121_external_snapshot" ->
+      """SELECT event_type AS mode, COUNT(*) AS n_rows,
+              CAST(SUM(CAST(ROUND(value*1000000) AS BIGINT)) AS BIGINT) AS value_e6
+         FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
          GROUP BY 1 ORDER BY 1""",
     "q116_layout_audit" ->
       """SELECT CAST(day(ts) AS INT) AS day, event_type AS mode,

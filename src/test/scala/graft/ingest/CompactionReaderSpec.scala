@@ -217,4 +217,25 @@ class CompactionReaderSpec extends AnyFunSuite {
     assert(externalRead(fresh).size == want.size + 1,
       "appended row missing from the refreshed external snapshot")
   }
+
+  test("the registered q121_external_snapshot executes and matches the library read") {
+    val sfDir = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("q121_external_snapshot")(spark, sfDir)
+      .collect().toSeq
+    assert(got.nonEmpty)
+    // the external (symlink-resolved, plain-read) answer must equal the
+    // library's own snapshot-pinned read of the same lake under the
+    // same predicate — the two consumption postures may never diverge
+    val lay = graft.pipeline.IngestDemo.ensure(spark, sfDir)
+    val want = CuratedWriter.read(spark, lay.curatedDir)
+      .filter(col("event_time_utc") >=
+          lit("2024-01-15 00:00:00").cast("timestamp_ntz") &&
+        col("mode") =!= "synthetic")
+      .groupBy("mode")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(round(col("value") * lit(1000000)).cast("long")).as("value_e6"))
+      .orderBy("mode")
+      .collect().toSeq
+    assert(got == want, "external snapshot read diverges from the library read")
+  }
 }

@@ -580,6 +580,37 @@ class RollupSkipSpec extends AnyFunSuite {
     }
   }
 
+  test("membership lists prune through their [min,max] envelope, In and InSet alike") {
+    val root = userLake()
+    publishBounds(root)
+    // a short list stays a Catalyst In; >10 literals get OptimizeIn'd
+    // into an InSet — both shapes must reach the window extraction
+    // (the fixpoint guard only matches In/InSet over OUR partition
+    // struct, never a plain column's membership)
+    def qIn(s: SparkSession) = lake(s, root)
+      .filter(col("user_id").isin(100L, 200L))
+      .select("source_file", "user_id", "day")
+    def qInSet(s: SparkSession) = lake(s, root)
+      .filter(col("user_id").isin((100L to 111L): _*))
+      .select("source_file", "user_id", "day")
+    val wantIn = qIn(spark).collect().map(_.toSeq).sortBy(_.mkString("|"))
+    val wantSet = qInSet(spark).collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(wantIn.length == 2 && wantSet.length == 1)
+    withExtendedSession { s =>
+      val dfIn = qIn(s)
+      val (z1, n1) = zoneScan(dfIn)
+      // envelope [100,200]: day 7 ([1,2]) and day 9 ([5000,5001]) prune
+      assert(z1.nonEmpty && n1 == 1, s"In-list not pruned ($n1, $z1)")
+      assert(dfIn.collect().map(_.toSeq).sortBy(_.mkString("|")).sameElements(wantIn))
+      val dfSet = qInSet(s)
+      val optimized = dfSet.queryExecution.optimizedPlan.toString
+      val (z2, n2) = zoneScan(dfSet)
+      assert(z2.nonEmpty && n2 == 1,
+        s"InSet not pruned ($n2, $z2); plan: $optimized")
+      assert(dfSet.collect().map(_.toSeq).sortBy(_.mkString("|")).sameElements(wantSet))
+    }
+  }
+
   test("the registered q120_colrange_skip executes and matches its direct run") {
     val sfDir = "/root/testdata/sf0.001"
     val want = graft.SparkEntry.queries("q120_colrange_skip")(spark, sfDir)
