@@ -76,9 +76,22 @@ object FileBounds {
   private def isSupported(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
     case org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
          org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType |
-         org.apache.spark.sql.types.TimestampNTZType => true
+         org.apache.spark.sql.types.TimestampNTZType |
+         org.apache.spark.sql.types.StringType => true
     case _ => false
   }
+
+  /** STRING bounds are stored only for files where EVERY value fits
+    * this many characters; a file with a longer value stores NULL
+    * min/max with `nn_<c>` > 0 — the "bounds withheld" marker (for a
+    * numeric column that combination is impossible: a non-empty min is
+    * never null). Withheld bounds keep the file UNSKIPPABLE and break
+    * the partition's string-coverage proof, both fail-open. The cap
+    * bounds the sidecar's row size against free-text columns
+    * (user_agent and friends) — the same concern Iceberg solves with
+    * truncated bounds; withholding is the simpler move that needs no
+    * upper-bound increment arithmetic and is equally sound. */
+  val StringBoundsCap = 64
 
   /** The columns of `schema` that get GENERIC per-file bounds: every
     * top-level numeric/timestamp column that is not a partition column
@@ -100,22 +113,38 @@ object FileBounds {
     * upstream frame). Tracks the legacy pair plus every
     * [[boundsColumns]] column of the staged schema. */
   def compute(staged: DataFrame, prefix: String): DataFrame = {
-    val generic = boundsColumns(staged.schema).flatMap(c => Seq(
-      count(col(c)).as(nnCol(c)),
-      min(col(c)).as(minCol(c)),
-      max(col(c)).as(maxCol(c))))
+    val cols = boundsColumns(staged.schema)
+    val strings = cols.filter(c =>
+      staged.schema(c).dataType == org.apache.spark.sql.types.StringType)
+    val generic = cols.flatMap { c =>
+      Seq(count(col(c)).as(nnCol(c)),
+        min(col(c)).as(minCol(c)),
+        max(col(c)).as(maxCol(c))) ++
+        // per-file longest value — the all-or-nothing withhold gate
+        (if (strings.contains(c)) Seq(max(length(col(c))).as(s"_len_$c")) else Seq.empty)
+    }
     val aggs = Seq(
       count(lit(1)).as("n_rows"),
       min(col(TsCol)).as("min_ts"),
       max(col(TsCol)).as("max_ts"),
       min(col(ValCol)).as("min_val"),
       max(col(ValCol)).as("max_val")) ++ generic
-    staged
+    val agged = staged
       .groupBy(
         concat(lit(prefix),
           regexp_extract(col("_metadata.file_path"), "[^/]+$", 0)).as("data_file"),
         col("year"), col("month"), col("day"), col("mode"))
       .agg(aggs.head, aggs.tail: _*)
+    // withhold a string column's bounds for files holding ANY value
+    // past the cap (per-file all-or-nothing: a per-VALUE filter would
+    // be unsound — a long string can sort below every short one)
+    strings.foldLeft(agged) { (df, c) =>
+      df.withColumn(minCol(c),
+          when(col(s"_len_$c") <= StringBoundsCap, col(minCol(c))))
+        .withColumn(maxCol(c),
+          when(col(s"_len_$c") <= StringBoundsCap, col(maxCol(c))))
+        .drop(s"_len_$c")
+    }
   }
 
   /** Write one batch's bounds under `dir` (one small file — row count
@@ -206,12 +235,23 @@ object FileBounds {
     val pRows = Rollup.filePartials(s, rollupDir)
       .groupBy("year", "month", "day", "mode")
       .agg(sum("n_rows").as("p_rows"))
-    val gAggs = generics.flatMap(c => Seq(
-      sum(when(col(nnCol(c)).isNotNull, col("n_rows"))).as(s"b_rows_$c"),
-      min(minCol(c)).as(s"zmin_$c"), max(maxCol(c)).as(s"zmax_$c")))
+    val b0 = all(s, fileBoundsDir)
+    val gAggs = generics.flatMap { c =>
+      // a row "knows" column c when it carries usable statistics for
+      // it: numeric/timestamp — the nn_<c> disambiguator is present;
+      // string — bounds present OR known-all-null (a present nn with
+      // NULL bounds is the WITHHELD marker, which must break coverage,
+      // and which cannot occur for a numeric column)
+      val known =
+        if (b0.schema(minCol(c)).dataType == org.apache.spark.sql.types.StringType)
+          col(minCol(c)).isNotNull || col(nnCol(c)) === 0
+        else col(nnCol(c)).isNotNull
+      Seq(sum(when(known, col("n_rows"))).as(s"b_rows_$c"),
+        min(minCol(c)).as(s"zmin_$c"), max(maxCol(c)).as(s"zmax_$c"))
+    }
     val aggs = Seq(sum("n_rows").as("b_rows"),
       min("min_val").as("vmin"), max("max_val").as("vmax")) ++ gAggs
-    val b = all(s, fileBoundsDir)
+    val b = b0
       .groupBy("year", "month", "day", "mode")
       .agg(aggs.head, aggs.tail: _*)
     val out = Seq(col("year"), col("month"), col("day"), col("mode"),

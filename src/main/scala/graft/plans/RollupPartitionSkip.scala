@@ -401,7 +401,8 @@ object RollupPartitionSkip {
   private def supportedType(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
     case TimestampNTZType | DoubleType |
          org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
-         org.apache.spark.sql.types.FloatType => true
+         org.apache.spark.sql.types.FloatType |
+         org.apache.spark.sql.types.StringType => true
     case _ => false
   }
 
@@ -412,12 +413,23 @@ object RollupPartitionSkip {
     case DoubleType => Ordering.Double.TotalOrdering.on[Any](_.asInstanceOf[Double])
     case org.apache.spark.sql.types.FloatType =>
       Ordering.Float.TotalOrdering.on[Any](_.asInstanceOf[Float])
+    // UTF8String.compareTo IS Spark's binary string order — the Scala-
+    // side tighten/inversion decisions must agree with the engine's
+    // comparisons or an "inverted window" could wrongly empty the scan
+    case org.apache.spark.sql.types.StringType =>
+      new Ordering[Any] {
+        def compare(a: Any, b: Any): Int =
+          a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+            .compareTo(b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+      }
     case other => throw new IllegalStateException(s"unsupported zone type $other")
   })
 
   private def litOf(v: Any, dt: org.apache.spark.sql.types.DataType)
       : org.apache.spark.sql.Column = dt match {
     case TimestampNTZType => ntzLit(v.asInstanceOf[Long])
+    case org.apache.spark.sql.types.StringType =>
+      org.apache.spark.sql.functions.lit(v.toString) // UTF8String → String literal
     case _ => org.apache.spark.sql.functions.lit(v) // Int/Long/Double/Float round-trip
   }
 
@@ -556,12 +568,20 @@ object RollupPartitionSkip {
                 valWin.map(w => graft.ingest.FileBounds.intersectsLits(
                   col("min_val"), col("max_val"), loLits(w), hiLits(w)))
                   .getOrElse(lit(true)), lit(false))
-              // generic columns: UNKNOWN rows (nn_<c> NULL) always keep
+              // generic columns: UNKNOWN rows (nn_<c> NULL) always
+              // keep; string rows with WITHHELD bounds (nn > 0, NULL
+              // min — values past StringBoundsCap) also keep
               val genKeep = genWins.toSeq.sortBy(_._1).map { case (c, w) =>
-                col(graft.ingest.FileBounds.nnCol(c)).isNull ||
+                val nn = col(graft.ingest.FileBounds.nnCol(c))
+                val mn = col(graft.ingest.FileBounds.minCol(c))
+                val withheld =
+                  if (fbAll.get.schema(graft.ingest.FileBounds.minCol(c)).dataType ==
+                      org.apache.spark.sql.types.StringType)
+                    nn > 0 && mn.isNull
+                  else lit(false)
+                nn.isNull || withheld ||
                   coalesce(graft.ingest.FileBounds.intersectsLits(
-                    col(graft.ingest.FileBounds.minCol(c)),
-                    col(graft.ingest.FileBounds.maxCol(c)),
+                    mn, col(graft.ingest.FileBounds.maxCol(c)),
                     loLits(w), hiLits(w)), lit(false))
               }.reduceOption(_ && _).getOrElse(lit(true))
               fbAll.get

@@ -464,6 +464,28 @@ object IngestQueries {
     // The publish guard re-seeds the tree when the workspace moved
     // (manifest paths are absolute, the snapshot convention) — one lake
     // walk, once per workspace.
+    // STRING zone maps (round 17): the bounds sidecar tracks string
+    // columns too (all-or-nothing per file under FileBounds'
+    // StringBoundsCap — withheld bounds fail open), so a range or
+    // membership predicate on a short string column (app_version here)
+    // prunes partitions/files exactly like a numeric one. The window
+    // extraction compares UTF8String-side so the Scala tighten/invert
+    // decisions agree with Spark's binary string order. Oracle
+    // recomputes through the app_version derivation's integer preimage
+    // (uid%5 ∈ {3,4}) — cross-engine string MIN/MAX stays safe because
+    // the values are ASCII.
+    "q122_strrange_skip" -> ((s, d) => {
+      val lay = IngestDemo.ensure(s, d)
+      CuratedWriter.read(s, lay.curatedDir)
+        .filter(col("app_version") >= lit("1.3.0") && col("app_version") < lit("1.5.0"))
+        .groupBy("mode")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(round(col("value") * lit(1000000)).cast("long")).as("value_e6"),
+          min(col("app_version")).as("min_av"),
+          max(col("app_version")).as("max_av"))
+        .orderBy("mode")
+    }),
+
     "q121_external_snapshot" -> ((s, d) => {
       val lay = IngestDemo.ensure(s, d)
       val root0 = new org.apache.hadoop.fs.Path(lay.curatedDir)
@@ -670,6 +692,13 @@ object IngestQueries {
       """SELECT event_type AS mode, COUNT(*) AS n_rows,
               CAST(SUM(CAST(ROUND(value*1000000) AS BIGINT)) AS BIGINT) AS value_e6
          FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+         GROUP BY 1 ORDER BY 1""",
+    "q122_strrange_skip" ->
+      """SELECT event_type AS mode, COUNT(*) AS n_rows,
+              CAST(SUM(CAST(ROUND(value*1000000) AS BIGINT)) AS BIGINT) AS value_e6,
+              MIN('1.' || CAST(user_id % 5 AS VARCHAR) || '.0') AS min_av,
+              MAX('1.' || CAST(user_id % 5 AS VARCHAR) || '.0') AS max_av
+         FROM events WHERE user_id % 5 IN (3, 4)
          GROUP BY 1 ORDER BY 1""",
     "q116_layout_audit" ->
       """SELECT CAST(day(ts) AS INT) AS day, event_type AS mode,

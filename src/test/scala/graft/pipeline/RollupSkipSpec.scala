@@ -580,6 +580,49 @@ class RollupSkipSpec extends AnyFunSuite {
     }
   }
 
+  test("string zones prune on binary order; over-cap values withhold bounds and fail open") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-sskip").toString
+    val long = "z" * 80 // past StringBoundsCap: bounds for its file are withheld
+    val rows = Seq(
+      ("f-a", 1L, "alpha", "2024-03-07 10:00:00", 1.0, 2024, 3, 7, "training"),
+      ("f-a", 2L, "bravo", "2024-03-07 11:00:00", 2.0, 2024, 3, 7, "training"),
+      ("f-b", 3L, "mike", "2024-03-08 09:00:00", 3.0, 2024, 3, 8, "training"),
+      ("f-b", 4L, "november", "2024-03-08 10:30:00", 4.0, 2024, 3, 8, "training"),
+      ("f-c", 5L, "alpha", "2024-03-09 09:00:00", 5.0, 2024, 3, 9, "training"),
+      ("f-c", 6L, long, "2024-03-09 10:00:00", 6.0, 2024, 3, 9, "training"))
+    rows.toDF("source_file", "user_id", "tag", "ts_s", "value",
+        "year", "month", "day", "mode")
+      .withColumn("event_time_utc", col("ts_s").cast("timestamp_ntz"))
+      .drop("ts_s")
+      .write.partitionBy("year", "month", "day", "mode").parquet(s"$root/curated")
+    Rollup.writePartials(spark.read.parquet(s"$root/curated"), s"$root/rollup/b0")
+    publishBounds(root)
+    // the sidecar tracks the string column, and day 9's bounds row
+    // carries the WITHHELD marker (values present, bounds null)
+    val b = graft.ingest.FileBounds.all(spark, s"$root/filebounds")
+    val d9 = b.filter(col("day") === 9).collect()
+    assert(d9.length == 1 && d9(0).getAs[Long]("nn_tag") == 2 &&
+      d9(0).getAs[String]("min_tag") == null,
+      s"day 9's over-cap file must withhold its string bounds: ${d9.toSeq}")
+    def q(s: SparkSession) = lake(s, root)
+      .filter(col("tag") >= lit("m") && col("tag") < lit("o"))
+      .select("source_file", "user_id", "tag", "day")
+    val want = q(spark).collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(want.length == 2) // day 8's mike + november
+    withExtendedSession { s =>
+      val df = q(s)
+      val (zones, nParts) = zoneScan(df)
+      assert(zones.nonEmpty, "no zone predicate for a string window")
+      // day 7 ([alpha,bravo]) misses [m,o) and is covered → pruned;
+      // day 9's window also misses BUT its bounds are withheld →
+      // uncovered → MUST be scanned (skipping on withheld bounds would
+      // be a wrong-results bug); day 8 qualifies
+      assert(nParts == 2, s"expected day 8 + fail-open day 9, got $nParts")
+      assert(df.collect().map(_.toSeq).sortBy(_.mkString("|")).sameElements(want))
+    }
+  }
+
   test("membership lists prune through their [min,max] envelope, In and InSet alike") {
     val root = userLake()
     publishBounds(root)
@@ -619,6 +662,17 @@ class RollupSkipSpec extends AnyFunSuite {
     withExtendedSession { s =>
       val df = graft.SparkEntry.queries("q120_colrange_skip")(s, sfDir)
       assert(df.collect().toSeq == want, "generically-zoned q120 != direct q120")
+    }
+  }
+
+  test("the registered q122_strrange_skip executes and matches its direct run") {
+    val sfDir = "/root/testdata/sf0.001"
+    val want = graft.SparkEntry.queries("q122_strrange_skip")(spark, sfDir)
+      .collect().toSeq
+    assert(want.nonEmpty)
+    withExtendedSession { s =>
+      val df = graft.SparkEntry.queries("q122_strrange_skip")(s, sfDir)
+      assert(df.collect().toSeq == want, "string-zoned q122 != direct q122")
     }
   }
 
