@@ -86,9 +86,12 @@ import org.apache.spark.sql.types.{DoubleType, TimestampNTZType}
   * left untouched, and a relation already carrying a
   * [[ZonePrunedFileIndex]] is never re-swapped. When every partition
   * qualifies and no file drops, the plan is left unchanged; when more
-  * than MaxInLiterals partitions qualify the rule declines entirely
-  * (an IN-list that long prunes little and the bounded drop-collect
-  * loses its bound).
+  * than MaxInLiterals partitions qualify, the rewrite flips to the
+  * COMPLEMENT form — `NOT (struct IN (non-qualifying...))` — whenever
+  * the excluded set fits the same cap (a wide window over a
+  * 10k-partition lake that misses a few hundred cold partitions still
+  * prunes them), and declines only when BOTH membership lists exceed
+  * it (nothing bounded would prune much anyway).
   */
 case class RollupPartitionSkip(session: SparkSession) extends Rule[LogicalPlan] {
   import RollupPartitionSkip._
@@ -235,18 +238,33 @@ case class RollupPartitionSkip(session: SparkSession) extends Rule[LogicalPlan] 
       else dbg("foldZones")(
         foldZones(session, rollupDir, wins.toMap).getOrElse(return None))
 
+    def structLits(keys: Seq[(Int, Int, Int, String)]): (Expression, Seq[Literal]) = {
+      val struct = CreateStruct(partAttrs)
+      (struct, keys.map { case (y, m, d, mode) =>
+        Literal(
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](y, m, d,
+              org.apache.spark.unsafe.types.UTF8String.fromString(mode))),
+          struct.dataType)
+      })
+    }
+    val antiMode = fold.zones.size > MaxInLiterals
     val inPredOpt =
-      if (fold.zones.size.toLong >= fold.total) None
+      if (antiMode) {
+        // complement form: more partitions qualify than the IN cap, but
+        // the EXCLUDED set is small — prune it with NOT IN instead of
+        // declining (foldZones guaranteed anti fits the cap here)
+        if (fold.anti.isEmpty) None
+        else {
+          val (struct, lits) = structLits(fold.anti)
+          Some(Not(In(struct, lits)))
+        }
+      }
+      else if (fold.zones.size.toLong >= fold.total) None
       else if (fold.zones.isEmpty) Some(Literal.FalseLiteral)
       else {
-        val struct = CreateStruct(partAttrs)
-        Some(In(struct, fold.zones.map { case (y, m, d, mode) =>
-          Literal(
-            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-              Array[Any](y, m, d,
-                org.apache.spark.unsafe.types.UTF8String.fromString(mode))),
-            struct.dataType)
-        }))
+        val (struct, lits) = structLits(fold.zones)
+        Some(In(struct, lits))
       }
 
     // FILE-grain: swap the relation's listing for the kept subset. Only
@@ -277,7 +295,7 @@ case class RollupPartitionSkip(session: SparkSession) extends Rule[LogicalPlan] 
         hfs.location.listFiles(Nil, Nil).foreach { pd =>
           val key = (pd.values.getInt(idx(0)), pd.values.getInt(idx(1)),
             pd.values.getInt(idx(2)), pd.values.getUTF8String(idx(3)).toString)
-          if (inPredOpt.isDefined && !zoneSet.contains(key)) {
+          if (inPredOpt.isDefined && !antiMode && !zoneSet.contains(key)) {
             dropped += pd.files.size // whole partition outside the IN-pred
           } else {
             val kept = pd.files.collect {
@@ -331,6 +349,8 @@ case class RollupPartitionSkip(session: SparkSession) extends Rule[LogicalPlan] 
     e match {
       case In(c, _) => isPartStruct(c)
       case InSet(c, _) => isPartStruct(c)
+      case Not(In(c, _)) => isPartStruct(c) // the complement form
+      case Not(InSet(c, _)) => isPartStruct(c)
       case Literal.FalseLiteral => true
       case _ => false
     }
@@ -373,10 +393,16 @@ object RollupPartitionSkip {
     * lakes whose history predates the rollup protocol. */
   val EnabledKey = "spark.graft.rollup.partitionSkip"
 
-  /** Decline the rewrite when more partitions than this qualify — an
-    * IN-list that long prunes little, costs predicate evaluation, and
-    * unbounds the file-drop collect. */
-  val MaxInLiterals = 1000
+  /** Cap on either membership list. When more partitions than this
+    * QUALIFY, the rewrite flips to COMPLEMENT form — `NOT (struct IN
+    * (non-qualifying...))` — provided the non-qualifying side fits the
+    * same cap (the common 100 TB shape: a wide window over a
+    * 10k-partition lake that excludes a few hundred cold partitions
+    * still prunes them, where the old behavior declined entirely); when
+    * BOTH sides exceed it the rule declines. File-grain drops stay
+    * positive-mode only (their collect is bounded by the qualifying
+    * list). Var for specs; production value 1000. */
+  private[graft] var MaxInLiterals = 1000
 
   /** Cap on the collected file-drop set: a truncated set skips fewer
     * files, never wrongly. 10k × ~100 B keys is ~1 MB of driver state
@@ -438,9 +464,13 @@ object RollupPartitionSkip {
   private def hiLits(w: Win): Option[(org.apache.spark.sql.Column, Boolean)] =
     w.hi.map { case (v, i) => (litOf(v, w.dt), i) }
 
+  /** `zones` = qualifying partitions (collected to MaxInLiterals+1);
+    * `anti` = NON-qualifying partitions, collected only when `zones`
+    * overflowed the cap (the complement-form path), empty otherwise. */
   private[plans] final case class Folded(
       zones: Seq[(Int, Int, Int, String)], total: Long,
-      drop: Set[((Int, Int, Int, String), String)])
+      drop: Set[((Int, Int, Int, String), String)],
+      anti: Seq[(Int, Int, Int, String)] = Seq.empty)
 
   /** (partials sig, bounds sig, windows) → fold. The signature folds
     * every store file's (path, length, mtime), so a newly published
@@ -554,6 +584,17 @@ object RollupPartitionSkip {
             .collect()
             .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getString(3)))
             .toSeq
+          // qualifying side overflowed: collect the complement instead
+          // (NULL keep = non-intersecting zone = non-qualifying, hence
+          // the coalesce — the positive filter drops those rows too)
+          val anti: Seq[(Int, Int, Int, String)] =
+            if (rows.size <= MaxInLiterals) Seq.empty
+            else persisted.filter(!coalesce(col("keep"), lit(false)))
+              .select("year", "month", "day", "mode")
+              .limit(MaxInLiterals + 1)
+              .collect()
+              .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getString(3)))
+              .toSeq
           val drop: Set[((Int, Int, Int, String), String)] =
             if (!haveFb || rows.size > MaxInLiterals || rows.isEmpty) Set.empty
             else {
@@ -594,12 +635,15 @@ object RollupPartitionSkip {
                   r.getString(4)))
                 .toSet
             }
-          val result = Folded(rows, nTotal, drop)
+          val result = Folded(rows, nTotal, drop, anti)
           cache.put(key, result)
           result
         } finally persisted.unpersist(): Unit
       case hit => hit
     }
-    if (folded.zones.size > MaxInLiterals) None else Some(folded)
+    // decline only when NEITHER membership form fits the cap
+    if (folded.zones.size > MaxInLiterals &&
+        (folded.anti.isEmpty || folded.anti.size > MaxInLiterals)) None
+    else Some(folded)
   }
 }

@@ -676,6 +676,49 @@ class RollupSkipSpec extends AnyFunSuite {
     }
   }
 
+  test("past the IN cap the rewrite flips to NOT-IN over the excluded partitions") {
+    val root = userLake() // 3 partitions: day 7 [1,2], day 8 [100,200], day 9 [5000+]
+    publishBounds(root)
+    val savedMax = RollupPartitionSkip.MaxInLiterals
+    RollupPartitionSkip.MaxInLiterals = 1
+    try {
+      RollupPartitionSkip.clearCache()
+      // two partitions qualify (> cap 1); ONE is excluded (fits) — the
+      // old behavior declined entirely, the complement form prunes it
+      def q(s: SparkSession) = lake(s, root)
+        .filter(col("user_id") >= lit(50L))
+        .select("source_file", "user_id", "day")
+      val want = q(spark).collect().map(_.toSeq).sortBy(_.mkString("|"))
+      assert(want.length == 4) // day 8 + day 9
+      withExtendedSession { s =>
+        val df = q(s)
+        val (zones, nParts) = zoneScan(df)
+        assert(zones.nonEmpty, "no complement predicate past the IN cap")
+        assert(nParts == 2, s"excluded partition not pruned ($nParts)")
+        assert(df.collect().map(_.toSeq).sortBy(_.mkString("|")).sameElements(want))
+        // fixpoint: the NOT-IN conjunct is recognized as our own output
+        val conds = df.queryExecution.optimizedPlan.collect {
+          case fl: org.apache.spark.sql.catalyst.plans.logical.Filter => fl.condition
+        }
+        val nZone = conds.flatMap(c => c.collect {
+          case n: org.apache.spark.sql.catalyst.expressions.Not => n
+        }).size
+        assert(nZone == 1, s"expected exactly one NOT-IN zone conjunct in $conds")
+        // every partition qualifying (cap still 1): both sides bounded
+        // out — the plan must be left alone, rows intact
+        val all = lake(s, root).filter(col("user_id") >= lit(0L))
+          .select("source_file", "user_id", "day")
+        val (zAll, nAll) = zoneScan(all)
+        assert(zAll.isEmpty && nAll == 3,
+          s"all-qualifying window must leave the plan unchanged ($zAll, $nAll)")
+        assert(all.count() == 6)
+      }
+    } finally {
+      RollupPartitionSkip.MaxInLiterals = savedMax
+      RollupPartitionSkip.clearCache()
+    }
+  }
+
   test("the zone-fold cache is LRU: a busy session evicts the coldest fold, not every fold") {
     val root = userLake()
     publishBounds(root)
