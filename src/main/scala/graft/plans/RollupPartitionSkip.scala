@@ -190,6 +190,32 @@ case class RollupPartitionSkip(session: SparkSession) extends Rule[LogicalPlan] 
           tighten(a.name, v, incl = true, isLo = true)
           tighten(a.name, v, incl = true, isLo = false)
         }
+      // null-safe equality against a NON-null literal is plain equality
+      // (litFor rejects null literals; `a <=> NULL` selects null rows,
+      // which no range window may stand in for)
+      case EqualNullSafe(a: AttributeReference, l) =>
+        litFor(a, l).foreach { v =>
+          tighten(a.name, v, incl = true, isLo = true)
+          tighten(a.name, v, incl = true, isLo = false)
+        }
+      case EqualNullSafe(l, a: AttributeReference) =>
+        litFor(a, l).foreach { v =>
+          tighten(a.name, v, incl = true, isLo = true)
+          tighten(a.name, v, incl = true, isLo = false)
+        }
+      // prefix predicates (LIKE 'p%' arrives as StartsWith): the
+      // matching set lies in [p, nextPrefix(p)) under binary string
+      // order — any string starting with p compares >= p, and < the
+      // prefix with its last code point incremented. A prefix of all
+      // U+10FFFFs has no upper bound; the lower bound still prunes.
+      case StartsWith(a: AttributeReference, l) =>
+        litFor(a, l).foreach { v =>
+          tighten(a.name, v, incl = true, isLo = true)
+          nextPrefix(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+            .foreach(np => tighten(a.name,
+              org.apache.spark.unsafe.types.UTF8String.fromString(np),
+              incl = false, isLo = false))
+        }
       case GreaterThanOrEqual(l, a: AttributeReference) =>
         litFor(a, l).foreach(tighten(a.name, _, incl = true, isLo = false))
       case GreaterThan(l, a: AttributeReference) =>
@@ -457,6 +483,25 @@ object RollupPartitionSkip {
     case org.apache.spark.sql.types.StringType =>
       org.apache.spark.sql.functions.lit(v.toString) // UTF8String → String literal
     case _ => org.apache.spark.sql.functions.lit(v) // Int/Long/Double/Float round-trip
+  }
+
+  /** The least string strictly greater than every string starting with
+    * `s`, in code-point (= UTF-8 byte) order: increment the last
+    * incrementable code point and drop everything after it, skipping
+    * the surrogate gap. None when every code point is U+10FFFF (no
+    * finite upper bound exists). */
+  private[graft] def nextPrefix(s: String): Option[String] = {
+    val cps = s.codePoints().toArray
+    var i = cps.length - 1
+    while (i >= 0) {
+      if (cps(i) < 0x10FFFF) {
+        var n = cps(i) + 1
+        if (n >= 0xD800 && n <= 0xDFFF) n = 0xE000
+        return Some(new String(cps.take(i) :+ n, 0, i + 1))
+      }
+      i -= 1
+    }
+    None
   }
 
   private def loLits(w: Win): Option[(org.apache.spark.sql.Column, Boolean)] =

@@ -486,6 +486,24 @@ object IngestQueries {
         .orderBy("mode")
     }),
 
+    // PREFIX predicates (round 17): `LIKE 'p%'` reaches the zone maps
+    // as a [p, nextPrefix(p)) window under binary string order, so an
+    // id-prefix probe — the "fetch one tenant/shard's records" shape —
+    // prunes partitions and files like a range does. transaction_id is
+    // "t-<event_id>", so the prefix's integer preimage is exact for the
+    // oracle.
+    "q123_prefix_skip" -> ((s, d) => {
+      val lay = IngestDemo.ensure(s, d)
+      CuratedWriter.read(s, lay.curatedDir)
+        .filter(col("transaction_id").like("t-1%"))
+        .groupBy("mode")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(round(col("value") * lit(1000000)).cast("long")).as("value_e6"),
+          min(col("transaction_id")).as("min_tid"),
+          max(col("transaction_id")).as("max_tid"))
+        .orderBy("mode")
+    }),
+
     "q121_external_snapshot" -> ((s, d) => {
       val lay = IngestDemo.ensure(s, d)
       val root0 = new org.apache.hadoop.fs.Path(lay.curatedDir)
@@ -699,6 +717,13 @@ object IngestQueries {
               MIN('1.' || CAST(user_id % 5 AS VARCHAR) || '.0') AS min_av,
               MAX('1.' || CAST(user_id % 5 AS VARCHAR) || '.0') AS max_av
          FROM events WHERE user_id % 5 IN (3, 4)
+         GROUP BY 1 ORDER BY 1""",
+    "q123_prefix_skip" ->
+      """SELECT event_type AS mode, COUNT(*) AS n_rows,
+              CAST(SUM(CAST(ROUND(value*1000000) AS BIGINT)) AS BIGINT) AS value_e6,
+              MIN('t-' || CAST(event_id AS VARCHAR)) AS min_tid,
+              MAX('t-' || CAST(event_id AS VARCHAR)) AS max_tid
+         FROM events WHERE ('t-' || CAST(event_id AS VARCHAR)) LIKE 't-1%'
          GROUP BY 1 ORDER BY 1""",
     "q116_layout_audit" ->
       """SELECT CAST(day(ts) AS INT) AS day, event_type AS mode,

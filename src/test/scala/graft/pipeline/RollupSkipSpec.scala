@@ -623,6 +623,44 @@ class RollupSkipSpec extends AnyFunSuite {
     }
   }
 
+  test("prefix predicates prune via [p, nextPrefix(p)); boundary chars increment soundly") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-pskip").toString
+    val rows = Seq(
+      ("f-a", 1L, "alpha", "2024-03-07 10:00:00", 1.0, 2024, 3, 7, "training"),
+      ("f-a", 2L, "amber", "2024-03-07 11:00:00", 2.0, 2024, 3, 7, "training"),
+      ("f-b", 3L, "mike", "2024-03-08 09:00:00", 3.0, 2024, 3, 8, "training"),
+      ("f-b", 4L, "mono", "2024-03-08 10:30:00", 4.0, 2024, 3, 8, "training"),
+      ("f-c", 5L, "zeta", "2024-03-09 09:00:00", 5.0, 2024, 3, 9, "training"))
+    rows.toDF("source_file", "user_id", "tag", "ts_s", "value",
+        "year", "month", "day", "mode")
+      .withColumn("event_time_utc", col("ts_s").cast("timestamp_ntz"))
+      .drop("ts_s")
+      .write.partitionBy("year", "month", "day", "mode").parquet(s"$root/curated")
+    Rollup.writePartials(spark.read.parquet(s"$root/curated"), s"$root/rollup/b0")
+    publishBounds(root)
+    def q(s: SparkSession) = lake(s, root)
+      .filter(col("tag").like("m%"))
+      .select("source_file", "user_id", "tag", "day")
+    val want = q(spark).collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(want.length == 2) // mike + mono
+    withExtendedSession { s =>
+      val df = q(s)
+      val (zones, nParts) = zoneScan(df)
+      assert(zones.nonEmpty, "no zone predicate for a prefix window")
+      // window ["m","n"): day 7 ([alpha,amber]) and day 9 ([zeta]) prune
+      assert(nParts == 1, s"expected only day 8 scanned, got $nParts")
+      assert(df.collect().map(_.toSeq).sortBy(_.mkString("|")).sameElements(want))
+    }
+    // the increment arithmetic itself
+    import graft.plans.RollupPartitionSkip.nextPrefix
+    assert(nextPrefix("abc").contains("abd"))
+    assert(nextPrefix("ab퟿").contains("ab")) // skips the surrogate gap
+    val maxCp = new String(Character.toChars(0x10FFFF))
+    assert(nextPrefix("a" + maxCp).contains("b")) // overflow walks left
+    assert(nextPrefix(maxCp * 3).isEmpty) // no finite upper bound
+  }
+
   test("membership lists prune through their [min,max] envelope, In and InSet alike") {
     val root = userLake()
     publishBounds(root)
