@@ -103,6 +103,42 @@ object LakeSnapshot {
     EmptyMeta // unreachable
   }
 
+  /** Atomically REPLACE `dst` with `tmp`'s bytes so `dst` is never
+    * absent and never torn: a reader opening `dst` at any instant gets
+    * the old complete bytes or the new complete bytes. A plain
+    * delete-then-rename has a window where `dst` does not exist — fatal
+    * for files whose PRESENCE is part of the contract (a leaf's symlink
+    * manifest: an external reader globbing `_symlinks/` manifests during the
+    * window would silently drop that leaf's rows; an export's
+    * `_manifest.json`: the loader would spuriously fail). Local
+    * filesystems get a true `rename(2)` via java.nio `ATOMIC_MOVE`
+    * (Hadoop's local FS routes 2-arg rename through checks that refuse
+    * or un-atomically emulate overwrite); everything else goes through
+    * `FileContext.rename(..., Options.Rename.OVERWRITE)`, which HDFS
+    * implements as one atomic namespace op. Checksum sidecars for both
+    * names are dropped first — after a raw swap `dst`'s old `.crc`
+    * would mismatch the new bytes, and a missing sidecar is just an
+    * unverified (valid) read. */
+  def replaceAtomic(fs: FileSystem, tmp: Path, dst: Path): Unit = {
+    fs match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem =>
+        c.getRawFileSystem.delete(c.getChecksumFile(fs.makeQualified(dst)), false)
+        c.getRawFileSystem.delete(c.getChecksumFile(fs.makeQualified(tmp)), false)
+        ()
+      case _ => ()
+    }
+    if (Option(fs.getUri.getScheme).forall(_ == "file")) {
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath),
+        java.nio.file.Paths.get(fs.makeQualified(dst).toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+    } else {
+      org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
+        .rename(fs.makeQualified(tmp), fs.makeQualified(dst),
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
+  }
+
   /** Write the next swap-meta version atomically and garbage-collect
     * versions older than the previous one (keeping one back version
     * bounds the reader race [[readMeta]] retries over). Caller is the
@@ -116,7 +152,13 @@ object LakeSnapshot {
     * atomic on both — the versioned name either doesn't exist yet or
     * holds complete bytes. [[readMeta]]'s bounded parse-failure retry
     * is the second line of defense for filesystems without that rename
-    * guarantee. */
+    * guarantee. The pre-rename existence check keeps the exclusivity
+    * the old `fs.create(p, overwrite=false)` commit provided: on
+    * local/POSIX filesystems a rename-over silently succeeds, so two
+    * racing maintenance writers (a discipline violation) would clobber
+    * each other's version instead of one failing loudly — the check is
+    * advisory (a racer can still slip between check and rename) but
+    * turns the common violation into an immediate error. */
   def writeMeta(fs: FileSystem, leaf: Path, committed: Int,
                 retired: Set[String]): Meta = {
     val prev = readMeta(fs, leaf)
@@ -130,6 +172,12 @@ object LakeSnapshot {
     val out = fs.create(tmp, true)
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    if (fs.exists(p)) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(
+        s"swap-meta version collision: $p already exists — a second " +
+          "maintenance writer is violating the single-writer discipline")
+    }
     if (!fs.rename(tmp, p)) {
       fs.delete(tmp, false)
       throw new java.io.IOException(s"swap-meta commit rename failed: $tmp -> $p")
@@ -238,11 +286,11 @@ object LakeSnapshot {
     try out.write(live.map(_.getPath.toString).sorted.mkString("", "\n", "\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    fs.delete(entry, false) // local FS refuses rename-over
-    if (!fs.rename(tmp, entry)) {
-      fs.delete(tmp, false)
-      throw new java.io.IOException(s"symlink manifest rename failed: $tmp -> $entry")
-    }
+    // replaceAtomic, NOT delete-then-rename: an external reader globbing
+    // `_symlinks/` manifests between a delete and a rename would see NO
+    // manifest for this leaf and silently drop its rows — the exact
+    // mixed-snapshot outcome this tree exists to prevent
+    replaceAtomic(fs, tmp, entry)
   }
 
   /** Seed (or fully refresh) the symlink tree: one manifest per leaf

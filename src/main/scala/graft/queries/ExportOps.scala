@@ -247,11 +247,11 @@ object ExportOps {
     try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val live = new org.apache.hadoop.fs.Path(root, "_manifest.json")
-    fs.delete(live, false) // local RawLocalFileSystem refuses rename-over
-    if (!fs.rename(tmp, live)) {
-      fs.delete(tmp, false)
-      throw new java.io.IOException(s"manifest commit rename failed: $tmp -> $live")
-    }
+    // atomic replace (never delete-then-rename): the manifest is the
+    // export's commit pointer, and a window where it is ABSENT makes
+    // every concurrent readManifest fail spuriously on every append/
+    // compaction commit
+    graft.ingest.LakeSnapshot.replaceAtomic(fs, tmp, live)
   }
 
   /** Bounded-parallel file moves: object-store latency × hundreds of
@@ -276,7 +276,10 @@ object ExportOps {
     } finally pool.shutdown()
   }
 
-  /** Maintenance report of one [[compactShards]] run. */
+  /** Maintenance report of one [[compactShards]] run. Both file counts
+    * are scoped to the COMPACTED shards only (files replaced vs files
+    * they merged into), so before/after are directly comparable;
+    * untouched shards appear in neither. */
   final case class ShardCompactionReport(shardsCompacted: Int,
                                          filesBefore: Int, filesAfter: Int)
 
@@ -322,11 +325,17 @@ object ExportOps {
     val root = new org.apache.hadoop.fs.Path(outDir)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     val token = java.util.UUID.randomUUID().toString.take(8)
+    // the MANIFEST-listed files are the shard's content — a rewrite over
+    // the whole directory would merge in strays from an earlier crash
+    // (unlisted pre-commit append files, a crashed compaction's own
+    // leftovers) and poison the merge; reading exactly the listed paths
+    // makes a dirty tree unable to change the rewrite's input
+    val listedPaths: Map[String, Seq[org.apache.hadoop.fs.Path]] = big.map { sh =>
+      sh -> byShard.getOrElse(sh, Seq.empty).map(e =>
+        new org.apache.hadoop.fs.Path(root, s"shard=$sh/${e.file}"))
+    }.toMap
     val bytesOf: Map[String, Long] = big.map { sh =>
-      sh -> fs.listStatus(new org.apache.hadoop.fs.Path(root, s"shard=$sh")).toSeq
-        .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
-          !st.getPath.getName.startsWith("."))
-        .map(_.getLen).sum
+      sh -> listedPaths(sh).map(fs.getFileStatus(_).getLen).sum
     }.toMap
     val tmp = new org.apache.hadoop.fs.Path(root, s".compact-$token")
     fs.delete(tmp, true)
@@ -348,7 +357,7 @@ object ExportOps {
           (() => {
             val k = math.max(1L,
               math.ceil(bytesOf(sh).toDouble / targetBytesPerFile).toLong).toInt
-            s.read.parquet(s"$outDir/shard=$sh")
+            s.read.parquet(listedPaths(sh).map(_.toString): _*)
               .repartitionByRange(k, col("rnk"))
               .sortWithinPartitions("rnk")
               .write.mode("overwrite").parquet(s"$tmp/shard=$sh")
@@ -400,8 +409,7 @@ object ExportOps {
       fs.delete(new org.apache.hadoop.fs.Path(root, s"shard=$shard/$f"), false): Unit
     }
     fs.delete(tmp, true)
-    ShardCompactionReport(big.size, replaced.size,
-      merged.length + (m.files.size - replaced.size))
+    ShardCompactionReport(big.size, replaced.size, merged.length)
   }
 
   /** Heal an export tree after a crashed [[exportShardsAppend]] or
