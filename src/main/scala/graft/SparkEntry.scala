@@ -51,6 +51,13 @@ object SparkEntry {
     "q116_layout_audit" -> Seq("compactlake"),
     "q117_heavy_hitters" -> Seq("ingest"),
     "q119_valuerange_skip" -> Seq("ingest"),
+    "q120_colrange_skip" -> Seq("ingest"),
+    "q121_external_snapshot" -> Seq("ingest"),
+    "q122_strrange_skip" -> Seq("ingest"),
+    "q123_prefix_skip" -> Seq("ingest"),
+    "q124_orwindow_skip" -> Seq("ingest"),
+    "q125_nullness_skip" -> Seq("ingest"),
+    "q126_withheld_audit" -> Seq("ingest"),
     "q48_bucketed_join" -> Seq("ingest"),
     "q52_dpp_pruned" -> Seq("ingest"),
     "q55_catalog_evolution" -> Seq("ingest"),

@@ -137,6 +137,35 @@ object Compactor {
   private def safeRel(rel: String): Boolean =
     rel.nonEmpty && !rel.startsWith("/") && !rel.contains("..") && !rel.contains(":")
 
+  // ---- FileBounds sidecar maintenance -----------------------------------
+
+  /** The lake's [[FileBounds]] sidecar dir, IF this lake follows the
+    * graft layout (`<base>/curated` beside `<base>/filebounds`) and the
+    * sidecar has ever been written. Compaction of any other directory
+    * shape — or of a lake that never published bounds — skips bounds
+    * maintenance entirely, which is pure fail-open: the sidecar's trust
+    * contract already treats unknown files as unskippable. */
+  private def boundsDir(fs: FileSystem, root: Path): Option[Path] = {
+    val p = new Path(root.getParent, "filebounds")
+    if (root.getName == "curated" && fs.exists(p)) Some(p) else None
+  }
+
+  /** Partition values of a leaf under the curated layout
+    * (`year=<int>/month=<int>/day=<int>/mode=<string>`); None when the
+    * path doesn't parse, which skips bounds maintenance for the leaf. */
+  private def partValuesOf(root: Path, leaf: Path): Option[(Int, Int, Int, String)] = {
+    val kv = relOf(root, leaf).split('/').toSeq.flatMap { seg =>
+      val i = seg.indexOf('=')
+      if (i <= 0) None else Some(seg.take(i) -> seg.drop(i + 1))
+    }.toMap
+    for {
+      y <- kv.get("year").flatMap(v => scala.util.Try(v.toInt).toOption)
+      m <- kv.get("month").flatMap(v => scala.util.Try(v.toInt).toOption)
+      d <- kv.get("day").flatMap(v => scala.util.Try(v.toInt).toOption)
+      mode <- kv.get("mode")
+    } yield (y, m, d, mode)
+  }
+
   // ---- swap journal (dirty-leaf markers) --------------------------------
 
   private def journalDir(root: Path) = new Path(root, "_compactions")
@@ -345,6 +374,44 @@ object Compactor {
     healed
   }
 
+  /** [[recoverJournal]] plus FileBounds reconciliation: a standing
+    * journal entry means a swap may have crashed ANYWHERE in its
+    * sequence — including between the meta commit and the sidecar's
+    * swap-batch publish, a window plain healing cannot see (the leaf
+    * itself is clean). For every journaled leaf of a bounds-tracked
+    * lake, [[FileBounds.reconcileLeaf]] restores the store ↔ listing
+    * correspondence: live files missing rows get them recomputed,
+    * no-longer-live names still carrying rows get tombstoned. This is
+    * what the maintenance entry points run; the spark-less overload
+    * stays for callers without a session (heal-only, bounds fail open). */
+  def recoverJournal(spark: SparkSession, fs: FileSystem, root: Path,
+                     clock: Long): Int = {
+    val dir = journalDir(root)
+    if (!fs.exists(dir)) return 0
+    var healed = 0
+    fs.listStatus(dir).toSeq.filter(_.isFile).foreach { st =>
+      val in = fs.open(st.getPath)
+      val rel =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      if (safeRel(rel)) {
+        val leaf = new Path(root, rel)
+        healed += healLeaf(fs, root, leaf, clock)
+        boundsDir(fs, root).zip(partValuesOf(root, leaf)).foreach {
+          case (fb, (y, m, d, mode)) =>
+            val live =
+              if (fs.exists(leaf)) LakeSnapshot.liveData(fs, leaf)
+                .map(_.getPath.getName)
+              else Seq.empty
+            if (FileBounds.reconcileLeaf(spark, fb.toString, leaf,
+                y, m, d, mode, live)) healed += 1
+        }
+      }
+      fs.delete(st.getPath, false): Unit
+    }
+    healed
+  }
+
   // ---- the per-leaf rewrite ---------------------------------------------
 
   /** Rewrite one oversized leaf under the reader-safe swap protocol.
@@ -390,6 +457,21 @@ object Compactor {
     // deletes them after graceCycles (readers pinned pre-commit keep
     // reading their snapshot until then)
     writeRetireEntry(fs, root, clock, leaf, liveNames)
+    // zone-map maintenance: publish the rewritten generation's bounds
+    // and retire the replaced files' rows in ONE atomic sidecar batch —
+    // without this, every swap silently erased file-grain zone skipping
+    // on all generalized columns for exactly the files that dominate a
+    // mature lake. A crash before this publish leaves the generation
+    // boundless (fail-open); the still-standing journal entry routes
+    // the next maintenance pass through FileBounds.reconcileLeaf.
+    boundsDir(fs, root).zip(partValuesOf(root, leaf)).foreach {
+      case (fb, (y, m, d, mode)) =>
+        FileBounds.writeSwapBatch(spark,
+          new Path(fb, s"swap-c$clock-" +
+            java.util.UUID.randomUUID().toString.take(8)).toString,
+          moved.map(n => new Path(leaf, n).toString),
+          y, m, d, mode, liveNames): Unit
+    }
     // external consumers: swap the leaf's symlink manifest right after
     // the commit (atomic per leaf; a crash in between leaves it one
     // snapshot stale but fully readable — LakeSnapshot scaladoc)
@@ -430,7 +512,7 @@ object Compactor {
     // listStatus returns (lakeDir strings are often workspace-relative)
     val root = fs.makeQualified(raw)
     val clock = bumpClock(fs, root)
-    val recovered = recoverJournal(fs, root, clock) + recover(fs, root)
+    val recovered = recoverJournal(spark, fs, root, clock) + recover(fs, root)
     val retired = retireSweep(fs, root, clock, graceCycles)
 
     // leaf partition dirs (no visible subdirectories). Files sitting in
@@ -472,7 +554,7 @@ object Compactor {
     if (!fs.exists(raw)) return Report(0, 0, 0, 0)
     val root = fs.makeQualified(raw)
     val clock = bumpClock(fs, root)
-    val recovered = recoverJournal(fs, root, clock)
+    val recovered = recoverJournal(spark, fs, root, clock)
     val retired = retireSweep(fs, root, clock, cfg.graceCycles)
     val rootPrefix = root.toUri.getPath + "/"
     val leaves = touched.distinct.map(fs.makeQualified)

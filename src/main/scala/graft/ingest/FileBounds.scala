@@ -33,15 +33,18 @@ import org.apache.spark.sql.functions._
   * Trust contract, WEAKER than the partials' by design (and that is
   * what keeps it sound): a consumer may only act on a bounds row whose
   * `data_file` appears in the lake's CURRENT listing — a listed file
-  * with no bounds row (a compaction-written `sw<g>-` file, a
-  * pre-upgrade append) is simply not skippable, and a bounds row whose
-  * file is gone (retired by compaction) is ignored dead weight. File
-  * content is immutable once published and names are unique per
-  * publish token, so a matched row is always accurate. Partition-grain
-  * VALUE folding additionally requires COVERAGE — Σ bounds `n_rows`
-  * per partition equal to the partials' Σ `n_rows` — which holds even
-  * across compaction (rewrites preserve row content, so stale entries
-  * still sum to the partition's true row count) and fails safe on
+  * with no bounds row (a pre-upgrade append, a crash-window compaction
+  * generation) is simply not skippable, and a bounds row whose file is
+  * gone is ignored dead weight. File content is immutable once
+  * published and names are unique per publish token/generation, so a
+  * matched row is always accurate. Partition-grain VALUE folding
+  * additionally requires COVERAGE — Σ live bounds `n_rows` per
+  * partition equal to the partials' Σ `n_rows` — which holds across
+  * compaction because each swap publishes ONE atomic batch pairing the
+  * rewritten generation's fresh rows with TOMBSTONES for the replaced
+  * names ([[writeSwapBatch]], round 18 — before it, `sw<g>-` files
+  * stayed boundless and file-grain skipping silently died on the
+  * compacted bulk of a mature lake), and fails safe on
   * partially-upgraded lakes (under-coverage → no value skipping).
   *
   * Store layout mirrors the rollup: one small parquet dir per published
@@ -72,6 +75,16 @@ object FileBounds {
   def nnCol(c: String): String = s"nn_$c"
   def minCol(c: String): String = s"min_$c"
   def maxCol(c: String): String = s"max_$c"
+
+  /** Tombstone marker: a row with `_dead = true` retires EVERY bounds
+    * row for its (data_file, partition) key — the mechanism lake
+    * compaction uses to replace a swapped-out file's statistics without
+    * rewriting the append-only store ([[writeSwapBatch]]). [[all]]
+    * filters dead keys out; [[compact]] drops them permanently (file
+    * names are unique per publish token/generation, so a retired key
+    * can never be legitimately re-published). Underscore-prefixed so
+    * [[boundsColumns]] never mistakes it for a data column. */
+  val DeadCol = "_dead"
 
   private def isSupported(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
     case org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
@@ -152,6 +165,89 @@ object FileBounds {
   def writeStaged(staged: DataFrame, prefix: String, dir: String): Unit =
     compute(staged, prefix).coalesce(1).write.mode("overwrite").parquet(dir)
 
+  /** One lake-compaction swap's bounds publish: fresh rows for the
+    * committed generation's output files (a column-pruned second read of
+    * data the rewrite just wrote, still page-cache-warm — bounded by one
+    * leaf) plus TOMBSTONE rows retiring the replaced files' statistics,
+    * in ONE batch dir made visible by a single directory rename. Fresh
+    * rows and tombstones being atomic is what preserves the partition
+    * coverage proof (Σ live bounds rows ≡ Σ partial rows) across the
+    * swap: before the rename the old rows stand in for the identical
+    * rewritten content, after it the new rows do — no observable state
+    * double-counts, so partition-grain value/generic skipping survives
+    * compaction and the rewritten files regain FILE-grain skipping (the
+    * round-17 hole: `sw<g>-` files used to stay boundless forever).
+    *
+    * Ordering (Compactor): runs AFTER the leaf's swap-meta commit. A
+    * crash between commit and this publish leaves the generation
+    * boundless — pure fail-open — and the still-standing swap journal
+    * entry routes the next maintenance pass through [[reconcileLeaf]],
+    * which heals exactly that state. A no-op when the leaf lacks the
+    * legacy pair (not a curated lake — leave the store untouched). */
+  def writeSwapBatch(s: SparkSession, dir: String, newFiles: Seq[String],
+                     y: Int, m: Int, d: Int, mode: String,
+                     replaced: Seq[String]): Boolean = {
+    import s.implicits._
+    val fresh =
+      if (newFiles.isEmpty) None
+      else {
+        val staged = s.read.parquet(newFiles: _*)
+          .select(col("*"), col("_metadata"))
+          .withColumn("year", lit(y)).withColumn("month", lit(m))
+          .withColumn("day", lit(d)).withColumn("mode", lit(mode))
+        if (!staged.columns.contains(TsCol) || !staged.columns.contains(ValCol))
+          return false // not curated-shaped: old rows stay authoritative
+        Some(compute(staged, prefix = "").withColumn(DeadCol, lit(false)))
+      }
+    val tombs =
+      if (replaced.isEmpty) None
+      else Some(replaced.toDF("data_file")
+        .withColumn("year", lit(y)).withColumn("month", lit(m))
+        .withColumn("day", lit(d)).withColumn("mode", lit(mode))
+        .withColumn(DeadCol, lit(true)))
+    val out = (fresh, tombs) match {
+      case (Some(f), Some(t)) => f.unionByName(t, allowMissingColumns = true)
+      case (Some(f), None) => f
+      case (None, Some(t)) => t
+      case (None, None) => return false
+    }
+    val p = new Path(dir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val tmp = new Path(p.getParent,
+      s".swapb-${java.util.UUID.randomUUID().toString.take(8)}")
+    fs.delete(tmp, true)
+    out.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"bounds swap-batch rename failed: $tmp -> $p")
+    true
+  }
+
+  /** Journal-heal companion ([[Compactor.recoverJournal]]): bring the
+    * store's view of ONE leaf back in line with the leaf's CURRENT live
+    * listing after a crashed swap — live files with no live bounds row
+    * get rows recomputed from the files themselves; names no longer
+    * live (retired, deleted, or uncommitted strays healed away) still
+    * carrying live rows get tombstoned. Idempotent (a clean leaf
+    * publishes nothing); one metadata-sized store read plus at most one
+    * leaf-bounded recompute. Returns true when a batch was published. */
+  def reconcileLeaf(s: SparkSession, fbDir: String, leaf: Path,
+                    y: Int, m: Int, d: Int, mode: String,
+                    liveNames: Seq[String]): Boolean = {
+    if (!hasData(s, fbDir)) return false
+    val have = all(s, fbDir)
+      .filter(col("year") === y && col("month") === m &&
+        col("day") === d && col("mode") === mode)
+      .select("data_file").collect().map(_.getString(0)).toSet
+    val liveSet = liveNames.toSet
+    val missing = liveNames.filterNot(have).sorted
+    val stale = (have -- liveSet).toSeq.sorted
+    if (missing.isEmpty && stale.isEmpty) return false
+    writeSwapBatch(s,
+      new Path(new Path(fbDir),
+        s"heal-${java.util.UUID.randomUUID().toString.take(8)}").toString,
+      missing.map(n => new Path(leaf, n).toString), y, m, d, mode, stale)
+  }
+
   def hasData(s: SparkSession, dir: String): Boolean = {
     val p = new Path(dir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -161,13 +257,27 @@ object FileBounds {
   /** One `first()` per non-key column, derived from the frame's own
     * (merged) schema — the twin-collapse aggregation shared by [[all]]
     * and [[compact]]. Works over any column generation: a batch dir
-    * that predates a generic column contributes nulls for it. */
+    * that predates a generic column contributes nulls for it.
+    * `ignoreNulls` lets a key holding both a real row and a tombstone
+    * (stats all null) keep the real statistics — the verdict for such a
+    * key is decided by the `max(_dead)` marker, not by which twin
+    * `first()` happened to see; identical twins are unaffected (all
+    * null stays null). */
   private def collapseTwins(raw: DataFrame): DataFrame = {
     val keys = "data_file" +: PartCols
     val aggs = raw.columns.toSeq.filterNot(keys.contains)
-      .map(c => first(col(c)).as(c))
+      .map {
+        case DeadCol => max(col(DeadCol)).as(DeadCol) // any tombstone kills the key
+        case c => first(col(c), ignoreNulls = true).as(c)
+      }
     raw.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Drop tombstoned keys (and the marker itself) from a collapsed
+    * frame — the read-side half of the tombstone contract. */
+  private def dropDead(collapsed: DataFrame): DataFrame =
+    if (!collapsed.columns.contains(DeadCol)) collapsed
+    else collapsed.filter(!coalesce(col(DeadCol), lit(false))).drop(DeadCol)
 
   /** All bounds rows currently published, collapsed to ONE row per
     * (data_file, partition) — same duplication-absorbing posture as
@@ -177,12 +287,12 @@ object FileBounds {
     * surfaces those rows with NULL `nn_<c>` (= unknown), exactly the
     * fail-open the trust contract needs. */
   def all(s: SparkSession, dir: String): DataFrame =
-    collapseTwins(
+    dropDead(collapseTwins(
       s.read
         .option("recursiveFileLookup", "true")
         .option("mergeSchema", "true")
         .option("ignoreMissingFiles", "true") // racing [[compact]]'s source deletes
-        .parquet(dir))
+        .parquet(dir)))
 
   /** Maintenance: fold accumulated batch dirs (same slot, same
     * single-maintenance-writer discipline, and same crash posture as
@@ -200,10 +310,13 @@ object FileBounds {
     val token = java.util.UUID.randomUUID().toString.take(8)
     val tmp = new Path(root, s".compact-$token")
     fs.delete(tmp, true)
-    collapseTwins(
+    // dropDead here makes tombstoned keys' removal PERMANENT: the fold
+    // covers every batch dir, so a tombstone and all rows it retires are
+    // in scope together, and a retired file name can never re-appear
+    dropDead(collapseTwins(
       s.read.option("recursiveFileLookup", "true")
         .option("mergeSchema", "true") // mixed column generations fold fine
-        .parquet(dirs.map(_.toString): _*))
+        .parquet(dirs.map(_.toString): _*)))
       .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     val live = new Path(root, s"merged-$token")
     if (!fs.rename(tmp, live))
@@ -247,6 +360,9 @@ object FileBounds {
           col(minCol(c)).isNotNull || col(nnCol(c)) === 0
         else col(nnCol(c)).isNotNull
       Seq(sum(when(known, col("n_rows"))).as(s"b_rows_$c"),
+        // the partition's known non-null count — when covered, the TRUE
+        // non-null count, which is what services IS [NOT] NULL zones
+        sum(when(known, coalesce(col(nnCol(c)), lit(0L)))).as(s"znn_$c"),
         min(minCol(c)).as(s"zmin_$c"), max(maxCol(c)).as(s"zmax_$c"))
     }
     val aggs = Seq(sum("n_rows").as("b_rows"),
@@ -255,9 +371,9 @@ object FileBounds {
       .groupBy("year", "month", "day", "mode")
       .agg(aggs.head, aggs.tail: _*)
     val out = Seq(col("year"), col("month"), col("day"), col("mode"),
-      col("vmin"), col("vmax"),
+      col("p_rows"), col("vmin"), col("vmax"),
       (col("b_rows") <=> col("p_rows")).as("covered")) ++
-      generics.flatMap(c => Seq(col(s"zmin_$c"), col(s"zmax_$c"),
+      generics.flatMap(c => Seq(col(s"zmin_$c"), col(s"zmax_$c"), col(s"znn_$c"),
         (col(s"b_rows_$c") <=> col("p_rows")).as(s"covered_$c")))
     pRows.join(b, Seq("year", "month", "day", "mode"), "left")
       .select(out: _*)
@@ -268,6 +384,45 @@ object FileBounds {
   def partitionValueZones(s: SparkSession, fileBoundsDir: String,
                           rollupDir: String): DataFrame =
     partitionZones(s, fileBoundsDir, rollupDir)
+
+  /** String-bounds observability (round 18): per tracked string column,
+    * how many live bounds rows carry the column at all (`files_known`)
+    * and how many WITHHELD their min/max under [[StringBoundsCap]]
+    * (`files_withheld`: nn > 0 with NULL bounds — a value longer than
+    * the cap somewhere in the file). This is the metadata answer to
+    * "why doesn't my string predicate prune": a withheld file is
+    * unskippable and breaks its partition's string-coverage proof, both
+    * silently by design — this fold makes the silence inspectable
+    * (q126 keeps it on the oracle surface). One metadata-sized
+    * aggregate over the store; columns ordered by name. */
+  def withheldAudit(s: SparkSession, dir: String): DataFrame = {
+    val b = all(s, dir)
+    val strings = b.schema.fields.toSeq
+      .filter(f => f.name.startsWith("min_") &&
+        f.dataType == org.apache.spark.sql.types.StringType)
+      .map(_.name.stripPrefix("min_"))
+      .filter(c => b.columns.contains(nnCol(c))) // generic cols carry nn_
+      .sorted
+    if (strings.isEmpty)
+      return s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("col_name",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("files_known",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("files_withheld",
+            org.apache.spark.sql.types.LongType))))
+    val aggs = strings.flatMap { c =>
+      Seq(sum(when(col(nnCol(c)).isNotNull, 1L).otherwise(0L)).as(s"k_$c"),
+        sum(when(col(nnCol(c)) > 0 && col(minCol(c)).isNull, 1L)
+          .otherwise(0L)).as(s"w_$c"))
+    }
+    b.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${strings.length}, " +
+        strings.map(c => s"'$c', k_$c, w_$c").mkString(", ") +
+        ") AS (col_name, files_known, files_withheld)")
+  }
 
   /** Convenience for callers building zone predicates. */
   def intersects(mn: Column, mx: Column,

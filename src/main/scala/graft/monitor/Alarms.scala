@@ -89,10 +89,21 @@ object Alarms {
     * lake's own maximum, so a drained demo lake evaluates identically
     * forever — the property that keeps this row on the oracle
     * surface). */
-  def evaluate(spark: SparkSession, layout: LakeLayout,
+  def evaluate(outer: SparkSession, layout: LakeLayout,
                monitor: Option[GraftMonitor] = None,
                slowActionMs: Long = 15 * 60 * 1000L,
                staleDays: Int = 7): DataFrame = {
+    // EAGER evaluation under a cloned session with AQE off (round 18):
+    // every source here is metadata-sized, so adaptive execution buys
+    // nothing and costs one stage-materialization JOB per exchange —
+    // over the union's ~8 branches that was ~16 jobs per evaluation
+    // where a single non-adaptive collect is ONE. newSession() shares
+    // the SparkContext and caches but owns its conf, so the caller's
+    // session keeps AQE untouched (monitoring runs CONCURRENT with the
+    // pipeline). The caller gets the 10 result rows back as a local
+    // frame in its own session.
+    val spark = outer.newSession()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     // read-only ledger view: evaluation must not reclaim in-flight work
     // or prune versions under a live writer (monitoring runs CONCURRENT
     // with the pipeline — that is its point)
@@ -125,13 +136,28 @@ object Alarms {
     // spend a whole extra Spark job per DLQ dir inferring fields the
     // count never looks at (every DLQ line is a Spark-written JSON
     // object, so lines == records under PERMISSIVE parsing).
-    def dlqCountOf(dir: String): DataFrame = {
-      val p = new org.apache.hadoop.fs.Path(dir)
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        p.toUri, spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p) && fs.listStatus(p).nonEmpty)
-        spark.read.schema("job_run_id STRING").json(s"$dir/*").agg(count(lit(1)))
-      else const(0L)
+    // ALL present DLQ dirs fold in ONE tagged union + ONE aggregation
+    // (round 18): three per-dir count branches were three exchanges —
+    // three AQE stage jobs — where one suffices; absent dirs short to
+    // driver-literal zero rows with no job at all. Returns branches
+    // already in (alarm, metric) shape.
+    def dlqBranches(dirs: Seq[(String, String)]): Seq[DataFrame] = {
+      val (present, absent) = dirs.partition { case (_, dir) =>
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          p.toUri, spark.sparkContext.hadoopConfiguration)
+        fs.exists(p) && fs.listStatus(p).nonEmpty
+      }
+      val counted =
+        if (present.isEmpty) Seq.empty
+        else Seq(present.map { case (name, dir) =>
+          spark.read.schema("job_run_id STRING").json(s"$dir/*")
+            .select(lit(name).as("alarm"))
+        }.reduce(_ unionAll _)
+          .groupBy("alarm").agg(count(lit(1)).cast("long").as("metric")))
+      counted ++ absent.map { case (name, _) =>
+        const(0L).select(lit(name).as("alarm"), col("m").cast("long").as("metric"))
+      }
     }
 
     // the two rollup-backed metrics (freshness, saturation) share ONE
@@ -197,29 +223,44 @@ object Alarms {
     }
 
     // single-metric branches; the three ledger alarms arrive as ONE
-    // stacked branch off the shared single-pass aggregate above
+    // stacked branch off the shared single-pass aggregate above, the
+    // three DLQ alarms as ONE tagged-union count
     val singles = Seq(
       "compaction_recovery" -> compactionRecovery,
       "data_freshness" -> freshness,
-      "dedup_dlq_activity" -> dlqCountOf(layout.dedupDlqDir),
-      "dlq_activity" -> dlqCountOf(layout.dlqDir),
-      "quality_dlq_activity" -> dlqCountOf(layout.qualityDlqDir),
       "sketch_saturation" -> saturation,
       "slow_actions" -> const(observedSlow))
       .map { case (name, agg) =>
         agg.select(lit(name).as("alarm"),
           col(agg.columns.head).cast("long").as("metric"))
       }
+    val dlqRows = dlqBranches(Seq(
+      "dedup_dlq_activity" -> layout.dedupDlqDir,
+      "dlq_activity" -> layout.dlqDir,
+      "quality_dlq_activity" -> layout.qualityDlqDir))
     val ledgerRows = ledgerCounts.selectExpr(
       "stack(3, 'file_quarantine', file_quarantine, " +
         s"'job_failure', job_failure + ${observedFailures}L, " +
         "'ledger_backlog', ledger_backlog) AS (alarm, metric)")
       .select(col("alarm"), col("metric").cast("long").as("metric"))
 
-    (singles :+ ledgerRows).reduce(_.unionAll(_))
+    val rows = (singles ++ dlqRows :+ ledgerRows).reduce(_.unionAll(_))
       .select(col("alarm"),
         when(col("metric") > 0, "ALARM").otherwise("OK").as("state"),
         col("metric"))
       .orderBy("alarm")
+      .collect()
+    // hand the result back in the CALLER's session as a local relation —
+    // downstream transforms (q57's oracle dump, operator drill-downs)
+    // compose on 10 rows with zero further source scans
+    outer.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("alarm",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("state",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("metric",
+          org.apache.spark.sql.types.LongType, nullable = false))))
   }
 }

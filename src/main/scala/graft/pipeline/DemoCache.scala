@@ -34,7 +34,7 @@ import java.nio.file.{Files, StandardCopyOption}
   */
 object DemoCache {
   /** Bump on any change that alters demo-artifact content. */
-  val Version = "r17b" // filebounds triplets extended to string columns (cap-withheld bounds)
+  val Version = "r18a" // compaction swaps publish FileBounds batches (fresh rows + tombstones)
 
   /** All demo artifacts root here: survives `sbt clean`, git-ignored. */
   val Root: File = new File("var/demo").getAbsoluteFile

@@ -150,119 +150,69 @@ case class RollupPartitionSkip(session: SparkSession) extends Rule[LogicalPlan] 
         case a: AttributeReference if !PartitionColsOrdered.contains(a.name) &&
             supportedType(a.dataType) => a.name -> a.dataType
       }.toMap
-    val wins = scala.collection.mutable.Map.empty[String, Win]
-    def tighten(name: String, v: Any, incl: Boolean, isLo: Boolean): Unit = {
-      val dt = colTypes(name)
-      val ord = ordOf(dt)
-      val w = wins.getOrElse(name, Win(dt, None, None))
-      val cur = if (isLo) w.lo else w.hi
-      val chosen = cur match {
-        case None => (v, incl)
-        case Some((cv, ci)) =>
-          val c = ord.compare(v, cv)
-          if ((isLo && c > 0) || (!isLo && c < 0)) (v, incl)
-          else if (c == 0) (cv, ci && incl) // same bound: exclusive is stricter
-          else (cv, ci)
-      }
-      wins(name) = if (isLo) w.copy(lo = Some(chosen)) else w.copy(hi = Some(chosen))
-    }
-    def litFor(a: AttributeReference, e: Expression): Option[Any] = e match {
-      case Literal(v, dt) if v != null && colTypes.get(a.name).contains(dt) &&
-          dt == a.dataType => Some(v)
-      case _ => None
-    }
+    val ranges = extractRanges(conjuncts, colTypes)
+    // disjunction windows (round 18): a top-level `Or` conjunct whose
+    // EVERY disjunct bounds one common column folds to a UNION of
+    // windows on it — the "compare two date ranges" BI staple. Each
+    // disjunct's extracted window is a SUPERSET of that disjunct's rows
+    // (the tightener only intersects recognized constraints; everything
+    // unrecognized, including predicates on other columns, just widens),
+    // so the union covers every row the Or admits — pruning a zone that
+    // intersects none of the windows is sound. A disjunct that bounds
+    // the column not at all (satisfied via other columns, an IS NULL,
+    // an opaque function) removes the column from the candidate set.
+    val orSets = scala.collection.mutable.Map.empty[String, Vector[Seq[Win]]]
     conjuncts.foreach {
-      case GreaterThanOrEqual(a: AttributeReference, l) =>
-        litFor(a, l).foreach(tighten(a.name, _, incl = true, isLo = true))
-      case GreaterThan(a: AttributeReference, l) =>
-        litFor(a, l).foreach(tighten(a.name, _, incl = false, isLo = true))
-      case LessThanOrEqual(a: AttributeReference, l) =>
-        litFor(a, l).foreach(tighten(a.name, _, incl = true, isLo = false))
-      case LessThan(a: AttributeReference, l) =>
-        litFor(a, l).foreach(tighten(a.name, _, incl = false, isLo = false))
-      case EqualTo(a: AttributeReference, l) =>
-        litFor(a, l).foreach { v =>
-          tighten(a.name, v, incl = true, isLo = true)
-          tighten(a.name, v, incl = true, isLo = false)
-        }
-      case EqualTo(l, a: AttributeReference) =>
-        litFor(a, l).foreach { v =>
-          tighten(a.name, v, incl = true, isLo = true)
-          tighten(a.name, v, incl = true, isLo = false)
-        }
-      // null-safe equality against a NON-null literal is plain equality
-      // (litFor rejects null literals; `a <=> NULL` selects null rows,
-      // which no range window may stand in for)
-      case EqualNullSafe(a: AttributeReference, l) =>
-        litFor(a, l).foreach { v =>
-          tighten(a.name, v, incl = true, isLo = true)
-          tighten(a.name, v, incl = true, isLo = false)
-        }
-      case EqualNullSafe(l, a: AttributeReference) =>
-        litFor(a, l).foreach { v =>
-          tighten(a.name, v, incl = true, isLo = true)
-          tighten(a.name, v, incl = true, isLo = false)
-        }
-      // prefix predicates (LIKE 'p%' arrives as StartsWith): the
-      // matching set lies in [p, nextPrefix(p)) under binary string
-      // order — any string starting with p compares >= p, and < the
-      // prefix with its last code point incremented. A prefix of all
-      // U+10FFFFs has no upper bound; the lower bound still prunes.
-      case StartsWith(a: AttributeReference, l) =>
-        litFor(a, l).foreach { v =>
-          tighten(a.name, v, incl = true, isLo = true)
-          nextPrefix(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
-            .foreach(np => tighten(a.name,
-              org.apache.spark.unsafe.types.UTF8String.fromString(np),
-              incl = false, isLo = false))
-        }
-      case GreaterThanOrEqual(l, a: AttributeReference) =>
-        litFor(a, l).foreach(tighten(a.name, _, incl = true, isLo = false))
-      case GreaterThan(l, a: AttributeReference) =>
-        litFor(a, l).foreach(tighten(a.name, _, incl = false, isLo = false))
-      case LessThanOrEqual(l, a: AttributeReference) =>
-        litFor(a, l).foreach(tighten(a.name, _, incl = true, isLo = true))
-      case LessThan(l, a: AttributeReference) =>
-        litFor(a, l).foreach(tighten(a.name, _, incl = false, isLo = true))
-      // membership lists imply the [min, max] envelope (null elements
-      // never satisfy an IN, so dropping them only loosens the window —
-      // sound). InSet is the same predicate after OptimizeIn; its
-      // values are already internal-typed like Literal values. The
-      // fixpoint guard above only matches In/InSet over OUR partition
-      // struct, so a plain column membership reaches here.
-      case In(a: AttributeReference, elems) if colTypes.contains(a.name) &&
-          elems.forall(_.isInstanceOf[Literal]) =>
-        val vs = elems.collect {
-          case Literal(v, dt) if v != null && dt == a.dataType => v
-        }
-        if (vs.nonEmpty) {
-          val ord = ordOf(a.dataType)
-          tighten(a.name, vs.min(ord), incl = true, isLo = true)
-          tighten(a.name, vs.max(ord), incl = true, isLo = false)
-        }
-      case InSet(a: AttributeReference, set) if colTypes.contains(a.name) =>
-        val vs = set.toSeq.filter(_ != null)
-        if (vs.nonEmpty) {
-          val ord = ordOf(a.dataType)
-          tighten(a.name, vs.min(ord), incl = true, isLo = true)
-          tighten(a.name, vs.max(ord), incl = true, isLo = false)
-        }
+      case or: Or =>
+        val maps = splitDisjuncts(or).map(d => extractRanges(splitConjuncts(d), colTypes))
+        maps.map(_.keySet).reduceOption(_ intersect _).getOrElse(Set.empty[String])
+          .foreach { c =>
+            orSets(c) = orSets.getOrElse(c, Vector.empty) :+ maps.map(_(c))
+          }
       case _ => ()
     }
-    if (wins.isEmpty) return None
+    // nullness constraints (round 18): serviced from the sidecar's
+    // nn_<c> null counts (and, for the legacy value column, its
+    // all-null-means-null-bounds rule) — `IS NULL` prunes partitions/
+    // files provably free of nulls, `IS NOT NULL` prunes all-null ones
+    val nulls = scala.collection.mutable.Map.empty[String, (Boolean, Boolean)]
+    conjuncts.foreach {
+      case IsNull(a: AttributeReference) if colTypes.contains(a.name) =>
+        nulls(a.name) = (true, nulls.getOrElse(a.name, (false, false))._2)
+      case IsNotNull(a: AttributeReference) if colTypes.contains(a.name) =>
+        nulls(a.name) = (nulls.getOrElse(a.name, (false, false))._1, true)
+      case _ => ()
+    }
+    val consCols = ranges.keySet ++ orSets.keySet ++ nulls.keySet
+    val cons: Map[String, ColCons] = consCols.map { c =>
+      val (isN, notN) = nulls.getOrElse(c, (false, false))
+      c -> ColCons(colTypes(c),
+        ranges.get(c).map(w => Seq(Seq(w))).getOrElse(Seq.empty) ++
+          orSets.getOrElse(c, Vector.empty),
+        notNull = notN, isNull = isN)
+    }.toMap
+    // any recognized constraint triggers the fold — including a bare
+    // IS NOT NULL on a sidecar-tracked column (the drifted-column
+    // payoff: `WHERE extra_field IS NOT NULL` prunes every partition
+    // whose files predate the field, which on an evolving lake is most
+    // of it). Event-time nullness alone does NOT trigger: the partials
+    // carry no null counts, so the fold could never act on it (Catalyst
+    // infers IsNotNull for every compared column — a range on ts
+    // triggers via its window as before).
+    if (!cons.exists { case (c, k) =>
+        k.sets.nonEmpty || k.isNull || (k.notNull && c != TsCol) }) return None
 
-    // any column with an unsatisfiable window makes the whole condition
-    // unsatisfiable — empty scan, no fold needed
-    val inverted = wins.values.exists { w =>
-      w.lo.zip(w.hi).exists { case ((a, ai), (b, bi)) =>
-        val c = ordOf(w.dt).compare(a, b)
-        c > 0 || (c == 0 && !(ai && bi))
-      }
+    // unsatisfiable shapes collapse to an empty scan without a fold:
+    // a column required null AND range-bounded (or non-null) matches
+    // nothing, as does a disjunction set whose every window is inverted
+    val inverted = cons.values.exists { k =>
+      (k.isNull && (k.notNull || k.sets.nonEmpty)) ||
+        k.sets.exists(set => set.forall(winInverted(k.dt, _)))
     }
     val fold =
       if (inverted) Folded(Seq.empty, Long.MaxValue, Set.empty)
       else dbg("foldZones")(
-        foldZones(session, rollupDir, wins.toMap).getOrElse(return None))
+        foldZones(session, rollupDir, cons).getOrElse(return None))
 
     def structLits(keys: Seq[(Int, Int, Int, String)]): (Expression, Seq[Literal]) = {
       val struct = CreateStruct(partAttrs)
@@ -360,6 +310,133 @@ case class RollupPartitionSkip(session: SparkSession) extends Rule[LogicalPlan] 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
     case other => Seq(other)
+  }
+
+  private def splitDisjuncts(e: Expression): Seq[Expression] = e match {
+    case Or(l, r) => splitDisjuncts(l) ++ splitDisjuncts(r)
+    case other => Seq(other)
+  }
+
+  private def winInverted(dt: org.apache.spark.sql.types.DataType, w: Win): Boolean =
+    w.lo.zip(w.hi).exists { case ((a, ai), (b, bi)) =>
+      val c = ordOf(dt).compare(a, b)
+      c > 0 || (c == 0 && !(ai && bi))
+    }
+
+  /** The tightest single [lo, hi] window per column implied by `preds`
+    * taken as a CONJUNCTION — the round-15 matcher, factored out so the
+    * disjunction handler can run it per Or-branch. Unrecognized
+    * predicates tighten nothing, so every returned window is a SUPERSET
+    * of the conjunction's rows on its column — exactly the property
+    * both callers (top-level conjuncts, Or-disjuncts) rely on.
+    * A comparison qualifies only when the literal's type EQUALS the
+    * column's (coercion has already run, so a same-typed literal is
+    * what an honest range predicate looks like; a cast AROUND the
+    * column defeats the zone map and the matcher declines rather than
+    * guesses — the round-15 posture). */
+  private def extractRanges(preds: Seq[Expression],
+                            colTypes: Map[String, org.apache.spark.sql.types.DataType])
+      : Map[String, Win] = {
+    val wins = scala.collection.mutable.Map.empty[String, Win]
+    def tighten(name: String, v: Any, incl: Boolean, isLo: Boolean): Unit = {
+      val dt = colTypes(name)
+      val ord = ordOf(dt)
+      val w = wins.getOrElse(name, Win(dt, None, None))
+      val cur = if (isLo) w.lo else w.hi
+      val chosen = cur match {
+        case None => (v, incl)
+        case Some((cv, ci)) =>
+          val c = ord.compare(v, cv)
+          if ((isLo && c > 0) || (!isLo && c < 0)) (v, incl)
+          else if (c == 0) (cv, ci && incl) // same bound: exclusive is stricter
+          else (cv, ci)
+      }
+      wins(name) = if (isLo) w.copy(lo = Some(chosen)) else w.copy(hi = Some(chosen))
+    }
+    def litFor(a: AttributeReference, e: Expression): Option[Any] = e match {
+      case Literal(v, dt) if v != null && colTypes.get(a.name).contains(dt) &&
+          dt == a.dataType => Some(v)
+      case _ => None
+    }
+    preds.foreach {
+      case GreaterThanOrEqual(a: AttributeReference, l) =>
+        litFor(a, l).foreach(tighten(a.name, _, incl = true, isLo = true))
+      case GreaterThan(a: AttributeReference, l) =>
+        litFor(a, l).foreach(tighten(a.name, _, incl = false, isLo = true))
+      case LessThanOrEqual(a: AttributeReference, l) =>
+        litFor(a, l).foreach(tighten(a.name, _, incl = true, isLo = false))
+      case LessThan(a: AttributeReference, l) =>
+        litFor(a, l).foreach(tighten(a.name, _, incl = false, isLo = false))
+      case EqualTo(a: AttributeReference, l) =>
+        litFor(a, l).foreach { v =>
+          tighten(a.name, v, incl = true, isLo = true)
+          tighten(a.name, v, incl = true, isLo = false)
+        }
+      case EqualTo(l, a: AttributeReference) =>
+        litFor(a, l).foreach { v =>
+          tighten(a.name, v, incl = true, isLo = true)
+          tighten(a.name, v, incl = true, isLo = false)
+        }
+      // null-safe equality against a NON-null literal is plain equality
+      // (litFor rejects null literals; `a <=> NULL` selects null rows,
+      // which no range window may stand in for)
+      case EqualNullSafe(a: AttributeReference, l) =>
+        litFor(a, l).foreach { v =>
+          tighten(a.name, v, incl = true, isLo = true)
+          tighten(a.name, v, incl = true, isLo = false)
+        }
+      case EqualNullSafe(l, a: AttributeReference) =>
+        litFor(a, l).foreach { v =>
+          tighten(a.name, v, incl = true, isLo = true)
+          tighten(a.name, v, incl = true, isLo = false)
+        }
+      // prefix predicates (LIKE 'p%' arrives as StartsWith): the
+      // matching set lies in [p, nextPrefix(p)) under binary string
+      // order — any string starting with p compares >= p, and < the
+      // prefix with its last code point incremented. A prefix of all
+      // U+10FFFFs has no upper bound; the lower bound still prunes.
+      case StartsWith(a: AttributeReference, l) =>
+        litFor(a, l).foreach { v =>
+          tighten(a.name, v, incl = true, isLo = true)
+          nextPrefix(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString)
+            .foreach(np => tighten(a.name,
+              org.apache.spark.unsafe.types.UTF8String.fromString(np),
+              incl = false, isLo = false))
+        }
+      case GreaterThanOrEqual(l, a: AttributeReference) =>
+        litFor(a, l).foreach(tighten(a.name, _, incl = true, isLo = false))
+      case GreaterThan(l, a: AttributeReference) =>
+        litFor(a, l).foreach(tighten(a.name, _, incl = false, isLo = false))
+      case LessThanOrEqual(l, a: AttributeReference) =>
+        litFor(a, l).foreach(tighten(a.name, _, incl = true, isLo = true))
+      case LessThan(l, a: AttributeReference) =>
+        litFor(a, l).foreach(tighten(a.name, _, incl = false, isLo = true))
+      // membership lists imply the [min, max] envelope (null elements
+      // never satisfy an IN, so dropping them only loosens the window —
+      // sound). InSet is the same predicate after OptimizeIn; its
+      // values are already internal-typed like Literal values. The
+      // fixpoint guard only matches In/InSet over OUR partition
+      // struct, so a plain column membership reaches here.
+      case In(a: AttributeReference, elems) if colTypes.contains(a.name) &&
+          elems.forall(_.isInstanceOf[Literal]) =>
+        val vs = elems.collect {
+          case Literal(v, dt) if v != null && dt == a.dataType => v
+        }
+        if (vs.nonEmpty) {
+          val ord = ordOf(a.dataType)
+          tighten(a.name, vs.min(ord), incl = true, isLo = true)
+          tighten(a.name, vs.max(ord), incl = true, isLo = false)
+        }
+      case InSet(a: AttributeReference, set) if colTypes.contains(a.name) =>
+        val vs = set.toSeq.filter(_ != null)
+        if (vs.nonEmpty) {
+          val ord = ordOf(a.dataType)
+          tighten(a.name, vs.min(ord), incl = true, isLo = true)
+          tighten(a.name, vs.max(ord), incl = true, isLo = false)
+        }
+      case _ => ()
+    }
+    wins.toMap
   }
 
   /** Our own output shape, in both its pre- and post-`OptimizeIn`
@@ -509,6 +586,32 @@ object RollupPartitionSkip {
   private def hiLits(w: Win): Option[(org.apache.spark.sql.Column, Boolean)] =
     w.hi.map { case (v, i) => (litOf(v, w.dt), i) }
 
+  /** Everything the filter asserts about ONE column that zones can act
+    * on: `sets` is a CONJUNCTION of window-DISJUNCTIONS (each inner Seq
+    * came from one top-level conjunct — a plain range contributes a
+    * singleton, an `Or` of ranges the union of its branch windows); a
+    * zone may be skipped under a set only when it intersects NONE of
+    * the set's windows. `isNull`/`notNull` carry top-level IS [NOT]
+    * NULL conjuncts, serviced from the sidecar's null counts. */
+  private[plans] final case class ColCons(
+      dt: org.apache.spark.sql.types.DataType,
+      sets: Seq[Seq[Win]],
+      notNull: Boolean = false,
+      isNull: Boolean = false)
+
+  /** Zone keep-predicate for one column's window sets over stored
+    * [mn, mx] bounds: AND over sets of (OR over the set's windows of
+    * "zone intersects window"). None when the column has no sets (a
+    * pure nullness constraint). NULL bounds propagate null — callers
+    * coalesce to the soundness default they need. */
+  private def setsKeep(mn: org.apache.spark.sql.Column,
+                       mx: org.apache.spark.sql.Column,
+                       k: ColCons): Option[org.apache.spark.sql.Column] =
+    if (k.sets.isEmpty) None
+    else Some(k.sets.map(set =>
+      set.map(w => graft.ingest.FileBounds.intersectsLits(mn, mx, loLits(w), hiLits(w)))
+        .reduce(_ || _)).reduce(_ && _))
+
   /** `zones` = qualifying partitions (collected to MaxInLiterals+1);
     * `anti` = NON-qualifying partitions, collected only when `zones`
     * overflowed the cap (the complement-form path), empty otherwise. */
@@ -523,7 +626,7 @@ object RollupPartitionSkip {
     * [[CacheMax]] entries with LRU eviction (access-ordered
     * LinkedHashMap): a busy multi-lake session evicts the coldest
     * (lake, window) fold, never every lake's folds at once. */
-  private type CacheKey = (String, String, Map[String, Win])
+  private type CacheKey = (String, String, Map[String, ColCons])
   private val cache: java.util.Map[CacheKey, Folded] =
     java.util.Collections.synchronizedMap(
       new java.util.LinkedHashMap[CacheKey, Folded](16, 0.75f, true) {
@@ -572,7 +675,7 @@ object RollupPartitionSkip {
     * column — never skippable) from known-all-null (`nn_<c>` = 0 —
     * skippable), per FileBounds' trust contract. */
   private def foldZones(s: SparkSession, rollupDir: String,
-                        wins: Map[String, Win]): Option[Folded] = {
+                        wins: Map[String, ColCons]): Option[Folded] = {
     import org.apache.spark.sql.functions._
     val fbDir = new Path(new Path(rollupDir).getParent, "filebounds").toString
     val fbSig = listingSignature(s, fbDir)
@@ -583,22 +686,28 @@ object RollupPartitionSkip {
         val haveFb = fbSig != "absent" &&
           graft.ingest.FileBounds.hasData(s, fbDir)
         val fbAll = if (haveFb) Some(graft.ingest.FileBounds.all(s, fbDir)) else None
-        // which windows can any store actually service?
-        val tsWin = wins.get(TsCol) // partials track event time for every lake
-        val valWin = wins.get(ValCol).filter(_ => haveFb)
-        val genWins = wins.filter { case (c, _) =>
-          c != TsCol && c != ValCol && fbAll.exists { df =>
-            val cols = df.columns.toSet
-            cols.contains(graft.ingest.FileBounds.nnCol(c)) &&
-              cols.contains(graft.ingest.FileBounds.minCol(c))
-          }
+        // which constraints can any store actually service? The partials
+        // track event time (ranges only — no null counts); the sidecar
+        // services value ranges + value IS NOT NULL (its legacy
+        // NULL-bounds-means-all-null rule) and, for generic columns,
+        // ranges plus BOTH null directions (the nn_<c> counts).
+        val tsWin = wins.get(TsCol).filter(_.sets.nonEmpty)
+        val valWin = wins.get(ValCol)
+          .filter(k => haveFb && (k.sets.nonEmpty || k.notNull))
+        val genWins = wins.filter { case (c, k) =>
+          c != TsCol && c != ValCol &&
+            (k.sets.nonEmpty || k.notNull || k.isNull) && fbAll.exists { df =>
+              val cols = df.columns.toSet
+              cols.contains(graft.ingest.FileBounds.nnCol(c)) &&
+                cols.contains(graft.ingest.FileBounds.minCol(c))
+            }
         }
         if (tsWin.isEmpty && valWin.isEmpty && genWins.isEmpty) return None
         val tsBounds = graft.ingest.Rollup.filePartials(s, rollupDir)
           .groupBy("year", "month", "day", "mode")
           .agg(min("min_ts").as("pzmin"), max("max_ts").as("pzmax"))
-        val tsKeep = tsWin.map(w => graft.ingest.FileBounds.intersectsLits(
-          col("pzmin"), col("pzmax"), loLits(w), hiLits(w))).getOrElse(lit(true))
+        val tsKeep = tsWin.flatMap(k => setsKeep(col("pzmin"), col("pzmax"), k))
+          .getOrElse(lit(true))
         val bounds =
           if (valWin.isEmpty && genWins.isEmpty) tsBounds.withColumn("keep", tsKeep)
           else {
@@ -607,15 +716,26 @@ object RollupPartitionSkip {
             // an uncovered partition keeps its other columns' verdict
             val vz = graft.ingest.FileBounds
               .partitionZones(s, fbDir, rollupDir, genWins.keys.toSeq.sorted)
-            val vKeep = valWin.map { w =>
-              !coalesce(col("covered"), lit(false)) ||
-                coalesce(graft.ingest.FileBounds.intersectsLits(
-                  col("vmin"), col("vmax"), loLits(w), hiLits(w)), lit(false))
+            val vKeep = valWin.map { k =>
+              val range = setsKeep(col("vmin"), col("vmax"), k)
+                .map(coalesce(_, lit(false))).getOrElse(lit(true))
+              // covered + NULL vmin = every file all-null (legacy rule)
+              val nonNull = if (k.notNull) col("vmin").isNotNull else lit(true)
+              !coalesce(col("covered"), lit(false)) || (range && nonNull)
             }.getOrElse(lit(true))
-            val gKeep = genWins.toSeq.sortBy(_._1).map { case (c, w) =>
+            val gKeep = genWins.toSeq.sortBy(_._1).map { case (c, k) =>
+              val range = setsKeep(col(s"zmin_$c"), col(s"zmax_$c"), k)
+                .map(coalesce(_, lit(false))).getOrElse(lit(true))
+              // covered ⇒ znn_<c> = the partition's true non-null count
+              // and p_rows its true row count: no non-nulls fails
+              // IS NOT NULL, no nulls fails IS NULL
+              val nonNull =
+                if (k.notNull) coalesce(col(s"znn_$c") > 0, lit(true)) else lit(true)
+              val someNull =
+                if (k.isNull) coalesce(col(s"znn_$c") < col("p_rows"), lit(true))
+                else lit(true)
               !coalesce(col(s"covered_$c"), lit(false)) ||
-                coalesce(graft.ingest.FileBounds.intersectsLits(
-                  col(s"zmin_$c"), col(s"zmax_$c"), loLits(w), hiLits(w)), lit(false))
+                (range && nonNull && someNull)
             }.reduceOption(_ && _).getOrElse(lit(true))
             tsBounds.join(vz, Seq("year", "month", "day", "mode"), "left")
               .withColumn("keep", tsKeep && vKeep && gKeep)
@@ -647,17 +767,21 @@ object RollupPartitionSkip {
               val zdf = broadcast(rows.toDF("year", "month", "day", "mode"))
               // legacy pair: every bounds row tracks them; NULL bounds =
               // all-null column = cannot satisfy a range = droppable
+              // (and cannot satisfy IS NOT NULL — the value nullness
+              // check rides on the same rule)
               val legacyKeep = coalesce(
-                tsWin.map(w => graft.ingest.FileBounds.intersectsLits(
-                  col("min_ts"), col("max_ts"), loLits(w), hiLits(w)))
+                tsWin.flatMap(k => setsKeep(col("min_ts"), col("max_ts"), k))
                   .getOrElse(lit(true)) &&
-                valWin.map(w => graft.ingest.FileBounds.intersectsLits(
-                  col("min_val"), col("max_val"), loLits(w), hiLits(w)))
-                  .getOrElse(lit(true)), lit(false))
+                valWin.flatMap(k => setsKeep(col("min_val"), col("max_val"), k))
+                  .getOrElse(lit(true)), lit(false)) &&
+                valWin.filter(_.notNull)
+                  .map(_ => col("min_val").isNotNull).getOrElse(lit(true))
               // generic columns: UNKNOWN rows (nn_<c> NULL) always
               // keep; string rows with WITHHELD bounds (nn > 0, NULL
-              // min — values past StringBoundsCap) also keep
-              val genKeep = genWins.toSeq.sortBy(_._1).map { case (c, w) =>
+              // min — values past StringBoundsCap) keep under RANGES
+              // but their nn/n_rows null statistics stay valid, so the
+              // nullness checks still apply to them
+              val genKeep = genWins.toSeq.sortBy(_._1).map { case (c, k) =>
                 val nn = col(graft.ingest.FileBounds.nnCol(c))
                 val mn = col(graft.ingest.FileBounds.minCol(c))
                 val withheld =
@@ -665,10 +789,14 @@ object RollupPartitionSkip {
                       org.apache.spark.sql.types.StringType)
                     nn > 0 && mn.isNull
                   else lit(false)
-                nn.isNull || withheld ||
-                  coalesce(graft.ingest.FileBounds.intersectsLits(
-                    mn, col(graft.ingest.FileBounds.maxCol(c)),
-                    loLits(w), hiLits(w)), lit(false))
+                val range = setsKeep(mn,
+                  col(graft.ingest.FileBounds.maxCol(c)), k) match {
+                  case None => lit(true)
+                  case Some(x) => withheld || coalesce(x, lit(false))
+                }
+                val nonNull = if (k.notNull) nn > 0 else lit(true)
+                val someNull = if (k.isNull) nn < col("n_rows") else lit(true)
+                nn.isNull || (range && nonNull && someNull)
               }.reduceOption(_ && _).getOrElse(lit(true))
               fbAll.get
                 .join(zdf, Seq("year", "month", "day", "mode"))

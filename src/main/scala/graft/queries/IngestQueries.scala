@@ -504,6 +504,71 @@ object IngestQueries {
         .orderBy("mode")
     }),
 
+    // DISJUNCTION windows (round 18): "compare two periods" — the BI
+    // staple over the reference's DATE/MODE consumption pattern
+    // (diagram_1.txt:100) — is an OR of two event-time ranges, which no
+    // single [lo, hi] window represents. The skip rule folds an Or
+    // conjunct whose every disjunct bounds ONE column into a UNION of
+    // windows (RollupPartitionSkip round-18 extraction): a partition or
+    // file prunes when its zone intersects NEITHER window. Before this,
+    // the shape scanned the whole lake. The oracle proves the
+    // union-pruned answer equals the events recompute; RollupSkipSpec
+    // asserts the actual partition drops and the mixed-column bail-out.
+    "q124_orwindow_skip" -> ((s, d) => {
+      val lay = IngestDemo.ensure(s, d)
+      CuratedWriter.read(s, lay.curatedDir)
+        .filter(
+          (col("event_time_utc") >= lit("2024-01-05 00:00:00").cast("timestamp_ntz") &&
+            col("event_time_utc") < lit("2024-01-07 00:00:00").cast("timestamp_ntz")) ||
+          (col("event_time_utc") >= lit("2024-01-20 00:00:00").cast("timestamp_ntz") &&
+            col("event_time_utc") < lit("2024-01-22 00:00:00").cast("timestamp_ntz")))
+        .groupBy("mode")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(round(col("value") * lit(1000000)).cast("long")).as("value_e6"),
+          unix_micros(min(col("event_time_utc")).cast("timestamp")).as("first_us"),
+          unix_micros(max(col("event_time_utc")).cast("timestamp")).as("last_us"))
+        .orderBy("mode")
+    }),
+
+    // NULLNESS zones (round 18): the sidecar's nn_<c> null counts make
+    // IS [NOT] NULL prunable — a covered partition with zero nulls
+    // cannot satisfy IS NULL, an all-null one cannot satisfy IS NOT
+    // NULL. The probe column is extra_field, the fixture's DRIFTED key
+    // (present only in the day-25 drift batch): `IS NULL` selects
+    // exactly the pre-drift history and PRUNES the drift partition —
+    // the inverse shape (`IS NOT NULL`, "find the records that have the
+    // new field") prunes everything else and is RollupSkipSpec-pinned.
+    // The oracle is the plain events recompute (drift rows are the only
+    // non-null extra_field carriers and they are synthetic additions).
+    "q125_nullness_skip" -> ((s, d) => {
+      val lay = IngestDemo.ensure(s, d)
+      CuratedWriter.read(s, lay.curatedDir)
+        .filter(col("extra_field").isNull)
+        .groupBy("mode")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(round(col("value") * lit(1000000)).cast("long")).as("value_e6"))
+        .orderBy("mode")
+    }),
+
+    // WITHHELD-bounds observability (round 18): StringBoundsCap silently
+    // withholds a file's string min/max when any value exceeds the cap
+    // (fail-open, FileBounds scaladoc) — sound, but "why doesn't my
+    // string predicate prune" was unanswerable from metadata. This
+    // audit folds the store once: per tracked string column, how many
+    // files know it vs withheld it. On the demo lake exactly ONE column
+    // is withheld — source_file, the lineage column, whose absolute raw
+    // paths exceed the 64-char cap in every file — and every id-shaped
+    // column (the ones predicates actually prune on) is fully covered;
+    // the flags are deterministic, so the oracle pins them as literals.
+    "q126_withheld_audit" -> ((s, d) => {
+      val lay = IngestDemo.ensure(s, d)
+      graft.ingest.FileBounds.withheldAudit(s, lay.fileBoundsDir)
+        .select(col("col_name"),
+          (col("files_withheld") > 0).cast("int").as("any_withheld"),
+          (col("files_known") > 0).cast("int").as("any_known"))
+        .orderBy("col_name")
+    }),
+
     "q121_external_snapshot" -> ((s, d) => {
       val lay = IngestDemo.ensure(s, d)
       val root0 = new org.apache.hadoop.fs.Path(lay.curatedDir)
@@ -725,6 +790,30 @@ object IngestQueries {
               MAX('t-' || CAST(event_id AS VARCHAR)) AS max_tid
          FROM events WHERE ('t-' || CAST(event_id AS VARCHAR)) LIKE 't-1%'
          GROUP BY 1 ORDER BY 1""",
+    "q124_orwindow_skip" ->
+      """SELECT event_type AS mode, COUNT(*) AS n_rows,
+              CAST(SUM(CAST(ROUND(value*1000000) AS BIGINT)) AS BIGINT) AS value_e6,
+              epoch_us(MIN(ts)) AS first_us, epoch_us(MAX(ts)) AS last_us
+         FROM events
+         WHERE (ts >= TIMESTAMP '2024-01-05 00:00:00'
+                AND ts < TIMESTAMP '2024-01-07 00:00:00')
+            OR (ts >= TIMESTAMP '2024-01-20 00:00:00'
+                AND ts < TIMESTAMP '2024-01-22 00:00:00')
+         GROUP BY 1 ORDER BY 1""",
+    "q125_nullness_skip" ->
+      """SELECT event_type AS mode, COUNT(*) AS n_rows,
+              CAST(SUM(CAST(ROUND(value*1000000) AS BIGINT)) AS BIGINT) AS value_e6
+         FROM events
+         GROUP BY 1 ORDER BY 1""",
+    // deterministic by construction: the tracked string columns are the
+    // fixture schema's, and only source_file (absolute raw paths, always
+    // past the 64-char cap) ever withholds bounds
+    "q126_withheld_audit" ->
+      """SELECT * FROM (VALUES
+           ('app_version', 0, 1), ('extra_field', 0, 1), ('ml_mode', 0, 1),
+           ('record_id', 0, 1), ('source_file', 1, 1),
+           ('transaction_id', 0, 1), ('user_agent', 0, 1))
+         AS t(col_name, any_withheld, any_known) ORDER BY col_name""",
     "q116_layout_audit" ->
       """SELECT CAST(day(ts) AS INT) AS day, event_type AS mode,
               CAST(1 AS BIGINT) AS n_files, CAST(1 AS INT) AS sorted_ok,

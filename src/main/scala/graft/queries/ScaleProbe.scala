@@ -577,9 +577,58 @@ object ScaleProbe {
     require(partsOn < partsOff,
       s"rollup_skip($tier): no pruning ($partsOn vs $partsOff partitions)")
     s.catalog.clearCache()
+
+    // the COMPLEMENT (NOT-IN) form, end-to-end on the partition-count
+    // ladder: a wide window qualifying MORE partitions than the IN cap
+    // (everything after the first month — >1000 leaves at lake10/100)
+    // while excluding a bounded cold set (~150 leaves). The kernel
+    // REQUIRES the optimized plan to carry exactly one Not conjunct
+    // (the complement membership — the old behavior declined entirely
+    // and scanned everything) and the answer to row-match the rule-off
+    // recompute. Skipped at lake1, whose single month leaves the wide
+    // window nothing to qualify.
+    val anti =
+      if (copies < 10) Seq.empty
+      else {
+        def qa() = base
+          .filter(col("event_time_utc") >=
+            lit("2024-02-01 00:00:00").cast("timestamp_ntz"))
+          .groupBy("mode")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(round(col("value") * lit(1000000)).cast("long")).as("value_e6"))
+        graft.plans.RollupPartitionSkip.clearCache()
+        s.catalog.clearCache()
+        val planned = qa()
+        val nNot = planned.queryExecution.optimizedPlan.collect {
+          case fl: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            fl.condition.collect {
+              case n: org.apache.spark.sql.catalyst.expressions.Not => n
+            }.size
+        }.sum
+        require(nNot == 1,
+          s"rollup_antiskip($tier): complement form not planned ($nNot Not conjuncts)")
+        val partsAnti = scannedPartitions(planned)
+        graft.plans.RollupPartitionSkip.clearCache()
+        val (rowsAnti, antiSecs) =
+          timed(qa().collect().map(_.toSeq).sortBy(_.mkString("|")))
+        s.conf.set(graft.plans.RollupPartitionSkip.EnabledKey, "false")
+        val (rowsAntiOff, partsAntiOff) =
+          try {
+            s.catalog.clearCache()
+            (qa().collect().map(_.toSeq).sortBy(_.mkString("|")),
+              scannedPartitions(qa()))
+          } finally s.conf.set(graft.plans.RollupPartitionSkip.EnabledKey, "true")
+        require(rowsAnti.sameElements(rowsAntiOff),
+          s"rollup_antiskip($tier): complement answer diverges from the full scan")
+        require(partsAnti < partsAntiOff,
+          s"rollup_antiskip($tier): excluded partitions not pruned " +
+            s"($partsAnti vs $partsAntiOff)")
+        s.catalog.clearCache()
+        Seq(Stat("rollup_antiskip", tier, nIn, partsAnti, rowsAnti.length, antiSecs))
+      }
     Seq(Stat("rollup_discovery", tier, nIn, nTotalParts, nTotalParts, discoverySecs),
       Stat("rollup_skip", tier, nIn, partsOn, rowsOn.length, onSecs),
-      Stat("rollup_fullscan", tier, nIn, partsOff, rowsOff.length, offSecs))
+      Stat("rollup_fullscan", tier, nIn, partsOff, rowsOff.length, offSecs)) ++ anti
   }
 
   /** FILE-grain zone skipping ([[graft.plans.RollupPartitionSkip]] move

@@ -218,6 +218,60 @@ class CompactionReaderSpec extends AnyFunSuite {
       "appended row missing from the refreshed external snapshot")
   }
 
+  test("graceCycles=2: a manifest older than TWO swaps still resolves; past the horizon it fails loudly") {
+    // the round-17 contract covered ONE swap; external engines holding a
+    // manifest across several maintenance cycles (a long Athena scan, a
+    // stale dashboard) need a configurable retention horizon: with
+    // graceCycles=K a retired file survives K maintenance invocations,
+    // so a manifest captured up to K swaps ago resolves row-identically
+    // — and past the horizon the read FAILS (FileNotFoundException),
+    // never silently returns fewer rows (ignoreMissingFiles stays off
+    // on external data scans by default).
+    val (lake, leaf7, leaf8) = freshLake()
+    val cfg = Compactor.TickConfig(maxFilesPerPartition = 1, sortCol = None,
+      graceCycles = 2)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI("file:///"), spark.sparkContext.hadoopConfiguration)
+    val root = fs.makeQualified(new Path(lake))
+    assert(LakeSnapshot.publishSymlinks(fs, root) == 2)
+    val want = rows(CuratedWriter.read(spark, lake))
+    def externalRead(paths: Seq[String]) = rows(
+      spark.read.option("basePath", lake).parquet(paths: _*))
+    val gen0Paths = LakeSnapshot.symlinkSnapshotPaths(fs, root)
+    assert(gen0Paths.size == 4)
+    val touched = Seq(new Path(leaf7), new Path(leaf8))
+
+    // swap 1 (clock c1): gen-0 files retired, due for deletion at c1+2
+    assert(Compactor.maintainTouched(spark, lake, touched, cfg).partitionsCompacted == 2)
+    // fresh appends re-trip the threshold, then swap 2 (clock c2)
+    import spark.implicits._
+    Seq(("r-3-a", 7, "training", 9.0), ("r-3-b", 8, "training", 9.5))
+      .toDF("record_id", "day", "mode", "value")
+      .repartition(col("day"))
+      .write.mode("append").partitionBy("day", "mode").parquet(lake)
+    assert(Compactor.maintainTouched(spark, lake, touched, cfg).partitionsCompacted == 2)
+
+    // TWO swaps after capture, still within the K=2 horizon: the gen-0
+    // manifest resolves to its exact rows
+    assert(externalRead(gen0Paths) == want,
+      "gen-0 manifest broken within the retention horizon")
+
+    // maintenance tick 3 crosses the horizon for gen-0 (c1 <= c3 - 2):
+    // its files are physically deleted; gen-1's (retired at c2) survive
+    assert(Compactor.sweepRetired(spark, lake, graceCycles = 2) > 0)
+    val ex = intercept[Exception] { externalRead(gen0Paths) }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(ex).exists(c =>
+      c.isInstanceOf[java.io.FileNotFoundException] ||
+        Option(c.getMessage).exists(m =>
+          m.contains("PATH_NOT_FOUND") || m.contains("does not exist"))),
+      s"past-horizon read must fail loudly on the deleted paths, got: $ex")
+    // the CURRENT manifest stays exact throughout
+    assert(externalRead(LakeSnapshot.symlinkSnapshotPaths(fs, root)).size ==
+      want.size + 2)
+  }
+
   test("the registered q121_external_snapshot executes and matches the library read") {
     val sfDir = "/root/testdata/sf0.001"
     val got = graft.SparkEntry.queries("q121_external_snapshot")(spark, sfDir)

@@ -279,18 +279,20 @@ class MonitorSpec extends AnyFunSuite {
       // async bus: wait until the count stops moving
       var last = -1
       while (jobs.get() != last) { last = jobs.get(); Thread.sleep(300) }
-      // The budget is the alarm-fold contract (round-16 verdict, q57):
-      // alarm evaluation is ~O(1) JOBS, not O(alarms) — one eager
-      // ledger snapshot, one eager rollup fold, and the single final
-      // union action (whose AQE stage materializations dominate this
-      // count). Measured 16 on this fixture; 20 leaves headroom for
-      // scheduler jitter while still catching the failure mode this
-      // pins — a new alarm branch re-scanning a source per metric
-      // (schema inference, per-alarm re-aggregation) blows well past
+      // The budget is the alarm-fold contract (round-16 verdict, q57;
+      // tightened round 18): alarm evaluation is ~O(1) JOBS, not
+      // O(alarms) — one eager ledger snapshot, one eager rollup fold,
+      // and ONE non-adaptive collect of the whole alarm union (AQE is
+      // off inside evaluate's cloned session: on metadata-sized
+      // sources its per-exchange stage materializations were ~2 jobs
+      // per branch for nothing). Measured 7 on this fixture; 10 leaves
+      // headroom for scheduler jitter while still catching the failure
+      // mode this pins — a new alarm branch re-scanning a source per
+      // metric (schema inference, per-alarm re-aggregation) blows past
       // it. If this trips after adding an alarm, fold its metric into
       // an existing shared snapshot instead of raising the budget.
-      assert(jobs.get() <= 20,
-        s"Alarms.evaluate spent ${jobs.get()} Spark jobs (budget 20) — " +
+      assert(jobs.get() <= 10,
+        s"Alarms.evaluate spent ${jobs.get()} Spark jobs (budget 10) — " +
           "a new alarm branch is probably re-scanning a source per metric")
     } finally spark.sparkContext.removeSparkListener(counter)
   }

@@ -757,6 +757,291 @@ class RollupSkipSpec extends AnyFunSuite {
     }
   }
 
+  test("an OR of ranges on one column prunes through the union of windows") {
+    val root = syntheticLake()
+    // two windows: day-7 morning OR day-8 late-morning onward.
+    // Qualifying zones: (7,training) [10:00,11:00] hits window 1;
+    // (8,eval) [10:30] hits window 2. Pruned: (7,eval) [12:30] misses
+    // both, (8,training) [09:00] misses both, day 9 is all-null.
+    def q(s: SparkSession) = lake(s, root)
+      .filter(
+        (col("event_time_utc") >= lit("2024-03-07 00:00:00").cast("timestamp_ntz") &&
+          col("event_time_utc") < lit("2024-03-07 12:00:00").cast("timestamp_ntz")) ||
+        (col("event_time_utc") >= lit("2024-03-08 10:00:00").cast("timestamp_ntz") &&
+          col("event_time_utc") < lit("2024-03-09 00:00:00").cast("timestamp_ntz")))
+      .select("source_file", "user_id", "value", "day", "mode")
+    val want = q(spark).collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(want.length == 3)
+    withExtendedSession { s =>
+      val df = q(s)
+      val (zones, nParts) = zoneScan(df)
+      assert(zones.nonEmpty, "no zone predicate for a two-window OR")
+      assert(nParts == 2, s"expected 2 scanned partitions, got $nParts")
+      assert(df.collect().map(_.toSeq).sortBy(_.mkString("|")).sameElements(want))
+
+      // an OR whose disjuncts constrain DIFFERENT columns admits rows
+      // with any value of either column — it must constrain nothing
+      val mixed = lake(s, root)
+        .filter(col("event_time_utc") >= lit("2024-03-08 00:00:00").cast("timestamp_ntz") ||
+          col("value") > lit(5.0))
+      val (zm, nm) = zoneScan(mixed)
+      assert(zm.isEmpty && nm == 5,
+        s"mixed-column OR must not prune ($zm, $nm)")
+      assert(mixed.count() == 3) // day 8's two + day 9's 10.125
+    }
+  }
+
+  test("nullness zones: IS NULL and IS NOT NULL prune on the nn counts, fail open when unknown") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-nskip").toString
+    // day 7: tag fully populated; day 8: mixed; day 9: all-null tag
+    val rows = Seq(
+      ("f-a", 1L, "alpha", "2024-03-07 10:00:00", 1.0, 2024, 3, 7, "training"),
+      ("f-a", 2L, "bravo", "2024-03-07 11:00:00", 2.0, 2024, 3, 7, "training"),
+      ("f-b", 3L, "mike", "2024-03-08 09:00:00", 3.0, 2024, 3, 8, "training"),
+      ("f-b", 4L, null, "2024-03-08 10:30:00", 4.0, 2024, 3, 8, "training"),
+      ("f-c", 5L, null, "2024-03-09 09:00:00", 5.0, 2024, 3, 9, "training"),
+      ("f-c", 6L, null, "2024-03-09 10:00:00", 6.0, 2024, 3, 9, "training"))
+    rows.toDF("source_file", "user_id", "tag", "ts_s", "value",
+        "year", "month", "day", "mode")
+      .withColumn("event_time_utc", col("ts_s").cast("timestamp_ntz"))
+      .drop("ts_s")
+      .write.partitionBy("year", "month", "day", "mode").parquet(s"$root/curated")
+    Rollup.writePartials(spark.read.parquet(s"$root/curated"), s"$root/rollup/b0")
+    publishBounds(root)
+
+    def qNull(s: SparkSession) = lake(s, root)
+      .filter(col("tag").isNull).select("source_file", "user_id", "day")
+    def qNotNull(s: SparkSession) = lake(s, root)
+      .filter(col("tag").isNotNull).select("source_file", "user_id", "tag", "day")
+    val wantNull = qNull(spark).collect().map(_.toSeq).sortBy(_.mkString("|"))
+    val wantNot = qNotNull(spark).collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(wantNull.length == 3 && wantNot.length == 3)
+    withExtendedSession { s =>
+      // IS NULL: day 7 is covered with zero nulls — pruned; 8 and 9 scan
+      val dfN = qNull(s)
+      val (z1, n1) = zoneScan(dfN)
+      assert(z1.nonEmpty && n1 == 2, s"IS NULL did not prune the no-null day ($n1, $z1)")
+      assert(dfN.collect().map(_.toSeq).sortBy(_.mkString("|")).sameElements(wantNull))
+      // IS NOT NULL: day 9 is covered all-null — pruned; 7 and 8 scan
+      val dfNN = qNotNull(s)
+      val (z2, n2) = zoneScan(dfNN)
+      assert(z2.nonEmpty && n2 == 2, s"IS NOT NULL did not prune the all-null day ($n2, $z2)")
+      assert(dfNN.collect().map(_.toSeq).sortBy(_.mkString("|")).sameElements(wantNot))
+    }
+
+    // mixed-generation fail-open: when day 7's bounds rows predate the
+    // tag triplet, the partition is UNCOVERED for tag and IS NULL must
+    // scan it despite its zero nulls
+    publishBounds(root, dropRow = _.getAs[Int]("day") != 7,
+      legacyOnly = true, batch = "b0")
+    publishBounds(root, dropRow = _.getAs[Int]("day") == 7, batch = "b1")
+    withExtendedSession { s =>
+      val dfN = qNull(s)
+      val (z3, n3) = zoneScan(dfN)
+      // every partition is kept (7 uncovered, 8 has nulls, 9 all-null
+      // satisfies IS NULL), so the rewrite adds NO predicate at all —
+      // the all-qualifying fast path — and scans everything
+      assert(z3.isEmpty && n3 == 3,
+        s"uncovered partition was nullness-pruned — wrong-results hazard ($n3, $z3)")
+      assert(dfN.collect().map(_.toSeq).sortBy(_.mkString("|")).sameElements(wantNull))
+    }
+  }
+
+  test("nullness drops at file grain inside one partition; UNKNOWN files kept") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-nfskip").toString
+    val lakeDir = s"$root/curated"
+    def writeRows(rs: Seq[(String, Long, String, Double)]): Unit =
+      rs.toDF("source_file", "user_id", "tag", "value")
+        .withColumn("event_time_utc",
+          lit("2024-03-07 08:00:00").cast("timestamp_ntz"))
+        .withColumn("year", lit(2024)).withColumn("month", lit(3))
+        .withColumn("day", lit(7)).withColumn("mode", lit("training"))
+        .coalesce(1)
+        .write.mode("append").partitionBy("year", "month", "day", "mode")
+        .parquet(lakeDir)
+    writeRows(Seq(("f-full", 1L, "alpha", 1.0), ("f-full", 2L, "bravo", 2.0)))
+    writeRows(Seq(("f-null", 3L, null, 3.0), ("f-null", 4L, null, 4.0)))
+    writeRows(Seq(("f-un", 5L, null, 5.0))) // bounds row dropped below
+    Rollup.writePartials(spark.read.parquet(lakeDir), s"$root/rollup/b0")
+    publishBounds(root, dropRow = _.getAs[Long]("nn_user_id") == 1L)
+    def q(s: SparkSession) = lake(s, root)
+      .filter(col("tag").isNotNull).select("source_file", "user_id", "tag")
+    val want = q(spark).collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(want.length == 2)
+    withExtendedSession { s =>
+      val df = q(s)
+      val locations = df.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation.asInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation].location
+      }
+      assert(locations.size == 1)
+      val listed = locations.head.inputFiles
+      // f-null (known all-null tag) is dropped; f-full qualifies; f-un
+      // has no bounds row — UNKNOWN, must be read
+      assert(listed.length == 2,
+        s"expected 2 of 3 files after the nullness drop: ${listed.toSeq}")
+      assert(df.collect().map(_.toSeq).sortBy(_.mkString("|")).sameElements(want))
+    }
+  }
+
+  test("the registered q124_orwindow_skip and q125_nullness_skip match their direct runs") {
+    val sfDir = "/root/testdata/sf0.001"
+    for (name <- Seq("q124_orwindow_skip", "q125_nullness_skip")) {
+      val want = graft.SparkEntry.queries(name)(spark, sfDir).collect().toSeq
+      assert(want.nonEmpty, s"$name returned nothing")
+      withExtendedSession { s =>
+        val df = graft.SparkEntry.queries(name)(s, sfDir)
+        if (name == "q124_orwindow_skip") {
+          val (zones, _) = zoneScan(df)
+          assert(zones.nonEmpty, s"$name's scan carries no zone predicate")
+        }
+        assert(df.collect().toSeq == want, s"zone-pruned $name != direct $name")
+      }
+    }
+  }
+
+  test("lake compaction republishes bounds: partition AND file grain survive the swap") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-cbskip").toString
+    val lakeDir = s"$root/curated"
+    def writeRows(rs: Seq[(String, Long, String, Double)]): Unit =
+      rs.toDF("source_file", "user_id", "ts_s", "value")
+        .withColumn("event_time_utc", col("ts_s").cast("timestamp_ntz"))
+        .drop("ts_s")
+        .withColumn("year", lit(2024)).withColumn("month", lit(3))
+        .withColumn("day", lit(7)).withColumn("mode", lit("training"))
+        .coalesce(1)
+        .write.mode("append").partitionBy("year", "month", "day", "mode")
+        .parquet(lakeDir)
+    // one partition, three appended files with disjoint user ranges
+    writeRows(Seq(("f-lo", 1L, "2024-03-07 08:00:00", 1.0),
+      ("f-lo", 2L, "2024-03-07 09:00:00", 2.0)))
+    writeRows(Seq(("f-mid", 450L, "2024-03-07 12:00:00", 5.0),
+      ("f-mid", 451L, "2024-03-07 13:00:00", 6.0)))
+    writeRows(Seq(("f-hi", 900L, "2024-03-07 18:00:00", 3.0),
+      ("f-hi", 901L, "2024-03-07 19:00:00", 4.0)))
+    Rollup.writePartials(spark.read.parquet(lakeDir), s"$root/rollup/b0")
+    publishBounds(root)
+    // compact the partition into ~3 user-sorted files: the rewrite must
+    // publish fresh bounds for its sw1- outputs and tombstone the three
+    // replaced files' rows in one atomic sidecar batch
+    val bytes = new java.io.File(s"$lakeDir/year=2024/month=3/day=7/mode=training")
+      .listFiles().filter(f => f.isFile && !f.getName.startsWith(".") &&
+        !f.getName.startsWith("_")).map(_.length()).sum
+    val report = graft.ingest.Compactor.compact(spark, lakeDir,
+      maxFilesPerPartition = 0, targetBytesPerFile = (bytes + 2) / 3,
+      sortCol = Some("user_id"))
+    assert(report.partitionsCompacted == 1)
+    graft.ingest.Compactor.sweepRetired(spark, lakeDir): Unit
+    RollupPartitionSkip.clearCache()
+    // the store's LIVE view now describes exactly the sw1- files: the
+    // replaced names are tombstoned, the outputs have fresh rows
+    val live = graft.ingest.FileBounds.all(spark, s"$root/filebounds")
+      .select("data_file").collect().map(_.getString(0)).toSet
+    assert(live.nonEmpty && live.forall(_.startsWith("sw1-")),
+      s"store still serves replaced files' rows after the swap: $live")
+    // partition-grain COVERAGE survived the swap (a double-count from
+    // un-tombstoned old rows would break it and kill this prune)
+    val z = graft.ingest.FileBounds.partitionZones(spark,
+      s"$root/filebounds", s"$root/rollup", Seq("user_id")).collect()
+    assert(z.length == 1 && z(0).getAs[Boolean]("covered_user_id"),
+      s"partition no longer covered for user_id after compaction: ${z.toSeq}")
+    def q(s: SparkSession) = graft.ingest.CuratedWriter.read(s, lakeDir)
+      .filter(col("user_id") >= lit(1L) && col("user_id") <= lit(5L))
+      .select("source_file", "user_id")
+    val want = q(spark).collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(want.length == 2) // f-lo's two rows
+    withExtendedSession { s =>
+      val df = q(s)
+      val locations = df.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation.asInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation].location
+      }
+      assert(locations.size == 1)
+      val listed = locations.head.inputFiles
+      val total = graft.ingest.CuratedWriter.read(s, lakeDir)
+        .select("user_id").inputFiles.length
+      // FILE-grain zone skipping on the COMPACTED files — the round-17
+      // hole: sw- outputs used to be boundless and always scanned
+      assert(total >= 2 && listed.length < total,
+        s"no file-grain prune on compacted files ($listed of $total)")
+      assert(df.collect().map(_.toSeq).sortBy(_.mkString("|")).sameElements(want),
+        "compacted-lake pruning changed the answer")
+    }
+  }
+
+  test("a crashed swap's bounds window heals through the journal reconcile") {
+    val root = userLake()
+    publishBounds(root)
+    val lakeDir = s"$root/curated"
+    // compact day 8's partition, then SIMULATE the crash window between
+    // the meta commit and the sidecar publish: delete the swap batch the
+    // compactor just wrote and re-create the journal entry the crashed
+    // tick would have left standing
+    val report = graft.ingest.Compactor.compact(spark, lakeDir,
+      maxFilesPerPartition = 0, sortCol = Some("event_time_utc"))
+    assert(report.partitionsCompacted == 3)
+    val fbRoot = new java.io.File(s"$root/filebounds")
+    val swapDirs = fbRoot.listFiles().filter(_.getName.startsWith("swap-"))
+    assert(swapDirs.length == 3, s"expected 3 swap batches: ${swapDirs.toSeq}")
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(deleteRec)
+      f.delete(): Unit
+    }
+    swapDirs.foreach(deleteRec) // the crash: generation committed, store not
+    RollupPartitionSkip.clearCache()
+    // the degraded (but sound) state: old rows tombst... are STILL LIVE
+    // (their tombstones vanished with the batches), sw files unknown —
+    // coverage accidentally holds via the old rows, nothing breaks; the
+    // reconcile must converge the store to the real listing
+    val fs = new org.apache.hadoop.fs.Path(lakeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qroot = fs.makeQualified(new org.apache.hadoop.fs.Path(lakeDir))
+    var healedAny = false
+    def walk(dir: org.apache.hadoop.fs.Path): Unit =
+      fs.listStatus(dir).toSeq.filter(st => st.isDirectory &&
+        !st.getPath.getName.startsWith(".") && !st.getPath.getName.startsWith("_"))
+        .foreach { st =>
+          val leaf = st.getPath
+          if (fs.listStatus(leaf).exists(_.isFile)) {
+            val live = graft.ingest.LakeSnapshot.liveData(fs, leaf)
+              .map(_.getPath.getName)
+            val rel = qroot.toUri.relativize(leaf.toUri).getPath
+            val kv = rel.split('/').flatMap { seg =>
+              val i = seg.indexOf('='); if (i <= 0) None
+              else Some(seg.take(i) -> seg.drop(i + 1))
+            }.toMap
+            healedAny |= graft.ingest.FileBounds.reconcileLeaf(spark,
+              s"$root/filebounds", leaf, kv("year").toInt, kv("month").toInt,
+              kv("day").toInt, kv("mode"), live)
+          } else walk(leaf)
+        }
+    walk(qroot)
+    assert(healedAny, "reconcile found nothing to heal in the crash window")
+    RollupPartitionSkip.clearCache()
+    // post-heal: live view = sw files only, and a second reconcile is a no-op
+    val live = graft.ingest.FileBounds.all(spark, s"$root/filebounds")
+      .select("data_file").collect().map(_.getString(0)).toSet
+    assert(live.nonEmpty && live.forall(_.startsWith("sw1-")),
+      s"reconcile left stale rows live: $live")
+    def q(s: SparkSession) = graft.ingest.CuratedWriter.read(s, lakeDir)
+      .filter(col("user_id") >= lit(50L) && col("user_id") <= lit(400L))
+      .select("source_file", "user_id", "day")
+    val want = q(spark).collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(want.length == 2)
+    withExtendedSession { s =>
+      val df = q(s)
+      val (zones, nParts) = zoneScan(df)
+      assert(zones.nonEmpty && nParts == 1,
+        s"healed store does not prune ($nParts, $zones)")
+      assert(df.collect().map(_.toSeq).sortBy(_.mkString("|")).sameElements(want))
+    }
+  }
+
   test("the zone-fold cache is LRU: a busy session evicts the coldest fold, not every fold") {
     val root = userLake()
     publishBounds(root)
