@@ -89,21 +89,37 @@ object Alarms {
     * lake's own maximum, so a drained demo lake evaluates identically
     * forever — the property that keeps this row on the oracle
     * surface). */
+  /** One long-lived evaluation session per SparkContext: a clone with
+    * AQE off and single-partition exchanges, built once and reused by
+    * every [[evaluate]] call. The clone's conf rides with the frames it
+    * builds (a DataFrame executes under its own session), so callers'
+    * sessions keep AQE untouched — and building the SessionState once
+    * matters: a fresh newSession() per evaluation re-derived
+    * analyzer/planner state worth ~0.5 s per alarm tick. */
+  private val evalSessions =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.SparkContext,
+      SparkSession]
+
+  private def evalSession(outer: SparkSession): SparkSession =
+    evalSessions.computeIfAbsent(outer.sparkContext, _ => {
+      val s = outer.newSession()
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      s.conf.set("spark.sql.shuffle.partitions", "1")
+      s
+    })
+
   def evaluate(outer: SparkSession, layout: LakeLayout,
                monitor: Option[GraftMonitor] = None,
                slowActionMs: Long = 15 * 60 * 1000L,
                staleDays: Int = 7): DataFrame = {
-    // EAGER evaluation under a cloned session with AQE off (round 18):
-    // every source here is metadata-sized, so adaptive execution buys
-    // nothing and costs one stage-materialization JOB per exchange —
-    // over the union's ~8 branches that was ~16 jobs per evaluation
-    // where a single non-adaptive collect is ONE. newSession() shares
-    // the SparkContext and caches but owns its conf, so the caller's
-    // session keeps AQE untouched (monitoring runs CONCURRENT with the
-    // pipeline). The caller gets the 10 result rows back as a local
-    // frame in its own session.
-    val spark = outer.newSession()
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // The returned frame is built in a cached CLONED session with AQE
+    // off and one-partition exchanges (round 18): every source here is
+    // metadata-sized, so adaptive execution buys nothing and costs one
+    // stage-materialization JOB per exchange — over the union's ~8
+    // branches that was ~16 jobs per evaluation where one non-adaptive
+    // job suffices. The frame stays LAZY — the caller's action is the
+    // only execution, exactly as before.
+    val spark = evalSession(outer)
     // read-only ledger view: evaluation must not reclaim in-flight work
     // or prune versions under a live writer (monitoring runs CONCURRENT
     // with the pipeline — that is its point)
@@ -244,23 +260,15 @@ object Alarms {
         "'ledger_backlog', ledger_backlog) AS (alarm, metric)")
       .select(col("alarm"), col("metric").cast("long").as("metric"))
 
-    val rows = (singles ++ dlqRows :+ ledgerRows).reduce(_.unionAll(_))
+    // coalesce(1) + sortWithinPartitions, NOT orderBy: a global sort
+    // would range-partition, and without AQE its boundary SAMPLING pass
+    // re-executes every branch — the single-partition local sort orders
+    // the 10 rows with no extra exchange and no sampling
+    (singles ++ dlqRows :+ ledgerRows).reduce(_.unionAll(_))
       .select(col("alarm"),
         when(col("metric") > 0, "ALARM").otherwise("OK").as("state"),
         col("metric"))
-      .orderBy("alarm")
-      .collect()
-    // hand the result back in the CALLER's session as a local relation —
-    // downstream transforms (q57's oracle dump, operator drill-downs)
-    // compose on 10 rows with zero further source scans
-    outer.createDataFrame(
-      java.util.Arrays.asList(rows: _*),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("alarm",
-          org.apache.spark.sql.types.StringType, nullable = false),
-        org.apache.spark.sql.types.StructField("state",
-          org.apache.spark.sql.types.StringType, nullable = false),
-        org.apache.spark.sql.types.StructField("metric",
-          org.apache.spark.sql.types.LongType, nullable = false))))
+      .coalesce(1)
+      .sortWithinPartitions("alarm")
   }
 }
