@@ -92,6 +92,8 @@ object Bench {
       }),
       "compactlake" -> (() => Future(step("compactlake")(
         pipeline.IngestDemo.ensureCompacted(spark, sfDir)))),
+      "clusterlake" -> (() => Future(step("clusterlake")(
+        pipeline.IngestDemo.ensureClustered(spark, sfDir)))),
       "ivf" -> (() => Future(step("ivf")(pipeline.IvfIndex.ensure(spark, sfDir)))),
       "embedtables" -> (() => Future(
         step("embedtables")(queries.EmbedTableStore.ensure(spark, sfDir)))),

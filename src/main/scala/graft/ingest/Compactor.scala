@@ -83,6 +83,12 @@ import scala.collection.mutable.ArrayBuffer
   * original source file, folded at partition grain — stay exact:
   * `Rollup.reconcile` is required green across compaction in
   * IngestSpec and the q115 fixture.
+  *
+  * When `clusterCols` names ≥2 usable columns, the rewrite instead
+  * lays files out along an interleaved Z-order curve over them
+  * ([[ZCluster]]) so file-grain zone windows narrow on EVERY clustered
+  * column — the id-lookup complement of the time-sorted layout, for
+  * lakes whose consumption mixes both shapes (q127's fixture).
   */
 object Compactor {
   final case class Report(partitionsCompacted: Int, filesBefore: Int, filesAfter: Int,
@@ -100,7 +106,8 @@ object Compactor {
       targetBytesPerFile: Long = 128L * 1024 * 1024,
       sortCol: Option[String] = Some("event_time_utc"),
       parallelism: Int = 4,
-      graceCycles: Int = 1)
+      graceCycles: Int = 1,
+      clusterCols: Seq[String] = Seq.empty)
 
   /** Persist a tick's maintenance report under `reportDir` — the audit
     * surface `Alarms.compaction_recovery` consumes. EVENT-only: a tick
@@ -419,7 +426,8 @@ object Compactor {
   private def compactLeaf(spark: SparkSession, fs: FileSystem, root: Path,
                           leaf: Path, maxFilesPerPartition: Int,
                           targetBytesPerFile: Long,
-                          sortCol: Option[String], clock: Long): (Int, Int, Int) = {
+                          sortCol: Option[String], clock: Long,
+                          clusterCols: Seq[String] = Seq.empty): (Int, Int, Int) = {
     val meta = LakeSnapshot.readMeta(fs, leaf)
     val live = LakeSnapshot.liveData(fs.listStatus(leaf).toSeq, meta)
     if (live.size <= maxFilesPerPartition) return (live.size, live.size, 0)
@@ -433,13 +441,21 @@ object Compactor {
     // retired twins awaiting deferred deletion.
     val df = spark.read.option("mergeSchema", "true")
       .parquet(live.map(_.getPath.toString): _*)
-    val laid = sortCol.filter(df.columns.contains) match {
-      // range-tile + sort: each output file covers a disjoint slice of
-      // the column and every row group carries tight min/max, so pushed
-      // time predicates skip row groups at read time
-      case Some(c) => df.repartitionByRange(nOut, col(c)).sortWithinPartitions(c)
-      case None => df.repartition(nOut)
-    }
+    // layout choice: interleaved clustering when ≥2 usable clusterCols
+    // (every clustered column's file-grain zone windows narrow — see
+    // [[ZCluster]]), else range-tile + sort on sortCol: each output
+    // file covers a disjoint slice of the column and every row group
+    // carries tight min/max, so pushed predicates skip row groups at
+    // read time
+    val usableCluster = clusterCols.filter(c => df.columns.contains(c) &&
+      ZCluster.supported(df.schema(c).dataType))
+    val laid =
+      if (usableCluster.size >= 2)
+        ZCluster.layout(df, usableCluster, sortCol.filter(df.columns.contains), nOut)
+      else (usableCluster.headOption orElse sortCol.filter(df.columns.contains)) match {
+        case Some(c) => df.repartitionByRange(nOut, col(c)).sortWithinPartitions(c)
+        case None => df.repartition(nOut)
+      }
     laid.write.mode("overwrite").parquet(tmp.toString)
     val entry = writeJournal(fs, root, leaf) // dirty marker until fully swapped
     val gen = meta.committed + 1
@@ -504,7 +520,8 @@ object Compactor {
               targetBytesPerFile: Long = 128L * 1024 * 1024,
               parallelism: Int = 4,
               sortCol: Option[String] = None,
-              graceCycles: Int = 1): Report = {
+              graceCycles: Int = 1,
+              clusterCols: Seq[String] = Seq.empty): Report = {
     val raw = new Path(lakeDir)
     val fs = FileSystem.get(raw.toUri, spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(raw)) return Report(0, 0, 0, 0)
@@ -533,7 +550,7 @@ object Compactor {
 
     val results = runPool(leaves.toSeq, parallelism)(
       compactLeaf(spark, fs, root, _, maxFilesPerPartition, targetBytesPerFile,
-        sortCol, clock))
+        sortCol, clock, clusterCols))
     Report(
       results.map(_._3).sum,
       strayFiles + results.map(_._1).sum,
@@ -561,7 +578,7 @@ object Compactor {
       .filter(p => p.toUri.getPath.startsWith(rootPrefix) && fs.exists(p))
     val results = runPool(leaves, cfg.parallelism)(
       compactLeaf(spark, fs, root, _, cfg.maxFilesPerPartition,
-        cfg.targetBytesPerFile, cfg.sortCol, clock))
+        cfg.targetBytesPerFile, cfg.sortCol, clock, cfg.clusterCols))
     // symlink-opted lakes: refresh EVERY touched leaf's manifest (the
     // tick's publish just appended files there; rewritten leaves were
     // already refreshed at their commit) so external snapshots stay

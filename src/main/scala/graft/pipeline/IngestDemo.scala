@@ -144,6 +144,98 @@ object IngestDemo {
     })
   }
 
+  private val builtCluster = mutable.Map.empty[String, LakeLayout]
+
+  /** A third demo lake whose maintenance compaction CLUSTERS instead of
+    * time-sorting (`Compactor` with `clusterCols = (event_time_utc,
+    * user_id)` → [[graft.ingest.ZCluster]]), for q127: the same
+    * days-10-16 events slice as [[ensureCompacted]], written as FOUR
+    * direct appends per curated partition (each spanning the full
+    * user_id range — the layout ingest naturally produces, where
+    * user-window queries can prune nothing at file grain), then
+    * compacted along the interleaved z-curve so every output file
+    * covers a NARROW slice of both time and user space. Bounds and
+    * partials are published exactly as the pipeline would
+    * (`FileBounds.compute` per append; `Rollup.writePartials` once),
+    * so the post-swap store is maintained by the same
+    * `writeSwapBatch` path production compaction uses. Build-time
+    * requires pin the invariants q127's oracle then interrogates:
+    * every leaf rewritten to generation 1, the bounds store serving
+    * ONLY sw1- rows, full per-column coverage, and rollup reconcile
+    * green (row content untouched by the z-layout). */
+  def ensureClustered(spark: SparkSession, sfDir: String): LakeLayout = synchronized {
+    builtCluster.getOrElseUpdate(sfDir, {
+      import org.apache.spark.sql.functions._
+      val sfName = new File(sfDir).getName
+      val root = DemoCache.root(s"ingest-cluster/$sfName")
+      val layout = LakeLayout(root.getPath)
+      DemoCache.cached(root, sfDir) {
+        val base = graft.engine.Tables.load(spark, sfDir, "events")
+          .filter(year(col("ts")) === 2024 && month(col("ts")) === 1 &&
+            dayofmonth(col("ts")).between(10, 16))
+          .select(
+            concat(lit("e-"), col("event_id")).as("record_id"),
+            concat(lit("seed-"), pmod(col("event_id"), lit(4))).as("source_file"),
+            col("user_id"),
+            col("value"),
+            col("ts").cast("timestamp_ntz").as("event_time_utc"),
+            year(col("ts")).as("year"), month(col("ts")).as("month"),
+            dayofmonth(col("ts")).as("day"), col("event_type").as("mode"),
+            pmod(col("event_id"), lit(4)).as("seed"))
+        // four appends, each one file per leaf (repartition by the
+        // partition values gives each leaf's rows to exactly one task),
+        // each spanning the leaf's FULL user range — the pre-compaction
+        // worst case for user-window file pruning
+        for (p <- 0 until 4)
+          base.filter(col("seed") === p).drop("seed")
+            .repartition(col("year"), col("month"), col("day"), col("mode"))
+            .write.mode("append")
+            .partitionBy("year", "month", "day", "mode")
+            .parquet(layout.curatedDir)
+        // one bounds publish over all four appends (file names are
+        // unique per append, so one batch covers the whole pre-swap
+        // listing) and one partials publish — the swap batches the
+        // compactor writes below then maintain both stores exactly as
+        // production ticks would
+        graft.ingest.FileBounds.writeStaged(
+          spark.read.parquet(layout.curatedDir)
+            .select(col("*"), col("_metadata")), "",
+          s"${layout.fileBoundsDir}/b0")
+        graft.ingest.Rollup.writePartials(
+          spark.read.parquet(layout.curatedDir), s"${layout.rollupDir}/b0")
+        val report = graft.ingest.Compactor.compact(spark, layout.curatedDir,
+          maxFilesPerPartition = 1, targetBytesPerFile = 16L * 1024,
+          parallelism = 4, sortCol = Some("event_time_utc"),
+          clusterCols = Seq("event_time_utc", "user_id"))
+        require(report.partitionsCompacted > 0, "cluster demo: nothing compacted")
+        graft.ingest.Compactor.sweepRetired(spark, layout.curatedDir): Unit
+        // the bounds store's live view must contain the rewritten
+        // generation, and the per-partition coverage proof below must
+        // hold EVERYWHERE — coverage is what catches an un-tombstoned
+        // replaced file (its rows would double-count the partition).
+        // (A tiny leaf that received only one append never compacts
+        // and legitimately keeps its original rows, so "all sw1-"
+        // would be too strict at small scale factors.)
+        val live = graft.ingest.FileBounds.all(spark, layout.fileBoundsDir)
+          .select("data_file").collect().map(_.getString(0))
+        require(live.exists(_.startsWith("sw1-")),
+          s"cluster demo: no rewritten-generation bounds rows: ${live.take(5).toSeq}")
+        val zones = graft.ingest.FileBounds.partitionZones(spark,
+          layout.fileBoundsDir, layout.rollupDir, Seq("user_id")).collect()
+        require(zones.nonEmpty && zones.forall(_.getAs[Boolean]("covered_user_id")),
+          "cluster demo: user_id coverage broke across the clustered swap")
+        val flags = graft.ingest.Rollup
+          .reconcile(spark, layout.curatedDir, layout.rollupDir)
+          .select("rows_match", "value_match", "value_e6_match", "reach_ok")
+          .collect()
+        require(flags.nonEmpty &&
+          flags.forall(r => (0 until 4).forall(i => r.getInt(i) == 1)),
+          "cluster demo: rollup reconcile diverged after clustered compaction")
+      }
+      layout
+    })
+  }
+
   /** Tiny day-dimension parquet for the dynamic-partition-pruning demo
     * (q52): day 1..31 with a peak flag on days 10 and 20. Written as a
     * real file scan (a LocalRelation would constant-fold and bypass DPP). */

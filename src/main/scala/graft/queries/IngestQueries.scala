@@ -569,6 +569,33 @@ object IngestQueries {
         .orderBy("col_name")
     }),
 
+    // CLUSTERED compaction (round 18): the time-sorted rewrite keeps
+    // file-grain zone windows tight on event time ONLY — every output
+    // file still spans the full user_id range, so the id-window half of
+    // the reference's consumption mix (diagram_1.txt:100-107: date/mode
+    // slices AND id-shaped lookups over one curated lake) prunes
+    // nothing on the compacted bulk. q127's fixture lake is compacted
+    // along an interleaved z-curve over (event_time_utc, user_id)
+    // instead (Compactor.clusterCols → ZCluster), so the swap-batch
+    // bounds narrow on BOTH columns; this user-window aggregate then
+    // proves the clustered lake's rows are exactly the events
+    // recompute — a row lost, doubled, or content-mangled by the
+    // z-layout turns the driver row red. ZClusterSpec pins the layout
+    // payoff itself (per-file spans narrow, both window shapes drop
+    // files) on a controlled lake.
+    "q127_clustered_skip" -> ((s, d) => {
+      val lay = IngestDemo.ensureClustered(s, d)
+      CuratedWriter.read(s, lay.curatedDir)
+        .filter(col("user_id") >= lit(3L) && col("user_id") <= lit(9L))
+        .groupBy("mode")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(round(col("value") * lit(1000000)).cast("long")).as("value_e6"),
+          unix_micros(min(col("event_time_utc")).cast("timestamp")).as("first_us"),
+          unix_micros(max(col("event_time_utc")).cast("timestamp")).as("last_us"))
+        .orderBy("mode")
+    }),
+
     "q121_external_snapshot" -> ((s, d) => {
       val lay = IngestDemo.ensure(s, d)
       val root0 = new org.apache.hadoop.fs.Path(lay.curatedDir)
@@ -814,6 +841,15 @@ object IngestQueries {
            ('record_id', 0, 1), ('source_file', 1, 1),
            ('transaction_id', 0, 1), ('user_agent', 0, 1))
          AS t(col_name, any_withheld, any_known) ORDER BY col_name""",
+    "q127_clustered_skip" ->
+      """SELECT event_type AS mode, COUNT(*) AS n_rows,
+              COUNT(DISTINCT user_id) AS n_users,
+              CAST(SUM(CAST(ROUND(value*1000000) AS BIGINT)) AS BIGINT) AS value_e6,
+              epoch_us(MIN(ts)) AS first_us, epoch_us(MAX(ts)) AS last_us
+         FROM events
+         WHERE year(ts) = 2024 AND month(ts) = 1 AND day(ts) BETWEEN 10 AND 16
+           AND user_id BETWEEN 3 AND 9
+         GROUP BY 1 ORDER BY 1""",
     "q116_layout_audit" ->
       """SELECT CAST(day(ts) AS INT) AS day, event_type AS mode,
               CAST(1 AS BIGINT) AS n_files, CAST(1 AS INT) AS sorted_ok,

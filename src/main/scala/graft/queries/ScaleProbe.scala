@@ -735,6 +735,103 @@ object ScaleProbe {
       Stat("fileskip_off", tier, nIn, filesOff, rowsOff.length, offSecs))
   }
 
+  /** zcluster ladder (round 18): what interleaved clustering buys ON
+    * TOP of bounds-preserving compaction. Twin lakes per tier — one
+    * month of sf0.1 events ×copies, appended as 4 full-range files per
+    * leaf — compacted through the SAME swap path with the SAME output
+    * sizing, one `sortCol`-only (time-tiled: every output file still
+    * spans the full user range) and one `clusterCols = (event_time_utc,
+    * user_id)` ([[graft.ingest.ZCluster]]). A top-decile user-window
+    * aggregate with NO time bound then runs on both with the skip rule
+    * on — partition pruning cannot act, so file-grain user windows are
+    * the only lever:
+    *
+    *  - `zcluster_sorted` — the time-sorted twin: `n_candidates` = its
+    *    total files, `n_output` = files the scan kept. Full-range files
+    *    never prune, so kept ≈ total — the pre-round-18 floor.
+    *  - `zcluster` — the clustered twin, same fields: kept files drop
+    *    with the per-file user span the z-curve bought.
+    *
+    * The twins' answers are REQUIRED row-identical and the clustered
+    * side strictly fewer kept files; timings are the steady state
+    * (fold cached, file index resolved). */
+  def zCluster(s: SparkSession, tier: String, copies: Int): Seq[Stat] = {
+    import graft.ingest.{Compactor, CuratedWriter, FileBounds, Rollup}
+    val root = s"var/scale/zcluster/$tier"
+    val twins = Seq("sorted" -> Seq.empty[String],
+      "clustered" -> Seq("event_time_utc", "user_id"))
+    val ok = new java.io.File(s"$root/_OK")
+    if (!ok.exists) {
+      DemoLikeDelete.deleteRec(new java.io.File(root))
+      // copies are PERTURBED (ts +cp seconds, value +cp·1e-6): byte-for-
+      // byte duplicate rows dictionary/RLE-compress into ~nothing, which
+      // would silently flatten the tier axis to ~1 output file per leaf
+      val ev = Tables.load(s, "/root/testdata/sf0.1", "events")
+        .filter(year(col("ts")) === 2024 && month(col("ts")) === 1)
+        .withColumn("cp", explode(sequence(lit(0), lit(copies - 1))))
+        .withColumn("sts", expr("timestampadd(SECOND, cp, ts)"))
+        .select(
+          concat(lit("z"), col("cp"), lit("-d"), dayofmonth(col("sts")),
+            lit("-s"), pmod(col("event_id") + col("cp"), lit(4))).as("source_file"),
+          col("user_id"), col("sts").cast("timestamp_ntz").as("event_time_utc"),
+          (col("value") + col("cp") * lit(1e-6)).as("value"),
+          year(col("sts")).as("year"), month(col("sts")).as("month"),
+          dayofmonth(col("sts")).as("day"), col("event_type").as("mode"),
+          pmod(col("event_id") + col("cp"), lit(4)).as("seed"))
+        .persist()
+      for ((name, cluster) <- twins) {
+        val curated = s"$root/$name/curated"
+        (0 until 4).foreach { p =>
+          ev.filter(col("seed") === p).drop("seed")
+            .repartition(col("year"), col("month"), col("day"), col("mode"))
+            .write.mode("append")
+            .partitionBy("year", "month", "day", "mode").parquet(curated)
+        }
+        Rollup.partials(s.read.parquet(curated))
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/$name/rollup/b0")
+        FileBounds.writeStaged(
+          s.read.parquet(curated).select(col("*"), col("_metadata")), "",
+          s"$root/$name/filebounds/b0")
+        // output sizing scales with the tier so files-per-leaf stays
+        // ~constant (~8, the shape a 128 MB-target leaf holds at
+        // warehouse scale): the axis varies DATA, not fragment count
+        Compactor.compact(s, curated, maxFilesPerPartition = 1,
+          targetBytesPerFile = 3L * 1024 * copies, parallelism = 8,
+          sortCol = Some("event_time_utc"), clusterCols = cluster): Unit
+        Compactor.sweepRetired(s, curated): Unit
+      }
+      ev.unpersist()
+      ok.createNewFile(): Unit
+    }
+    val nIn = s.read.parquet(s"$root/clustered/curated").count()
+    def q(curated: String) = CuratedWriter.read(s, curated)
+      .filter(col("user_id") >= lit(1350L))
+      .groupBy("mode")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(round(col("value") * lit(1000000)).cast("long")).as("value_e6"))
+    def run(name: String): (Seq[Seq[Any]], Double, Long, Long) = {
+      val curated = s"$root/$name/curated"
+      graft.plans.RollupPartitionSkip.clearCache()
+      s.catalog.clearCache()
+      q(curated).collect() // cold fold priced by the rollup ladder
+      s.catalog.clearCache()
+      val df = q(curated)
+      val (rows, secs) = timed(df.collect().map(_.toSeq).sortBy(_.mkString("|")))
+      val kept = df.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.totalNumberOfFiles
+      }.sum
+      (rows.toSeq, secs, kept, CuratedWriter.read(s, curated).inputFiles.length.toLong)
+    }
+    val (rowsS, secsS, keptS, totS) = run("sorted")
+    val (rowsC, secsC, keptC, totC) = run("clustered")
+    require(rowsS == rowsC, s"zcluster($tier): twin lakes disagree on the answer")
+    require(keptC < keptS,
+      s"zcluster($tier): clustering dropped no files ($keptC vs $keptS kept)")
+    Seq(Stat("zcluster_sorted", tier, nIn, totS, keptS, secsS),
+      Stat("zcluster", tier, nIn, totC, keptC, secsC))
+  }
+
   /** The small-file problem and its fix ([[graft.ingest.Compactor]],
     * q115) along the FRAGMENTATION axis: identical data (one month of
     * sf0.1 events, ~150 day×mode leaves), written as `frag` files per

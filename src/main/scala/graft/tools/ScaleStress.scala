@@ -46,6 +46,8 @@ object ScaleStress {
   // state 4/16/64 maintenance-free ingest ticks leave behind
   private val CompactTiers = Seq("frag4" -> 4, "frag16" -> 16, "frag64" -> 64)
   private val FileSkipTiers = Seq("f4" -> 4, "f12" -> 12, "f48" -> 48)
+  // clustered-compaction axis: lake size (files-per-leaf held ~constant)
+  private val ZClusterTiers = Seq("lake1" -> 1, "lake10" -> 10)
   // append-tick axis for export-tree maintenance: 4/16/64 generations
   // of weekly appends at fixed corpus size (files-per-shard grows ~axis)
   private val ExportMaintTiers = Seq("a4" -> 4, "a16" -> 16, "a64" -> 64)
@@ -171,9 +173,15 @@ object ScaleStress {
         for ((tier, slices) <- ExportMaintTiers;
              st <- ScaleProbe.exportMaintenance(spark, sf01, tier, slices))
           println(s"SCALE ${st.json}")
-      val wanted = wanted0 - "rollup" - "compact" - "fileskip" - "exportmaint"
-      if (wanted.isEmpty &&
-          wanted0.subsetOf(Set("rollup", "compact", "fileskip", "exportmaint"))) {
+      // clustered compaction runs on the LAKE-size axis (twin lakes)
+      if (wanted0.contains("zcluster"))
+        for ((tier, copies) <- ZClusterTiers;
+             st <- ScaleProbe.zCluster(spark, tier, copies))
+          println(s"SCALE ${st.json}")
+      val wanted =
+        wanted0 - "rollup" - "compact" - "fileskip" - "exportmaint" - "zcluster"
+      if (wanted.isEmpty && wanted0.subsetOf(
+          Set("rollup", "compact", "fileskip", "exportmaint", "zcluster"))) {
         spark.stop(); return
       }
       val probes: Map[String, (SparkSession, String, String) => ScaleProbe.Stat] = Map(
