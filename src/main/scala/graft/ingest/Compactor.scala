@@ -366,7 +366,12 @@ object Compactor {
     * graceCycles` could never hold) — a silent permanent leak.
     * Standalone callers should go through [[compact]] /
     * [[maintainTouched]], which bump the real per-lake clock first. */
-  def recoverJournal(fs: FileSystem, root: Path, clock: Long): Int = {
+  /** The shared journal walk: read each entry, run `perLeaf` on the
+    * ones naming a safe relative path, consume the entry. Both
+    * [[recoverJournal]] overloads go through here so the parsing, the
+    * `safeRel` guard, and the consume-on-walk behavior cannot drift
+    * between the sessioned and session-less recovery paths. */
+  private def walkJournal(fs: FileSystem, root: Path)(perLeaf: Path => Int): Int = {
     val dir = journalDir(root)
     if (!fs.exists(dir)) return 0
     var healed = 0
@@ -375,11 +380,14 @@ object Compactor {
       val rel =
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
         finally in.close()
-      if (safeRel(rel)) healed += healLeaf(fs, root, new Path(root, rel), clock)
+      if (safeRel(rel)) healed += perLeaf(new Path(root, rel))
       fs.delete(st.getPath, false): Unit
     }
     healed
   }
+
+  def recoverJournal(fs: FileSystem, root: Path, clock: Long): Int =
+    walkJournal(fs, root)(healLeaf(fs, root, _, clock))
 
   /** [[recoverJournal]] plus FileBounds reconciliation: a standing
     * journal entry means a swap may have crashed ANYWHERE in its
@@ -392,32 +400,20 @@ object Compactor {
     * what the maintenance entry points run; the spark-less overload
     * stays for callers without a session (heal-only, bounds fail open). */
   def recoverJournal(spark: SparkSession, fs: FileSystem, root: Path,
-                     clock: Long): Int = {
-    val dir = journalDir(root)
-    if (!fs.exists(dir)) return 0
-    var healed = 0
-    fs.listStatus(dir).toSeq.filter(_.isFile).foreach { st =>
-      val in = fs.open(st.getPath)
-      val rel =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        finally in.close()
-      if (safeRel(rel)) {
-        val leaf = new Path(root, rel)
-        healed += healLeaf(fs, root, leaf, clock)
-        boundsDir(fs, root).zip(partValuesOf(root, leaf)).foreach {
-          case (fb, (y, m, d, mode)) =>
-            val live =
-              if (fs.exists(leaf)) LakeSnapshot.liveData(fs, leaf)
-                .map(_.getPath.getName)
-              else Seq.empty
-            if (FileBounds.reconcileLeaf(spark, fb.toString, leaf,
-                y, m, d, mode, live)) healed += 1
-        }
+                     clock: Long): Int =
+    walkJournal(fs, root) { leaf =>
+      var healed = healLeaf(fs, root, leaf, clock)
+      boundsDir(fs, root).zip(partValuesOf(root, leaf)).foreach {
+        case (fb, (y, m, d, mode)) =>
+          val live =
+            if (fs.exists(leaf)) LakeSnapshot.liveData(fs, leaf)
+              .map(_.getPath.getName)
+            else Seq.empty
+          if (FileBounds.reconcileLeaf(spark, fb.toString, leaf,
+              y, m, d, mode, live)) healed += 1
       }
-      fs.delete(st.getPath, false): Unit
+      healed
     }
-    healed
-  }
 
   // ---- the per-leaf rewrite ---------------------------------------------
 
@@ -441,21 +437,13 @@ object Compactor {
     // retired twins awaiting deferred deletion.
     val df = spark.read.option("mergeSchema", "true")
       .parquet(live.map(_.getPath.toString): _*)
-    // layout choice: interleaved clustering when ≥2 usable clusterCols
-    // (every clustered column's file-grain zone windows narrow — see
-    // [[ZCluster]]), else range-tile + sort on sortCol: each output
-    // file covers a disjoint slice of the column and every row group
-    // carries tight min/max, so pushed predicates skip row groups at
-    // read time
-    val usableCluster = clusterCols.filter(c => df.columns.contains(c) &&
-      ZCluster.supported(df.schema(c).dataType))
-    val laid =
-      if (usableCluster.size >= 2)
-        ZCluster.layout(df, usableCluster, sortCol.filter(df.columns.contains), nOut)
-      else (usableCluster.headOption orElse sortCol.filter(df.columns.contains)) match {
-        case Some(c) => df.repartitionByRange(nOut, col(c)).sortWithinPartitions(c)
-        case None => df.repartition(nOut)
-      }
+    // layout choice lives in ONE place ([[ZCluster.layoutFor]]):
+    // interleaved clustering when ≥2 usable clusterCols (every
+    // clustered column's file-grain zone windows narrow), else
+    // range-tile + sort: each output file covers a disjoint slice of
+    // the sort column and every row group carries tight min/max, so
+    // pushed predicates skip row groups at read time
+    val laid = ZCluster.layoutFor(df, clusterCols, sortCol, nOut)
     laid.write.mode("overwrite").parquet(tmp.toString)
     val entry = writeJournal(fs, root, leaf) // dirty marker until fully swapped
     val gen = meta.committed + 1

@@ -111,24 +111,32 @@ object ZCluster {
     }.reduce(_ bitwiseOR _)
   }
 
-  /** Lay `df` out in `nOut` z-tiled, z-sorted partitions (one output
-    * file each under the compactor's write). `tieBreak` (the lake's
-    * time sort column, when distinct from `cols`) orders rows WITHIN a
-    * z run so its row-group stats stay as tight as the bucketing
-    * allows. Single usable column = plain range-sort on it. */
-  def layout(df: DataFrame, cols: Seq[String], tieBreak: Option[String],
-             nOut: Int): DataFrame = {
-    val usable = cols.filter(c => df.columns.contains(c) &&
+  /** Layout selection for a compaction rewrite, in ONE place so the
+    * usable-column rules cannot drift between callers: z-curve over
+    * `clusterCols` when ≥2 are present and [[supported]] (z-tiled
+    * partitions, z-then-`sortCol` local sort — one output file each
+    * under the compactor's write); a single usable cluster column
+    * degrades to plain range-sort on it; none falls back to range-sort
+    * on `sortCol`; neither present hash-scatters into `nOut`. */
+  def layoutFor(df: DataFrame, clusterCols: Seq[String],
+                sortCol: Option[String], nOut: Int): DataFrame = {
+    val n = math.max(1, nOut)
+    val usable = clusterCols.filter(c => df.columns.contains(c) &&
       supported(df.schema(c).dataType)).take(MaxCols)
-    require(usable.nonEmpty, s"no cluster-keyable column among $cols")
-    if (usable.size == 1)
-      return df.repartitionByRange(math.max(1, nOut), col(usable.head))
-        .sortWithinPartitions(usable.head)
-    val zc = "__graft_zv"
-    val tie = tieBreak.filterNot(usable.contains).filter(df.columns.contains)
-    df.withColumn(zc, zValue(df, usable))
-      .repartitionByRange(math.max(1, nOut), col(zc))
-      .sortWithinPartitions((col(zc) +: tie.map(col).toSeq): _*)
-      .drop(zc)
+    val sort = sortCol.filter(df.columns.contains)
+    if (usable.size >= 2) {
+      val zc = "__graft_zv"
+      val tie = sort.filterNot(usable.contains)
+      df.withColumn(zc, zValue(df, usable))
+        .repartitionByRange(n, col(zc))
+        .sortWithinPartitions((col(zc) +: tie.map(col).toSeq): _*)
+        .drop(zc)
+    } else (usable.headOption orElse sort) match {
+      case Some(c) =>
+        val tie = sort.filter(_ != c).toSeq
+        df.repartitionByRange(n, col(c))
+          .sortWithinPartitions((col(c) +: tie.map(col)): _*)
+      case None => df.repartition(n)
+    }
   }
 }

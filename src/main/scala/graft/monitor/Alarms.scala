@@ -100,13 +100,24 @@ object Alarms {
     new java.util.concurrent.ConcurrentHashMap[org.apache.spark.SparkContext,
       SparkSession]
 
-  private def evalSession(outer: SparkSession): SparkSession =
-    evalSessions.computeIfAbsent(outer.sparkContext, _ => {
-      val s = outer.newSession()
-      s.conf.set("spark.sql.adaptive.enabled", "false")
-      s.conf.set("spark.sql.shuffle.partitions", "1")
-      s
+  private def evalSession(outer: SparkSession): SparkSession = {
+    // a stopped context's entry is dead weight and can never be reused
+    evalSessions.keySet.removeIf(_.isStopped)
+    val s = evalSessions.computeIfAbsent(outer.sparkContext, _ => {
+      val c = outer.newSession()
+      c.conf.set("spark.sql.adaptive.enabled", "false")
+      c.conf.set("spark.sql.shuffle.partitions", "1")
+      c
     })
+    // result-affecting runtime conf follows the CALLER on every call:
+    // newSession() snapshots the context conf, not the caller's live
+    // session conf, so without this a caller that set session.timeZone
+    // after startup would get its staleness boundaries computed in the
+    // clone's (stale) zone
+    s.conf.set("spark.sql.session.timeZone",
+      outer.conf.get("spark.sql.session.timeZone"))
+    s
+  }
 
   def evaluate(outer: SparkSession, layout: LakeLayout,
                monitor: Option[GraftMonitor] = None,
@@ -158,22 +169,30 @@ object Alarms {
     // driver-literal zero rows with no job at all. Returns branches
     // already in (alarm, metric) shape.
     def dlqBranches(dirs: Seq[(String, String)]): Seq[DataFrame] = {
-      val (present, absent) = dirs.partition { case (_, dir) =>
+      import spark.implicits._
+      val (present, _) = dirs.partition { case (_, dir) =>
         val p = new org.apache.hadoop.fs.Path(dir)
         val fs = org.apache.hadoop.fs.FileSystem.get(
           p.toUri, spark.sparkContext.hadoopConfiguration)
         fs.exists(p) && fs.listStatus(p).nonEmpty
       }
-      val counted =
-        if (present.isEmpty) Seq.empty
-        else Seq(present.map { case (name, dir) =>
-          spark.read.schema("job_run_id STRING").json(s"$dir/*")
-            .select(lit(name).as("alarm"))
-        }.reduce(_ unionAll _)
-          .groupBy("alarm").agg(count(lit(1)).cast("long").as("metric")))
-      counted ++ absent.map { case (name, _) =>
-        const(0L).select(lit(name).as("alarm"), col("m").cast("long").as("metric"))
-      }
+      // EVERY alarm name seeds a driver-literal zero row, unioned with
+      // the counted groups and re-summed: the alarm SET is fixed, never
+      // data-dependent. groupBy over the tagged union alone would emit
+      // no group for a present dir that yields zero readable records
+      // (a crash leftover holding only _temporary, a streaming replay
+      // mid-overwrite) — the alarm row would silently VANISH instead of
+      // reading 0/OK, breaking any consumer keyed on the fixed set.
+      val zeros = dirs.map { case (name, _) => (name, 0L) }
+        .toDF("alarm", "metric")
+      if (present.isEmpty) Seq(zeros)
+      else Seq(present.map { case (name, dir) =>
+        spark.read.schema("job_run_id STRING").json(s"$dir/*")
+          .select(lit(name).as("alarm"))
+      }.reduce(_ unionAll _)
+        .groupBy("alarm").agg(count(lit(1)).cast("long").as("metric"))
+        .unionAll(zeros)
+        .groupBy("alarm").agg(sum("metric").as("metric")))
     }
 
     // the two rollup-backed metrics (freshness, saturation) share ONE

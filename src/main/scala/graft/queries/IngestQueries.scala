@@ -282,6 +282,12 @@ object IngestQueries {
     // exact side (countDistinct — deliberately NOT servable) always
     // does, and the q44 convention keeps the engine-specific estimate
     // out of the hash compare: only the ±5% reach_ok flag is emitted.
+    // NOTE ON COST: this query is an AUDITOR, not a serving path — the
+    // deliberate exact-side lake scan is the whole point (it proves the
+    // rewrite against a recompute), which is why q112 runs ~3× its
+    // q111/q113 siblings in every bench sweep. A consumer wanting the
+    // served numbers alone runs just the first frame and pays metadata
+    // cost only.
     "q112_metadata_value" -> ((s, d) => {
       val lay = IngestDemo.ensure(s, d)
       val window = col("year") === 2024 && col("month") === 1 &&

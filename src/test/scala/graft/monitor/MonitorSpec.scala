@@ -152,6 +152,28 @@ class MonitorSpec extends AnyFunSuite {
     assert(states.values.forall(_ == "OK"), s"expected all OK, got $states")
   }
 
+  test("a present DLQ dir with zero readable records still emits its alarm row as 0/OK") {
+    // the crash-leftover / mid-overwrite shape: the dir exists and lists
+    // non-empty, but the schema'd json read yields no rows — the alarm
+    // must read 0/OK, not VANISH from the fixed alarm set (a groupBy
+    // over the tagged union alone emits no group for it)
+    val lay = LakeLayout(Files.createTempDirectory("graft-mon-empty").toString)
+    val p = Paths.get(s"${lay.rawDir}/good.jsonl")
+    Files.createDirectories(p.getParent)
+    val rec = s"""{"id":"g","event_timestamp":"2024-03-07 10:00:00.000000","MODE":"training",""" +
+      s""""metadata":{"app_version":"1","user_agent":"ua","user_id":1},""" +
+      s""""payload":{"transaction_id":"t","value":2.0,"props":"{}"}}"""
+    Files.write(p, (rec + "\n").getBytes(StandardCharsets.UTF_8)): Unit
+    new BatchProcessor(spark, lay, Contracts.events).runUntilDrained()
+    Files.createDirectories(Paths.get(lay.dlqDir))
+    Files.write(Paths.get(s"${lay.dlqDir}/part-empty.json"), Array.empty[Byte]): Unit
+    val rows = Alarms.evaluate(spark, lay).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(rows.contains("dlq_activity"),
+      s"dlq_activity vanished from the alarm set: ${rows.keys.toSeq.sorted}")
+    assert(rows("dlq_activity") == (("OK", 0L)), s"rows: $rows")
+  }
+
   test("compaction_recovery fires on a journal-healed swap and only then") {
     val lay = LakeLayout(Files.createTempDirectory("graft-mon-compact").toString)
     val p = Paths.get(s"${lay.rawDir}/good.jsonl")
