@@ -212,9 +212,28 @@ object DedupOps {
 
   private[queries] def minhashEdges(s: SparkSession, base: DataFrame,
                                     minJ: Double): DataFrame = {
-    val withSh = minhashCandidates(s, base)
-      .join(base.select(col("doc_id").as("a_id"), col("sh").as("sha")), Seq("a_id"))
-      .join(base.select(col("doc_id").as("b_id"), col("sh").as("shb")), Seq("b_id"))
+    // Persisted (registry-tracked): the candidate pairs seed BOTH the
+    // id broadcast below and the verification join, and recomputing
+    // them would re-run the band self-join.
+    val cands = QueryCaches.track(minhashCandidates(s, base))
+    // Verification needs shingle arrays for CANDIDATE ids only — a
+    // vanishing fraction of the corpus under bucketed LSH. The old
+    // shape joined the FULL corpus by id twice, so every doc's array
+    // was shuffle-WRITTEN twice per evaluation (at the x100 tier those
+    // two corpus-wide exchanges were the kernel's whole I/O bill —
+    // jstack showed the reps inside shuffle spill merges; at 100 TB
+    // they are the difference between "shuffle the candidates" and
+    // "shuffle the lake"). The id list is O(candidates) — the quantity
+    // the ScaleStress ladder already bounds sub-quadratic — so
+    // broadcast it and semi-filter the corpus MAP-SIDE: only
+    // candidates' arrays ever enter an exchange.
+    val candIds = cands.select(col("a_id").as("doc_id"))
+      .union(cands.select(col("b_id").as("doc_id"))).distinct()
+    val slim = base.join(broadcast(candIds), Seq("doc_id"))
+      .select(col("doc_id"), col("sh"))
+    val withSh = cands
+      .join(slim.select(col("doc_id").as("a_id"), col("sh").as("sha")), Seq("a_id"))
+      .join(slim.select(col("doc_id").as("b_id"), col("sh").as("shb")), Seq("b_id"))
     val (inter, uni) = interUni(col("sha"), col("shb"))
     withSh
       .withColumn("inter", inter).withColumn("uni", uni)
