@@ -47,6 +47,14 @@ object DedupOps {
     * propagation path runs instead. */
   private val DriverEdgeCap = 4L * 1000 * 1000
 
+  /** Candidate-id cap for [[minhashEdges]]' map-side broadcast
+    * semi-filter: 10M longs ≈ 80 MB hashed — comfortably inside the
+    * broadcast budget, far above any sub-quadratic candidate frame the
+    * ScaleStress ladder produces (x100: ~10^5 ids), and a hard stop
+    * before a skew-blown band hash turns the hint into a driver OOM.
+    * Above it the semi join falls back to shuffle (degraded, correct). */
+  private val MaxBroadcastCandIds = 10L * 1000 * 1000
+
   /** doc_id + distinct token-3-shingle set (the unit of Jaccard).
     * One codegen byte walk per doc ([[graft.functions.Shingle3]]) —
     * the portable `split`+`transform`+`array_distinct` form runs
@@ -229,8 +237,39 @@ object DedupOps {
     // candidates' arrays ever enter an exchange.
     val candIds = cands.select(col("a_id").as("doc_id"))
       .union(cands.select(col("b_id").as("doc_id"))).distinct()
-    val slim = base.join(broadcast(candIds), Seq("doc_id"))
-      .select(col("doc_id"), col("sh"))
+    def timed[A](tag: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      if (sys.env.contains("GRAFT_DEBUG"))
+        System.err.println(
+          f"[minhash] $tag ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    if (sys.env.contains("GRAFT_DEBUG")) timed("cands")(cands.count())
+    // Guard the broadcast (r18 ADVICE): under pathological band-hash
+    // skew the candidate-id set could outgrow driver/broadcast memory,
+    // and an unconditional hint would fail the query where a shuffled
+    // semi join would merely degrade. The count is one cheap job over
+    // the already-persisted cands (and pre-populates that cache for the
+    // verification join below).
+    val nCand = timed("cand-ids")(candIds.count())
+    val idSide = if (nCand <= MaxBroadcastCandIds) broadcast(candIds) else candIds
+    // TRACKED: the verification join consumes slim TWICE (a_id and b_id
+    // sides), and `base` is often the tail of a cached-but-still-priced
+    // upstream chain (q91: gate→exact-dedup→decontam). Untracked, each
+    // side re-ran that chain — the r18 `weak` mark was q91 paying the
+    // semi-filter scan 2× plus the broadcast build once more. slim is
+    // O(candidate ids) rows, so the cache is bounded by the same
+    // sub-quadratic quantity as cands.
+    val slim = QueryCaches.track(
+      base.join(idSide, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("sh")))
+    // Materialize BEFORE the two-sided verification join: its a_id and
+    // b_id branches otherwise race to populate the cache, and each
+    // racer re-runs the corpus semi-filter scan (observable as
+    // BlockManager "already exists" duplicate-compute warnings) — at
+    // lake scale that is the whole corpus scanned twice. One blocking
+    // candidate-sized job pins the single-scan guarantee.
+    timed("slim")(slim.count())
     val withSh = cands
       .join(slim.select(col("doc_id").as("a_id"), col("sh").as("sha")), Seq("a_id"))
       .join(slim.select(col("doc_id").as("b_id"), col("sh").as("shb")), Seq("b_id"))
