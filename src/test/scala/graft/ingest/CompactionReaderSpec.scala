@@ -272,6 +272,55 @@ class CompactionReaderSpec extends AnyFunSuite {
       want.size + 2)
   }
 
+  test("symlink-published lakes upgrade a weaker graceCycles to the two-swap horizon") {
+    // r18 verdict gap: the external two-swap guarantee held only when
+    // the caller REMEMBERED graceCycles=2 — a `_symlinks/` lake run
+    // with the DEFAULT TickConfig handed external readers a one-swap
+    // horizon. Maintenance now upgrades any weaker setting on lakes
+    // that publish manifests (Compactor.effectiveGrace), so the
+    // contract holds by construction; this run passes the defaults
+    // everywhere and still expects the K=2 behavior.
+    val (lake, leaf7, leaf8) = freshLake()
+    val cfg = Compactor.TickConfig(maxFilesPerPartition = 1, sortCol = None)
+    assert(cfg.graceCycles < Compactor.MinSymlinkGrace,
+      "fixture must exercise the upgrade path, not an explicit 2")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI("file:///"), spark.sparkContext.hadoopConfiguration)
+    val root = fs.makeQualified(new Path(lake))
+    assert(LakeSnapshot.publishSymlinks(fs, root) == 2)
+    val want = rows(CuratedWriter.read(spark, lake))
+    def externalRead(paths: Seq[String]) = rows(
+      spark.read.option("basePath", lake).parquet(paths: _*))
+    val gen0Paths = LakeSnapshot.symlinkSnapshotPaths(fs, root)
+    val touched = Seq(new Path(leaf7), new Path(leaf8))
+
+    // swap 1, append, swap 2 — under grace 1 the second tick's sweep
+    // would delete gen-0's files; the upgrade must keep them
+    assert(Compactor.maintainTouched(spark, lake, touched, cfg).partitionsCompacted == 2)
+    import spark.implicits._
+    Seq(("r-3-a", 7, "training", 9.0), ("r-3-b", 8, "training", 9.5))
+      .toDF("record_id", "day", "mode", "value")
+      .repartition(col("day"))
+      .write.mode("append").partitionBy("day", "mode").parquet(lake)
+    assert(Compactor.maintainTouched(spark, lake, touched, cfg).partitionsCompacted == 2)
+    assert(externalRead(gen0Paths) == want,
+      "default-config symlink lake broke the gen-0 manifest within two swaps")
+
+    // the default decommission sweep upgrades too: tick 3 crosses the
+    // horizon (deletion, loud failure) — never a silent short read
+    assert(Compactor.sweepRetired(spark, lake) > 0)
+    val ex = intercept[Exception] { externalRead(gen0Paths) }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(ex).exists(c =>
+      c.isInstanceOf[java.io.FileNotFoundException] ||
+        Option(c.getMessage).exists(m =>
+          m.contains("PATH_NOT_FOUND") || m.contains("does not exist"))),
+      s"past-horizon read must fail loudly on the deleted paths, got: $ex")
+    assert(externalRead(LakeSnapshot.symlinkSnapshotPaths(fs, root)).size ==
+      want.size + 2)
+  }
+
   test("the registered q121_external_snapshot executes and matches the library read") {
     val sfDir = "/root/testdata/sf0.001"
     val got = graft.SparkEntry.queries("q121_external_snapshot")(spark, sfDir)
