@@ -89,34 +89,36 @@ object Alarms {
     * lake's own maximum, so a drained demo lake evaluates identically
     * forever — the property that keeps this row on the oracle
     * surface). */
-  /** One long-lived evaluation session per SparkContext: a clone with
-    * AQE off and single-partition exchanges, built once and reused by
-    * every [[evaluate]] call. The clone's conf rides with the frames it
-    * builds (a DataFrame executes under its own session), so callers'
-    * sessions keep AQE untouched — and building the SessionState once
-    * matters: a fresh newSession() per evaluation re-derived
-    * analyzer/planner state worth ~0.5 s per alarm tick. */
-  private val evalSessions =
-    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.SparkContext,
-      SparkSession]
+  /** One long-lived evaluation session per (SparkContext, timeZone):
+    * a clone with AQE off and single-partition exchanges, built once
+    * and reused by every [[evaluate]] call. The clone's conf rides with
+    * the frames it builds (a DataFrame executes under its own session),
+    * so callers' sessions keep AQE untouched — and building the
+    * SessionState once matters: a fresh newSession() per evaluation
+    * re-derived analyzer/planner state worth ~0.5 s per alarm tick.
+    * The time zone is part of the KEY, not a conf mutated per call
+    * (r18 ADVICE): the returned frame is lazy, so a shared clone whose
+    * zone is reset by caller B before caller A's analysis reads it
+    * would compute A's staleness boundaries in B's zone. Keying gives
+    * each zone its own immutable-conf clone; the map stays bounded by
+    * the handful of zones a process actually evaluates under. */
+  private val evalSessions = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.SparkContext, String), SparkSession]
 
   private def evalSession(outer: SparkSession): SparkSession = {
-    // a stopped context's entry is dead weight and can never be reused
-    evalSessions.keySet.removeIf(_.isStopped)
-    val s = evalSessions.computeIfAbsent(outer.sparkContext, _ => {
+    // a stopped context's entries are dead weight and can never be reused
+    evalSessions.keySet.removeIf(_._1.isStopped)
+    // result-affecting runtime conf follows the CALLER: newSession()
+    // snapshots the context conf, not the caller's live session conf,
+    // so the caller's CURRENT zone picks (or builds) the clone
+    val tz = outer.conf.get("spark.sql.session.timeZone")
+    evalSessions.computeIfAbsent((outer.sparkContext, tz), _ => {
       val c = outer.newSession()
       c.conf.set("spark.sql.adaptive.enabled", "false")
       c.conf.set("spark.sql.shuffle.partitions", "1")
+      c.conf.set("spark.sql.session.timeZone", tz)
       c
     })
-    // result-affecting runtime conf follows the CALLER on every call:
-    // newSession() snapshots the context conf, not the caller's live
-    // session conf, so without this a caller that set session.timeZone
-    // after startup would get its staleness boundaries computed in the
-    // clone's (stale) zone
-    s.conf.set("spark.sql.session.timeZone",
-      outer.conf.get("spark.sql.session.timeZone"))
-    s
   }
 
   def evaluate(outer: SparkSession, layout: LakeLayout,

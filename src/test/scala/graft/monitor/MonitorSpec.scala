@@ -307,14 +307,15 @@ class MonitorSpec extends AnyFunSuite {
       // and ONE non-adaptive collect of the whole alarm union (AQE is
       // off inside evaluate's cloned session: on metadata-sized
       // sources its per-exchange stage materializations were ~2 jobs
-      // per branch for nothing). Measured 7 on this fixture; 10 leaves
-      // headroom for scheduler jitter while still catching the failure
-      // mode this pins — a new alarm branch re-scanning a source per
-      // metric (schema inference, per-alarm re-aggregation) blows past
-      // it. If this trips after adding an alarm, fold its metric into
-      // an existing shared snapshot instead of raising the budget.
-      assert(jobs.get() <= 10,
-        s"Alarms.evaluate spent ${jobs.get()} Spark jobs (budget 10) — " +
+      // per branch for nothing). Measured 7 on this fixture; 8 (r19,
+      // was 10) pins that gain with one job of scheduler-jitter
+      // headroom, so the NEXT alarm added cannot silently double the
+      // fold — a new alarm branch re-scanning a source per metric
+      // (schema inference, per-alarm re-aggregation) blows past it.
+      // If this trips after adding an alarm, fold its metric into an
+      // existing shared snapshot instead of raising the budget.
+      assert(jobs.get() <= 8,
+        s"Alarms.evaluate spent ${jobs.get()} Spark jobs (budget 8) — " +
           "a new alarm branch is probably re-scanning a source per metric")
     } finally spark.sparkContext.removeSparkListener(counter)
   }
