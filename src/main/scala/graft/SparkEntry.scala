@@ -59,6 +59,7 @@ object SparkEntry {
     "q125_nullness_skip" -> Seq("ingest"),
     "q126_withheld_audit" -> Seq("ingest"),
     "q127_clustered_skip" -> Seq("clusterlake"),
+    "q128_antiwindow_skip" -> Seq("ingest"),
     "q48_bucketed_join" -> Seq("ingest"),
     "q52_dpp_pruned" -> Seq("ingest"),
     "q55_catalog_evolution" -> Seq("ingest"),

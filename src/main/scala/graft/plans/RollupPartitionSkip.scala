@@ -224,7 +224,7 @@ case class RollupPartitionSkip(session: SparkSession) extends Rule[LogicalPlan] 
           struct.dataType)
       })
     }
-    val antiMode = fold.zones.size > MaxInLiterals
+    val antiMode = fold.zones.size > maxInLiterals(session)
     val inPredOpt =
       if (antiMode) {
         // complement form: more partitions qualify than the IN cap, but
@@ -507,6 +507,20 @@ object RollupPartitionSkip {
     * list). Var for specs; production value 1000. */
   private[graft] var MaxInLiterals = 1000
 
+  /** Session-conf override of [[MaxInLiterals]]: the cap is a real
+    * operator knob (driver-memory budget vs prune reach varies by
+    * deployment), and a per-SESSION value lets one analytics session
+    * tune it without moving every other session on the context. Read at
+    * rule-apply time; part of the fold-cache key, so two sessions with
+    * different caps can never serve each other's folds. q128 runs the
+    * complement form on the driver's oracle surface through this knob
+    * — the demo lake's 151 leaves could never overflow the production
+    * cap. */
+  val MaxInLiteralsKey = "spark.graft.rollup.maxInLiterals"
+
+  private def maxInLiterals(s: SparkSession): Int =
+    s.conf.getOption(MaxInLiteralsKey).map(_.trim.toInt).getOrElse(MaxInLiterals)
+
   /** Cap on the collected file-drop set: a truncated set skips fewer
     * files, never wrongly. 10k × ~100 B keys is ~1 MB of driver state
     * for a window crossing every one of MaxInLiterals partitions. */
@@ -626,7 +640,7 @@ object RollupPartitionSkip {
     * [[CacheMax]] entries with LRU eviction (access-ordered
     * LinkedHashMap): a busy multi-lake session evicts the coldest
     * (lake, window) fold, never every lake's folds at once. */
-  private type CacheKey = (String, String, Map[String, ColCons])
+  private type CacheKey = (String, String, Map[String, ColCons], Int)
   private val cache: java.util.Map[CacheKey, Folded] =
     java.util.Collections.synchronizedMap(
       new java.util.LinkedHashMap[CacheKey, Folded](16, 0.75f, true) {
@@ -679,7 +693,8 @@ object RollupPartitionSkip {
     import org.apache.spark.sql.functions._
     val fbDir = new Path(new Path(rollupDir).getParent, "filebounds").toString
     val fbSig = listingSignature(s, fbDir)
-    val key = (listingSignature(s, rollupDir), fbSig, wins)
+    val cap = maxInLiterals(s)
+    val key = (listingSignature(s, rollupDir), fbSig, wins, cap)
     val folded = cache.get(key) match {
       case null =>
         foldCount.incrementAndGet(): Unit
@@ -745,7 +760,7 @@ object RollupPartitionSkip {
           val nTotal = persisted.count()
           val rows = persisted.filter(col("keep"))
             .select("year", "month", "day", "mode")
-            .limit(MaxInLiterals + 1)
+            .limit(cap + 1)
             .collect()
             .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getString(3)))
             .toSeq
@@ -753,15 +768,15 @@ object RollupPartitionSkip {
           // (NULL keep = non-intersecting zone = non-qualifying, hence
           // the coalesce — the positive filter drops those rows too)
           val anti: Seq[(Int, Int, Int, String)] =
-            if (rows.size <= MaxInLiterals) Seq.empty
+            if (rows.size <= cap) Seq.empty
             else persisted.filter(!coalesce(col("keep"), lit(false)))
               .select("year", "month", "day", "mode")
-              .limit(MaxInLiterals + 1)
+              .limit(cap + 1)
               .collect()
               .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getString(3)))
               .toSeq
           val drop: Set[((Int, Int, Int, String), String)] =
-            if (!haveFb || rows.size > MaxInLiterals || rows.isEmpty) Set.empty
+            if (!haveFb || rows.size > cap || rows.isEmpty) Set.empty
             else {
               import s.implicits._
               val zdf = broadcast(rows.toDF("year", "month", "day", "mode"))
@@ -815,8 +830,8 @@ object RollupPartitionSkip {
       case hit => hit
     }
     // decline only when NEITHER membership form fits the cap
-    if (folded.zones.size > MaxInLiterals &&
-        (folded.anti.isEmpty || folded.anti.size > MaxInLiterals)) None
+    if (folded.zones.size > cap &&
+        (folded.anti.isEmpty || folded.anti.size > cap)) None
     else Some(folded)
   }
 }

@@ -19,6 +19,31 @@ import graft.pipeline.{DedupDemo, IngestDemo}
 object IngestQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Cloned session with the zone-skip IN cap lowered to 64 (q128).
+    * The complement-form rewrite only engages when MORE partitions
+    * qualify than the cap — on a 10k-partition production lake the
+    * default 1000 does that naturally, but the demo lake's 151 leaves
+    * never can, so the q-entry exercises the exact production code
+    * path through the session-conf knob instead of a bigger fixture.
+    * Memoized PER OUTER SESSION (not per context) like
+    * Alarms.evalSession: newSession() per bench rep would re-derive
+    * SessionState (~0.5 s/call), and the clone inherits ITS PARENT's
+    * extensions object — keying by context would let a plain session's
+    * clone shadow an extended one's. Under the driver's plain Verify
+    * session (no extensions) the query degrades to the identical
+    * unrewritten scan — same rows either way, which is what the oracle
+    * checks; the PLAN is pinned in RollupSkipSpec. */
+  private val antiCapSessions = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, SparkSession]
+  private def antiCapSession(outer: SparkSession): SparkSession = {
+    antiCapSessions.keySet.removeIf(_.sparkContext.isStopped)
+    antiCapSessions.computeIfAbsent(outer, o => {
+      val c = o.newSession()
+      c.conf.set(graft.plans.RollupPartitionSkip.MaxInLiteralsKey, "64")
+      c
+    })
+  }
+
   val defs: Map[String, Q] = Map(
     // S1/S7/P6 + the ledger's file dispositions: segregation counts.
     // 8 raw files → 5 clean (SUCCEEDED) + 3 quarantined; curated gets
@@ -602,6 +627,32 @@ object IngestQueries {
         .orderBy("mode")
     }),
 
+    // COMPLEMENT-form membership (round 19): the wide-window shape — a
+    // filter most of a lake satisfies — is where the positive IN list
+    // overflows its cap and the rewrite flips to `NOT (struct IN
+    // (excluded...))` instead of declining (RollupPartitionSkip
+    // complement path). Everything from Jan 3 on qualifies ~145 of the
+    // demo lake's 151 leaves; under this query's lowered cap (64, via
+    // [[antiCapSession]]) the qualifying list overflows while the ~10
+    // excluded leaves fit, so the NOT-IN conjunct — not a decline —
+    // serves the scan (RollupSkipSpec pins the plan; the driver's hash
+    // check here pins the rows). The synthetic drift partition is
+    // excluded the same way q121 does, so the oracle is the plain
+    // events recompute of the window.
+    "q128_antiwindow_skip" -> ((s, d) => {
+      val lay = IngestDemo.ensure(s, d)
+      CuratedWriter.read(antiCapSession(s), lay.curatedDir)
+        .filter(col("event_time_utc") >=
+            lit("2024-01-03 00:00:00").cast("timestamp_ntz") &&
+          col("mode") =!= "synthetic")
+        .groupBy("mode")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(round(col("value") * lit(1000000)).cast("long")).as("value_e6"),
+          unix_micros(min(col("event_time_utc")).cast("timestamp")).as("first_us"),
+          unix_micros(max(col("event_time_utc")).cast("timestamp")).as("last_us"))
+        .orderBy("mode")
+    }),
+
     "q121_external_snapshot" -> ((s, d) => {
       val lay = IngestDemo.ensure(s, d)
       val root0 = new org.apache.hadoop.fs.Path(lay.curatedDir)
@@ -636,6 +687,16 @@ object IngestQueries {
       import org.apache.spark.sql.expressions.Window
       val lay = IngestDemo.ensureCompacted(s, d)
       val w = Window.partitionBy("fp").orderBy("ri")
+      // fb_live (round 19): the sidecar's LIVE row count per leaf, on
+      // the same audit row as the physical file count. On a healthy
+      // compacted lake the two are EQUAL (one bounds row per live file
+      // — the swap-batch + tombstone protocol's invariant); a gap means
+      // bounds rows leaked past a swap (fold input growing, skipping
+      // degrading) and the metadata-only read here surfaces it without
+      // listing a single data file.
+      val fb = graft.ingest.FileBounds.all(s, lay.fileBoundsDir)
+        .groupBy(col("day").cast("int").as("day"), col("mode"))
+        .agg(count(lit(1)).as("fb_live"))
       CuratedWriter.read(s, lay.curatedDir)
         .select(col("day"), col("mode"), col("event_time_utc"),
           col("_metadata.file_path").as("fp"), col("_metadata.row_index").as("ri"))
@@ -646,6 +707,8 @@ object IngestQueries {
             col("prev") <= col("event_time_utc"), 1).otherwise(0))
             .cast("int").as("sorted_ok"),
           count(lit(1)).as("n_rows"))
+        .join(fb, Seq("day", "mode"), "left")
+        .withColumn("fb_live", coalesce(col("fb_live"), lit(0L)))
         .orderBy("day", "mode")
     }),
 
@@ -833,6 +896,12 @@ object IngestQueries {
             OR (ts >= TIMESTAMP '2024-01-20 00:00:00'
                 AND ts < TIMESTAMP '2024-01-22 00:00:00')
          GROUP BY 1 ORDER BY 1""",
+    "q128_antiwindow_skip" ->
+      """SELECT event_type AS mode, COUNT(*) AS n_rows,
+              CAST(SUM(CAST(ROUND(value*1000000) AS BIGINT)) AS BIGINT) AS value_e6,
+              epoch_us(MIN(ts)) AS first_us, epoch_us(MAX(ts)) AS last_us
+         FROM events WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+         GROUP BY 1 ORDER BY 1""",
     "q125_nullness_skip" ->
       """SELECT event_type AS mode, COUNT(*) AS n_rows,
               CAST(SUM(CAST(ROUND(value*1000000) AS BIGINT)) AS BIGINT) AS value_e6
@@ -859,7 +928,7 @@ object IngestQueries {
     "q116_layout_audit" ->
       """SELECT CAST(day(ts) AS INT) AS day, event_type AS mode,
               CAST(1 AS BIGINT) AS n_files, CAST(1 AS INT) AS sorted_ok,
-              COUNT(*) AS n_rows
+              COUNT(*) AS n_rows, CAST(1 AS BIGINT) AS fb_live
          FROM events
          WHERE year(ts) = 2024 AND month(ts) = 1 AND day(ts) BETWEEN 10 AND 16
          GROUP BY 1, 2 ORDER BY 1, 2""",

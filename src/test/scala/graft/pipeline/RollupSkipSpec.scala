@@ -757,6 +757,40 @@ class RollupSkipSpec extends AnyFunSuite {
     }
   }
 
+  test("the registered q128_antiwindow_skip plans the COMPLEMENT form and matches direct") {
+    // r18 "What's missing #3": the NOT-IN complement was spec- and
+    // ladder-covered but had no oracle q-entry. q128 runs a wide window
+    // (everything from Jan 3) under a cloned session whose IN cap is
+    // lowered to 64 via the session conf — ~145 of the demo lake's
+    // leaves qualify (> cap), the ~10 excluded fit — so the COMPLEMENT
+    // conjunct, not a decline and not the positive form, must serve it.
+    val sfDir = "/root/testdata/sf0.001"
+    val direct = graft.SparkEntry.queries("q128_antiwindow_skip")(spark, sfDir)
+    val (zonesPlain, nAll) = zoneScan(direct)
+    assert(zonesPlain.isEmpty, "plain session must not rewrite")
+    val want = direct.collect().toSeq
+    assert(want.nonEmpty)
+    withExtendedSession { s =>
+      val df = graft.SparkEntry.queries("q128_antiwindow_skip")(s, sfDir)
+      val (zones, nParts) = zoneScan(df)
+      assert(zones.nonEmpty, "q128's scan carries no zone predicate")
+      assert(nParts < nAll,
+        s"complement form pruned nothing ($nParts of $nAll partitions)")
+      // the conjunct is the complement (Not over In/InSet — the
+      // optimizer may convert the literal list), never the positive IN
+      import org.apache.spark.sql.catalyst.expressions.{In, InSet, Not}
+      val conds = df.queryExecution.optimizedPlan.collect {
+        case fl: org.apache.spark.sql.catalyst.plans.logical.Filter => fl.condition
+      }
+      val nNot = conds.flatMap(c => c.collect {
+        case n @ Not(_: In) => n
+        case n @ Not(_: InSet) => n
+      }).size
+      assert(nNot == 1, s"expected exactly one NOT-IN complement conjunct in $conds")
+      assert(df.collect().toSeq == want, "complement-pruned q128 != direct q128")
+    }
+  }
+
   test("an OR of ranges on one column prunes through the union of windows") {
     val root = syntheticLake()
     // two windows: day-7 morning OR day-8 late-morning onward.
@@ -972,6 +1006,25 @@ class RollupSkipSpec extends AnyFunSuite {
       assert(df.collect().map(_.toSeq).sortBy(_.mkString("|")).sameElements(want),
         "compacted-lake pruning changed the answer")
     }
+    // storeAudit (round 19): the operator gauge reads the same story —
+    // post-swap the raw store carries originals + tombstones + fresh
+    // rows (raw > live, dead = the replaced files), and the maintenance
+    // fold makes tombstone removal permanent (raw == live, dead == 0,
+    // one merged batch dir)
+    val pre = graft.ingest.FileBounds.storeAudit(spark, s"$root/filebounds")
+      .collect()(0)
+    assert(pre.getAs[Long]("rows_dead") == 3L,
+      s"expected the 3 replaced files tombstoned: $pre")
+    assert(pre.getAs[Long]("rows_raw") > pre.getAs[Long]("rows_live"), s"$pre")
+    assert(pre.getAs[Long]("rows_live") == live.size, s"$pre vs ${live.size}")
+    assert(graft.ingest.FileBounds.compact(spark, s"$root/filebounds",
+      maxBatchDirs = 0))
+    val post = graft.ingest.FileBounds.storeAudit(spark, s"$root/filebounds")
+      .collect()(0)
+    assert(post.getAs[Long]("rows_dead") == 0L &&
+      post.getAs[Long]("n_batches") == 1L, s"$post")
+    assert(post.getAs[Long]("rows_raw") == post.getAs[Long]("rows_live"), s"$post")
+    assert(post.getAs[Long]("rows_live") == live.size, s"$post vs ${live.size}")
   }
 
   test("a crashed swap's bounds window heals through the journal reconcile") {
