@@ -294,6 +294,43 @@ object FileBounds {
         .option("ignoreMissingFiles", "true") // racing [[compact]]'s source deletes
         .parquet(dir)))
 
+  /** Store-size audit — the operator's gauge for sidecar growth under
+    * swap churn (r18 verdict watch item). ONE metadata-sized row:
+    * `rows_raw` is what the zone fold physically reads (every published
+    * bounds row, twins and tombstones included), `rows_live` what [[all]]
+    * serves after collapse, `rows_dead` the tombstoned keys awaiting
+    * permanent removal, `n_batches` the batch dirs the next [[compact]]
+    * call folds. `rows_raw` pulling away from `rows_live` — or
+    * `n_batches` sitting past the compact threshold across ticks —
+    * means the maintenance slot is not running; no file listing needed,
+    * the fold input size IS the audit. */
+  def storeAudit(s: SparkSession, dir: String): DataFrame = {
+    val root = new Path(dir)
+    val fs: FileSystem = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val nBatches =
+      if (!fs.exists(root)) 0L
+      else fs.listStatus(root).count(st => st.isDirectory &&
+        !st.getPath.getName.startsWith(".") &&
+        !st.getPath.getName.startsWith("_")).toLong
+    val raw = s.read
+      .option("recursiveFileLookup", "true")
+      .option("mergeSchema", "true")
+      .option("ignoreMissingFiles", "true")
+      .parquet(dir)
+    val collapsed = collapseTwins(raw)
+    val deadFlag =
+      if (collapsed.columns.contains(DeadCol)) coalesce(col(DeadCol), lit(false))
+      else lit(false)
+    raw.agg(count(lit(1)).as("rows_raw"))
+      .crossJoin(collapsed.agg(
+        count(lit(1)).as("keys_total"),
+        sum(when(deadFlag, 1L).otherwise(0L)).as("keys_dead")))
+      .select(col("rows_raw"),
+        (col("keys_total") - col("keys_dead")).as("rows_live"),
+        col("keys_dead").as("rows_dead"),
+        lit(nBatches).as("n_batches"))
+  }
+
   /** Maintenance: fold accumulated batch dirs (same slot, same
     * single-maintenance-writer discipline, and same crash posture as
     * `Rollup.compact` — merged renames in before sources delete, so a
