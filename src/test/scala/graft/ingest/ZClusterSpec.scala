@@ -25,10 +25,14 @@ class ZClusterSpec extends AnyFunSuite {
     val root = Files.createTempDirectory("graft-zc").toString
     val rows = (0 until n).map { i =>
       val minute = (i * 27) % n
-      (s"seed-${i % 4}", ((i * 13) % n).toLong,
+      val uid = ((i * 13) % n).toLong
+      (s"seed-${i % 4}", uid, f"u$uid%04d",
         f"2024-03-07 ${minute / 60}%02d:${minute % 60}%02d:00", i.toDouble, i % 4)
     }
-    val df = rows.toDF("source_file", "user_id", "ts_s", "value", "seed")
+    // tag: a zero-padded id STRING (binary order == numeric order),
+    // decorrelated from event time exactly like user_id — the
+    // string-window clustering fixture
+    val df = rows.toDF("source_file", "user_id", "tag", "ts_s", "value", "seed")
       .withColumn("event_time_utc", col("ts_s").cast("timestamp_ntz"))
       .drop("ts_s")
       .withColumn("year", lit(2024)).withColumn("month", lit(3))
@@ -77,19 +81,20 @@ class ZClusterSpec extends AnyFunSuite {
     df.select("source_file", "user_id", "value", "event_time_utc")
       .collect().map(_.toSeq.toVector).toSeq.sortBy(_.mkString("|"))
 
+  private def compactWith(root: String, cluster: Seq[String]): Unit = {
+    val r = Compactor.compact(spark, s"$root/curated",
+      maxFilesPerPartition = 1, targetBytesPerFile = (leafBytes(root) + 3) / 4,
+      sortCol = Some("event_time_utc"), clusterCols = cluster)
+    assert(r.partitionsCompacted == 1)
+    Compactor.sweepRetired(spark, s"$root/curated"): Unit
+    graft.plans.RollupPartitionSkip.clearCache()
+  }
+
   test("z-clustered compaction drops files for BOTH window shapes; sort-only cannot; rows identical") {
     val zRoot = seededLake()
     val sRoot = seededLake()
     val want = sortedRows(spark.read.parquet(s"$zRoot/curated"))
 
-    def compactWith(root: String, cluster: Seq[String]): Unit = {
-      val r = Compactor.compact(spark, s"$root/curated",
-        maxFilesPerPartition = 1, targetBytesPerFile = (leafBytes(root) + 3) / 4,
-        sortCol = Some("event_time_utc"), clusterCols = cluster)
-      assert(r.partitionsCompacted == 1)
-      Compactor.sweepRetired(spark, s"$root/curated"): Unit
-      graft.plans.RollupPartitionSkip.clearCache()
-    }
     compactWith(zRoot, Seq("event_time_utc", "user_id"))
     compactWith(sRoot, Seq.empty)
 
@@ -129,14 +134,15 @@ class ZClusterSpec extends AnyFunSuite {
     }
   }
 
-  test("unusable cluster columns degrade: strings are skipped, an all-null column goes inert") {
-    import spark.implicits._
+  test("unusable cluster columns degrade: binary is skipped, an all-null column goes inert") {
     val root = seededLake(256)
-    // tag (string) is not cluster-keyable; extra (double) is supported
-    // but ALL NULL, so its quantiles are empty and its rank pins to 0 —
-    // user_id must still cluster through the remaining bits
+    // blob (binary) is not cluster-keyable (no total-order image we
+    // track bounds for); extra (double) is supported but ALL NULL, so
+    // its quantiles are empty and its rank pins to 0 — user_id must
+    // still cluster through the remaining bits. (Strings used to be
+    // the skipped example here; they cluster since round 19.)
     val withCols = spark.read.parquet(s"$root/curated")
-      .withColumn("tag", concat(lit("t"), col("user_id")))
+      .withColumn("blob", col("user_id").cast("string").cast("binary"))
       .withColumn("extra", lit(null).cast("double"))
     val tmp = Files.createTempDirectory("graft-zc2").toString
     withCols.write.partitionBy("year", "month", "day", "mode")
@@ -145,7 +151,7 @@ class ZClusterSpec extends AnyFunSuite {
     val r = Compactor.compact(spark, s"$tmp/curated",
       maxFilesPerPartition = 1, targetBytesPerFile = (leafBytes(tmp) + 3) / 4,
       sortCol = Some("event_time_utc"),
-      clusterCols = Seq("tag", "extra", "user_id"))
+      clusterCols = Seq("blob", "extra", "user_id"))
     assert(r.partitionsCompacted == 1)
     Compactor.sweepRetired(spark, s"$tmp/curated"): Unit
     assert(sortedRows(spark.read.parquet(s"$tmp/curated")) == want,
@@ -163,6 +169,38 @@ class ZClusterSpec extends AnyFunSuite {
     }
     assert(spans.forall(_ < 255L),
       s"a file spans the full user range despite clustering: ${spans.toSeq}")
+  }
+
+  test("a string window keeps fewer files on the string-clustered twin") {
+    // r18 verdict #6: strings were excluded from cluster keys while the
+    // bounds sidecar already tracked capped string min/max per file and
+    // the skip rule pruned on them — so an app_version/transaction_id
+    // window got nothing from clustering. The 8-byte binary-prefix
+    // image closes that: cluster on (event_time_utc, tag) and a string
+    // range window must drop files on the clustered twin where the
+    // time-sorted twin provably cannot (every file spans the full tag
+    // range there), rows identical throughout.
+    val zRoot = seededLake()
+    val sRoot = seededLake()
+    compactWith(zRoot, Seq("event_time_utc", "tag"))
+    compactWith(sRoot, Seq.empty)
+    def tagQ(s: SparkSession, root: String) =
+      CuratedWriter.read(s, s"$root/curated").filter(col("tag") >= lit("u0384"))
+    val want = sortedRows(tagQ(spark, zRoot))
+    assert(want.nonEmpty)
+    assert(sortedRows(tagQ(spark, sRoot)) == want)
+    withExtendedSession { s =>
+      val zTotal = CuratedWriter.read(s, s"$zRoot/curated").inputFiles.length
+      val sTotal = CuratedWriter.read(s, s"$sRoot/curated").inputFiles.length
+      assert(zTotal >= 3 && sTotal >= 3,
+        s"rewrites produced too few files to measure pruning ($zTotal, $sTotal)")
+      assert(scannedFiles(tagQ(s, zRoot)) < zTotal,
+        "string-clustered layout: tag window dropped no files")
+      assert(scannedFiles(tagQ(s, sRoot)) == sTotal,
+        "sorted layout unexpectedly pruned on tag — fixture no longer adversarial")
+      assert(sortedRows(tagQ(s, zRoot)) == want, "pruned tag window changed rows")
+      assert(sortedRows(tagQ(s, sRoot)) == want)
+    }
   }
 
   test("the registered q127_clustered_skip matches its direct run") {
