@@ -94,6 +94,8 @@ object Bench {
         pipeline.IngestDemo.ensureCompacted(spark, sfDir)))),
       "clusterlake" -> (() => Future(step("clusterlake")(
         pipeline.IngestDemo.ensureClustered(spark, sfDir)))),
+      "bloomlake" -> (() => Future(step("bloomlake")(
+        pipeline.IngestDemo.ensureBloomed(spark, sfDir)))),
       "ivf" -> (() => Future(step("ivf")(pipeline.IvfIndex.ensure(spark, sfDir)))),
       "embedtables" -> (() => Future(
         step("embedtables")(queries.EmbedTableStore.ensure(spark, sfDir)))),

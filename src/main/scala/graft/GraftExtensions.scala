@@ -115,5 +115,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         arity("vec_dot_q8", exprs, 4)
         graft.functions.Vec8Dot(exprs.head, exprs(1), exprs(2), exprs(3))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_contains_any"),
+      new ExpressionInfo(classOf[graft.functions.BloomMightContainAny].getName,
+        "graft_bloom_contains_any"),
+      (exprs: Seq[Expression]) => {
+        arity("graft_bloom_contains_any", exprs, 2)
+        graft.functions.BloomMightContainAny(exprs.head, exprs(1))
+      }))
   }
 }

@@ -60,6 +60,7 @@ object SparkEntry {
     "q126_withheld_audit" -> Seq("ingest"),
     "q127_clustered_skip" -> Seq("clusterlake"),
     "q128_antiwindow_skip" -> Seq("ingest"),
+    "q129_bloom_lookup" -> Seq("bloomlake"),
     "q48_bucketed_join" -> Seq("ingest"),
     "q52_dpp_pruned" -> Seq("ingest"),
     "q55_catalog_evolution" -> Seq("ingest"),

@@ -107,7 +107,8 @@ object Compactor {
       sortCol: Option[String] = Some("event_time_utc"),
       parallelism: Int = 4,
       graceCycles: Int = 1,
-      clusterCols: Seq[String] = Seq.empty)
+      clusterCols: Seq[String] = Seq.empty,
+      bloomCols: Seq[String] = Seq.empty)
 
   /** Persist a tick's maintenance report under `reportDir` — the audit
     * surface `Alarms.compaction_recovery` consumes. EVENT-only: a tick
@@ -424,7 +425,7 @@ object Compactor {
     * what the maintenance entry points run; the spark-less overload
     * stays for callers without a session (heal-only, bounds fail open). */
   def recoverJournal(spark: SparkSession, fs: FileSystem, root: Path,
-                     clock: Long): Int =
+                     clock: Long, bloomCols: Seq[String] = Seq.empty): Int =
     walkJournal(fs, root) { leaf =>
       var healed = healLeaf(fs, root, leaf, clock)
       boundsDir(fs, root).zip(partValuesOf(root, leaf)).foreach {
@@ -434,7 +435,7 @@ object Compactor {
               .map(_.getPath.getName)
             else Seq.empty
           if (FileBounds.reconcileLeaf(spark, fb.toString, leaf,
-              y, m, d, mode, live)) healed += 1
+              y, m, d, mode, live, bloomCols)) healed += 1
       }
       healed
     }
@@ -447,7 +448,8 @@ object Compactor {
                           leaf: Path, maxFilesPerPartition: Int,
                           targetBytesPerFile: Long,
                           sortCol: Option[String], clock: Long,
-                          clusterCols: Seq[String] = Seq.empty): (Int, Int, Int) = {
+                          clusterCols: Seq[String] = Seq.empty,
+                          bloomCols: Seq[String] = Seq.empty): (Int, Int, Int) = {
     val meta = LakeSnapshot.readMeta(fs, leaf)
     val live = LakeSnapshot.liveData(fs.listStatus(leaf).toSeq, meta)
     if (live.size <= maxFilesPerPartition) return (live.size, live.size, 0)
@@ -498,7 +500,7 @@ object Compactor {
           new Path(fb, s"swap-c$clock-" +
             java.util.UUID.randomUUID().toString.take(8)).toString,
           moved.map(n => new Path(leaf, n).toString),
-          y, m, d, mode, liveNames): Unit
+          y, m, d, mode, liveNames, bloomCols): Unit
     }
     // external consumers: swap the leaf's symlink manifest right after
     // the commit (atomic per leaf; a crash in between leaves it one
@@ -533,7 +535,8 @@ object Compactor {
               parallelism: Int = 4,
               sortCol: Option[String] = None,
               graceCycles: Int = 1,
-              clusterCols: Seq[String] = Seq.empty): Report = {
+              clusterCols: Seq[String] = Seq.empty,
+              bloomCols: Seq[String] = Seq.empty): Report = {
     val raw = new Path(lakeDir)
     val fs = FileSystem.get(raw.toUri, spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(raw)) return Report(0, 0, 0, 0)
@@ -541,7 +544,7 @@ object Compactor {
     // listStatus returns (lakeDir strings are often workspace-relative)
     val root = fs.makeQualified(raw)
     val clock = bumpClock(fs, root)
-    val recovered = recoverJournal(spark, fs, root, clock) + recover(fs, root)
+    val recovered = recoverJournal(spark, fs, root, clock, bloomCols) + recover(fs, root)
     val retired = retireSweep(fs, root, clock, effectiveGrace(fs, root, graceCycles))
 
     // leaf partition dirs (no visible subdirectories). Files sitting in
@@ -562,7 +565,7 @@ object Compactor {
 
     val results = runPool(leaves.toSeq, parallelism)(
       compactLeaf(spark, fs, root, _, maxFilesPerPartition, targetBytesPerFile,
-        sortCol, clock, clusterCols))
+        sortCol, clock, clusterCols, bloomCols))
     Report(
       results.map(_._3).sum,
       strayFiles + results.map(_._1).sum,
@@ -583,14 +586,14 @@ object Compactor {
     if (!fs.exists(raw)) return Report(0, 0, 0, 0)
     val root = fs.makeQualified(raw)
     val clock = bumpClock(fs, root)
-    val recovered = recoverJournal(spark, fs, root, clock)
+    val recovered = recoverJournal(spark, fs, root, clock, cfg.bloomCols)
     val retired = retireSweep(fs, root, clock, effectiveGrace(fs, root, cfg.graceCycles))
     val rootPrefix = root.toUri.getPath + "/"
     val leaves = touched.distinct.map(fs.makeQualified)
       .filter(p => p.toUri.getPath.startsWith(rootPrefix) && fs.exists(p))
     val results = runPool(leaves, cfg.parallelism)(
       compactLeaf(spark, fs, root, _, cfg.maxFilesPerPartition,
-        cfg.targetBytesPerFile, cfg.sortCol, clock, cfg.clusterCols))
+        cfg.targetBytesPerFile, cfg.sortCol, clock, cfg.clusterCols, cfg.bloomCols))
     // symlink-opted lakes: refresh EVERY touched leaf's manifest (the
     // tick's publish just appended files there; rewritten leaves were
     // already refreshed at their commit) so external snapshots stay

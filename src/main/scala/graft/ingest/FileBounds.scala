@@ -76,6 +76,26 @@ object FileBounds {
   def minCol(c: String): String = s"min_$c"
   def maxCol(c: String): String = s"max_$c"
 
+  /** Storage name for column `c`'s per-file Bloom filter (serialized
+    * `org.apache.spark.util.sketch.BloomFilter` over `xxhash64(c)`,
+    * built by [[graft.functions.BloomBuildAgg]]). OPT-IN per store
+    * (the `blooms` parameter of [[compute]]/[[writeStaged]]/
+    * [[writeSwapBatch]], `Compactor.TickConfig.bloomCols`): min/max
+    * windows are a few bytes per file, a useful Bloom is kilobytes, so
+    * the operator names the id-shaped columns worth it. A NULL filter
+    * (pre-bloom batch, un-threaded heal, foreign writer) keeps the
+    * file — fail-open like every other sidecar gap. */
+  def bfCol(c: String): String = s"bf_$c"
+
+  /** Bloom sizing defaults: ~1.05 MB per filter at full load. Sized
+    * for production file grain (a 128 MB parquet file of curated
+    * events holds ~1M rows); the sketch stays correct when a file
+    * holds fewer (fpp only improves) and degrades to a higher
+    * false-positive rate — never a wrong drop — when it holds more.
+    * Fixtures pass smaller values; a deployment tunes per lake. */
+  val BloomExpectedItems = 1000000L
+  val BloomFpp = 0.03
+
   /** Tombstone marker: a row with `_dead = true` retires EVERY bounds
     * row for its (data_file, partition) key — the mechanism lake
     * compaction uses to replace a swapped-out file's statistics without
@@ -124,9 +144,21 @@ object FileBounds {
     * will perform). `staged` must carry the curated columns plus
     * `_metadata` (i.e. be a read OF the staged parquet, not the
     * upstream frame). Tracks the legacy pair plus every
-    * [[boundsColumns]] column of the staged schema. */
-  def compute(staged: DataFrame, prefix: String): DataFrame = {
+    * [[boundsColumns]] column of the staged schema, plus a per-file
+    * Bloom filter ([[bfCol]]) for each `blooms` column — which must
+    * name tracked bounds columns (a typo'd bloom config would
+    * otherwise silently publish no filters and every point lookup
+    * would quietly stop pruning). */
+  def compute(staged: DataFrame, prefix: String,
+              blooms: Seq[String] = Seq.empty,
+              bloomExpectedItems: Long = BloomExpectedItems,
+              bloomFpp: Double = BloomFpp): DataFrame = {
     val cols = boundsColumns(staged.schema)
+    val badBlooms = blooms.filterNot(cols.contains)
+    require(badBlooms.isEmpty,
+      s"bloom columns must be tracked bounds columns; not tracked: $badBlooms")
+    if (blooms.nonEmpty)
+      graft.functions.BloomExpressions.register(staged.sparkSession)
     val strings = cols.filter(c =>
       staged.schema(c).dataType == org.apache.spark.sql.types.StringType)
     val generic = cols.flatMap { c =>
@@ -134,7 +166,11 @@ object FileBounds {
         min(col(c)).as(minCol(c)),
         max(col(c)).as(maxCol(c))) ++
         // per-file longest value — the all-or-nothing withhold gate
-        (if (strings.contains(c)) Seq(max(length(col(c))).as(s"_len_$c")) else Seq.empty)
+        (if (strings.contains(c)) Seq(max(length(col(c))).as(s"_len_$c")) else Seq.empty) ++
+        (if (blooms.contains(c))
+          Seq(call_function("graft_bloom_agg", xxhash64(col(c)),
+            lit(bloomExpectedItems), lit(bloomFpp)).as(bfCol(c)))
+        else Seq.empty)
     }
     val aggs = Seq(
       count(lit(1)).as("n_rows"),
@@ -162,8 +198,12 @@ object FileBounds {
 
   /** Write one batch's bounds under `dir` (one small file — row count
     * bounded by files-written × partitions-per-file). */
-  def writeStaged(staged: DataFrame, prefix: String, dir: String): Unit =
-    compute(staged, prefix).coalesce(1).write.mode("overwrite").parquet(dir)
+  def writeStaged(staged: DataFrame, prefix: String, dir: String,
+                  blooms: Seq[String] = Seq.empty,
+                  bloomExpectedItems: Long = BloomExpectedItems,
+                  bloomFpp: Double = BloomFpp): Unit =
+    compute(staged, prefix, blooms, bloomExpectedItems, bloomFpp)
+      .coalesce(1).write.mode("overwrite").parquet(dir)
 
   /** One lake-compaction swap's bounds publish: fresh rows for the
     * committed generation's output files (a column-pruned second read of
@@ -186,7 +226,10 @@ object FileBounds {
     * legacy pair (not a curated lake — leave the store untouched). */
   def writeSwapBatch(s: SparkSession, dir: String, newFiles: Seq[String],
                      y: Int, m: Int, d: Int, mode: String,
-                     replaced: Seq[String]): Boolean = {
+                     replaced: Seq[String],
+                     blooms: Seq[String] = Seq.empty,
+                     bloomExpectedItems: Long = BloomExpectedItems,
+                     bloomFpp: Double = BloomFpp): Boolean = {
     import s.implicits._
     val fresh =
       if (newFiles.isEmpty) None
@@ -197,7 +240,12 @@ object FileBounds {
           .withColumn("day", lit(d)).withColumn("mode", lit(mode))
         if (!staged.columns.contains(TsCol) || !staged.columns.contains(ValCol))
           return false // not curated-shaped: old rows stay authoritative
-        Some(compute(staged, prefix = "").withColumn(DeadCol, lit(false)))
+        // a bloom column the rewritten generation doesn't carry (schema
+        // drift mid-lake) publishes no filter for it — fail-open, the
+        // same posture as a pre-bloom batch
+        val present = blooms.filter(boundsColumns(staged.schema).contains)
+        Some(compute(staged, prefix = "", present, bloomExpectedItems, bloomFpp)
+          .withColumn(DeadCol, lit(false)))
       }
     val tombs =
       if (replaced.isEmpty) None
@@ -232,7 +280,8 @@ object FileBounds {
     * leaf-bounded recompute. Returns true when a batch was published. */
   def reconcileLeaf(s: SparkSession, fbDir: String, leaf: Path,
                     y: Int, m: Int, d: Int, mode: String,
-                    liveNames: Seq[String]): Boolean = {
+                    liveNames: Seq[String],
+                    blooms: Seq[String] = Seq.empty): Boolean = {
     if (!hasData(s, fbDir)) return false
     val have = all(s, fbDir)
       .filter(col("year") === y && col("month") === m &&
@@ -245,7 +294,7 @@ object FileBounds {
     writeSwapBatch(s,
       new Path(new Path(fbDir),
         s"heal-${java.util.UUID.randomUUID().toString.take(8)}").toString,
-      missing.map(n => new Path(leaf, n).toString), y, m, d, mode, stale)
+      missing.map(n => new Path(leaf, n).toString), y, m, d, mode, stale, blooms)
   }
 
   def hasData(s: SparkSession, dir: String): Boolean = {

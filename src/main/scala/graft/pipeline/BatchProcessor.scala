@@ -70,7 +70,8 @@ final class BatchProcessor(
     ledgerFactory: (SparkSession, String, Int) => Ledger = Ledger(_, _, _),
     dedup: Option[DedupStage] = None,
     quality: Option[QualityGate] = None,
-    lakeCompaction: Option[Compactor.TickConfig] = None) {
+    lakeCompaction: Option[Compactor.TickConfig] = None,
+    bloomCols: Seq[String] = Seq.empty) {
 
   val ledger: Ledger = ledgerFactory(spark, layout.ledgerDir, maxRetries)
   private var runCounter = 0
@@ -121,7 +122,12 @@ final class BatchProcessor(
     // publishes touched — O(touched), never an O(lake) walk. Runs under
     // the tick's single-writer ownership of the lake; a crash mid-swap
     // is healed from the swap journal before the next tick's pass.
-    lakeCompaction.foreach { cfg =>
+    lakeCompaction.foreach { cfg0 =>
+      // the ingest's bloom set IS the lake's: the swap rewrite must
+      // republish the same filters the per-batch publish does, or
+      // compaction would silently strip point-lookup pruning from
+      // exactly the files that dominate a mature lake
+      val cfg = if (bloomCols.nonEmpty) cfg0.copy(bloomCols = bloomCols) else cfg0
       val touched = touchedPartitions.toSeq.map(new org.apache.hadoop.fs.Path(_))
       val report = Compactor.maintainTouched(spark, layout.curatedDir, touched, cfg)
       // candidate set is consumed only once maintenance RETURNED — a
@@ -333,7 +339,8 @@ final class BatchProcessor(
       // names (publishReady's prefix is the token, known here) — same
       // atomic commit as the rows and the partials (FileBounds scaladoc)
       FileBounds.writeStaged(stagedDf, s"$token-",
-        new org.apache.hadoop.fs.Path(stage, "_filebounds").toString)
+        new org.apache.hadoop.fs.Path(stage, "_filebounds").toString,
+        bloomCols.filter(stagedDf.columns.contains))
     }
     writeManifest(stage, files)
     val ready = new org.apache.hadoop.fs.Path(stagingRoot, s"$token.ready")

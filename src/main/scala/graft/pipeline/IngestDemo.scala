@@ -236,6 +236,85 @@ object IngestDemo {
     })
   }
 
+  private val builtBloom = mutable.Map.empty[String, LakeLayout]
+
+  /** A fourth demo lake whose bounds sidecar carries per-file BLOOM
+    * FILTERS (q129): the days-10-16 events slice with a hash-shaped
+    * `lookup_key` column (a Knuth-multiplicative scramble of event_id,
+    * so the key order is UNCORRELATED with the lake's time layout —
+    * the UUID-lookup shape where every file's [min, max] window spans
+    * essentially the whole key space and range-based file pruning is
+    * structurally useless). Written as FOUR direct appends per leaf
+    * like [[ensureClustered]]'s pre-compaction state, bounds published
+    * once with `blooms = lookup_key`
+    * ([[graft.ingest.FileBounds.bfCol]]), so a point/IN probe on the
+    * key drops files whose filters reject every probed value — the
+    * membership complement of the zone windows. The parquet files also
+    * carry NATIVE parquet bloom filters on the column (writer option),
+    * so the files a false positive keeps still row-group-skip inside
+    * the scan. Build-time requires pin what q129 then interrogates:
+    * every live sidecar row carries a filter and every leaf is
+    * lookup_key-covered. */
+  def ensureBloomed(spark: SparkSession, sfDir: String): LakeLayout = synchronized {
+    builtBloom.getOrElseUpdate(sfDir, {
+      import org.apache.spark.sql.functions._
+      val sfName = new File(sfDir).getName
+      val root = DemoCache.root(s"ingest-bloom/$sfName")
+      val layout = LakeLayout(root.getPath)
+      DemoCache.cached(root, sfDir) {
+        val base = graft.engine.Tables.load(spark, sfDir, "events")
+          .filter(year(col("ts")) === 2024 && month(col("ts")) === 1 &&
+            dayofmonth(col("ts")).between(10, 16))
+          .select(
+            concat(lit("e-"), col("event_id")).as("record_id"),
+            concat(lit("seed-"), pmod(col("event_id"), lit(4))).as("source_file"),
+            col("user_id"),
+            // the hash-shaped id: multiplier and modulus are both
+            // DuckDB-exact integer arithmetic (no overflow below
+            // event_id ~3.4e9), so the oracle recomputes the key
+            // bit-for-bit from the original events
+            concat(lit("k-"),
+              (col("event_id") * lit(2654435761L)) % lit(1000000007L))
+              .as("lookup_key"),
+            col("value"),
+            col("ts").cast("timestamp_ntz").as("event_time_utc"),
+            year(col("ts")).as("year"), month(col("ts")).as("month"),
+            dayofmonth(col("ts")).as("day"), col("event_type").as("mode"),
+            pmod(col("event_id"), lit(4)).as("seed"))
+        for (p <- 0 until 4)
+          base.filter(col("seed") === p).drop("seed")
+            .repartition(col("year"), col("month"), col("day"), col("mode"))
+            .write.mode("append")
+            // native parquet blooms ride the data files themselves —
+            // row-group skipping inside whatever the sidecar keeps
+            .option("parquet.bloom.filter.enabled#lookup_key", "true")
+            .option("parquet.bloom.filter.expected.ndv#lookup_key", "100000")
+            .partitionBy("year", "month", "day", "mode")
+            .parquet(layout.curatedDir)
+        graft.ingest.FileBounds.writeStaged(
+          spark.read.parquet(layout.curatedDir)
+            .select(col("*"), col("_metadata")), "",
+          s"${layout.fileBoundsDir}/b0",
+          blooms = Seq("lookup_key"),
+          // demo-sized filters: ~1.2 KB at 1% over these file grains
+          bloomExpectedItems = 8192, bloomFpp = 0.01)
+        graft.ingest.Rollup.writePartials(
+          spark.read.parquet(layout.curatedDir), s"${layout.rollupDir}/b0")
+        val fb = graft.ingest.FileBounds.all(spark, layout.fileBoundsDir)
+        require(fb.columns.contains(graft.ingest.FileBounds.bfCol("lookup_key")),
+          "bloom demo: sidecar carries no bf_lookup_key column")
+        val missing = fb.filter(
+          col(graft.ingest.FileBounds.bfCol("lookup_key")).isNull).count()
+        require(missing == 0, s"bloom demo: $missing sidecar rows lack a filter")
+        val zones = graft.ingest.FileBounds.partitionZones(spark,
+          layout.fileBoundsDir, layout.rollupDir, Seq("lookup_key")).collect()
+        require(zones.nonEmpty && zones.forall(_.getAs[Boolean]("covered_lookup_key")),
+          "bloom demo: lookup_key coverage incomplete")
+      }
+      layout
+    })
+  }
+
   /** Tiny day-dimension parquet for the dynamic-partition-pruning demo
     * (q52): day 1..31 with a peak flag on days 10 and 20. Written as a
     * real file scan (a LocalRelation would constant-fold and bypass DPP). */

@@ -312,14 +312,22 @@ object RollupMetadataAggregate {
                                         rel: LogicalRelation): Option[String] =
     rel.relation match {
       case fs: HadoopFsRelation =>
-        val root = fs.location.rootPaths match {
-          case Seq(single) => single
-          case many =>
-            val base = fs.options.get("basePath").map(new Path(_))
-              .getOrElse(return None)
+        // an explicit basePath wins even over a SINGLE root path: a
+        // snapshot-pinned read of a fully-compacted small lake lists
+        // exactly one live file, and that file's own path would
+        // otherwise stand in as the root and fail the name check —
+        // declining zone service on precisely the lake state
+        // compaction works towards (one file per leaf)
+        val root = fs.options.get("basePath").map(new Path(_)) match {
+          case Some(base) =>
             val prefix = base.toString.stripSuffix("/") + "/"
-            if (!many.forall(_.toString.startsWith(prefix))) return None
+            if (!fs.location.rootPaths.forall(p =>
+                p == base || p.toString.startsWith(prefix))) return None
             base
+          case None => fs.location.rootPaths match {
+            case Seq(single) => single
+            case _ => return None
+          }
         }
         if (root.getName != "curated") return None
         val names = rel.schema.fields.map(f => f.name -> f.dataType).toMap

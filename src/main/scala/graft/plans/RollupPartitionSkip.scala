@@ -183,13 +183,24 @@ case class RollupPartitionSkip(session: SparkSession) extends Rule[LogicalPlan] 
         nulls(a.name) = (nulls.getOrElse(a.name, (false, false))._1, true)
       case _ => ()
     }
+    // exact membership sets (round 19): an equality / IN / INSET
+    // conjunct pins the column to a FINITE value set — beyond the
+    // [min, max] envelope the window extraction already takes, the
+    // drop path can probe each candidate file's Bloom filter
+    // ([[graft.ingest.FileBounds.bfCol]]) for the set, which is what
+    // prunes point lookups on hash-shaped columns whose windows span
+    // everything. Multiple membership conjuncts intersect; a set past
+    // [[BloomProbeMaxValues]] disqualifies (the probe array is driver
+    // state and the envelope window still applies).
+    val eqSets = extractEqSets(conjuncts, colTypes)
     val consCols = ranges.keySet ++ orSets.keySet ++ nulls.keySet
     val cons: Map[String, ColCons] = consCols.map { c =>
       val (isN, notN) = nulls.getOrElse(c, (false, false))
       c -> ColCons(colTypes(c),
         ranges.get(c).map(w => Seq(Seq(w))).getOrElse(Seq.empty) ++
           orSets.getOrElse(c, Vector.empty),
-        notNull = notN, isNull = isN)
+        notNull = notN, isNull = isN,
+        eqs = eqSets.getOrElse(c, Seq.empty))
     }.toMap
     // any recognized constraint triggers the fold — including a bare
     // IS NOT NULL on a sidecar-tracked column (the drifted-column
@@ -439,6 +450,58 @@ case class RollupPartitionSkip(session: SparkSession) extends Rule[LogicalPlan] 
     wins.toMap
   }
 
+  /** The finite value set each column is pinned to by top-level
+    * membership conjuncts (equality both orientations, null-safe
+    * equality against non-null literals, IN/INSET over same-typed
+    * literals), intersected across conjuncts. A column is dropped when
+    * any contributing set exceeds [[BloomProbeMaxValues]] or the
+    * intersection is empty (the unsatisfiable case is the window
+    * tightener's to collapse; probing nothing is simply sound).
+    * Same-typed literals only — the [[extractRanges]] posture. */
+  private def extractEqSets(preds: Seq[Expression],
+                            colTypes: Map[String, org.apache.spark.sql.types.DataType])
+      : Map[String, Seq[Any]] = {
+    val sets = scala.collection.mutable.Map.empty[String, Option[Set[Any]]]
+    def add(name: String, vs: Set[Any]): Unit = {
+      val next =
+        if (vs.isEmpty || vs.size > BloomProbeMaxValues) None
+        else sets.get(name).flatten match {
+          case Some(cur) => Some(cur intersect vs)
+          case None if sets.contains(name) => None // already disqualified
+          case None => Some(vs)
+        }
+      sets(name) = next.filter(_.nonEmpty)
+    }
+    def lits(a: AttributeReference, elems: Seq[Expression]): Option[Set[Any]] = {
+      val vs = elems.collect {
+        case Literal(v, dt) if v != null && dt == a.dataType => v
+      }
+      // every element must be a clean literal or the set is not the
+      // predicate's full value set (a non-literal element could match
+      // values outside it — probing the literals alone would over-drop)
+      if (vs.size == elems.size) Some(vs.toSet) else None
+    }
+    preds.foreach {
+      case EqualTo(a: AttributeReference, l: Literal) if colTypes.contains(a.name) =>
+        lits(a, Seq(l)).foreach(add(a.name, _))
+      case EqualTo(l: Literal, a: AttributeReference) if colTypes.contains(a.name) =>
+        lits(a, Seq(l)).foreach(add(a.name, _))
+      case EqualNullSafe(a: AttributeReference, l: Literal)
+          if colTypes.contains(a.name) =>
+        lits(a, Seq(l)).foreach(add(a.name, _))
+      case EqualNullSafe(l: Literal, a: AttributeReference)
+          if colTypes.contains(a.name) =>
+        lits(a, Seq(l)).foreach(add(a.name, _))
+      case In(a: AttributeReference, elems) if colTypes.contains(a.name) =>
+        lits(a, elems).foreach(add(a.name, _))
+      case InSet(a: AttributeReference, vset) if colTypes.contains(a.name) =>
+        val vs = vset.filter(_ != null)
+        if (vs.nonEmpty) add(a.name, vs.toSet)
+      case _ => ()
+    }
+    sets.collect { case (c, Some(vs)) => c -> vs.toSeq }.toMap
+  }
+
   /** Our own output shape, in both its pre- and post-`OptimizeIn`
     * forms (plus the empty-window literal-false), so a second pass —
     * or the next fixpoint iteration — never re-folds. */
@@ -606,12 +669,22 @@ object RollupPartitionSkip {
     * singleton, an `Or` of ranges the union of its branch windows); a
     * zone may be skipped under a set only when it intersects NONE of
     * the set's windows. `isNull`/`notNull` carry top-level IS [NOT]
-    * NULL conjuncts, serviced from the sidecar's null counts. */
+    * NULL conjuncts, serviced from the sidecar's null counts.
+    * `eqs` carries the finite value set membership conjuncts pin the
+    * column to (when one exists and fits [[BloomProbeMaxValues]]) —
+    * the drop path probes candidate files' Bloom filters for it. */
   private[plans] final case class ColCons(
       dt: org.apache.spark.sql.types.DataType,
       sets: Seq[Seq[Win]],
       notNull: Boolean = false,
-      isNull: Boolean = false)
+      isNull: Boolean = false,
+      eqs: Seq[Any] = Seq.empty)
+
+  /** Cap on a Bloom-probed value set: the probe hashes are literal
+    * driver/plan state (8 B each) and a predicate pinning a column to
+    * more than this many values is no longer a point lookup — the
+    * envelope window still applies, the Bloom probe just stands down. */
+  val BloomProbeMaxValues = 256
 
   /** Zone keep-predicate for one column's window sets over stored
     * [mn, mx] bounds: AND over sets of (OR over the set's windows of
@@ -811,7 +884,26 @@ object RollupPartitionSkip {
                 }
                 val nonNull = if (k.notNull) nn > 0 else lit(true)
                 val someNull = if (k.isNull) nn < col("n_rows") else lit(true)
-                nn.isNull || (range && nonNull && someNull)
+                // Bloom membership (round 19): a file whose filter
+                // rejects EVERY value the predicate pins the column to
+                // provably holds none of them — the point-lookup drop
+                // range windows cannot make on hash-shaped columns
+                // (and, unlike ranges, valid even for WITHHELD string
+                // bounds). Probe hashes are xxhash64 over the same-typed
+                // literals — bit-identical to what the writer fed the
+                // filter. NULL filter (pre-bloom batch, un-threaded
+                // heal) keeps the file; fail-open like every gap.
+                val bfName = graft.ingest.FileBounds.bfCol(c)
+                val bloom =
+                  if (k.eqs.isEmpty || !fbAll.get.columns.contains(bfName)) lit(true)
+                  else {
+                    graft.functions.BloomExpressions.register(s)
+                    val hashes = array(k.eqs.map(v => xxhash64(litOf(v, k.dt))): _*)
+                    col(bfName).isNull || coalesce(
+                      call_function("graft_bloom_contains_any", col(bfName), hashes),
+                      lit(true))
+                  }
+                nn.isNull || (range && nonNull && someNull && bloom)
               }.reduceOption(_ && _).getOrElse(lit(true))
               fbAll.get
                 .join(zdf, Seq("year", "month", "day", "mode"))

@@ -35,6 +35,10 @@ object IngestQueries {
     * checks; the PLAN is pinned in RollupSkipSpec. */
   private val antiCapSessions = new java.util.concurrent.ConcurrentHashMap[
     SparkSession, SparkSession]
+
+  /** q129's probe keys per sf dir (see the query's comment). */
+  private val bloomProbeKeys =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]
   private def antiCapSession(outer: SparkSession): SparkSession = {
     antiCapSessions.keySet.removeIf(_.sparkContext.isStopped)
     antiCapSessions.computeIfAbsent(outer, o => {
@@ -653,6 +657,41 @@ object IngestQueries {
         .orderBy("mode")
     }),
 
+    // BLOOM-filter file skipping (round 19): the membership complement
+    // of the zone windows, for the id-lookup half of the reference's
+    // consumption mix on UNCLUSTERED hash-shaped keys — q129's fixture
+    // lake ([[IngestDemo.ensureBloomed]]) carries a Knuth-scrambled
+    // `lookup_key` whose per-file [min, max] spans essentially the
+    // whole key space in EVERY file, so range/prefix/z-cluster pruning
+    // is structurally useless; the sidecar's per-file Bloom filters
+    // (`bf_lookup_key`) are what drop the files whose filters reject
+    // every probed key. Probe keys are the three smallest day-12 event
+    // ids, recomputed per scale factor on both sides, so the probe
+    // always hits the lake's window and the oracle recomputes the
+    // exact keys from the original events. The driver's hash check
+    // pins the rows; BloomSkipSpec pins the plan (fewer files listed
+    // than a bloom-less twin keeps, never a containing file dropped).
+    "q129_bloom_lookup" -> ((s, d) => {
+      val lay = IngestDemo.ensureBloomed(s, d)
+      // probe keys are a pure function of the immutable testdata —
+      // memoized per sf so repeated invocations (bench reps) pay the
+      // tiny selection job once, like the demo lakes themselves
+      val keys = bloomProbeKeys.computeIfAbsent(d, dir =>
+        graft.engine.Tables.load(s, dir, "events")
+          .filter(year(col("ts")) === 2024 && month(col("ts")) === 1 &&
+            dayofmonth(col("ts")) === 12)
+          .orderBy("event_id").limit(3)
+          .select(concat(lit("k-"),
+            (col("event_id") * lit(2654435761L)) % lit(1000000007L)).as("k"))
+          .collect().map(_.getString(0)).toSeq)
+      CuratedWriter.read(s, lay.curatedDir)
+        .filter(col("lookup_key").isin(keys: _*))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(round(col("value") * lit(1000000)).cast("long")).as("value_e6"),
+          min(col("record_id")).as("min_rid"),
+          max(col("record_id")).as("max_rid"))
+    }),
+
     "q121_external_snapshot" -> ((s, d) => {
       val lay = IngestDemo.ensure(s, d)
       val root0 = new org.apache.hadoop.fs.Path(lay.curatedDir)
@@ -907,6 +946,20 @@ object IngestQueries {
               CAST(SUM(CAST(ROUND(value*1000000) AS BIGINT)) AS BIGINT) AS value_e6
          FROM events
          GROUP BY 1 ORDER BY 1""",
+    "q129_bloom_lookup" ->
+      """WITH keys AS (
+           SELECT 'k-' || CAST((event_id * 2654435761) % 1000000007 AS VARCHAR) AS k
+           FROM events
+           WHERE year(ts) = 2024 AND month(ts) = 1 AND day(ts) = 12
+           ORDER BY event_id LIMIT 3)
+         SELECT COUNT(*) AS n_rows,
+              CAST(SUM(CAST(ROUND(value*1000000) AS BIGINT)) AS BIGINT) AS value_e6,
+              MIN('e-' || CAST(event_id AS VARCHAR)) AS min_rid,
+              MAX('e-' || CAST(event_id AS VARCHAR)) AS max_rid
+         FROM events
+         WHERE year(ts) = 2024 AND month(ts) = 1 AND day(ts) BETWEEN 10 AND 16
+           AND 'k-' || CAST((event_id * 2654435761) % 1000000007 AS VARCHAR)
+               IN (SELECT k FROM keys)""",
     // deterministic by construction: the tracked string columns are the
     // fixture schema's, and only source_file (absolute raw paths, always
     // past the 64-char cap) ever withholds bounds

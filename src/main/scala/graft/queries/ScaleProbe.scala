@@ -832,6 +832,116 @@ object ScaleProbe {
       Stat("zcluster", tier, nIn, totC, keptC, secsC))
   }
 
+  /** bloomskip ladder (round 19): what per-file Bloom filters buy for
+    * POINT lookups on a hash-shaped key, along the FILES-PER-PARTITION
+    * axis (the fileskip lakes' tier names). One month of sf0.1 events
+    * with a Knuth-scrambled `lookup_key`, written as `bands` appends
+    * per leaf — every file spans essentially the WHOLE key space, so
+    * min/max windows keep everything BY CONSTRUCTION (required below:
+    * kept-by-windows == total files); the sidecar's `bf_lookup_key`
+    * filters are the only statistics that can narrow the listing.
+    *
+    *  - `bloomskip_on` — rule on: `n_candidates` = files the executed
+    *    scan read. Expect ~the containing file (+ false positives at
+    *    the configured fpp) regardless of the tier's file count.
+    *  - `bloomskip_off` — identical query, rule off: every file read —
+    *    linear in `bands` at constant data, the cost every UUID lookup
+    *    pays forever on an unclustered 100 TB lake without membership
+    *    statistics.
+    *
+    * Rows are REQUIRED equal both sides. Steady-state timing like
+    * [[fileSkip]]: one cold fold, then the cached-fold re-run. */
+  def bloomSkip(s: SparkSession, tier: String, bands: Int): Seq[Stat] = {
+    import graft.ingest.{FileBounds, Rollup}
+    val root = s"var/scale/bloomskip/$tier"
+    val curatedDir = s"$root/curated"
+    val ok = new java.io.File(s"$root/_OK")
+    if (!ok.exists) {
+      DemoLikeDelete.deleteRec(new java.io.File(root))
+      val ev = Tables.load(s, "/root/testdata/sf0.1", "events")
+        .filter(year(col("ts")) === 2024 && month(col("ts")) === 1)
+        .select(
+          concat(lit("d"), dayofmonth(col("ts")), lit("-b"),
+            pmod(col("event_id"), lit(bands.toLong))).as("source_file"),
+          col("user_id"),
+          concat(lit("k-"),
+            (col("event_id") * lit(2654435761L)) % lit(1000000007L))
+            .as("lookup_key"),
+          col("ts").cast("timestamp_ntz").as("event_time_utc"),
+          col("value"),
+          year(col("ts")).as("year"), month(col("ts")).as("month"),
+          dayofmonth(col("ts")).as("day"), col("event_type").as("mode"),
+          pmod(col("event_id"), lit(bands.toLong)).as("band"))
+        .persist()
+      // one append per id-parity band: each lands one file per leaf,
+      // and every band samples the full key range (ids stripe across
+      // bands) — the windows-cannot-prune worst case, engineered
+      (0 until bands).foreach { b =>
+        ev.filter(col("band") === b).drop("band")
+          .repartition(col("year"), col("month"), col("day"), col("mode"))
+          .write.mode("append")
+          .partitionBy("year", "month", "day", "mode").parquet(curatedDir)
+      }
+      ev.unpersist()
+      Rollup.partials(s.read.parquet(curatedDir))
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/rollup/b0")
+      FileBounds.writeStaged(
+        s.read.parquet(curatedDir).select(col("*"), col("_metadata")),
+        "", s"$root/filebounds/b0", blooms = Seq("lookup_key"),
+        bloomExpectedItems = 16384, bloomFpp = 0.01)
+      ok.createNewFile(): Unit
+    }
+    val nIn = s.read.parquet(curatedDir).count()
+    // the probe key: a fixed mid-month event's scrambled id (event ids
+    // are dense from 0, so id 5000 exists at sf0.1's 100k rows)
+    val probeKey = s"k-${(5000L * 2654435761L) % 1000000007L}"
+    // attribution: what a bloom-LESS sidecar's windows would keep for
+    // this probe, evaluated directly over the store — ~everything at
+    // low band counts (each file samples the full key space); at high
+    // band counts the smallest files hold few enough keys that their
+    // [min, max] excludes the probe by chance, so the windows term is
+    // REPORTED as its own rung (`bloomskip_windows`) rather than
+    // assumed, and the bloom verdict below must beat it outright
+    val fb = FileBounds.all(s, s"$root/filebounds")
+    val winKept = fb.filter(col("min_lookup_key") <= lit(probeKey) &&
+      col("max_lookup_key") >= lit(probeKey)).count()
+    val fbTotal = fb.count()
+    def q() = s.read.parquet(curatedDir)
+      .filter(col("lookup_key") === probeKey)
+      .select("source_file", "user_id", "value", "day", "mode")
+    def run(): (Seq[Seq[Any]], Double, Long) = {
+      graft.plans.RollupPartitionSkip.clearCache()
+      s.catalog.clearCache()
+      q().collect()
+      s.catalog.clearCache()
+      val df = q()
+      val (rows, secs) = timed(df.collect().map(_.toSeq).sortBy(_.mkString("|")))
+      val nFiles = df.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.totalNumberOfFiles
+      }.sum
+      (rows.toSeq, secs, nFiles)
+    }
+    val (rowsOn, onSecs, filesOn) = run()
+    s.conf.set(graft.plans.RollupPartitionSkip.EnabledKey, "false")
+    val (rowsOff, offSecs, filesOff) =
+      try run()
+      finally s.conf.set(graft.plans.RollupPartitionSkip.EnabledKey, "true")
+    require(rowsOn == rowsOff,
+      s"bloom_skip($tier): pruned answer diverges from the full scan")
+    require(rowsOn.nonEmpty, s"bloom_skip($tier): probe key matched nothing")
+    require(filesOn < winKept,
+      s"bloom_skip($tier): blooms beat windows nowhere ($filesOn vs $winKept kept)")
+    require(filesOn < filesOff,
+      s"bloom_skip($tier): no file pruning ($filesOn vs $filesOff files)")
+    Seq(Stat("bloomskip_on", tier, nIn, filesOn, rowsOn.length, onSecs),
+      // the windows-only counterfactual: n_candidates = files a
+      // bloom-less sidecar would keep (no timing of its own — the off
+      // run below prices the no-statistics end)
+      Stat("bloomskip_windows", tier, nIn, winKept, fbTotal.toInt, 0.0),
+      Stat("bloomskip_off", tier, nIn, filesOff, rowsOff.length, offSecs))
+  }
+
   /** The small-file problem and its fix ([[graft.ingest.Compactor]],
     * q115) along the FRAGMENTATION axis: identical data (one month of
     * sf0.1 events, ~150 day×mode leaves), written as `frag` files per

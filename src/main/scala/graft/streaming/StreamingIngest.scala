@@ -65,7 +65,8 @@ object StreamingIngest {
                       maxFilesPerTrigger: Option[Int] = None,
                       dedup: Option[DedupStage] = None,
                       quality: Option[QualityGate] = None,
-                      lakeCompaction: Option[graft.ingest.Compactor.TickConfig] = None
+                      lakeCompaction: Option[graft.ingest.Compactor.TickConfig] = None,
+                      bloomCols: Seq[String] = Seq.empty
                      ): Unit = {
     val schema =
       if (contract.fieldNames.contains(CorruptCol)) contract
@@ -84,8 +85,13 @@ object StreamingIngest {
       .option("checkpointLocation", s"${layout.root}/checkpoint")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // the ingest's bloom set IS the lake's (BatchProcessor has the
+        // same rule): maintenance swaps must republish what the
+        // per-batch publish does
+        val cfg = if (bloomCols.isEmpty) lakeCompaction
+          else lakeCompaction.map(_.copy(bloomCols = bloomCols))
         processMicroBatch(spark, batch.persist(), layout, s"stream-$batchId",
-          dedup, quality, lakeCompaction)
+          dedup, quality, cfg, bloomCols)
         batch.unpersist()
         ()
       }
@@ -101,7 +107,8 @@ object StreamingIngest {
                                 layout: LakeLayout, runId: String,
                                 dedup: Option[DedupStage],
                                 quality: Option[QualityGate],
-                                lakeCompaction: Option[graft.ingest.Compactor.TickConfig]
+                                lakeCompaction: Option[graft.ingest.Compactor.TickConfig],
+                                bloomCols: Seq[String] = Seq.empty
                                ): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new org.apache.hadoop.fs.Path(layout.root).toUri,
@@ -173,7 +180,8 @@ object StreamingIngest {
           .withColumn("month", col("month").cast("int"))
           .withColumn("day", col("day").cast("int"))
           .withColumn("mode", col("mode").cast("string")),
-        s"b$runId-", s"${layout.fileBoundsDir}/b$runId")
+        s"b$runId-", s"${layout.fileBoundsDir}/b$runId",
+        bloomCols.filter(pub.columns.contains))
       val (_, touchedDirs) = Staging.publishTracked(fs, stage,
         new org.apache.hadoop.fs.Path(layout.curatedDir),
         prefix = s"b$runId-", replaceExistingPrefix = true)

@@ -178,10 +178,17 @@ object ScaleStress {
         for ((tier, copies) <- ZClusterTiers;
              st <- ScaleProbe.zCluster(spark, tier, copies))
           println(s"SCALE ${st.json}")
+      // bloom membership skipping runs on the FILES-PER-PARTITION axis
+      if (wanted0.contains("bloomskip"))
+        for ((tier, bands) <- FileSkipTiers;
+             st <- ScaleProbe.bloomSkip(spark, tier, bands))
+          println(s"SCALE ${st.json}")
       val wanted =
-        wanted0 - "rollup" - "compact" - "fileskip" - "exportmaint" - "zcluster"
+        wanted0 - "rollup" - "compact" - "fileskip" - "exportmaint" -
+          "zcluster" - "bloomskip"
       if (wanted.isEmpty && wanted0.subsetOf(
-          Set("rollup", "compact", "fileskip", "exportmaint", "zcluster"))) {
+          Set("rollup", "compact", "fileskip", "exportmaint", "zcluster",
+            "bloomskip"))) {
         spark.stop(); return
       }
       val probes: Map[String, (SparkSession, String, String) => ScaleProbe.Stat] = Map(
