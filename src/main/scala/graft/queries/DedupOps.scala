@@ -244,15 +244,20 @@ object DedupOps {
           f"[minhash] $tag ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
     }
-    if (sys.env.contains("GRAFT_DEBUG")) timed("cands")(cands.count())
     // Guard the broadcast (r18 ADVICE): under pathological band-hash
     // skew the candidate-id set could outgrow driver/broadcast memory,
     // and an unconditional hint would fail the query where a shuffled
-    // semi join would merely degrade. The count is one cheap job over
-    // the already-persisted cands (and pre-populates that cache for the
-    // verification join below).
-    val nCand = timed("cand-ids")(candIds.count())
-    val idSide = if (nCand <= MaxBroadcastCandIds) broadcast(candIds) else candIds
+    // semi join would merely degrade. The guard quantity is the CHEAP
+    // upper bound |candIds| ≤ 2·|cands| (each pair contributes its two
+    // endpoints) — one scan of the just-persisted cands cache, where
+    // counting candIds itself would pay a union+distinct SHUFFLE per
+    // evaluation purely to decide a hint (measured 0.6-1.2 s of q91's
+    // fixed cost at sf0.1; the distinct still runs exactly once, inside
+    // the broadcast build). The bound only ever declines broadcasts the
+    // exact count would allow in the 5-10M sliver — safe, never unsafe.
+    val nCandUpper = timed("cand-guard")(2L * cands.count())
+    val idSide =
+      if (nCandUpper <= MaxBroadcastCandIds) broadcast(candIds) else candIds
     // TRACKED: the verification join consumes slim TWICE (a_id and b_id
     // sides), and `base` is often the tail of a cached-but-still-priced
     // upstream chain (q91: gate→exact-dedup→decontam). Untracked, each
