@@ -39,6 +39,7 @@ object DemoSnapshot {
     pipeline.IngestDemo.ensureEvolvedCatalog(spark, sfDir)
     pipeline.IngestDemo.ensureCompacted(spark, sfDir)
     pipeline.IngestDemo.ensureClustered(spark, sfDir)
+    pipeline.IngestDemo.ensureBloomed(spark, sfDir)
     pipeline.StreamDemo.ensure(spark, sfDir)
     pipeline.StreamDemo.ensureHourly(spark, sfDir).count()
     pipeline.StreamDemo.ensureStreamJoin(spark, sfDir).count()
