@@ -117,6 +117,7 @@ object DemoCache {
       s"langmodel/$sfName", s"qualmodel/$sfName", s"deduplake/$sfName",
       s"multigatelake/$sfName", s"fpidx/$sfName", s"export/$sfName",
       s"exportappend/$sfName", s"ingest-compact/$sfName",
+      s"ingest-cluster/$sfName", s"ingest-bloom/$sfName",
       s"fixtures/$sfName",
       s"minhash/$sfName", s"minhash_app/$sfName") ++
       children("spark-warehouse") ++ children("spark-warehouse/_graft_memo"))
