@@ -470,7 +470,11 @@ object Compactor {
     // the sort column and every row group carries tight min/max, so
     // pushed predicates skip row groups at read time
     val laid = ZCluster.layoutFor(df, clusterCols, sortCol, nOut)
-    laid.write.mode("overwrite").parquet(tmp.toString)
+    // rewritten files inherit the lake's native parquet blooms: the
+    // compacted bulk is exactly where a point lookup's kept files live
+    laid.write.mode("overwrite")
+      .options(CuratedWriter.bloomOptions(laid, bloomCols))
+      .parquet(tmp.toString)
     val entry = writeJournal(fs, root, leaf) // dirty marker until fully swapped
     val gen = meta.committed + 1
     // move outputs in under the (still uncommitted) generation's names

@@ -35,13 +35,28 @@ import org.apache.spark.sql.functions.col
 object CuratedWriter {
   val PartitionCols: Seq[String] = Seq("year", "month", "day", "mode")
 
+  /** Per-column writer options enabling PARQUET-NATIVE bloom filters —
+    * the row-group-grain complement of the sidecar's file-grain
+    * `bf_<col>` filters (round 19): the sidecar drops whole files at
+    * PLAN time; whatever survives (false positives, bloom-less
+    * batches) still row-group-skips inside the scan, with zero reader
+    * changes (parquet-mr consumes its own filters for pushed equality
+    * predicates). Columns absent from the frame are skipped — the
+    * writer option would otherwise fail the write on a drifted batch
+    * that legitimately lacks the column. */
+  def bloomOptions(df: DataFrame, bloomCols: Seq[String]): Map[String, String] =
+    bloomCols.filter(df.columns.contains)
+      .map(c => s"parquet.bloom.filter.enabled#$c" -> "true").toMap
+
   def append(curated: DataFrame, lakeDir: String,
-             maxRecordsPerFile: Long = 5000000L): Unit =
+             maxRecordsPerFile: Long = 5000000L,
+             bloomCols: Seq[String] = Seq.empty): Unit =
     curated
       .repartition(PartitionCols.map(col): _*)
       .write
       .mode("append")
       .option("maxRecordsPerFile", maxRecordsPerFile)
+      .options(bloomOptions(curated, bloomCols))
       .partitionBy(PartitionCols: _*)
       .parquet(lakeDir)
 

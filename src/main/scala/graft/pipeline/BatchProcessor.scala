@@ -314,7 +314,8 @@ final class BatchProcessor(
     if (files.isEmpty) return
     val token = s"$runId-${java.util.UUID.randomUUID().toString.take(8)}"
     val stage = new org.apache.hadoop.fs.Path(stagingRoot, token)
-    curated.foreach(df => CuratedWriter.append(df, stage.toString))
+    curated.foreach(df =>
+      CuratedWriter.append(df, stage.toString, bloomCols = bloomCols))
     // Rollup partials ride the SAME atomic commit as the rows they
     // summarize (written pre-commit, published by publishReady) — a
     // post-commit append would under-count forever after a crash,

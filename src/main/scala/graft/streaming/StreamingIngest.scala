@@ -166,6 +166,7 @@ object StreamingIngest {
       fs.delete(stage, true)
       pub.repartition(CuratedWriter.PartitionCols.map(col): _*)
         .write.mode("overwrite")
+        .options(CuratedWriter.bloomOptions(pub, bloomCols))
         .partitionBy(CuratedWriter.PartitionCols: _*)
         .parquet(stage.toString)
       // per-data-file zone statistics, computed from the staged files
