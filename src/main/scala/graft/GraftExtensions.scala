@@ -115,13 +115,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         arity("vec_dot_q8", exprs, 4)
         graft.functions.Vec8Dot(exprs.head, exprs(1), exprs(2), exprs(3))
       }))
+    // build AND probe (round 20): extension-built sessions could probe
+    // sidecar filters but not construct them via SQL — asymmetric for a
+    // pure-SQL deployment publishing its own bounds batches. Builders
+    // are shared with the per-session registry path (arity-checked
+    // there, once, for both).
+    ext.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(classOf[graft.functions.BloomBuildAgg].getName,
+        "graft_bloom_agg"),
+      graft.functions.BloomExpressions.aggBuilder))
     ext.injectFunction((
       FunctionIdentifier("graft_bloom_contains_any"),
       new ExpressionInfo(classOf[graft.functions.BloomMightContainAny].getName,
         "graft_bloom_contains_any"),
-      (exprs: Seq[Expression]) => {
-        arity("graft_bloom_contains_any", exprs, 2)
-        graft.functions.BloomMightContainAny(exprs.head, exprs(1))
-      }))
+      graft.functions.BloomExpressions.probeBuilder))
   }
 }

@@ -44,7 +44,61 @@ import org.apache.spark.util.sketch.BloomFilter
   * probe's interpreted eval never touch a row-scale hot path.
   */
 object BloomExpressions {
-  /** Idempotently register both functions in the session. */
+  /** Shared by [[register]] and [[graft.GraftExtensions]] (extension
+    * sessions build AND probe filters via SQL — round 20, r19 ADVICE).
+    * Explicit arity checks: a wrong argument count surfaces as a clean
+    * analysis-time message, not an IndexOutOfBoundsException dressed as
+    * an internal error. */
+  private[graft] val aggBuilder: Seq[Expression] => Expression = exprs => {
+    if (exprs.length != 3)
+      throw new IllegalArgumentException(
+        s"graft_bloom_agg expects 3 arguments (hash, expectedItems, fpp), " +
+          s"got ${exprs.length}")
+    def lng(e: Expression, what: String): Long = e match {
+      case Literal(v: Long, LongType) => v
+      case Literal(v: Int, IntegerType) => v.toLong
+      case other => throw new IllegalArgumentException(
+        s"graft_bloom_agg: $what must be an integer literal, got $other")
+    }
+    def dbl(e: Expression): Double = e match {
+      case Literal(v: Double, DoubleType) => v
+      case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+      case other => throw new IllegalArgumentException(
+        s"graft_bloom_agg: fpp must be a double literal, got $other")
+    }
+    BloomBuildAgg(exprs.head, lng(exprs(1), "expectedItems"), dbl(exprs(2)))
+  }
+
+  private[graft] val probeBuilder: Seq[Expression] => Expression = exprs => {
+    if (exprs.length != 2)
+      throw new IllegalArgumentException(
+        s"graft_bloom_contains_any expects 2 arguments (bf, hashes), " +
+          s"got ${exprs.length}")
+    BloomMightContainAny(exprs.head, exprs(1))
+  }
+
+  private[graft] val autoBuilder: Seq[Expression] => Expression = exprs => {
+    if (exprs.length != 4)
+      throw new IllegalArgumentException(
+        s"graft_bloom_agg_auto expects 4 arguments (hash, floorItems, " +
+          s"ceilItems, fpp), got ${exprs.length}")
+    def lng(e: Expression, what: String): Long = e match {
+      case Literal(v: Long, LongType) => v
+      case Literal(v: Int, IntegerType) => v.toLong
+      case other => throw new IllegalArgumentException(
+        s"graft_bloom_agg_auto: $what must be an integer literal, got $other")
+    }
+    def dbl(e: Expression): Double = e match {
+      case Literal(v: Double, DoubleType) => v
+      case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+      case other => throw new IllegalArgumentException(
+        s"graft_bloom_agg_auto: fpp must be a double literal, got $other")
+    }
+    BloomBuildAutoAgg(exprs.head, lng(exprs(1), "floorItems"),
+      lng(exprs(2), "ceilItems"), dbl(exprs(3)))
+  }
+
+  /** Idempotently register all three functions in the session. */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     val aggIdent = FunctionIdentifier("graft_bloom_agg")
@@ -52,21 +106,15 @@ object BloomExpressions {
       registry.registerFunction(
         aggIdent,
         new ExpressionInfo(classOf[BloomBuildAgg].getName, "graft_bloom_agg"),
-        (exprs: Seq[Expression]) => {
-          def lng(e: Expression, what: String): Long = e match {
-            case Literal(v: Long, LongType) => v
-            case Literal(v: Int, IntegerType) => v.toLong
-            case other => throw new IllegalArgumentException(
-              s"graft_bloom_agg: $what must be an integer literal, got $other")
-          }
-          def dbl(e: Expression): Double = e match {
-            case Literal(v: Double, DoubleType) => v
-            case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
-            case other => throw new IllegalArgumentException(
-              s"graft_bloom_agg: fpp must be a double literal, got $other")
-          }
-          BloomBuildAgg(exprs.head, lng(exprs(1), "expectedItems"), dbl(exprs(2)))
-        })
+        aggBuilder)
+    }
+    val autoIdent = FunctionIdentifier("graft_bloom_agg_auto")
+    if (!registry.functionExists(autoIdent)) {
+      registry.registerFunction(
+        autoIdent,
+        new ExpressionInfo(classOf[BloomBuildAutoAgg].getName,
+          "graft_bloom_agg_auto"),
+        autoBuilder)
     }
     val probeIdent = FunctionIdentifier("graft_bloom_contains_any")
     if (!registry.functionExists(probeIdent)) {
@@ -74,7 +122,7 @@ object BloomExpressions {
         probeIdent,
         new ExpressionInfo(classOf[BloomMightContainAny].getName,
           "graft_bloom_contains_any"),
-        (exprs: Seq[Expression]) => BloomMightContainAny(exprs.head, exprs(1)))
+        probeBuilder)
     }
   }
 }
@@ -139,6 +187,165 @@ case class BloomBuildAgg(
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =
     copy(child = newChildren.head)
+}
+
+/** The auto-sizing aggregation buffer: hashes are BUFFERED verbatim
+  * while the group stays small (so the filter can be sized from the
+  * group's ACTUAL count at eval time), and promoted to one
+  * ceiling-sized filter once the group outgrows [[BloomBuildAutoAgg.BufferCapItems]]
+  * — bounding buffer memory at ~4 MB per in-flight group while files
+  * that large deserve the near-ceiling filter anyway. `bf` is non-null
+  * iff promoted; all promoted filters share the (ceil, fpp) size, so
+  * `mergeInPlace` never faces incompatible bit widths. */
+private[functions] final class BloomAutoBuffer(
+    var hashes: scala.collection.mutable.ArrayBuffer[Long],
+    var bf: BloomFilter,
+    var n: Long)
+
+/** `graft_bloom_agg_auto(hash BIGINT, floorItems, ceilItems, fpp) ->
+  * STRUCT<bf BINARY, n_items BIGINT, fpp DOUBLE>` — the per-group
+  * Bloom filter SIZED FROM THE GROUP'S OWN ROW COUNT (round 20, r19
+  * verdict #2): the caller supplies a floor/ceiling, the aggregate
+  * sizes each filter at `clamp(n, floor, ceil)` items. The fixed-size
+  * [[BloomBuildAgg]] forced one expectedItems literal across a store
+  * whose file sizes can differ 100× — oversized filters bloat the
+  * sidecar, undersized ones silently lose their drop power to false
+  * positives. `fpp` in the result is the filter's ACHIEVED
+  * false-positive estimate after insertion (`BloomFilter.expectedFpp`),
+  * recorded beside the filter so an operator can audit drop power
+  * without probing ([[graft.ingest.FileBounds]] publishes it as
+  * `bfpp_<col>`).
+  *
+  * Metadata-path only, like its fixed-size sibling: one group per data
+  * file, never a row-scale hot path. */
+case class BloomBuildAutoAgg(
+    child: Expression,
+    floorItems: Long,
+    ceilItems: Long,
+    fpp: Double,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[BloomAutoBuffer] {
+
+  require(floorItems > 0 && ceilItems >= floorItems,
+    "graft_bloom_agg_auto: need 0 < floorItems <= ceilItems")
+  require(fpp > 0.0 && fpp < 1.0, "graft_bloom_agg_auto: fpp must be in (0, 1)")
+
+  import BloomBuildAutoAgg.BufferCapItems
+
+  override def children: Seq[Expression] = Seq(child)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_bloom_agg_auto expects a BIGINT hash (use xxhash64), got ${t.sql}")
+  }
+  override def dataType: DataType = BloomBuildAutoAgg.resultType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_bloom_agg_auto"
+
+  private def cap: Long = math.min(ceilItems, BufferCapItems)
+
+  override def createAggregationBuffer(): BloomAutoBuffer =
+    new BloomAutoBuffer(scala.collection.mutable.ArrayBuffer.empty[Long], null, 0L)
+
+  private def promote(buf: BloomAutoBuffer): Unit = {
+    val f = BloomFilter.create(ceilItems, fpp)
+    buf.hashes.foreach(f.putLong)
+    buf.bf = f
+    buf.hashes = null
+  }
+
+  override def update(buf: BloomAutoBuffer, input: InternalRow): BloomAutoBuffer = {
+    val v = child.eval(input)
+    if (v != null) {
+      buf.n += 1
+      if (buf.bf != null) buf.bf.putLong(v.asInstanceOf[Long]): Unit
+      else {
+        buf.hashes += v.asInstanceOf[Long]
+        if (buf.hashes.length > cap) promote(buf)
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: BloomAutoBuffer, other: BloomAutoBuffer): BloomAutoBuffer = {
+    buf.n += other.n
+    (buf.bf, other.bf) match {
+      case (null, null) =>
+        buf.hashes ++= other.hashes
+        if (buf.hashes.length > cap) promote(buf)
+      case (null, f) =>
+        buf.hashes.foreach(f.putLong)
+        buf.bf = f; buf.hashes = null
+      case (f, null) => other.hashes.foreach(f.putLong): Unit
+      case (f, g) => f.mergeInPlace(g): Unit // same (ceil, fpp) size by construction
+    }
+    buf
+  }
+
+  override def eval(buf: BloomAutoBuffer): Any = {
+    val f =
+      if (buf.bf != null) buf.bf
+      else {
+        // sized from the ACTUAL count — row count upper-bounds distinct
+        // count, so fpp only ever lands at-or-below the target
+        val sized = BloomFilter.create(
+          math.max(floorItems, math.min(buf.hashes.length.toLong, ceilItems)), fpp)
+        buf.hashes.foreach(sized.putLong)
+        sized
+      }
+    val out = new ByteArrayOutputStream()
+    f.writeTo(out)
+    InternalRow(out.toByteArray, buf.n, f.expectedFpp())
+  }
+
+  override def serialize(buf: BloomAutoBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeLong(buf.n)
+    if (buf.bf != null) { out.writeByte(1); buf.bf.writeTo(out) }
+    else {
+      out.writeByte(0)
+      out.writeInt(buf.hashes.length)
+      buf.hashes.foreach(out.writeLong)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): BloomAutoBuffer = {
+    val in = new java.io.DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readLong()
+    if (in.readByte() == 1)
+      new BloomAutoBuffer(null, BloomFilter.readFrom(in), n)
+    else {
+      val k = in.readInt()
+      val arr = new scala.collection.mutable.ArrayBuffer[Long](k)
+      var i = 0
+      while (i < k) { arr += in.readLong(); i += 1 }
+      new BloomAutoBuffer(arr, null, n)
+    }
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ImperativeAggregate =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ImperativeAggregate =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+object BloomBuildAutoAgg {
+  /** Raw-hash buffering bound: past 512k longs (~4 MB) the group is
+    * promoted to a ceiling-sized filter — a file that large deserves
+    * the near-ceiling size regardless, so nothing is lost. */
+  val BufferCapItems = 524288L
+
+  val resultType: StructType = StructType(Seq(
+    StructField("bf", BinaryType, nullable = false),
+    StructField("n_items", LongType, nullable = false),
+    StructField("fpp", DoubleType, nullable = false)))
 }
 
 /** `graft_bloom_contains_any(bf BINARY, hashes ARRAY<BIGINT>) ->

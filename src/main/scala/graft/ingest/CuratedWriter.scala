@@ -35,6 +35,12 @@ import org.apache.spark.sql.functions.col
 object CuratedWriter {
   val PartitionCols: Seq[String] = Seq("year", "month", "day", "mode")
 
+  /** NDV ceiling for the native bloom sizing below: the order of rows
+    * a 128 MB parquet row group of curated events holds, and the point
+    * where parquet-mr's 1 MiB `bloom.filter.max.bytes` cap binds
+    * anyway — a larger claim buys nothing. */
+  val DefaultBloomNdv = 1000000L
+
   /** Per-column writer options enabling PARQUET-NATIVE bloom filters —
     * the row-group-grain complement of the sidecar's file-grain
     * `bf_<col>` filters (round 19): the sidecar drops whole files at
@@ -43,10 +49,28 @@ object CuratedWriter {
     * changes (parquet-mr consumes its own filters for pushed equality
     * predicates). Columns absent from the frame are skipped — the
     * writer option would otherwise fail the write on a drifted batch
-    * that legitimately lacks the column. */
-  def bloomOptions(df: DataFrame, bloomCols: Seq[String]): Map[String, String] =
-    bloomCols.filter(df.columns.contains)
-      .map(c => s"parquet.bloom.filter.enabled#$c" -> "true").toMap
+    * that legitimately lacks the column.
+    *
+    * Sizing (round 20, r19 ADVICE): enabling a column WITHOUT an
+    * expected-NDV makes parquet-mr allocate its maximum (~1 MiB) per
+    * column per row group — fresh appends and small row groups got
+    * materially inflated files. Emit an explicit ceiling
+    * (`expected.ndv`, default [[DefaultBloomNdv]]) AND adaptive sizing
+    * (`adaptive.enabled`, parquet 1.16's candidate ladder): the writer
+    * tracks the row group's ACTUAL distinct count and keeps the
+    * smallest candidate filter meeting the fpp, so a 10k-row flush
+    * carries a kilobyte filter while a full row group keeps its
+    * megabyte one — no per-lake tuning required, overshoot
+    * self-corrects downward. */
+  def bloomOptions(df: DataFrame, bloomCols: Seq[String],
+                   expectedNdv: Long = DefaultBloomNdv): Map[String, String] = {
+    val present = bloomCols.filter(df.columns.contains)
+    if (present.isEmpty) Map.empty
+    else present.flatMap(c => Seq(
+      s"parquet.bloom.filter.enabled#$c" -> "true",
+      s"parquet.bloom.filter.expected.ndv#$c" -> expectedNdv.toString)).toMap +
+      ("parquet.bloom.filter.adaptive.enabled" -> "true")
+  }
 
   def append(curated: DataFrame, lakeDir: String,
              maxRecordsPerFile: Long = 5000000L,
@@ -56,7 +80,10 @@ object CuratedWriter {
       .write
       .mode("append")
       .option("maxRecordsPerFile", maxRecordsPerFile)
-      .options(bloomOptions(curated, bloomCols))
+      // a file never holds more rows than maxRecordsPerFile, so no row
+      // group does either — the tighter of the two ceilings wins
+      .options(bloomOptions(curated, bloomCols,
+        math.min(maxRecordsPerFile, DefaultBloomNdv)))
       .partitionBy(PartitionCols: _*)
       .parquet(lakeDir)
 

@@ -87,14 +87,35 @@ object FileBounds {
     * file — fail-open like every other sidecar gap. */
   def bfCol(c: String): String = s"bf_$c"
 
-  /** Bloom sizing defaults: ~1.05 MB per filter at full load. Sized
-    * for production file grain (a 128 MB parquet file of curated
-    * events holds ~1M rows); the sketch stays correct when a file
-    * holds fewer (fpp only improves) and degrades to a higher
-    * false-positive rate — never a wrong drop — when it holds more.
-    * Fixtures pass smaller values; a deployment tunes per lake. */
+  /** Storage name for column `c`'s ACHIEVED per-file false-positive
+    * rate (`BloomFilter.expectedFpp` after insertion) — the audit
+    * column that makes drop power observable without probing: a file
+    * whose fpp drifted toward 1.0 has silently lost its membership
+    * pruning (it was written past its ceiling) and should be queued
+    * for a bounds rewrite. NULL on pre-round-20 stores (fail-open,
+    * audit-only — the probe path never reads it). */
+  def bfppCol(c: String): String = s"bfpp_$c"
+
+  /** Bloom sizing: each file's filter is sized from ITS OWN row count
+    * (round 20 — `graft_bloom_agg_auto`), clamped to
+    * [[BloomFloorItems]]..`bloomExpectedItems`. The caller's
+    * `bloomExpectedItems` is thus a CEILING, not the size every filter
+    * gets: a store whose file sizes differ 100× (fresh micro-batch
+    * appends beside compacted bulk) gets kilobyte filters on the small
+    * files and full-size ones on the large, instead of a fleet of
+    * uniformly oversized (sidecar bloat) or undersized (drop power
+    * silently lost to false positives) filters. The default ceiling is
+    * production file grain (a 128 MB parquet file of curated events
+    * holds ~1M rows, ~1.05 MB filter at [[BloomFpp]]); past the
+    * ceiling the filter stays correct and degrades to a higher
+    * false-positive rate — never a wrong drop. The ACHIEVED fpp per
+    * file is recorded beside each filter ([[bfppCol]]) for audit. */
   val BloomExpectedItems = 1000000L
   val BloomFpp = 0.03
+
+  /** Smallest filter worth publishing (~1.3 KB at 3%): below this the
+    * per-row sizing gain is noise next to the sidecar row itself. */
+  val BloomFloorItems = 1024L
 
   /** Tombstone marker: a row with `_dead = true` retires EVERY bounds
     * row for its (data_file, partition) key — the mechanism lake
@@ -167,9 +188,12 @@ object FileBounds {
         max(col(c)).as(maxCol(c))) ++
         // per-file longest value — the all-or-nothing withhold gate
         (if (strings.contains(c)) Seq(max(length(col(c))).as(s"_len_$c")) else Seq.empty) ++
+        // auto-sized per file (object scaladoc): expectedItems derives
+        // from the group's own row count, bloomExpectedItems caps it
         (if (blooms.contains(c))
-          Seq(call_function("graft_bloom_agg", xxhash64(col(c)),
-            lit(bloomExpectedItems), lit(bloomFpp)).as(bfCol(c)))
+          Seq(call_function("graft_bloom_agg_auto", xxhash64(col(c)),
+            lit(math.min(BloomFloorItems, bloomExpectedItems)),
+            lit(bloomExpectedItems), lit(bloomFpp)).as(s"_bfa_$c"))
         else Seq.empty)
     }
     val aggs = Seq(
@@ -184,10 +208,18 @@ object FileBounds {
           regexp_extract(col("_metadata.file_path"), "[^/]+$", 0)).as("data_file"),
         col("year"), col("month"), col("day"), col("mode"))
       .agg(aggs.head, aggs.tail: _*)
+    // split the auto-agg struct into the probe column (bf_<c>, binary —
+    // the format the skip rule consumes, unchanged) and the audit
+    // column (bfpp_<c>, the filter's achieved fpp)
+    val withBlooms = blooms.foldLeft(agged) { (df, c) =>
+      df.withColumn(bfCol(c), col(s"_bfa_$c")("bf"))
+        .withColumn(bfppCol(c), col(s"_bfa_$c")("fpp"))
+        .drop(s"_bfa_$c")
+    }
     // withhold a string column's bounds for files holding ANY value
     // past the cap (per-file all-or-nothing: a per-VALUE filter would
     // be unsound — a long string can sort below every short one)
-    strings.foldLeft(agged) { (df, c) =>
+    strings.foldLeft(withBlooms) { (df, c) =>
       df.withColumn(minCol(c),
           when(col(s"_len_$c") <= StringBoundsCap, col(minCol(c))))
         .withColumn(maxCol(c),

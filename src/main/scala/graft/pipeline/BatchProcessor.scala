@@ -73,6 +73,27 @@ final class BatchProcessor(
     lakeCompaction: Option[Compactor.TickConfig] = None,
     bloomCols: Seq[String] = Seq.empty) {
 
+  // Fail fast on a bad bloom config (round 20, r19 ADVICE): the
+  // per-batch `filter(columns.contains)` guard at the publish sites
+  // exists for genuinely drifted batches that LACK a column, but it
+  // also silently swallowed a typo'd name — no filters ever published,
+  // point lookups quietly stopped pruning — while a present column of
+  // an unsupported type sailed past it and crashed every tick inside
+  // FileBounds.compute. Validate once, against the contract's curated
+  // shape (Transformer.curate is schema-deterministic, so an empty
+  // frame yields the exact column/type surface every batch publishes).
+  if (bloomCols.nonEmpty) {
+    val probe = Transformer.curate(
+      spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        StructType(contract.fields.filterNot(_.name == RawJsonReader.CorruptCol))))
+      .withColumn("source_file", org.apache.spark.sql.functions.lit("").cast("string"))
+    val tracked = FileBounds.boundsColumns(probe.schema)
+    val bad = bloomCols.filterNot(tracked.contains)
+    require(bad.isEmpty,
+      s"bloomCols must name bounds-tracked curated columns " +
+        s"(tracked: ${tracked.sorted.mkString(", ")}); invalid: ${bad.mkString(", ")}")
+  }
+
   val ledger: Ledger = ledgerFactory(spark, layout.ledgerDir, maxRetries)
   private var runCounter = 0
   // per-instance token: run-%05d counters restart at run-00001 on every

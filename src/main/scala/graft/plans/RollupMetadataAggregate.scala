@@ -307,7 +307,20 @@ object RollupMetadataAggregate {
     * zoned-timestamp lake can never be zone-pruned against
     * offset-shifted NTZ bounds or served NTZ-typed partial minima.
     * Shared with [[RollupPartitionSkip]] — one lake-identity test for
-    * both rules. */
+    * both rules.
+    *
+    * The basePath shape additionally requires COVERAGE (round 20, r19
+    * ADVICE): the explicit listing must equal the lake's CURRENT live
+    * file set. Without it, a partition-subtree read —
+    * `spark.read.option("basePath", lake).parquet(s"\$lake/year=2024")`
+    * — carries no Filter in the plan (the restriction lives entirely in
+    * the listing), so the rewrite would serve WHOLE-lake aggregates for
+    * a subtree scan: an exact-looking wrong answer. Equality against
+    * [[graft.ingest.LakeSnapshot.liveFiles]] declines directory
+    * rootPaths, file subsets, and one-cycle-stale symlink manifests
+    * alike — all fail open to the real scan. The walk is driver
+    * metadata work of the same order the pinned listing itself paid,
+    * and only the basePath shape pays it. */
   private[plans] def servableLakeRollup(session: SparkSession,
                                         rel: LogicalRelation): Option[String] =
     rel.relation match {
@@ -318,14 +331,17 @@ object RollupMetadataAggregate {
         // otherwise stand in as the root and fail the name check —
         // declining zone service on precisely the lake state
         // compaction works towards (one file per leaf)
-        val root = fs.options.get("basePath").map(new Path(_)) match {
+        val (root, pinned) = fs.options.get("basePath").map(new Path(_)) match {
           case Some(base) =>
-            val prefix = base.toString.stripSuffix("/") + "/"
-            if (!fs.location.rootPaths.forall(p =>
-                p == base || p.toString.startsWith(prefix))) return None
-            base
+            val roots = fs.location.rootPaths
+            if (roots == Seq(base)) (base, None) // redundant basePath on a dir read
+            else {
+              val prefix = base.toString.stripSuffix("/") + "/"
+              if (!roots.forall(_.toString.startsWith(prefix))) return None
+              (base, Some(roots))
+            }
           case None => fs.location.rootPaths match {
-            case Seq(single) => single
+            case Seq(single) => (single, None)
             case _ => return None
           }
         }
@@ -339,6 +355,16 @@ object RollupMetadataAggregate {
             names.get("event_time_utc").contains(TimestampNTZType) &&
             names.contains("value")
         if (!lakeShaped) return None
+        // coverage pin for pinned listings (scaladoc): serve only when
+        // the listed roots are exactly the lake's live data files
+        pinned.foreach { roots =>
+          val hfs = root.getFileSystem(session.sparkContext.hadoopConfiguration)
+          val listed = roots.map(hfs.makeQualified(_).toString).toSet
+          val live = graft.ingest.LakeSnapshot
+            .liveFiles(hfs, hfs.makeQualified(root))
+            .map(_.getPath.toString).toSet
+          if (listed != live) return None
+        }
         Option(root.getParent).map(new Path(_, "rollup").toString)
           .filter(graft.ingest.Rollup.hasData(session, _))
       case _ => None

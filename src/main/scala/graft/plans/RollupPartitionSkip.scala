@@ -894,8 +894,21 @@ object RollupPartitionSkip {
                 // filter. NULL filter (pre-bloom batch, un-threaded
                 // heal) keeps the file; fail-open like every gap.
                 val bfName = graft.ingest.FileBounds.bfCol(c)
+                // Hash-type pin (round 20, r19 ADVICE): xxhash64 is
+                // width-sensitive (hashing the same value as INT and as
+                // BIGINT gives different bits), and the filter was built
+                // over xxhash64(col) at the WRITE-time type. The
+                // sidecar's min_<c> carries exactly that type, so probe
+                // only when it equals the query attribute's type —
+                // under schema widening every probe would otherwise
+                // miss and files that DO contain matches would be
+                // silently dropped (the window path coerces via casts;
+                // hashes cannot).
+                val writtenDt =
+                  fbAll.get.schema(graft.ingest.FileBounds.minCol(c)).dataType
                 val bloom =
-                  if (k.eqs.isEmpty || !fbAll.get.columns.contains(bfName)) lit(true)
+                  if (k.eqs.isEmpty || !fbAll.get.columns.contains(bfName) ||
+                      writtenDt != k.dt) lit(true)
                   else {
                     graft.functions.BloomExpressions.register(s)
                     val hashes = array(k.eqs.map(v => xxhash64(litOf(v, k.dt))): _*)

@@ -68,6 +68,21 @@ object StreamingIngest {
                       lakeCompaction: Option[graft.ingest.Compactor.TickConfig] = None,
                       bloomCols: Seq[String] = Seq.empty
                      ): Unit = {
+    // fail fast on a bad bloom config before the stream starts — same
+    // rule and rationale as BatchProcessor's construction-time check
+    // (a typo'd name silently published no filters; a present column
+    // of an unsupported type crashed every micro-batch)
+    if (bloomCols.nonEmpty) {
+      val probe = Transformer.curate(
+        spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          StructType(contract.fields.filterNot(_.name == CorruptCol))))
+        .withColumn("source_file", lit("").cast("string"))
+      val tracked = FileBounds.boundsColumns(probe.schema)
+      val bad = bloomCols.filterNot(tracked.contains)
+      require(bad.isEmpty,
+        s"bloomCols must name bounds-tracked curated columns " +
+          s"(tracked: ${tracked.sorted.mkString(", ")}); invalid: ${bad.mkString(", ")}")
+    }
     val schema =
       if (contract.fieldNames.contains(CorruptCol)) contract
       else contract.add(CorruptCol, StringType, nullable = true)

@@ -80,6 +80,30 @@ class GraftExtensionsSpec extends AnyFunSuite {
     withExtendedSession { s =>
       val e = intercept[Exception](s.sql("SELECT vec_dot_q8(array(cast(1 AS tinyint)))"))
       assert(e.getMessage.contains("vec_dot_q8 expects 4"), e.getMessage)
+      // round 20: the bloom builders are arity-checked too — a wrong
+      // count used to die as an IndexOutOfBoundsException internal error
+      val ea = intercept[Exception](
+        s.sql("SELECT graft_bloom_agg(xxhash64('x'))"))
+      assert(ea.getMessage.contains("graft_bloom_agg expects 3"), ea.getMessage)
+      val ep = intercept[Exception](
+        s.sql("SELECT graft_bloom_contains_any(cast(null AS binary))"))
+      assert(ep.getMessage.contains("graft_bloom_contains_any expects 2"), ep.getMessage)
+    }
+  }
+
+  test("an extension-built session can BUILD and probe bloom filters via SQL") {
+    withExtendedSession { s =>
+      // build over two values, probe a member and a stranger — the
+      // build half used to be absent from the extension (round 20):
+      // pure-SQL deployments could probe sidecars but never publish one
+      val row = s.sql(
+        """WITH t AS (SELECT explode(array('a', 'b')) AS v),
+                bf AS (SELECT graft_bloom_agg(xxhash64(v), 64, 0.01) AS f FROM t)
+           SELECT graft_bloom_contains_any(f, array(xxhash64('a'))) AS hit,
+                  graft_bloom_contains_any(f, array(xxhash64('zz'))) AS miss
+           FROM bf""").first()
+      assert(row.getBoolean(0), "member must hit")
+      assert(!row.getBoolean(1), "stranger should miss at this fpp")
     }
   }
 

@@ -274,6 +274,148 @@ class BloomSkipSpec extends AnyFunSuite {
     } finally reader.close()
   }
 
+  test("a widened read schema stands the bloom probe down (hash types must agree)") {
+    // xxhash64 is width-sensitive: the same value hashed as INT and as
+    // BIGINT gives different bits, so a filter built at the write-time
+    // type must never be probed with literals at a WIDENED read type —
+    // every probe would miss and files that DO contain matches would be
+    // silently dropped. The round-20 pin: probe only when the query
+    // attribute's type equals the sidecar's min_<c> type.
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-bloomwide").toString
+    (0 until 3).foreach { i =>
+      Seq((s"f-$i", 10L * i, 100 * i + 5, 1.0 + i))
+        .toDF("source_file", "user_id", "k_int", "value")
+        .withColumn("event_time_utc",
+          lit("2024-03-07 10:00:00").cast("timestamp_ntz"))
+        .withColumn("year", lit(2024)).withColumn("month", lit(3))
+        .withColumn("day", lit(7)).withColumn("mode", lit("training"))
+        .coalesce(1)
+        .write.mode("append").partitionBy("year", "month", "day", "mode")
+        .parquet(s"$root/curated")
+    }
+    Rollup.writePartials(spark.read.parquet(s"$root/curated"), s"$root/rollup/b0")
+    FileBounds.writeStaged(
+      spark.read.parquet(s"$root/curated").select(col("*"), col("_metadata")),
+      "", s"$root/filebounds/b0", Seq("k_int"),
+      bloomExpectedItems = 64, bloomFpp = 0.001)
+    RollupPartitionSkip.clearCache()
+    // widened consumption schema: k_int read as BIGINT (Spark 4 parquet
+    // type promotion) — the schema-evolution shape the ADVICE flagged
+    val wide = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("source_file",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("k_int",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("event_time_utc",
+        org.apache.spark.sql.types.TimestampNTZType),
+      org.apache.spark.sql.types.StructField("year",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("month",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("day",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("mode",
+        org.apache.spark.sql.types.StringType)))
+    def q(s: SparkSession) = s.read.schema(wide).parquet(s"$root/curated")
+      .filter(col("k_int") === 105L)
+      .select("source_file", "value")
+    val want = q(spark).collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(want.length == 1 && want.head.head == "f-1")
+    withExtendedSession { s =>
+      val df = q(s)
+      // the value WINDOWS legitimately prune the two non-containing
+      // files (their casts coerce across the widening); the bloom probe
+      // must stand down — its long-typed literal hash would reject the
+      // int-built filter and drop the CONTAINING file too (zero rows)
+      assert(listedFiles(df).nonEmpty,
+        "bloom probe ran across a type widening — containing file dropped")
+      assert(df.collect().map(_.toSeq).sortBy(_.mkString("|")).sameElements(want),
+        "widened read lost rows")
+    }
+  }
+
+  test("a typo'd or unsupported bloom column fails pipeline construction loudly") {
+    // round 20 (r19 ADVICE): the per-batch `filter(columns.contains)`
+    // guard silently swallowed a misspelled bloom column — no filters
+    // ever published, point lookups quietly stopped pruning
+    val lay = graft.pipeline.LakeLayout(
+      Files.createTempDirectory("graft-bloomcfg").toString)
+    val e = intercept[IllegalArgumentException](new graft.pipeline.BatchProcessor(
+      spark, lay, graft.pipeline.Contracts.events,
+      bloomCols = Seq("lookup_keey")))
+    assert(e.getMessage.contains("lookup_keey"), e.getMessage)
+    // a valid curated column constructs fine
+    new graft.pipeline.BatchProcessor(spark, lay, graft.pipeline.Contracts.events,
+      bloomCols = Seq("transaction_id")): Unit
+  }
+
+  test("sidecar filters are sized from each file's own row count; achieved fpp recorded") {
+    // 100×-skewed lake under ONE ceiling literal (round 20, r19 verdict
+    // #2): the small file must get a small filter (sidecar bytes
+    // bounded) without the big file losing drop power — the fixed-size
+    // agg forced the operator to pick one of those failures
+    import spark.implicits._
+    // lo/hi sentinels make every file's window SPAN the key space (the
+    // `spanning` fixture's move), so any drop below is the Bloom's
+    val big = "aa" +: (0 until 60000).map(i => f"big-$i%05d") :+ "zz"
+    val small = "aa" +: (0 until 20).map(i => s"sm-$i") :+ "zz"
+    val root = Files.createTempDirectory("graft-bloomskew").toString
+    Seq(big, small).zipWithIndex.foreach { case (keys, i) =>
+      keys.zipWithIndex.map { case (k, j) => (s"f-$i", 10L * i + j, k, 1.0 + i) }
+        .toDF("source_file", "user_id", "lookup_key", "value")
+        .withColumn("event_time_utc",
+          lit("2024-03-07 10:00:00").cast("timestamp_ntz"))
+        .withColumn("year", lit(2024)).withColumn("month", lit(3))
+        .withColumn("day", lit(7)).withColumn("mode", lit("training"))
+        .coalesce(1)
+        .write.mode("append").partitionBy("year", "month", "day", "mode")
+        .parquet(s"$root/curated")
+    }
+    Rollup.writePartials(spark.read.parquet(s"$root/curated"), s"$root/rollup/b0")
+    FileBounds.writeStaged(
+      spark.read.parquet(s"$root/curated").select(col("*"), col("_metadata")),
+      "", s"$root/filebounds/b0", Seq("lookup_key"),
+      bloomExpectedItems = 65536, bloomFpp = 0.01)
+    RollupPartitionSkip.clearCache()
+    val fb = FileBounds.all(spark, s"$root/filebounds")
+      .select(col("data_file"), col("n_rows"),
+        length(col(FileBounds.bfCol("lookup_key"))).as("bf_bytes"),
+        col(FileBounds.bfppCol("lookup_key")).as("fpp"))
+      .collect().sortBy(_.getAs[Long]("n_rows"))
+    assert(fb.length == 2)
+    val (smallRow, bigRow) = (fb.head, fb.last)
+    // per-file sizing: the 20-row file's filter is a fraction of the
+    // 2000-row file's (floor-clamped, never ceiling-sized)
+    assert(smallRow.getAs[Int]("bf_bytes") * 4 < bigRow.getAs[Int]("bf_bytes"),
+      s"small file not right-sized: $fb")
+    // achieved fpp is recorded and healthy on BOTH: the full file sits
+    // at ~the target (exact-fill rounding can nudge it a hair past),
+    // the floor-clamped small file far below it
+    assert(fb.forall(r => !r.isNullAt(r.fieldIndex("fpp"))),
+      s"fpp audit column missing: ${fb.mkString(";")}")
+    assert(bigRow.getAs[Double]("fpp") <= 0.02,
+      s"full file drifted past its sizing target: ${fb.mkString(";")}")
+    assert(smallRow.getAs[Double]("fpp") < 0.001,
+      s"floor-clamped file should sit far below target: ${fb.mkString(";")}")
+    // drop power preserved on the small file: a key only IT holds keeps
+    // exactly one file under the probe
+    def q(s: SparkSession) = s.read.parquet(s"$root/curated")
+      .filter(col("lookup_key") === "sm-7").select("source_file", "value")
+    val want = q(spark).collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(want.length == 1 && want.head.head == "f-1")
+    withExtendedSession { s =>
+      val df = q(s)
+      assert(listedFiles(df).length == 1,
+        "auto-sized filters lost their drop power")
+      assert(df.collect().map(_.toSeq).sortBy(_.mkString("|")).sameElements(want))
+    }
+  }
+
   test("bloom agg covers every inserted value; rejects most absent ones") {
     import spark.implicits._
     graft.functions.BloomExpressions.register(spark)

@@ -280,6 +280,35 @@ class RollupRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("a partition-subtree or file-subset basePath read is never served whole-lake stats") {
+    val lay = drainedLake()
+    withExtendedSession { s =>
+      // subtree read: no Filter in the plan — the restriction lives in
+      // the LISTING, so a whole-lake rewrite would be silently wrong
+      // (round-20 fix: the basePath shape requires the listed roots to
+      // equal the lake's live file set)
+      val subtree = s.read.option("basePath", lay.curatedDir)
+        .parquet(s"${lay.curatedDir}/year=2024/month=3/day=7")
+        .groupBy("mode").agg(count(lit(1)).as("n"))
+      assertUntouched(subtree)
+      assert(subtree.collect().map(_.getLong(1)).sum == 3L,
+        "subtree read must count only the subtree's rows")
+
+      // file-subset read: same hole, file-shaped roots
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new org.apache.hadoop.fs.Path(lay.curatedDir).toUri,
+        s.sparkContext.hadoopConfiguration)
+      val one = LakeSnapshot.liveFiles(fs,
+        fs.makeQualified(new org.apache.hadoop.fs.Path(lay.curatedDir)))
+        .map(_.getPath.toString).sorted.take(1)
+      val subset = s.read.option("basePath", lay.curatedDir).parquet(one: _*)
+        .groupBy("mode").agg(count(lit(1)).as("n"))
+      assertUntouched(subset)
+      assert(subset.collect().map(_.getLong(1)).sum < 6L,
+        "file-subset read must not see the whole lake")
+    }
+  }
+
   test("approx_top_k serves from the stored sketches ONLY under the explicit opt-in flag") {
     val lay = drainedLake()
     def q(s: SparkSession) = CuratedWriter.read(s, lay.curatedDir)
