@@ -38,6 +38,28 @@ object Bench {
       sys.env.get("SPARK_GRAFT_BENCH_ONLY")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     def selected(name: String): Boolean = only.forall(_.exists(name.startsWith))
+    // Machine-checkable noise control (round-14 brief #2): three
+    // TPC-H-shaped queries whose code has not changed since round 7,
+    // with their r12 clean-room sf0.1 warm medians pinned as the
+    // baseline. control_ratio = (this run's control sum) / 0.945 — ≈1.0
+    // on a quiet machine; a uniform elevation (r13 measured 1.27 on
+    // these untouched queries) marks the artifact as
+    // environment-inflated, and a reader divides it out before calling
+    // any cross-round delta a regression (README §bench). Defined for
+    // any run that executed all three controls over the sf0.1 relational
+    // BYTES — which includes the x10full/x100full corpus tiers, whose
+    // relational tables are symlinks into sf0.1 (ScaleStress assembles
+    // them that way). -1 only when the relational bytes genuinely differ
+    // (sf0.001, sf0.01 — no pinned clean-room baseline exists there).
+    val controlBase = Map(
+      "q48_bucketed_join" -> 0.239, "q50_small_qty_revenue" -> 0.401,
+      "q59_salted_join" -> 0.305)
+    // canonicalization resolves the tier symlinks, so "the control
+    // tables are sf0.1's" is checked on the actual files, not dir names
+    val sf01Bytes = Seq("lineitem.parquet", "orders.parquet").forall { t =>
+      val f = new java.io.File(sfDir, t)
+      f.exists && f.getCanonicalFile.getParentFile.getName == "sf0.1"
+    }
     val spark = SparkSession.builder()
       // the library's SQL surface, via the real static-conf path
       .config("spark.sql.extensions", classOf[GraftExtensions].getName)
@@ -125,8 +147,12 @@ object Bench {
       require(SparkEntry.queries.contains(q), s"artifactDeps: unknown query $q")
       cs.foreach(c => require(chainBuilders.contains(c), s"artifactDeps: unknown chain $c ($q)"))
     }
+    // the quiet-window gate below runs the control trio regardless of
+    // the subset selection, so their artifact chains must exist
+    val gateEnabled = sys.env.contains("SPARK_GRAFT_BENCH_MAX_CONTROL")
     val needed = SparkEntry.artifactDeps
-      .collect { case (q, cs) if selected(q) => cs }.flatten.toSet
+      .collect { case (q, cs) if selected(q) ||
+        (gateEnabled && controlBase.contains(q)) => cs }.flatten.toSet
     needed.toSeq.map(chainBuilders).map(_())
       .foreach(Await.result(_, Duration.Inf))
     val buildSec = (System.nanoTime() - b0) / 1e9
@@ -134,6 +160,66 @@ object Bench {
     if (sys.env.get("SPARK_GRAFT_BUILD_ONLY").contains("1")) {
       System.err.println(f"[bench] build TOTAL $buildSec%.1f s (build-only exit)")
       spark.stop(); return
+    }
+
+    // Quiet-window capture gate (round 20, r19 verdict #3): every
+    // headline artifact so far needed a MANUAL stakeout — the round-19
+    // 55.72 s sweep took a day of window-watching and the x100 quiet
+    // read was missed by an hour. Opt-in via
+    // SPARK_GRAFT_BENCH_MAX_CONTROL=<ratio>: run the control trio
+    // FIRST; while its ratio exceeds the threshold, sleep and retry
+    // (SPARK_GRAFT_BENCH_CONTROL_SLEEP_SEC, default 120;
+    // SPARK_GRAFT_BENCH_CONTROL_RETRIES, default 30 — a ~1h stakeout,
+    // the horizon within which quiet windows reopen on this host
+    // class). Every probe lands in the artifact as control_attempts,
+    // so a reader sees exactly how contended the capture was; after
+    // exhausting retries the sweep runs anyway (a stamped degraded
+    // artifact beats none) with the final probe on record.
+    var controlAttempts = List.empty[Double]
+    sys.env.get("SPARK_GRAFT_BENCH_MAX_CONTROL").map(_.toDouble).foreach { gate =>
+      if (!sf01Bytes)
+        System.err.println("[bench] control gate skipped: no sf0.1 control baseline " +
+          "for these relational bytes")
+      else {
+        val retries = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONTROL_RETRIES", "30").toInt
+        val sleepSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONTROL_SLEEP_SEC", "120").toInt
+        def probe(): Double = {
+          val sum = controlBase.keys.toSeq.sorted.map { name =>
+            val fn = SparkEntry.queries(name)
+            def once(): Double = {
+              val t0 = System.nanoTime()
+              fn(spark, sfDir).count(): Unit
+              queries.QueryCaches.releaseAll()
+              spark.catalog.clearCache()
+              (System.nanoTime() - t0) / 1e9
+            }
+            once() // cold (codegen/JIT) — discarded, like the sweep's
+            Seq.fill(3)(once()).sorted.apply(1)
+          }.sum
+          math.round(sum / controlBase.values.sum * 1000) / 1000.0
+        }
+        // two UNRECORDED warmup passes: the first executions of the
+        // trio in a fresh JVM pay deep JIT (measured: q48 keeps
+        // improving through ~8 executions), which would read as phantom
+        // contention in attempt #1 and burn a retry on a quiet machine
+        (0 until 2).foreach(_ => probe(): Unit)
+        var attempt = probe()
+        controlAttempts = List(attempt)
+        var left = retries
+        while (attempt > gate && left > 0) {
+          System.err.println(f"[bench] control $attempt%.3f > gate $gate%.2f — " +
+            f"sleeping ${sleepSec}s (${left} retries left)")
+          Thread.sleep(sleepSec * 1000L)
+          attempt = probe()
+          controlAttempts = controlAttempts :+ attempt
+          left -= 1
+        }
+        if (attempt > gate)
+          System.err.println(f"[bench] control gate EXHAUSTED at $attempt%.3f — " +
+            "sweeping anyway; artifact carries the attempt trail")
+        else System.err.println(f"[bench] control gate passed at $attempt%.3f " +
+          f"(attempt ${controlAttempts.size})")
+      }
     }
 
     // A failed query must never masquerade as a timing: record per-query
@@ -212,39 +298,20 @@ object Bench {
     // machine; a large gap — or an ecores dip over a contiguous block —
     // marks the artifact as interference-contaminated.
     val subset = only.map(p => s""","subset":"${p.mkString(",")}"""").getOrElse("")
-    // Machine-checkable noise control (round-14 brief #2): three
-    // TPC-H-shaped queries whose code has not changed since round 7,
-    // with their r12 clean-room sf0.1 warm medians pinned as the
-    // baseline. control_ratio = (this run's control sum) / 0.945 — ≈1.0
-    // on a quiet machine; a uniform elevation (r13 measured 1.27 on
-    // these untouched queries) marks the artifact as
-    // environment-inflated, and a reader divides it out before calling
-    // any cross-round delta a regression (README §bench). Defined for
-    // any run that executed all three controls over the sf0.1 relational
-    // BYTES — which includes the x10full/x100full corpus tiers, whose
-    // relational tables are symlinks into sf0.1 (ScaleStress assembles
-    // them that way); r18's x100 artifact carried -1.0 here and its
-    // 200 s headline could not be separated from a degraded host window.
-    // -1 only when the relational bytes genuinely differ (sf0.001,
-    // sf0.01 — no pinned clean-room baseline exists for those tiers).
-    val controlBase = Map(
-      "q48_bucketed_join" -> 0.239, "q50_small_qty_revenue" -> 0.401,
-      "q59_salted_join" -> 0.305)
     val ctrl = results.filter(t => controlBase.contains(t._1) && t._3 >= 0)
-    // canonicalization resolves the tier symlinks, so "the control
-    // tables are sf0.1's" is checked on the actual files, not dir names
-    val sf01Bytes = Seq("lineitem.parquet", "orders.parquet").forall { t =>
-      val f = new java.io.File(sfDir, t)
-      f.exists && f.getCanonicalFile.getParentFile.getName == "sf0.1"
-    }
     val controlRatio =
       if (sf01Bytes && ctrl.size == controlBase.size)
         r3(ctrl.map(_._3).sum / controlBase.values.sum)
       else -1.0
+    // the gate's probe trail (empty = gate not enabled): how many
+    // windows the capture waited out before this artifact was recorded
+    val attempts =
+      if (controlAttempts.isEmpty) ""
+      else controlAttempts.mkString(""","control_attempts":[""", ",", "]")
     val lines = Seq(
       s"""{"metric":"cold_detail","unit":"sec","cold":${jmap(_._2)}}""",
       s"""{"metric":"noise_detail","unit":"sec","cores":$cpus,"warm_min":${jmap(_._4)},"ecores_median_rep":${jmap(_._5)}}""",
-      s"""{"metric":"total_warm_median","value":$totalWarm,"unit":"sec","reps":$reps,"errors":$errs,"queries":$qs,"build_sec":${r3(buildSec)},"sf":"$sfDir"$subset,"control_ratio":$controlRatio,"total_cold":$totalCold,"total_warm_min":$totalMin,"total_warm_median":$totalWarm}""")
+      s"""{"metric":"total_warm_median","value":$totalWarm,"unit":"sec","reps":$reps,"errors":$errs,"queries":$qs,"build_sec":${r3(buildSec)},"sf":"$sfDir"$subset,"control_ratio":$controlRatio$attempts,"total_cold":$totalCold,"total_warm_min":$totalMin,"total_warm_median":$totalWarm}""")
     lines.foreach(println)
     // self-contained artifact: BENCH_r11's driver log truncated mid-line
     // and dropped q01-q28 per-query medians from the parsed artifact —

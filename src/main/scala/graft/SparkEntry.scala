@@ -61,6 +61,7 @@ object SparkEntry {
     "q127_clustered_skip" -> Seq("clusterlake"),
     "q128_antiwindow_skip" -> Seq("ingest"),
     "q129_bloom_lookup" -> Seq("bloomlake"),
+    "q130_layout_advisor" -> Seq("bloomlake"),
     "q48_bucketed_join" -> Seq("ingest"),
     "q52_dpp_pruned" -> Seq("ingest"),
     "q55_catalog_evolution" -> Seq("ingest"),

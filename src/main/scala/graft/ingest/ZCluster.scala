@@ -92,7 +92,11 @@ object ZCluster {
     * one rank bucket, which only coarsens the curve (a shared
     * `t-`-style prefix costs 2 of 8 discriminating bytes and still
     * leaves 6 — plenty for 16 buckets). */
-  private def numExpr(dt: DataType, c: String): Column = dt match {
+  // private[graft]: the layout advisor reuses the same monotone image
+  // to measure per-file window width in a type-generic way — advisor
+  // width buckets and cluster rank buckets agreeing on the ordering is
+  // what makes "cluster this column" a self-consistent recommendation
+  private[graft] def numExpr(dt: DataType, c: String): Column = dt match {
     case TimestampType => unix_micros(col(c)).cast("double")
     // session-tz reinterpretation is monotone, which is sufficient
     case TimestampNTZType => unix_micros(col(c).cast(TimestampType)).cast("double")

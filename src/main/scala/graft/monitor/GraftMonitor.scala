@@ -64,6 +64,43 @@ final class GraftMonitor(maxEvents: Int = 10000) extends Serializable {
 
   def droppedCount: Long = dropped.get()
 
+  // ---- predicate capture (round 20 — the layout advisor's feed) -------
+
+  // same bounded-ring discipline as the metric buffer: the durable
+  // history is the predstats STORE ([[PredicateStats.publish]]); this
+  // ring only holds what hasn't been published yet
+  private val predBuf = new ConcurrentLinkedQueue[PredicateEvent]()
+  private val predSize = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  def recordPredicates(es: Seq[PredicateEvent]): Unit = {
+    es.foreach { e =>
+      predBuf.add(e)
+      predSize.incrementAndGet()
+    }
+    while (predSize.get > maxEvents) {
+      if (predBuf.poll() != null) predSize.decrementAndGet(): Unit
+    }
+  }
+
+  def predicateEvents: Seq[PredicateEvent] = {
+    import scala.jdk.CollectionConverters._
+    predBuf.iterator().asScala.toVector
+  }
+
+  /** Publish the ring's predicates for `lakeRoot` to the lake's
+    * durable predstats store and clear what was published. Token-keyed
+    * overwrite — calling twice with one token converges, distinct
+    * tokens accumulate batches ([[PredicateStats]] scaladoc). */
+  def publishPredicates(spark: SparkSession, lakeRoot: String,
+                        token: String): Boolean = {
+    val snap = predicateEvents
+    val ok = PredicateStats.publish(spark, lakeRoot, snap, token)
+    if (ok) snap.foreach { e =>
+      if (predBuf.remove(e)) predSize.decrementAndGet(): Unit
+    }
+    ok
+  }
+
   /** All buffered events as a DataFrame (copy; safe to use while
     * listeners keep firing). */
   def snapshot(spark: SparkSession): DataFrame = {
@@ -84,9 +121,15 @@ final class GraftMonitor(maxEvents: Int = 10000) extends Serializable {
     qe.executedPlan.metrics.get("numOutputRows").map(_.value).getOrElse(-1L)
 
   object sqlListener extends QueryExecutionListener {
-    override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+    override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
       record(MetricEvent(System.currentTimeMillis(), "sql", "success", funcName,
         outputRows(qe), durationNs / 1000000L, null))
+      // layout-advisor feed: classify the executed plan's lake-scan
+      // predicates. Defensive catch — a capture bug must never take
+      // down the listener bus (plan shapes are open-ended).
+      try recordPredicates(PredicateStats.extract(qe))
+      catch { case _: Throwable => () }
+    }
     override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
       record(MetricEvent(System.currentTimeMillis(), "sql", "failure", funcName,
         -1L, -1L, Option(exception.getMessage).getOrElse(exception.getClass.getName)))

@@ -18,6 +18,7 @@ final case class LakeLayout(root: String) {
   val ledgerDir = s"$root/ledger"
   val rollupDir = s"$root/rollup"
   val fileBoundsDir = s"$root/filebounds"
+  val predStatsDir = s"$root/predstats"
 }
 
 /** §3.1: `JsonToParquetBatchProcessor` — the reference's core ETL job
@@ -139,6 +140,10 @@ final class BatchProcessor(
     dedup.foreach(_.maintain(spark): Unit)
     Rollup.compact(spark, layout.rollupDir): Unit
     FileBounds.compact(spark, layout.fileBoundsDir): Unit
+    // the layout advisor's workload history folds in the same slot: a
+    // long-lived monitor publishing per-interval batches stays bounded
+    // without its own maintenance schedule (sums fold, answers unchanged)
+    graft.monitor.PredicateStats.compact(spark, layout.root): Unit
     // Lake small-file maintenance, scoped to the partitions this tick's
     // publishes touched — O(touched), never an O(lake) walk. Runs under
     // the tick's single-writer ownership of the lake; a crash mid-swap

@@ -315,6 +315,59 @@ object IngestDemo {
     })
   }
 
+  /** The bloom lake plus an ENGINEERED, published predicate history —
+    * q130's fixture (round 20). A fixed mix of membership probes on the
+    * hash-shaped `lookup_key` (6 point + 1 three-literal IN), window
+    * probes on `event_time_utc` (4) and `value` (3), and nullness
+    * probes on `user_id` (2) is classified straight off each plan
+    * ([[graft.monitor.PredicateStats.extract]] — no execution needed,
+    * the optimized plan is available lazily) and published as ONE
+    * token-keyed predstats batch. The token doubles as the idempotence
+    * marker: re-invocations (bench reps, verify + bench in one JVM) see
+    * the batch dir and publish nothing, so the history counts — which
+    * the q130 oracle pins as literals — never inflate. */
+  def ensureAdvisorHistory(spark: SparkSession, sfDir: String): LakeLayout =
+    synchronized {
+      import org.apache.spark.sql.functions._
+      val lay = ensureBloomed(spark, sfDir)
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new org.apache.hadoop.fs.Path(lay.root).toUri,
+        spark.sparkContext.hadoopConfiguration)
+      val store = new org.apache.hadoop.fs.Path(
+        graft.monitor.PredicateStats.storeDir(lay.root))
+      // versioned marker: a history published by an older builder is
+      // REPLACED wholesale (history() SUMS batches, so leaving a stale
+      // batch beside a new one would inflate the oracle-pinned counts)
+      val marker = new org.apache.hadoop.fs.Path(store, "_GRAFT_ADVDEMO_v2")
+      if (fs.exists(marker)) return lay
+      fs.delete(store, true)
+      val lake = spark.read.parquet(lay.curatedDir)
+      val events = scala.collection.mutable.ArrayBuffer
+        .empty[graft.monitor.PredicateEvent]
+      def observe(df: org.apache.spark.sql.DataFrame): Unit =
+        events ++= graft.monitor.PredicateStats.extract(df.queryExecution)
+      // probe keys sit MID-RANGE ("k-5<i>" sorts inside [k-1…, k-9…]
+      // at every scale factor): a below-window key would let the zone
+      // rules prune the plan to a statically-empty relation, and
+      // PropagateEmptyRelation folds the Filter away — no event, and
+      // the oracle-pinned counts would drift with sf (the k-0 lesson)
+      (0 until 6).foreach(i =>
+        observe(lake.filter(col("lookup_key") === s"k-5$i")))
+      observe(lake.filter(col("lookup_key").isin("k-51", "k-52", "k-53")))
+      (0 until 4).foreach(i => observe(lake.filter(
+        col("event_time_utc") >=
+          lit(s"2024-01-1$i 00:00:00").cast("timestamp_ntz"))))
+      (0 until 3).foreach(i =>
+        observe(lake.filter(col("value") > lit(0.25 * i))))
+      (0 until 2).foreach(_ =>
+        observe(lake.filter(col("user_id").isNotNull)))
+      require(graft.monitor.PredicateStats.publish(
+        spark, lay.root, events.toSeq, "demo-history"),
+        "advisor demo: no predicates extracted from the engineered history")
+      fs.create(marker, true).close()
+      lay
+    }
+
   /** Tiny day-dimension parquet for the dynamic-partition-pruning demo
     * (q52): day 1..31 with a peak flag on days 10 and 20. Written as a
     * real file scan (a LocalRelation would constant-fold and bypass DPP). */

@@ -235,8 +235,6 @@ object DedupOps {
     // the ScaleStress ladder already bounds sub-quadratic — so
     // broadcast it and semi-filter the corpus MAP-SIDE: only
     // candidates' arrays ever enter an exchange.
-    val candIds = cands.select(col("a_id").as("doc_id"))
-      .union(cands.select(col("b_id").as("doc_id"))).distinct()
     def timed[A](tag: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f
       if (sys.env.contains("GRAFT_DEBUG"))
@@ -244,20 +242,30 @@ object DedupOps {
           f"[minhash] $tag ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
     }
-    // Guard the broadcast (r18 ADVICE): under pathological band-hash
-    // skew the candidate-id set could outgrow driver/broadcast memory,
-    // and an unconditional hint would fail the query where a shuffled
-    // semi join would merely degrade. The guard quantity is the CHEAP
-    // upper bound |candIds| ≤ 2·|cands| (each pair contributes its two
-    // endpoints) — one scan of the just-persisted cands cache, where
-    // counting candIds itself would pay a union+distinct SHUFFLE per
-    // evaluation purely to decide a hint (measured 0.6-1.2 s of q91's
-    // fixed cost at sf0.1; the distinct still runs exactly once, inside
-    // the broadcast build). The bound only ever declines broadcasts the
-    // exact count would allow in the 5-10M sliver — safe, never unsafe.
-    val nCandUpper = timed("cand-guard")(2L * cands.count())
+    // ONE blocking candidate-sized job (round 20, r19 verdict #4 — the
+    // r19 shape paid three: a guard count over the cands cache, then a
+    // broadcast-exchange build re-running the distinct, then slim's
+    // materialization): filling the cands cache, computing the distinct
+    // id set, deciding the broadcast guard, and materializing the
+    // broadcast PAYLOAD all come out of this single take(). The cap+1
+    // take IS the guard — if the distinct id set fits the cap the rows
+    // are already in hand (the exact bytes a broadcast build would have
+    // collected to the driver anyway), and the join side becomes a
+    // broadcast LOCAL relation with no candidate-sized exchange left in
+    // the final query; if it overflows, fall back to the shuffled semi
+    // join, which merely degrades — never a driver OOM, never a failed
+    // query (pathological band-hash skew only).
+    val candIdsDistinct = cands.select(col("a_id").as("doc_id"))
+      .union(cands.select(col("b_id").as("doc_id"))).distinct()
+    val idRows = timed("cand-ids")(
+      candIdsDistinct.take(MaxBroadcastCandIds.toInt + 1))
     val idSide =
-      if (nCandUpper <= MaxBroadcastCandIds) broadcast(candIds) else candIds
+      if (idRows.length <= MaxBroadcastCandIds)
+        broadcast(s.createDataFrame(
+          java.util.Arrays.asList(idRows: _*),
+          org.apache.spark.sql.types.StructType(
+            candIdsDistinct.schema.fields.toSeq)))
+      else candIdsDistinct
     // TRACKED: the verification join consumes slim TWICE (a_id and b_id
     // sides), and `base` is often the tail of a cached-but-still-priced
     // upstream chain (q91: gate→exact-dedup→decontam). Untracked, each

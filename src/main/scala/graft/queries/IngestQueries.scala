@@ -692,6 +692,25 @@ object IngestQueries {
           max(col("record_id")).as("max_rid"))
     }),
 
+    // The LAYOUT ADVISOR (round 20): fold an engineered, published
+    // predicate history (IngestDemo.ensureAdvisorHistory — 7 membership
+    // probes on the hash-shaped lookup_key, 4+3 window probes on
+    // event_time_utc/value, nullness-only on user_id) with the bloom
+    // lake's bounds-sidecar window widths into one verdict row per
+    // advisable column: lookup_key → `bloom` (membership-probed, windows
+    // structurally useless), event_time_utc/value → `cluster`
+    // (window-probed), everything else → `none`. The oracle pins the
+    // whole verdict table as literals — counts are engineered constants
+    // and verdicts are sf-independent (a hash-shaped key is wide at
+    // every scale). LayoutAdvisorSpec drives the recommended layout
+    // through the skip machinery and shows it beats the default.
+    "q130_layout_advisor" -> ((s, d) => {
+      val lay = IngestDemo.ensureAdvisorHistory(s, d)
+      graft.monitor.LayoutAdvisor.recommend(s, lay.root)
+        .select("col_name", "eq_q", "range_q", "verdict")
+        .orderBy("col_name")
+    }),
+
     "q121_external_snapshot" -> ((s, d) => {
       val lay = IngestDemo.ensure(s, d)
       val root0 = new org.apache.hadoop.fs.Path(lay.curatedDir)
@@ -960,6 +979,19 @@ object IngestQueries {
          WHERE year(ts) = 2024 AND month(ts) = 1 AND day(ts) BETWEEN 10 AND 16
            AND 'k-' || CAST((event_id * 2654435761) % 1000000007 AS VARCHAR)
                IN (SELECT k FROM keys)""",
+    // deterministic by construction: the engineered history's counts
+    // are constants and the verdicts are scale-independent (the
+    // hash-shaped key's windows are wide at every sf; the probed
+    // time/value columns cross the cluster threshold by count alone)
+    "q130_layout_advisor" ->
+      """SELECT * FROM (VALUES
+           ('event_time_utc', CAST(0 AS BIGINT), CAST(4 AS BIGINT), 'cluster'),
+           ('lookup_key', CAST(7 AS BIGINT), CAST(0 AS BIGINT), 'bloom'),
+           ('record_id', CAST(0 AS BIGINT), CAST(0 AS BIGINT), 'none'),
+           ('source_file', CAST(0 AS BIGINT), CAST(0 AS BIGINT), 'none'),
+           ('user_id', CAST(0 AS BIGINT), CAST(0 AS BIGINT), 'none'),
+           ('value', CAST(0 AS BIGINT), CAST(3 AS BIGINT), 'cluster'))
+         AS t(col_name, eq_q, range_q, verdict) ORDER BY col_name""",
     // deterministic by construction: the tracked string columns are the
     // fixture schema's, and only source_file (absolute raw paths, always
     // past the 64-char cap) ever withholds bounds

@@ -942,6 +942,129 @@ object ScaleProbe {
       Stat("bloomskip_off", tier, nIn, filesOff, rowsOff.length, offSecs))
   }
 
+  /** bloomrg ladder (round 20, r19 verdict #5): what the NATIVE parquet
+    * bloom filters buy at ROW-GROUP grain INSIDE a kept file — the
+    * half of the membership story the sidecar ladder cannot see (it
+    * measures whole-file drops only). Twin single-file lakes of
+    * `mult`× one sf0.1 events month with a hash-shaped key and ~1 MB
+    * row groups: every row group spans the key space, so min/max
+    * row-group statistics keep everything by construction, and the key
+    * is high-cardinality enough that its data pages fall OFF dictionary
+    * encoding (footer-verified — with a live dictionary parquet's
+    * dictionary filtering would already drop the row groups and the
+    * bloom would be redundant; the probe REPORTS that honestly via the
+    * `bloomrg_dict` rung instead of measuring a tautology). The rungs:
+    *
+    *  - `bloomrg_on`  — point lookup on the bloomed twin: parquet-mr
+    *    consumes its own filters for the pushed equality predicate and
+    *    skips non-matching row groups (n_candidates = row groups in
+    *    the file; secs = the scan).
+    *  - `bloomrg_off` — identical file without blooms: every row group
+    *    decoded, linear in the file's size forever.
+    *  - `bloomrg_dict` — n_candidates 1/0: whether the key column's
+    *    data pages are dictionary-encoded (0 expected = the bloom is
+    *    the live mechanism).
+    *
+    * Rows are REQUIRED equal across the twins; the on-twin's footer is
+    * REQUIRED to actually carry bloom offsets (attribution). */
+  def bloomRowGroups(s: SparkSession, tier: String, mult: Int): Seq[Stat] = {
+    val root = s"var/scale/bloomrg/$tier"
+    val ok = new java.io.File(s"$root/_OK")
+    def fileDir(b: Boolean) = s"$root/${if (b) "on" else "off"}"
+    if (!ok.exists) {
+      DemoLikeDelete.deleteRec(new java.io.File(root))
+      val ev = Tables.load(s, "/root/testdata/sf0.1", "events")
+        .filter(year(col("ts")) === 2024 && month(col("ts")) === 1)
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("ts").cast("timestamp_ntz").as("event_time_utc"))
+        .crossJoin(s.range(mult.toLong).select(col("id").as("rep")))
+        .select(
+          concat(lit("k-"),
+            ((col("event_id") * lit(mult.toLong) + col("rep")) *
+              lit(2654435761L)) % lit(1000000007L)).as("lookup_key"),
+          col("user_id"), col("value"), col("event_time_utc"))
+      for (bloom <- Seq(true, false))
+        ev.coalesce(1).write.mode("overwrite")
+          .option("parquet.block.size", (1 << 20).toString)
+          .options(if (!bloom) Map.empty[String, String] else Map(
+            "parquet.bloom.filter.enabled#lookup_key" -> "true",
+            "parquet.bloom.filter.expected.ndv#lookup_key" -> "100000",
+            "parquet.bloom.filter.adaptive.enabled" -> "true"))
+          .parquet(fileDir(bloom))
+      ok.createNewFile(): Unit
+    }
+    // footer audit: row-group count, bloom presence, dictionary state
+    def footer(b: Boolean): (Int, Boolean, Boolean) = {
+      val f = new java.io.File(fileDir(b)).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+          s.sparkContext.hadoopConfiguration))
+      try {
+        import scala.jdk.CollectionConverters._
+        val blocks = rd.getFooter.getBlocks.asScala
+        val chunks = blocks.map(_.getColumns.asScala
+          .find(_.getPath.toDotString == "lookup_key").get)
+        (blocks.size,
+          chunks.forall(_.getBloomFilterOffset >= 0),
+          chunks.exists(_.getEncodings.asScala.exists(e =>
+            e.name.contains("DICTIONARY"))))
+      } finally rd.close()
+    }
+    val (nRg, hasBloom, dictOn) = footer(true)
+    val (_, _, dictOff) = footer(false)
+    require(nRg > 4, s"bloomrg($tier): fixture produced only $nRg row groups")
+    require(hasBloom, s"bloomrg($tier): on-twin carries no bloom filters")
+    val nIn = s.read.parquet(fileDir(true)).count()
+    val probeKey = s"k-${(5000L * mult * 2654435761L) % 1000000007L}"
+    def run(b: Boolean): (Seq[Seq[Any]], Double) = {
+      s.catalog.clearCache()
+      def q() = s.read.parquet(fileDir(b))
+        .filter(col("lookup_key") === probeKey)
+        .select("lookup_key", "user_id", "value")
+      q().collect() // page-cache + codegen warm, both twins equally
+      val (rows, secs) = timed(q().collect().map(_.toSeq).sortBy(_.mkString("|")))
+      (rows.toSeq, secs)
+    }
+    val (rowsOn, onSecs) = run(true)
+    val (rowsOff, offSecs) = run(false)
+    require(rowsOn == rowsOff, s"bloomrg($tier): twins disagree on the answer")
+    require(rowsOn.nonEmpty, s"bloomrg($tier): probe key matched nothing")
+    // STRUCTURAL attribution, independent of timing noise: ask
+    // parquet-mr itself how many records survive its row-group-level
+    // filters (stats + dictionary + bloom) for this exact predicate —
+    // the bloomed twin must admit ~one row group's rows, the bloom-less
+    // twin (hash-shaped key: min/max useless, no dictionary) all of
+    // them. This is the number the wall-clock rungs above can only
+    // hint at once decode parallelism hides the saved work.
+    def rgSurvivors(b: Boolean): Long = {
+      val f = new java.io.File(fileDir(b)).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val conf = new org.apache.hadoop.conf.Configuration(
+        s.sparkContext.hadoopConfiguration)
+      val eq = org.apache.parquet.filter2.predicate.FilterApi.eq(
+        org.apache.parquet.filter2.predicate.FilterApi.binaryColumn("lookup_key"),
+        org.apache.parquet.io.api.Binary.fromString(probeKey))
+      val opts = org.apache.parquet.HadoopReadOptions.builder(conf)
+        .withRecordFilter(org.apache.parquet.filter2.compat.FilterCompat.get(eq))
+        .build()
+      val rd = new org.apache.parquet.hadoop.ParquetFileReader(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf), opts)
+      try rd.getFilteredRecordCount finally rd.close()
+    }
+    val survOn = rgSurvivors(true)
+    val survOff = rgSurvivors(false)
+    require(survOn < survOff,
+      s"bloomrg($tier): bloom admitted no fewer rows ($survOn vs $survOff)")
+    Seq(Stat("bloomrg_on", tier, nIn, nRg.toLong, rowsOn.length, onSecs),
+      Stat("bloomrg_off", tier, nIn, nRg.toLong, rowsOff.length, offSecs),
+      // rows ADMITTED past row-group filtering, bloomed vs bloom-less
+      Stat("bloomrg_rgrows", tier, nIn, survOn, survOff, 0.0),
+      Stat("bloomrg_dict", tier, nIn, if (dictOn || dictOff) 1 else 0, 0, 0.0))
+  }
+
   /** The small-file problem and its fix ([[graft.ingest.Compactor]],
     * q115) along the FRAGMENTATION axis: identical data (one month of
     * sf0.1 events, ~150 day×mode leaves), written as `frag` files per

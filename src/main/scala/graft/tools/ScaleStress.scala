@@ -48,6 +48,9 @@ object ScaleStress {
   private val FileSkipTiers = Seq("f4" -> 4, "f12" -> 12, "f48" -> 48)
   // clustered-compaction axis: lake size (files-per-leaf held ~constant)
   private val ZClusterTiers = Seq("lake1" -> 1, "lake10" -> 10)
+  // row-groups-per-file axis: events-month multiplier → ~1 MB row
+  // groups, so m4 ≈ tens of row groups and m16 ≈ a 128 MB-class file
+  private val BloomRgTiers = Seq("m4" -> 4, "m16" -> 16)
   // append-tick axis for export-tree maintenance: 4/16/64 generations
   // of weekly appends at fixed corpus size (files-per-shard grows ~axis)
   private val ExportMaintTiers = Seq("a4" -> 4, "a16" -> 16, "a64" -> 64)
@@ -183,12 +186,18 @@ object ScaleStress {
         for ((tier, bands) <- FileSkipTiers;
              st <- ScaleProbe.bloomSkip(spark, tier, bands))
           println(s"SCALE ${st.json}")
+      // native-parquet bloom ROW-GROUP skipping runs on the
+      // row-groups-per-file axis (single kept file, twin on/off)
+      if (wanted0.contains("bloomrg"))
+        for ((tier, mult) <- BloomRgTiers;
+             st <- ScaleProbe.bloomRowGroups(spark, tier, mult))
+          println(s"SCALE ${st.json}")
       val wanted =
         wanted0 - "rollup" - "compact" - "fileskip" - "exportmaint" -
-          "zcluster" - "bloomskip"
+          "zcluster" - "bloomskip" - "bloomrg"
       if (wanted.isEmpty && wanted0.subsetOf(
           Set("rollup", "compact", "fileskip", "exportmaint", "zcluster",
-            "bloomskip"))) {
+            "bloomskip", "bloomrg"))) {
         spark.stop(); return
       }
       val probes: Map[String, (SparkSession, String, String) => ScaleProbe.Stat] = Map(
