@@ -168,4 +168,41 @@ object LayoutAdvisor {
     spark.createDataFrame(
       java.util.Arrays.asList(rows: _*), outSchema)
   }
+
+  /** The operational end of the loop: fold [[recommend]]'s verdicts
+    * into a ready-to-run maintenance config. `bloom` verdicts become
+    * `bloomCols` (sorted — the ingest runners and the compaction
+    * rewrite then publish sidecar + native filters for exactly the
+    * membership-probed columns); `cluster` verdicts become
+    * `clusterCols`, ranked by window-probe count and capped at
+    * [[graft.ingest.ZCluster.MaxCols]] (each z-curve column costs
+    * discriminating bits, so the most-probed columns get them); and
+    * when the event-time column itself is a cluster pick it also takes
+    * `sortCol` (the within-file row-group order lever — the layout
+    * every time-windowed consumer reads). Everything else — file-size
+    * targets, grace cycles, parallelism — stays the caller's.
+    *
+    * Deliberately NOT self-applying: the caller reviews and passes the
+    * result to the next maintenance tick (`BatchProcessor(
+    * lakeCompaction = Some(advised))`) — a layout rewrite is an
+    * expensive, operator-visible act, and the advisor's job is to make
+    * the decision obvious, not to take it silently. */
+  def advisedTickConfig(spark: SparkSession, lakeRoot: String,
+                        base: graft.ingest.Compactor.TickConfig =
+                          graft.ingest.Compactor.TickConfig())
+      : graft.ingest.Compactor.TickConfig = {
+    val rec = recommend(spark, lakeRoot).collect()
+    val blooms = rec.filter(_.getString(4) == "bloom")
+      .map(_.getString(0)).sorted.toSeq
+    val clusters = rec.filter(_.getString(4) == "cluster")
+      .sortBy(r => (-r.getLong(2), r.getString(0)))
+      .map(_.getString(0)).take(graft.ingest.ZCluster.MaxCols).toSeq
+    base.copy(
+      bloomCols = blooms,
+      clusterCols = clusters,
+      sortCol =
+        if (clusters.contains(graft.ingest.FileBounds.TsCol))
+          Some(graft.ingest.FileBounds.TsCol)
+        else base.sortCol)
+  }
 }

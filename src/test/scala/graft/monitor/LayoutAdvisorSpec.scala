@@ -177,6 +177,17 @@ class LayoutAdvisorSpec extends AnyFunSuite {
     val clusterCols = LayoutAdvisor.recommend(spark, root).collect()
       .filter(_.getString(4) == "cluster").map(_.getString(0)).toSeq
 
+    // the advisor's verdicts fold into a runnable maintenance config
+    // (taken NOW, on the pre-rewrite layout the verdicts describe):
+    // bloom picks → bloomCols, cluster picks (range-ranked, MaxCols
+    // cap) → clusterCols, and the caller's unrelated knobs survive
+    val base = Compactor.TickConfig(sortCol = None, graceCycles = 3)
+    val cfg = LayoutAdvisor.advisedTickConfig(spark, root, base)
+    assert(cfg.bloomCols == bloomCols.sorted, s"cfg blooms: ${cfg.bloomCols}")
+    assert(cfg.clusterCols == clusterCols, s"cfg clusters: ${cfg.clusterCols}")
+    assert(cfg.sortCol.isEmpty, "user_id cluster pick must not steal sortCol")
+    assert(cfg.graceCycles == 3, "unrelated knobs must stay the caller's")
+
     // BLOOM lever: republish the sidecar with the recommended bloom
     // columns; the point lookup that listed every file on the default
     // layout now lists fewer — and identical rows
