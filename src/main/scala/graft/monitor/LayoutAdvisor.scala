@@ -6,7 +6,11 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** The layout advisor (round 20, r19 verdict #1): close the loop from
-  * OBSERVED WORKLOAD to RECOMMENDED PHYSICAL LAYOUT.
+  * OBSERVED WORKLOAD to RECOMMENDED PHYSICAL LAYOUT. The reference's
+  * whole consumption premise is that the lake's partitioning serves
+  * query cost ("uses partitions for cost/performance", diagram3:133)
+  * — which assumes someone CHOSE the layout well; this makes the
+  * engine that someone.
   *
   * The engine has five manual layout levers — `sortCol`, `clusterCols`,
   * `bloomCols`, zone-map coverage, compaction thresholds
