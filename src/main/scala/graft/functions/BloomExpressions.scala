@@ -196,11 +196,38 @@ case class BloomBuildAgg(
   * — bounding buffer memory at ~4 MB per in-flight group while files
   * that large deserve the near-ceiling filter anyway. `bf` is non-null
   * iff promoted; all promoted filters share the (ceil, fpp) size, so
-  * `mergeInPlace` never faces incompatible bit widths. */
+  * `mergeInPlace` never faces incompatible bit widths.
+  *
+  * The hash buffer is a PRIMITIVE `Array[Long]` grown manually (r20
+  * ADVICE): an `ArrayBuffer[Long]` boxes every element (~16-20 B/slot
+  * with the reference), so the documented ~4 MB cap was really
+  * ~16-20 MB per in-flight group multiplied across concurrent groups
+  * in the bounds hash aggregate; the flat array makes the 512k cap
+  * actually bound memory at 8 B/slot. `len` is the filled prefix. */
 private[functions] final class BloomAutoBuffer(
-    var hashes: scala.collection.mutable.ArrayBuffer[Long],
+    var hashes: Array[Long],
+    var len: Int,
     var bf: BloomFilter,
-    var n: Long)
+    var n: Long) {
+  def add(h: Long, cap: Long): Unit = {
+    if (len == hashes.length) {
+      // doubling clamped to cap+1 (promote fires past cap), but never
+      // below len+1: a merge of two near-full buffers appends past the
+      // clamp before its promote check runs
+      val grown = new Array[Long](math.max(
+        math.min(math.max(hashes.length.toLong * 2, 16L), cap + 1L),
+        len + 1L).toInt)
+      System.arraycopy(hashes, 0, grown, 0, len)
+      hashes = grown
+    }
+    hashes(len) = h
+    len += 1
+  }
+  def foreachHash(f: Long => Unit): Unit = {
+    var i = 0
+    while (i < len) { f(hashes(i)); i += 1 }
+  }
+}
 
 /** `graft_bloom_agg_auto(hash BIGINT, floorItems, ceilItems, fpp) ->
   * STRUCT<bf BINARY, n_items BIGINT, fpp DOUBLE>` — the per-group
@@ -246,13 +273,14 @@ case class BloomBuildAutoAgg(
   private def cap: Long = math.min(ceilItems, BufferCapItems)
 
   override def createAggregationBuffer(): BloomAutoBuffer =
-    new BloomAutoBuffer(scala.collection.mutable.ArrayBuffer.empty[Long], null, 0L)
+    new BloomAutoBuffer(new Array[Long](0), 0, null, 0L)
 
   private def promote(buf: BloomAutoBuffer): Unit = {
     val f = BloomFilter.create(ceilItems, fpp)
-    buf.hashes.foreach(f.putLong)
+    buf.foreachHash(f.putLong(_): Unit)
     buf.bf = f
     buf.hashes = null
+    buf.len = 0
   }
 
   override def update(buf: BloomAutoBuffer, input: InternalRow): BloomAutoBuffer = {
@@ -261,8 +289,8 @@ case class BloomBuildAutoAgg(
       buf.n += 1
       if (buf.bf != null) buf.bf.putLong(v.asInstanceOf[Long]): Unit
       else {
-        buf.hashes += v.asInstanceOf[Long]
-        if (buf.hashes.length > cap) promote(buf)
+        buf.add(v.asInstanceOf[Long], cap)
+        if (buf.len > cap) promote(buf)
       }
     }
     buf
@@ -272,12 +300,19 @@ case class BloomBuildAutoAgg(
     buf.n += other.n
     (buf.bf, other.bf) match {
       case (null, null) =>
-        buf.hashes ++= other.hashes
-        if (buf.hashes.length > cap) promote(buf)
+        // promote mid-loop once the cap is crossed: appending the whole
+        // tail first would re-grow the clamped array one slot at a time
+        other.foreachHash { h =>
+          if (buf.bf != null) buf.bf.putLong(h): Unit
+          else {
+            buf.add(h, cap)
+            if (buf.len > cap) promote(buf)
+          }
+        }
       case (null, f) =>
-        buf.hashes.foreach(f.putLong)
-        buf.bf = f; buf.hashes = null
-      case (f, null) => other.hashes.foreach(f.putLong): Unit
+        buf.foreachHash(f.putLong(_): Unit)
+        buf.bf = f; buf.hashes = null; buf.len = 0
+      case (f, null) => other.foreachHash(f.putLong(_): Unit)
       case (f, g) => f.mergeInPlace(g): Unit // same (ceil, fpp) size by construction
     }
     buf
@@ -290,8 +325,8 @@ case class BloomBuildAutoAgg(
         // sized from the ACTUAL count — row count upper-bounds distinct
         // count, so fpp only ever lands at-or-below the target
         val sized = BloomFilter.create(
-          math.max(floorItems, math.min(buf.hashes.length.toLong, ceilItems)), fpp)
-        buf.hashes.foreach(sized.putLong)
+          math.max(floorItems, math.min(buf.len.toLong, ceilItems)), fpp)
+        buf.foreachHash(sized.putLong(_): Unit)
         sized
       }
     val out = new ByteArrayOutputStream()
@@ -306,8 +341,8 @@ case class BloomBuildAutoAgg(
     if (buf.bf != null) { out.writeByte(1); buf.bf.writeTo(out) }
     else {
       out.writeByte(0)
-      out.writeInt(buf.hashes.length)
-      buf.hashes.foreach(out.writeLong)
+      out.writeInt(buf.len)
+      buf.foreachHash(out.writeLong)
     }
     out.flush()
     bos.toByteArray
@@ -317,13 +352,13 @@ case class BloomBuildAutoAgg(
     val in = new java.io.DataInputStream(new ByteArrayInputStream(bytes))
     val n = in.readLong()
     if (in.readByte() == 1)
-      new BloomAutoBuffer(null, BloomFilter.readFrom(in), n)
+      new BloomAutoBuffer(null, 0, BloomFilter.readFrom(in), n)
     else {
       val k = in.readInt()
-      val arr = new scala.collection.mutable.ArrayBuffer[Long](k)
+      val arr = new Array[Long](k)
       var i = 0
-      while (i < k) { arr += in.readLong(); i += 1 }
-      new BloomAutoBuffer(arr, null, n)
+      while (i < k) { arr(i) = in.readLong(); i += 1 }
+      new BloomAutoBuffer(arr, k, null, n)
     }
   }
 

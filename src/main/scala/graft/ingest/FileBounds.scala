@@ -96,6 +96,21 @@ object FileBounds {
     * audit-only — the probe path never reads it). */
   def bfppCol(c: String): String = s"bfpp_$c"
 
+  /** Storage name for column `c`'s WRITE-TIME hash type
+    * (`DataType.simpleString` of the curated column as staged) — the
+    * per-ROW probe gate (round 21, r20 ADVICE): `xxhash64` is
+    * width-sensitive, so a filter built while `c` was INT must never be
+    * probed with BIGINT-hashed literals. The skip rule's previous pin
+    * compared the query type against the MERGED sidecar schema, which a
+    * contract widening (or a [[compact]] fold casting old rows to the
+    * widened type while their filter bytes stay int-hashed) defeats —
+    * every probe would miss and files that DO contain matches would be
+    * silently dropped. With the type on the row, each file is probed
+    * iff ITS filter was built at the query's type; NULL (a pre-round-21
+    * row in a store that has the column) keeps the file — fail-open
+    * like every sidecar gap. */
+  def bfTypeCol(c: String): String = s"bft_$c"
+
   /** Bloom sizing: each file's filter is sized from ITS OWN row count
     * (round 20 — `graft_bloom_agg_auto`), clamped to
     * [[BloomFloorItems]]..`bloomExpectedItems`. The caller's
@@ -214,6 +229,7 @@ object FileBounds {
     val withBlooms = blooms.foldLeft(agged) { (df, c) =>
       df.withColumn(bfCol(c), col(s"_bfa_$c")("bf"))
         .withColumn(bfppCol(c), col(s"_bfa_$c")("fpp"))
+        .withColumn(bfTypeCol(c), lit(staged.schema(c).dataType.simpleString))
         .drop(s"_bfa_$c")
     }
     // withhold a string column's bounds for files holding ANY value

@@ -88,12 +88,16 @@ final class GraftMonitor(maxEvents: Int = 10000) extends Serializable {
   }
 
   /** Publish the ring's predicates for `lakeRoot` to the lake's
-    * durable predstats store and clear what was published. Token-keyed
-    * overwrite — calling twice with one token converges, distinct
-    * tokens accumulate batches ([[PredicateStats]] scaladoc). */
+    * durable predstats store and clear what was published — ONLY the
+    * events the lake qualification actually persisted (r20 ADVICE: a
+    * monitor observing two lakes must not drop the second lake's
+    * unpublished evidence when the first publishes). Retrying a FAILED
+    * publish with the same token converges; after a SUCCESS the ring
+    * is drained, so the next publish needs a fresh token or it would
+    * overwrite the earlier batch ([[PredicateStats.publish]]). */
   def publishPredicates(spark: SparkSession, lakeRoot: String,
                         token: String): Boolean = {
-    val snap = predicateEvents
+    val snap = PredicateStats.forLake(spark, lakeRoot, predicateEvents)
     val ok = PredicateStats.publish(spark, lakeRoot, snap, token)
     if (ok) snap.foreach { e =>
       if (predBuf.remove(e)) predSize.decrementAndGet(): Unit

@@ -146,17 +146,35 @@ object PredicateStats {
 
   // ---- durable store --------------------------------------------------
 
-  /** Fold `events` for ONE lake into a token-keyed batch dir
-    * (`<lakeRoot>/predstats/<token>`, overwrite — replays converge).
-    * Returns false when `events` holds nothing for this lake. */
-  def publish(spark: SparkSession, lakeRoot: String,
-              events: Seq[PredicateEvent], token: String): Boolean = {
+  /** The subset of `events` belonging to `lakeRoot` — matched against
+    * both the raw and the filesystem-qualified spelling of the root
+    * (capture records whatever spelling the scan's plan carried).
+    * Shared by [[publish]] and the monitor's ring-drain bookkeeping:
+    * the drain must remove exactly what was published, or a monitor
+    * observing two lakes silently discards the second lake's
+    * unpublished evidence on every publish of the first (r20 ADVICE). */
+  def forLake(spark: SparkSession, lakeRoot: String,
+              events: Seq[PredicateEvent]): Seq[PredicateEvent] = {
     val qual = {
       val p = new Path(lakeRoot)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.makeQualified(p).toString
     }
-    val mine = events.filter(e => e.lake == lakeRoot || e.lake == qual)
+    events.filter(e => e.lake == lakeRoot || e.lake == qual)
+  }
+
+  /** Fold `events` for ONE lake into a token-keyed batch dir
+    * (`<lakeRoot>/predstats/<token>`, overwrite). Returns false when
+    * `events` holds nothing for this lake. Replaying a FAILED publish
+    * with its token converges (the overwrite); a token must be FRESH
+    * after a successful publish — the monitor drains published events
+    * from its ring, so reusing the token would overwrite the earlier
+    * batch with only newer events and silently lose its counts
+    * (r20 ADVICE — the IngestDemo marker discipline applies to the
+    * caller's token choice, not here). */
+  def publish(spark: SparkSession, lakeRoot: String,
+              events: Seq[PredicateEvent], token: String): Boolean = {
+    val mine = forLake(spark, lakeRoot, events)
     if (mine.isEmpty) return false
     import spark.implicits._
     val rows = mine.groupBy(e => (e.column, e.opClass))

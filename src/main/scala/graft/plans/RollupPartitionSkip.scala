@@ -894,25 +894,37 @@ object RollupPartitionSkip {
                 // filter. NULL filter (pre-bloom batch, un-threaded
                 // heal) keeps the file; fail-open like every gap.
                 val bfName = graft.ingest.FileBounds.bfCol(c)
-                // Hash-type pin (round 20, r19 ADVICE): xxhash64 is
-                // width-sensitive (hashing the same value as INT and as
-                // BIGINT gives different bits), and the filter was built
-                // over xxhash64(col) at the WRITE-time type. The
-                // sidecar's min_<c> carries exactly that type, so probe
-                // only when it equals the query attribute's type —
-                // under schema widening every probe would otherwise
-                // miss and files that DO contain matches would be
-                // silently dropped (the window path coerces via casts;
-                // hashes cannot).
+                // Hash-type pin: xxhash64 is width-sensitive (hashing
+                // the same value as INT and as BIGINT gives different
+                // bits), and the filter was built over xxhash64(col) at
+                // the WRITE-time type. Round 21 (r20 ADVICE): the pin
+                // is PER ROW when the store records the write-time type
+                // (FileBounds.bfTypeCol) — a merged-schema pin passes
+                // under contract widening while older rows' filters
+                // were hashed at the narrow type, so every probe of
+                // those rows would miss and files that DO contain
+                // matches would be silently dropped. A row whose
+                // bft_<c> differs from (or predates — NULL) the query
+                // type keeps its file; rows written at the query's type
+                // still probe, so a widened lake keeps its point-lookup
+                // pruning on post-widening files. Stores without the
+                // type column fall back to the round-20 merged-schema
+                // pin (their batch dirs cannot mix widths — a mixed
+                // mergeSchema read fails before reaching here).
+                val btName = graft.ingest.FileBounds.bfTypeCol(c)
+                val hasBt = fbAll.get.columns.contains(btName)
                 val writtenDt =
                   fbAll.get.schema(graft.ingest.FileBounds.minCol(c)).dataType
                 val bloom =
                   if (k.eqs.isEmpty || !fbAll.get.columns.contains(bfName) ||
-                      writtenDt != k.dt) lit(true)
+                      (!hasBt && writtenDt != k.dt)) lit(true)
                   else {
                     graft.functions.BloomExpressions.register(s)
                     val hashes = array(k.eqs.map(v => xxhash64(litOf(v, k.dt))): _*)
-                    col(bfName).isNull || coalesce(
+                    val typeOk =
+                      if (hasBt) col(btName) === lit(k.dt.simpleString)
+                      else lit(true)
+                    col(bfName).isNull || !coalesce(typeOk, lit(false)) || coalesce(
                       call_function("graft_bloom_contains_any", col(bfName), hashes),
                       lit(true))
                   }

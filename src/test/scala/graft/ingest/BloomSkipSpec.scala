@@ -339,6 +339,97 @@ class BloomSkipSpec extends AnyFunSuite {
     }
   }
 
+  test("a widened-then-folded store probes per row: int-built filters stand " +
+      "down, bigint-built still drop") {
+    // The round-20 pin compared the query type against the MERGED
+    // sidecar schema — after a contract widening plus a maintenance
+    // fold that casts old rows' min/max to the widened type, that pin
+    // PASSES while the old rows' filter bytes are still int-hashed;
+    // probing them long-typed misses every time and drops files that DO
+    // contain matches. Round 21 records the write-time hash type per
+    // row (bft_<c>) and gates each file's probe on it.
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-bloommix").toString
+    def append(df: DataFrame): Unit = df
+      .withColumn("event_time_utc",
+        lit("2024-03-07 10:00:00").cast("timestamp_ntz"))
+      .withColumn("year", lit(2024)).withColumn("month", lit(3))
+      .withColumn("day", lit(7)).withColumn("mode", lit("training"))
+      .coalesce(1)
+      .write.mode("append").partitionBy("year", "month", "day", "mode")
+      .parquet(s"$root/curated")
+    // pre-widening file: k is INT; its bounds batch hashes at "int".
+    // lo/hi sentinels make every file's window SPAN the probe space, so
+    // any drop below is attributable to the Bloom probe alone
+    append(Seq(("f-0", 0L, 1, 1.0), ("f-0", 1L, 105, 1.0),
+      ("f-0", 2L, 1000000, 1.0)).toDF("source_file", "user_id", "k", "value"))
+    FileBounds.writeStaged(
+      spark.read.parquet(s"$root/curated").select(col("*"), col("_metadata")),
+      "", s"$root/filebounds/b0", Seq("k"),
+      bloomExpectedItems = 64, bloomFpp = 0.001)
+    val wide = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("source_file",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("event_time_utc",
+        org.apache.spark.sql.types.TimestampNTZType),
+      org.apache.spark.sql.types.StructField("year",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("month",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("day",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("mode",
+        org.apache.spark.sql.types.StringType)))
+    // post-widening file: k is BIGINT; its bounds batch hashes at "bigint"
+    append(Seq(("f-1", 10L, 1L, 2.0), ("f-1", 11L, 205L, 2.0),
+      ("f-1", 12L, 1000000L, 2.0)).toDF("source_file", "user_id", "k", "value"))
+    FileBounds.writeStaged(
+      spark.read.schema(wide).parquet(s"$root/curated")
+        .filter(col("source_file") === "f-1").select(col("*"), col("_metadata")),
+      "", s"$root/filebounds/b1", Seq("k"),
+      bloomExpectedItems = 64, bloomFpp = 0.001)
+    // simulate the maintenance fold casting the narrow batch to the
+    // widened type (FileBounds.compact's merged write does exactly
+    // this): the MERGED min_k is now uniformly BIGINT, so a
+    // schema-level pin alone would pass for long-typed probes
+    val b0cast = spark.read.parquet(s"$root/filebounds/b0")
+      .withColumn(FileBounds.minCol("k"), col(FileBounds.minCol("k")).cast("long"))
+      .withColumn(FileBounds.maxCol("k"), col(FileBounds.maxCol("k")).cast("long"))
+    b0cast.coalesce(1).write.mode("overwrite").parquet(s"$root/filebounds/b0w")
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$root/filebounds/b0"))
+    Rollup.writePartials(
+      spark.read.schema(wide).parquet(s"$root/curated"), s"$root/rollup/b0")
+    RollupPartitionSkip.clearCache()
+    def q(s: SparkSession, key: Long) = s.read.schema(wide)
+      .parquet(s"$root/curated")
+      .filter(col("k") === key).select("source_file", "value")
+    // a key only the INT-written file holds: its filter is int-hashed,
+    // a long-typed probe would reject it — the per-row gate must keep it
+    val want = q(spark, 105L).collect().map(_.toSeq).sortBy(_.mkString("|"))
+    assert(want.length == 1 && want.head.head == "f-0")
+    withExtendedSession { s =>
+      val df = q(s, 105L)
+      assert(df.collect().map(_.toSeq).sortBy(_.mkString("|")).sameElements(want),
+        "per-row hash-type gate failed: int-built filter was probed long-typed " +
+          "and its containing file dropped")
+      // and the bigint-built filter keeps its drop power: a key neither
+      // file holds drops f-1 (probed at its own type) while f-0 is kept
+      // fail-open (type mismatch)
+      val absent = q(s, 999L)
+      val listed = listedFiles(absent).map(_.split('/').last)
+      assert(absent.collect().isEmpty)
+      assert(listed.length == 1,
+        s"expected only the type-mismatched file kept fail-open: $listed")
+    }
+  }
+
   test("a typo'd or unsupported bloom column fails pipeline construction loudly") {
     // round 20 (r19 ADVICE): the per-batch `filter(columns.contains)`
     // guard silently swallowed a misspelled bloom column — no filters
