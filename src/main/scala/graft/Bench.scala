@@ -65,6 +65,26 @@ object Bench {
       .config("spark.sql.extensions", classOf[GraftExtensions].getName)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Explicit-path scans (snapshot-pinned reads, symlink-resolved
+      // external reads) pass one root PER FILE; above this many roots
+      // Spark stats them in a distributed job whose task-scheduling
+      // overhead (~2 ms/path) dwarfs a driver-side stat on this
+      // storage tier (measured: q121 spent 0.6-0.7 s/run in a 301-task
+      // listing job). Storage-dependent, so parameterised: deployments
+      // on high-latency object stores (where 512 serial stats would be
+      // the slower side) export a lower value.
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+        sys.env.getOrElse("SPARK_GRAFT_LIST_PAR_THRESHOLD", "512"))
+      // AQE for CACHED-plan materialization (default false upstream,
+      // for cache-partitioning plan stability — nothing here relies on
+      // it): the engine persists bounded intermediates (shingle
+      // corpora, candidate edges, gated docs) whose materialization
+      // otherwise runs every exchange at the static 32 partitions no
+      // matter how few rows flow; with AQE the coalescing matches data
+      // size at ANY scale (measured: q32 204→49 tasks, q65 122→28,
+      // identical results).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_CACHE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.warehouse.dir", "var/demo/spark-warehouse")

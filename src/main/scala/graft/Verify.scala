@@ -12,6 +12,15 @@ object Verify {
       .config("spark.sql.extensions", classOf[GraftExtensions].getName)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // driver-side stats for moderate explicit-path listings (see
+      // graft.Bench for the measurement and the storage-tier caveat)
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+        sys.env.getOrElse("SPARK_GRAFT_LIST_PAR_THRESHOLD", "512"))
+      // AQE for cached-plan materialization — see graft.Bench; the
+      // oracle compare runs under the same conf as the bench so the
+      // verified plans ARE the timed plans
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_CACHE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.warehouse.dir", "var/demo/spark-warehouse")

@@ -87,20 +87,79 @@ object CuratedWriter {
       .partitionBy(PartitionCols: _*)
       .parquet(lakeDir)
 
+  /** Merged-schema memo keyed by the lake's LIVE listing (every file's
+    * path:len:mtime) — round 21. `mergeSchema=true` inference launches a
+    * distributed footer-merge job on EVERY read (≈0.2-0.3 s per query at
+    * bench scale; at lake scale, a full footer sweep), yet the merged
+    * schema only changes when the file set does. One inference runs per
+    * listing state; subsequent reads pass the memoized schema explicitly
+    * (per-file handling is identical — inference only ever determined
+    * the requested schema, the scan clips/null-fills each file against
+    * it either way). A new batch, swap, or drift column changes the
+    * signature and re-infers, so evolution (q55) is untouched. Bounded
+    * LRU like the skip rule's fold cache. */
+  private val schemaCache
+      : java.util.Map[String, org.apache.spark.sql.types.StructType] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, org.apache.spark.sql.types.StructType](
+        16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, org.apache.spark.sql.types.StructType])
+            : Boolean = size() > 64
+      })
+
+  /** Count of ACTUAL inference runs (cache misses) — for specs. */
+  private[graft] val schemaInferCount = new java.util.concurrent.atomic.AtomicLong
+
+  private[graft] def clearSchemaCache(): Unit = schemaCache.clear()
+
+  private def mergedSchema(root: Path, live: Seq[org.apache.hadoop.fs.FileStatus],
+                           infer: => org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = {
+    val sb = new StringBuilder(root.toString)
+    live.foreach(st => sb.append('|').append(st.getPath.toString)
+      .append(':').append(st.getLen).append(':').append(st.getModificationTime))
+    val key = java.util.UUID.nameUUIDFromBytes(
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString
+    schemaCache.get(key) match {
+      case null =>
+        schemaInferCount.incrementAndGet(): Unit
+        val s = infer
+        schemaCache.put(key, s)
+        s
+      case hit => hit
+    }
+  }
+
   /** Consumption-side scan with union-of-schemas across appends and
     * snapshot isolation across compaction swaps (object scaladoc). */
   def read(spark: SparkSession, lakeDir: String): DataFrame = {
     val raw = new Path(lakeDir)
     val fs = FileSystem.get(raw.toUri, spark.sparkContext.hadoopConfiguration)
     val root = fs.makeQualified(raw)
-    if (!LakeSnapshot.hasSwapHistory(fs, root))
-      return spark.read.option("mergeSchema", "true").parquet(lakeDir)
+    if (!LakeSnapshot.hasSwapHistory(fs, root)) {
+      if (!fs.exists(root)) // preserve the plain read's error semantics
+        return spark.read.option("mergeSchema", "true").parquet(lakeDir)
+      val live = LakeSnapshot.liveFiles(fs, root)
+      if (live.isEmpty)
+        return spark.read.option("mergeSchema", "true").parquet(lakeDir)
+      val schema = mergedSchema(root, live,
+        spark.read.option("mergeSchema", "true").parquet(lakeDir).schema)
+      return spark.read.option("mergeSchema", "true").schema(schema).parquet(lakeDir)
+    }
     val live = LakeSnapshot.liveFiles(fs, root)
     if (live.isEmpty) // degenerate (emptied lake): keep plain-read semantics
       return spark.read.option("mergeSchema", "true").parquet(lakeDir)
+    val paths = live.map(_.getPath.toString)
+    val schema = mergedSchema(root, live,
+      spark.read
+        .option("mergeSchema", "true")
+        .option("basePath", root.toString)
+        .parquet(paths: _*).schema)
     spark.read
       .option("mergeSchema", "true")
+      .schema(schema)
       .option("basePath", root.toString)
-      .parquet(live.map(_.getPath.toString): _*)
+      .parquet(paths: _*)
   }
 }

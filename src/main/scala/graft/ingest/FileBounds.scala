@@ -384,12 +384,20 @@ object FileBounds {
     * surfaces those rows with NULL `nn_<c>` (= unknown), exactly the
     * fail-open the trust contract needs. */
   def all(s: SparkSession, dir: String): DataFrame =
-    dropDead(collapseTwins(
-      s.read
-        .option("recursiveFileLookup", "true")
-        .option("mergeSchema", "true")
-        .option("ignoreMissingFiles", "true") // racing [[compact]]'s source deletes
-        .parquet(dir)))
+    dropDead(collapseTwins(rawRead(s, dir)))
+
+  /** The store's raw merged read, with the schema memoized per listing
+    * state ([[SchemaMemo]]) so repeated constructions — the skip rule
+    * builds this frame per fold, q116/q126 per evaluation — don't each
+    * pay a footer-merge inference job. */
+  private def rawRead(s: SparkSession, dir: String): DataFrame = {
+    def rd = s.read
+      .option("recursiveFileLookup", "true")
+      .option("mergeSchema", "true")
+      .option("ignoreMissingFiles", "true") // racing [[compact]]'s source deletes
+    rd.schema(SchemaMemo.mergedSchema(s, Seq(dir), rd.parquet(dir).schema))
+      .parquet(dir)
+  }
 
   /** Store-size audit — the operator's gauge for sidecar growth under
     * swap churn (r18 verdict watch item). ONE metadata-sized row:
@@ -409,11 +417,7 @@ object FileBounds {
       else fs.listStatus(root).count(st => st.isDirectory &&
         !st.getPath.getName.startsWith(".") &&
         !st.getPath.getName.startsWith("_")).toLong
-    val raw = s.read
-      .option("recursiveFileLookup", "true")
-      .option("mergeSchema", "true")
-      .option("ignoreMissingFiles", "true")
-      .parquet(dir)
+    val raw = rawRead(s, dir)
     val collapsed = collapseTwins(raw)
     val deadFlag =
       if (collapsed.columns.contains(DeadCol)) coalesce(col(DeadCol), lit(false))

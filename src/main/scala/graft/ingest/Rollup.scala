@@ -117,11 +117,21 @@ object Rollup {
   private def readNormalized(s: SparkSession, paths: Seq[String],
                              ignoreMissing: Boolean): DataFrame = {
     def rd(ps: Seq[String]) = {
-      var r = s.read
-        .option("recursiveFileLookup", "true")
-        .option("mergeSchema", "true")
-      if (ignoreMissing) r = r.option("ignoreMissingFiles", "true")
-      r.parquet(ps: _*)
+      def r0 = {
+        var r = s.read
+          .option("recursiveFileLookup", "true")
+          .option("mergeSchema", "true")
+        if (ignoreMissing) r = r.option("ignoreMissingFiles", "true")
+        r
+      }
+      // schema memoized per listing state (SchemaMemo): the serve rule
+      // constructs this read per candidate aggregate per optimizer
+      // pass, and inference is a footer-merge JOB per construction. An
+      // unmergeable store (mixed top_users generations) throws out of
+      // the inference thunk uncached — the fallback below sees the
+      // same error the plain read raised.
+      r0.schema(SchemaMemo.mergedSchema(s, ps, r0.parquet(ps: _*).schema))
+        .parquet(ps: _*)
     }
     try normalizeTopK(s, rd(paths))
     catch {

@@ -94,33 +94,42 @@ object DedupOps {
     * tracker of the same plan) once labels are materialized. Both paths
     * produce identical labels (asserted in DedupSpec, which forces the
     * distributed path with `driverCap = 0`). */
+  /** Union-find over packed `(a<<32)|b` edges — union by smaller root,
+    * so the surviving root is the component's MINIMUM id, matching
+    * min-label propagation and the recursive-CTE oracle exactly.
+    * Returns the parent map; callers resolve with [[ufFind]]. */
+  private def unionFind(packed: Array[Long])
+      : scala.collection.mutable.LongMap[Long] = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    packed.foreach { pk =>
+      val a = pk >>> 32; val b = pk & 0xFFFFFFFFL
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val ra = ufFind(parent, a); val rb = ufFind(parent, b)
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    }
+    parent
+  }
+
+  private def ufFind(parent: scala.collection.mutable.LongMap[Long],
+                     x: Long): Long = {
+    var r = x
+    while (parent(r) != r) r = parent(r)
+    var c = x
+    while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+    r
+  }
+
   def componentLabels(s: SparkSession, edgeList: DataFrame,
                       driverCap: Long = DriverEdgeCap): DataFrame = {
     val ne = edgeList.count()
     if (sys.env.contains("GRAFT_DEBUG"))
       System.err.println(s"[q65] edge build: $ne edges")
     if (ne <= driverCap) {
-      // Union by smaller root: the surviving root is the component's
-      // MINIMUM id, matching min-label propagation and the recursive-CTE
-      // oracle exactly.
-      val parent = scala.collection.mutable.LongMap.empty[Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent(r) != r) r = parent(r)
-        var c = x
-        while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
-        r
-      }
       import s.implicits._
       val packed: Array[Long] = edgeList.as[Long].collect() // primitive
       QueryCaches.earlyRelease(edgeList)
-      packed.foreach { pk =>
-        val a = pk >>> 32; val b = pk & 0xFFFFFFFFL
-        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-        val ra = find(a); val rb = find(b)
-        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
-      }
-      parent.keys.toSeq.map(k => (k, find(k))).toDF("doc_id", "rep")
+      val parent = unionFind(packed)
+      parent.keys.toSeq.map(k => (k, ufFind(parent, k))).toDF("doc_id", "rep")
     } else {
       val ab = edgeList.select(
         shiftrightunsigned(col("pk"), 32).as("a"),
@@ -167,6 +176,42 @@ object DedupOps {
       QueryCaches.earlyRelease(edgeList)
       QueryCaches.note(lab)
     }
+  }
+
+  /** Component SIZES `(rep, n_members)` over a persisted packed edge
+    * list, rows globally ordered by `rep` — the cluster-collapse shape
+    * the multimodal group queries (q100/q101/q103) and simhashGroups
+    * consume. Round 21: the previous composition ran
+    * `componentLabels(...).groupBy(rep).count.orderBy(rep)`, which on
+    * the (common) driver union-find path planned TWO 32-partition
+    * exchanges over a LOCAL labels frame — per profile, ~0.2-0.3 s of
+    * pure task scheduling per evaluation for a ≤hundreds-row fold the
+    * driver had already done the hard part of. Here the sizes fold in
+    * the same union-find pass and come back as one pre-sorted local
+    * relation: zero exchanges, identical rows and order (DedupSpec pins
+    * local == distributed including order). Over the cap, the
+    * distributed labels path runs with the groupBy/orderBy exactly as
+    * before — the fold is proportional to the duplicate subgraph. */
+  def componentSizes(s: SparkSession, edgeList: DataFrame,
+                     driverCap: Long = DriverEdgeCap): DataFrame = {
+    val ne = edgeList.count()
+    if (sys.env.contains("GRAFT_DEBUG"))
+      System.err.println(s"[q65] edge build: $ne edges")
+    if (ne <= driverCap) {
+      import s.implicits._
+      val packed: Array[Long] = edgeList.as[Long].collect() // primitive
+      QueryCaches.earlyRelease(edgeList)
+      val parent = unionFind(packed)
+      val sizes = scala.collection.mutable.LongMap.empty[Long]
+      parent.keys.foreach { k =>
+        val r = ufFind(parent, k)
+        sizes(r) = sizes.getOrElse(r, 0L) + 1L
+      }
+      sizes.toSeq.sortBy(_._1).toDF("rep", "n_members")
+    } else
+      componentLabels(s, edgeList, driverCap)
+        .groupBy(col("rep")).agg(count(lit(1)).cast("long").as("n_members"))
+        .orderBy("rep")
   }
 
   /** Exact-verified MinHash-LSH near-dup edges (a_id < b_id, jac_e6) over
@@ -704,9 +749,7 @@ object DedupOps {
     val edgeList = QueryCaches.track(simhashPairs(s, d).select(
       shiftleft(col("a_id").cast("long"), 32)
         .bitwiseOR(col("b_id").cast("long")).as("pk")))
-    componentLabels(s, edgeList)
-      .groupBy(col("rep")).agg(count(lit(1)).cast("long").as("n_members"))
-      .orderBy("rep")
+    componentSizes(s, edgeList)
   }
 
   /** (doc_id, pos, wh): one 64-bit hash per [[SpanWindow]]-token sliding

@@ -159,7 +159,7 @@ object ExportOps {
   def exportShardsAppend(s: SparkSession, newDocs: DataFrame, outDir: String,
                          numPartitions: Int = 0, deep: Boolean = false): Unit = {
     val m = readManifest(s, outDir)
-    validateExport(s, outDir, m, deep) // stale/tampered manifest dies here
+    validateExport(s, outDir, m, deep): Unit // stale/tampered manifest dies here
     if (newDocs.isEmpty) return
     val token = java.util.UUID.randomUUID().toString.take(8)
     val n =
@@ -316,7 +316,7 @@ object ExportOps {
                     targetBytesPerFile: Long = 128L * 1024 * 1024,
                     deep: Boolean = false): ShardCompactionReport = {
     val m = readManifest(s, outDir)
-    validateExport(s, outDir, m, deep)
+    validateExport(s, outDir, m, deep): Unit
     val byShard = m.files.groupBy(_.shard)
     val big = m.shards.filter { case (shard, _, _) =>
       byShard.getOrElse(shard, Seq.empty).size > maxFilesPerShard
@@ -587,7 +587,7 @@ object ExportOps {
     * tile, so concatenation in manifest order IS the training order). */
   def readShards(s: SparkSession, outDir: String, deep: Boolean = true): DataFrame = {
     val m = readManifest(s, outDir)
-    validateExport(s, outDir, m, deep)
+    validateExport(s, outDir, m, deep): Unit
     if (m.nTotal == 0) {
       // presence above proved the tree holds no part files, so there is
       // nothing to scan — hand back an empty frame with the contract
@@ -607,9 +607,14 @@ object ExportOps {
 
   /** Checks 1-3 of the loader contract over an already-parsed manifest
     * (shared by [[readShards]] and [[orderedFiles]] so the manifest is
-    * opened and parsed once per preflight). */
+    * opened and parsed once per preflight). Returns the deep recount's
+    * per-(shard, file) stats — (n, lo, hi, nDistinct, checksum) —
+    * when `deep` ran, so audit consumers ([[loaderAudit]]) can fold
+    * their answer from the SAME scan instead of re-reading the tree;
+    * empty when `deep` was off or the export is empty. */
   private def validateExport(s: SparkSession, outDir: String, m: Manifest,
-                             deep: Boolean): Unit = {
+                             deep: Boolean)
+      : Map[(String, String), (Long, Long, Long, Long, Long)] = {
     // 1. structural: walk the SHARD list (not groups derived from the
     //    file entries) so a shard whose files array was dropped from
     //    the manifest still fails its tiling check instead of being
@@ -678,7 +683,30 @@ object ExportOps {
           s"export shard $shard checksum $got != manifest order_sum $orderSum — " +
             "doc/rank content changed under an intact file layout")
       }
-    }
+      actual
+    } else Map.empty
+  }
+
+  /** Validated per-shard loader audit — the q108/q118 shape: per shard,
+    * `n_docs` and `max_rnk` folded from deep validation's OWN
+    * distributed recount of the physical part files, `order_sum` from
+    * the validated manifest, rows ordered by shard. Round 21: the
+    * previous composition re-scanned the export tree for a groupBy that
+    * deep validation had byte-for-byte already proven (every per-file
+    * n/lo/hi equals its manifest entry, or validation throws before any
+    * row is served) — one export scan now serves both, identical rows
+    * by construction, and at lake scale the audit's I/O halves. */
+  def loaderAudit(s: SparkSession, outDir: String): DataFrame = {
+    val m = readManifest(s, outDir)
+    val stats = validateExport(s, outDir, m, deep = true)
+    import s.implicits._
+    val orderSums = m.shards.map(sh => sh._1 -> sh._3).toMap
+    stats.toSeq.groupBy(_._1._1).toSeq
+      .map { case (shard, es) =>
+        (shard, es.map(_._2._1).sum, es.map(_._2._3).max, orderSums(shard))
+      }
+      .sortBy(_._1)
+      .toDF("shard", "n_docs", "max_rnk", "order_sum")
   }
 
   /** Per-shard ABSOLUTE part-file paths in training order, validated
@@ -691,7 +719,7 @@ object ExportOps {
   def orderedFiles(s: SparkSession, outDir: String,
                    deep: Boolean = false): Seq[(String, Seq[String])] = {
     val m = readManifest(s, outDir)
-    validateExport(s, outDir, m, deep)
+    validateExport(s, outDir, m, deep): Unit
     m.files.groupBy(_.shard).toSeq.sortBy(_._1).map { case (shard, entries) =>
       shard -> entries.sortBy(_.pos).map(e => s"$outDir/shard=$shard/${e.file}")
     }
@@ -790,18 +818,11 @@ object ExportOps {
     // sink, manifest, and loader all agree with the logical shard/rank
     // spec doc-for-doc. max_rnk == n_docs is the dense-rank invariant,
     // cross-checked by both engines from different evidence.
-    "q108_export_roundtrip" -> ((s, d) => {
-      val dir = ensureExport(s, d)
-      val m = readManifest(s, dir)
-      import s.implicits._
-      val manifest = m.shards.toDF("shard", "n_manifest", "order_sum")
-      readShards(s, dir, deep = true)
-        .groupBy("shard")
-        .agg(count(lit(1)).as("n_docs"), max("rnk").as("max_rnk"))
-        .join(broadcast(manifest), Seq("shard"))
-        .select(col("shard"), col("n_docs"), col("max_rnk"), col("order_sum"))
-        .orderBy("shard")
-    }),
+    // round 21: n_docs/max_rnk fold from deep validation's own
+    // distributed recount of the physical files ([[loaderAudit]]) —
+    // the prior shape re-scanned the tree for an aggregate validation
+    // had already proven equal, doubling the audit's I/O
+    "q108_export_roundtrip" -> ((s, d) => loaderAudit(s, ensureExport(s, d))),
 
     // INCREMENTAL export on the oracle surface (round-16: the
     // weekly-drop path): a base export extended by exportShardsAppend,
@@ -815,18 +836,9 @@ object ExportOps {
     // doc-for-doc (the rank-weighted checksum pins every doc→rank
     // assignment). max_rnk == n_docs is the dense-rank invariant ACROSS
     // the append boundary — an off-by-one in the offset join breaks it.
-    "q118_export_append" -> ((s, d) => {
-      val dir = ensureAppendExport(s, d)
-      val m = readManifest(s, dir)
-      import s.implicits._
-      val manifest = m.shards.toDF("shard", "n_manifest", "order_sum")
-      readShards(s, dir, deep = true)
-        .groupBy("shard")
-        .agg(count(lit(1)).as("n_docs"), max("rnk").as("max_rnk"))
-        .join(broadcast(manifest), Seq("shard"))
-        .select(col("shard"), col("n_docs"), col("max_rnk"), col("order_sum"))
-        .orderBy("shard")
-    }),
+    // round 21: single-scan loader audit, like q108 — the appended
+    // tree's recount + EXTENDED-manifest checks are unchanged
+    "q118_export_append" -> ((s, d) => loaderAudit(s, ensureAppendExport(s, d))),
 
     // Temperature-scaled mixture: quota_d = TempBudget · s_d / Σ s_d
     // with s_d = floor(sqrt(T_d·1e6)) — integer thereafter, so both

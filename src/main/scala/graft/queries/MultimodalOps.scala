@@ -284,9 +284,12 @@ object MultimodalOps {
     val edgeList = QueryCaches.track(pairs.select(
       shiftleft(col("a_id").cast("long"), 32)
         .bitwiseOR(col("b_id").cast("long")).as("pk")))
-    DedupOps.componentLabels(s, edgeList)
-      .groupBy(col("rep")).agg(count(lit(1)).cast("long").as("n_members"))
-      .orderBy("rep")
+    // componentSizes folds (rep, n_members) inside the driver
+    // union-find pass and returns a pre-sorted local relation — the
+    // groupBy/orderBy composition it replaces paid two 32-partition
+    // exchanges over a local labels frame (round 21; rows identical,
+    // DedupSpec pins it)
+    DedupOps.componentSizes(s, edgeList)
   }
 
   val defs: Map[String, Q] = Map(

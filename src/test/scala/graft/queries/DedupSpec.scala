@@ -324,4 +324,23 @@ class DedupSpec extends AnyFunSuite {
     assert(viaDriver == expected, s"driver path: $viaDriver")
     assert(viaPropagation == expected, s"propagation path: $viaPropagation")
   }
+
+  test("componentSizes: driver fold == distributed fold, rows ordered by rep") {
+    import spark.implicits._
+    // round 21: the driver path folds (rep, n_members) inside the
+    // union-find and returns a pre-sorted LOCAL relation (no exchanges);
+    // rows AND order must equal the distributed groupBy/orderBy path
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L), (30L, 31L))
+    def packed() = edges.map { case (a, b) => (a << 32) | b }
+      .toDF("pk").persist()
+    def sizes(cap: Long): Seq[(Long, Long)] =
+      DedupOps.componentSizes(spark, packed(), driverCap = cap)
+        .collect().toSeq.map(r => r.getLong(0) -> r.getLong(1))
+    val viaDriver = sizes(cap = Long.MaxValue)
+    val viaPropagation = sizes(cap = 0)
+    val expected = Seq(1L -> 4L, 10L -> 2L, 20L -> 3L, 30L -> 2L)
+    assert(viaDriver == expected, s"driver path: $viaDriver")
+    assert(viaPropagation == expected, s"propagation path: $viaPropagation")
+  }
 }
