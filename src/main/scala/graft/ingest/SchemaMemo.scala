@@ -40,6 +40,25 @@ private[graft] object SchemaMemo {
 
   private[graft] def clear(): Unit = cache.clear()
 
+  /** Append every visible file's path:len:mtime under `p` to `sb` — a
+    * plain listStatus walk, NOT `fs.listFiles(recursive)`: the
+    * RemoteIterator resolves block locations per file, which on the
+    * local filesystem measured ~5 ms/file (≈0.4 s per signature on a
+    * 70-file store) vs ~0.05 ms/file for the status walk. Shared with
+    * the skip rule's fold-cache signature. */
+  private[graft] def signListing(fs: org.apache.hadoop.fs.FileSystem,
+                                 p: Path, sb: StringBuilder): Unit = {
+    fs.listStatus(p).foreach { st =>
+      val n = st.getPath.getName
+      if (!n.startsWith(".") && !n.startsWith("_")) {
+        if (st.isDirectory) signListing(fs, st.getPath, sb)
+        else sb.append('|').append(st.getPath.toString)
+          .append(':').append(st.getLen)
+          .append(':').append(st.getModificationTime): Unit
+      }
+    }
+  }
+
   /** The merged schema `infer` would produce over `roots`, memoized on
     * the roots' current recursive listing. */
   def mergedSchema(s: SparkSession, roots: Seq[String],
@@ -49,17 +68,7 @@ private[graft] object SchemaMemo {
       sb.append('#').append(r)
       val p = new Path(r)
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) {
-        val it = fs.listFiles(p, true)
-        while (it.hasNext) {
-          val st = it.next()
-          val n = st.getPath.getName
-          if (!n.startsWith(".") && !n.startsWith("_"))
-            sb.append('|').append(st.getPath.toString)
-              .append(':').append(st.getLen)
-              .append(':').append(st.getModificationTime)
-        }
-      }
+      if (fs.exists(p)) signListing(fs, p, sb)
     }
     val key = java.util.UUID.nameUUIDFromBytes(
       sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString

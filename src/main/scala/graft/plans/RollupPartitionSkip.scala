@@ -732,14 +732,12 @@ object RollupPartitionSkip {
     val p = new Path(dir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return "absent"
-    val it = fs.listFiles(p, true)
     val sb = new StringBuilder(dir)
-    while (it.hasNext) {
-      val st = it.next()
-      if (!st.getPath.getName.startsWith(".") && !st.getPath.getName.startsWith("_"))
-        sb.append('|').append(st.getPath.toString)
-          .append(':').append(st.getLen).append(':').append(st.getModificationTime)
-    }
+    // listStatus walk, not fs.listFiles(recursive) — the located-status
+    // iterator resolves block locations per file (~5 ms/file locally),
+    // which made the fold cache's HIT path cost ~0.4 s per query on the
+    // clustered demo store (round 21; SchemaMemo documents the numbers)
+    graft.ingest.SchemaMemo.signListing(fs, p, sb)
     java.util.UUID.nameUUIDFromBytes(
       sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString
   }
