@@ -84,6 +84,22 @@ object LakeSnapshot {
             e: java.util.Map.Entry[String, Meta]): Boolean = size() > 8192
       })
 
+  /** One open-and-parse attempt of a specific meta version file — THE
+    * parser, shared by [[readMetaCached]] (memoized single attempt) and
+    * [[readMeta]] (bounded retry loop) so the two paths can never serve
+    * diverging Meta views of the same bytes. Throws on a raced open or
+    * torn read; retry/fallback policy is the caller's. */
+  private def parseMeta(fs: FileSystem, p: Path, v: Int): Meta = {
+    val in = fs.open(p)
+    val json =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    import scala.jdk.CollectionConverters._
+    Meta(v, root.get("committed").asInt(),
+      root.get("retired").elements().asScala.map(_.asText()).toSet)
+  }
+
   /** [[readMeta]] over an already-fetched leaf listing, through the
     * memo. A raced/unparsable open falls back to the retrying
     * [[readMeta]] and caches nothing (its result may belong to a newer
@@ -97,14 +113,7 @@ object LakeSnapshot {
     metaCache.get(key) match {
       case null =>
         try {
-          val in = fs.open(ms.getPath)
-          val json =
-            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-            finally in.close()
-          val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
-          import scala.jdk.CollectionConverters._
-          val meta = Meta(v, root.get("committed").asInt(),
-            root.get("retired").elements().asScala.map(_.asText()).toSet)
+          val meta = parseMeta(fs, ms.getPath, v)
           metaCache.put(key, meta)
           meta
         } catch {
@@ -133,14 +142,7 @@ object LakeSnapshot {
       if (versions.isEmpty) return EmptyMeta
       val (v, p) = versions.maxBy(_._1)
       try {
-        val in = fs.open(p)
-        val json =
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
-        import scala.jdk.CollectionConverters._
-        return Meta(v, root.get("committed").asInt(),
-          root.get("retired").elements().asScala.map(_.asText()).toSet)
+        return parseMeta(fs, p, v)
       } catch {
         case scala.util.control.NonFatal(e) =>
           if (attempts >= 3) throw e // not a benign race — surface it

@@ -48,7 +48,17 @@ private[graft] object SchemaMemo {
     * the skip rule's fold-cache signature. */
   private[graft] def signListing(fs: org.apache.hadoop.fs.FileSystem,
                                  p: Path, sb: StringBuilder): Unit = {
-    fs.listStatus(p).foreach { st =>
+    // The reads this memo fronts are built with ignoreMissingFiles to
+    // survive a concurrent compaction deleting source dirs between
+    // listing and scan; the signature walk must tolerate the same race.
+    // A dir that vanishes between the parent and child listStatus is
+    // skipped — the next signature (post-compaction) differs anyway, so
+    // the vanished entry can never serve a stale schema.
+    val entries =
+      try fs.listStatus(p)
+      catch { case _: java.io.FileNotFoundException =>
+        Array.empty[org.apache.hadoop.fs.FileStatus] }
+    entries.foreach { st =>
       val n = st.getPath.getName
       if (!n.startsWith(".") && !n.startsWith("_")) {
         if (st.isDirectory) signListing(fs, st.getPath, sb)

@@ -124,6 +124,14 @@ object DedupOps {
     val ne = edgeList.count()
     if (sys.env.contains("GRAFT_DEBUG"))
       System.err.println(s"[q65] edge build: $ne edges")
+    componentLabelsCounted(s, edgeList, ne, driverCap)
+  }
+
+  /** [[componentLabels]] with the edge count already known — so a caller
+    * that counted for its own cap decision ([[componentSizes]]) doesn't
+    * pay a second count job over the persisted edge list. */
+  private def componentLabelsCounted(s: SparkSession, edgeList: DataFrame,
+                                     ne: Long, driverCap: Long): DataFrame = {
     if (ne <= driverCap) {
       import s.implicits._
       val packed: Array[Long] = edgeList.as[Long].collect() // primitive
@@ -209,7 +217,7 @@ object DedupOps {
       }
       sizes.toSeq.sortBy(_._1).toDF("rep", "n_members")
     } else
-      componentLabels(s, edgeList, driverCap)
+      componentLabelsCounted(s, edgeList, ne, driverCap)
         .groupBy(col("rep")).agg(count(lit(1)).cast("long").as("n_members"))
         .orderBy("rep")
   }
