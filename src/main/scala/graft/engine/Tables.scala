@@ -18,7 +18,72 @@ import org.apache.spark.sql.functions._
   *                date_trunc style operators; session TZ is pinned UTC)
   */
 object Tables {
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = name match {
+  /** Constructed-plan memo — round 22. `spark.read.parquet` pays a file
+    * listing plus a footer schema-inference AT CONSTRUCTION, and every
+    * query run re-constructs its table reads from scratch: driver stack
+    * sampling under the bench session showed ~30% of a cheap query's
+    * warm residue inside `DataFrameReader.parquet`. The logical plan of
+    * a path read is a pure function of the session and the file set, so
+    * memoize the loaded (and, for events, normalized) DataFrame keyed by
+    * (session, path, shallow listing signature). This is the posture a
+    * catalog table already has (Spark caches a table's relation and file
+    * index until the data changes); nothing about EXECUTION is cached —
+    * every action still scans the parquet bytes. A replaced or appended
+    * file changes the signature (len/mtime of the file, or of the
+    * directory's direct children) and re-constructs; a vanished path
+    * falls through to the uncached read so error semantics are the
+    * reader's own. Bounded LRU; keyed by session identity so a stopped
+    * session's plans age out. */
+  private val planCache: java.util.Map[String, DataFrame] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, DataFrame](32, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, DataFrame]): Boolean = size() > 64
+      })
+
+  private[graft] def clearPlanCache(): Unit = planCache.clear()
+
+  private def listingSig(spark: SparkSession, path: String): Option[String] =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = graft.engine.Fs.of(spark.sparkContext.hadoopConfiguration, p)
+      val st = fs.getFileStatus(p)
+      if (st.isDirectory)
+        Some(fs.listStatus(p)
+          .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+          .sorted.mkString(","))
+      else Some(s"${st.getLen}:${st.getModificationTime}")
+    } catch { case _: java.io.IOException => None }
+
+  /** `construct` memoized on (session, path, current listing signature).
+    * Shared by [[load]] and the store readers ([[parquet]]): any plain
+    * path read whose plan is a pure function of the file set. */
+  private[graft] def memo(spark: SparkSession, path: String)
+                         (construct: => DataFrame): DataFrame =
+    listingSig(spark, path) match {
+      case None => construct // missing/unreadable: the reader's own error
+      case Some(sig) =>
+        val key = s"${System.identityHashCode(spark)}|$path|$sig"
+        planCache.get(key) match {
+          case null =>
+            val df = construct
+            planCache.put(key, df)
+            df
+          case hit => hit
+        }
+    }
+
+  /** Memoized `spark.read.parquet(path)` — for the durable stores
+    * (minhash bands/shingles, fingerprint index, day-dim) that are
+    * immutable between maintenance writes. A maintenance write changes
+    * the listing signature and re-constructs. */
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    memo(spark, path)(spark.read.parquet(path))
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    memo(spark, s"$sfDir/$name.parquet")(build(spark, sfDir, name))
+
+  private def build(spark: SparkSession, sfDir: String, name: String): DataFrame = name match {
     case "events" =>
       // NANOS layouts need spark.sql.legacy.parquet.nanosAsLong=true; the
       // session builders (Verify/Bench/specs) all set it. It must be a

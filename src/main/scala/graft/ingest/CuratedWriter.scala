@@ -111,16 +111,41 @@ object CuratedWriter {
   /** Count of ACTUAL inference runs (cache misses) — for specs. */
   private[graft] val schemaInferCount = new java.util.concurrent.atomic.AtomicLong
 
-  private[graft] def clearSchemaCache(): Unit = schemaCache.clear()
+  /** Constructed-plan memo over the SAME listing signature — round 22.
+    * With the schema memoized, a lake read still paid Spark's relation
+    * construction per call (an InMemoryFileIndex statting every pinned
+    * path, partition discovery, relation resolution — measured as a
+    * fat slice of the skip-family queries' 0.2-0.5 s/run driver
+    * residue). The constructed DataFrame is a pure function of
+    * (session, root, live file set), so cache it one level above the
+    * schema: the freshness walk ([[LakeSnapshot.liveFiles]]) still runs
+    * on EVERY call and any append/swap/drift changes the signature and
+    * re-constructs. Nothing about execution is cached — each action
+    * re-scans the parquet bytes. */
+  private val planCache: java.util.Map[String, DataFrame] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, DataFrame](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, DataFrame]): Boolean = size() > 64
+      })
 
-  private def mergedSchema(root: Path, live: Seq[org.apache.hadoop.fs.FileStatus],
-                           infer: => org.apache.spark.sql.types.StructType)
-      : org.apache.spark.sql.types.StructType = {
+  private[graft] def clearSchemaCache(): Unit = {
+    schemaCache.clear()
+    planCache.clear()
+  }
+
+  private def listingKey(root: Path,
+                         live: Seq[org.apache.hadoop.fs.FileStatus]): String = {
     val sb = new StringBuilder(root.toString)
     live.foreach(st => sb.append('|').append(st.getPath.toString)
       .append(':').append(st.getLen).append(':').append(st.getModificationTime))
-    val key = java.util.UUID.nameUUIDFromBytes(
+    java.util.UUID.nameUUIDFromBytes(
       sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString
+  }
+
+  private def mergedSchema(key: String,
+                           infer: => org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
     schemaCache.get(key) match {
       case null =>
         schemaInferCount.incrementAndGet(): Unit
@@ -129,37 +154,43 @@ object CuratedWriter {
         s
       case hit => hit
     }
-  }
 
   /** Consumption-side scan with union-of-schemas across appends and
     * snapshot isolation across compaction swaps (object scaladoc). */
   def read(spark: SparkSession, lakeDir: String): DataFrame = {
     val raw = new Path(lakeDir)
-    val fs = FileSystem.get(raw.toUri, spark.sparkContext.hadoopConfiguration)
+    val fs = graft.engine.Fs.of(spark.sparkContext.hadoopConfiguration, raw)
     val root = fs.makeQualified(raw)
-    if (!LakeSnapshot.hasSwapHistory(fs, root)) {
-      if (!fs.exists(root)) // preserve the plain read's error semantics
-        return spark.read.option("mergeSchema", "true").parquet(lakeDir)
-      val live = LakeSnapshot.liveFiles(fs, root)
-      if (live.isEmpty)
-        return spark.read.option("mergeSchema", "true").parquet(lakeDir)
-      val schema = mergedSchema(root, live,
-        spark.read.option("mergeSchema", "true").parquet(lakeDir).schema)
-      return spark.read.option("mergeSchema", "true").schema(schema).parquet(lakeDir)
-    }
-    val live = LakeSnapshot.liveFiles(fs, root)
-    if (live.isEmpty) // degenerate (emptied lake): keep plain-read semantics
+    val pinned = LakeSnapshot.hasSwapHistory(fs, root)
+    if (!pinned && !fs.exists(root)) // preserve the plain read's error semantics
       return spark.read.option("mergeSchema", "true").parquet(lakeDir)
-    val paths = live.map(_.getPath.toString)
-    val schema = mergedSchema(root, live,
-      spark.read
-        .option("mergeSchema", "true")
-        .option("basePath", root.toString)
-        .parquet(paths: _*).schema)
-    spark.read
-      .option("mergeSchema", "true")
-      .schema(schema)
-      .option("basePath", root.toString)
-      .parquet(paths: _*)
+    val live = LakeSnapshot.liveFiles(fs, root)
+    if (live.isEmpty) // never-written or emptied lake: plain-read semantics
+      return spark.read.option("mergeSchema", "true").parquet(lakeDir)
+    val key = listingKey(root, live)
+    val planKey = s"${System.identityHashCode(spark)}|$key"
+    planCache.get(planKey) match {
+      case null =>
+        val df = if (!pinned) {
+          val schema = mergedSchema(key,
+            spark.read.option("mergeSchema", "true").parquet(lakeDir).schema)
+          spark.read.option("mergeSchema", "true").schema(schema).parquet(lakeDir)
+        } else {
+          val paths = live.map(_.getPath.toString)
+          val schema = mergedSchema(key,
+            spark.read
+              .option("mergeSchema", "true")
+              .option("basePath", root.toString)
+              .parquet(paths: _*).schema)
+          spark.read
+            .option("mergeSchema", "true")
+            .schema(schema)
+            .option("basePath", root.toString)
+            .parquet(paths: _*)
+        }
+        planCache.put(planKey, df)
+        df
+      case hit => hit
+    }
   }
 }

@@ -308,7 +308,7 @@ object FileBounds {
       case (None, None) => return false
     }
     val p = new Path(dir)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val fs = graft.engine.Fs.of(s.sparkContext.hadoopConfiguration, p)
     val tmp = new Path(p.getParent,
       s".swapb-${java.util.UUID.randomUUID().toString.take(8)}")
     fs.delete(tmp, true)
@@ -347,7 +347,7 @@ object FileBounds {
 
   def hasData(s: SparkSession, dir: String): Boolean = {
     val p = new Path(dir)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val fs = graft.engine.Fs.of(s.sparkContext.hadoopConfiguration, p)
     Staging.countDataFiles(fs, p) > 0
   }
 
@@ -411,7 +411,7 @@ object FileBounds {
     * the fold input size IS the audit. */
   def storeAudit(s: SparkSession, dir: String): DataFrame = {
     val root = new Path(dir)
-    val fs: FileSystem = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val fs: FileSystem = graft.engine.Fs.of(s.sparkContext.hadoopConfiguration, root)
     val nBatches =
       if (!fs.exists(root)) 0L
       else fs.listStatus(root).count(st => st.isDirectory &&
@@ -438,7 +438,7 @@ object FileBounds {
     * crash leaves only absorbable twins). */
   def compact(s: SparkSession, dir: String, maxBatchDirs: Int = 16): Boolean = {
     val root = new Path(dir)
-    val fs: FileSystem = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val fs: FileSystem = graft.engine.Fs.of(s.sparkContext.hadoopConfiguration, root)
     if (!fs.exists(root)) return false
     val dirs = fs.listStatus(root).toSeq
       .filter(st => st.isDirectory && !st.getPath.getName.startsWith(".") &&

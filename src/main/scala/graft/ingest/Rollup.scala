@@ -138,7 +138,7 @@ object Rollup {
       case scala.util.control.NonFatal(e) =>
         val units = paths.flatMap { p =>
           val root = new Path(p)
-          val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+          val fs = graft.engine.Fs.of(s.sparkContext.hadoopConfiguration, root)
           if (!fs.exists(root)) Seq.empty
           else if (fs.getFileStatus(root).isFile) Seq(p)
           else fs.listStatus(root).toSeq
@@ -200,7 +200,7 @@ object Rollup {
 
   private[graft] def hasData(s: SparkSession, dir: String): Boolean = {
     val p = new Path(dir)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val fs = graft.engine.Fs.of(s.sparkContext.hadoopConfiguration, p)
     Staging.countDataFiles(fs, p) > 0
   }
 
@@ -397,7 +397,7 @@ object Rollup {
     val token = java.util.UUID.randomUUID().toString.take(8)
     for (dir <- Seq(rollupDir, fileBoundsDir)) {
       val p = new Path(dir)
-      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val fs = graft.engine.Fs.of(s.sparkContext.hadoopConfiguration, p)
       if (fs.exists(p)) fs.delete(p, true): Unit
     }
     writePartials(withLineage, s"$rollupDir/backfill-$token")
@@ -421,7 +421,7 @@ object Rollup {
     * maintenance writer (the tick/micro-batch loop). */
   def compact(s: SparkSession, rollupDir: String, maxBatchDirs: Int = 16): Boolean = {
     val root = new Path(rollupDir)
-    val fs: FileSystem = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val fs: FileSystem = graft.engine.Fs.of(s.sparkContext.hadoopConfiguration, root)
     if (!fs.exists(root)) return false
     val dirs = fs.listStatus(root).toSeq
       .filter(st => st.isDirectory && !st.getPath.getName.startsWith(".") &&

@@ -77,7 +77,7 @@ private[graft] object SchemaMemo {
     roots.sorted.foreach { r =>
       sb.append('#').append(r)
       val p = new Path(r)
-      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val fs = graft.engine.Fs.of(s.sparkContext.hadoopConfiguration, p)
       if (fs.exists(p)) signListing(fs, p, sb)
     }
     val key = java.util.UUID.nameUUIDFromBytes(

@@ -358,7 +358,7 @@ object RollupMetadataAggregate {
         // coverage pin for pinned listings (scaladoc): serve only when
         // the listed roots are exactly the lake's live data files
         pinned.foreach { roots =>
-          val hfs = root.getFileSystem(session.sparkContext.hadoopConfiguration)
+          val hfs = graft.engine.Fs.of(session.sparkContext.hadoopConfiguration, root)
           val listed = roots.map(hfs.makeQualified(_).toString).toSet
           val live = graft.ingest.LakeSnapshot
             .liveFiles(hfs, hfs.makeQualified(root))

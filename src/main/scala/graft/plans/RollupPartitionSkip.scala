@@ -299,7 +299,7 @@ case class RollupPartitionSkip(session: SparkSession) extends Rule[LogicalPlan] 
         if (dropped == 0) None
         else {
           val base = new Path(new Path(rollupDir).getParent, "curated")
-          val fs = base.getFileSystem(session.sparkContext.hadoopConfiguration)
+          val fs = graft.engine.Fs.of(session.sparkContext.hadoopConfiguration, base)
           val spec = org.apache.spark.sql.execution.datasources.PartitionSpec(
             ps, keptDirs.map(_._1).toSeq)
           val pruned = new ZonePrunedFileIndex(session, fs.makeQualified(base),
@@ -730,7 +730,7 @@ object RollupPartitionSkip {
 
   private def listingSignature(s: SparkSession, dir: String): String = {
     val p = new Path(dir)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val fs = graft.engine.Fs.of(s.sparkContext.hadoopConfiguration, p)
     if (!fs.exists(p)) return "absent"
     val sb = new StringBuilder(dir)
     // listStatus walk, not fs.listFiles(recursive) — the located-status

@@ -509,7 +509,7 @@ object ExportOps {
     * rows independently and compares). One row per part file reaches
     * the driver, bounded by the writer task count at any corpus size. */
   private def perFileStats(s: SparkSession, outDir: String) =
-    s.read.parquet(outDir)
+    graft.engine.Tables.parquet(s, outDir)
       .groupBy(col("shard").cast("string").as("shard"),
         regexp_extract(input_file_name(), "[^/]+$", 0).as("file"))
       .agg(count(lit(1)).as("n"), min("rnk").as("lo"), max("rnk").as("hi"),
@@ -600,7 +600,7 @@ object ExportOps {
         org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
       return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
-    s.read.parquet(outDir)
+    graft.engine.Tables.parquet(s, outDir)
       .select(col("shard").cast("string").as("shard"), col("rnk"),
         col("doc_id"), col("source"), col("text"))
   }

@@ -104,7 +104,7 @@ object FingerprintIndex {
             maxHamming: Int = 3, store: String = Store): DataFrame = {
     require(maxHamming <= 3,
       s"block-triple candidates are exact only to Hamming 3 (got $maxHamming)")
-    val old = DedupOps.tripleKeyed(s.read.parquet(s"$root/$store"), "fp")
+    val old = DedupOps.tripleKeyed(graft.engine.Tables.parquet(s, s"$root/$store"), "fp")
       .select(col("combo"), col("ck"), col("doc_id").as("old_id"), col("fp").as("hb"))
     val neu = broadcast(DedupOps.tripleKeyed(normalized(fps), "fp")
       .select(col("combo"), col("ck"), col("doc_id").as("new_id"), col("fp").as("ha")))

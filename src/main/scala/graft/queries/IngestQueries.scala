@@ -143,7 +143,7 @@ object IngestQueries {
     // existed and was suppressed.
     "q72_stream_dedup" -> ((s, d) => {
       val deduped = graft.pipeline.StreamDemo.ensureStreamDedup(s, d)
-      val raw = s.read.parquet(graft.pipeline.StreamDemo.streamDedupLanding(d))
+      val raw = graft.engine.Tables.parquet(s, graft.pipeline.StreamDemo.streamDedupLanding(d))
         .agg(count(lit(1)).as("landing_rows"))
       deduped
         .agg(count(lit(1)).as("n_events"),
@@ -791,7 +791,7 @@ object IngestQueries {
     // variant is q39/q41.
     "q52_dpp_pruned" -> ((s, d) => {
       val tbl = IngestDemo.ensureCatalog(s, d)
-      val dim = s.read.parquet(IngestDemo.ensureDayDim(s, d))
+      val dim = graft.engine.Tables.parquet(s, IngestDemo.ensureDayDim(s, d))
         .filter(col("kind") === "peak")
       s.table(tbl)
         .join(broadcast(dim), Seq("day"))

@@ -105,7 +105,7 @@ object MinHashIndex {
     * per-batch cost is O(batch windows + store scan). */
   def probeSpans(s: SparkSession, root: String, docsDf: DataFrame): DataFrame = {
     val wins = DedupOps.spanWindows(docsDf)
-    val store = s.read.parquet(s"$root/winhashes")
+    val store = graft.engine.Tables.parquet(s, s"$root/winhashes")
     val matched = store
       .join(broadcast(wins.select("wh").distinct()), Seq("wh"), "left_semi")
       .select("wh").distinct()
@@ -152,8 +152,8 @@ object MinHashIndex {
     * entries (same keyed ids) and must not suppress itself. */
   def probeShingled(s: SparkSession, root: String, sh: DataFrame,
                     minJ: Double): DataFrame = {
-    val bands = s.read.parquet(s"$root/bands")
-    val oldSh = s.read.parquet(s"$root/shingles")
+    val bands = graft.engine.Tables.parquet(s, s"$root/bands")
+    val oldSh = graft.engine.Tables.parquet(s, s"$root/shingles")
     val cands = broadcast(DedupOps.bandRows(s, sh)
       .select(col("doc_id").as("new_id"), col("band"), col("bh")))
       .join(bands.select(col("doc_id").as("old_id"), col("band"), col("bh")),
@@ -195,8 +195,8 @@ object MinHashIndex {
   def probeStream(s: SparkSession, root: String, docsStream: DataFrame,
                   minJ: Double,
                   watermark: Option[(String, String)] = None): DataFrame = {
-    val bands = s.read.parquet(s"$root/bands")
-    val oldSh = s.read.parquet(s"$root/shingles")
+    val bands = graft.engine.Tables.parquet(s, s"$root/bands")
+    val oldSh = graft.engine.Tables.parquet(s, s"$root/shingles")
     // Under a watermark the event-time column must ride the whole plan
     // (withWatermark → band rows → joins → the state-bounded dedup), so
     // it joins `sh` in the carry set and appears in the OUTPUT schema —

@@ -246,7 +246,7 @@ object VectorOps {
   def ivfPicksAt(s: SparkSession, d: String, cents: Seq[Array[Float]],
                  corpusDir: String, nprobe: Int = 4): DataFrame = {
     graft.functions.VectorExpressions.register(s)
-    val corpus = s.read.parquet(corpusDir)
+    val corpus = graft.engine.Tables.parquet(s, corpusDir)
     val probes = embs(s, d).filter(col("vec_id") < NumProbes)
       .withColumn("cell", explode(graft.pipeline.IvfIndex.cellsOf(cents, nprobe)))
       .select(col("vec_id").as("a_id"), col("cell"), col("embedding").as("ea"))
