@@ -12,6 +12,15 @@ object Verify {
       .config("spark.sql.extensions", classOf[GraftExtensions].getName)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Memory page size for per-task agg/sort buffers (round 22,
+      // parameterised): the derived default on a large-heap driver is
+      // 64 MB, and RowBasedKeyValueBatch ZEROES one page per task per
+      // hash aggregate — executor stack sampling showed page zero-fill
+      // as the largest single slice of the export-audit scan tasks.
+      // 4 MB suits this engine's many metadata-sized aggregates; large
+      // per-task state simply chains pages (and oversize records get
+      // dedicated pages), so genuinely big tasks are unaffected.
+      .config("spark.buffer.pageSize", sys.env.getOrElse("SPARK_GRAFT_PAGE_SIZE", "4m"))
       // driver-side stats for moderate explicit-path listings (see
       // graft.Bench for the measurement and the storage-tier caveat)
       .config("spark.sql.sources.parallelPartitionDiscovery.threshold",

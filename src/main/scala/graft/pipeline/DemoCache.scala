@@ -34,7 +34,7 @@ import java.nio.file.{Files, StandardCopyOption}
   */
 object DemoCache {
   /** Bump on any change that alters demo-artifact content. */
-  val Version = "r18a" // compaction swaps publish FileBounds batches (fresh rows + tombstones)
+  val Version = "r22a" // export trees: size-adaptive writer count (64 writers at bench scale, not 256 4-KB files)
 
   /** All demo artifacts root here: survives `sbt clean`, git-ignored. */
   val Root: File = new File("var/demo").getAbsoluteFile

@@ -106,11 +106,34 @@ object ExportOps {
     * `rnk` is also embedded per row so any consumer can order-check or
     * re-sort cheaply. ExportSpec asserts the name-ordered read-back and
     * that >16 write tasks actually ran. */
+  /** Size-adaptive writer-task count (round 22, guide §2/§6): the old
+    * default — max(256, shuffle parallelism) regardless of input size —
+    * wrote the bench-scale export as ~800 part files of 4-8 KB, and
+    * every downstream audit scan (q108/q118's deep validation, the
+    * loader preflight) paid ~25 parquet reader-inits per task. The
+    * writer count now derives from the INPUT's estimated bytes at a
+    * target of `spark.graft.export.writerTargetBytes` (default 256 MB
+    * of estimated input per writer — post-compression files land well
+    * inside the 128 MB-1 GB guidance), floored at 64 (4× the shard
+    * count: the >16-writers scale contract ExportSpec pins, with
+    * headroom) and CAPPED at the old default — a deployment whose
+    * admin sized shuffle parallelism for the cluster never gets MORE
+    * writers than before, small inputs just stop paying the
+    * 256-tiny-files tax. An explicit `numPartitions` still wins. */
+  private def writerTasks(s: SparkSession, df: DataFrame, numPartitions: Int): Int =
+    if (numPartitions > 0) numPartitions
+    else {
+      val cap = math.max(256, s.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+      val target = s.conf.getOption("spark.graft.export.writerTargetBytes")
+        .map(_.toLong).getOrElse(256L * 1024 * 1024)
+      val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      val bySize = (bytes / target).min(BigInt(cap)).toInt
+      math.max(64, bySize)
+    }
+
   def exportShards(s: SparkSession, df: DataFrame, outDir: String,
                    numPartitions: Int = 0): Unit = {
-    val n =
-      if (numPartitions > 0) numPartitions
-      else math.max(256, s.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+    val n = writerTasks(s, df, numPartitions)
     shardRanked(df.select(col("doc_id"), col("source"), col("text")))
       .select("shard", "rnk", "doc_id", "source", "text")
       .repartitionByRange(n, col("shard"), col("rnk"))
@@ -162,9 +185,9 @@ object ExportOps {
     validateExport(s, outDir, m, deep): Unit // stale/tampered manifest dies here
     if (newDocs.isEmpty) return
     val token = java.util.UUID.randomUUID().toString.take(8)
-    val n =
-      if (numPartitions > 0) numPartitions
-      else math.max(256, s.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+    // size-adaptive like the base export, over the NEW docs only — a
+    // small weekly drop no longer sprays 256 tiny files per append
+    val n = writerTasks(s, newDocs, numPartitions)
     import s.implicits._
     val offsets = m.shards.map(t => (t._1, t._2)).toDF("shard", "off")
     val staged = shardRanked(newDocs.select(col("doc_id"), col("source"), col("text")))
