@@ -70,10 +70,22 @@ object Bench {
       // 64 MB, and RowBasedKeyValueBatch ZEROES one page per task per
       // hash aggregate — executor stack sampling showed page zero-fill
       // as the largest single slice of the export-audit scan tasks.
-      // 4 MB suits this engine's many metadata-sized aggregates; large
-      // per-task state simply chains pages (and oversize records get
-      // dedicated pages), so genuinely big tasks are unaffected.
-      .config("spark.buffer.pageSize", sys.env.getOrElse("SPARK_GRAFT_PAGE_SIZE", "4m"))
+      // 16 MB balances the two regimes measured on this engine: 4 MB
+      // pages shrink the fast hash map enough that wide-value aggregates
+      // (q91's shingle/list states) fall back to sort-based aggregation
+      // (q91 jobSum 2.1-2.9 s), while 64 MB re-inflates the zero-fill
+      // (q118 jobSum 0.9-1.8 s); 16 MB reads best on BOTH (1.4-1.7 /
+      // 0.5-0.75). Large per-task state chains pages and oversize
+      // records get dedicated pages, so genuinely big tasks still work.
+      .config("spark.buffer.pageSize", sys.env.getOrElse("SPARK_GRAFT_PAGE_SIZE", "16m"))
+      // Guarded takes (minhashEdges' candidate-id take, the closure
+      // operators' edge take) expect to DRAIN a metadata-sized frame:
+      // the default limit escalation (scan 1 partition, then 4, 16, ...)
+      // turns that one wave into up to 4 sequential jobs per take.
+      // Start at the core count; deployments whose takes hit huge frames
+      // early keep the escalation win by exporting a lower value.
+      .config("spark.sql.limit.initialNumPartitions",
+        sys.env.getOrElse("SPARK_GRAFT_LIMIT_INIT_PARTS", cpus))
       // Explicit-path scans (snapshot-pinned reads, symlink-resolved
       // external reads) pass one root PER FILE; above this many roots
       // Spark stats them in a distributed job whose task-scheduling

@@ -121,24 +121,32 @@ object DedupOps {
 
   def componentLabels(s: SparkSession, edgeList: DataFrame,
                       driverCap: Long = DriverEdgeCap): DataFrame = {
-    val ne = edgeList.count()
+    // ONE guarded take (round 22): the old shape paid a count() job for
+    // the cap decision and then a collect() job for the same bytes.
+    // take(cap+1) IS both — under the cap the returned rows are exactly
+    // the collect, over it the overflow row flips to the distributed
+    // path. (The bench sessions set spark.sql.limit.initialNumPartitions
+    // to the core count, so the take drains a metadata-sized frame in
+    // one wave instead of the 1→4→16 escalation ladder.)
+    import s.implicits._
+    // clamp before toInt: a caller disabling the cap (Long.MaxValue)
+    // must not overflow take's Int argument
+    val takeN = driverCap.min(Int.MaxValue - 1L).toInt + 1
+    val packed: Array[Long] = edgeList.as[Long].take(takeN)
     if (sys.env.contains("GRAFT_DEBUG"))
-      System.err.println(s"[q65] edge build: $ne edges")
-    componentLabelsCounted(s, edgeList, ne, driverCap)
-  }
-
-  /** [[componentLabels]] with the edge count already known — so a caller
-    * that counted for its own cap decision ([[componentSizes]]) doesn't
-    * pay a second count job over the persisted edge list. */
-  private def componentLabelsCounted(s: SparkSession, edgeList: DataFrame,
-                                     ne: Long, driverCap: Long): DataFrame = {
-    if (ne <= driverCap) {
-      import s.implicits._
-      val packed: Array[Long] = edgeList.as[Long].collect() // primitive
+      System.err.println(s"[q65] edge build: ${packed.length}" +
+        (if (packed.length >= takeN) "+ (over cap)" else "") + " edges")
+    if (packed.length < takeN) {
       QueryCaches.earlyRelease(edgeList)
       val parent = unionFind(packed)
       parent.keys.toSeq.map(k => (k, ufFind(parent, k))).toDF("doc_id", "rep")
-    } else {
+    } else componentLabelsDistributed(s, edgeList)
+  }
+
+  /** Distributed min-label propagation — the over-cap path. */
+  private def componentLabelsDistributed(s: SparkSession,
+                                         edgeList: DataFrame): DataFrame = {
+    {
       val ab = edgeList.select(
         shiftrightunsigned(col("pk"), 32).as("a"),
         col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("b"))
@@ -202,12 +210,15 @@ object DedupOps {
     * before — the fold is proportional to the duplicate subgraph. */
   def componentSizes(s: SparkSession, edgeList: DataFrame,
                      driverCap: Long = DriverEdgeCap): DataFrame = {
-    val ne = edgeList.count()
+    // same one-take guard as componentLabels (round 22): count+collect
+    // was two jobs for one array of bytes
+    import s.implicits._
+    val takeN = driverCap.min(Int.MaxValue - 1L).toInt + 1
+    val packed: Array[Long] = edgeList.as[Long].take(takeN)
     if (sys.env.contains("GRAFT_DEBUG"))
-      System.err.println(s"[q65] edge build: $ne edges")
-    if (ne <= driverCap) {
-      import s.implicits._
-      val packed: Array[Long] = edgeList.as[Long].collect() // primitive
+      System.err.println(s"[q65] edge build: ${packed.length}" +
+        (if (packed.length >= takeN) "+ (over cap)" else "") + " edges")
+    if (packed.length < takeN) {
       QueryCaches.earlyRelease(edgeList)
       val parent = unionFind(packed)
       val sizes = scala.collection.mutable.LongMap.empty[Long]
@@ -217,7 +228,7 @@ object DedupOps {
       }
       sizes.toSeq.sortBy(_._1).toDF("rep", "n_members")
     } else
-      componentLabelsCounted(s, edgeList, ne, driverCap)
+      componentLabelsDistributed(s, edgeList)
         .groupBy(col("rep")).agg(count(lit(1)).cast("long").as("n_members"))
         .orderBy("rep")
   }
